@@ -1,0 +1,506 @@
+"""FlyQEngine — the engine facade (reference: LogEngine,
+flyq-server/src/core/log_engine.rs:17-23).
+
+Spark-first restatement of the FlyQ broker:
+
+- one hive-partitioned parquet table per topic
+  (``topic_<name>/partition=<id>/*.parquet``); parquet footer min/max
+  stats on ``offset`` replace the sparse index
+  (flyq-server/src/core/segment.rs:125-154);
+- produce = route + dense offset assignment + partitioned append
+  (log_engine.rs:60-70, topic.rs:76-88, partition.rs:107-142);
+- consume/stream = predicate-pushdown point/range scans
+  (log_engine.rs:75-102, partition.rs:144-165);
+- consumer-group offsets = small JSON control state (mirrors the
+  reference's ``consumer_offsets.json``, offset_tracker.rs:36-54) with
+  the topic-scope fix (quirk Q3) and durable-at-commit semantics
+  (stronger than the reference's 5 s dirty flush, runtime/flush.rs:9-39);
+- watermarks/lag/health = O(1) metadata reads (partition_state.rs:4-8)
+  — the scan-based DataFrame forms live in ``operators/watermarks.py``;
+- retention = file-granular deletes mirroring FlyQ's segment-granular
+  deletes (partition.rs:225-308), keyed on data timestamps (quirk Q5).
+
+Concurrency contract: single writer per topic (the reference is stricter —
+one global engine mutex serializes every op, types.rs:4; we only require
+produce/retention on the *same topic* not to race). Reads are snapshot-
+isolated by Spark's plan-time file listing, the analog of the reference's
+Arc-based deferred deletion (segment.rs:336-351).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Any, Iterable
+
+from pyspark.sql import DataFrame, Row, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flyq_spark import storage
+from flyq_spark.config import EngineConfig
+from flyq_spark.operators.offsets import assign_offsets
+from flyq_spark.operators.routing import keyed_partition, route
+from flyq_spark.schemas import CONSUMER_OFFSETS_SCHEMA, LOG_SCHEMA, MESSAGE_SCHEMA
+
+_OFFSETS_FILE = "consumer_offsets.json"
+
+
+class UnknownTopic(KeyError):
+    """Commit to a nonexistent topic errors (log_engine.rs:165-170)."""
+
+
+class FlyQEngine:
+    """Engine facade holding a SparkSession + base directory catalog."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_dir: str,
+        config: EngineConfig | None = None,
+    ) -> None:
+        self.spark = spark
+        self.base_dir = base_dir
+        self.config = config or EngineConfig()
+        os.makedirs(os.path.join(base_dir, storage.META_DIR), exist_ok=True)
+        # Startup recovery (log_engine.rs:26-57): control state is two tiny
+        # JSON files; log data needs no recovery scan (parquet footers are
+        # self-describing).
+        self._offsets: dict[str, dict[str, dict[int, int]]] = self._load_offsets()
+
+    # ------------------------------------------------------------------ #
+    # topic management
+    # ------------------------------------------------------------------ #
+
+    def create_topic(self, topic: str, partitions: int | None = None) -> None:
+        """Create a topic directory + meta (log_engine.rs:105-131)."""
+        if partitions is None:
+            partitions = self.config.default_partitions
+        if self.topic_exists(topic):
+            return
+        for p in range(partitions):
+            os.makedirs(storage.partition_dir(self.base_dir, topic, p), exist_ok=True)
+        storage.save_topic_meta(
+            self.base_dir,
+            topic,
+            {
+                "partitions": partitions,
+                "log_end_offsets": {},
+                "low_watermarks": {},
+                "rr_cursor": 0,
+            },
+        )
+
+    def topic_exists(self, topic: str) -> bool:
+        return storage.load_topic_meta(self.base_dir, topic) is not None
+
+    def list_topics(self) -> list[str]:
+        return storage.list_topics(self.base_dir)
+
+    def topic_partitions(self, topic: str) -> int:
+        meta = self._meta(topic)
+        return int(meta["partitions"])
+
+    def _meta(self, topic: str) -> dict:
+        meta = storage.load_topic_meta(self.base_dir, topic)
+        if meta is None:
+            raise UnknownTopic(topic)
+        return meta
+
+    def delete_topic(self, topic: str) -> None:
+        if self.topic_exists(topic):
+            shutil.rmtree(storage.topic_dir(self.base_dir, topic))
+
+    # ------------------------------------------------------------------ #
+    # produce (A1 = A2/A3 routing + A4 offsets + partitioned append)
+    # ------------------------------------------------------------------ #
+
+    def produce(
+        self,
+        topic: str,
+        messages: DataFrame | Iterable[dict[str, Any]],
+        method: str = "xxhash64",
+        collect_acks: bool | None = None,
+    ):
+        """Append a batch of messages; auto-creates the topic
+        (log_engine.rs:60-70, constants.rs:4).
+
+        ``messages``: a DataFrame with columns key/value/timestamp
+        [/headers][/seq], or an iterable of dicts (small driver-side
+        batches, the reference's per-message produce shape).
+
+        Returns a list of ``(partition, offset)`` acks in seq order when
+        ``collect_acks`` (default for list input), else a dict
+        ``{partition: (base_offset, new_log_end_offset)}``.
+        """
+        if not self.topic_exists(topic):
+            if not self.config.auto_create_topics:
+                raise UnknownTopic(topic)
+            self.create_topic(topic)
+        meta = self._meta(topic)
+        n = int(meta["partitions"])
+        prev_leo = {int(k): int(v) for k, v in meta["log_end_offsets"].items()}
+        rr_cursor = int(meta.get("rr_cursor", 0))
+
+        df, is_local = self._as_message_df(messages)
+        if collect_acks is None:
+            collect_acks = is_local
+        if "seq" not in df.columns:
+            # Arrival order for a DataFrame batch: Spark's scan order. The
+            # id is NOT globally dense, but round-robin only needs the
+            # per-spark-partition cycling of its low bits; per-partition
+            # offset order just needs a total order. No shuffle, no window.
+            df = df.withColumn("seq", F.monotonically_increasing_id())
+
+        routed = route(df, n, method=method, rr_cursor=rr_cursor)
+        assigned = assign_offsets(routed, prev_leo).persist()
+        try:
+            counts = {
+                int(r["partition"]): int(r["cnt"])
+                for r in assigned.groupBy("partition").agg(F.count("*").alias("cnt")).collect()
+            }
+            acks = None
+            if collect_acks:
+                acks = [
+                    (int(r["partition"]), int(r["offset"]))
+                    for r in assigned.select("seq", "partition", "offset")
+                    .orderBy("seq")
+                    .collect()
+                ]
+            writer = (
+                assigned.select([f.name for f in LOG_SCHEMA.fields])
+                .repartition(max(1, min(n, 32)), "partition")
+                .sortWithinPartitions("partition", "offset")
+                .write.mode("append")
+                .option("maxRecordsPerFile", str(self.config.max_records_per_file))
+                .partitionBy("partition")
+            )
+            writer.parquet(storage.topic_dir(self.base_dir, topic))
+        finally:
+            assigned.unpersist()
+
+        # Commit point: LEO + cursor advance (partition_state.rs:27-29;
+        # cursor persistence is stronger than the reference, topic.rs:35).
+        total = 0
+        for p, c in counts.items():
+            meta["log_end_offsets"][str(p)] = prev_leo.get(p, 0) + c
+            total += c
+        meta["rr_cursor"] = (rr_cursor + total) % n if n else 0
+        storage.save_topic_meta(self.base_dir, topic, meta)
+        if collect_acks:
+            return acks
+        return {
+            int(p): (prev_leo.get(int(p), 0), int(meta["log_end_offsets"][str(p)]))
+            for p in counts
+        }
+
+    def _as_message_df(self, messages) -> tuple[DataFrame, bool]:
+        if isinstance(messages, DataFrame):
+            df = messages
+            for field in ("key", "headers"):
+                if field not in df.columns:
+                    df = df.withColumn(field, F.lit(None).cast(MESSAGE_SCHEMA[field].dataType))
+            return df, False
+        rows = []
+        for i, m in enumerate(messages):
+            ts = m["timestamp"]
+            if isinstance(ts, (int, float)):  # epoch millis, the reference unit
+                from datetime import datetime, timezone
+
+                ts = datetime.fromtimestamp(ts / 1000.0, tz=timezone.utc)
+            rows.append(
+                Row(
+                    key=m.get("key"),
+                    value=m["value"],
+                    timestamp=ts,
+                    headers=m.get("headers"),
+                    seq=m.get("seq", i),
+                )
+            )
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            list(MESSAGE_SCHEMA.fields) + [T.StructField("seq", T.LongType(), False)]
+        )
+        return self.spark.createDataFrame(rows, schema), True
+
+    # ------------------------------------------------------------------ #
+    # read path (A7/A8/A9 + client stubs A28a-c)
+    # ------------------------------------------------------------------ #
+
+    def log(self, topic: str) -> DataFrame:
+        """The topic's log table. Partition pruning + footer stats give the
+        reference's seek path (partition.rs:148-158) for free."""
+        self._meta(topic)  # raise on unknown topic
+        tdir = storage.topic_dir(self.base_dir, topic)
+        has_data = any(
+            files
+            for _, _, files in os.walk(tdir)
+            if any(f.endswith(".parquet") for f in files)
+        )
+        if not has_data:
+            return self.spark.createDataFrame([], LOG_SCHEMA)
+        return (
+            self.spark.read.schema(LOG_SCHEMA)
+            .option("basePath", tdir)
+            .parquet(tdir)
+        )
+
+    def consume(self, topic: str, partition: int, offset: int) -> Row | None:
+        """Point read at >= offset; past-end -> None (log_engine.rs:75-102:
+        OffsetNotFound degrades to graceful None)."""
+        rows = (
+            self.log(topic)
+            .where((F.col("partition") == partition) & (F.col("offset") >= offset))
+            .orderBy("offset")
+            .limit(1)
+            .collect()
+        )
+        return rows[0] if rows else None
+
+    # A28a client stub (flyq-client/src/client.rs:181-189)
+    consume_from_partition = consume
+
+    def stream_from_offset(self, topic: str, partition: int, offset: int) -> DataFrame:
+        """Ordered range scan from offset (partition.rs:144-165)."""
+        return (
+            self.log(topic)
+            .where((F.col("partition") == partition) & (F.col("offset") >= offset))
+            .orderBy("offset")
+        )
+
+    def read_from_offset(
+        self, topic: str, partition: int, offset: int, limit: int | None = None
+    ) -> list[Row]:
+        """Batch materialization of the range scan (partition.rs:166-170)."""
+        df = self.stream_from_offset(topic, partition, offset)
+        if limit is not None:
+            df = df.limit(limit)
+        return df.collect()
+
+    def consume_by_key(self, topic: str, key: bytes, method: str = "xxhash64") -> list[Row]:
+        """A28b (client.rs:192-199): route the key, then scan only its
+        partition (partition pruning) for exact key matches."""
+        n = self.topic_partitions(topic)
+        if n == 1:
+            p = 0
+        else:
+            p = int(
+                self.spark.range(1)
+                .select(keyed_partition(F.lit(key), n, method).alias("p"))
+                .collect()[0]["p"]
+            )
+        return (
+            self.log(topic)
+            .where((F.col("partition") == p) & (F.col("key") == F.lit(key)))
+            .orderBy("offset")
+            .collect()
+        )
+
+    def consume_next(self, topic: str, partition: int, last_seen: int) -> Row | None:
+        """A28c (client.rs:202-209): first message strictly after last_seen."""
+        return self.consume(topic, partition, last_seen + 1)
+
+    def consume_with_group(
+        self, topic: str, partition: int, group: str
+    ) -> tuple[int, Row] | None:
+        """Read at the committed offset (default 0); does NOT auto-commit
+        (log_engine.rs:146-161; committed = next-to-read, quirk Q4)."""
+        committed = self.committed_offset(group, topic, partition) or 0
+        row = self.consume(topic, partition, committed)
+        if row is None:
+            return None
+        return committed, row
+
+    # ------------------------------------------------------------------ #
+    # consumer-group offsets (A11)
+    # ------------------------------------------------------------------ #
+
+    def _offsets_path(self) -> str:
+        return os.path.join(self.base_dir, storage.META_DIR, _OFFSETS_FILE)
+
+    def _load_offsets(self) -> dict:
+        path = self._offsets_path()
+        if not os.path.exists(path):
+            return {}
+        import json
+
+        with open(path) as f:
+            raw = json.load(f)
+        return {
+            g: {t: {int(p): int(o) for p, o in parts.items()} for t, parts in topics.items()}
+            for g, topics in raw.items()
+        }
+
+    def _save_offsets(self) -> None:
+        storage.atomic_write_json(
+            self._offsets_path(),
+            {
+                g: {t: {str(p): o for p, o in parts.items()} for t, parts in topics.items()}
+                for g, topics in self._offsets.items()
+            },
+        )
+
+    def commit_offset(self, group: str, topic: str, partition: int, offset: int) -> None:
+        """Upsert; unknown topic errors (log_engine.rs:163-179). Durable at
+        commit time — strictly stronger than the reference's 5 s dirty
+        flush window (runtime/flush.rs:9-39)."""
+        if not self.topic_exists(topic):
+            raise UnknownTopic(topic)
+        self._offsets.setdefault(group, {}).setdefault(topic, {})[int(partition)] = int(offset)
+        self._save_offsets()
+
+    def committed_offset(self, group: str, topic: str, partition: int) -> int | None:
+        return self._offsets.get(group, {}).get(topic, {}).get(int(partition))
+
+    def consumer_offsets_df(self) -> DataFrame:
+        """Control state as a (broadcastable) DataFrame for join-based lag."""
+        rows = [
+            Row(group=g, topic=t, partition=int(p), offset=int(o))
+            for g, topics in self._offsets.items()
+            for t, parts in topics.items()
+            for p, o in parts.items()
+        ]
+        return self.spark.createDataFrame(rows, CONSUMER_OFFSETS_SCHEMA)
+
+    # ------------------------------------------------------------------ #
+    # observability (A12/A13/A14)
+    # ------------------------------------------------------------------ #
+
+    def get_watermark(self, topic: str, partition: int) -> tuple[int, int, int]:
+        """(low, high, leo) from O(1) metadata (log_engine.rs:133-144).
+
+        Quirk Q6: fresh partition reports (0, 0, 0); after n appends
+        (0, n-1, n). LEO survives retention; low advances past deleted
+        offsets (partition.rs:285)."""
+        meta = self._meta(topic)
+        leo = int(meta["log_end_offsets"].get(str(partition), 0))
+        low = int(meta["low_watermarks"].get(str(partition), 0))
+        high = leo - 1 if leo > 0 else 0
+        return low, high, leo
+
+    def get_consumer_lag(self, group: str, topic: str | None = None) -> dict:
+        """lag = max(0, log_end_offset - committed) per partition, summed
+        (log_engine.rs:181-224; quirk Q4 clamp :209). Metadata-side math —
+        the scan/join DataFrame form is operators.watermarks.consumer_lag."""
+        topics = [topic] if topic is not None else self.list_topics()
+        parts_out = []
+        total = 0
+        for t in topics:
+            meta = self._meta(t)
+            for p in range(int(meta["partitions"])):
+                leo = int(meta["log_end_offsets"].get(str(p), 0))
+                committed = self.committed_offset(group, t, p) or 0
+                lag = max(0, leo - committed)
+                total += lag
+                parts_out.append(
+                    {
+                        "topic": t,
+                        "partition": p,
+                        "committed_offset": committed,
+                        "log_end_offset": leo,
+                        "lag": lag,
+                    }
+                )
+        return {"group": group, "total_lag": total, "partitions": parts_out}
+
+    def get_partition_health(self, topic: str, partition: int) -> dict:
+        """segment_count/size/watermarks (log_engine.rs:226-256;
+        last_cleanup is always None in the reference, :246)."""
+        stats = storage.partition_file_stats(self.base_dir, topic, partition)
+        low, high, leo = self.get_watermark(topic, partition)
+        return {
+            "topic": topic,
+            "partition": partition,
+            "segment_count": len(stats),
+            "total_size_bytes": sum(s.size_bytes for s in stats),
+            "low_watermark": low,
+            "high_watermark": high,
+            "log_end_offset": leo,
+            "last_cleanup": None,
+        }
+
+    # ------------------------------------------------------------------ #
+    # retention (A15 time + A16 size)
+    # ------------------------------------------------------------------ #
+
+    def apply_retention(
+        self,
+        topic: str,
+        now_ms: int | None = None,
+        retention_ms: int | None = None,
+        retention_bytes: int | None = None,
+    ) -> list[str]:
+        """File-granular retention, the analog of FlyQ's whole-segment
+        deletes (partition.rs:225-308): never the newest file; skip if a
+        partition has <= 1 file (partition.rs:236-246); time policy keys on
+        the data's own timestamps (quirk Q5) with an explicit logical
+        ``now``; size policy deletes oldest-first until under the cap
+        (partition.rs:262-270). Advances low_watermark past victims
+        (partition.rs:285). Returns deleted file paths."""
+        import time as _time
+
+        meta = self._meta(topic)
+        retention_ms = self.config.retention_ms if retention_ms is None else retention_ms
+        retention_bytes = (
+            self.config.retention_bytes if retention_bytes is None else retention_bytes
+        )
+        now_ms = int(_time.time() * 1000) if now_ms is None else now_ms
+        cutoff = now_ms - retention_ms
+        deleted: list[str] = []
+        for p in range(int(meta["partitions"])):
+            stats = storage.partition_file_stats(self.base_dir, topic, p)
+            if len(stats) <= 1:
+                continue
+            victims = []
+            # oldest-first; the newest file is the "active segment" and is
+            # never deleted, so iterate over stats[:-1].
+            candidates = stats[:-1]
+            total = sum(s.size_bytes for s in stats)
+            over_cap = (total - retention_bytes) if retention_bytes is not None else 0
+            for s in candidates:
+                too_old = s.max_timestamp_ms is not None and s.max_timestamp_ms < cutoff
+                too_big = over_cap > 0
+                if too_old or too_big:
+                    victims.append(s)
+                    if too_big:
+                        over_cap -= s.size_bytes
+            if not victims:
+                continue
+            new_low = max(
+                int(meta["low_watermarks"].get(str(p), 0)),
+                max(int(s.max_offset) + 1 for s in victims if s.max_offset is not None),
+            )
+            for s in victims:
+                os.remove(s.path)
+                deleted.append(s.path)
+            meta["low_watermarks"][str(p)] = new_low
+        storage.save_topic_meta(self.base_dir, topic, meta)
+        return deleted
+
+    # ------------------------------------------------------------------ #
+    # maintenance: compaction (A5 analog)
+    # ------------------------------------------------------------------ #
+
+    def compact_partition(self, topic: str, partition: int) -> int:
+        """Rewrite a partition's files into size-targeted files — the
+        housekeeping analog of segment rotation (partition.rs:116-127).
+        Returns the resulting file count. Single-writer contract applies."""
+        pdir = storage.partition_dir(self.base_dir, topic, partition)
+        stats = storage.partition_file_stats(self.base_dir, topic, partition)
+        if not stats:
+            return 0
+        df = self.spark.read.parquet(pdir).orderBy("offset")
+        tmp = pdir + ".compact_tmp"
+        (
+            df.coalesce(1)
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", str(self.config.max_records_per_file))
+            .parquet(tmp)
+        )
+        for s in stats:
+            os.remove(s.path)
+        for name in os.listdir(tmp):
+            if name.endswith(".parquet"):
+                os.replace(os.path.join(tmp, name), os.path.join(pdir, name))
+        shutil.rmtree(tmp, ignore_errors=True)
+        return len(storage.partition_file_stats(self.base_dir, topic, partition))

@@ -5,26 +5,41 @@ Reference semantics (flyq-server/src/core/topic.rs:76-93):
 - keyed message  -> ``xxh3_64(key) as u32 % partition_count``
 - keyless        -> round-robin cursor ``(next_partition + 1) % n`` per topic
 
-Spark restatement:
+Spark restatement — every method is a pure projection (no window, no
+shuffle; routing must survive a 100 TB batch without serializing through
+one task):
 
-- keyed: ``pmod(xxhash64(key), n)`` by default — JVM-side, codegen'd,
-  scale-correct. Spark's ``xxhash64`` is XXH64(seed=42), not XXH3, so it is
-  not bit-identical to the reference hash. When the ``xxhash`` package is
-  available we offer exact XXH3 parity via an Arrow-batched Pandas UDF
-  (``method="xxh3"``); it is import-gated because the package is not part
-  of this environment.
-- keyless: the reference's mutable cursor is foreign to a declarative plan
-  (and resets to 0 on broker restart anyway, topic.rs:35), so we restate it
-  deterministically: the i-th keyless message of the batch (in `seq` order)
-  goes to partition ``i % n``.
+- ``method="xxhash64"`` (default): ``pmod(xxhash64(key), n)`` — JVM-side,
+  whole-stage-codegen'd. Spark's ``xxhash64`` is XXH64(seed=42), not XXH3,
+  so it is deliberately NOT bit-identical to the reference hash; the
+  partition-count invariants (stable per key, uniform across partitions)
+  are what we preserve. When the ``xxhash`` package is available,
+  ``method="xxh3"`` gives bit-exact reference parity (u32 truncation
+  included) via an Arrow-batched Pandas UDF; it is import-gated because
+  the package is not part of this environment.
+- ``method="mod"``: ``pmod(cast(key as long), n)`` for *numeric-string*
+  keys — deterministic and re-computable by any SQL engine (the DuckDB
+  oracle cannot evaluate xxhash64/xxh3), used by the oracle-checked
+  query surface.
+- keyless rows: the reference's mutable cursor is foreign to a
+  declarative plan (and resets to 0 on broker restart anyway,
+  topic.rs:35), so we restate it deterministically as
+  ``partition = (cursor + dense_rank_of(seq)) % n``. When ``seq`` is
+  itself dense per batch (0..m-1 — our produce path guarantees this via
+  an input contract), the rank IS ``seq`` and routing is the pure
+  projection ``pmod(cursor + seq, n)``. The engine persists ``cursor``
+  in ``_topic_meta.json`` across produce calls (stronger than the
+  reference, whose in-memory cursor skews toward low partitions on
+  restart, topic.rs:35,69).
 
-Quirk Q1 (flyq-protocol/src/message.rs:83-92): a zero-length key decodes as
-``None``; we treat empty keys as keyless, matching the round-trip behavior.
+Quirk Q1 (flyq-protocol/src/message.rs:83-92): a zero-length key decodes
+as ``None``; we treat empty keys as keyless, matching the round-trip
+behavior.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 try:  # optional exact-parity path; not installed in the test container
@@ -35,8 +50,11 @@ except Exception:  # pragma: no cover
     xxhash = None
     HAVE_XXHASH = False
 
+ROUTING_METHODS = ("xxhash64", "xxh3", "mod")
 
-def _is_keyless(key: Column) -> Column:
+
+def is_keyless(key: Column) -> Column:
+    """Quirk Q1: NULL key and empty-bytes key are both keyless."""
     return key.isNull() | (F.length(key) == 0)
 
 
@@ -56,42 +74,54 @@ def _xxh3_partition_udf(n_partitions: int):
     return xxh3_route
 
 
+def keyed_partition(key: Column, n_partitions: int, method: str = "xxhash64") -> Column:
+    """Partition expression for keyed rows. Pure projection."""
+    if method == "xxhash64":
+        return F.pmod(F.xxhash64(key), F.lit(n_partitions)).cast("int")
+    if method == "xxh3":
+        if not HAVE_XXHASH:
+            raise RuntimeError("method='xxh3' requires the xxhash package")
+        return _xxh3_partition_udf(n_partitions)(key)
+    if method == "mod":
+        # numeric-string keys only (oracle-friendly deterministic routing)
+        return F.pmod(key.cast("string").cast("long"), F.lit(n_partitions)).cast("int")
+    raise ValueError(f"unknown routing method {method!r}; expected one of {ROUTING_METHODS}")
+
+
 def route(
     df: DataFrame,
     n_partitions: int,
     seq_col: str = "seq",
     method: str = "xxhash64",
+    rr_cursor: int = 0,
+    overwrite: bool = False,
 ) -> DataFrame:
     """Add a ``partition`` column. Input needs `key` and a total-order `seq`.
 
-    ``method``: "xxhash64" (default, built-in) | "xxh3" (exact reference
-    parity, needs the xxhash package) | "mod" (``pmod(crc-free numeric key)``
-    is not applicable to binary keys; "mod" hashes by key length+bytes via
-    xxhash64 too — kept for API symmetry).
+    `seq` must be dense per batch (0..m-1); the engine's produce path
+    enforces this (see engine._with_dense_seq) so that round-robin is the
+    shuffle-free projection ``pmod(rr_cursor + seq, n)``.
     """
+    if method not in ROUTING_METHODS:
+        raise ValueError(
+            f"unknown routing method {method!r}; expected one of {ROUTING_METHODS}"
+        )
     if "partition" in df.columns:
-        return df
+        if not overwrite:
+            raise ValueError(
+                "input already has a 'partition' column; pass overwrite=True "
+                "to re-route"
+            )
+        df = df.drop("partition")
     if n_partitions == 1:
         return df.withColumn("partition", F.lit(0))
 
-    keyless = _is_keyless(F.col("key"))
-    if method == "xxh3":
-        if not HAVE_XXHASH:
-            raise RuntimeError("method='xxh3' requires the xxhash package")
-        keyed_part = _xxh3_partition_udf(n_partitions)(F.col("key"))
-    else:
-        keyed_part = F.pmod(F.xxhash64(F.col("key")), F.lit(n_partitions)).cast("int")
-
-    # Round-robin over the keyless subset, in arrival (`seq`) order. The
-    # window is per-batch and keyless rows only — at scale this is one
-    # narrow shuffle over the keyless minority; keyed rows never shuffle
-    # here (routing is a pure projection).
-    rr_rank = F.row_number().over(
-        Window.partitionBy(F.lit(0)).orderBy(F.col(seq_col))
+    rr_part = F.pmod(F.lit(int(rr_cursor)) + F.col(seq_col), F.lit(n_partitions)).cast(
+        "int"
     )
-    keyless_df = (
-        df.where(keyless)
-        .withColumn("partition", ((rr_rank - 1) % n_partitions).cast("int"))
+    return df.withColumn(
+        "partition",
+        F.when(is_keyless(F.col("key")), rr_part).otherwise(
+            keyed_partition(F.col("key"), n_partitions, method)
+        ),
     )
-    keyed_df = df.where(~keyless).withColumn("partition", keyed_part)
-    return keyed_df.unionByName(keyless_df)

@@ -22,6 +22,7 @@ import json
 import os
 import re
 from dataclasses import dataclass
+from datetime import timezone
 
 import pyarrow.parquet as pq
 
@@ -88,7 +89,12 @@ class FileStats:
 def _ts_to_ms(v) -> int | None:
     if v is None:
         return None
-    try:  # pyarrow returns datetime for timestamp stats
+    try:  # pyarrow returns datetime for timestamp stats; naive values are
+        # UTC wall-clock (the session pins spark.sql.session.timeZone=UTC),
+        # so attach UTC before converting — naive .timestamp() would shift
+        # by the host zone.
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=timezone.utc)
         return int(v.timestamp() * 1000)
     except AttributeError:
         return int(v)
