@@ -1,38 +1,865 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship monitor query (watermarks + lag + health +
+alert severity over the events-derived log) at sf0.001.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator from
+SURVEY.md §2 (Part A broker semantics as deterministic dataflow over the
+``events`` fixture; Part C [EXT] LLM-pipeline operators over
+``documents``/``embeddings``). Every oracle-checked pair aligns column
+names AND types (timestamps → epoch micros BIGINT, counts → BIGINT,
+money → DECIMAL) so the driver's sorted value-hash matches bit-for-bit.
+
+Entries without an oracle_sql() entry (LSH/MinHash/SimHash candidates,
+Arrow-batch feature extraction) are non-SQL-expressible by design —
+their correctness is pinned against brute-force equivalents in pytest
+(tests/test_ext_*.py) and the driver records rows-only checks.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flyq_spark.operators import dedup as D
+from flyq_spark.operators import multimodal as M
+from flyq_spark.operators import retention as R
+from flyq_spark.operators import sessions as S
+from flyq_spark.operators import similarity as V
+from flyq_spark.operators import text as X
+from flyq_spark.operators import watermarks as W
+from flyq_spark.operators.eventlog import EVENTS_LOG_CTE, N_PARTITIONS, events_log
+
+SF0001 = "/root/testdata/sf0.001"
+
+MONITOR_WARN = 1000  # reference thresholds, flyq-client/examples/monitor.rs:78-81
+MONITOR_NOTICE = 100
+
+
+from flyq_spark.io import read_table as _read_table
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return _read_table(spark, sf_dir, table)
+
+
+def _us(col: str, alias: str) -> F.Column:
+    return F.unix_micros(F.col(col).cast("timestamp")).alias(alias)
+
+
+# --------------------------------------------------------------------- #
+# Part A — broker semantics as deterministic dataflow over `events`
+# --------------------------------------------------------------------- #
+
+
+def q_produce_log(spark, sf_dir):
+    """A1/A2(mod)/A4: route + dense offset assignment."""
+    return events_log(spark, sf_dir).select(
+        "part_id", "seq", "msg_key", "msg_offset", _us("msg_ts", "ts_us"), "msg_value"
+    )
+
+
+def q_route_keyed(spark, sf_dir):
+    """A2: keyed routing distribution (stable per key, all partitions hit)."""
+    return events_log(spark, sf_dir).groupBy("part_id").agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.min("msg_key").cast("long").alias("min_key"),
+        F.max("msg_key").cast("long").alias("max_key"),
+    )
+
+
+def q_route_round_robin(spark, sf_dir):
+    """A3: round-robin as the pure projection pmod(cursor + seq, n), cursor=0."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.pmod(F.col("event_id"), F.lit(N_PARTITIONS)).cast("long").alias("part_id"),
+            F.col("event_id").alias("seq"),
+        )
+        .groupBy("part_id")
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.min("seq").cast("long").alias("min_seq"),
+            F.max("seq").cast("long").alias("max_seq"),
+        )
+    )
+
+
+def q_watermarks(spark, sf_dir):
+    """A12: per-partition (low, high, leo)."""
+    return W.watermarks(events_log(spark, sf_dir))
+
+
+def q_consume_point(spark, sf_dir):
+    """A7: point read (partition 2, offset 5) with full pushdown."""
+    return events_log(spark, sf_dir).where(
+        (F.col("part_id") == 2) & (F.col("msg_offset") == 5)
+    ).select("part_id", "msg_offset", "msg_key", _us("msg_ts", "ts_us"), "msg_value")
+
+
+def q_stream_from_offset(spark, sf_dir):
+    """A8: range scan of partition 1 from (leo - 20)."""
+    log = events_log(spark, sf_dir).where(F.col("part_id") == 1)
+    leo = log.agg((F.max("msg_offset") + 1).alias("_leo"))
+    return (
+        log.crossJoin(F.broadcast(leo))
+        .where(F.col("msg_offset") >= F.col("_leo") - 20)
+        .select("part_id", "msg_offset", "msg_key", _us("msg_ts", "ts_us"))
+    )
+
+
+def q_read_from_offset(spark, sf_dir):
+    """A9: batch collect — partition 0, offsets [10, 110)."""
+    return events_log(spark, sf_dir).where(
+        (F.col("part_id") == 0)
+        & (F.col("msg_offset") >= 10)
+        & (F.col("msg_offset") < 110)
+    ).select("part_id", "msg_offset", "msg_key", "msg_value")
+
+
+def _committed(spark, sf_dir):
+    """Derived committed offsets for group g1: floor(leo/2) per partition
+    (the mid-stream commit scenario of tests/watermark_apis.rs:56-92)."""
+    wm = W.watermarks(events_log(spark, sf_dir))
+    return wm.select(
+        "part_id", F.floor(F.col("log_end_offset") / 2).cast("long").alias("committed")
+    )
+
+
+_COMMITTED_CTES = (
+    EVENTS_LOG_CTE
+    + """,
+wm AS (
+  SELECT part_id,
+         CAST(min(msg_offset) AS BIGINT) AS low_watermark,
+         CAST(max(msg_offset) AS BIGINT) AS high_watermark,
+         CAST(max(msg_offset) + 1 AS BIGINT) AS log_end_offset
+  FROM log GROUP BY part_id
+),
+committed AS (
+  SELECT part_id, CAST(log_end_offset // 2 AS BIGINT) AS committed FROM wm
+)"""
+)
+
+
+def q_consume_with_group(spark, sf_dir):
+    """A10: read the message at each partition's committed offset (Q4:
+    committed = next-to-read; no auto-commit)."""
+    log = events_log(spark, sf_dir)
+    c = _committed(spark, sf_dir)
+    return log.join(
+        F.broadcast(c),
+        on=[log.part_id == c.part_id, log.msg_offset == c.committed],
+    ).select(log.part_id, "committed", "msg_key", _us("msg_ts", "ts_us"))
+
+
+def q_commit_offset_upsert(spark, sf_dir):
+    """A11: upsert semantics — base commit 5 everywhere, re-commit 17 on
+    partitions 0/1; latest commit_seq wins."""
+    parts = events_log(spark, sf_dir).select("part_id").distinct()
+    base = parts.select(
+        F.lit("g1").alias("group_id"), "part_id",
+        F.lit(5).cast("long").alias("committed"), F.lit(1).alias("commit_seq"),
+    )
+    newer = parts.where(F.col("part_id") < 2).select(
+        F.lit("g1").alias("group_id"), "part_id",
+        F.lit(17).cast("long").alias("committed"), F.lit(2).alias("commit_seq"),
+    )
+    commits = base.unionByName(newer)
+    w = Window.partitionBy("group_id", "part_id").orderBy(F.col("commit_seq").desc())
+    return (
+        commits.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("group_id", "part_id", "committed")
+    )
+
+
+def q_consumer_lag(spark, sf_dir):
+    """A13: lag = greatest(leo - committed, 0), broadcast join on the tiny
+    offsets side."""
+    wm = W.watermarks(events_log(spark, sf_dir))
+    offsets = q_commit_offset_upsert(spark, sf_dir)
+    return W.consumer_lag(wm, offsets).select(
+        "part_id", "committed", "log_end_offset", "lag"
+    )
+
+
+def q_consumer_lag_total(spark, sf_dir):
+    """A13: total_lag = sum over partitions (log_engine.rs:211)."""
+    return q_consumer_lag(spark, sf_dir).agg(
+        F.sum("lag").cast("long").alias("total_lag")
+    )
+
+
+def q_partition_health(spark, sf_dir):
+    """A14 (logical form): record/byte counts + watermark triple."""
+    return W.partition_health(events_log(spark, sf_dir))
+
+
+def q_retention_time(spark, sf_dir):
+    """A15: survivors at (max ts - 7 days); low advances, high/leo keep."""
+    full = events_log(spark, sf_dir)
+    mx = full.agg(F.max("msg_ts").alias("_mx"))
+    surv = (
+        full.crossJoin(F.broadcast(mx))
+        .where(F.col("msg_ts") >= F.col("_mx") - F.expr("INTERVAL 7 DAYS"))
+    )
+    return R.post_retention_watermarks(full, surv)
+
+
+def q_retention_size(spark, sf_dir):
+    """A16: newest-first running byte sum <= 40 KB per partition."""
+    full = events_log(spark, sf_dir)
+    surv = R.retain_by_size(full, 40_000)
+    return surv.groupBy("part_id").agg(
+        F.count("*").cast("long").alias("survivors"),
+        F.min("msg_offset").cast("long").alias("low_watermark"),
+    )
+
+
+def q_consume_by_key(spark, sf_dir):
+    """A28b: route key 7 -> partition 3, exact-key scan in offset order."""
+    key = 7
+    return events_log(spark, sf_dir).where(
+        (F.col("part_id") == key % N_PARTITIONS) & (F.col("msg_key") == key)
+    ).select("part_id", "msg_offset", "seq", _us("msg_ts", "ts_us"))
+
+
+def q_consume_next(spark, sf_dir):
+    """A28c: first offset strictly after the committed cursor."""
+    log = events_log(spark, sf_dir)
+    c = _committed(spark, sf_dir)
+    return (
+        log.join(F.broadcast(c), on="part_id")
+        .where(F.col("msg_offset") > F.col("committed"))
+        .groupBy("part_id")
+        .agg(F.min("msg_offset").cast("long").alias("next_offset"))
+    )
+
+
+def q_monitor_alerts(spark, sf_dir):
+    """A29: watermark+lag+health poll with the reference alert thresholds."""
+    lag = q_consumer_lag(spark, sf_dir)
+    health = W.partition_health(events_log(spark, sf_dir)).select(
+        "part_id", "record_count", "total_value_bytes"
+    )
+    return lag.join(health, on="part_id").select(
+        "part_id",
+        "lag",
+        "record_count",
+        "total_value_bytes",
+        F.when(F.col("lag") > MONITOR_WARN, F.lit("warn"))
+        .when(F.col("lag") > MONITOR_NOTICE, F.lit("notice"))
+        .otherwise(F.lit("ok"))
+        .alias("severity"),
+    )
+
+
+# --------------------------------------------------------------------- #
+# Part B — relational capability checks (TPC-H-ish; also the bench set)
+# --------------------------------------------------------------------- #
+
+
+def q_q1_pricing(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).alias("sum_base_price"),
+            F.sum(
+                (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))
+            ).alias("sum_disc_price"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+    )
+
+
+def q_q3_top_orders(spark, sf_dir):
+    cust = _read(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    revenue = F.sum(
+        dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+    ).alias("revenue")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue)
+        .select(
+            "o_orderkey", _us("o_orderdate", "orderdate_us"), "o_orderpriority", "revenue"
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q_q5_region_revenue(spark, sf_dir):
+    region = _read(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = _read(spark, sf_dir, "nation")
+    cust = _read(spark, sf_dir, "customer")
+    supp = _read(spark, sf_dir, "supplier")
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+            ).alias("revenue")
+        )
+    )
+
+
+# --------------------------------------------------------------------- #
+# Part C [EXT] — event analytics
+# --------------------------------------------------------------------- #
+
+
+def q_sessionize(spark, sf_dir):
+    return S.sessionize(_read(spark, sf_dir, "events"))
+
+
+def q_window_tumbling(spark, sf_dir):
+    return S.tumbling_counts(_read(spark, sf_dir, "events"))
+
+
+def q_window_sliding(spark, sf_dir):
+    return S.sliding_counts(_read(spark, sf_dir, "events"))
+
+
+def q_top_events_per_user(spark, sf_dir):
+    return S.top_events_per_user(_read(spark, sf_dir, "events"))
+
+
+def q_dedup_events(spark, sf_dir):
+    return S.dedup_events(_read(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------- #
+# Part C [EXT] — documents / embeddings
+# --------------------------------------------------------------------- #
+
+
+def q_dedup_exact(spark, sf_dir):
+    return D.dedup_exact(_read(spark, sf_dir, "documents"))
+
+
+def q_doc_fingerprints(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.doc_fingerprint(F.col("text")).alias("fp"),
+        X.shingle_fingerprint(F.col("text"), k=8).alias("shingle_fp"),
+    )
+
+
+def q_token_stats(spark, sf_dir):
+    return X.with_token_stats(_read(spark, sf_dir, "documents"))
+
+
+def q_text_quality(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.token_count(F.col("text")).alias("n_tokens"),
+        X.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", X.detect_language(F.col("text")).alias("lang_detected")
+    )
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return D.ngram_jaccard_pairs(
+        _read(spark, sf_dir, "documents"), min_jaccard=0.5
+    )
+
+
+def q_similarity_topk(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return V.topk_bruteforce(emb, queries, k=5).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+def q_embedding_neardup(spark, sf_dir):
+    """Brute-force pair form (oracle-checkable); the LSH-bucketed scale
+    path (similarity.neardup_pairs) is pinned against this in pytest."""
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a, b = emb.alias("a"), emb.alias("b")
+    return (
+        a.crossJoin(b)
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            V.cosine(F.col("a.embedding"), F.col("b.embedding")).alias("score"),
+        )
+        .where(F.col("score") >= 0.4)
+        .select("id_a", "id_b")
+    )
+
+
+def q_multimodal_content(spark, sf_dir):
+    docs = M.attach_media(_read(spark, sf_dir, "documents"), "text", kind="text")
+    return docs.select(
+        "doc_id",
+        "content_id",
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("media_meta.kind").alias("kind"),
+    )
+
+
+# ---- non-SQL-expressible (rows-only gate; pinned in pytest) ----------- #
+
+
+def q_minhash_pairs(spark, sf_dir):
+    return D.minhash_lsh_pairs(_read(spark, sf_dir, "documents"), jaccard_threshold=0.4)
+
+
+def q_simhash_neardup(spark, sf_dir):
+    return D.simhash_neardup_pairs(_read(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return V.topk_lsh(emb, queries, k=5).select("query_id", "neighbor_id", "rank")
+
+
+def q_multimodal_features(spark, sf_dir):
+    docs = M.attach_media(_read(spark, sf_dir, "documents"), "text", kind="image")
+    return M.extract_features(docs, kind="image").select(
+        "content_id", "kind", "width", "height", "n_frames"
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the monitor composition (A12+A13+A14+A29) at sf0.001."""
+    return q_monitor_alerts(spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # Part A — broker semantics
+        "produce_log": q_produce_log,
+        "route_keyed": q_route_keyed,
+        "route_round_robin": q_route_round_robin,
+        "watermarks": q_watermarks,
+        "consume_point": q_consume_point,
+        "stream_from_offset": q_stream_from_offset,
+        "read_from_offset": q_read_from_offset,
+        "consume_with_group": q_consume_with_group,
+        "commit_offset_upsert": q_commit_offset_upsert,
+        "consumer_lag": q_consumer_lag,
+        "consumer_lag_total": q_consumer_lag_total,
+        "partition_health": q_partition_health,
+        "retention_time": q_retention_time,
+        "retention_size": q_retention_size,
+        "consume_by_key": q_consume_by_key,
+        "consume_next": q_consume_next,
+        "monitor_alerts": q_monitor_alerts,
+        # Part B — relational capability / bench set
+        "q1_pricing": q_q1_pricing,
+        "q3_top_orders": q_q3_top_orders,
+        "q5_region_revenue": q_q5_region_revenue,
+        # Part C [EXT]
+        "sessionize": q_sessionize,
+        "window_tumbling": q_window_tumbling,
+        "window_sliding": q_window_sliding,
+        "top_events_per_user": q_top_events_per_user,
+        "dedup_events": q_dedup_events,
+        "dedup_exact": q_dedup_exact,
+        "doc_fingerprints": q_doc_fingerprints,
+        "token_stats": q_token_stats,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "ngram_jaccard": q_ngram_jaccard,
+        "similarity_topk": q_similarity_topk,
+        "embedding_neardup": q_embedding_neardup,
+        "multimodal_content": q_multimodal_content,
+        # rows-only (non-SQL-expressible: LSH/MinHash/SimHash/Arrow kernels)
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_neardup": q_simhash_neardup,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "multimodal_features": q_multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    L = EVENTS_LOG_CTE
+    C = _COMMITTED_CTES
+    return {
+        "produce_log": f"""
+WITH {L}
+SELECT part_id, seq, msg_key, CAST(msg_offset AS BIGINT) AS msg_offset,
+       epoch_us(msg_ts) AS ts_us, msg_value
+FROM log
+""",
+        "route_keyed": f"""
+WITH {L}
+SELECT part_id, count(*) AS cnt,
+       CAST(min(msg_key) AS BIGINT) AS min_key,
+       CAST(max(msg_key) AS BIGINT) AS max_key
+FROM log GROUP BY part_id
+""",
+        "route_round_robin": f"""
+SELECT event_id % {N_PARTITIONS} AS part_id, count(*) AS cnt,
+       CAST(min(event_id) AS BIGINT) AS min_seq,
+       CAST(max(event_id) AS BIGINT) AS max_seq
+FROM events GROUP BY 1
+""",
+        "watermarks": f"""
+WITH {L}
+SELECT part_id,
+       CAST(min(msg_offset) AS BIGINT) AS low_watermark,
+       CAST(max(msg_offset) AS BIGINT) AS high_watermark,
+       CAST(max(msg_offset) + 1 AS BIGINT) AS log_end_offset
+FROM log GROUP BY part_id
+""",
+        "consume_point": f"""
+WITH {L}
+SELECT part_id, CAST(msg_offset AS BIGINT) AS msg_offset, msg_key,
+       epoch_us(msg_ts) AS ts_us, msg_value
+FROM log WHERE part_id = 2 AND msg_offset = 5
+""",
+        "stream_from_offset": f"""
+WITH {L},
+leo AS (SELECT max(msg_offset) + 1 AS _leo FROM log WHERE part_id = 1)
+SELECT part_id, CAST(msg_offset AS BIGINT) AS msg_offset, msg_key,
+       epoch_us(msg_ts) AS ts_us
+FROM log, leo WHERE part_id = 1 AND msg_offset >= _leo - 20
+""",
+        "read_from_offset": f"""
+WITH {L}
+SELECT part_id, CAST(msg_offset AS BIGINT) AS msg_offset, msg_key, msg_value
+FROM log WHERE part_id = 0 AND msg_offset >= 10 AND msg_offset < 110
+""",
+        "consume_with_group": f"""
+WITH {C}
+SELECT l.part_id, c.committed, l.msg_key, epoch_us(l.msg_ts) AS ts_us
+FROM log l JOIN committed c ON l.part_id = c.part_id AND l.msg_offset = c.committed
+""",
+        "commit_offset_upsert": f"""
+WITH {L},
+parts AS (SELECT DISTINCT part_id FROM log),
+commits AS (
+  SELECT 'g1' AS group_id, part_id, CAST(5 AS BIGINT) AS committed, 1 AS commit_seq FROM parts
+  UNION ALL
+  SELECT 'g1', part_id, CAST(17 AS BIGINT), 2 FROM parts WHERE part_id < 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY group_id, part_id ORDER BY commit_seq DESC) AS rn
+  FROM commits
+)
+SELECT group_id, part_id, committed FROM ranked WHERE rn = 1
+""",
+        "consumer_lag": f"""
+WITH {C},
+upsert AS (
+  SELECT part_id, CAST(CASE WHEN part_id < 2 THEN 17 ELSE 5 END AS BIGINT) AS committed
+  FROM (SELECT DISTINCT part_id FROM log)
+)
+SELECT w.part_id, u.committed, w.log_end_offset,
+       CAST(greatest(w.log_end_offset - u.committed, 0) AS BIGINT) AS lag
+FROM wm w LEFT JOIN upsert u ON w.part_id = u.part_id
+""",
+        "consumer_lag_total": f"""
+WITH {C},
+upsert AS (
+  SELECT part_id, CAST(CASE WHEN part_id < 2 THEN 17 ELSE 5 END AS BIGINT) AS committed
+  FROM (SELECT DISTINCT part_id FROM log)
+)
+SELECT CAST(sum(greatest(w.log_end_offset - u.committed, 0)) AS BIGINT) AS total_lag
+FROM wm w LEFT JOIN upsert u ON w.part_id = u.part_id
+""",
+        "partition_health": f"""
+WITH {L}
+SELECT part_id,
+       count(*) AS record_count,
+       CAST(sum(strlen(msg_value)) AS BIGINT) AS total_value_bytes,
+       CAST(min(msg_offset) AS BIGINT) AS low_watermark,
+       CAST(max(msg_offset) AS BIGINT) AS high_watermark,
+       CAST(max(msg_offset) + 1 AS BIGINT) AS log_end_offset
+FROM log GROUP BY part_id
+""",
+        "retention_time": f"""
+WITH {L},
+cutoff AS (SELECT max(msg_ts) - INTERVAL 7 DAY AS c FROM log),
+surv AS (SELECT * FROM log WHERE msg_ts >= (SELECT c FROM cutoff)),
+leo AS (
+  SELECT part_id, CAST(max(msg_offset) AS BIGINT) AS high_watermark,
+         CAST(max(msg_offset) + 1 AS BIGINT) AS log_end_offset
+  FROM log GROUP BY part_id
+),
+low AS (SELECT part_id, CAST(min(msg_offset) AS BIGINT) AS low_watermark FROM surv GROUP BY part_id)
+SELECT l.part_id, coalesce(low.low_watermark, l.log_end_offset) AS low_watermark,
+       l.high_watermark, l.log_end_offset
+FROM leo l LEFT JOIN low ON l.part_id = low.part_id
+""",
+        "retention_size": f"""
+WITH {L},
+running AS (
+  SELECT part_id, msg_offset,
+         sum(strlen(msg_value)) OVER (
+           PARTITION BY part_id ORDER BY msg_offset DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rb
+  FROM log
+)
+SELECT part_id, count(*) AS survivors, CAST(min(msg_offset) AS BIGINT) AS low_watermark
+FROM running WHERE rb <= 40000 GROUP BY part_id
+""",
+        "consume_by_key": f"""
+WITH {L}
+SELECT part_id, CAST(msg_offset AS BIGINT) AS msg_offset, seq, epoch_us(msg_ts) AS ts_us
+FROM log WHERE part_id = {7 % N_PARTITIONS} AND msg_key = 7
+""",
+        "consume_next": f"""
+WITH {C}
+SELECT l.part_id, CAST(min(l.msg_offset) AS BIGINT) AS next_offset
+FROM log l JOIN committed c ON l.part_id = c.part_id
+WHERE l.msg_offset > c.committed
+GROUP BY l.part_id
+""",
+        "monitor_alerts": f"""
+WITH {C},
+upsert AS (
+  SELECT part_id, CAST(CASE WHEN part_id < 2 THEN 17 ELSE 5 END AS BIGINT) AS committed
+  FROM (SELECT DISTINCT part_id FROM log)
+),
+lag AS (
+  SELECT w.part_id, CAST(greatest(w.log_end_offset - u.committed, 0) AS BIGINT) AS lag
+  FROM wm w LEFT JOIN upsert u ON w.part_id = u.part_id
+),
+health AS (
+  SELECT part_id, count(*) AS record_count,
+         CAST(sum(strlen(msg_value)) AS BIGINT) AS total_value_bytes
+  FROM log GROUP BY part_id
+)
+SELECT l.part_id, l.lag, h.record_count, h.total_value_bytes,
+       CASE WHEN l.lag > {MONITOR_WARN} THEN 'warn'
+            WHEN l.lag > {MONITOR_NOTICE} THEN 'notice'
+            ELSE 'ok' END AS severity
+FROM lag l JOIN health h ON l.part_id = h.part_id
+""",
+        "q1_pricing": """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+       sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+""",
+        "q3_top_orders": """
+SELECT o.o_orderkey, epoch_us(o.o_orderdate) AS orderdate_us, o.o_orderpriority,
+       sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o.o_orderkey ASC
+LIMIT 10
+""",
+        "q5_region_revenue": """
+SELECT n.n_name,
+       sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE c.c_nationkey = s.s_nationkey AND r.r_name = 'ASIA'
+GROUP BY n.n_name
+""",
+        "sessionize": """
+WITH o AS (
+  SELECT user_id, ts, event_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+f AS (
+  SELECT user_id, ts,
+         CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 1800000000
+              THEN 1 ELSE 0 END AS flag,
+         event_id
+  FROM o
+),
+s AS (
+  SELECT user_id, ts,
+         sum(flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM f
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       min(epoch_us(ts)) AS session_start_us,
+       max(epoch_us(ts)) AS session_end_us,
+       count(*) AS n_events
+FROM s GROUP BY user_id, session_id
+""",
+        "window_tumbling": """
+SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
+       count(*) AS cnt, min(value) AS min_value, max(value) AS max_value
+FROM events GROUP BY 1, 2
+""",
+        "window_sliding": """
+SELECT window_start_us, count(*) AS cnt FROM (
+  SELECT unnest([
+    epoch_us(date_trunc('hour', ts)),
+    epoch_us(date_trunc('hour', ts)) - 3600000000
+  ]) AS window_start_us
+  FROM events
+) GROUP BY 1
+""",
+        "top_events_per_user": """
+SELECT user_id, event_id, event_type, value, rnk FROM (
+  SELECT user_id, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rnk
+  FROM events
+) WHERE rnk <= 3
+""",
+        "dedup_events": """
+SELECT user_id, event_type, CAST(min(event_id) AS BIGINT) AS event_id
+FROM events GROUP BY user_id, event_type
+""",
+        "dedup_exact": """
+SELECT CAST(min(doc_id) AS BIGINT) AS doc_id FROM documents GROUP BY md5(text)
+""",
+        "doc_fingerprints": """
+SELECT doc_id, md5(lower(text)) AS fp,
+       list_min(list_transform(
+         generate_series(1, greatest(length(text) - 7, 1)),
+         i -> md5(substr(text, CAST(i AS INTEGER), 8)))) AS shingle_fp
+FROM documents
+""",
+        "token_stats": """
+SELECT doc_id,
+       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END AS BIGINT)
+         AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(length(replace(trim(text), ' ', '')) AS DOUBLE)
+         / (CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END)
+         AS mean_token_len
+FROM documents
+""",
+        "text_quality": """
+WITH t AS (
+  SELECT doc_id,
+         ' ' || lower(text) || ' ' AS padded,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END AS BIGINT)
+           AS n_tokens
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       0.5 * least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0)
+     + 0.5 * least(
+         (CAST((length(padded) - length(replace(padded, ' the ', ''))) // 5
+             + (length(padded) - length(replace(padded, ' a ', ''))) // 3 AS DOUBLE)
+          / n_tokens) * 8, 1.0) AS quality
+FROM t
+""",
+        "lang_id": """
+WITH t AS (
+  SELECT doc_id, lang, ' ' || lower(text) || ' ' AS p FROM documents
+),
+s AS (
+  SELECT doc_id, lang,
+    (length(p) - length(replace(p, ' the ', ''))) // 5
+      + (length(p) - length(replace(p, ' and ', ''))) // 5
+      + (length(p) - length(replace(p, ' of ', ''))) // 4
+      + (length(p) - length(replace(p, ' a ', ''))) // 3 AS s_en,
+    (length(p) - length(replace(p, ' der ', ''))) // 5
+      + (length(p) - length(replace(p, ' und ', ''))) // 5
+      + (length(p) - length(replace(p, ' die ', ''))) // 5
+      + (length(p) - length(replace(p, ' das ', ''))) // 5 AS s_de,
+    (length(p) - length(replace(p, ' le ', ''))) // 4
+      + (length(p) - length(replace(p, ' la ', ''))) // 4
+      + (length(p) - length(replace(p, ' et ', ''))) // 4
+      + (length(p) - length(replace(p, ' les ', ''))) // 5 AS s_fr,
+    (length(p) - length(replace(p, ' el ', ''))) // 4
+      + (length(p) - length(replace(p, ' los ', ''))) // 5
+      + (length(p) - length(replace(p, ' que ', ''))) // 5
+      + (length(p) - length(replace(p, ' y ', ''))) // 3 AS s_es,
+    (length(p) - length(replace(p, '的', ''))) // 1
+      + (length(p) - length(replace(p, '是', ''))) // 1
+      + (length(p) - length(replace(p, '了', ''))) // 1 AS s_zh
+  FROM t
+)
+SELECT doc_id, lang,
+  CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) = 0 THEN 'und'
+       WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'en'
+       WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'de'
+       WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'fr'
+       WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'es'
+       ELSE 'zh' END AS lang_detected
+FROM s
+""",
+        "ngram_jaccard": """
+WITH base AS (
+  SELECT doc_id, substr(text, 1, 40) AS block,
+         list_distinct(string_split_regex(lower(text), '\\s+')) AS toks
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+         / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard
+FROM base a JOIN base b ON a.block = b.block AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.5
+""",
+        "similarity_topk": """
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                           CAST(e.embedding AS DOUBLE[])) DESC,
+                    e.vec_id ASC) AS rank
+  FROM embeddings q JOIN embeddings e ON true
+  WHERE q.vec_id % 100 = 0
+) WHERE rank <= 5
+""",
+        "embedding_neardup": """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.4
+""",
+        "multimodal_content": """
+SELECT doc_id, sha256(text) AS content_id,
+       CAST(strlen(text) AS BIGINT) AS n_bytes, 'text' AS kind
+FROM documents
+""",
+    }

@@ -1,0 +1,39 @@
+"""Fixture-table reader with timestamp normalization.
+
+The driver fixtures mix parquet timestamp physical types: ``events.ts``
+is TIMESTAMP(NANOS) — which Spark's parquet reader rejects outright
+(PARQUET_TYPE_ILLEGAL) — and the TPC-H date columns are TIMESTAMP_NTZ.
+Normalize both to session-TZ (UTC) TIMESTAMP at microsecond precision:
+
+- nanos: read as long via ``spark.sql.legacy.parquet.nanosAsLong``, then
+  floor-divide to micros with integer DIV (a double division would lose
+  precision above 2^53 ns) — the same truncation DuckDB's reader applies,
+  so oracle comparisons see identical values;
+- ntz: cast to TIMESTAMP under the UTC session zone (identity on the
+  wall-clock value).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TS_COLS = {"ts", "o_orderdate", "l_shipdate"}
+
+
+def read_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    for name, dtype in df.dtypes:
+        if name not in TS_COLS:
+            continue
+        if dtype == "bigint":  # nanos-as-long
+            df = df.withColumn(
+                name, F.expr(f"timestamp_micros(CAST({name} DIV 1000 AS BIGINT))")
+            )
+        elif dtype == "timestamp_ntz":
+            df = df.withColumn(name, F.col(name).cast("timestamp"))
+    return df

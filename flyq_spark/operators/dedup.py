@@ -1,0 +1,242 @@
+"""Deduplication operators for large-scale training-data pipelines [EXT].
+
+No reference counterpart (FlyQ is a broker); these are the driver-mandated
+LLM-pipeline extensions, designed shuffle-conscious for 100 TB:
+
+- exact dedup: one hash-groupBy on a fingerprint (never on the full text —
+  group keys should be 16 B, not 1 MB documents);
+- MinHash-LSH near-dup: pyspark.ml MinHashLSH with banding via
+  approxSimilarityJoin — candidate generation is a bucket join, never the
+  O(n^2) all-pairs cross join;
+- SimHash: 64-bit signature built JVM-side (explode + 64 codegen'd sums),
+  near-dups via banded self-join + popcount(xor) Hamming filter;
+- n-gram Jaccard: token-set similarity verified only within blocking
+  buckets (prefix/length bands) — the verify stage of an LSH pipeline.
+
+All randomness is seeded; all hot paths are built-in functions (the only
+ml dependency is MinHashLSH, which is Scala-side).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------- #
+# exact dedup
+# --------------------------------------------------------------------- #
+
+
+def fingerprint(col: Column, normalize: bool = True) -> Column:
+    """Content fingerprint for exact dedup: md5 of (optionally
+    case-normalized) text. 128-bit hex — collision-safe group key that
+    keeps the shuffle narrow (16 B keys instead of document bodies)."""
+    c = F.lower(col) if normalize else col
+    return F.md5(c)
+
+
+def dedup_exact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", normalize: bool = False
+) -> DataFrame:
+    """Keep-first exact dedup: one row per distinct content, the survivor
+    being the smallest id (deterministic, unlike dropDuplicates' arbitrary
+    row). One hash-aggregate shuffle on the 16 B fingerprint."""
+    return (
+        df.groupBy(fingerprint(F.col(text_col), normalize).alias("fp"))
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+
+
+def dedup_exact_rows(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup returning full surviving rows: fingerprint → min-id per
+    group → semi-join back (broadcast-friendly when the survivor set is
+    small; otherwise a co-partitioned shuffle join on id)."""
+    survivors = dedup_exact(df, text_col, id_col)
+    return df.join(survivors, on=id_col, how="left_semi")
+
+
+# --------------------------------------------------------------------- #
+# MinHash-LSH near-dup (pyspark.ml)
+# --------------------------------------------------------------------- #
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_features: int = 1 << 18,
+    num_hash_tables: int = 8,
+    jaccard_threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs via shingle → HashingTF → MinHashLSH.
+
+    ``approxSimilarityJoin`` generates candidates by joining on LSH band
+    buckets (shuffle keyed by bucket), then filters by exact distance —
+    the scale path: candidate count is data-dependent, never n^2. Output:
+    (id_a, id_b, jaccard_dist) with id_a < id_b.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH, NGram, RegexTokenizer
+
+    tok = RegexTokenizer(inputCol=text_col, outputCol="_tokens", pattern="\\s+")
+    ng = NGram(n=shingle_n, inputCol="_tokens", outputCol="_shingles")
+    tf = HashingTF(
+        inputCol="_shingles", outputCol="_features", numFeatures=num_features, binary=True
+    )
+    prepared = tf.transform(ng.transform(tok.transform(df)))
+    # MinHashLSH requires at least one non-zero feature
+    prepared = prepared.where(F.size("_shingles") > 0).select(id_col, "_features")
+    mh = MinHashLSH(
+        inputCol="_features", outputCol="_hashes", numHashTables=num_hash_tables, seed=seed
+    )
+    model = mh.fit(prepared)
+    joined = model.approxSimilarityJoin(
+        prepared, prepared, 1.0 - jaccard_threshold, distCol="jaccard_dist"
+    )
+    return (
+        joined.select(
+            F.col(f"datasetA.{id_col}").alias("id_a"),
+            F.col(f"datasetB.{id_col}").alias("id_b"),
+            F.col("jaccard_dist"),
+        )
+        .where(F.col("id_a") < F.col("id_b"))
+    )
+
+
+# --------------------------------------------------------------------- #
+# SimHash
+# --------------------------------------------------------------------- #
+
+SIMHASH_BITS = 63  # stay within a signed long; bit 63 would flip the sign
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """63-bit SimHash per document: xxhash64 each token, majority-vote each
+    bit. Entirely JVM-side: explode → 63 codegen'd conditional sums →
+    bit reassembly. One shuffle (groupBy id)."""
+    tokens = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), "\\s+")).alias("_tok"),
+    ).where(F.col("_tok") != "")
+    hashed = tokens.select(id_col, F.xxhash64("_tok").alias("_h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_b{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    agg = hashed.groupBy(id_col).agg(*votes)
+    sig = reduce(
+        lambda a, b: a + b,
+        [
+            F.when(F.col(f"_b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+            for i in range(SIMHASH_BITS)
+        ],
+    )
+    return agg.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Banded SimHash near-dup join: split the 63-bit signature into
+    ``bands`` bands; by pigeonhole, any pair within ``max_hamming`` (<
+    bands) shares at least one exact band → candidates come from equality
+    joins on (band_idx, band_bits), then popcount(xor) verifies. No
+    all-pairs comparison anywhere."""
+    sigs = simhash(df, text_col, id_col)
+    width = SIMHASH_BITS // bands + 1
+    banded = sigs.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("bits"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "simhash", "bb.band", "bb.bits")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bits") == F.col("b.bits"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .where(F.col("hamming") <= max_hamming)
+    )
+    return pairs
+
+
+# --------------------------------------------------------------------- #
+# n-gram Jaccard (verify stage within blocking buckets)
+# --------------------------------------------------------------------- #
+
+
+def token_set(col: Column) -> Column:
+    return F.array_distinct(F.split(F.lower(col), "\\s+"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_expr: Column | None = None,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Exact token-set Jaccard, computed only within blocking buckets
+    (default: 40-char prefix). The blocker bounds candidate pairs; Jaccard
+    is array_intersect arithmetic (JVM-side). Output (id_a, id_b, jaccard)."""
+    block = block_expr if block_expr is not None else F.substring(F.col(text_col), 1, 40)
+    base = df.select(
+        F.col(id_col), block.alias("_block"), token_set(F.col(text_col)).alias("_toks")
+    )
+    a, b = base.alias("a"), base.alias("b")
+    inter = F.size(F.array_intersect(F.col("a._toks"), F.col("b._toks")))
+    union = F.size(F.col("a._toks")) + F.size(F.col("b._toks")) - inter
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a._block") == F.col("b._block"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= min_jaccard)
+    )

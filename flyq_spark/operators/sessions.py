@@ -1,0 +1,118 @@
+"""Event-stream analytics: sessionization + time windows [EXT].
+
+Batch forms of the stream analytics surface over the ``events`` table.
+The Structured Streaming variants (withWatermark + window/session_window)
+live in flyq_spark/streaming; these batch forms share semantics and are
+oracle-replayable as plain SQL (gaps-and-islands for sessions, date_trunc
+for windows), which is how the driver's DuckDB gate checks them.
+
+Scale notes: sessionize is two windows over the same (user) partitioning
+— one shuffle total; tumbling/sliding aggs are single hash aggregations
+(sliding emits one row per covered window via an explode of window
+starts: shuffle grows by the overlap factor, the unavoidable cost of
+overlapping windows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Gaps-and-islands sessionization: a new session starts when the gap
+    from the previous event of the same user exceeds ``gap_minutes``.
+
+    Output: (user_id, session_id, session_start_us, session_end_us,
+    n_events) with session_id numbered 1..k per user in time order.
+    """
+    by_user = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
+    gap_us = gap_minutes * 60 * 1_000_000
+    prev_ts = F.lag(ts_col).over(by_user)
+    is_new = (
+        prev_ts.isNull()
+        | ((F.unix_micros(F.col(ts_col)) - F.unix_micros(prev_ts)) > gap_us)
+    ).cast("long")
+    with_sess = events.withColumn(
+        "session_id",
+        F.sum(is_new).over(by_user.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return with_sess.groupBy(
+        F.col(user_col).alias("user_id"), "session_id"
+    ).agg(
+        F.min(F.unix_micros(F.col(ts_col))).alias("session_start_us"),
+        F.max(F.unix_micros(F.col(ts_col))).alias("session_end_us"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+
+
+def tumbling_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    unit: str = "hour",
+) -> DataFrame:
+    """Tumbling-window aggregate at calendar granularity. date_trunc keeps
+    the window start oracle-replayable (F.window's struct is Spark-only).
+    min/max are order-exact aggregates (no float summation ambiguity)."""
+    return events.groupBy(
+        F.unix_micros(F.date_trunc(unit, F.col(ts_col))).alias("window_start_us"),
+        F.col(key_col),
+    ).agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    width_hours: int = 2,
+    slide_hours: int = 1,
+) -> DataFrame:
+    """Sliding-window counts (width 2h, slide 1h by default): each event
+    contributes to width/slide windows — produced by exploding the list
+    of covering window starts, then one hash aggregation."""
+    n_windows = width_hours // slide_hours
+    starts = F.array(
+        *[
+            F.unix_micros(F.date_trunc("hour", F.col(ts_col)))
+            - F.lit(i * slide_hours * 3_600_000_000)
+            for i in range(n_windows)
+        ]
+    )
+    return (
+        events.select(F.explode(starts).alias("window_start_us"))
+        .groupBy("window_start_us")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def top_events_per_user(events: DataFrame, k: int = 3) -> DataFrame:
+    """Window top-k: each user's k highest-value events (deterministic
+    tie-break on event_id). Narrow per-user window, one shuffle."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return (
+        events.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+        .select("user_id", "event_id", "event_type", "value", "rnk")
+    )
+
+
+def dedup_events(
+    events: DataFrame, key_cols: tuple[str, ...] = ("user_id", "event_type")
+) -> DataFrame:
+    """Keep-first exact dedup on an event key: min event_id per key —
+    deterministic survivor (dropDuplicates picks an arbitrary row; a
+    keep-first rule is replayable and idempotent)."""
+    return events.groupBy(*[F.col(c) for c in key_cols]).agg(
+        F.min("event_id").alias("event_id")
+    )

@@ -1,0 +1,193 @@
+"""Similarity search over embedding columns [EXT].
+
+Driver-mandated LLM-pipeline extension (no reference counterpart):
+approximate-nearest-neighbor over ``array<float>`` embeddings.
+
+- brute-force cosine top-k: the correctness baseline. Query side is tiny
+  → ``broadcast`` it; scoring is ``zip_with`` + ``aggregate`` (JVM
+  higher-order functions, no Python in the loop); top-k via a window over
+  score with deterministic id tie-break.
+- LSH (random hyperplanes): the scale path. Deterministic seeded planes →
+  bit signature → candidates share a signature bucket → exact re-score
+  within buckets. Candidate generation is an equality join on the bucket
+  key: shuffle ∝ candidates, never n × m.
+
+At 100 TB the brute-force form is still the right *per-bucket* verifier;
+what changes is only how buckets are formed (more tables/bits, or an IVF
+coarse quantizer — same join shape).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product (deterministic summation order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def topk_bruteforce(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k of each query against the corpus.
+
+    ``queries``: (query_id, embedding) — small; broadcast so the corpus
+    never shuffles. Ranking window is per-query (narrow). Self-matches
+    (same id) are excluded by the caller's query_id convention if needed.
+    Output: (query_id, neighbor_id, score, rank).
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+        )
+    )
+    scored = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_vec")
+    ).crossJoin(q).select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("_qvec"), F.col("_vec")).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def neardup_pairs(
+    embeddings: DataFrame,
+    min_cosine: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: LSH-bucketed candidates + exact
+    cosine verify. Output (id_a, id_b, score)."""
+    sigs = with_lsh_signature(embeddings, vec_col=vec_col, n_planes=n_planes, seed=seed)
+    a, b = sigs.alias("a"), sigs.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a._sig") == F.col("b._sig"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("score"),
+        )
+        .where(F.col("score") >= min_cosine)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (no numpy state shared
+    with callers; plain LCG keeps it reproducible everywhere)."""
+    out = []
+    state = seed & 0x7FFFFFFF
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) & 0x7FFFFFFF
+            row.append(state / 0x7FFFFFFF * 2.0 - 1.0)
+        n = math.sqrt(sum(x * x for x in row)) or 1.0
+        out.append([x / n for x in row])
+    return out
+
+
+def with_lsh_signature(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 42,
+    dim: int | None = None,
+    sig_col: str = "_sig",
+) -> DataFrame:
+    """Append a random-hyperplane signature (int bucket key). sign-bit per
+    plane; all arithmetic via higher-order functions on literal plane
+    arrays (broadcast as constants into codegen)."""
+    if dim is None:
+        first = embeddings.select(F.size(vec_col).alias("d")).first()
+        dim = int(first["d"]) if first else 0
+    planes = _hyperplanes(dim, n_planes, seed)
+    sig: Column = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        plane_col = F.array(*[F.lit(float(v)) for v in plane])
+        bit = (dot(F.col(vec_col), plane_col) > 0).cast("long")
+        sig = sig + F.shiftleft(bit, i)
+    return embeddings.withColumn(sig_col, sig)
+
+
+def topk_lsh(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_planes: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN top-k: score only corpus vectors sharing the query's LSH
+    bucket. Recall < 1 by design (graded against topk_bruteforce in
+    tests); cost drops from n×m scores to bucket-local scores. For higher
+    recall use multiple tables (union of per-seed joins) — same shape."""
+    dim_row = embeddings.select(F.size(vec_col).alias("d")).first()
+    dim = int(dim_row["d"]) if dim_row else 0
+    corpus = with_lsh_signature(
+        embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_vec")),
+        vec_col="_vec",
+        n_planes=n_planes,
+        seed=seed,
+        dim=dim,
+    )
+    qsig = with_lsh_signature(
+        queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qvec")),
+        vec_col="_qvec",
+        n_planes=n_planes,
+        seed=seed,
+        dim=dim,
+    )
+    scored = corpus.join(F.broadcast(qsig), on="_sig").select(
+        "query_id", "neighbor_id", cosine(F.col("_qvec"), F.col("_vec")).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )

@@ -1,0 +1,118 @@
+"""Text analysis operators [EXT]: token counting, quality scoring,
+language ID, document fingerprinting.
+
+Driver-mandated LLM-pipeline extensions (no reference counterpart). All
+expressions are built-in pyspark.sql.functions — JVM-side, whole-stage
+codegen, no Python in the row loop — and every one of them has an exact
+ANSI-SQL restatement so the DuckDB oracle can replay it (the fixture
+corpus is single-space-separated word soup, which keeps the arithmetic
+forms honest).
+
+Scale: every operator here is a pure projection (zero shuffles); the only
+aggregation is whatever the caller groups by afterwards.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# occurrence count of a marker inside padded text: (len - len(remove)) / len(marker)
+def _occurrences(padded: Column, marker: str) -> Column:
+    return (
+        (F.length(padded) - F.length(F.replace(padded, F.lit(marker), F.lit(""))))
+        / len(marker)
+    ).cast("long")
+
+
+def _padded(text: Column) -> Column:
+    return F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+
+
+# Stopword markers per language for the n-gram-heuristic language ID.
+# Tiny on purpose: the heuristic (count marker hits, argmax with a
+# deterministic tie order) is the operator; the dictionary is a knob.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of ", " a "],
+    "de": [" der ", " und ", " die ", " das "],
+    "fr": [" le ", " la ", " et ", " les "],
+    "es": [" el ", " los ", " que ", " y "],
+    "zh": ["的", "是", "了"],
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count via length arithmetic (exactly replayable in
+    SQL: (len - len(remove spaces)) + 1 for single-space-separated text,
+    0 for empty)."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0).cast("long")).otherwise(
+        (F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit(""))) + 1).cast("long")
+    )
+
+
+def with_token_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """n_tokens / n_chars / mean token length per document."""
+    t = F.col(text_col)
+    n_tok = token_count(t)
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        F.length(t).cast("long").alias("n_chars"),
+        (F.length(F.replace(t, F.lit(" "), F.lit(""))).cast("double") / n_tok).alias(
+            "mean_token_len"
+        ),
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic quality in [0,1]: a length prior x stopword-presence
+    ratio — the standard cheap pre-filter shape for pretraining corpora
+    (length/punct/stopword ratios). Deterministic arithmetic only."""
+    n_tok = token_count(text)
+    stop_hits = _occurrences(_padded(text), " the ") + _occurrences(
+        _padded(text), " a "
+    )
+    stop_ratio = stop_hits.cast("double") / n_tok
+    length_prior = F.least(n_tok.cast("double") / F.lit(64.0), F.lit(1.0))
+    return (F.lit(0.5) * length_prior + F.lit(0.5) * F.least(stop_ratio * 8, F.lit(1.0)))
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    padded = _padded(text)
+    return {
+        lang: reduce(lambda a, b: a + b, [_occurrences(padded, m) for m in markers])
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def detect_language(text: Column) -> Column:
+    """Argmax of marker-hit counts; ties resolve in LANG_MARKERS order;
+    zero hits -> 'und'. A CASE chain — replayable as SQL verbatim."""
+    scores = lang_scores(text)
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    for lang in reversed(list(scores)):  # earlier langs win ties -> apply last
+        expr = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Whole-document fingerprint: md5 of case-normalized text."""
+    return F.md5(F.lower(text))
+
+
+def shingle_fingerprint(text: Column, k: int = 8) -> Column:
+    """Rolling k-gram fingerprint: minimum md5 over all k-char windows
+    (winnowing with one global window — robust to small edits anywhere in
+    the document, unlike the whole-doc hash). md5 keeps it oracle-
+    replayable; the production variant swaps xxhash64 for md5 (same
+    shape, ~10x cheaper) when cross-engine parity is not required."""
+    positions = F.sequence(F.lit(1), F.greatest(F.length(text) - (k - 1), F.lit(1)))
+    return F.array_min(
+        F.transform(positions, lambda i: F.md5(text.substr(i, F.lit(k))))
+    )

@@ -1,0 +1,80 @@
+"""Scan-based watermark/lag/health dataflow (A12/A13/A14).
+
+The engine API answers these from O(1) metadata (engine.py); these
+DataFrame forms compute the same answers from the log data itself — the
+shape the DuckDB oracle checks, and the shape you want on a cluster when
+metadata is unavailable or untrusted (an audit/repair path).
+
+Scale notes:
+- the watermark aggregate is min/max over ``offset`` only — with
+  ``spark.sql.parquet.aggregatePushdown`` it is answered from parquet
+  footers without touching data pages;
+- the lag join broadcasts the consumer-offsets side (groups × partitions
+  rows — tiny by construction), so lag is scan + broadcast-hash-join with
+  no shuffle of the big side.
+
+Reference: flyq-server/src/core/log_engine.rs:133-144 (watermarks),
+:181-224 (lag, clamp at :209), :226-256 (health).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def watermarks(
+    log: DataFrame, part_col: str = "part_id", offset_col: str = "msg_offset"
+) -> DataFrame:
+    """Per-partition (low, high, leo) for non-empty partitions.
+
+    Quirk Q6 (empty partition -> (0,0,0)) is an engine-API concern; a scan
+    over data cannot see empty partitions.
+    """
+    return log.groupBy(F.col(part_col).alias("part_id")).agg(
+        F.min(offset_col).cast("long").alias("low_watermark"),
+        F.max(offset_col).cast("long").alias("high_watermark"),
+        (F.max(offset_col) + 1).cast("long").alias("log_end_offset"),
+    )
+
+
+def consumer_lag(watermark_df: DataFrame, offsets_df: DataFrame) -> DataFrame:
+    """lag = greatest(leo - committed, 0) per partition (quirk Q4: committed
+    is next-to-read, so lag counts unread records; clamp mirrors
+    saturating_sub, log_engine.rs:209). Broadcast the tiny offsets side."""
+    return (
+        watermark_df.join(
+            F.broadcast(offsets_df.select("part_id", "committed")),
+            on="part_id",
+            how="left",
+        )
+        .select(
+            "part_id",
+            F.coalesce(F.col("committed"), F.lit(0)).cast("long").alias("committed"),
+            F.col("log_end_offset"),
+            F.greatest(
+                F.col("log_end_offset") - F.coalesce(F.col("committed"), F.lit(0)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("lag"),
+        )
+    )
+
+
+def partition_health(
+    log: DataFrame,
+    part_col: str = "part_id",
+    offset_col: str = "msg_offset",
+    value_col: str = "msg_value",
+) -> DataFrame:
+    """Logical health: record count + payload bytes + watermark triple per
+    partition. (Physical segment_count/file sizes are engine-side,
+    storage.partition_file_stats — not reproducible by a SQL oracle.)"""
+    return log.groupBy(F.col(part_col).alias("part_id")).agg(
+        F.count("*").cast("long").alias("record_count"),
+        F.sum(F.octet_length(F.col(value_col))).cast("long").alias("total_value_bytes"),
+        F.min(offset_col).cast("long").alias("low_watermark"),
+        F.max(offset_col).cast("long").alias("high_watermark"),
+        (F.max(offset_col) + 1).cast("long").alias("log_end_offset"),
+    )
