@@ -182,7 +182,7 @@ def q_consumer_lag(spark, sf_dir):
     wm = W.watermarks(events_log(spark, sf_dir))
     offsets = q_commit_offset_upsert(spark, sf_dir)
     return W.consumer_lag(wm, offsets).select(
-        "part_id", "committed", "log_end_offset", "lag"
+        "part_id", "committed", "high_watermark", "lag"
     )
 
 
@@ -583,8 +583,8 @@ upsert AS (
   SELECT part_id, CAST(CASE WHEN part_id < 2 THEN 17 ELSE 5 END AS BIGINT) AS committed
   FROM (SELECT DISTINCT part_id FROM log)
 )
-SELECT w.part_id, u.committed, w.log_end_offset,
-       CAST(greatest(w.log_end_offset - u.committed, 0) AS BIGINT) AS lag
+SELECT w.part_id, u.committed, w.high_watermark,
+       CAST(greatest(w.high_watermark - u.committed, 0) AS BIGINT) AS lag
 FROM wm w LEFT JOIN upsert u ON w.part_id = u.part_id
 """,
         "consumer_lag_total": f"""
@@ -593,7 +593,7 @@ upsert AS (
   SELECT part_id, CAST(CASE WHEN part_id < 2 THEN 17 ELSE 5 END AS BIGINT) AS committed
   FROM (SELECT DISTINCT part_id FROM log)
 )
-SELECT CAST(sum(greatest(w.log_end_offset - u.committed, 0)) AS BIGINT) AS total_lag
+SELECT CAST(sum(greatest(w.high_watermark - u.committed, 0)) AS BIGINT) AS total_lag
 FROM wm w LEFT JOIN upsert u ON w.part_id = u.part_id
 """,
         "partition_health": f"""
@@ -651,7 +651,7 @@ upsert AS (
   FROM (SELECT DISTINCT part_id FROM log)
 ),
 lag AS (
-  SELECT w.part_id, CAST(greatest(w.log_end_offset - u.committed, 0) AS BIGINT) AS lag
+  SELECT w.part_id, CAST(greatest(w.high_watermark - u.committed, 0) AS BIGINT) AS lag
   FROM wm w LEFT JOIN upsert u ON w.part_id = u.part_id
 ),
 health AS (

@@ -141,6 +141,16 @@ class FlyQEngine:
         prev_leo = {int(k): int(v) for k, v in meta["log_end_offsets"].items()}
         rr_cursor = int(meta.get("rr_cursor", 0))
 
+        # INT96 timestamps (Spark's default parquet output) carry no usable
+        # footer min/max stats; retention (quirk Q5) reads them. Harmless
+        # no-op when the session factory already set it.
+        try:
+            self.spark.conf.set(
+                "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+            )
+        except Exception:
+            pass
+
         df, is_local = self._as_message_df(messages)
         if collect_acks is None:
             collect_acks = is_local
@@ -379,8 +389,12 @@ class FlyQEngine:
         return low, high, leo
 
     def get_consumer_lag(self, group: str, topic: str | None = None) -> dict:
-        """lag = max(0, log_end_offset - committed) per partition, summed
-        (log_engine.rs:181-224; quirk Q4 clamp :209). Metadata-side math —
+        """lag = max(0, high_watermark - committed) per partition, summed —
+        the reference formula exactly (log_engine.rs:209:
+        hw.saturating_sub(committed), pinned by tests/watermark_apis.rs:
+        67-92: 20 msgs at committed=0 -> 19, commit 10 -> 9, commit 19 ->
+        0; quirk Q4: hw is the last offset, so this undercounts unread-by-
+        one at committed=0 — inherited deliberately). Metadata-side math —
         the scan/join DataFrame form is operators.watermarks.consumer_lag."""
         topics = [topic] if topic is not None else self.list_topics()
         parts_out = []
@@ -388,15 +402,16 @@ class FlyQEngine:
         for t in topics:
             meta = self._meta(t)
             for p in range(int(meta["partitions"])):
-                leo = int(meta["log_end_offsets"].get(str(p), 0))
+                _, high, leo = self.get_watermark(t, p)
                 committed = self.committed_offset(group, t, p) or 0
-                lag = max(0, leo - committed)
+                lag = max(0, high - committed)
                 total += lag
                 parts_out.append(
                     {
                         "topic": t,
                         "partition": p,
                         "committed_offset": committed,
+                        "high_watermark": high,
                         "log_end_offset": leo,
                         "lag": lag,
                     }

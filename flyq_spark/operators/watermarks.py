@@ -39,9 +39,14 @@ def watermarks(
 
 
 def consumer_lag(watermark_df: DataFrame, offsets_df: DataFrame) -> DataFrame:
-    """lag = greatest(leo - committed, 0) per partition (quirk Q4: committed
-    is next-to-read, so lag counts unread records; clamp mirrors
-    saturating_sub, log_engine.rs:209). Broadcast the tiny offsets side."""
+    """lag = greatest(high_watermark - committed, 0) per partition — the
+    reference formula exactly (log_engine.rs:209: hw.saturating_sub(
+    committed); pinned by tests/watermark_apis.rs:67-92: 20 messages at
+    committed=0 -> lag 19, commit 10 -> 9, commit 19 -> 0). Note hw is the
+    *last* offset, so lag undercounts unread-by-one at committed=0 — a
+    reference quirk (Q4) we inherit deliberately. Broadcast the tiny
+    offsets side."""
+    committed = F.coalesce(F.col("committed"), F.lit(0))
     return (
         watermark_df.join(
             F.broadcast(offsets_df.select("part_id", "committed")),
@@ -50,12 +55,9 @@ def consumer_lag(watermark_df: DataFrame, offsets_df: DataFrame) -> DataFrame:
         )
         .select(
             "part_id",
-            F.coalesce(F.col("committed"), F.lit(0)).cast("long").alias("committed"),
-            F.col("log_end_offset"),
-            F.greatest(
-                F.col("log_end_offset") - F.coalesce(F.col("committed"), F.lit(0)),
-                F.lit(0),
-            )
+            committed.cast("long").alias("committed"),
+            F.col("high_watermark"),
+            F.greatest(F.col("high_watermark") - committed, F.lit(0))
             .cast("long")
             .alias("lag"),
         )

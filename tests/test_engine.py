@@ -1,0 +1,153 @@
+"""Engine roundtrip tests — ports of flyq-server/tests/engine.rs plus the
+reference author's own TODO gaps (engine.rs:148-157)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from tests.conftest import make_messages
+
+
+def test_topic_dir_layout_on_create(engine):
+    """engine.rs:10-55: create_topic lays out topic/partition dirs."""
+    engine.create_topic("orders", partitions=3)
+    tdir = os.path.join(engine.base_dir, "topic_orders")
+    assert os.path.isdir(tdir)
+    for p in range(3):
+        assert os.path.isdir(os.path.join(tdir, f"partition={p}"))
+    assert engine.topic_partitions("orders") == 3
+    assert engine.list_topics() == ["orders"]
+
+
+def test_auto_create_on_produce_offset_zero(engine):
+    """engine.rs:57-89: producing to an unknown topic auto-creates it with
+    the default partition count and assigns offset 0."""
+    acks = engine.produce("clicks", make_messages(1))
+    assert engine.topic_exists("clicks")
+    assert engine.topic_partitions("clicks") == 1  # DEFAULT_PARTITION_CNT
+    assert acks == [(0, 0)]
+
+
+def test_produce_consume_roundtrip_field_exact(engine):
+    """engine.rs:91-118: every message field survives the roundtrip."""
+    headers = [("trace", b"abc"), ("source", b"unit-test")]
+    engine.create_topic("events", partitions=1)
+    engine.produce(
+        "events",
+        [
+            {
+                "key": b"user-1",
+                "value": b"payload-bytes",
+                "timestamp": 1_700_000_123_456,
+                "headers": headers,
+            }
+        ],
+    )
+    row = engine.consume("events", 0, 0)
+    assert row is not None
+    assert row["offset"] == 0
+    assert bytes(row["key"]) == b"user-1"
+    assert bytes(row["value"]) == b"payload-bytes"
+    assert int(row["timestamp"].timestamp() * 1000) == 1_700_000_123_456
+    assert [(h["key"], bytes(h["value"])) for h in row["headers"]] == headers
+
+
+def test_consume_past_end_returns_none(engine):
+    """engine.rs:120-146: consuming beyond the log is a graceful None."""
+    engine.produce("t", make_messages(3))
+    assert engine.consume("t", 0, 3) is None
+    assert engine.consume("t", 0, 99) is None
+
+
+def test_consume_before_produce(engine):
+    """Author TODO gap (engine.rs:148-157): consume on a created-but-empty
+    topic."""
+    engine.create_topic("empty", partitions=1)
+    assert engine.consume("empty", 0, 0) is None
+
+
+def test_consume_at_exact_end(engine):
+    """Author TODO gap: offset == log_end_offset is past-end."""
+    engine.produce("t", make_messages(5))
+    _, _, leo = engine.get_watermark("t", 0)
+    assert leo == 5
+    assert engine.consume("t", 0, leo) is None
+    assert engine.consume("t", 0, leo - 1) is not None
+
+
+def test_offsets_dense_and_ordered_across_batches(engine):
+    """partition_state.rs:27-29: offsets continue densely across produce
+    calls; values read back in offset order match arrival order."""
+    engine.create_topic("t", partitions=2)
+    engine.produce("t", make_messages(5))
+    engine.produce("t", make_messages(5))
+    for p in (0, 1):
+        rows = engine.read_from_offset("t", p, 0)
+        offsets = [int(r["offset"]) for r in rows]
+        assert offsets == list(range(len(offsets)))
+    total = sum(len(engine.read_from_offset("t", p, 0)) for p in (0, 1))
+    assert total == 10
+
+
+def test_keyed_routing_stable_and_scoped(engine):
+    """topic.rs:76-93: all messages with one key land in one partition;
+    consume_by_key returns exactly them, in order."""
+    engine.create_topic("t", partitions=4)
+    engine.produce("t", make_messages(6, key=b"alpha"))
+    engine.produce("t", make_messages(4, key=b"beta"))
+    rows = engine.consume_by_key("t", b"alpha")
+    assert len(rows) == 6
+    assert len({int(r["partition"]) for r in rows}) == 1
+    assert [int(r["offset"]) for r in rows] == sorted(int(r["offset"]) for r in rows)
+    assert all(bytes(r["key"]) == b"alpha" for r in rows)
+
+
+def test_consume_next(engine):
+    """client.rs:202-209 stub semantics: first message after last_seen."""
+    engine.produce("t", make_messages(5))
+    row = engine.consume_next("t", 0, 2)
+    assert int(row["offset"]) == 3
+    assert engine.consume_next("t", 0, 4) is None
+
+
+def test_stream_from_offset_crosses_files(engine):
+    """partition.rs:311-355: range scans cross segment (file) boundaries
+    in offset order."""
+    for _ in range(3):  # three separate produce calls -> three parquet files
+        engine.produce("t", make_messages(4))
+    health = engine.get_partition_health("t", 0)
+    assert health["segment_count"] >= 2
+    rows = engine.read_from_offset("t", 0, 2)
+    assert [int(r["offset"]) for r in rows] == list(range(2, 12))
+
+
+def test_produce_dataframe_batch(engine, spark):
+    """DataFrame produce path: larger batch, acks summarized per partition."""
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.range(100)
+        .select(
+            F.col("id").alias("seq"),
+            F.encode(F.concat(F.lit("k"), (F.col("id") % 7).cast("string")), "utf-8").alias("key"),
+            F.encode(F.concat(F.lit("v"), F.col("id").cast("string")), "utf-8").alias("value"),
+            F.timestamp_millis(F.lit(1_700_000_000_000) + F.col("id")).alias("timestamp"),
+        )
+    )
+    acks = engine.produce("big", df, collect_acks=False)
+    assert sum(leo - base for base, leo in acks.values()) == 100
+    low, high, leo = engine.get_watermark("big", 0)
+    assert leo == len(engine.read_from_offset("big", 0, 0))
+
+
+def test_compaction_preserves_data(engine):
+    for _ in range(4):
+        engine.produce("t", make_messages(3))
+    before = engine.read_from_offset("t", 0, 0)
+    n_files = engine.compact_partition("t", 0)
+    assert n_files == 1
+    after = engine.read_from_offset("t", 0, 0)
+    assert [int(r["offset"]) for r in after] == [int(r["offset"]) for r in before]
+    assert [bytes(r["value"]) for r in after] == [bytes(r["value"]) for r in before]

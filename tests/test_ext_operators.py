@@ -1,0 +1,254 @@
+"""[EXT] operator tests: dedup family, similarity search, text analysis,
+multimodal plumbing, sessionization. LSH/MinHash/SimHash paths are pinned
+against brute-force equivalents (subset/recall properties + determinism),
+which is their correctness contract since they are not SQL-expressible."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+# ----------------------------- dedup ---------------------------------- #
+
+
+def test_dedup_exact_keeps_min_id(spark):
+    from flyq_spark.operators.dedup import dedup_exact, dedup_exact_rows
+
+    df = spark.createDataFrame(
+        [(1, "aa"), (2, "bb"), (3, "aa"), (4, "aa"), (5, "cc")], "doc_id long, text string"
+    )
+    got = sorted(r["doc_id"] for r in dedup_exact(df).collect())
+    assert got == [1, 2, 5]
+    rows = dedup_exact_rows(df).collect()
+    assert sorted((r["doc_id"], r["text"]) for r in rows) == [(1, "aa"), (2, "bb"), (5, "cc")]
+
+
+def test_simhash_identical_and_perturbed(spark):
+    from flyq_spark.operators.dedup import simhash, simhash_neardup_pairs
+
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),  # identical -> hamming 0
+            (3, base.replace("lazy", "sleepy")),  # near-dup -> small hamming
+            (4, "completely different words entirely unrelated content here"),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+    assert sigs[1] == sigs[2]
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_neardup_pairs(df, max_hamming=8).collect()
+    }
+    assert pairs.get((1, 2)) == 0
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_minhash_pairs_have_high_true_jaccard(spark, docs):
+    """Every LSH-candidate pair the MinHash join emits must be a true
+    near-dup under exact token-shingle Jaccard (no false 'survivors')."""
+    from flyq_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.4)
+    rows = pairs.collect()
+    assert all(r["jaccard_dist"] <= 0.6 for r in rows)
+    # determinism (seeded): same pair set on a second run
+    again = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(docs, jaccard_threshold=0.4).collect()}
+    assert {(r["id_a"], r["id_b"]) for r in rows} == again
+
+
+def test_ngram_jaccard_bounds(spark, docs):
+    from flyq_spark.operators.dedup import ngram_jaccard_pairs
+
+    rows = ngram_jaccard_pairs(docs, min_jaccard=0.5).collect()
+    assert all(0.5 <= r["jaccard"] <= 1.0 for r in rows)
+    assert all(r["id_a"] < r["id_b"] for r in rows)
+
+
+# --------------------------- similarity -------------------------------- #
+
+
+def test_bruteforce_topk_self_is_rank_one(spark, emb):
+    from flyq_spark.operators.similarity import topk_bruteforce
+
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = topk_bruteforce(emb, queries, k=3).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert rows[0]["neighbor_id"] == qid  # cosine(self, self) = 1
+        assert abs(rows[0]["score"] - 1.0) < 1e-9
+        scores = [r["score"] for r in rows]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_lsh_topk_is_subset_of_bucketmates_with_exact_scores(spark, emb):
+    """ANN contract: every (query, neighbor) the LSH path returns carries
+    the exact brute-force cosine score, and self is always found (same
+    bucket by construction)."""
+    from flyq_spark.operators.similarity import topk_bruteforce, topk_lsh
+
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ann = topk_lsh(emb, queries, k=5, n_planes=4).collect()
+    brute = topk_bruteforce(emb, queries, k=500).collect()
+    truth = {(r["query_id"], r["neighbor_id"]): r["score"] for r in brute}
+    assert ann, "LSH returned nothing"
+    for r in ann:
+        assert (r["query_id"], r["neighbor_id"]) in truth
+        assert abs(truth[(r["query_id"], r["neighbor_id"])] - r["score"]) < 1e-9
+    self_hits = {r["query_id"] for r in ann if r["neighbor_id"] == r["query_id"]}
+    assert self_hits == {r["query_id"] for r in queries.collect()}
+
+
+def test_lsh_neardup_subset_of_bruteforce(spark, emb):
+    from flyq_spark.operators.similarity import cosine, neardup_pairs
+
+    small = emb.limit(120)
+    lsh_pairs = {(r["id_a"], r["id_b"]) for r in neardup_pairs(small, 0.2, n_planes=3).collect()}
+    a, b = small.alias("a"), small.alias("b")
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in a.crossJoin(b)
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cosine(F.col("a.embedding"), F.col("b.embedding")).alias("s"),
+        )
+        .where(F.col("s") >= 0.2)
+        .collect()
+    }
+    assert lsh_pairs <= brute
+
+
+# ------------------------------ text ----------------------------------- #
+
+
+def test_token_count_exact(spark):
+    from flyq_spark.operators.text import token_count
+
+    df = spark.createDataFrame(
+        [("",), ("one",), ("two words",), ("  padded   ",)], "text string"
+    )
+    got = [r["n"] for r in df.select(token_count(F.col("text")).alias("n")).collect()]
+    assert got[0] == 0 and got[1] == 1 and got[2] == 2
+
+
+def test_detect_language_markers(spark):
+    from flyq_spark.operators.text import detect_language
+
+    df = spark.createDataFrame(
+        [
+            (1, "this is the house and the tree of a king"),
+            (2, "der hund und die katze und das haus"),
+            (3, "xyzzy plugh"),
+        ],
+        "id long, text string",
+    )
+    got = {r["id"]: r["lang"] for r in df.select("id", detect_language(F.col("text")).alias("lang")).collect()}
+    assert got == {1: "en", 2: "de", 3: "und"}
+
+
+def test_fingerprints_stability_and_sensitivity(spark):
+    from flyq_spark.operators.text import doc_fingerprint, shingle_fingerprint
+
+    df = spark.createDataFrame(
+        [(1, "The Quick Brown Fox"), (2, "the quick brown fox"), (3, "something else")],
+        "id long, text string",
+    )
+    rows = df.select(
+        "id",
+        doc_fingerprint(F.col("text")).alias("fp"),
+        shingle_fingerprint(F.col("text")).alias("sfp"),
+    ).collect()
+    by_id = {r["id"]: r for r in rows}
+    assert by_id[1]["fp"] == by_id[2]["fp"]  # case-normalized
+    assert by_id[1]["fp"] != by_id[3]["fp"]
+
+
+def test_quality_score_range(spark, docs):
+    from flyq_spark.operators.text import quality_score
+
+    vals = [r["q"] for r in docs.select(quality_score(F.col("text")).alias("q")).collect()]
+    assert all(0.0 <= v <= 1.0 for v in vals)
+
+
+# --------------------------- multimodal -------------------------------- #
+
+
+def test_attach_media_and_content_dedup(spark):
+    from flyq_spark.operators.multimodal import attach_media, dedup_by_content
+
+    df = spark.createDataFrame(
+        [(1, "same-bytes"), (2, "same-bytes"), (3, "other")], "id long, blob string"
+    )
+    media = attach_media(df, "blob", kind="image", mime="image/fake")
+    rows = {r["id"]: r for r in media.collect()}
+    assert rows[1]["content_id"] == rows[2]["content_id"] != rows[3]["content_id"]
+    assert rows[1]["media_meta"]["n_bytes"] == len(b"same-bytes")
+    assert rows[1]["media_meta"]["kind"] == "image"
+    kept = sorted(r["id"] for r in dedup_by_content(media, "id").collect())
+    assert kept == [1, 3]
+
+
+def test_extract_features_deterministic_through_arrow(spark):
+    from flyq_spark.operators.multimodal import attach_media, extract_features
+
+    df = spark.createDataFrame([(1, "payload-a"), (2, "payload-b")], "id long, blob string")
+    media = attach_media(df, "blob", kind="image")
+    f1 = {r["content_id"]: (r["width"], r["height"], r["feature"]) for r in extract_features(media).collect()}
+    f2 = {r["content_id"]: (r["width"], r["height"], r["feature"]) for r in extract_features(media).collect()}
+    assert f1 == f2 and len(f1) == 2
+    for w, h, feat in f1.values():
+        assert 1 <= w <= 256 and 1 <= h <= 256 and len(feat) == 8
+
+
+def test_frame_sample_plan(spark):
+    from flyq_spark.operators.multimodal import attach_media, frame_sample_plan
+
+    df = spark.createDataFrame([(1, "vid-bytes")], "id long, blob string")
+    media = attach_media(df, "blob", kind="video")
+    rows = frame_sample_plan(media, every_n=4).collect()
+    assert all(r["frame_idx"] % 4 == 0 for r in rows)
+    assert len(rows) >= 1
+
+
+# ---------------------------- sessions --------------------------------- #
+
+
+def test_sessionize_gap_semantics(spark):
+    from flyq_spark.operators.sessions import sessionize
+
+    t0 = 1_700_000_000_000_000  # us
+    rows = [
+        (1, 100, t0),
+        (1, 101, t0 + 10 * 60_000_000),        # same session (10 min)
+        (1, 102, t0 + 50 * 60_000_000),        # new session (40 min gap)
+        (2, 200, t0),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_id long, ts_us long").select(
+        "user_id", "event_id", F.timestamp_micros(F.col("ts_us")).alias("ts")
+    )
+    got = {(r["user_id"], r["session_id"]): r["n_events"] for r in sessionize(ev).collect()}
+    assert got == {(1, 1): 2, (1, 2): 1, (2, 1): 1}
