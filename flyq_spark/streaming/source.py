@@ -1,0 +1,111 @@
+"""Streaming read side: tail a topic's log table.
+
+The reference's continuous consumer is an iterator that follows the log
+across segment files (flyq-server/src/core/partition.rs:311-355). The
+Spark restatement is the file streaming source over the topic directory:
+every produce commit lands new parquet files, which the source picks up
+incrementally with exactly-once bookkeeping in the stream checkpoint —
+the Structured Streaming analog of consumer-group offsets (SURVEY §2
+Part B streaming row).
+
+Event-time helpers mirror the [EXT] stream-analytics surface: windowed
+aggregation under a watermark, and within-watermark dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flyq_spark import storage
+from flyq_spark.schemas import LOG_SCHEMA
+
+
+def read_stream(
+    spark: SparkSession,
+    base_dir: str,
+    topic: str,
+    from_offset: int | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Tail a topic as a stream. ``from_offset`` plays the role of the
+    Kafka source's startingOffsets (applied as a pushed-down filter;
+    files wholly below it are pruned via footer stats)."""
+    tdir = storage.topic_dir(base_dir, topic)
+    reader = spark.readStream.schema(LOG_SCHEMA).option("basePath", tdir)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    df = reader.parquet(tdir)
+    if from_offset is not None:
+        df = df.where(F.col("offset") >= from_offset)
+    return df
+
+
+def windowed_counts(
+    stream: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "1 hour",
+    ts_col: str = "timestamp",
+    key_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Event-time windowed counts with late-data handling: watermark bounds
+    state, window() assigns tumbling/sliding buckets. Append-mode safe."""
+    keys = [F.window(F.col(ts_col), window, slide or window).alias("win")] + [
+        F.col(c) for c in key_cols
+    ]
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(*keys)
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            *[F.col(c) for c in key_cols],
+            "cnt",
+        )
+    )
+
+
+def streaming_dedup(
+    stream: DataFrame,
+    key_cols: tuple[str, ...],
+    watermark: str = "1 hour",
+    ts_col: str = "timestamp",
+) -> DataFrame:
+    """Exactly-once-per-key within the watermark horizon —
+    dropDuplicatesWithinWatermark keeps state bounded (the streaming form
+    of exact dedup for unbounded ingest)."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
+
+def running_counts_stateful(stream: DataFrame, key_col: str = "key") -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: a running
+    per-key record count surviving across triggers — the minimal shape of
+    any bespoke streaming state machine (sessionizers, CDC collapsers).
+    State is one long per key; timeouts off (unbounded keys would need
+    ProcessingTimeTimeout + TTL at 100 TB scale)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdf_iter, state):
+        import pandas as pd
+
+        n = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"key": [key[0]], "n": [n]})
+
+    return (
+        stream.select(F.col(key_col).cast("string").alias("key"))
+        .groupBy("key")
+        .applyInPandasWithState(
+            update,
+            outputStructType="key string, n long",
+            stateStructType="n long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,179 @@
+"""Structured Streaming tests: produce sink roundtrip, log tailing,
+event-time windows under watermark, within-watermark dedup, and the
+custom stateful operator."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+INPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("seq", T.LongType(), False),
+        T.StructField("key", T.BinaryType(), True),
+        T.StructField("value", T.BinaryType(), False),
+        T.StructField("timestamp", T.TimestampType(), False),
+    ]
+)
+
+
+def _write_input_chunk(spark, path, start, n, ts0=1_700_000_000_000):
+    rows = (
+        spark.range(start, start + n)
+        .select(
+            F.col("id").alias("seq"),
+            F.encode((F.col("id") % 3).cast("string"), "utf-8").alias("key"),
+            F.encode(F.concat(F.lit("v"), F.col("id").cast("string")), "utf-8").alias("value"),
+            F.timestamp_millis(F.lit(ts0) + F.col("id") * 60_000).alias("timestamp"),
+        )
+    )
+    rows.coalesce(1).write.mode("append").parquet(path)
+
+
+def test_produce_sink_roundtrip(engine, spark, tmp_path):
+    """file stream -> foreachBatch produce sink -> log table has every
+    record with dense offsets; a second chunk continues LEO."""
+    from flyq_spark.streaming.sink import write_stream_to_topic
+
+    src = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    engine.create_topic("st", partitions=2)
+
+    _write_input_chunk(spark, src, 0, 10)
+    stream = spark.readStream.schema(INPUT_SCHEMA).parquet(src)
+    q = write_stream_to_topic(engine, "st", stream, ckpt, trigger_once=True)
+    q.awaitTermination(120)
+    assert sum(engine.get_watermark("st", p)[2] for p in (0, 1)) == 10
+
+    _write_input_chunk(spark, src, 10, 5)
+    q = write_stream_to_topic(engine, "st", stream, ckpt, trigger_once=True)
+    q.awaitTermination(120)
+    leos = [engine.get_watermark("st", p)[2] for p in (0, 1)]
+    assert sum(leos) == 15
+    for p in (0, 1):
+        offsets = [int(r["offset"]) for r in engine.read_from_offset("st", p, 0)]
+        assert offsets == list(range(leos[p]))
+
+
+def test_tail_log_stream(engine, spark, tmp_path):
+    """readStream over the topic dir sees existing data and new produces
+    (the consumer-iterator analog, partition.rs:311-355)."""
+    from flyq_spark.streaming.source import read_stream
+    from tests.conftest import make_messages
+
+    engine.produce("tl", make_messages(6))
+    stream = read_stream(spark, engine.base_dir, "tl", from_offset=2)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("tail_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT offset FROM tail_test ORDER BY offset").collect()
+    assert [int(r["offset"]) for r in got] == [2, 3, 4, 5]
+
+    engine.produce("tl", make_messages(3))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("tail_test2")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT offset FROM tail_test2 ORDER BY offset").collect()
+    assert [int(r["offset"]) for r in got] == [2, 3, 4, 5, 6, 7, 8]
+
+
+def test_windowed_counts_under_watermark(engine, spark, tmp_path):
+    from flyq_spark.streaming.source import read_stream, windowed_counts
+    from tests.conftest import make_messages
+
+    # 90 messages one minute apart from a wall-clock hour boundary ->
+    # 1h tumbling windows of 60 and 30 events
+    t0 = 1_699_999_200_000  # 2023-11-14 22:00:00 UTC
+    engine.produce(
+        "wc",
+        [
+            {"key": None, "value": b"x", "timestamp": t0 + i * 60_000}
+            for i in range(90)
+        ],
+    )
+
+    # events are minute-spaced starting at a fixed epoch; count per hour
+    stream = read_stream(spark, engine.base_dir, "wc")
+    agg = windowed_counts(stream, window="1 hour", watermark="10 minutes")
+    # complete mode: a single availableNow batch never advances the
+    # watermark past its own data, so append would emit nothing; complete
+    # shows every window (the watermark still bounds state size).
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wc_test")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT cnt FROM wc_test ORDER BY window_start").collect()
+    assert [int(r["cnt"]) for r in rows] == [60, 30]
+
+
+def test_streaming_dedup_within_watermark(engine, spark, tmp_path):
+    from flyq_spark.streaming.source import read_stream, streaming_dedup
+
+    engine.produce(
+        "dd",
+        [
+            {"key": b"a", "value": b"1", "timestamp": 1_700_000_000_000},
+            {"key": b"a", "value": b"1", "timestamp": 1_700_000_060_000},
+            {"key": b"b", "value": b"2", "timestamp": 1_700_000_120_000},
+        ],
+    )
+    stream = read_stream(spark, engine.base_dir, "dd")
+    dedup = streaming_dedup(stream, ("value",), watermark="1 hour")
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName("dd_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        bytes(r["value"]) for r in spark.sql("SELECT value FROM dd_test").collect()
+    )
+    assert got == [b"1", b"2"]
+
+
+def test_running_counts_stateful(engine, spark, tmp_path):
+    """applyInPandasWithState keeps per-key counts across micro-batches."""
+    from flyq_spark.streaming.source import read_stream, running_counts_stateful
+    from tests.conftest import make_messages
+
+    engine.produce("rc", make_messages(4, key=b"k1"))
+    engine.produce("rc", make_messages(2, key=b"k2"))
+    stream = read_stream(spark, engine.base_dir, "rc", max_files_per_trigger=1)
+    counts = running_counts_stateful(stream, key_col="key")
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("rc_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    final = {
+        r["key"]: int(r["n"])
+        for r in spark.sql(
+            "SELECT key, max(n) AS n FROM rc_test GROUP BY key"
+        ).collect()
+    }
+    assert final == {"k1": 4, "k2": 2}
