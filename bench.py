@@ -1,0 +1,88 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Each query executes its full plan: tiny results are collected, large ones
+are written to the noop sink (distributed execution, no driver
+materialization). One warm-up pass of a small query absorbs session/JIT
+startup so per-query numbers measure the plans, not the JVM.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: broker dataflow + relational + EXT pipeline operators.
+# (name, collect_small) — collect_small=False -> noop-sink write.
+HEADLINE = [
+    ("produce_log", False),
+    ("watermarks", True),
+    ("consumer_lag", True),
+    ("monitor_alerts", True),
+    ("retention_size", True),
+    ("q1_pricing", True),
+    ("q3_top_orders", True),
+    ("q5_region_revenue", True),
+    ("sessionize", False),
+    ("window_tumbling", False),
+    ("top_events_per_user", False),
+    ("dedup_exact", False),
+    ("token_stats", False),
+    ("lang_id", False),
+    ("doc_fingerprints", False),
+    ("minhash_pairs", False),
+    ("simhash_neardup", False),
+    ("similarity_topk", True),
+    ("ann_lsh_topk", True),
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    import __spark_entry__ as entry_mod
+    from flyq_spark.session import get_spark
+
+    spark = get_spark("flyq_bench")
+    qs = entry_mod.queries()
+
+    # warm-up: session + codegen paths
+    qs["watermarks"](spark, sf_dir).collect()
+
+    times: dict[str, float] = {}
+    for name, collect_small in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        if collect_small:
+            df.collect()
+        else:
+            df.write.mode("overwrite").format("noop").save()
+        times[name] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
