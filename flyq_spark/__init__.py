@@ -24,7 +24,8 @@ whole-stage-codegen friendly), no row-at-a-time Python in hot paths.
 """
 
 from flyq_spark.config import EngineConfig
-from flyq_spark.engine import FlyQEngine
+from flyq_spark.engine import FlyQEngine, UnknownTopic
+from flyq_spark.session import get_spark
 
-__all__ = ["EngineConfig", "FlyQEngine"]
-__version__ = "0.1.0"
+__all__ = ["EngineConfig", "FlyQEngine", "UnknownTopic", "get_spark"]
+__version__ = "0.2.0"

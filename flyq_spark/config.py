@@ -32,3 +32,35 @@ class EngineConfig:
     # Topic defaults (flyq-server/src/core/constants.rs:4-5).
     auto_create_topics: bool = True
     default_partitions: int = 1
+
+    @classmethod
+    def from_toml(cls, path: str) -> "EngineConfig":
+        """Load from TOML, defaulting missing keys — the analog of
+        BrokerConfig::load_or_default (flyq-server/src/config.rs:39-51;
+        key names per flyq.toml.example:7-22, durations in seconds)."""
+        import tomllib
+
+        with open(path, "rb") as f:
+            raw = tomllib.load(f)
+        kwargs: dict = {}
+        if "segment_max_bytes" in raw:
+            kwargs["segment_max_bytes"] = int(raw["segment_max_bytes"])
+        if "retention_secs" in raw:
+            kwargs["retention_ms"] = int(raw["retention_secs"]) * 1000
+        if "retention_bytes" in raw:
+            kwargs["retention_bytes"] = int(raw["retention_bytes"])
+        if "cleanup_interval_secs" in raw:
+            kwargs["cleanup_interval_s"] = int(raw["cleanup_interval_secs"])
+        if "max_records_per_file" in raw:
+            kwargs["max_records_per_file"] = int(raw["max_records_per_file"])
+        if "auto_create_topics" in raw:
+            kwargs["auto_create_topics"] = bool(raw["auto_create_topics"])
+        if "default_partitions" in raw:
+            kwargs["default_partitions"] = int(raw["default_partitions"])
+        return cls(**kwargs)
+
+    @classmethod
+    def load_or_default(cls, path: str) -> "EngineConfig":
+        import os
+
+        return cls.from_toml(path) if os.path.exists(path) else cls()

@@ -1,0 +1,120 @@
+"""Message codec (A23) round-trip tests — ports of message.rs:133-183 —
+plus TOML config loading (A30)."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from flyq_spark.functions.codec import (
+    CodecError,
+    deserialize_message,
+    serialize_message,
+)
+
+
+def test_roundtrip_full_message():
+    """message.rs:137-147: key + headers survive exactly."""
+    buf = serialize_message(
+        b"user-42", b"payload", 1_700_000_000_123, [("trace", b"t1"), ("src", b"unit")]
+    )
+    m = deserialize_message(buf)
+    assert m["key"] == b"user-42"
+    assert m["value"] == b"payload"
+    assert m["timestamp"] == 1_700_000_000_123
+    assert m["headers"] == [("trace", b"t1"), ("src", b"unit")]
+
+
+def test_roundtrip_no_key_no_headers():
+    """message.rs:164-183: None key / None headers encode as zero counts."""
+    m = deserialize_message(serialize_message(None, b"v", 7))
+    assert m["key"] is None and m["headers"] is None and m["value"] == b"v"
+
+
+def test_empty_key_decodes_as_none():
+    """Quirk Q1 (message.rs:83-92): zero-length key -> None."""
+    m = deserialize_message(serialize_message(b"", b"v", 7))
+    assert m["key"] is None
+
+
+def test_wire_layout_is_big_endian_exact():
+    """Pin the physical layout (message.rs:1-11): len, ts, key_len..."""
+    buf = serialize_message(b"k", b"vv", 0x0102030405060708)
+    assert struct.unpack_from(">I", buf, 0)[0] == len(buf) - 4
+    assert struct.unpack_from(">Q", buf, 4)[0] == 0x0102030405060708
+    assert struct.unpack_from(">I", buf, 12)[0] == 1  # key_len
+    assert buf[16:17] == b"k"
+    assert struct.unpack_from(">I", buf, 17)[0] == 2  # value_len
+    assert buf[21:23] == b"vv"
+    assert struct.unpack_from(">I", buf, 23)[0] == 0  # header_count
+
+
+def test_truncated_buffer_raises():
+    buf = serialize_message(b"k", b"v", 1)
+    with pytest.raises(CodecError):
+        deserialize_message(buf[: len(buf) // 2])
+
+
+def test_codec_udfs_roundtrip(spark):
+    """Arrow-batched encode/decode through Spark columns."""
+    from pyspark.sql import functions as F
+
+    from flyq_spark.functions.codec import from_flyq_bytes_udf, to_flyq_bytes_udf
+
+    df = spark.createDataFrame(
+        [
+            (b"k1", b"v1", 1_700_000_000_001, [{"key": "h", "value": b"x"}]),
+            (None, b"v2", 1_700_000_000_002, None),
+        ],
+        "key binary, value binary, timestamp long, "
+        "headers array<struct<key string, value binary>>",
+    )
+    encoded = df.select(
+        to_flyq_bytes_udf()(
+            F.col("key"), F.col("value"), F.col("timestamp"), F.col("headers")
+        ).alias("b")
+    )
+    decoded = encoded.select(from_flyq_bytes_udf()(F.col("b")).alias("m")).select("m.*")
+    rows = sorted(decoded.collect(), key=lambda r: r["timestamp"])
+    assert bytes(rows[0]["key"]) == b"k1"
+    assert [(h["key"], bytes(h["value"])) for h in rows[0]["headers"]] == [("h", b"x")]
+    assert rows[1]["key"] is None and rows[1]["headers"] is None
+    assert bytes(rows[1]["value"]) == b"v2"
+
+
+def test_config_from_toml(tmp_path):
+    from flyq_spark.config import EngineConfig
+
+    p = tmp_path / "flyq.toml"
+    p.write_text(
+        "segment_max_bytes = 1024\n"
+        "retention_secs = 3600\n"
+        "retention_bytes = 999\n"
+        "cleanup_interval_secs = 5\n"
+        "default_partitions = 3\n"
+    )
+    cfg = EngineConfig.from_toml(str(p))
+    assert cfg.segment_max_bytes == 1024
+    assert cfg.retention_ms == 3_600_000
+    assert cfg.retention_bytes == 999
+    assert cfg.cleanup_interval_s == 5
+    assert cfg.default_partitions == 3
+    # load_or_default falls back to defaults (config.rs:39-51)
+    d = EngineConfig.load_or_default(str(tmp_path / "missing.toml"))
+    assert d.retention_ms == 7 * 24 * 3600 * 1000
+
+
+def test_monitor_example_runs(engine, capsys):
+    import sys
+
+    sys.path.insert(0, "/root/repo/examples")
+    import monitor
+
+    engine.produce("m", [{"key": None, "value": b"x", "timestamp": 1}] * 5)
+    engine.commit_offset("g", "m", 0, 2)
+    monitor.poll(engine, "g")
+    out = capsys.readouterr().out
+    assert "watermarks=(0,4,5)" in out
+    assert "lag=2" in out
+    assert "total_lag=2" in out
