@@ -289,10 +289,17 @@ class FlyQEngine:
 
     def consume_by_key(self, topic: str, key: bytes, method: str = "xxhash64") -> list[Row]:
         """A28b (client.rs:192-199): route the key, then scan only its
-        partition (partition pruning) for exact key matches."""
+        partition (partition pruning) for exact key matches. Routing is
+        computed driver-side with the bit-compatible pure-Python XXH64
+        (functions/hashing.py, parity-tested against F.xxhash64) — no
+        Spark job just to find the partition."""
         n = self.topic_partitions(topic)
         if n == 1:
             p = 0
+        elif method == "xxhash64":
+            from flyq_spark.functions.hashing import spark_partition_for_key
+
+            p = spark_partition_for_key(key, n)
         else:
             p = int(
                 self.spark.range(1)

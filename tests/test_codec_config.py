@@ -118,3 +118,31 @@ def test_monitor_example_runs(engine, capsys):
     assert "watermarks=(0,4,5)" in out
     assert "lag=2" in out
     assert "total_lag=2" in out
+
+
+def test_xxh64_parity_with_spark(spark):
+    """functions/hashing.py must match F.xxhash64 bit-for-bit across all
+    tail-length classes (0..33+ bytes) so driver-side routing
+    (consume_by_key) and executor-side routing agree."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from flyq_spark.functions.hashing import spark_partition_for_key, xxh64_signed
+
+    random.seed(11)
+    keys = [
+        bytes(random.randrange(256) for _ in range(length))
+        for length in [0, 1, 3, 4, 7, 8, 9, 15, 16, 31, 32, 33, 64, 100]
+        for _ in range(3)
+    ]
+    df = spark.createDataFrame([(k,) for k in keys], "key binary")
+    got = [r["h"] for r in df.select(F.xxhash64("key").alias("h")).collect()]
+    assert got == [xxh64_signed(k) for k in keys]
+    parts = [
+        r["p"]
+        for r in df.select(
+            F.pmod(F.xxhash64("key"), F.lit(8)).cast("int").alias("p")
+        ).collect()
+    ]
+    assert parts == [spark_partition_for_key(k, 8) for k in keys]
