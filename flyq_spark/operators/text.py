@@ -106,13 +106,20 @@ def doc_fingerprint(text: Column) -> Column:
     return F.md5(F.lower(text))
 
 
-def shingle_fingerprint(text: Column, k: int = 8) -> Column:
-    """Rolling k-gram fingerprint: minimum md5 over all k-char windows
+def shingle_fingerprint(text: Column, k: int = 8, hash_fn: str = "md5") -> Column:
+    """Rolling k-gram fingerprint: minimum hash over all k-char windows
     (winnowing with one global window — robust to small edits anywhere in
-    the document, unlike the whole-doc hash). md5 keeps it oracle-
-    replayable; the production variant swaps xxhash64 for md5 (same
-    shape, ~10x cheaper) when cross-engine parity is not required."""
+    the document, unlike the whole-doc hash).
+
+    ``hash_fn``: "md5" is oracle-replayable (DuckDB computes the same hex
+    strings); "xxhash64" is the production path (~10x cheaper, long
+    instead of 32-char string) for when cross-engine parity is not
+    required."""
     positions = F.sequence(F.lit(1), F.greatest(F.length(text) - (k - 1), F.lit(1)))
-    return F.array_min(
-        F.transform(positions, lambda i: F.md5(text.substr(i, F.lit(k))))
-    )
+    if hash_fn == "md5":
+        gram = lambda i: F.md5(text.substr(i, F.lit(k)))
+    elif hash_fn == "xxhash64":
+        gram = lambda i: F.xxhash64(text.substr(i, F.lit(k)))
+    else:
+        raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
+    return F.array_min(F.transform(positions, gram))
