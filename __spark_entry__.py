@@ -337,6 +337,48 @@ def q_q5_region_revenue(spark, sf_dir):
     )
 
 
+def q_q4_order_priority(spark, sf_dir):
+    """Semi-join (EXISTS) + count per priority — the TPC-H Q4 shape."""
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem").where(
+        F.col("l_quantity") > 45
+    ).select("l_orderkey").distinct()
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("order_count"))
+    )
+
+
+def q_rollup_revenue(spark, sf_dir):
+    """ROLLUP over (region, nation): subtotals + grand total — grouping-
+    sets coverage. NULL markers replaced by 'ALL' so both engines render
+    identically."""
+    nation = _read(spark, sf_dir, "nation")
+    region = _read(spark, sf_dir, "region")
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    joined = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.sum(dec("o_totalprice")).alias("total_price"),
+            F.count("*").cast("long").alias("order_count"),
+        )
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("ALL")).alias("region_name"),
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation_name"),
+            "total_price",
+            "order_count",
+        )
+    )
+
+
 # --------------------------------------------------------------------- #
 # Part C [EXT] — event analytics
 # --------------------------------------------------------------------- #
@@ -463,6 +505,14 @@ def q_ann_lsh_topk(spark, sf_dir):
     return V.topk_lsh(emb, queries, k=5).select("query_id", "neighbor_id", "rank")
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return V.topk_ivf(emb, queries, k=5).select("query_id", "neighbor_id", "rank")
+
+
 def q_multimodal_features(spark, sf_dir):
     docs = M.attach_media(_read(spark, sf_dir, "documents"), "text", kind="image")
     return M.extract_features(docs, kind="image").select(
@@ -499,6 +549,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing": q_q1_pricing,
         "q3_top_orders": q_q3_top_orders,
         "q5_region_revenue": q_q5_region_revenue,
+        "q4_order_priority": q_q4_order_priority,
+        "rollup_revenue": q_rollup_revenue,
         # Part C [EXT]
         "sessionize": q_sessionize,
         "window_tumbling": q_window_tumbling,
@@ -518,6 +570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "simhash_neardup": q_simhash_neardup,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -713,6 +766,25 @@ JOIN nation n ON s.s_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
 WHERE c.c_nationkey = s.s_nationkey AND r.r_name = 'ASIA'
 GROUP BY n.n_name
+""",
+        "q4_order_priority": """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45
+)
+GROUP BY o_orderpriority
+""",
+        "rollup_revenue": """
+SELECT coalesce(r_name, 'ALL') AS region_name,
+       coalesce(n_name, 'ALL') AS nation_name,
+       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price,
+       count(*) AS order_count
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
 """,
         "sessionize": """
 WITH o AS (

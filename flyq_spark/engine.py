@@ -500,6 +500,49 @@ class FlyQEngine:
         return deleted
 
     # ------------------------------------------------------------------ #
+    # recovery (A18/A19 analog)
+    # ------------------------------------------------------------------ #
+
+    def repair_topic(self, topic: str) -> dict:
+        """Rebuild topic metadata from the data files — the recovery path
+        for a crash between parquet write and meta commit (the reference
+        re-scans segment tails for the same reason, segment.rs:188-237;
+        parquet footers make it a metadata-only read here).
+
+        LEO per partition becomes max(meta, max footer offset + 1) — the
+        meta value wins when retention has deleted the newest data ever
+        written. Low watermark becomes min(footer min offset) when data
+        exists (bounded below by the recorded value, which survives
+        retention of everything). Discovers partition dirs beyond the
+        recorded count (partial create). Returns the repaired meta."""
+        meta = self._meta(topic)
+        tdir = storage.topic_dir(self.base_dir, topic)
+        n = int(meta["partitions"])
+        for name in os.listdir(tdir):
+            if name.startswith("partition="):
+                try:
+                    n = max(n, int(name.split("=", 1)[1]) + 1)
+                except ValueError:
+                    pass
+        meta["partitions"] = n
+        for p in range(n):
+            stats = storage.partition_file_stats(self.base_dir, topic, p)
+            maxo = max(
+                (s.max_offset for s in stats if s.max_offset is not None), default=None
+            )
+            mino = min(
+                (s.min_offset for s in stats if s.min_offset is not None), default=None
+            )
+            leo = int(meta["log_end_offsets"].get(str(p), 0))
+            if maxo is not None and maxo + 1 > leo:
+                meta["log_end_offsets"][str(p)] = maxo + 1
+            low = int(meta["low_watermarks"].get(str(p), 0))
+            if mino is not None and mino > low:
+                meta["low_watermarks"][str(p)] = mino
+        storage.save_topic_meta(self.base_dir, topic, meta)
+        return meta
+
+    # ------------------------------------------------------------------ #
     # maintenance: compaction (A5 analog)
     # ------------------------------------------------------------------ #
 

@@ -151,6 +151,86 @@ def with_lsh_signature(
     return embeddings.withColumn(sig_col, sig)
 
 
+def assign_cells(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+) -> DataFrame:
+    """IVF cell assignment: nearest ``nprobe`` centroids per vector by
+    cosine. Centroid side is tiny -> broadcast; ranking window is
+    per-vector (narrow). ``centroids`` is positional: (centroid_id,
+    vector). Output: (id, cell, probe_rank)."""
+    c = F.broadcast(centroids.toDF("cell", "_cvec"))
+    scored = embeddings.select(F.col(id_col), F.col(vec_col).alias("_vec")).crossJoin(
+        c
+    ).select(
+        id_col, "cell", cosine(F.col("_vec"), F.col("_cvec")).alias("_cscore")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_cscore").desc(), F.col("cell").asc())
+    return (
+        scored.withColumn("probe_rank", F.row_number().over(w))
+        .where(F.col("probe_rank") <= nprobe)
+        .select(id_col, "cell", "probe_rank")
+    )
+
+
+def topk_ivf(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    centroid_step: int = 50,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF ANN top-k: partition the corpus into Voronoi cells around
+    deterministic centroids (every ``centroid_step``-th vector by id — a
+    seeded sample; a trained k-means drops in unchanged), then score each
+    query only against cells of its ``nprobe`` nearest centroids.
+
+    The scale shape: build-side assignment is corpus x centroids scores
+    (centroids broadcast); query time is a bucket-equality join on
+    ``cell`` — shuffle proportional to probed candidates, never n x m.
+    Self-recall is guaranteed at any nprobe >= 1 (a vector's own cell is
+    its nearest centroid's cell). Output: (query_id, neighbor_id, score,
+    rank)."""
+    centroids = embeddings.where(F.col(id_col) % centroid_step == 0).select(
+        id_col, vec_col
+    )
+    corpus_cells = assign_cells(embeddings, centroids, id_col, vec_col, nprobe=1)
+    corpus = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_vec")
+    ).join(
+        corpus_cells.select(F.col(id_col).alias("neighbor_id"), "cell"),
+        on="neighbor_id",
+    )
+    qprobes = assign_cells(
+        queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col)),
+        centroids,
+        id_col="query_id",
+        vec_col=vec_col,
+        nprobe=nprobe,
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+        ).join(qprobes, on="query_id")
+    )
+    scored = corpus.join(q, on="cell").select(
+        "query_id", "neighbor_id", cosine(F.col("_qvec"), F.col("_vec")).alias("score")
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+
+
 def topk_lsh(
     embeddings: DataFrame,
     queries: DataFrame,

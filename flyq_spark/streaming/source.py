@@ -81,6 +81,65 @@ def streaming_dedup(
     )
 
 
+def consume_stream_with_group(
+    engine,
+    topic: str,
+    group: str,
+    checkpoint_dir: str,
+    process,
+    trigger_once: bool = False,
+):
+    """Continuous consume-with-group: tail the topic from each partition's
+    committed offset, hand every micro-batch to ``process(batch_df)``, and
+    commit the advanced offsets (committed = max offset + 1 per partition,
+    quirk Q4: next-to-read) after the batch succeeds — at-least-once, the
+    reference's contract, with the group's progress visible to lag/
+    monitor APIs exactly like a batch consumer's.
+
+    Two bookkeeping layers cooperate: the stream checkpoint dedups file
+    input across restarts, while the committed offsets keep the FlyQ-side
+    cursor (and filter out pre-committed rows on a fresh checkpoint).
+    """
+    from pyspark.sql import functions as F
+
+    committed0 = {
+        p: engine.committed_offset(group, topic, p) or 0
+        for p in range(engine.topic_partitions(topic))
+    }
+    start_filter = None
+    for p, off in committed0.items():
+        cond = (F.col("partition") == p) & (F.col("offset") >= off)
+        start_filter = cond if start_filter is None else (start_filter | cond)
+
+    stream = read_stream(engine.spark, engine.base_dir, topic)
+    if start_filter is not None:
+        stream = stream.where(start_filter)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        process(batch_df)
+        tops = (
+            batch_df.groupBy("partition")
+            .agg(F.max("offset").alias("mx"))
+            .collect()
+        )
+        for r in tops:
+            nxt = int(r["mx"]) + 1
+            prev = engine.committed_offset(group, topic, int(r["partition"])) or 0
+            if nxt > prev:
+                engine.commit_offset(group, topic, int(r["partition"]), nxt)
+
+    writer = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(handle)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def running_counts_stateful(stream: DataFrame, key_col: str = "key") -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: a running
     per-key record count surviving across triggers — the minimal shape of

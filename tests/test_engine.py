@@ -151,3 +151,23 @@ def test_compaction_preserves_data(engine):
     after = engine.read_from_offset("t", 0, 0)
     assert [int(r["offset"]) for r in after] == [int(r["offset"]) for r in before]
     assert [bytes(r["value"]) for r in after] == [bytes(r["value"]) for r in before]
+
+
+def test_repair_topic_recovers_leo_from_footers(engine):
+    """A18/A19 recovery: wipe the meta watermark bookkeeping (simulating a
+    crash between data write and meta commit) and rebuild it from parquet
+    footer stats."""
+    from flyq_spark import storage
+    from tests.conftest import make_messages
+
+    engine.create_topic("r", partitions=2)
+    engine.produce("r", make_messages(10))
+    meta = storage.load_topic_meta(engine.base_dir, "r")
+    meta["log_end_offsets"] = {}
+    meta["low_watermarks"] = {}
+    storage.save_topic_meta(engine.base_dir, "r", meta)
+    assert engine.get_watermark("r", 0) == (0, 0, 0)  # stale meta
+
+    engine.repair_topic("r")
+    assert engine.get_watermark("r", 0) == (0, 4, 5)
+    assert engine.get_watermark("r", 1) == (0, 4, 5)

@@ -252,3 +252,27 @@ def test_sessionize_gap_semantics(spark):
     )
     got = {(r["user_id"], r["session_id"]): r["n_events"] for r in sessionize(ev).collect()}
     assert got == {(1, 1): 2, (1, 2): 1, (2, 1): 1}
+
+
+def test_ivf_topk_contract(spark, emb):
+    """IVF ANN: every returned neighbor carries the exact brute-force
+    score; self is always recalled (own cell is the rank-1 probe)."""
+    from flyq_spark.operators.similarity import topk_bruteforce, topk_ivf
+
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ivf = topk_ivf(emb, queries, k=5, centroid_step=50, nprobe=2).collect()
+    brute = topk_bruteforce(emb, queries, k=500).collect()
+    truth = {(r["query_id"], r["neighbor_id"]): r["score"] for r in brute}
+    assert ivf
+    for r in ivf:
+        assert (r["query_id"], r["neighbor_id"]) in truth
+        assert abs(truth[(r["query_id"], r["neighbor_id"])] - r["score"]) < 1e-9
+    by_q = {}
+    for r in ivf:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rows in by_q.items():
+        assert any(r["neighbor_id"] == qid for r in rows)
+        ranks = sorted(r["rank"] for r in rows)
+        assert ranks == list(range(1, len(rows) + 1))

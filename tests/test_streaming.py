@@ -177,3 +177,28 @@ def test_running_counts_stateful(engine, spark, tmp_path):
         ).collect()
     }
     assert final == {"k1": 4, "k2": 2}
+
+
+def test_consume_stream_with_group_commits_offsets(engine, spark, tmp_path):
+    """Streaming group consumer: starts at the committed offset, processes
+    batches, and advances the group's committed offsets (visible to lag)."""
+    from flyq_spark.streaming.source import consume_stream_with_group
+    from tests.conftest import make_messages
+
+    engine.create_topic("cg", partitions=2)
+    engine.produce("cg", make_messages(10))
+    engine.commit_offset("g", "cg", 0, 2)  # pre-committed: skip offsets < 2
+
+    seen = []
+    q = consume_stream_with_group(
+        engine, "cg", "g", str(tmp_path / "ckpt"),
+        lambda df: seen.extend((int(r["partition"]), int(r["offset"])) for r in df.collect()),
+        trigger_once=True,
+    )
+    q.awaitTermination(120)
+    assert (0, 0) not in seen and (0, 1) not in seen  # pre-committed skipped
+    assert (0, 2) in seen and (1, 0) in seen
+    for p in (0, 1):
+        _, _, leo = engine.get_watermark("cg", p)
+        assert engine.committed_offset("g", "cg", p) == leo
+    assert engine.get_consumer_lag("g", "cg")["total_lag"] == 0
