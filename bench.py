@@ -69,6 +69,39 @@ def main() -> None:
             df.write.mode("overwrite").format("noop").save()
         times[name] = round(time.time() - t0, 3)
 
+    # Engine produce/consume throughput: the broker surface itself, not
+    # just the dataflow restatements. events(sf) -> messages -> produce
+    # into a 4-partition temp topic -> full range-scan back.
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from flyq_spark.engine import FlyQEngine
+    from flyq_spark.io import read_table
+
+    base = tempfile.mkdtemp(prefix="flyq_bench_")
+    try:
+        eng = FlyQEngine(spark, base)
+        eng.create_topic("bench", partitions=4)
+        msgs = read_table(spark, sf_dir, "events").select(
+            F.col("event_id").alias("seq"),
+            F.encode(F.col("user_id").cast("string"), "utf-8").alias("key"),
+            F.encode(F.col("props"), "utf-8").alias("value"),
+            F.col("ts").alias("timestamp"),
+        )
+        t0 = time.time()
+        eng.produce("bench", msgs, collect_acks=False)
+        times["engine_produce"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        for p in range(4):
+            eng.stream_from_offset("bench", p, 0).write.mode("overwrite").format(
+                "noop"
+            ).save()
+        times["engine_consume_scan"] = round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
     total = round(sum(times.values()), 3)
     print(
         json.dumps(

@@ -24,6 +24,10 @@ TS_COLS = {"ts", "o_orderdate", "l_shipdate"}
 def read_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # NTZ->TIMESTAMP casts interpret wall clocks in the session zone;
+        # pin UTC so epoch-micros outputs match the oracle regardless of
+        # which session the driver hands us.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")

@@ -171,3 +171,19 @@ def test_repair_topic_recovers_leo_from_footers(engine):
     engine.repair_topic("r")
     assert engine.get_watermark("r", 0) == (0, 4, 5)
     assert engine.get_watermark("r", 1) == (0, 4, 5)
+
+
+def test_consume_plan_pushes_partition_and_offset(engine):
+    """The scale contract of the read path: partition reaches the scan as
+    a PartitionFilter (dir pruning) and offset as a pushed data filter
+    (footer-stats skipping) — the reference's seek path, for free."""
+    from pyspark.sql import functions as F
+    from tests.conftest import make_messages
+
+    engine.create_topic("pp", partitions=4)
+    engine.produce("pp", make_messages(40))
+    df = engine.log("pp").where((F.col("partition") == 2) & (F.col("offset") == 5))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "partition" in plan.split("PartitionFilters", 1)[1][:120]
+    pushed = plan.split("PushedFilters: [", 1)[1][:120]
+    assert "EqualTo(offset,5)" in pushed
