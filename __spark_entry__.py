@@ -18,7 +18,15 @@ their correctness is pinned against brute-force equivalents in pytest
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# The driver may import this module by file path with any cwd; make the
+# sibling flyq_spark package importable regardless.
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F

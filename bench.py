@@ -58,16 +58,24 @@ def main() -> None:
     # warm-up: session + codegen paths
     qs["watermarks"](spark, sf_dir).collect()
 
-    times: dict[str, float] = {}
-    for name, collect_small in HEADLINE:
-        fn = qs[name]
+    def run_once(fn, collect_small):
         t0 = time.time()
         df = fn(spark, sf_dir)
         if collect_small:
             df.collect()
         else:
             df.write.mode("overwrite").format("noop").save()
-        times[name] = round(time.time() - t0, 3)
+        return time.time() - t0
+
+    times: dict[str, float] = {}
+    for name, collect_small in HEADLINE:
+        fn = qs[name]
+        # best-of-two: the first run pays codegen/JIT compile, which a
+        # long-running cluster amortizes; min is the steady-state number.
+        t = run_once(fn, collect_small)
+        if t < 20:
+            t = min(t, run_once(fn, collect_small))
+        times[name] = round(t, 3)
 
     # Engine produce/consume throughput: the broker surface itself, not
     # just the dataflow restatements. events(sf) -> messages -> produce
