@@ -1,0 +1,159 @@
+"""Command-line client for the engine — the usable form of the
+reference's client binary (flyq-client/src/main.rs is a hardcoded
+consume demo; flyq-client/src/client.rs:58-291 defines the op surface
+this CLI exposes one subcommand each).
+
+    python -m flyq_spark.cli --base-dir /data/logs create-topic events -p 4
+    echo -n 'payload' | python -m flyq_spark.cli --base-dir /data/logs \
+        produce events --key user-1
+    python -m flyq_spark.cli --base-dir /data/logs consume events 0 0
+    python -m flyq_spark.cli --base-dir /data/logs lag my-group
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _row_to_dict(row) -> dict:
+    d = row.asDict(recursive=True)
+    for k, v in list(d.items()):
+        if isinstance(v, (bytes, bytearray)):
+            d[k] = bytes(v).decode("utf-8", "replace")
+    if d.get("headers"):
+        d["headers"] = [
+            {"key": h["key"], "value": bytes(h["value"]).decode("utf-8", "replace")}
+            for h in d["headers"]
+        ]
+    ts = d.get("timestamp")
+    if ts is not None and not isinstance(ts, (int, float, str)):
+        d["timestamp"] = ts.isoformat()
+    return d
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="flyq-spark")
+    ap.add_argument("--base-dir", required=True)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("create-topic", help="create a topic")
+    p.add_argument("topic")
+    p.add_argument("-p", "--partitions", type=int, default=None)
+
+    p = sub.add_parser("topics", help="list topics")
+
+    p = sub.add_parser("produce", help="append one message (value from --value or stdin)")
+    p.add_argument("topic")
+    p.add_argument("--key", default=None)
+    p.add_argument("--value", default=None)
+    p.add_argument("--header", action="append", default=[], metavar="K=V")
+
+    p = sub.add_parser("consume", help="point read")
+    p.add_argument("topic")
+    p.add_argument("partition", type=int)
+    p.add_argument("offset", type=int)
+
+    p = sub.add_parser("consume-group", help="read at the group's committed offset")
+    p.add_argument("topic")
+    p.add_argument("partition", type=int)
+    p.add_argument("group")
+
+    p = sub.add_parser("commit", help="commit a consumer offset")
+    p.add_argument("group")
+    p.add_argument("topic")
+    p.add_argument("partition", type=int)
+    p.add_argument("offset", type=int)
+
+    p = sub.add_parser("watermark", help="(low, high, leo) of a partition")
+    p.add_argument("topic")
+    p.add_argument("partition", type=int)
+
+    p = sub.add_parser("lag", help="consumer lag (all topics or --topic)")
+    p.add_argument("group")
+    p.add_argument("--topic", default=None)
+
+    p = sub.add_parser("health", help="partition health")
+    p.add_argument("topic")
+    p.add_argument("partition", type=int)
+
+    p = sub.add_parser("retention", help="apply retention policies now")
+    p.add_argument("topic")
+    p.add_argument("--retention-ms", type=int, default=None)
+    p.add_argument("--retention-bytes", type=int, default=None)
+
+    p = sub.add_parser("repair", help="rebuild topic meta from data files")
+    p.add_argument("topic")
+    return ap
+
+
+def run(args, engine) -> dict:
+    """Dispatch one parsed command against an engine; returns a JSON-able
+    result (separated from main() so tests drive it with a live engine)."""
+    if args.cmd == "create-topic":
+        engine.create_topic(args.topic, args.partitions)
+        return {"created": args.topic, "partitions": engine.topic_partitions(args.topic)}
+    if args.cmd == "topics":
+        return {"topics": engine.list_topics()}
+    if args.cmd == "produce":
+        value = args.value.encode() if args.value is not None else sys.stdin.buffer.read()
+        headers = [
+            (kv.split("=", 1)[0], kv.split("=", 1)[1].encode()) for kv in args.header
+        ] or None
+        acks = engine.produce(
+            args.topic,
+            [
+                {
+                    "key": args.key.encode() if args.key else None,
+                    "value": value,
+                    "timestamp": int(time.time() * 1000),
+                    "headers": headers,
+                }
+            ],
+        )
+        return {"partition": acks[0][0], "offset": acks[0][1]}
+    if args.cmd == "consume":
+        row = engine.consume(args.topic, args.partition, args.offset)
+        return {"message": _row_to_dict(row) if row else None}
+    if args.cmd == "consume-group":
+        got = engine.consume_with_group(args.topic, args.partition, args.group)
+        if got is None:
+            return {"committed": None, "message": None}
+        committed, row = got
+        return {"committed": committed, "message": _row_to_dict(row)}
+    if args.cmd == "commit":
+        engine.commit_offset(args.group, args.topic, args.partition, args.offset)
+        return {"committed": args.offset}
+    if args.cmd == "watermark":
+        low, high, leo = engine.get_watermark(args.topic, args.partition)
+        return {"low_watermark": low, "high_watermark": high, "log_end_offset": leo}
+    if args.cmd == "lag":
+        return engine.get_consumer_lag(args.group, args.topic)
+    if args.cmd == "health":
+        return engine.get_partition_health(args.topic, args.partition)
+    if args.cmd == "retention":
+        deleted = engine.apply_retention(
+            args.topic,
+            retention_ms=args.retention_ms,
+            retention_bytes=args.retention_bytes,
+        )
+        return {"deleted_files": deleted}
+    if args.cmd == "repair":
+        return {"meta": engine.repair_topic(args.topic)}
+    raise SystemExit(f"unknown command {args.cmd}")
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+
+    from flyq_spark.engine import FlyQEngine
+    from flyq_spark.session import get_spark
+
+    engine = FlyQEngine(get_spark("flyq_cli"), args.base_dir)
+    print(json.dumps(run(args, engine), default=str))
+
+
+if __name__ == "__main__":
+    main()

@@ -146,3 +146,35 @@ def test_xxh64_parity_with_spark(spark):
         ).collect()
     ]
     assert parts == [spark_partition_for_key(k, 8) for k in keys]
+
+
+def test_cli_surface(engine):
+    """CLI dispatch covers the client-binary surface end-to-end."""
+    from flyq_spark.cli import build_parser, run
+
+    ap = build_parser()
+    base = ["--base-dir", engine.base_dir]
+    assert run(ap.parse_args(base + ["create-topic", "t", "-p", "2"]), engine) == {
+        "created": "t",
+        "partitions": 2,
+    }
+    ack = run(
+        ap.parse_args(base + ["produce", "t", "--key", "k1", "--value", "hello",
+                              "--header", "src=cli"]),
+        engine,
+    )
+    assert ack["offset"] == 0
+    got = run(ap.parse_args(base + ["consume", "t", str(ack["partition"]), "0"]), engine)
+    assert got["message"]["value"] == "hello"
+    assert got["message"]["headers"] == [{"key": "src", "value": "cli"}]
+    wm = run(ap.parse_args(base + ["watermark", "t", str(ack["partition"])]), engine)
+    assert wm == {"low_watermark": 0, "high_watermark": 0, "log_end_offset": 1}
+    run(ap.parse_args(base + ["commit", "g", "t", str(ack["partition"]), "1"]), engine)
+    lag = run(ap.parse_args(base + ["lag", "g", "--topic", "t"]), engine)
+    assert lag["total_lag"] == 0
+    # committed == leo -> past end -> graceful None (log_engine.rs:97-101)
+    cg = run(ap.parse_args(base + ["consume-group", "t", str(ack["partition"]), "g"]), engine)
+    assert cg == {"committed": None, "message": None}
+    health = run(ap.parse_args(base + ["health", "t", str(ack["partition"])]), engine)
+    assert health["segment_count"] == 1
+    assert run(ap.parse_args(base + ["topics"]), engine) == {"topics": ["t"]}
