@@ -1,0 +1,127 @@
+"""Property-style randomized differential test (SURVEY §5 strategy #3):
+seeded random produce/commit/consume/watermark sequences executed against
+both the engine and a ~40-line pure-Python model of the FlyQ log. Any
+divergence in offsets, watermarks, lag, or read-back values fails."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+
+class LogModel:
+    """The reference semantics, in-memory: dense offsets per partition,
+    hw = last offset, lag = max(0, hw - committed) (log_engine.rs:209)."""
+
+    def __init__(self, partitions: int):
+        self.partitions = partitions
+        self.logs: dict[int, list[bytes]] = {p: [] for p in range(partitions)}
+        self.committed: dict[tuple[str, int], int] = {}
+        self.rr = 0
+
+    def produce_keyless(self, values: list[bytes]) -> list[tuple[int, int]]:
+        acks = []
+        for i, v in enumerate(values):
+            p = (self.rr + i) % self.partitions
+            self.logs[p].append(v)
+            acks.append((p, len(self.logs[p]) - 1))
+        self.rr = (self.rr + len(values)) % self.partitions
+        return acks
+
+    def watermark(self, p: int) -> tuple[int, int, int]:
+        n = len(self.logs[p])
+        return (0, n - 1 if n else 0, n)
+
+    def commit(self, group: str, p: int, offset: int) -> None:
+        self.committed[(group, p)] = offset
+
+    def lag(self, group: str) -> int:
+        total = 0
+        for p in range(self.partitions):
+            _, hw, _ = self.watermark(p)
+            total += max(0, hw - self.committed.get((group, p), 0))
+        return total
+
+    def read(self, p: int, offset: int) -> list[bytes]:
+        return self.logs[p][offset:]
+
+
+@pytest.mark.parametrize("seed", [7, 42, 1234])
+def test_random_op_sequences_match_model(engine, seed):
+    rng = random.Random(seed)
+    n_parts = rng.choice([1, 2, 3])
+    engine.create_topic("prop", partitions=n_parts)
+    model = LogModel(n_parts)
+    groups = ["g-a", "g-b"]
+    counter = 0
+
+    for step in range(12):
+        op = rng.choice(["produce", "produce", "commit", "check_wm", "check_read"])
+        if op == "produce":
+            k = rng.randint(1, 6)
+            values = [f"v-{seed}-{counter + i}".encode() for i in range(k)]
+            counter += k
+            acks = engine.produce(
+                "prop",
+                [
+                    {"key": None, "value": v, "timestamp": 1_700_000_000_000 + counter + i}
+                    for i, v in enumerate(values)
+                ],
+            )
+            assert acks == model.produce_keyless(values), f"step {step}"
+        elif op == "commit":
+            g = rng.choice(groups)
+            p = rng.randrange(n_parts)
+            _, _, leo = model.watermark(p)
+            off = rng.randint(0, max(leo, 1))
+            engine.commit_offset(g, "prop", p, off)
+            model.commit(g, p, off)
+            assert engine.get_consumer_lag(g, "prop")["total_lag"] == model.lag(g)
+        elif op == "check_wm":
+            for p in range(n_parts):
+                assert engine.get_watermark("prop", p) == model.watermark(p), f"step {step}"
+        else:
+            p = rng.randrange(n_parts)
+            _, _, leo = model.watermark(p)
+            off = rng.randint(0, max(leo, 1))
+            got = [bytes(r["value"]) for r in engine.read_from_offset("prop", p, off)]
+            assert got == model.read(p, off), f"step {step} p={p} off={off}"
+
+    # final full consistency sweep
+    for p in range(n_parts):
+        assert engine.get_watermark("prop", p) == model.watermark(p)
+        got = [bytes(r["value"]) for r in engine.read_from_offset("prop", p, 0)]
+        assert got == model.read(p, 0)
+    for g in groups:
+        assert engine.get_consumer_lag(g, "prop")["total_lag"] == model.lag(g)
+
+
+def test_salted_agg_equals_direct(spark):
+    from pyspark.sql import functions as F
+
+    from flyq_spark.io import read_table
+    from flyq_spark.operators.skew import salted_agg
+
+    ev = read_table(spark, "/root/testdata/sf0.001", "events")
+    direct = {
+        (r["event_type"],): (r["cnt"], r["total"], r["mx"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("user_id").alias("total"),
+            F.max("value").alias("mx"),
+        )
+        .collect()
+    }
+    salted = {
+        (r["event_type"],): (r["cnt"], r["total"], r["mx"])
+        for r in salted_agg(
+            ev,
+            ["event_type"],
+            {"cnt": ("count", "*"), "total": ("sum", "user_id"), "mx": ("max", "value")},
+            salt_from="event_id",
+            n_salts=8,
+        ).collect()
+    }
+    assert direct == salted
