@@ -202,3 +202,51 @@ def test_consume_stream_with_group_commits_offsets(engine, spark, tmp_path):
         _, _, leo = engine.get_watermark("cg", p)
         assert engine.committed_offset("g", "cg", p) == leo
     assert engine.get_consumer_lag("g", "cg")["total_lag"] == 0
+
+
+def test_flyq_datasource_stream(engine, spark, tmp_path):
+    """Custom Python DataSource: Kafka-shaped startingOffsets + offset
+    ranges; second produce delivers only new records under one checkpoint."""
+    from flyq_spark.streaming.datasource import register
+    from tests.conftest import make_messages
+
+    register(spark)
+    engine.create_topic("dsrc", partitions=2)
+    engine.produce("dsrc", make_messages(6))
+
+    def drain(ckpt):
+        # foreachBatch sink: supports checkpoint resume (memory does not)
+        out: dict = {}
+
+        def collect(df, _bid):
+            out.update(
+                {
+                    (int(r["partition"]), int(r["offset"])): bytes(r["value"])
+                    for r in df.collect()
+                }
+            )
+
+        q = (
+            spark.readStream.format("flyq")
+            .option("base_dir", engine.base_dir)
+            .option("topic", "dsrc")
+            .option("startingOffsets", '{"0": 1, "1": 0}')
+            .load()
+            .writeStream.foreachBatch(collect)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return out
+
+    ckpt = str(tmp_path / "ck1")
+    got = drain(ckpt)
+    # partition 0 starts at offset 1 (explicit startingOffsets), 1 at 0
+    assert (0, 0) not in got
+    assert set(got) == {(0, 1), (0, 2), (1, 0), (1, 1), (1, 2)}
+    assert got[(1, 0)] == b"Message 1"  # keyless RR: seq 1 -> partition 1
+
+    engine.produce("dsrc", make_messages(4, ts0=1_800_000_000_000))
+    got2 = drain(ckpt)  # same checkpoint -> only the new offsets
+    assert set(got2) == {(0, 3), (0, 4), (1, 3), (1, 4)}
