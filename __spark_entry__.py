@@ -387,6 +387,26 @@ def q_rollup_revenue(spark, sf_dir):
     )
 
 
+def q_q14_promo_revenue(spark, sf_dir):
+    """Conditional aggregation over a part join — the TPC-H Q14 shape
+    (promo vs total revenue as exact decimals; no division, which rounds
+    differently across engines)."""
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    rev = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(18,2)"))).alias(
+                "promo_revenue"
+            ),
+            F.sum(rev).alias("total_revenue"),
+            F.count("*").cast("long").alias("n_lineitems"),
+        )
+    )
+
+
 # --------------------------------------------------------------------- #
 # Part C [EXT] — event analytics
 # --------------------------------------------------------------------- #
@@ -559,6 +579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_region_revenue": q_q5_region_revenue,
         "q4_order_priority": q_q4_order_priority,
         "rollup_revenue": q_rollup_revenue,
+        "q14_promo_revenue": q_q14_promo_revenue,
         # Part C [EXT]
         "sessionize": q_sessionize,
         "window_tumbling": q_window_tumbling,
@@ -793,6 +814,17 @@ JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
 GROUP BY ROLLUP (r_name, n_name)
+""",
+        "q14_promo_revenue": """
+SELECT
+  sum(CASE WHEN p.p_type = 'PROMO'
+      THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))
+      ELSE CAST(0 AS DECIMAL(18,2)) END) AS promo_revenue,
+  sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+      * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS total_revenue,
+  count(*) AS n_lineitems
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 """,
         "sessionize": """
 WITH o AS (
