@@ -432,6 +432,46 @@ def q_dedup_events(spark, sf_dir):
     return S.dedup_events(_read(spark, sf_dir, "events"))
 
 
+def q_asof_last_purchase(spark, sf_dir):
+    """As-of join: each click annotated with the user's most recent
+    purchase amount at-or-before the click (window composition, one
+    shuffle). Oracle: DuckDB native ASOF LEFT JOIN."""
+    from flyq_spark.operators.asof import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("amount")
+    )
+    out = asof_join(clicks, purchases, "user_id", "ts", ["amount"])
+    return out.select("event_id", "user_id", _us("ts", "ts_us"), "amount_asof")
+
+
+def q_distinct_users_daily(spark, sf_dir):
+    """Distinct aggregation: exact daily active users."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.unix_micros(F.date_trunc("day", F.col("ts"))).alias("day_us")
+    ).agg(
+        F.countDistinct("user_id").cast("long").alias("active_users"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+
+
+def q_sketch_stats(spark, sf_dir):
+    """Sketch aggregates (HLL + KLL): approximate distinct + quantiles.
+    Rows-only gate: sketch estimates are engine-specific by nature; the
+    exact counterparts are oracle-checked in distinct_users_daily."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", 0.5).alias("p50_value"),
+        F.percentile_approx("value", 0.95).alias("p95_value"),
+    )
+
+
 # --------------------------------------------------------------------- #
 # Part C [EXT] — documents / embeddings
 # --------------------------------------------------------------------- #
@@ -586,6 +626,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_sliding": q_window_sliding,
         "top_events_per_user": q_top_events_per_user,
         "dedup_events": q_dedup_events,
+        "asof_last_purchase": q_asof_last_purchase,
+        "distinct_users_daily": q_distinct_users_daily,
+        "sketch_stats": q_sketch_stats,
         "dedup_exact": q_dedup_exact,
         "doc_fingerprints": q_doc_fingerprints,
         "token_stats": q_token_stats,
@@ -875,6 +918,23 @@ SELECT user_id, event_id, event_type, value, rnk FROM (
         "dedup_events": """
 SELECT user_id, event_type, CAST(min(event_id) AS BIGINT) AS event_id
 FROM events GROUP BY user_id, event_type
+""",
+        "asof_last_purchase": """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT user_id, ts, value AS amount FROM events WHERE event_type = 'purchase'
+)
+SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us, p.amount AS amount_asof
+FROM clicks c ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+""",
+        "distinct_users_daily": """
+SELECT epoch_us(date_trunc('day', ts)) AS day_us,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS active_users,
+       count(*) AS n_events
+FROM events GROUP BY 1
 """,
         "dedup_exact": """
 SELECT CAST(min(doc_id) AS BIGINT) AS doc_id FROM documents GROUP BY md5(text)

@@ -276,3 +276,34 @@ def test_ivf_topk_contract(spark, emb):
         assert any(r["neighbor_id"] == qid for r in rows)
         ranks = sorted(r["rank"] for r in rows)
         assert ranks == list(range(1, len(rows) + 1))
+
+
+def test_asof_join_semantics(spark):
+    """Backward-inclusive as-of: equal timestamps match; no earlier right
+    row -> NULL; window and pandas implementations agree."""
+    from flyq_spark.operators.asof import asof_join, asof_join_pandas
+
+    left = spark.createDataFrame(
+        [(100, 1, 10), (101, 1, 25), (102, 1, 5), (200, 2, 10)],
+        "event_id long, user_id long, t long",
+    ).select("event_id", "user_id", F.timestamp_micros(F.col("t") * 1_000_000).alias("ts"))
+    right = spark.createDataFrame(
+        [(1, 9, 1.0), (1, 25, 2.0), (1, 60, 3.0), (3, 1, 9.9)],
+        "user_id long, t long, amount double",
+    ).select("user_id", F.timestamp_micros(F.col("t") * 1_000_000).alias("ts"), "amount")
+
+    def norm(df):
+        return {
+            r["event_id"]: r["amount_asof"]
+            for r in df.select("event_id", "amount_asof").collect()
+        }
+
+    got_w = norm(asof_join(left, right, "user_id", "ts", ["amount"]))
+    assert got_w == {
+        100: 1.0,   # last purchase at t<=10 is t9
+        101: 2.0,   # equal timestamp (t25) matches — inclusive
+        102: None,  # nothing at t<=5
+        200: None,  # user 2 has no purchases at all
+    }
+    got_p = norm(asof_join_pandas(left, right, "user_id", "ts", ["amount"]))
+    assert got_p == got_w
