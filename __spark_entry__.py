@@ -449,6 +449,43 @@ def q_asof_last_purchase(spark, sf_dir):
     return out.select("event_id", "user_id", _us("ts", "ts_us"), "amount_asof")
 
 
+def q_range_join_pairs(spark, sf_dir):
+    """Bucketed range join: same-user event pairs within 30 minutes —
+    equi-join on (user, time-bucket), never an n x m inequality join.
+    Oracle: the naive inequality self-join (safe at oracle scale)."""
+    from flyq_spark.operators.rangejoin import within_interval_pairs
+
+    ev = _read(spark, sf_dir, "events")
+    return within_interval_pairs(ev, "user_id", "ts", "event_id", max_gap_s=1800)
+
+
+def q_time_rollup(spark, sf_dir):
+    """Hypertable-style continuous aggregate: one pass materializing the
+    hour/day/total hierarchy via ROLLUP (the batch shape of a
+    multi-granularity rollup view). NULL grouping markers -> -1."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.unix_micros(F.date_trunc("day", F.col("ts"))).alias("day_us"),
+            F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("hour_us"),
+            "value",
+        )
+        .rollup("day_us", "hour_us")
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            F.coalesce(F.col("day_us"), F.lit(-1)).cast("long").alias("day_us"),
+            F.coalesce(F.col("hour_us"), F.lit(-1)).cast("long").alias("hour_us"),
+            "cnt",
+            "min_value",
+            "max_value",
+        )
+    )
+
+
 def q_distinct_users_daily(spark, sf_dir):
     """Distinct aggregation: exact daily active users."""
     ev = _read(spark, sf_dir, "events")
@@ -627,6 +664,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_events_per_user": q_top_events_per_user,
         "dedup_events": q_dedup_events,
         "asof_last_purchase": q_asof_last_purchase,
+        "range_join_pairs": q_range_join_pairs,
+        "time_rollup": q_time_rollup,
         "distinct_users_daily": q_distinct_users_daily,
         "sketch_stats": q_sketch_stats,
         "dedup_exact": q_dedup_exact,
@@ -929,6 +968,23 @@ purchases AS (
 SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us, p.amount AS amount_asof
 FROM clicks c ASOF LEFT JOIN purchases p
   ON c.user_id = p.user_id AND c.ts >= p.ts
+""",
+        "range_join_pairs": """
+SELECT a.user_id,
+       CAST(a.event_id AS BIGINT) AS id_a,
+       CAST(b.event_id AS BIGINT) AS id_b,
+       abs(epoch_us(a.ts) - epoch_us(b.ts)) / 1000000.0 AS gap_s
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_id < b.event_id
+ AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 1800 * 1000000
+""",
+        "time_rollup": """
+SELECT coalesce(epoch_us(date_trunc('day', ts)), -1) AS day_us,
+       coalesce(epoch_us(date_trunc('hour', ts)), -1) AS hour_us,
+       count(*) AS cnt, min(value) AS min_value, max(value) AS max_value
+FROM events
+GROUP BY ROLLUP (date_trunc('day', ts), date_trunc('hour', ts))
 """,
         "distinct_users_daily": """
 SELECT epoch_us(date_trunc('day', ts)) AS day_us,

@@ -307,3 +307,38 @@ def test_asof_join_semantics(spark):
     }
     got_p = norm(asof_join_pandas(left, right, "user_id", "ts", ["amount"]))
     assert got_p == got_w
+
+
+def test_range_join_matches_naive_inequality_join(spark):
+    """The bucketed range join must return exactly the naive inequality
+    join's pair set — no duplicates from replication, no boundary loss."""
+    from flyq_spark.io import read_table
+    from flyq_spark.operators.rangejoin import within_interval_pairs
+
+    ev = read_table(spark, SF, "events")
+    got = {
+        (r["user_id"], r["id_a"], r["id_b"])
+        for r in within_interval_pairs(ev, "user_id", "ts", "event_id", 1800).collect()
+    }
+    a, b = ev.alias("a"), ev.alias("b")
+    naive = {
+        (r["user_id"], r["id_a"], r["id_b"])
+        for r in a.join(
+            b,
+            on=[
+                F.col("a.user_id") == F.col("b.user_id"),
+                F.col("a.event_id") < F.col("b.event_id"),
+            ],
+        )
+        .where(
+            F.abs(F.unix_micros(F.col("a.ts")) - F.unix_micros(F.col("b.ts")))
+            <= 1800 * 1_000_000
+        )
+        .select(
+            F.col("a.user_id").alias("user_id"),
+            F.col("a.event_id").alias("id_a"),
+            F.col("b.event_id").alias("id_b"),
+        )
+        .collect()
+    }
+    assert got == naive and len(got) > 0
