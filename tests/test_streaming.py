@@ -250,3 +250,40 @@ def test_flyq_datasource_stream(engine, spark, tmp_path):
     engine.produce("dsrc", make_messages(4, ts0=1_800_000_000_000))
     got2 = drain(ckpt)  # same checkpoint -> only the new offsets
     assert set(got2) == {(0, 3), (0, 4), (1, 3), (1, 4)}
+
+
+def test_streaming_session_window(engine, spark, tmp_path):
+    """Native session_window aggregation on the stream: same gap
+    semantics as the batch gaps-and-islands sessionizer."""
+    from flyq_spark.streaming.source import read_stream
+
+    t0 = 1_700_000_000_000
+    engine.produce(
+        "sw",
+        [
+            {"key": b"u1", "value": b"x", "timestamp": t0},
+            {"key": b"u1", "value": b"x", "timestamp": t0 + 10 * 60_000},
+            {"key": b"u1", "value": b"x", "timestamp": t0 + 120 * 60_000},  # new session
+            {"key": b"u2", "value": b"x", "timestamp": t0},
+        ],
+    )
+    stream = read_stream(spark, engine.base_dir, "sw")
+    agg = (
+        stream.withWatermark("timestamp", "1 hour")
+        .groupBy(F.session_window("timestamp", "30 minutes"), F.col("key"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("key").cast("string").alias("k"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sw_test")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["k"], int(r["n"])) for r in spark.sql("SELECT * FROM sw_test").collect()
+    )
+    assert got == [("u1", 1), ("u1", 2), ("u2", 1)]
