@@ -162,31 +162,67 @@ class FlyQEngine:
             df = df.withColumn("seq", F.monotonically_increasing_id())
 
         routed = route(df, n, method=method, rr_cursor=rr_cursor)
-        assigned = assign_offsets(routed, prev_leo).persist()
-        try:
-            counts = {
-                int(r["partition"]): int(r["cnt"])
-                for r in assigned.groupBy("partition").agg(F.count("*").alias("cnt")).collect()
-            }
-            acks = None
-            if collect_acks:
-                acks = [
-                    (int(r["partition"]), int(r["offset"]))
-                    for r in assigned.select("seq", "partition", "offset")
-                    .orderBy("seq")
-                    .collect()
-                ]
-            writer = (
-                assigned.select([f.name for f in LOG_SCHEMA.fields])
+        assigned = assign_offsets(routed, prev_leo)
+
+        def _write(frame) -> None:
+            (
+                frame.select([f.name for f in LOG_SCHEMA.fields])
                 .repartition(max(1, min(n, 32)), "partition")
                 .sortWithinPartitions("partition", "offset")
                 .write.mode("append")
                 .option("maxRecordsPerFile", str(self.config.max_records_per_file))
                 .partitionBy("partition")
+                .parquet(storage.topic_dir(self.base_dir, topic))
             )
-            writer.parquet(storage.topic_dir(self.base_dir, topic))
-        finally:
-            assigned.unpersist()
+
+        acks = None
+        if collect_acks:
+            # small driver-side batches: materialize acks, then write the
+            # (deterministic) plan again for the data files.
+            assigned = assigned.persist()
+            try:
+                counts: dict[int, int] = {}
+                acks = []
+                for r in (
+                    assigned.select("seq", "partition", "offset").orderBy("seq").collect()
+                ):
+                    p = int(r["partition"])
+                    acks.append((p, int(r["offset"])))
+                    counts[p] = counts.get(p, 0) + 1
+                _write(assigned)
+            finally:
+                assigned.unpersist()
+        elif n <= 64:
+            # single pass: per-partition counts ride along with the write
+            # action via the Observation API — no separate count job, no
+            # persist of the whole batch.
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            observed = assigned.observe(
+                obs,
+                *[
+                    F.sum(F.when(F.col("partition") == p, 1).otherwise(0)).alias(f"p{p}")
+                    for p in range(n)
+                ],
+            )
+            _write(observed)
+            got = obs.get
+            counts = {
+                p: int(got[f"p{p}"] or 0) for p in range(n) if int(got[f"p{p}"] or 0) > 0
+            }
+        else:  # many-partition topics: one aggregate job + one write job
+            assigned = assigned.persist()
+            try:
+                counts = {
+                    int(r["partition"]): int(r["cnt"])
+                    for r in assigned.groupBy("partition")
+                    .agg(F.count("*").alias("cnt"))
+                    .collect()
+                }
+                _write(assigned)
+            finally:
+                assigned.unpersist()
 
         # Commit point: LEO + cursor advance (partition_state.rs:27-29;
         # cursor persistence is stronger than the reference, topic.rs:35).
@@ -545,6 +581,31 @@ class FlyQEngine:
     # ------------------------------------------------------------------ #
     # maintenance: compaction (A5 analog)
     # ------------------------------------------------------------------ #
+
+    def maintain_topic(
+        self,
+        topic: str,
+        now_ms: int | None = None,
+        retention_ms: int | None = None,
+        retention_bytes: int | None = None,
+        compact_above_files: int = 16,
+    ) -> dict:
+        """One maintenance cycle — the body of the reference's cleanup
+        loop (runtime/flush.rs:75-107), run on demand instead of a
+        daemon: retention first (whole-file deletes), then compaction of
+        any partition fragmented beyond ``compact_above_files``."""
+        deleted = self.apply_retention(
+            topic,
+            now_ms=now_ms,
+            retention_ms=retention_ms,
+            retention_bytes=retention_bytes,
+        )
+        compacted = {}
+        for p in range(self.topic_partitions(topic)):
+            stats = storage.partition_file_stats(self.base_dir, topic, p)
+            if len(stats) > compact_above_files:
+                compacted[p] = self.compact_partition(topic, p)
+        return {"deleted_files": deleted, "compacted_partitions": compacted}
 
     def compact_partition(self, topic: str, partition: int) -> int:
         """Rewrite a partition's files into size-targeted files — the

@@ -240,28 +240,35 @@ def topk_lsh(
     query_id_col: str = "query_id",
     n_planes: int = 6,
     seed: int = 42,
+    n_tables: int = 1,
 ) -> DataFrame:
     """ANN top-k: score only corpus vectors sharing the query's LSH
     bucket. Recall < 1 by design (graded against topk_bruteforce in
-    tests); cost drops from n×m scores to bucket-local scores. For higher
-    recall use multiple tables (union of per-seed joins) — same shape."""
+    tests); cost drops from n×m scores to bucket-local scores.
+    ``n_tables`` > 1 unions independently-seeded tables (candidate =
+    bucket-mate in ANY table) — the standard recall lever; cost grows
+    linearly in tables, still never n×m."""
     dim_row = embeddings.select(F.size(vec_col).alias("d")).first()
     dim = int(dim_row["d"]) if dim_row else 0
-    corpus = with_lsh_signature(
-        embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_vec")),
-        vec_col="_vec",
-        n_planes=n_planes,
-        seed=seed,
-        dim=dim,
+    corpus_base = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_vec")
     )
-    qsig = with_lsh_signature(
-        queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qvec")),
-        vec_col="_qvec",
-        n_planes=n_planes,
-        seed=seed,
-        dim=dim,
+    query_base = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
     )
-    scored = corpus.join(F.broadcast(qsig), on="_sig").select(
+    candidates = None
+    for t in range(n_tables):
+        corpus = with_lsh_signature(
+            corpus_base, vec_col="_vec", n_planes=n_planes, seed=seed + 1000 * t, dim=dim
+        )
+        qsig = with_lsh_signature(
+            query_base, vec_col="_qvec", n_planes=n_planes, seed=seed + 1000 * t, dim=dim
+        )
+        cand = corpus.join(F.broadcast(qsig), on="_sig").select(
+            "query_id", "neighbor_id", "_qvec", "_vec"
+        )
+        candidates = cand if candidates is None else candidates.unionByName(cand)
+    scored = candidates.dropDuplicates(["query_id", "neighbor_id"]).select(
         "query_id", "neighbor_id", cosine(F.col("_qvec"), F.col("_vec")).alias("score")
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -342,3 +342,22 @@ def test_range_join_matches_naive_inequality_join(spark):
         .collect()
     }
     assert got == naive and len(got) > 0
+
+
+def test_multi_table_lsh_improves_recall(spark, emb):
+    """More tables -> candidate set grows monotonically (never shrinks),
+    scores stay exact."""
+    from flyq_spark.operators.similarity import topk_bruteforce, topk_lsh
+
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    brute = {
+        (r["query_id"], r["neighbor_id"]): r["score"]
+        for r in topk_bruteforce(emb, queries, k=500).collect()
+    }
+    one = topk_lsh(emb, queries, k=200, n_planes=6, n_tables=1).collect()
+    three = topk_lsh(emb, queries, k=200, n_planes=6, n_tables=3).collect()
+    assert len(three) >= len(one)
+    for r in three:
+        assert abs(brute[(r["query_id"], r["neighbor_id"])] - r["score"]) < 1e-9

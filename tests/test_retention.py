@@ -104,3 +104,22 @@ def test_row_granular_retention_dataflow(spark):
     assert sorted(r["msg_offset"] for r in surv_t.collect()) == list(range(5, 10))
     surv_s = retain_by_size(log, 9)  # 3 newest rows of 3 bytes each
     assert sorted(r["msg_offset"] for r in surv_s.collect()) == [7, 8, 9]
+
+
+def test_maintain_topic_retains_then_compacts(engine):
+    """A22 cleanup-cycle body: retention deletes aged files, compaction
+    defragments what survives; data and watermarks stay consistent."""
+    for i in range(6):
+        engine.produce("m", make_messages(4, ts0=T0 + i * DAY_MS))
+    out = engine.maintain_topic(
+        "m",
+        now_ms=T0 + 5 * DAY_MS + 1,
+        retention_ms=2 * DAY_MS,
+        compact_above_files=2,
+    )
+    assert len(out["deleted_files"]) > 0
+    assert out["compacted_partitions"].get(0) == 1
+    low, high, leo = engine.get_watermark("m", 0)
+    assert leo == 24 and high == 23 and low > 0
+    rows = engine.read_from_offset("m", 0, 0)
+    assert [int(r["offset"]) for r in rows] == list(range(low, 24))
