@@ -33,7 +33,7 @@ import os
 import shutil
 from typing import Any, Iterable
 
-from pyspark.sql import DataFrame, Row, SparkSession, Window
+from pyspark.sql import DataFrame, Row, SparkSession
 from pyspark.sql import functions as F
 
 from flyq_spark import storage

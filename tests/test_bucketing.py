@@ -5,7 +5,6 @@ for repeated joins against the same key (SURVEY §2 Part B scans row)."""
 from __future__ import annotations
 
 import pytest
-from pyspark.sql import functions as F
 
 
 @pytest.fixture()

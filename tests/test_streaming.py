@@ -4,10 +4,6 @@ custom stateful operator."""
 
 from __future__ import annotations
 
-import os
-import time
-
-import pytest
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
