@@ -178,3 +178,34 @@ def test_cli_surface(engine):
     health = run(ap.parse_args(base + ["health", "t", str(ack["partition"])]), engine)
     assert health["segment_count"] == 1
     assert run(ap.parse_args(base + ["topics"]), engine) == {"topics": ["t"]}
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYPOTHESIS = True
+except Exception:  # pragma: no cover
+    HAVE_HYPOTHESIS = False
+
+if HAVE_HYPOTHESIS:
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        key=st.one_of(st.none(), st.binary(max_size=64)),
+        value=st.binary(max_size=256),
+        ts=st.integers(min_value=0, max_value=(1 << 63) - 1),
+        headers=st.one_of(
+            st.none(),
+            st.lists(
+                st.tuples(st.text(max_size=16), st.binary(max_size=32)), max_size=4
+            ),
+        ),
+    )
+    def test_codec_roundtrip_fuzz(key, value, ts, headers):
+        """Property: decode(encode(m)) == m modulo the reference's own
+        quirks (empty key -> None, empty headers -> None)."""
+        m = deserialize_message(serialize_message(key, value, ts, headers))
+        assert m["value"] == value and m["timestamp"] == ts
+        assert m["key"] == (key if key else None)
+        assert m["headers"] == (headers if headers else None)
