@@ -1,0 +1,168 @@
+"""FlyQ on-disk segment format import/export — data-directory migration.
+
+A user of the reference can point ``import_flyq_dir`` at a FlyQ broker's
+base directory and get the same topics/partitions/offsets as parquet log
+tables; ``export_topic`` writes a directory the reference broker can
+recover from. Formats implemented byte-exactly:
+
+- segment files ``segment_<base:020d>.log`` of StoredRecords
+  ``[record_len:u32][offset:u64][message wire bytes]``
+  (flyq-server/src/core/stored_record.rs:13-27; filename
+  segment.rs:54-56);
+- sparse index files ``segment_<base:020d>.index`` of 16-byte
+  ``[offset:u64][file_pos:u64]`` entries, first record + every 100th
+  (segment.rs:125-154; DEFAULT_INDEX_INTERVAL constants.rs:3) — the
+  reference recovers from ANY index density including a missing file
+  (segment.rs:188-237), so density is a compatibility courtesy;
+- directory layout ``topic_<name>/partition_<id>/`` (topic.rs:21-26).
+
+Export streams rows via ``toLocalIterator`` (bounded driver memory) —
+it is a migration utility, not a hot path.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import struct
+
+from flyq_spark import storage
+from flyq_spark.functions.codec import deserialize_message, serialize_message
+
+INDEX_INTERVAL = 100  # DEFAULT_INDEX_INTERVAL, constants.rs:3
+_SEGMENT_RE = re.compile(r"^segment_(\d{20})\.log$")
+
+
+def encode_stored_record(
+    offset: int,
+    key: bytes | None,
+    value: bytes,
+    timestamp_ms: int,
+    headers=None,
+) -> bytes:
+    """stored_record.rs:18-27: [len][offset][wire message] (wire = body
+    without the message-level length prefix)."""
+    wire = serialize_message(key, value, timestamp_ms, headers)[4:]
+    return struct.pack(">I", 8 + len(wire)) + struct.pack(">Q", offset) + wire
+
+
+def decode_stored_records(buf: bytes) -> list[dict]:
+    """Parse a whole segment file into message dicts (+ offset)."""
+    out = []
+    pos = 0
+    while pos + 4 <= len(buf):
+        (rec_len,) = struct.unpack_from(">I", buf, pos)
+        pos += 4
+        if pos + rec_len > len(buf):
+            break  # torn tail — the reference's recovery also stops here
+        (offset,) = struct.unpack_from(">Q", buf, pos)
+        body = buf[pos + 8 : pos + rec_len]
+        pos += rec_len
+        m = deserialize_message(struct.pack(">I", len(body)) + body)
+        m["offset"] = offset
+        out.append(m)
+    return out
+
+
+def export_topic(engine, topic: str, out_dir: str) -> list[str]:
+    """Write a topic as a reference-compatible data directory; returns
+    written segment paths."""
+    written = []
+    tdir = os.path.join(out_dir, "topic_" + topic)
+    for p in range(engine.topic_partitions(topic)):
+        pdir = os.path.join(tdir, f"partition_{p}")
+        os.makedirs(pdir, exist_ok=True)
+        low, _, leo = engine.get_watermark(topic, p)
+        if leo <= low:
+            continue
+        base = low
+        seg_path = os.path.join(pdir, f"segment_{base:020d}.log")
+        idx_path = os.path.join(pdir, f"segment_{base:020d}.index")
+        n_since_index = 0
+        with open(seg_path, "wb") as seg, open(idx_path, "wb") as idx:
+            file_pos = 0
+            for row in engine.stream_from_offset(topic, p, low).toLocalIterator():
+                headers = (
+                    [(h["key"], bytes(h["value"])) for h in row["headers"]]
+                    if row["headers"]
+                    else None
+                )
+                rec = encode_stored_record(
+                    int(row["offset"]),
+                    bytes(row["key"]) if row["key"] is not None else None,
+                    bytes(row["value"]),
+                    int(row["timestamp"].timestamp() * 1000),
+                    headers,
+                )
+                if int(row["offset"]) == base or n_since_index >= INDEX_INTERVAL:
+                    idx.write(struct.pack(">QQ", int(row["offset"]), file_pos))
+                    n_since_index = 0
+                else:
+                    n_since_index += 1
+                seg.write(rec)
+                file_pos += len(rec)
+        written.append(seg_path)
+    return written
+
+
+def import_flyq_dir(engine, src_dir: str) -> dict[str, int]:
+    """Load every topic of a reference data directory into the engine,
+    preserving partitions and offsets exactly. Returns {topic: rows}."""
+    from datetime import datetime, timezone
+
+    from flyq_spark.schemas import LOG_SCHEMA
+
+    imported: dict[str, int] = {}
+    for name in sorted(os.listdir(src_dir)):
+        if not name.startswith("topic_"):
+            continue
+        topic = name[len("topic_") :]
+        tdir = os.path.join(src_dir, name)
+        part_ids = sorted(
+            int(d.split("_", 1)[1])
+            for d in os.listdir(tdir)
+            if d.startswith("partition_")
+        )
+        n = (max(part_ids) + 1) if part_ids else 1
+        engine.create_topic(topic, partitions=n)
+        meta = engine._meta(topic)
+        rows = []
+        for p in part_ids:
+            pdir = os.path.join(tdir, f"partition_{p}")
+            segs = sorted(f for f in os.listdir(pdir) if _SEGMENT_RE.match(f))
+            p_offsets = []
+            for seg in segs:
+                with open(os.path.join(pdir, seg), "rb") as f:
+                    for m in decode_stored_records(f.read()):
+                        p_offsets.append(int(m["offset"]))
+                        rows.append(
+                            (
+                                int(m["offset"]),
+                                m["key"],
+                                m["value"],
+                                datetime.fromtimestamp(
+                                    m["timestamp"] / 1000.0, tz=timezone.utc
+                                ),
+                                [
+                                    {"key": k, "value": v}
+                                    for k, v in (m["headers"] or [])
+                                ]
+                                or None,
+                                p,
+                            )
+                        )
+            if p_offsets:
+                meta["log_end_offsets"][str(p)] = max(p_offsets) + 1
+                meta["low_watermarks"][str(p)] = min(p_offsets)
+        if rows:
+            df = engine.spark.createDataFrame(rows, LOG_SCHEMA)
+            (
+                df.repartition(max(1, min(n, 32)), "partition")
+                .sortWithinPartitions("partition", "offset")
+                .write.mode("append")
+                .partitionBy("partition")
+                .parquet(storage.topic_dir(engine.base_dir, topic))
+            )
+        storage.save_topic_meta(engine.base_dir, topic, meta)
+        imported[topic] = len(rows)
+    return imported
