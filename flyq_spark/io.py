@@ -21,6 +21,31 @@ from pyspark.sql import functions as F
 TS_COLS = {"ts", "o_orderdate", "l_shipdate"}
 
 
+def read_documents(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: str | None = None,
+) -> DataFrame:
+    """Ingest a documents-shaped corpus from any of the supported batch
+    formats — real pipelines arrive as JSONL/CSV dumps as often as
+    parquet. Schema is explicit (never inferSchema: a schema-inference
+    pass doubles the read at 100 TB and can mistype sparse columns).
+
+    Default schema matches the fixture ``documents`` table.
+    """
+    schema = schema or "doc_id long, text string, lang string, source string, n_chars long"
+    if fmt == "parquet":
+        return spark.read.schema(schema).parquet(path)
+    if fmt in ("json", "jsonl"):
+        return spark.read.schema(schema).json(path)
+    if fmt == "csv":
+        return spark.read.schema(schema).option("header", "true").csv(path)
+    if fmt == "orc":
+        return spark.read.schema(schema).orc(path)
+    raise ValueError(f"unsupported format {fmt!r} (parquet|json|jsonl|csv|orc)")
+
+
 def read_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

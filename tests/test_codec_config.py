@@ -209,3 +209,41 @@ if HAVE_HYPOTHESIS:
         assert m["value"] == value and m["timestamp"] == ts
         assert m["key"] == (key if key else None)
         assert m["headers"] == (headers if headers else None)
+
+
+def test_read_documents_multi_format(spark, tmp_path):
+    """JSONL/CSV/ORC ingestion produces the identical frame as parquet."""
+    from flyq_spark.io import read_documents
+
+    src = spark.createDataFrame(
+        [(1, "hello world", "en", "s1", 11), (2, "bonjour", "fr", "s2", 7)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    paths = {}
+    for fmt, writer in [
+        ("parquet", lambda p: src.write.parquet(p)),
+        ("jsonl", lambda p: src.write.json(p)),
+        ("csv", lambda p: src.write.option("header", "true").csv(p)),
+        ("orc", lambda p: src.write.orc(p)),
+    ]:
+        p = str(tmp_path / fmt)
+        writer(p)
+        paths[fmt] = p
+    expected = sorted(tuple(r) for r in src.collect())
+    for fmt, p in paths.items():
+        got = sorted(tuple(r) for r in read_documents(spark, p, fmt=fmt).collect())
+        assert got == expected, fmt
+    import pytest
+
+    with pytest.raises(ValueError, match="unsupported format"):
+        read_documents(spark, paths["csv"], fmt="avro")
+
+
+def test_produce_empty_batch_is_noop(engine):
+    """Edge: an empty produce advances nothing and errors nowhere."""
+    engine.create_topic("e", partitions=2)
+    acks = engine.produce("e", [])
+    assert acks == []
+    assert engine.get_watermark("e", 0) == (0, 0, 0)
+    out = engine.produce("e", [{"key": None, "value": b"x", "timestamp": 1}])
+    assert out == [(0, 0)]
