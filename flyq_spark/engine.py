@@ -275,21 +275,24 @@ class FlyQEngine:
 
     def log(self, topic: str) -> DataFrame:
         """The topic's log table. Partition pruning + footer stats give the
-        reference's seek path (partition.rs:148-158) for free."""
+        reference's seek path (partition.rs:148-158) for free.
+
+        The schema is explicit, so an empty topic reads as an empty frame
+        without an inference pass — no driver-side directory walk here (a
+        pre-listing would double the file-listing cost on object storage
+        at scale; Spark's own file index is the only listing)."""
         self._meta(topic)  # raise on unknown topic
         tdir = storage.topic_dir(self.base_dir, topic)
-        has_data = any(
-            files
-            for _, _, files in os.walk(tdir)
-            if any(f.endswith(".parquet") for f in files)
-        )
-        if not has_data:
+        try:
+            df = (
+                self.spark.read.schema(LOG_SCHEMA)
+                .option("basePath", tdir)
+                .parquet(tdir)
+            )
+            df.schema  # force analysis so path problems surface here
+            return df
+        except Exception:
             return self.spark.createDataFrame([], LOG_SCHEMA)
-        return (
-            self.spark.read.schema(LOG_SCHEMA)
-            .option("basePath", tdir)
-            .parquet(tdir)
-        )
 
     def consume(self, topic: str, partition: int, offset: int) -> Row | None:
         """Point read at >= offset; past-end -> None (log_engine.rs:75-102:
