@@ -581,6 +581,14 @@ def q_embedding_neardup(spark, sf_dir):
     )
 
 
+def q_embedding_quantize(spark, sf_dir):
+    """int8 symmetric quantization of the embedding column (the 4x
+    storage-reduction op for 100 TB vector corpora)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    scale, qvec = V.quantize_embedding(F.col("embedding"))
+    return emb.select("vec_id", scale.alias("scale"), qvec.alias("qvec"))
+
+
 def q_multimodal_content(spark, sf_dir):
     docs = M.attach_media(_read(spark, sf_dir, "documents"), "text", kind="text")
     return docs.select(
@@ -676,6 +684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "similarity_topk": q_similarity_topk,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_quantize": q_embedding_quantize,
         "multimodal_content": q_multimodal_content,
         # rows-only (non-SQL-expressible: LSH/MinHash/SimHash/Arrow kernels)
         "minhash_pairs": q_minhash_pairs,
@@ -1097,6 +1106,15 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                              CAST(b.embedding AS DOUBLE[])) >= 0.4
+""",
+        "embedding_quantize": """
+SELECT vec_id,
+       127.0 / CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS scale,
+       list_transform(embedding,
+         x -> CAST(round(CAST(x AS DOUBLE)
+                  * (127.0 / CAST(list_max(list_transform(embedding, y -> abs(y))) AS DOUBLE)))
+              AS INTEGER)) AS qvec
+FROM embeddings
 """,
         "multimodal_content": """
 SELECT doc_id, sha256(text) AS content_id,

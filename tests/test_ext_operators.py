@@ -361,3 +361,33 @@ def test_multi_table_lsh_improves_recall(spark, emb):
     assert len(three) >= len(one)
     for r in three:
         assert abs(brute[(r["query_id"], r["neighbor_id"])] - r["score"]) < 1e-9
+
+
+def test_quantized_cosine_close_to_exact(spark, emb):
+    """int8 quantization keeps cosine within 2e-2 of exact (random 64-d
+    vectors), and quantized values stay in [-127, 127]."""
+    from flyq_spark.operators.similarity import (
+        cosine,
+        quantize_embedding,
+        quantized_cosine,
+    )
+
+    scale, qvec = quantize_embedding(F.col("embedding"))
+    q = emb.limit(40).select("vec_id", "embedding", scale.alias("s"), qvec.alias("q"))
+    a, b = q.alias("a"), q.alias("b")
+    both = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            cosine(F.col("a.embedding"), F.col("b.embedding")).alias("exact"),
+            quantized_cosine(
+                F.col("a.q"), F.col("a.s"), F.col("b.q"), F.col("b.s")
+            ).alias("approx"),
+        )
+        .collect()
+    )
+    assert both
+    assert all(abs(r["exact"] - r["approx"]) < 2e-2 for r in both)
+    vals = q.select(F.explode("q").alias("v")).agg(
+        F.min("v").alias("mn"), F.max("v").alias("mx")
+    ).collect()[0]
+    assert -127 <= vals["mn"] and vals["mx"] <= 127
