@@ -247,3 +247,32 @@ def test_produce_empty_batch_is_noop(engine):
     assert engine.get_watermark("e", 0) == (0, 0, 0)
     out = engine.produce("e", [{"key": None, "value": b"x", "timestamp": 1}])
     assert out == [(0, 0)]
+
+
+def test_shingle_udtf_and_median_udaf(spark):
+    from pyspark.sql import functions as F
+
+    from flyq_spark.functions.udtf import ShingleExplode, median_udaf, register_udtfs
+
+    register_udtfs(spark)
+    rows = spark.sql(
+        "SELECT * FROM shingle_explode('a b c d', 3) ORDER BY pos"
+    ).collect()
+    assert [(r["pos"], r["shingle"]) for r in rows] == [(0, "a b c"), (1, "b c d")]
+    # lateral-join form over a table
+    df = spark.createDataFrame([(1, "x y z")], "id long, text string")
+    df.createOrReplaceTempView("udtf_docs")
+    lat = spark.sql(
+        "SELECT id, s.shingle FROM udtf_docs, "
+        "LATERAL shingle_explode(text, 2) AS s ORDER BY s.pos"
+    ).collect()
+    assert [r["shingle"] for r in lat] == ["x y", "y z"]
+
+    ev = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("a", 100.0), ("b", 7.0)], "k string, v double"
+    )
+    got = {
+        r["k"]: r["med"]
+        for r in ev.groupBy("k").agg(median_udaf(F.col("v")).alias("med")).collect()
+    }
+    assert got == {"a": 3.0, "b": 7.0}
