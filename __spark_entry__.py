@@ -407,6 +407,50 @@ def q_q14_promo_revenue(spark, sf_dir):
     )
 
 
+def q_q18_big_orders(spark, sf_dir):
+    """Aggregate-then-filter-then-join (TPC-H Q18 shape): orders whose
+    total quantity exceeds a threshold, with customer context."""
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("total_qty"))
+        .where(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name", "o_orderkey", _us("o_orderdate", "orderdate_us"), "total_qty"
+        )
+    )
+
+
+def q_funnel_conversion(spark, sf_dir):
+    """Funnel analytics: per user, did a purchase follow the first
+    signup? Conditional min/max over event times — one aggregation."""
+    ev = _read(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.unix_micros(F.col("ts")))).alias(
+            "first_signup_us"
+        ),
+        F.max(F.when(F.col("event_type") == "purchase", F.unix_micros(F.col("ts")))).alias(
+            "last_purchase_us"
+        ),
+    )
+    return per_user.select(
+        "user_id",
+        "first_signup_us",
+        (
+            F.col("first_signup_us").isNotNull()
+            & F.col("last_purchase_us").isNotNull()
+            & (F.col("last_purchase_us") > F.col("first_signup_us"))
+        ).alias("converted"),
+    )
+
+
 # --------------------------------------------------------------------- #
 # Part C [EXT] — event analytics
 # --------------------------------------------------------------------- #
@@ -665,6 +709,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q4_order_priority": q_q4_order_priority,
         "rollup_revenue": q_rollup_revenue,
         "q14_promo_revenue": q_q14_promo_revenue,
+        "q18_big_orders": q_q18_big_orders,
+        "funnel_conversion": q_funnel_conversion,
         # Part C [EXT]
         "sessionize": q_sessionize,
         "window_tumbling": q_window_tumbling,
@@ -916,6 +962,29 @@ SELECT
       * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS total_revenue,
   count(*) AS n_lineitems
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+""",
+        "q18_big_orders": """
+WITH big AS (
+  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150
+)
+SELECT c.c_name, o.o_orderkey, epoch_us(o.o_orderdate) AS orderdate_us, b.total_qty
+FROM big b
+JOIN orders o ON b.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+""",
+        "funnel_conversion": """
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS first_signup_us,
+         max(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS last_purchase_us
+  FROM events GROUP BY user_id
+)
+SELECT user_id, first_signup_us,
+       (first_signup_us IS NOT NULL AND last_purchase_us IS NOT NULL
+        AND last_purchase_us > first_signup_us) AS converted
+FROM per_user
 """,
         "sessionize": """
 WITH o AS (
