@@ -8,7 +8,10 @@ SURVEY.md §2 (Part A broker semantics as deterministic dataflow over the
 ``events`` fixture; Part C [EXT] LLM-pipeline operators over
 ``documents``/``embeddings``). Every oracle-checked pair aligns column
 names AND types (timestamps → epoch micros BIGINT, counts → BIGINT,
-money → DECIMAL) so the driver's sorted value-hash matches bit-for-bit.
+money → BIGINT integer cents: decimal sums are exact, and an integral
+decimal casts to BIGINT identically on every engine, so the value-hash
+is canonicalization-proof) so the driver's sorted value-hash matches
+bit-for-bit.
 
 Entries without an oracle_sql() entry (LSH/MinHash/SimHash candidates,
 Arrow-batch feature extraction) are non-SQL-expressible by design —
@@ -284,17 +287,26 @@ def q_monitor_alerts(spark, sf_dir):
 
 
 def q_q1_pricing(spark, sf_dir):
+    """TPC-H Q1 shape. Money/quantity aggregates are emitted as exact
+    integers (x100 for scale-2 sums, x10000 for the scale-4 discount
+    product) — the decimal sums are exact, and an integral-valued decimal
+    casts to BIGINT identically on every engine, so the value-hash is
+    canonicalization-proof."""
     li = _read(spark, sf_dir, "lineitem")
     dec = lambda c: F.col(c).cast("decimal(18,2)")
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-01"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec("l_quantity")).alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).alias("sum_base_price"),
-            F.sum(
-                (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))
-            ).alias("sum_disc_price"),
+            (F.sum(dec("l_quantity")) * 100).cast("long").alias("sum_qty_c"),
+            (F.sum(dec("l_extendedprice")) * 100).cast("long").alias("sum_base_price_c"),
+            (
+                F.sum(
+                    dec("l_extendedprice")
+                    * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+                )
+                * 10000
+            ).cast("long").alias("sum_disc_price_c4"),
             F.count("*").cast("long").alias("count_order"),
         )
     )
@@ -305,18 +317,21 @@ def q_q3_top_orders(spark, sf_dir):
     orders = _read(spark, sf_dir, "orders")
     li = _read(spark, sf_dir, "lineitem")
     dec = lambda c: F.col(c).cast("decimal(18,2)")
-    revenue = F.sum(
-        dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
-    ).alias("revenue")
+    revenue = (
+        F.sum(
+            dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+        )
+        * 10000
+    ).cast("long").alias("revenue_c4")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(revenue)
         .select(
-            "o_orderkey", _us("o_orderdate", "orderdate_us"), "o_orderpriority", "revenue"
+            "o_orderkey", _us("o_orderdate", "orderdate_us"), "o_orderpriority", "revenue_c4"
         )
-        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .orderBy(F.col("revenue_c4").desc(), F.col("o_orderkey").asc())
         .limit(10)
     )
 
@@ -338,9 +353,13 @@ def q_q5_region_revenue(spark, sf_dir):
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.sum(
-                dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
-            ).alias("revenue")
+            (
+                F.sum(
+                    dec("l_extendedprice")
+                    * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+                )
+                * 10000
+            ).cast("long").alias("revenue_c4")
         )
     )
 
@@ -375,13 +394,13 @@ def q_rollup_revenue(spark, sf_dir):
     return (
         joined.rollup("r_name", "n_name")
         .agg(
-            F.sum(dec("o_totalprice")).alias("total_price"),
+            (F.sum(dec("o_totalprice")) * 100).cast("long").alias("total_price_c"),
             F.count("*").cast("long").alias("order_count"),
         )
         .select(
             F.coalesce(F.col("r_name"), F.lit("ALL")).alias("region_name"),
             F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation_name"),
-            "total_price",
+            "total_price_c",
             "order_count",
         )
     )
@@ -398,10 +417,15 @@ def q_q14_promo_revenue(spark, sf_dir):
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .agg(
-            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(18,2)"))).alias(
-                "promo_revenue"
-            ),
-            F.sum(rev).alias("total_revenue"),
+            (
+                F.sum(
+                    F.when(F.col("p_type") == "PROMO", rev).otherwise(
+                        F.lit(0).cast("decimal(18,2)")
+                    )
+                )
+                * 10000
+            ).cast("long").alias("promo_revenue_c4"),
+            (F.sum(rev) * 10000).cast("long").alias("total_revenue_c4"),
             F.count("*").cast("long").alias("n_lineitems"),
         )
     )
@@ -416,14 +440,15 @@ def q_q18_big_orders(spark, sf_dir):
     dec = lambda c: F.col(c).cast("decimal(18,2)")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(dec("l_quantity")).alias("total_qty"))
-        .where(F.col("total_qty") > 150)
+        .agg(F.sum(dec("l_quantity")).alias("_total_qty"))
+        .where(F.col("_total_qty") > 150)
+        .select("l_orderkey", (F.col("_total_qty") * 100).cast("long").alias("total_qty_c"))
     )
     return (
         big.join(orders, big.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .select(
-            "c_name", "o_orderkey", _us("o_orderdate", "orderdate_us"), "total_qty"
+            "c_name", "o_orderkey", _us("o_orderdate", "orderdate_us"), "total_qty_c"
         )
     )
 
@@ -627,10 +652,17 @@ def q_embedding_neardup(spark, sf_dir):
 
 def q_embedding_quantize(spark, sf_dir):
     """int8 symmetric quantization of the embedding column (the 4x
-    storage-reduction op for 100 TB vector corpora)."""
+    storage-reduction op for 100 TB vector corpora). The gate emits the
+    quantized vector as a joined string (a raw array column is unhashable
+    in the driver's pandas canonicalizer); the array form is pinned in
+    tests/test_ext_operators.py."""
     emb = _read(spark, sf_dir, "embeddings")
     scale, qvec = V.quantize_embedding(F.col("embedding"))
-    return emb.select("vec_id", scale.alias("scale"), qvec.alias("qvec"))
+    return emb.select(
+        "vec_id",
+        scale.alias("scale"),
+        F.array_join(qvec, ",").alias("qvec_str"),
+    )
 
 
 def q_multimodal_content(spark, sf_dir):
@@ -899,10 +931,11 @@ FROM lag l JOIN health h ON l.part_id = h.part_id
 """,
         "q1_pricing": """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-       sum(CAST(l_extendedprice AS DECIMAL(18,2))
-           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_qty_c,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_base_price_c,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) * 10000 AS BIGINT)
+         AS sum_disc_price_c4,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-01'
@@ -910,20 +943,22 @@ GROUP BY l_returnflag, l_linestatus
 """,
         "q3_top_orders": """
 SELECT o.o_orderkey, epoch_us(o.o_orderdate) AS orderdate_us, o.o_orderpriority,
-       sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
-           * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS revenue
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) * 10000 AS BIGINT)
+         AS revenue_c4
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
 WHERE c.c_mktsegment = 'BUILDING'
 GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
-ORDER BY revenue DESC, o.o_orderkey ASC
+ORDER BY revenue_c4 DESC, o.o_orderkey ASC
 LIMIT 10
 """,
         "q5_region_revenue": """
 SELECT n.n_name,
-       sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
-           * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS revenue
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) * 10000 AS BIGINT)
+         AS revenue_c4
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -944,7 +979,7 @@ GROUP BY o_orderpriority
         "rollup_revenue": """
 SELECT coalesce(r_name, 'ALL') AS region_name,
        coalesce(n_name, 'ALL') AS nation_name,
-       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_price_c,
        count(*) AS order_count
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -954,22 +989,24 @@ GROUP BY ROLLUP (r_name, n_name)
 """,
         "q14_promo_revenue": """
 SELECT
-  sum(CASE WHEN p.p_type = 'PROMO'
+  CAST(sum(CASE WHEN p.p_type = 'PROMO'
       THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
            * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))
-      ELSE CAST(0 AS DECIMAL(18,2)) END) AS promo_revenue,
-  sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
-      * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS total_revenue,
+      ELSE CAST(0 AS DECIMAL(18,2)) END) * 10000 AS BIGINT) AS promo_revenue_c4,
+  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+      * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) * 10000 AS BIGINT)
+    AS total_revenue_c4,
   count(*) AS n_lineitems
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 """,
         "q18_big_orders": """
 WITH big AS (
-  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+  SELECT l_orderkey,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_qty_c
   FROM lineitem GROUP BY l_orderkey
   HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150
 )
-SELECT c.c_name, o.o_orderkey, epoch_us(o.o_orderdate) AS orderdate_us, b.total_qty
+SELECT c.c_name, o.o_orderkey, epoch_us(o.o_orderdate) AS orderdate_us, b.total_qty_c
 FROM big b
 JOIN orders o ON b.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -1179,10 +1216,10 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         "embedding_quantize": """
 SELECT vec_id,
        127.0 / CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS scale,
-       list_transform(embedding,
+       array_to_string(list_transform(embedding,
          x -> CAST(round(CAST(x AS DOUBLE)
                   * (127.0 / CAST(list_max(list_transform(embedding, y -> abs(y))) AS DOUBLE)))
-              AS INTEGER)) AS qvec
+              AS INTEGER)), ',') AS qvec_str
 FROM embeddings
 """,
         "multimodal_content": """
