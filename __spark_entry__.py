@@ -633,21 +633,14 @@ def q_similarity_topk(spark, sf_dir):
 
 
 def q_embedding_neardup(spark, sf_dir):
-    """Brute-force pair form (oracle-checkable); the LSH-bucketed scale
-    path (similarity.neardup_pairs) is pinned against this in pytest."""
+    """Exact near-dup pairs via the pivot-cell bucketed join
+    (similarity.neardup_pairs_exact): triangle-inequality cell-pair
+    pruning gives 100% recall with an equi-join plan — no corpus x
+    corpus cross join anywhere. The oracle stays the all-pairs SQL
+    (fine at oracle scale); the LSH-bucketed approximate path
+    (similarity.neardup_pairs) is pinned separately in pytest."""
     emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    a, b = emb.alias("a"), emb.alias("b")
-    return (
-        a.crossJoin(b)
-        .where(F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            V.cosine(F.col("a.embedding"), F.col("b.embedding")).alias("score"),
-        )
-        .where(F.col("score") >= 0.4)
-        .select("id_a", "id_b")
-    )
+    return V.neardup_pairs_exact(emb, min_cosine=0.4).select("id_a", "id_b")
 
 
 def q_embedding_quantize(spark, sf_dir):

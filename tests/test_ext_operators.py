@@ -142,6 +142,46 @@ def test_lsh_neardup_subset_of_bruteforce(spark, emb):
     assert lsh_pairs <= brute
 
 
+def test_neardup_exact_equals_bruteforce(spark, emb):
+    """neardup_pairs_exact is EXACT: the triangle-inequality cell-pair
+    pruning may never drop a qualifying pair (unlike hyperplane LSH),
+    and the verify stage filters false candidates — so the pair set
+    equals brute force bit-for-bit, at any threshold."""
+    from flyq_spark.operators.similarity import cosine, neardup_pairs_exact
+
+    for threshold in (0.4, 0.2):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in neardup_pairs_exact(emb, threshold, centroid_step=50).collect()
+        }
+        a, b = emb.alias("a"), emb.alias("b")
+        brute = {
+            (r["id_a"], r["id_b"])
+            for r in a.crossJoin(b)
+            .where(F.col("a.vec_id") < F.col("b.vec_id"))
+            .select(
+                F.col("a.vec_id").alias("id_a"),
+                F.col("b.vec_id").alias("id_b"),
+                cosine(F.col("a.embedding"), F.col("b.embedding")).alias("s"),
+            )
+            .where(F.col("s") >= threshold)
+            .collect()
+        }
+        assert got == brute, f"threshold {threshold}: {len(got)} vs {len(brute)}"
+
+
+def test_neardup_exact_plan_has_no_corpus_cross_join(spark, emb):
+    """The candidate stage is equi-join on cell keys; the only
+    nested-loop joins in the plan are against the tiny broadcast pivot /
+    cell-pair relations, never corpus x corpus."""
+    from flyq_spark.operators.similarity import neardup_pairs_exact
+
+    plan = neardup_pairs_exact(emb, 0.4)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # the corpus self-join must be hash-based (shuffle or broadcast hash)
+    assert "Join" in plan
+
+
 # ------------------------------ text ----------------------------------- #
 
 
