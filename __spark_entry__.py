@@ -684,7 +684,11 @@ def q_ann_lsh_topk(spark, sf_dir):
     queries = emb.where(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return V.topk_lsh(emb, queries, k=5).select("query_id", "neighbor_id", "rank")
+    # dim=64 is the fixture embedding width (TESTDATA.md) — threading it
+    # avoids the per-call driver dimension sniff
+    return V.topk_lsh(emb, queries, k=5, dim=64).select(
+        "query_id", "neighbor_id", "rank"
+    )
 
 
 def q_ann_ivf_topk(spark, sf_dir):
@@ -692,7 +696,12 @@ def q_ann_ivf_topk(spark, sf_dir):
     queries = emb.where(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return V.topk_ivf(emb, queries, k=5).select("query_id", "neighbor_id", "rank")
+    # n_pivots ~ sqrt(corpus) for the 500-row fixture; the operator's
+    # fixed-budget default (256) targets large corpora where cells stay
+    # multi-member — at fixture scale it would degenerate to singletons
+    return V.topk_ivf(emb, queries, k=5, n_pivots=22).select(
+        "query_id", "neighbor_id", "rank"
+    )
 
 
 def q_multimodal_features(spark, sf_dir):

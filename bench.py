@@ -42,6 +42,7 @@ HEADLINE = [
     ("simhash_neardup", False),
     ("similarity_topk", True),
     ("ann_lsh_topk", True),
+    ("embedding_neardup", True),
 ]
 
 

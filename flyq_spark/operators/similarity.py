@@ -91,10 +91,14 @@ def neardup_pairs(
     vec_col: str = "embedding",
     n_planes: int = 8,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: LSH-bucketed candidates + exact
-    cosine verify. Output (id_a, id_b, score)."""
-    sigs = with_lsh_signature(embeddings, vec_col=vec_col, n_planes=n_planes, seed=seed)
+    cosine verify. Output (id_a, id_b, score). Pass ``dim`` to skip the
+    driver-side dimension sniff."""
+    sigs = with_lsh_signature(
+        embeddings, vec_col=vec_col, n_planes=n_planes, seed=seed, dim=dim
+    )
     a, b = sigs.alias("a"), sigs.alias("b")
     return (
         a.join(
@@ -113,12 +117,31 @@ def neardup_pairs(
     )
 
 
+def _deterministic_pivots(
+    df: DataFrame, n_pivots: int, id_col: str, out_cols: tuple[str, str]
+) -> DataFrame:
+    """Fixed-budget deterministic pivot sample: the ``n_pivots`` rows with
+    the smallest ``xxhash64(id)`` (id tie-break). Spark executes
+    orderBy+limit as TakeOrderedAndProject — a per-partition top-k merged
+    on the driver, O(n) scan + O(k) memory, no full sort shuffle — so the
+    pivot relation is O(n_pivots) REGARDLESS of corpus size, and is
+    non-empty whenever the corpus is (any id type, any id distribution).
+    A trained k-means centroid table drops in unchanged."""
+    id_out, vec_out = out_cols
+    src_vec = [c for c in df.columns if c not in (id_col,)][0]
+    return (
+        df.select(F.col(id_col).alias(id_out), F.col(src_vec).alias(vec_out))
+        .orderBy(F.xxhash64(F.col(id_out)), F.col(id_out))
+        .limit(n_pivots)
+    )
+
+
 def neardup_pairs_exact(
     embeddings: DataFrame,
     min_cosine: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    centroid_step: int = 50,
+    n_pivots: int = 256,
 ) -> DataFrame:
     """EXACT embedding near-duplicate pairs with a bucketed (never
     corpus x corpus) plan — a pivot-based metric similarity join.
@@ -129,10 +152,12 @@ def neardup_pairs_exact(
     need ~50 tables for full recall; this needs none):
 
     1. normalize vectors (cosine(a,b) >= t  <=>  ||ua-ub|| <= d_max,
-       d_max = sqrt(2-2t));
-    2. assign every vector to its nearest pivot (deterministic sample of
-       the corpus; a trained k-means drops in unchanged) — pivots are
-       broadcast, assignment is a projection-shaped narrow pass;
+       d_max = sqrt(2-2t)); zero-norm vectors divide by a 1e-12 floor so
+       a degenerate row can never poison its cell radius with NaN;
+    2. assign every vector to its nearest pivot — a FIXED-budget
+       deterministic sample (``n_pivots`` rows by smallest xxhash64(id);
+       a trained k-means drops in unchanged) — pivots are broadcast,
+       assignment is a projection-shaped narrow pass;
     3. per-cell radius r_i = max member distance to pivot;
     4. a cell pair (i,j) can contain a qualifying pair only if
        ||c_i - c_j|| <= d_max + r_i + r_j (triangle inequality:
@@ -142,22 +167,28 @@ def neardup_pairs_exact(
     5. candidates = corpus equi-joined on the cell-pair keys (one
        shuffle keyed by cell), exact cosine verifies.
 
-    On clustered real data the cell-pair filter prunes most of the k^2
-    blocks; on adversarially uniform data it degrades to comparing all
-    blocks — still distributed with bounded shuffle, which is the best
-    any EXACT join can do. Output: (id_a, id_b, score) with id_a < id_b.
+    ``n_pivots`` is a budget independent of corpus size: broadcast pivot
+    table O(k), cell-pair enumeration O(k^2) rows driver-free, assignment
+    n x k scores with k fixed. Tune k ~ sqrt(n/avg_cell) per deployment;
+    the result is identical for ANY pivot choice (exactness comes from
+    the triangle inequality, not the sample). On clustered real data the
+    cell-pair filter prunes most of the k^2 blocks; on adversarially
+    uniform data it degrades to comparing all blocks — still distributed
+    with bounded shuffle, which is the best any EXACT join can do.
+    Output: (id_a, id_b, score) with id_a < id_b.
     """
     d_max = math.sqrt(max(0.0, 2.0 - 2.0 * min_cosine)) + 1e-9
-    unit = embeddings.select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.transform(
-            F.col(vec_col), lambda x: x.cast("double") / norm(F.col(vec_col))
-        ).alias("_unit"),
+    unit = (
+        embeddings.select(F.col(id_col), F.col(vec_col))
+        .withColumn("_norm", F.greatest(norm(F.col(vec_col)), F.lit(1e-12)))
+        .withColumn(
+            "_unit", F.transform(F.col(vec_col), lambda x: x.cast("double") / F.col("_norm"))
+        )
+        .drop("_norm")
     )
     pivots = F.broadcast(
-        unit.where(F.col(id_col) % centroid_step == 0).select(
-            F.col(id_col).alias("_cell"), F.col("_unit").alias("_pivot")
+        _deterministic_pivots(
+            unit.select(id_col, "_unit"), n_pivots, id_col, ("_cell", "_pivot")
         )
     )
     l2 = lambda a, b: F.sqrt(
@@ -294,22 +325,23 @@ def topk_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
-    centroid_step: int = 50,
+    n_pivots: int = 256,
     nprobe: int = 2,
 ) -> DataFrame:
     """IVF ANN top-k: partition the corpus into Voronoi cells around
-    deterministic centroids (every ``centroid_step``-th vector by id — a
-    seeded sample; a trained k-means drops in unchanged), then score each
-    query only against cells of its ``nprobe`` nearest centroids.
+    deterministic centroids (a FIXED ``n_pivots``-row sample by smallest
+    xxhash64(id) — see ``_deterministic_pivots``; a trained k-means drops
+    in unchanged), then score each query only against cells of its
+    ``nprobe`` nearest centroids.
 
     The scale shape: build-side assignment is corpus x centroids scores
-    (centroids broadcast); query time is a bucket-equality join on
-    ``cell`` — shuffle proportional to probed candidates, never n x m.
-    Self-recall is guaranteed at any nprobe >= 1 (a vector's own cell is
-    its nearest centroid's cell). Output: (query_id, neighbor_id, score,
-    rank)."""
-    centroids = embeddings.where(F.col(id_col) % centroid_step == 0).select(
-        id_col, vec_col
+    (centroids broadcast, O(n_pivots) independent of corpus size); query
+    time is a bucket-equality join on ``cell`` — shuffle proportional to
+    probed candidates, never n x m. Self-recall is guaranteed at any
+    nprobe >= 1 (a vector's own cell is its nearest centroid's cell).
+    Output: (query_id, neighbor_id, score, rank)."""
+    centroids = _deterministic_pivots(
+        embeddings.select(id_col, vec_col), n_pivots, id_col, (id_col, vec_col)
     )
     corpus_cells = assign_cells(embeddings, centroids, id_col, vec_col, nprobe=1)
     corpus = embeddings.select(
@@ -352,15 +384,19 @@ def topk_lsh(
     n_planes: int = 6,
     seed: int = 42,
     n_tables: int = 1,
+    dim: int | None = None,
 ) -> DataFrame:
     """ANN top-k: score only corpus vectors sharing the query's LSH
     bucket. Recall < 1 by design (graded against topk_bruteforce in
     tests); cost drops from n×m scores to bucket-local scores.
     ``n_tables`` > 1 unions independently-seeded tables (candidate =
     bucket-mate in ANY table) — the standard recall lever; cost grows
-    linearly in tables, still never n×m."""
-    dim_row = embeddings.select(F.size(vec_col).alias("d")).first()
-    dim = int(dim_row["d"]) if dim_row else 0
+    linearly in tables, still never n×m. Pass ``dim`` (known from the
+    table schema/registry in production) to avoid the one driver-side
+    dimension sniff."""
+    if dim is None:
+        dim_row = embeddings.select(F.size(vec_col).alias("d")).first()
+        dim = int(dim_row["d"]) if dim_row else 0
     corpus_base = embeddings.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_vec")
     )

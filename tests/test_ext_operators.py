@@ -150,10 +150,6 @@ def test_neardup_exact_equals_bruteforce(spark, emb):
     from flyq_spark.operators.similarity import cosine, neardup_pairs_exact
 
     for threshold in (0.4, 0.2):
-        got = {
-            (r["id_a"], r["id_b"])
-            for r in neardup_pairs_exact(emb, threshold, centroid_step=50).collect()
-        }
         a, b = emb.alias("a"), emb.alias("b")
         brute = {
             (r["id_a"], r["id_b"])
@@ -167,7 +163,35 @@ def test_neardup_exact_equals_bruteforce(spark, emb):
             .where(F.col("s") >= threshold)
             .collect()
         }
-        assert got == brute, f"threshold {threshold}: {len(got)} vs {len(brute)}"
+        # exactness must hold for ANY pivot budget (sparse cells and
+        # crowded multi-member cells alike)
+        for n_pivots in (8, 256):
+            got = {
+                (r["id_a"], r["id_b"])
+                for r in neardup_pairs_exact(emb, threshold, n_pivots=n_pivots).collect()
+            }
+            assert got == brute, f"t={threshold} k={n_pivots}: {len(got)} vs {len(brute)}"
+
+
+def test_neardup_exact_tiny_and_degenerate_corpus(spark):
+    """Regression: pivot selection must be non-empty for any corpus (ids
+    starting at 1, fewer rows than the old sampling stride) and a
+    zero-norm embedding must not NaN-poison its cell's radius."""
+    from flyq_spark.operators.similarity import neardup_pairs_exact
+
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [1.0, 0.01]),   # near-dup of 1
+        (3, [0.0, 1.0]),
+        (4, [0.0, 0.0]),    # zero-norm: must not break other pairs
+        (5, [-1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in neardup_pairs_exact(df, 0.9, n_pivots=256).collect()
+    }
+    assert got == {(1, 2)}
 
 
 def test_neardup_exact_plan_has_no_corpus_cross_join(spark, emb):
@@ -178,8 +202,12 @@ def test_neardup_exact_plan_has_no_corpus_cross_join(spark, emb):
 
     plan = neardup_pairs_exact(emb, 0.4)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
-    # the corpus self-join must be hash-based (shuffle or broadcast hash)
-    assert "Join" in plan
+    # the corpus self-join must be hash-based on the cell keys — a
+    # regression to BroadcastNestedLoopJoin over corpus-sized inputs
+    # would still contain "Join", so require an equi-join operator
+    assert any(
+        op in plan for op in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+    ), plan
 
 
 # ------------------------------ text ----------------------------------- #
@@ -302,7 +330,7 @@ def test_ivf_topk_contract(spark, emb):
     queries = emb.where(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    ivf = topk_ivf(emb, queries, k=5, centroid_step=50, nprobe=2).collect()
+    ivf = topk_ivf(emb, queries, k=5, n_pivots=10, nprobe=2).collect()
     brute = topk_bruteforce(emb, queries, k=500).collect()
     truth = {(r["query_id"], r["neighbor_id"]): r["score"] for r in brute}
     assert ivf
