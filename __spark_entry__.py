@@ -1185,15 +1185,17 @@ SELECT doc_id, lang,
 FROM s
 """,
         "ngram_jaccard": """
+-- brute-force ground truth: the Spark side is an EXACT similarity join
+-- (prefix filtering has 100% recall), so the oracle verifies recall too
 WITH base AS (
-  SELECT doc_id, substr(text, 1, 40) AS block,
-         list_distinct(string_split_regex(lower(text), '\\s+')) AS toks
+  SELECT doc_id, list_distinct(string_split_regex(lower(text), '\\s+')) AS toks
   FROM documents
+  WHERE len(list_distinct(string_split_regex(lower(text), '\\s+'))) > 0
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
          / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard
-FROM base a JOIN base b ON a.block = b.block AND a.doc_id < b.doc_id
+FROM base a JOIN base b ON a.doc_id < b.doc_id
 WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
         / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.5
 """,

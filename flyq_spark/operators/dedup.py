@@ -10,8 +10,9 @@ LLM-pipeline extensions, designed shuffle-conscious for 100 TB:
   O(n^2) all-pairs cross join;
 - SimHash: 64-bit signature built JVM-side (explode + 64 codegen'd sums),
   near-dups via banded self-join + popcount(xor) Hamming filter;
-- n-gram Jaccard: token-set similarity verified only within blocking
-  buckets (prefix/length bands) — the verify stage of an LSH pipeline.
+- n-gram Jaccard: EXACT token-set similarity join via rarity-ordered
+  prefix filtering (AllPairs/PPJoin) — 100% recall with skew-bounded
+  candidate generation, never an all-pairs cross join.
 
 All randomness is seeded; all hot paths are built-in functions (the only
 ml dependency is MinHashLSH, which is Scala-side).
@@ -21,7 +22,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # --------------------------------------------------------------------- #
@@ -211,6 +212,57 @@ def token_set(col: Column) -> Column:
     return F.array_distinct(F.split(F.lower(col), "\\s+"))
 
 
+def prefix_filter_candidates(
+    base: DataFrame, min_jaccard: float, id_col: str = "doc_id"
+) -> DataFrame:
+    """Candidate pairs for an EXACT token-Jaccard join via prefix
+    filtering (AllPairs/PPJoin, Bayardo et al. WWW'07).
+
+    Order every document's tokens by a global rarity order (document
+    frequency asc, token asc) and emit only the first
+    ``p = n - ceil(t*n) + 1`` tokens as join keys. Pigeonhole: a pair
+    with J >= t shares >= ceil(t*n) tokens, more than either document's
+    non-prefix suffix can hold — and the pi-smallest shared token is then
+    in BOTH prefixes (prefixes are downward-closed under the global
+    order), so recall is 100% by construction.
+
+    The skew story is the point: join keys are the globally RAREST
+    tokens, so a boilerplate corpus (shared license/HTML preamble, i.e.
+    high-df tokens) contributes no keys at all unless a document is
+    mostly boilerplate — in which case its pairs are true near-dups. Cost
+    is sum over prefix tokens of df^2, vs the m^2 of any
+    shared-prefix-substring bucket. Two token-keyed shuffles (df count +
+    rank/join), one candidate equi-join.
+
+    ``base``: (id, _toks array). Output: (id_a, id_b) distinct.
+    """
+    tok = base.select(F.col(id_col), F.explode("_toks").alias("_tok"))
+    doc_freq = tok.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
+    wdoc = Window.partitionBy(id_col)
+    ranked = (
+        tok.join(doc_freq, on="_tok")
+        .withColumn("_rn", F.row_number().over(wdoc.orderBy("_df", "_tok")))
+        .withColumn("_n", F.count(F.lit(1)).over(wdoc))
+    )
+    prefix = ranked.where(
+        F.col("_rn") <= F.col("_n") - F.ceil(F.lit(float(min_jaccard)) * F.col("_n")) + 1
+    ).select(id_col, "_tok")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a._tok") == F.col("b._tok"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -218,28 +270,46 @@ def ngram_jaccard_pairs(
     block_expr: Column | None = None,
     min_jaccard: float = 0.5,
 ) -> DataFrame:
-    """Exact token-set Jaccard, computed only within blocking buckets
-    (default: 40-char prefix). The blocker bounds candidate pairs; Jaccard
-    is array_intersect arithmetic (JVM-side). Output (id_a, id_b, jaccard)."""
-    block = block_expr if block_expr is not None else F.substring(F.col(text_col), 1, 40)
+    """EXACT token-set Jaccard similarity join: all pairs with
+    J >= min_jaccard, no blocker-dependent recall loss.
+
+    Default candidate generation is rarity-ordered prefix filtering
+    (``prefix_filter_candidates``) — 100% recall AND skew-resistant (a
+    shared boilerplate prefix never forms a quadratic bucket, unlike the
+    naive fixed-substring blocker). Verification is array_intersect
+    arithmetic (JVM-side) on a co-partitioned join back to the token
+    sets. Pass ``block_expr`` to override with a custom bucket key
+    (restricts pairs to equal buckets — recall becomes the blocker's).
+    Empty-token documents are excluded (Jaccard undefined). Output
+    (id_a, id_b, jaccard)."""
     base = df.select(
-        F.col(id_col), block.alias("_block"), token_set(F.col(text_col)).alias("_toks")
-    )
-    a, b = base.alias("a"), base.alias("b")
+        F.col(id_col), token_set(F.col(text_col)).alias("_toks")
+    ).where(F.size("_toks") > 0)
     inter = F.size(F.array_intersect(F.col("a._toks"), F.col("b._toks")))
     union = F.size(F.col("a._toks")) + F.size(F.col("b._toks")) - inter
+    jaccard = (inter.cast("double") / union.cast("double")).alias("jaccard")
+    if block_expr is not None:
+        blocked = df.select(
+            F.col(id_col), block_expr.alias("_block"), token_set(F.col(text_col)).alias("_toks")
+        ).where(F.size("_toks") > 0)
+        a, b = blocked.alias("a"), blocked.alias("b")
+        return (
+            a.join(
+                b,
+                on=[
+                    F.col("a._block") == F.col("b._block"),
+                    F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+                ],
+            )
+            .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"), jaccard)
+            .where(F.col("jaccard") >= min_jaccard)
+        )
+    cand = prefix_filter_candidates(base, min_jaccard, id_col)
+    a = base.select(F.col(id_col).alias("id_a"), F.col("_toks")).alias("a")
+    b = base.select(F.col(id_col).alias("id_b"), F.col("_toks")).alias("b")
     return (
-        a.join(
-            b,
-            on=[
-                F.col("a._block") == F.col("b._block"),
-                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
-            ],
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            (inter.cast("double") / union.cast("double")).alias("jaccard"),
-        )
+        cand.join(a, on="id_a")
+        .join(b, on="id_b")
+        .select("id_a", "id_b", jaccard)
         .where(F.col("jaccard") >= min_jaccard)
     )

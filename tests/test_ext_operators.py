@@ -80,6 +80,71 @@ def test_ngram_jaccard_bounds(spark, docs):
     assert all(r["id_a"] < r["id_b"] for r in rows)
 
 
+def test_ngram_jaccard_equals_bruteforce(spark, docs):
+    """The prefix filter (rarity-ordered, pigeonhole-sized) has 100%
+    recall: the default path must equal the all-pairs brute force."""
+    from flyq_spark.operators.dedup import ngram_jaccard_pairs, token_set
+
+    got = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in ngram_jaccard_pairs(docs, min_jaccard=0.5).collect()
+    }
+    base = docs.select("doc_id", token_set(F.col("text")).alias("t")).where(
+        F.size("t") > 0
+    )
+    a, b = base.alias("a"), base.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.t"), F.col("b.t")))
+    union = F.size(F.col("a.t")) + F.size(F.col("b.t")) - inter
+    brute = {
+        (r["id_a"], r["id_b"], round(r["j"], 9))
+        for r in a.crossJoin(b)
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            (inter.cast("double") / union.cast("double")).alias("j"),
+        )
+        .where(F.col("j") >= 0.5)
+        .collect()
+    }
+    assert got == brute
+
+
+def test_ngram_jaccard_boilerplate_prefix_not_quadratic(spark):
+    """Regression for the old fixed-substring blocker: a corpus whose
+    documents all share a boilerplate prefix must NOT collapse into one
+    quadratic candidate bucket — rarity-ordered prefix tokens come from
+    the distinctive bodies, so candidates stay near zero while true
+    near-dups are still found (100% recall)."""
+    from flyq_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_candidates,
+        token_set,
+    )
+
+    preamble = "copyright license terms apply all rights reserved worldwide"
+    m = 150
+    rows = [
+        (i, preamble + " " + " ".join(f"w{i}x{j}" for j in range(24)))
+        for i in range(m)
+    ]
+    shared_body = " ".join(f"dup{j}" for j in range(24))
+    rows.append((1000, preamble + " " + shared_body))
+    rows.append((1001, preamble + " " + shared_body + " extraone extratwo"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    base = df.select("doc_id", token_set(F.col("text")).alias("_toks"))
+    n_cand = prefix_filter_candidates(base, 0.5).count()
+    # old 40-char-prefix blocker: one bucket -> m*(m+1)/2 ~ 11k pairs
+    assert n_cand < 100, f"skew regression: {n_cand} candidate pairs"
+
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(df, min_jaccard=0.5).collect()
+    }
+    assert pairs == {(1000, 1001)}
+
+
 # --------------------------- similarity -------------------------------- #
 
 
