@@ -613,15 +613,26 @@ class FlyQEngine:
     def compact_partition(self, topic: str, partition: int) -> int:
         """Rewrite a partition's files into size-targeted files — the
         housekeeping analog of segment rotation (partition.rs:116-127).
-        Returns the resulting file count. Single-writer contract applies."""
+        Returns the resulting file count. Single-writer contract applies.
+
+        Parallel rewrite: the output task count is byte-targeted
+        (total on-disk size / segment_max_bytes), and
+        ``repartitionByRange("offset")`` keeps each output file a
+        contiguous offset range (range-partitioned + in-task sort), so an
+        over-target partition compacts with N writers instead of the
+        single coalesce(1) straggler a 100x partition would hit, while
+        offset-ordered point/range reads still prune by footer stats."""
         pdir = storage.partition_dir(self.base_dir, topic, partition)
         stats = storage.partition_file_stats(self.base_dir, topic, partition)
         if not stats:
             return 0
-        df = self.spark.read.parquet(pdir).orderBy("offset")
+        total_bytes = sum(s.size_bytes for s in stats)
+        n_out = max(1, -(-total_bytes // self.config.segment_max_bytes))
+        df = self.spark.read.parquet(pdir)
         tmp = pdir + ".compact_tmp"
         (
-            df.coalesce(1)
+            df.repartitionByRange(n_out, "offset")
+            .sortWithinPartitions("offset")
             .write.mode("overwrite")
             .option("maxRecordsPerFile", str(self.config.max_records_per_file))
             .parquet(tmp)

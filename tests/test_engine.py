@@ -151,6 +151,31 @@ def test_compaction_preserves_data(engine):
     assert [bytes(r["value"]) for r in after] == [bytes(r["value"]) for r in before]
 
 
+def test_compaction_over_target_splits_files(spark, tmp_path):
+    """Byte-targeted parallel compaction: a partition larger than
+    segment_max_bytes must compact to MULTIPLE offset-range files (no
+    coalesce(1) straggler), each file a contiguous offset range, with the
+    full offset sequence preserved."""
+    from flyq_spark import storage
+    from flyq_spark.config import EngineConfig
+    from flyq_spark.engine import FlyQEngine
+
+    eng = FlyQEngine(
+        spark, str(tmp_path), EngineConfig(segment_max_bytes=4096)
+    )
+    for _ in range(5):
+        eng.produce("t", make_messages(200, value_size=64))
+    before = [int(r["offset"]) for r in eng.read_from_offset("t", 0, 0)]
+    n_files = eng.compact_partition("t", 0)
+    assert n_files > 1
+    stats = storage.partition_file_stats(str(tmp_path), "t", 0)
+    ranges = sorted((s.min_offset, s.max_offset) for s in stats)
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2  # disjoint contiguous ranges
+    after = [int(r["offset"]) for r in eng.read_from_offset("t", 0, 0)]
+    assert after == before
+
+
 def test_repair_topic_recovers_leo_from_footers(engine):
     """A18/A19 recovery: wipe the meta watermark bookkeeping (simulating a
     crash between data write and meta commit) and rebuild it from parquet
