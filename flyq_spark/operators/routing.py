@@ -13,10 +13,12 @@ one task):
   whole-stage-codegen'd. Spark's ``xxhash64`` is XXH64(seed=42), not XXH3,
   so it is deliberately NOT bit-identical to the reference hash; the
   partition-count invariants (stable per key, uniform across partitions)
-  are what we preserve. When the ``xxhash`` package is available,
-  ``method="xxh3"`` gives bit-exact reference parity (u32 truncation
-  included) via an Arrow-batched Pandas UDF; it is import-gated because
-  the package is not part of this environment.
+  are what we preserve.
+- ``method="xxh3"``: bit-exact reference parity (u32 truncation included)
+  via an Arrow-batched Pandas UDF. Uses the C-extension ``xxhash`` package
+  when installed, else the pure-Python XXH3-64 in functions/hashing.py
+  (pinned against the published xxHash sanity vectors) — so a keyed FlyQ
+  topic migrates with identical partition assignments in any environment.
 - ``method="mod"``: ``pmod(cast(key as long), n)`` for *numeric-string*
   keys — deterministic and re-computable by any SQL engine (the DuckDB
   oracle cannot evaluate xxhash64/xxh3), used by the oracle-checked
@@ -39,6 +41,7 @@ behavior.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -59,16 +62,23 @@ def is_keyless(key: Column) -> Column:
 
 
 def _xxh3_partition_udf(n_partitions: int):
-    """Bit-exact reference routing (topic.rs:90-93): xxh3_64(key) as u32 % n."""
-    import pandas as pd
+    """Bit-exact reference routing (topic.rs:90-93): xxh3_64(key) as u32 % n.
+
+    Prefers the C-extension ``xxhash`` package; falls back to the
+    pure-Python XXH3-64 in functions/hashing.py (same bits, slower —
+    fine for routing keys, which are short).
+    """
     from pyspark.sql.functions import pandas_udf
+
+    if HAVE_XXHASH:
+        digest = xxhash.xxh3_64_intdigest
+    else:
+        from flyq_spark.functions.hashing import xxh3_64 as digest
 
     @pandas_udf("int")
     def xxh3_route(keys: pd.Series) -> pd.Series:
         return keys.map(
-            lambda k: int(
-                (xxhash.xxh3_64_intdigest(bytes(k)) & 0xFFFFFFFF) % n_partitions
-            )
+            lambda k: int((digest(bytes(k)) & 0xFFFFFFFF) % n_partitions)
         ).astype("int32")
 
     return xxh3_route
@@ -79,8 +89,6 @@ def keyed_partition(key: Column, n_partitions: int, method: str = "xxhash64") ->
     if method == "xxhash64":
         return F.pmod(F.xxhash64(key), F.lit(n_partitions)).cast("int")
     if method == "xxh3":
-        if not HAVE_XXHASH:
-            raise RuntimeError("method='xxh3' requires the xxhash package")
         return _xxh3_partition_udf(n_partitions)(key)
     if method == "mod":
         # numeric-string keys only (oracle-friendly deterministic routing)

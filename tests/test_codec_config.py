@@ -276,3 +276,60 @@ def test_shingle_udtf_and_median_udaf(spark):
         for r in ev.groupBy("k").agg(median_udaf(F.col("v")).alias("med")).collect()
     }
     assert got == {"a": 3.0, "b": 7.0}
+
+
+def test_xxh3_64_published_sanity_vectors():
+    """Pure-Python XXH3-64 must reproduce the published xxHash sanity
+    vectors (xsum_sanity_check.c test buffer: byteGen starts at
+    prime32, buf[i] = byteGen >> 56, byteGen *= prime64) across every
+    length class — 0-16 / 17-128 / 129-240 / long, seed 0 and seeded.
+    This is what makes method='xxh3' routing bit-exact vs the reference
+    (topic.rs:90-93) without the optional xxhash C package."""
+    from flyq_spark.functions.hashing import flyq_partition_for_key, xxh3_64
+
+    def fill(n: int) -> bytes:
+        buf = bytearray(n)
+        g = 2654435761
+        for i in range(n):
+            buf[i] = (g >> 56) & 0xFF
+            g = (g * 11400714785074694797) & 0xFFFFFFFFFFFFFFFF
+        return bytes(buf)
+
+    p64 = 11400714785074694797
+    vectors = [
+        (0, 0, 0x2D06800538D394C2),
+        (0, p64, 0xA8A6B918B2F0364A),
+        (1, 0, 0xC44BDFF4074EECDB),
+        (1, p64, 0x032BE332DD766EF8),
+        (6, 0, 0x27B56A84CD2D7325),
+        (6, p64, 0x84589C116AB59AB9),
+        (12, 0, 0xA713DAF0DFBB77E7),
+        (12, p64, 0xE7303E1B2336DE0E),
+        (24, 0, 0xA3FE70BF9D3510EB),
+        (24, p64, 0x850E80FC35BDD690),
+        (48, 0, 0x397DA259ECBA1F11),
+        (48, p64, 0xADC2CBAA44ACC616),
+        (80, 0, 0xBCDEFBBB2C47C90A),
+        (80, p64, 0xC6DD0CB699532E73),
+        (195, 0, 0xCD94217EE362EC3A),
+        (195, p64, 0xBA68003D370CB3D9),
+        (403, 0, 0xCDEB804D65C6DEA4),
+        (403, p64, 0x6259F6ECFD6443FD),
+        (512, 0, 0x617E49599013CB6B),
+        (512, p64, 0x3CE457DE14C27708),
+        (2048, 0, 0xDD59E2C3A5F038E0),
+        (2048, p64, 0x66F81670669ABABC),
+    ]
+    for n, seed, expect in vectors:
+        assert xxh3_64(fill(n), seed) == expect, (n, seed)
+
+    # reference routing formula: (xxh3_64(key) as u32) % n
+    assert flyq_partition_for_key(b"", 4) == (0x2D06800538D394C2 & 0xFFFFFFFF) % 4
+
+    # agree with the C extension whenever it IS installed
+    try:
+        import xxhash
+    except ImportError:
+        return
+    for n in (0, 3, 7, 15, 40, 130, 300, 1000):
+        assert xxh3_64(fill(n)) == xxhash.xxh3_64_intdigest(fill(n))

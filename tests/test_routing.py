@@ -91,3 +91,22 @@ def test_mod_method_matches_numeric_mod(spark):
     routed = route(df, 4, method="mod")
     got = {r["seq"]: r["partition"] for r in routed.collect()}
     assert got == {i: i % 4 for i in range(12)}
+
+
+def test_xxh3_routing_bit_exact_without_c_package(spark):
+    """method='xxh3' must work in this container (no xxhash package) via
+    the pure-Python XXH3 fallback, and every executor-side assignment
+    must equal the driver-side reference formula
+    (xxh3_64(key) as u32) % n  — flyq topic.rs:90-93."""
+    from flyq_spark.functions.hashing import flyq_partition_for_key
+    from flyq_spark.operators.routing import route
+
+    keys = [f"user-{i}".encode() for i in range(64)] + [b"\x00\xff" * 9]
+    df = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(keys)], "key binary, seq long"
+    )
+    got = {
+        bytes(r["key"]): r["partition"]
+        for r in route(df, 8, method="xxh3").collect()
+    }
+    assert got == {k: flyq_partition_for_key(k, 8) for k in keys}
