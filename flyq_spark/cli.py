@@ -86,6 +86,25 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser("repair", help="rebuild topic meta from data files")
     p.add_argument("topic")
+
+    p = sub.add_parser(
+        "maintain",
+        help="run maintenance cycles (retention + compaction) — the "
+        "scheduled analog of the reference's flush/cleanup daemons "
+        "(flyq-server/src/runtime/flush.rs:75-107)",
+    )
+    p.add_argument("topic")
+    p.add_argument(
+        "--interval", type=float, default=None,
+        help="seconds between cycles; omit for a single on-demand cycle",
+    )
+    p.add_argument(
+        "--ticks", type=int, default=None,
+        help="stop after N cycles (default: run until interrupted)",
+    )
+    p.add_argument("--retention-ms", type=int, default=None)
+    p.add_argument("--retention-bytes", type=int, default=None)
+    p.add_argument("--compact-above-files", type=int, default=16)
     return ap
 
 
@@ -142,6 +161,22 @@ def run(args, engine) -> dict:
         return {"deleted_files": deleted}
     if args.cmd == "repair":
         return {"meta": engine.repair_topic(args.topic)}
+    if args.cmd == "maintain":
+        ticks = []
+        n = 0
+        while True:
+            ticks.append(
+                engine.maintain_topic(
+                    args.topic,
+                    retention_ms=args.retention_ms,
+                    retention_bytes=args.retention_bytes,
+                    compact_above_files=args.compact_above_files,
+                )
+            )
+            n += 1
+            if args.interval is None or (args.ticks is not None and n >= args.ticks):
+                return {"ticks": ticks}
+            time.sleep(args.interval)
     raise SystemExit(f"unknown command {args.cmd}")
 
 

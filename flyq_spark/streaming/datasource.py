@@ -37,11 +37,13 @@ from pyspark.sql.types import StructType
 
 from flyq_spark import storage
 
-# headers omitted: arrow-struct round-tripping through the Python
-# DataSource row protocol is version-sensitive; consumers needing headers
-# use the file tail source or batch reads.
+# Full log-row shape (LOG_SCHEMA minus the implicit topic): headers ride
+# along as array<struct<key,value>> — the reference Message carries them
+# (flyq-protocol/src/message.rs:17-22) and dropping a column from the
+# Kafka-shaped source would silently lose data on migration.
 FLYQ_SOURCE_SCHEMA = (
-    "partition int, offset bigint, key binary, value binary, timestamp timestamp"
+    "partition int, offset bigint, key binary, value binary, "
+    "timestamp timestamp, headers array<struct<key: string, value: binary>>"
 )
 
 
@@ -118,7 +120,7 @@ class FlyQStreamReader(DataSourceStreamReader):
 
         dataset = ds.dataset(partition.pdir, format="parquet")
         table = dataset.to_table(
-            columns=["offset", "key", "value", "timestamp"],
+            columns=["offset", "key", "value", "timestamp", "headers"],
             filter=(ds.field("offset") >= partition.start)
             & (ds.field("offset") < partition.end),
         )
@@ -130,6 +132,11 @@ class FlyQStreamReader(DataSourceStreamReader):
                 r["key"],
                 r["value"],
                 r["timestamp"],
+                # struct elements as tuples — the DataSource row protocol
+                # positionally converts nested structs like top-level rows
+                [(h["key"], h["value"]) for h in r["headers"]]
+                if r["headers"] is not None
+                else None,
             )
             for r in rows
         )

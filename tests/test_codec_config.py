@@ -180,6 +180,36 @@ def test_cli_surface(engine):
     assert run(ap.parse_args(base + ["topics"]), engine) == {"topics": ["t"]}
 
 
+def test_cli_maintain_interval_loop(engine):
+    """`maintain --interval` — the scheduled analog of the reference's
+    flush/cleanup daemons (runtime/flush.rs:75-107): each tick applies
+    retention then compacts fragmented partitions; --ticks bounds the
+    loop so schedulers/tests get clean termination."""
+    from flyq_spark.cli import build_parser, run
+    from tests.conftest import make_messages
+
+    import time as _time
+
+    ap = build_parser()
+    base = ["--base-dir", engine.base_dir]
+    engine.create_topic("mt", partitions=1)
+    now = int(_time.time() * 1000)  # fresh data: default retention keeps it
+    for i in range(3):  # 3 produce calls -> >= 3 files in partition 0
+        engine.produce("mt", make_messages(2, ts0=now + i * 10))
+    out = run(
+        ap.parse_args(
+            base + ["maintain", "mt", "--interval", "0.05", "--ticks", "2",
+                    "--compact-above-files", "2"]
+        ),
+        engine,
+    )
+    assert len(out["ticks"]) == 2
+    assert out["ticks"][0]["compacted_partitions"].get(0) == 1
+    assert out["ticks"][1]["compacted_partitions"] == {}  # already compact
+    low, high, leo = engine.get_watermark("mt", 0)
+    assert (low, leo) == (0, 6)  # data intact after both cycles
+
+
 try:
     from hypothesis import given, settings
     from hypothesis import strategies as st

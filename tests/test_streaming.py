@@ -208,19 +208,23 @@ def test_flyq_datasource_stream(engine, spark, tmp_path):
 
     register(spark)
     engine.create_topic("dsrc", partitions=2)
-    engine.produce("dsrc", make_messages(6))
+    msgs = make_messages(6)
+    msgs[1]["headers"] = [("trace", b"\x01\x02"), ("src", b"cli")]
+    engine.produce("dsrc", msgs)
 
     def drain(ckpt):
         # foreachBatch sink: supports checkpoint resume (memory does not)
         out: dict = {}
+        headers_seen: dict = {}
 
         def collect(df, _bid):
-            out.update(
-                {
-                    (int(r["partition"]), int(r["offset"])): bytes(r["value"])
-                    for r in df.collect()
-                }
-            )
+            for r in df.collect():
+                out[(int(r["partition"]), int(r["offset"]))] = bytes(r["value"])
+                if r["headers"] is not None:
+                    headers_seen[bytes(r["value"])] = [
+                        (h["key"], bytes(h["value"])) for h in r["headers"]
+                    ]
+        drain.headers_seen = headers_seen
 
         q = (
             spark.readStream.format("flyq")
@@ -242,6 +246,10 @@ def test_flyq_datasource_stream(engine, spark, tmp_path):
     assert (0, 0) not in got
     assert set(got) == {(0, 1), (0, 2), (1, 0), (1, 1), (1, 2)}
     assert got[(1, 0)] == b"Message 1"  # keyless RR: seq 1 -> partition 1
+    # headers survive the DataSource row protocol (message.rs:17-22)
+    assert drain.headers_seen == {
+        b"Message 1": [("trace", b"\x01\x02"), ("src", b"cli")]
+    }
 
     engine.produce("dsrc", make_messages(4, ts0=1_800_000_000_000))
     got2 = drain(ckpt)  # same checkpoint -> only the new offsets
