@@ -41,6 +41,7 @@ from flyq_spark.operators import sessions as S
 from flyq_spark.operators import similarity as V
 from flyq_spark.operators import text as X
 from flyq_spark.operators import watermarks as W
+from flyq_spark.operators.util import fan_out
 from flyq_spark.operators.eventlog import EVENTS_LOG_CTE, N_PARTITIONS, events_log
 
 SF0001 = "/root/testdata/sf0.001"
@@ -588,7 +589,9 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_doc_fingerprints(spark, sf_dir):
-    docs = _read(spark, sf_dir, "documents")
+    # per-char shingle fingerprints are the most CPU-dense projection in
+    # the surface — fan out so a single-split corpus uses every core
+    docs = fan_out(_read(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         X.doc_fingerprint(F.col("text")).alias("fp"),
@@ -610,7 +613,7 @@ def q_text_quality(spark, sf_dir):
 
 
 def q_lang_id(spark, sf_dir):
-    docs = _read(spark, sf_dir, "documents")
+    docs = fan_out(_read(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id", "lang", X.detect_language(F.col("text")).alias("lang_detected")
     )

@@ -25,6 +25,8 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from flyq_spark.operators.util import fan_out
+
 # --------------------------------------------------------------------- #
 # exact dedup
 # --------------------------------------------------------------------- #
@@ -85,6 +87,12 @@ def minhash_lsh_pairs(
     buckets (shuffle keyed by bucket), then filters by exact distance —
     the scale path: candidate count is data-dependent, never n^2. Output:
     (id_a, id_b, jaccard_dist) with id_a < id_b.
+
+    The shingle→TF feature pipeline is the CPU-heavy narrow stage:
+    ``fan_out`` spreads it across cores (no-op on already-parallel
+    inputs) and the prepared features are persisted so the self-join's
+    two sides share one computation instead of shingling the corpus
+    twice — the standard shape for any self-similarity join.
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH, NGram, RegexTokenizer
 
@@ -93,9 +101,10 @@ def minhash_lsh_pairs(
     tf = HashingTF(
         inputCol="_shingles", outputCol="_features", numFeatures=num_features, binary=True
     )
-    prepared = tf.transform(ng.transform(tok.transform(df)))
+    prepared = tf.transform(ng.transform(tok.transform(fan_out(df))))
     # MinHashLSH requires at least one non-zero feature
     prepared = prepared.where(F.size("_shingles") > 0).select(id_col, "_features")
+    prepared = prepared.persist()
     mh = MinHashLSH(
         inputCol="_features", outputCol="_hashes", numHashTables=num_hash_tables, seed=seed
     )
@@ -125,7 +134,9 @@ def simhash(
 ) -> DataFrame:
     """63-bit SimHash per document: xxhash64 each token, majority-vote each
     bit. Entirely JVM-side: explode → 63 codegen'd conditional sums →
-    bit reassembly. One shuffle (groupBy id)."""
+    bit reassembly. One shuffle (groupBy id); the explode+hash narrow
+    stage is fanned out so a single-split corpus still uses every core."""
+    df = fan_out(df)
     tokens = df.select(
         F.col(id_col),
         F.explode(F.split(F.lower(F.col(text_col)), "\\s+")).alias("_tok"),
@@ -159,8 +170,9 @@ def simhash_neardup_pairs(
     ``bands`` bands; by pigeonhole, any pair within ``max_hamming`` (<
     bands) shares at least one exact band → candidates come from equality
     joins on (band_idx, band_bits), then popcount(xor) verifies. No
-    all-pairs comparison anywhere."""
-    sigs = simhash(df, text_col, id_col)
+    all-pairs comparison anywhere. Signatures persist so the self-join's
+    two sides share one tokenize+vote computation."""
+    sigs = simhash(df, text_col, id_col).persist()
     width = SIMHASH_BITS // bands + 1
     banded = sigs.select(
         id_col,
@@ -282,7 +294,7 @@ def ngram_jaccard_pairs(
     (restricts pairs to equal buckets — recall becomes the blocker's).
     Empty-token documents are excluded (Jaccard undefined). Output
     (id_a, id_b, jaccard)."""
-    base = df.select(
+    base = fan_out(df).select(
         F.col(id_col), token_set(F.col(text_col)).alias("_toks")
     ).where(F.size("_toks") > 0)
     inter = F.size(F.array_intersect(F.col("a._toks"), F.col("b._toks")))

@@ -24,6 +24,8 @@ import math
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from flyq_spark.operators.util import fan_out
+
 
 def dot(a: Column, b: Column) -> Column:
     """Sequential left-fold dot product (deterministic summation order)."""
@@ -68,7 +70,7 @@ def topk_bruteforce(
             F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
         )
     )
-    scored = embeddings.select(
+    scored = fan_out(embeddings).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_vec")
     ).crossJoin(q).select(
         "query_id",
@@ -97,7 +99,7 @@ def neardup_pairs(
     cosine verify. Output (id_a, id_b, score). Pass ``dim`` to skip the
     driver-side dimension sniff."""
     sigs = with_lsh_signature(
-        embeddings, vec_col=vec_col, n_planes=n_planes, seed=seed, dim=dim
+        fan_out(embeddings), vec_col=vec_col, n_planes=n_planes, seed=seed, dim=dim
     )
     a, b = sigs.alias("a"), sigs.alias("b")
     return (
@@ -142,100 +144,169 @@ def neardup_pairs_exact(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_pivots: int = 256,
+    n_blocks: int = 16,
 ) -> DataFrame:
     """EXACT embedding near-duplicate pairs with a bucketed (never
-    corpus x corpus) plan — a pivot-based metric similarity join.
+    corpus x corpus) plan — a pivot-pruned blocked-GEMM similarity join.
 
-    Blocking is cell-pair pruning via the triangle inequality, so unlike
-    hyperplane LSH it has **100% recall by construction** (hyperplane
-    LSH at a low threshold like 0.4 — collision prob 0.63/plane — would
-    need ~50 tables for full recall; this needs none):
+    Unlike hyperplane LSH this has **100% recall by construction**.
+    Two levels, with distinct jobs:
 
-    1. normalize vectors (cosine(a,b) >= t  <=>  ||ua-ub|| <= d_max,
-       d_max = sqrt(2-2t)); zero-norm vectors divide by a 1e-12 floor so
-       a degenerate row can never poison its cell radius with NaN;
-    2. assign every vector to its nearest pivot — a FIXED-budget
-       deterministic sample (``n_pivots`` rows by smallest xxhash64(id);
-       a trained k-means drops in unchanged) — pivots are broadcast,
-       assignment is a projection-shaped narrow pass;
-    3. per-cell radius r_i = max member distance to pivot;
-    4. a cell pair (i,j) can contain a qualifying pair only if
-       ||c_i - c_j|| <= d_max + r_i + r_j (triangle inequality:
-       ||ci-cj|| <= ||ci-ux|| + ||ux-uy|| + ||uy-cj||) — enumerate the
-       qualifying pairs over the tiny k-row pivot table (the only
-       nested-loop join in the plan is k x k pivots, never the corpus);
-    5. candidates = corpus equi-joined on the cell-pair keys (one
-       shuffle keyed by cell), exact cosine verifies.
+    - ``n_pivots`` (pruning resolution): vectors are unit-normalized
+      (cosine(a,b) >= t  <=>  ||ua-ub|| <= d_max = sqrt(2-2t)) and
+      assigned to their nearest pivot from a FIXED-budget deterministic
+      sample (smallest xxhash64(id); a trained k-means drops in
+      unchanged). A cell pair (i,j) can contain a qualifying pair only
+      if ||c_i - c_j|| <= d_max + r_i + r_j (triangle inequality, r =
+      max member distance). Pivot/radius relations are O(k) driver-side
+      tables, independent of corpus size — like pyspark.ml KMeans
+      centroids; no corpus data ever reaches the driver.
+    - ``n_blocks`` (execution granularity): surviving cells hash onto
+      ``b`` superblocks; a superblock pair materializes only if some
+      qualifying cell pair maps into it. Rows replicate to at most ``b``
+      groups (a broadcast equi-join), and each group scores its members
+      with one numpy matrix product inside ``applyInPandas`` — the
+      shuffle carries Σ(|P|+|Q|) member rows, never the Σ|P|·|Q| pair
+      expansion, and the per-pair math is BLAS, not an interpreted
+      per-row expression. Each unordered pair lands in exactly one
+      group (its normalized superblock pair), so no dedup pass is
+      needed.
 
-    ``n_pivots`` is a budget independent of corpus size: broadcast pivot
-    table O(k), cell-pair enumeration O(k^2) rows driver-free, assignment
-    n x k scores with k fixed. Tune k ~ sqrt(n/avg_cell) per deployment;
-    the result is identical for ANY pivot choice (exactness comes from
-    the triangle inequality, not the sample). On clustered real data the
-    cell-pair filter prunes most of the k^2 blocks; on adversarially
-    uniform data it degrades to comparing all blocks — still distributed
-    with bounded shuffle, which is the best any EXACT join can do.
-    Output: (id_a, id_b, score) with id_a < id_b.
+    On clustered real data the cell-pair filter prunes most blocks; on
+    adversarially uniform high-dim data it degrades to scoring all
+    blocks — still distributed, with shuffle bounded by n·b — which is
+    the best any EXACT join can do (use the LSH path when approximate
+    recall is acceptable at that scale).
+    Output: (id_a, id_b, score) with id_a < id_b, score = unit-dot.
     """
+    import numpy as np
+
+    spark = embeddings.sparkSession
     d_max = math.sqrt(max(0.0, 2.0 - 2.0 * min_cosine)) + 1e-9
+    id_type = [f.dataType.simpleString() for f in embeddings.schema.fields if f.name == id_col][0]
+    out_schema = f"id_a {id_type}, id_b {id_type}, score double"
+
     unit = (
-        embeddings.select(F.col(id_col), F.col(vec_col))
+        fan_out(embeddings).select(F.col(id_col), F.col(vec_col))
         .withColumn("_norm", F.greatest(norm(F.col(vec_col)), F.lit(1e-12)))
         .withColumn(
             "_unit", F.transform(F.col(vec_col), lambda x: x.cast("double") / F.col("_norm"))
         )
-        .drop("_norm")
+        .select(id_col, "_unit")
     )
-    pivots = F.broadcast(
-        _deterministic_pivots(
-            unit.select(id_col, "_unit"), n_pivots, id_col, ("_cell", "_pivot")
+
+    # O(k) driver-side pivot table (bounded by the fixed budget, like a
+    # trained k-means model — not corpus data)
+    pivot_rows = _deterministic_pivots(unit, n_pivots, id_col, ("_cell", "_pivot")).collect()
+    if not pivot_rows:
+        return spark.createDataFrame([], out_schema)
+    P = np.array([r["_pivot"] for r in pivot_rows], dtype=np.float64)  # k x d
+    p_sq = (P * P).sum(axis=1)
+    bc = spark.sparkContext.broadcast((P, p_sq))
+
+    def assign(iterator):
+        # nearest pivot per vector, exact L2 (no unit-pivot assumption —
+        # a degenerate zero vector may be sampled as a pivot)
+        P_, p_sq_ = bc.value
+        for pdf in iterator:
+            if len(pdf) == 0:
+                continue
+            U = np.vstack(pdf["_unit"].to_numpy())
+            d2 = (U * U).sum(axis=1)[:, None] + p_sq_[None, :] - 2.0 * (U @ P_.T)
+            np.maximum(d2, 0.0, out=d2)
+            cell = d2.argmin(axis=1)
+            pdf = pdf.assign(_cell=cell, _pdist=np.sqrt(d2[np.arange(len(pdf)), cell]))
+            yield pdf
+
+    assigned = unit.mapInPandas(
+        assign, schema=f"{id_col} {id_type}, _unit array<double>, _cell int, _pdist double"
+    ).persist()  # two consumers: the radius pass and the scoring join
+
+    # per-cell radii -> qualifying cell pairs -> qualifying superblock
+    # pairs; all O(k)/O(k^2) arithmetic on the driver, corpus-free
+    radii_rows = assigned.groupBy("_cell").agg(F.max("_pdist").alias("_r")).collect()
+    occupied = np.array([r["_cell"] for r in radii_rows], dtype=int)
+    radii = np.array([r["_r"] for r in radii_rows])
+    Po = P[occupied]
+    pd2 = (
+        (Po * Po).sum(axis=1)[:, None]
+        + (Po * Po).sum(axis=1)[None, :]
+        - 2.0 * (Po @ Po.T)
+    )
+    cell_d = np.sqrt(np.maximum(pd2, 0.0))
+    qualify = cell_d <= d_max + radii[:, None] + radii[None, :]
+    sb_pairs = sorted(
+        {
+            (min(int(occupied[i]) % n_blocks, int(occupied[j]) % n_blocks),
+             max(int(occupied[i]) % n_blocks, int(occupied[j]) % n_blocks))
+            for i, j in zip(*np.nonzero(qualify))
+        }
+    )
+    if not sb_pairs:
+        assigned.unpersist()
+        return spark.createDataFrame([], out_schema)
+    sbp = F.broadcast(spark.createDataFrame(sb_pairs, "p int, q int"))
+
+    # cell -> superblock is any deterministic map; modulo keeps it JVM-side
+    rows = assigned.withColumn(
+        "_sb", F.pmod(F.col("_cell"), F.lit(n_blocks)).cast("int")
+    ).select(id_col, "_unit", "_sb")
+    left = rows.join(sbp, on=rows["_sb"] == sbp["p"]).select(
+        id_col, "_unit", "p", "q", F.lit(True).alias("_l")
+    )
+    right = rows.join(
+        sbp, on=(rows["_sb"] == sbp["q"]) & (sbp["p"] != sbp["q"])
+    ).select(id_col, "_unit", "p", "q", F.lit(False).alias("_l"))
+    both = left.unionByName(right)
+
+    thr = float(min_cosine)
+
+    def gemm(key, pdf):
+        import pandas as pd
+
+        p_key, q_key = key
+        lmask = pdf["_l"].to_numpy()
+        L = pdf[lmask]
+        ids_l = L[id_col].to_numpy()
+        UL = np.vstack(L["_unit"].to_numpy()) if len(L) else None
+        out = []
+        if p_key == q_key:
+            # within-superblock: strict upper triangle over one side
+            if UL is None or len(L) < 2:
+                return pd.DataFrame({"id_a": [], "id_b": [], "score": []})
+            order = np.argsort(ids_l, kind="stable")
+            ids_l, UL = ids_l[order], UL[order]
+            chunk = max(1, 8_000_000 // max(1, len(ids_l)))
+            for s in range(0, len(ids_l), chunk):
+                e = min(s + chunk, len(ids_l))
+                S = UL[s:e] @ UL.T
+                ii, jj = np.nonzero(S >= thr)
+                keep = (ii + s) < jj  # strict triangle in global index
+                out.append((ids_l[ii[keep] + s], ids_l[jj[keep]], S[ii[keep], jj[keep]]))
+        else:
+            R = pdf[~lmask]
+            if UL is None or len(R) == 0:
+                return pd.DataFrame({"id_a": [], "id_b": [], "score": []})
+            ids_r = R[id_col].to_numpy()
+            UR = np.vstack(R["_unit"].to_numpy())
+            chunk = max(1, 8_000_000 // max(1, len(ids_r)))
+            for s in range(0, len(ids_l), chunk):
+                e = min(s + chunk, len(ids_l))
+                S = UL[s:e] @ UR.T
+                ii, jj = np.nonzero(S >= thr)
+                ia, ib = ids_l[ii + s], ids_r[jj]
+                out.append((np.minimum(ia, ib), np.maximum(ia, ib), S[ii, jj]))
+        if not out:
+            return pd.DataFrame({"id_a": [], "id_b": [], "score": []})
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate([o[0] for o in out]),
+                "id_b": np.concatenate([o[1] for o in out]),
+                "score": np.concatenate([o[2] for o in out]),
+            }
         )
-    )
-    l2 = lambda a, b: F.sqrt(
-        F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-    wp = Window.partitionBy(id_col).orderBy(F.col("_pdist").asc(), F.col("_cell").asc())
-    assigned = (
-        unit.crossJoin(pivots)
-        .select(id_col, vec_col, "_unit", "_cell", l2(F.col("_unit"), F.col("_pivot")).alias("_pdist"))
-        .withColumn("_rn", F.row_number().over(wp))
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
-    )
-    cells = F.broadcast(
-        assigned.groupBy("_cell").agg(F.max("_pdist").alias("_radius"))
-        .join(pivots, on="_cell")
-    )
-    ca, cb = cells.alias("ca"), cells.alias("cb")
-    # ordered cell pairs (both orderings for i != j; (i,i) once) so every
-    # candidate pair is generated exactly once under id_a < id_b
-    cell_pairs = F.broadcast(
-        ca.crossJoin(cb)
-        .where(
-            l2(F.col("ca._pivot"), F.col("cb._pivot"))
-            <= F.lit(d_max) + F.col("ca._radius") + F.col("cb._radius")
-        )
-        .select(
-            F.col("ca._cell").alias("_cell_a"), F.col("cb._cell").alias("_cell_b")
-        )
-    )
-    a = assigned.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), F.col("_cell").alias("_cell_a")
-    )
-    b = assigned.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), F.col("_cell").alias("_cell_b")
-    )
-    return (
-        a.join(cell_pairs, on="_cell_a")
-        .join(b, on="_cell_b")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("score"))
-        .where(F.col("score") >= min_cosine)
-    )
+
+    return both.groupBy("p", "q").applyInPandas(gemm, schema=out_schema)
 
 
 def quantize_embedding(vec: Column) -> tuple[Column, Column]:
@@ -305,7 +376,7 @@ def assign_cells(
     per-vector (narrow). ``centroids`` is positional: (centroid_id,
     vector). Output: (id, cell, probe_rank)."""
     c = F.broadcast(centroids.toDF("cell", "_cvec"))
-    scored = embeddings.select(F.col(id_col), F.col(vec_col).alias("_vec")).crossJoin(
+    scored = fan_out(embeddings).select(F.col(id_col), F.col(vec_col).alias("_vec")).crossJoin(
         c
     ).select(
         id_col, "cell", cosine(F.col("_vec"), F.col("_cvec")).alias("_cscore")
@@ -397,7 +468,7 @@ def topk_lsh(
     if dim is None:
         dim_row = embeddings.select(F.size(vec_col).alias("d")).first()
         dim = int(dim_row["d"]) if dim_row else 0
-    corpus_base = embeddings.select(
+    corpus_base = fan_out(embeddings).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_vec")
     )
     query_base = queries.select(
