@@ -60,28 +60,67 @@ def topk_bruteforce(
 ) -> DataFrame:
     """Exact cosine top-k of each query against the corpus.
 
-    ``queries``: (query_id, embedding) — small; broadcast so the corpus
-    never shuffles. Ranking window is per-query (narrow). Self-matches
-    (same id) are excluded by the caller's query_id convention if needed.
-    Output: (query_id, neighbor_id, score, rank).
+    ``queries``: (query_id, embedding) — small, bounded like a model:
+    it rides to executors as a broadcast numpy matrix. Scoring is one
+    narrow ``mapInPandas`` pass — a per-Arrow-batch GEMM — that emits
+    only each partition's local top-k per query (ties broken toward the
+    smaller neighbor id, the same order the global rank uses, so no
+    boundary candidate is ever lost). The global window then ranks
+    ≤ partitions × queries × k rows instead of shuffling all n×q
+    scores. Output: (query_id, neighbor_id, score, rank).
     """
-    q = F.broadcast(
-        queries.select(
-            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
-        )
-    )
-    scored = fan_out(embeddings).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_vec")
-    ).crossJoin(q).select(
-        "query_id",
-        "neighbor_id",
-        cosine(F.col("_qvec"), F.col("_vec")).alias("score"),
+    import numpy as np
+
+    qrows = queries.select(F.col(query_id_col), F.col(vec_col)).collect()
+    id_type = [f.dataType.simpleString() for f in embeddings.schema.fields if f.name == id_col][0]
+    qid_type = [f.dataType.simpleString() for f in queries.schema.fields if f.name == query_id_col][0]
+    out_schema = f"query_id {qid_type}, neighbor_id {id_type}, score double"
+    spark = embeddings.sparkSession
+    if not qrows:
+        return spark.createDataFrame([], out_schema + ", rank long")
+    qids = np.array([r[0] for r in qrows])
+    Q = np.array([r[1] for r in qrows], dtype=np.float64)
+    qn = np.linalg.norm(Q, axis=1)
+    qn[qn == 0.0] = 1.0
+    bc = spark.sparkContext.broadcast((qids, Q / qn[:, None]))
+    kk = int(k)
+
+    def local_topk(iterator):
+        import pandas as pd
+
+        qids_, Qn_ = bc.value
+        nq = len(qids_)
+        best_s: list = [None] * nq  # per query: candidate scores/ids so far
+        best_i: list = [None] * nq
+        for pdf in iterator:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            V = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            vn = np.linalg.norm(V, axis=1)
+            vn[vn == 0.0] = 1.0
+            S = Qn_ @ (V / vn[:, None]).T  # nq x batch
+            for qi in range(nq):
+                s = S[qi] if best_s[qi] is None else np.concatenate([best_s[qi], S[qi]])
+                i = ids if best_i[qi] is None else np.concatenate([best_i[qi], ids])
+                order = np.lexsort((i, -s))[:kk]  # score desc, id asc
+                best_s[qi], best_i[qi] = s[order], i[order]
+        out = [
+            (qids_[qi], best_i[qi][j], best_s[qi][j])
+            for qi in range(nq)
+            if best_i[qi] is not None
+            for j in range(len(best_i[qi]))
+        ]
+        yield pd.DataFrame(out, columns=["query_id", "neighbor_id", "score"])
+
+    local = fan_out(embeddings).select(id_col, vec_col).mapInPandas(
+        local_topk, schema=out_schema
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        local.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
     )
 
@@ -372,21 +411,54 @@ def assign_cells(
     nprobe: int = 1,
 ) -> DataFrame:
     """IVF cell assignment: nearest ``nprobe`` centroids per vector by
-    cosine. Centroid side is tiny -> broadcast; ranking window is
-    per-vector (narrow). ``centroids`` is positional: (centroid_id,
-    vector). Output: (id, cell, probe_rank)."""
-    c = F.broadcast(centroids.toDF("cell", "_cvec"))
-    scored = fan_out(embeddings).select(F.col(id_col), F.col(vec_col).alias("_vec")).crossJoin(
-        c
-    ).select(
-        id_col, "cell", cosine(F.col("_vec"), F.col("_cvec")).alias("_cscore")
-    )
-    w = Window.partitionBy(id_col).orderBy(F.col("_cscore").desc(), F.col("cell").asc())
-    return (
-        scored.withColumn("probe_rank", F.row_number().over(w))
-        .where(F.col("probe_rank") <= nprobe)
-        .select(id_col, "cell", "probe_rank")
-    )
+    cosine (ties broken by smallest cell id).
+
+    The centroid table is O(k) — bounded like a trained k-means model —
+    so it rides to executors as a broadcast numpy matrix and assignment
+    is ONE narrow ``mapInPandas`` pass (a vectorized n×k GEMM per Arrow
+    batch): no crossJoin row expansion, no per-vector ranking window, no
+    shuffle at all. ``centroids`` is positional: (centroid_id, vector).
+    Output: (id, cell, probe_rank)."""
+    import numpy as np
+
+    spark = embeddings.sparkSession
+    id_type = [f.dataType.simpleString() for f in embeddings.schema.fields if f.name == id_col][0]
+    cell_type = centroids.schema.fields[0].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, cell {cell_type}, probe_rank int"
+    crows = centroids.toDF("cell", "_cvec").collect()
+    if not crows:
+        return spark.createDataFrame([], out_schema)
+    cells = np.array([r["cell"] for r in crows])
+    C = np.array([r["_cvec"] for r in crows], dtype=np.float64)
+    cn = np.linalg.norm(C, axis=1)
+    cn[cn == 0.0] = 1.0
+    # sort by cell id: stable argsort on -score then breaks ties toward
+    # the smallest cell, matching the window form's (score desc, cell asc)
+    order = np.argsort(cells)
+    bc = spark.sparkContext.broadcast((cells[order], (C / cn[:, None])[order]))
+    take = min(int(nprobe), len(crows))
+
+    def assign(iterator):
+        import pandas as pd
+
+        cells_, Cn_ = bc.value
+        for pdf in iterator:
+            if len(pdf) == 0:
+                continue
+            V = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            vn = np.linalg.norm(V, axis=1)
+            vn[vn == 0.0] = 1.0
+            S = (V / vn[:, None]) @ Cn_.T
+            idx = np.argsort(-S, axis=1, kind="stable")[:, :take]
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), take),
+                    "cell": cells_[idx].ravel(),
+                    "probe_rank": np.tile(np.arange(1, take + 1), len(pdf)),
+                }
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(assign, schema=out_schema)
 
 
 def topk_ivf(
@@ -411,6 +483,7 @@ def topk_ivf(
     probed candidates, never n x m. Self-recall is guaranteed at any
     nprobe >= 1 (a vector's own cell is its nearest centroid's cell).
     Output: (query_id, neighbor_id, score, rank)."""
+    embeddings = fan_out(embeddings)
     centroids = _deterministic_pivots(
         embeddings.select(id_col, vec_col), n_pivots, id_col, (id_col, vec_col)
     )
