@@ -477,6 +477,191 @@ def q_funnel_conversion(spark, sf_dir):
     )
 
 
+def q_q13_order_distribution(spark, sf_dir):
+    """Left-outer distribution (TPC-H Q13 shape): orders per customer —
+    INCLUDING zero-order customers, which only an outer join preserves —
+    then the histogram of those counts. Two shuffles: custkey (wide,
+    well-distributed) then c_count (tiny post-agg input)."""
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").cast("long").alias("custdist")
+    )
+
+
+def q_q16_supplier_cnt(spark, sf_dir):
+    """Anti-join + countDistinct (TPC-H Q16 shape, adapted: no partsupp
+    table in the corpus, so the part↔supplier relation is the distinct
+    (l_partkey, l_suppkey) pairs from lineitem). Suppliers with negative
+    account balance are excluded NOT-IN-style via left_anti (s_suppkey is
+    non-null, so anti-join == NOT IN here)."""
+    li = _read(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    part = _read(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    bad_supp = _read(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+def q_q19_disjunctive_revenue(spark, sf_dir):
+    """Disjunctive predicate pushdown (TPC-H Q19 shape): an OR of
+    brand/size/quantity conjunctions. The common l_quantity <= 30 and
+    p_size >= 1 bounds are implied by each branch, so Catalyst can push
+    a superset filter into BOTH scans before the join."""
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return joined.where(cond).agg(
+        (
+            F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))
+            * 10000
+        )
+        .cast("long")
+        .alias("revenue_c4"),
+        F.count("*").cast("long").alias("n_items"),
+    )
+
+
+def q_q22_idle_customers(spark, sf_dir):
+    """Scalar-subquery threshold + anti-join (TPC-H Q22 shape, adapted:
+    nation stands in for the phone prefix). "Above-average balance" is
+    tested in exact integer arithmetic — acctbal * n_pos > sum_pos —
+    instead of comparing against a float average, so Spark and the
+    oracle agree bit-for-bit. "Idle" = no order since 2000-01-01 (the
+    unwindowed NOT EXISTS is vacuous on this corpus: every rich customer
+    has ordered at some point). The 1-row threshold frame broadcasts."""
+    cust = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    orders = (
+        _read(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("2000-01-01"))
+        .select("o_custkey")
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    thresh = cust.where(F.col("c_acctbal") > 0).agg(
+        F.count("*").alias("_n_pos"),
+        F.sum(dec("c_acctbal")).alias("_sum_pos"),
+    )
+    return (
+        cust.crossJoin(F.broadcast(thresh))
+        .where(dec("c_acctbal") * F.col("_n_pos") > F.col("_sum_pos"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("long").alias("numcust"),
+            (F.sum(dec("c_acctbal")) * 100).cast("long").alias("totacctbal_c"),
+        )
+    )
+
+
+def q_q10_returned_items(spark, sf_dir):
+    """Returned-item revenue ranking (TPC-H Q10 shape): customers ranked
+    by revenue they returned in one half-year window. Group keys include
+    the unique c_custkey, so the desc-revenue/asc-custkey order is total
+    and the LIMIT is deterministic."""
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01"))
+    )
+    li = _read(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    nation = _read(spark, sf_dir, "nation")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            (
+                F.sum(
+                    dec("l_extendedprice")
+                    * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+                )
+                * 10000
+            )
+            .cast("long")
+            .alias("revenue_c4")
+        )
+        .orderBy(F.col("revenue_c4").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def q_q7_volume_shipping(spark, sf_dir):
+    """Bidirectional nation-pair trade volume (TPC-H Q7 shape): the OR
+    of (supp=N1, cust=N2) and (supp=N2, cust=N1), grouped by the pair
+    and ship year. Both nation filters are applied BEFORE the big join
+    via two broadcast semi-filters on tiny nation sides."""
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    supp = _read(spark, sf_dir, "supplier")
+    nation = _read(spark, sf_dir, "nation")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("_n1_key"), F.col("n_name").alias("supp_nation")
+    ).where(F.col("supp_nation").isin("NATION_1", "NATION_2"))
+    n2 = nation.select(
+        F.col("n_nationkey").alias("_n2_key"), F.col("n_name").alias("cust_nation")
+    ).where(F.col("cust_nation").isin("NATION_1", "NATION_2"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_n2_key"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            (
+                F.sum(
+                    dec("l_extendedprice")
+                    * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+                )
+                * 10000
+            )
+            .cast("long")
+            .alias("revenue_c4")
+        )
+    )
+
+
 # --------------------------------------------------------------------- #
 # Part C [EXT] — event analytics
 # --------------------------------------------------------------------- #
@@ -748,6 +933,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_revenue": q_q14_promo_revenue,
         "q18_big_orders": q_q18_big_orders,
         "funnel_conversion": q_funnel_conversion,
+        "q13_order_distribution": q_q13_order_distribution,
+        "q16_supplier_cnt": q_q16_supplier_cnt,
+        "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
+        "q22_idle_customers": q_q22_idle_customers,
+        "q10_returned_items": q_q10_returned_items,
+        "q7_volume_shipping": q_q7_volume_shipping,
         # Part C [EXT]
         "sessionize": q_sessionize,
         "window_tumbling": q_window_tumbling,
@@ -1015,6 +1206,82 @@ SELECT c.c_name, o.o_orderkey, epoch_us(o.o_orderdate) AS orderdate_us, b.total_
 FROM big b
 JOIN orders o ON b.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
+""",
+        "q13_order_distribution": """
+SELECT c_count, count(*) AS custdist FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+) GROUP BY c_count
+""",
+        "q16_supplier_cnt": """
+SELECT p.p_brand, p.p_type, p.p_size,
+       count(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+""",
+        "q19_disjunctive_revenue": """
+SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) * 10000 AS BIGINT)
+         AS revenue_c4,
+       count(*) AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5  AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10 AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3'  AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 20 AND 30)
+""",
+        "q22_idle_customers": """
+WITH t AS (
+  SELECT count(*) AS n_pos, sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_pos
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT n.n_name, count(*) AS numcust,
+       CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT) AS totacctbal_c
+FROM customer c CROSS JOIN t
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE CAST(c.c_acctbal AS DECIMAL(18,2)) * t.n_pos > t.sum_pos
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY n.n_name
+""",
+        "q10_returned_items": """
+SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) * 10000 AS BIGINT)
+         AS revenue_c4
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01' AND o.o_orderdate < TIMESTAMP '1996-07-01'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue_c4 DESC, c.c_custkey ASC
+LIMIT 20
+""",
+        "q7_volume_shipping": """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l.l_shipdate) AS l_year,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) * 10000 AS BIGINT)
+         AS revenue_c4
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+  AND n2.n_name IN ('NATION_1', 'NATION_2')
+  AND n1.n_name <> n2.n_name
+GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
 """,
         "funnel_conversion": """
 WITH per_user AS (
