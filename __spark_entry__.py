@@ -892,6 +892,22 @@ def q_ann_ivf_topk(spark, sf_dir):
     )
 
 
+def q_kmeans_centroids(spark, sf_dir):
+    """Trained IVF coarse quantizer (rows-only: iterative algorithm, no
+    SQL oracle form; semantics pinned in test_ext_operators.py — blob
+    recovery, bit-determinism, recall >= untrained). Emits the cell
+    inventory: every cell with its member count."""
+    emb = _read(spark, sf_dir, "embeddings")
+    cent = V.train_kmeans(emb, n_clusters=16, max_iter=3)
+    assigned = V.assign_cells(emb, cent, nprobe=1)
+    return (
+        assigned.groupBy("cell")
+        .agg(F.count("*").cast("long").alias("n_members"))
+        .join(cent.select("cell"), on="cell", how="right")
+        .select("cell", F.coalesce("n_members", F.lit(0)).alias("n_members"))
+    )
+
+
 def q_multimodal_features(spark, sf_dir):
     docs = M.attach_media(_read(spark, sf_dir, "documents"), "text", kind="image")
     return M.extract_features(docs, kind="image").select(
@@ -965,6 +981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": q_simhash_neardup,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "kmeans_centroids": q_kmeans_centroids,
         "multimodal_features": q_multimodal_features,
     }
 

@@ -461,6 +461,110 @@ def assign_cells(
     return embeddings.select(id_col, vec_col).mapInPandas(assign, schema=out_schema)
 
 
+def train_kmeans(
+    embeddings: DataFrame,
+    n_clusters: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 5,
+    tol: float = 1e-4,
+) -> DataFrame:
+    """Distributed spherical k-means (Lloyd's) for IVF coarse quantizers.
+
+    Vectors are unit-normalized, so cosine assignment == euclidean
+    assignment and the mean-then-renormalize update is the spherical
+    k-means step. The scale shape mirrors ``pyspark.ml`` KMeans:
+
+    - centroid state is an O(k x d) driver/broadcast matrix — NEVER a
+      corpus-sized relation;
+    - each iteration is ONE narrow ``mapInPandas`` pass over the corpus
+      that fuses assignment (batch GEMM against the broadcast centroids)
+      with map-side combine: it emits per-partition per-cell partial
+      (count, sum) rows — at most partitions x k tiny rows cross to the
+      driver, the corpus itself never shuffles;
+    - the final reduce sorts partials by (cell, partition) before
+      summing, so results are bit-deterministic run to run.
+
+    Init is the fixed-budget deterministic sample (smallest
+    ``xxhash64(id)``), the same seeding ``topk_ivf`` uses untrained, so
+    training strictly refines the untrained behavior. Empty clusters
+    keep their previous center. Stops early when every center moves less
+    than ``tol`` (euclidean, on the unit sphere).
+
+    Returns a (cell, centroid) DataFrame — positional drop-in for
+    ``assign_cells`` / ``topk_ivf(centroids=...)``.
+    """
+    import numpy as np
+
+    spark = embeddings.sparkSession
+    src = fan_out(embeddings).select(id_col, vec_col)
+    init = _deterministic_pivots(src, n_clusters, id_col, ("_pid", "_pvec")).collect()
+    C = np.array([r["_pvec"] for r in init], dtype=np.float64)
+    if C.size == 0:
+        return spark.createDataFrame([], "cell int, centroid array<double>")
+    cn = np.linalg.norm(C, axis=1)
+    cn[cn == 0.0] = 1.0
+    C = C / cn[:, None]
+    k = len(C)
+
+    partial_schema = "cell int, cnt long, psum array<double>, pid int"
+
+    for _ in range(max_iter):
+        bc = spark.sparkContext.broadcast(C)
+
+        def partials(iterator):
+            import pandas as pd
+            from pyspark import TaskContext
+
+            C_ = bc.value
+            sums = np.zeros_like(C_)
+            counts = np.zeros(len(C_), dtype=np.int64)
+            for pdf in iterator:
+                if len(pdf) == 0:
+                    continue
+                V = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+                vn = np.linalg.norm(V, axis=1)
+                vn[vn == 0.0] = 1.0
+                U = V / vn[:, None]
+                cells = np.argmax(U @ C_.T, axis=1)
+                np.add.at(sums, cells, U)
+                counts += np.bincount(cells, minlength=len(C_))
+            pid = TaskContext.get().partitionId()
+            hit = np.nonzero(counts)[0]
+            if len(hit) == 0:
+                return
+            yield pd.DataFrame(
+                {
+                    "cell": hit.astype("int32"),
+                    "cnt": counts[hit],
+                    "psum": [[float(x) for x in sums[c]] for c in hit],
+                    "pid": np.full(len(hit), pid, dtype="int32"),
+                }
+            )
+
+        rows = src.mapInPandas(partials, schema=partial_schema).collect()
+        new_sums = np.zeros_like(C)
+        new_counts = np.zeros(k, dtype=np.int64)
+        for r in sorted(rows, key=lambda r: (r["cell"], r["pid"])):
+            new_sums[r["cell"]] += np.asarray(r["psum"], dtype=np.float64)
+            new_counts[r["cell"]] += r["cnt"]
+        nonempty = new_counts > 0
+        moved = C.copy()
+        moved[nonempty] = new_sums[nonempty] / new_counts[nonempty, None]
+        mn = np.linalg.norm(moved, axis=1)
+        mn[mn == 0.0] = 1.0
+        moved = moved / mn[:, None]
+        shift = float(np.max(np.linalg.norm(moved - C, axis=1)))
+        C = moved
+        if shift < tol:
+            break
+
+    return spark.createDataFrame(
+        [(int(i), [float(x) for x in C[i]]) for i in range(k)],
+        "cell int, centroid array<double>",
+    )
+
+
 def topk_ivf(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -470,6 +574,7 @@ def topk_ivf(
     query_id_col: str = "query_id",
     n_pivots: int = 256,
     nprobe: int = 2,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF ANN top-k: partition the corpus into Voronoi cells around
     deterministic centroids (a FIXED ``n_pivots``-row sample by smallest
@@ -482,11 +587,14 @@ def topk_ivf(
     time is a bucket-equality join on ``cell`` — shuffle proportional to
     probed candidates, never n x m. Self-recall is guaranteed at any
     nprobe >= 1 (a vector's own cell is its nearest centroid's cell).
-    Output: (query_id, neighbor_id, score, rank)."""
+    Pass ``centroids`` (e.g. from ``train_kmeans``) to replace the
+    deterministic sample with a trained coarse quantizer — same plan,
+    better-balanced cells. Output: (query_id, neighbor_id, score, rank)."""
     embeddings = fan_out(embeddings)
-    centroids = _deterministic_pivots(
-        embeddings.select(id_col, vec_col), n_pivots, id_col, (id_col, vec_col)
-    )
+    if centroids is None:
+        centroids = _deterministic_pivots(
+            embeddings.select(id_col, vec_col), n_pivots, id_col, (id_col, vec_col)
+        )
     corpus_cells = assign_cells(embeddings, centroids, id_col, vec_col, nprobe=1)
     corpus = embeddings.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_vec")

@@ -19,6 +19,7 @@ def test_queries_and_oracles_consistent():
         "simhash_neardup",
         "ann_lsh_topk",
         "ann_ivf_topk",
+        "kmeans_centroids",
         "multimodal_features",
         "sketch_stats",
     }

@@ -524,3 +524,86 @@ def test_quantized_cosine_close_to_exact(spark, emb):
         F.min("v").alias("mn"), F.max("v").alias("mx")
     ).collect()[0]
     assert -127 <= vals["mn"] and vals["mx"] <= 127
+
+
+# ----------------------------- k-means -------------------------------- #
+
+
+def _blob_frame(spark, n_per=40, d=8):
+    """Three well-separated unit-sphere blobs with tiny deterministic
+    jitter; ids interleave blobs so deterministic-pivot cells mix them."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    centers = np.eye(3, d)  # orthogonal -> cosine separation is maximal
+    rows = []
+    for i in range(3 * n_per):
+        b = i % 3
+        v = centers[b] + 0.05 * rng.randn(d)
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_kmeans_recovers_separated_blobs(spark):
+    from flyq_spark.operators.similarity import assign_cells, train_kmeans
+
+    df = _blob_frame(spark)
+    cent = train_kmeans(df, n_clusters=3, max_iter=10)
+    assert cent.count() == 3
+    assigned = assign_cells(df, cent, nprobe=1).collect()
+    by_blob: dict[int, set] = {}
+    for r in assigned:
+        by_blob.setdefault(r["vec_id"] % 3, set()).add(r["cell"])
+    # every blob maps to exactly one cell, and the three cells differ
+    assert all(len(cells) == 1 for cells in by_blob.values())
+    assert len(set().union(*by_blob.values())) == 3
+
+
+def test_kmeans_deterministic_across_runs(spark):
+    from flyq_spark.operators.similarity import train_kmeans
+
+    df = _blob_frame(spark)
+    a = sorted((r["cell"], tuple(r["centroid"])) for r in train_kmeans(df, 3).collect())
+    b = sorted((r["cell"], tuple(r["centroid"])) for r in train_kmeans(df, 3).collect())
+    assert a == b
+
+
+def test_kmeans_improves_ivf_cell_balance_and_recall(spark):
+    """On clustered data a trained quantizer must not lose recall vs the
+    untrained deterministic sample at equal nprobe, and its assignment
+    must still satisfy the exact-score-subset contract of topk_ivf."""
+    from flyq_spark.operators.similarity import (
+        topk_bruteforce,
+        topk_ivf,
+        train_kmeans,
+    )
+
+    df = _blob_frame(spark)
+    queries = df.where(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cent = train_kmeans(df, n_clusters=3, max_iter=10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in topk_bruteforce(df, queries, k=5).collect()
+    }
+    trained = {
+        (r["query_id"], r["neighbor_id"])
+        for r in topk_ivf(df, queries, k=5, centroids=cent, nprobe=1).collect()
+    }
+    recall = len(trained & exact) / len(exact)
+    # blobs are cosine-orthogonal: every true neighbor shares the blob
+    # cell, so trained recall at nprobe=1 is perfect
+    assert recall == 1.0
+
+
+def test_kmeans_empty_and_tiny_corpus(spark):
+    from flyq_spark.operators.similarity import train_kmeans
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert train_kmeans(empty, 4).count() == 0
+    tiny = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    cent = train_kmeans(tiny, 8)
+    assert cent.count() == 2  # budget clamps to corpus size
