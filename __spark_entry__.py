@@ -662,6 +662,68 @@ def q_q7_volume_shipping(spark, sf_dir):
     )
 
 
+def q_q17_small_qty_revenue(spark, sf_dir):
+    """Correlated per-group threshold (TPC-H Q17 shape): lineitems whose
+    quantity is below 20% of their part's average quantity. The
+    correlated scalar subquery becomes a per-partkey aggregate joined
+    back to the fact; the avg comparison is cross-multiplied into exact
+    integers (5*qty*cnt < sum) so no engine's float rounding can flip a
+    boundary row."""
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#23")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    per_part = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.count("*").alias("_cnt"), F.sum(dec("l_quantity")).alias("_sum_qty")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(per_part, li.l_partkey == F.col("_pk"))
+        .where(dec("l_quantity") * F.col("_cnt") * 5 < F.col("_sum_qty"))
+        .agg(
+            (F.sum(dec("l_extendedprice")) * 100).cast("long").alias("sum_price_c"),
+            F.count("*").cast("long").alias("n_small"),
+        )
+    )
+
+
+def q_setops_customer_segments(spark, sf_dir):
+    """Set operations (INTERSECT / EXCEPT): BUILDING-segment customers
+    split into those who did and did not place an urgent order. Both
+    branches are key-sets, so the set ops compile to semi/anti hash
+    joins — one shuffle each on the key, no row explosion."""
+    cust = _read(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select(F.col("c_custkey").alias("k"))
+    urgent = _read(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select(F.col("o_custkey").alias("k"))
+    both = cust.intersect(urgent).select(F.lit("building_urgent").alias("tag"), "k")
+    only = cust.subtract(urgent).select(F.lit("building_no_urgent").alias("tag"), "k")
+    return both.unionAll(only)
+
+
+def q_running_order_totals(spark, sf_dir):
+    """Analytic windows (running sum + rank + lag) over each customer's
+    order history. The frame key (o_custkey) partitions the window —
+    one shuffle, then all three functions evaluate in a single sort
+    pass. (o_orderdate, o_orderkey) is a total order, so every output
+    value is deterministic."""
+    orders = _read(spark, sf_dir, "orders")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.sum(dec("o_totalprice")).over(w.rowsBetween(Window.unboundedPreceding, 0)) * 100)
+        .cast("long")
+        .alias("running_total_c"),
+        F.rank().over(w).cast("long").alias("order_rank"),
+        (F.coalesce(F.lag(dec("o_totalprice")).over(w), F.lit(0).cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("prev_total_c"),
+    )
+
+
 # --------------------------------------------------------------------- #
 # Part C [EXT] — event analytics
 # --------------------------------------------------------------------- #
@@ -955,6 +1017,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_idle_customers": q_q22_idle_customers,
         "q10_returned_items": q_q10_returned_items,
         "q7_volume_shipping": q_q7_volume_shipping,
+        "q17_small_qty_revenue": q_q17_small_qty_revenue,
+        "setops_customer_segments": q_setops_customer_segments,
+        "running_order_totals": q_running_order_totals,
         # Part C [EXT]
         "sessionize": q_sessionize,
         "window_tumbling": q_window_tumbling,
@@ -1299,6 +1364,46 @@ WHERE n1.n_name IN ('NATION_1', 'NATION_2')
   AND n2.n_name IN ('NATION_1', 'NATION_2')
   AND n1.n_name <> n2.n_name
 GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+""",
+        "q17_small_qty_revenue": """
+WITH per_part AS (
+  SELECT l_partkey AS pk, count(*) AS cnt,
+         sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_price_c,
+       count(*) AS n_small
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN per_part t ON l.l_partkey = t.pk
+WHERE p.p_brand = 'Brand#23'
+  AND CAST(l.l_quantity AS DECIMAL(18,2)) * t.cnt * 5 < t.sum_qty
+""",
+        "setops_customer_segments": """
+SELECT 'building_urgent' AS tag, k FROM (
+  SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+  INTERSECT
+  SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+UNION ALL
+SELECT 'building_no_urgent' AS tag, k FROM (
+  SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+  EXCEPT
+  SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+""",
+        "running_order_totals": """
+SELECT o_custkey, o_orderkey,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100 AS BIGINT)
+         AS running_total_c,
+       rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         AS order_rank,
+       CAST(coalesce(lag(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+            CAST(0 AS DECIMAL(18,2))) * 100 AS BIGINT) AS prev_total_c
+FROM orders
 """,
         "funnel_conversion": """
 WITH per_user AS (
