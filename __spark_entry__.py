@@ -724,6 +724,46 @@ def q_running_order_totals(spark, sf_dir):
     )
 
 
+def q_json_props_stats(spark, sf_dir):
+    """JSON column surface: extract a typed field from the ``props``
+    JSON string with ``get_json_object`` (JVM-side, codegen'd — no
+    Python) and aggregate it per event type. The extraction is a pure
+    projection: zero extra shuffles beyond the final groupBy."""
+    ev = _read(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("_k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("_k").cast("long").alias("sum_k"),
+            F.min("_k").cast("long").alias("min_k"),
+            F.max("_k").cast("long").alias("max_k"),
+            F.count(F.col("_k")).cast("long").alias("n_with_k"),
+        )
+    )
+
+
+def q_pivot_priority_by_year(spark, sf_dir):
+    """Pivot/crosstab: order counts per (year x priority) with priorities
+    as columns. ``pivot`` with an EXPLICIT value list stays a single
+    groupBy aggregate (no extra distinct-values job, no second shuffle) —
+    the same plan the CASE-WHEN oracle form produces."""
+    orders = _read(spark, sf_dir, "orders")
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    out_names = ["urgent", "high", "medium", "not_specified", "low"]
+    pivoted = (
+        orders.select(F.year("o_orderdate").alias("order_year"), "o_orderpriority")
+        .groupBy("order_year")
+        .pivot("o_orderpriority", prios)
+        .count()
+    )
+    cleaned = [
+        F.coalesce(F.col(f"`{p}`"), F.lit(0)).cast("long").alias(n)
+        for p, n in zip(prios, out_names)
+    ]
+    return pivoted.select("order_year", *cleaned)
+
+
 # --------------------------------------------------------------------- #
 # Part C [EXT] — event analytics
 # --------------------------------------------------------------------- #
@@ -1020,6 +1060,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_qty_revenue": q_q17_small_qty_revenue,
         "setops_customer_segments": q_setops_customer_segments,
         "running_order_totals": q_running_order_totals,
+        "json_props_stats": q_json_props_stats,
+        "pivot_priority_by_year": q_pivot_priority_by_year,
         # Part C [EXT]
         "sessionize": q_sessionize,
         "window_tumbling": q_window_tumbling,
@@ -1404,6 +1446,25 @@ SELECT o_custkey, o_orderkey,
             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
             CAST(0 AS DECIMAL(18,2))) * 100 AS BIGINT) AS prev_total_c
 FROM orders
+""",
+        "json_props_stats": """
+SELECT event_type,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+       count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k
+FROM events
+GROUP BY event_type
+""",
+        "pivot_priority_by_year": """
+SELECT year(o_orderdate) AS order_year,
+       count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent,
+       count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS high,
+       count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS medium,
+       count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS not_specified,
+       count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS low
+FROM orders
+GROUP BY year(o_orderdate)
 """,
         "funnel_conversion": """
 WITH per_user AS (
