@@ -31,6 +31,9 @@ HEADLINE = [
     ("q1_pricing", True),
     ("q3_top_orders", True),
     ("q5_region_revenue", True),
+    ("q13_order_distribution", True),
+    ("q19_disjunctive_revenue", True),
+    ("running_order_totals", False),
     ("sessionize", False),
     ("window_tumbling", False),
     ("top_events_per_user", False),
