@@ -933,6 +933,23 @@ def q_embedding_neardup(spark, sf_dir):
     return V.neardup_pairs_exact(emb, min_cosine=0.4).select("id_a", "id_b")
 
 
+def q_neardup_components(spark, sf_dir):
+    """Duplicate CLUSTERS from exact near-dup pairs: iterative min-label
+    propagation to the fixpoint (operators/graph.py) — similarity is not
+    transitive, so actionable dedup needs the transitive closure, not
+    pairs. Oracle form: DuckDB recursive CTE over the identical pair
+    set; both sides label each node with the smallest reachable id, so
+    the hash match verifies a distributed iterative graph algorithm
+    against a declarative fixpoint."""
+    from flyq_spark.operators.graph import connected_components
+
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pairs = V.neardup_pairs_exact(emb, min_cosine=0.4)
+    return connected_components(pairs).select(
+        F.col("node").alias("vec_id"), "component"
+    )
+
+
 def q_embedding_quantize(spark, sf_dir):
     """int8 symmetric quantization of the embedding column (the 4x
     storage-reduction op for 100 TB vector corpora). The gate emits the
@@ -1081,6 +1098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "similarity_topk": q_similarity_topk,
         "embedding_neardup": q_embedding_neardup,
+        "neardup_components": q_neardup_components,
         "embedding_quantize": q_embedding_quantize,
         "multimodal_content": q_multimodal_content,
         # rows-only (non-SQL-expressible: LSH/MinHash/SimHash/Arrow kernels)
@@ -1669,6 +1687,24 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                              CAST(b.embedding AS DOUBLE[])) >= 0.4
+""",
+        "neardup_components": """
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) >= 0.4
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM pairs
+), reach(node, label) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT e.u, r.label FROM reach r JOIN edges e ON e.v = r.node
+)
+SELECT node AS vec_id, min(label) AS component
+FROM reach GROUP BY node
 """,
         "embedding_quantize": """
 SELECT vec_id,

@@ -1,0 +1,116 @@
+"""Connected components over candidate-pair graphs [EXT].
+
+Driver-mandated LLM-pipeline extension (no reference counterpart).
+Near-dup PAIRS (minhash/simhash/embedding joins) are not an actionable
+dedup decision: similarity is not transitive, so a keep/drop choice
+needs the transitive closure — duplicate CLUSTERS. This module turns an
+edge list into components with iterative min-label propagation, the
+same driver-coordinated iteration shape as ``train_kmeans`` (and
+GraphX/GraphFrames connectedComponents):
+
+- per-iteration state is the (node, label) relation — O(V), partitioned
+  by node, never collected to the driver;
+- one iteration = one equi-join (labels onto symmetrized edges) + one
+  min-aggregate + one least() merge: two key shuffles, no row
+  explosion beyond 2|E|;
+- the driver sees ONE scalar per iteration (sum of labels — labels
+  only decrease, so the sum is stationary exactly at the fixpoint) to
+  decide convergence: no self-join just to detect change;
+- every iteration also POINTER-JUMPS (label(n) := label(label(n))),
+  so chains collapse in O(log diameter) rounds, not O(diameter);
+- ``localCheckpoint`` after each round truncates lineage — without it
+  the nested logical plan makes analysis time grow superlinearly (the
+  standard trap of iterative DataFrame algorithms; GraphFrames
+  checkpoints for the same reason).
+
+At 100 TB scale the plan per iteration is a pair of hash shuffles on
+the node key; AQE handles the skew of a super-cluster node.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Components of the undirected graph given by ``pairs``.
+
+    Returns (node, component) for every node that appears in an edge,
+    where ``component`` is the smallest node id reachable from it —
+    deterministic, engine-independent labeling. Runs min-label
+    propagation to the exact fixpoint; raises if ``max_iter`` rounds
+    aren't enough (results would be wrong silently otherwise).
+    """
+    fwd = pairs.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+    edges = fwd.union(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # localCheckpoint (eager) both materializes and TRUNCATES LINEAGE —
+    # without it each iteration's logical plan nests the previous one and
+    # analysis time grows superlinearly (the standard trap of iterative
+    # DataFrame algorithms; GraphFrames checkpoints for the same reason).
+    edges = edges.distinct().localCheckpoint()
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
+    # labels only ever DECREASE, so sum(label) strictly decreases until
+    # the fixpoint: convergence is one cheap aggregate, no self-join.
+    prev_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+    for _ in range(max_iter):
+        neigh_min = (
+            edges.join(labels, edges.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("label").alias("_nmin"))
+        )
+        prop = labels.join(neigh_min, labels.node == neigh_min.u, "left_outer").select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce(F.col("_nmin"), F.col("label"))
+            ).alias("label"),
+        )
+        # pointer jump: also resolve each label through ITS label
+        # (label(n) := label(label(n))), collapsing chains in
+        # O(log diameter) rounds instead of O(diameter).
+        m = prop.select(F.col("node").alias("_mn"), F.col("label").alias("_ml"))
+        labels = (
+            prop.join(m, prop.label == m._mn, "left_outer")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("_ml"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        new_sum = labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).collect()[0][0]
+        if new_sum == prev_sum:
+            return labels.select("node", F.col("label").alias("component"))
+        prev_sum = new_sum
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} iterations; "
+        "raise max_iter (diameter exceeds it)"
+    )
+
+
+def dedup_components_keep_min(
+    pairs: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Keep/drop decision per clustered node: the smallest id in each
+    duplicate cluster is the canonical survivor. Returns (node,
+    component, keep) for every node appearing in a pair; nodes absent
+    from ``pairs`` are implicitly kept (no row)."""
+    comp = connected_components(pairs, src_col, dst_col)
+    return comp.select(
+        "node", "component", (F.col("node") == F.col("component")).alias("keep")
+    )

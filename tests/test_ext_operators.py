@@ -607,3 +607,51 @@ def test_kmeans_empty_and_tiny_corpus(spark):
     )
     cent = train_kmeans(tiny, 8)
     assert cent.count() == 2  # budget clamps to corpus size
+
+
+# ------------------------ connected components ------------------------ #
+
+
+def test_connected_components_chain_and_islands(spark):
+    """A 5-node chain (diameter 4) collapses to one component labeled by
+    its min id; a disjoint pair stays separate; an untouched node is
+    absent from the output."""
+    from flyq_spark.operators.graph import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "id_a long, id_b long"
+    )
+    got = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_label_direction_agnostic(spark):
+    """Edges are undirected: reversed edge order must give identical
+    components."""
+    from flyq_spark.operators.graph import connected_components
+
+    fwd = spark.createDataFrame([(7, 3), (3, 9), (20, 8)], "id_a long, id_b long")
+    rev = spark.createDataFrame([(3, 7), (9, 3), (8, 20)], "id_a long, id_b long")
+    a = sorted(tuple(r) for r in connected_components(fwd).collect())
+    b = sorted(tuple(r) for r in connected_components(rev).collect())
+    assert a == b
+    assert dict(a)[9] == 3 and dict(a)[20] == 8
+
+
+def test_connected_components_raises_past_max_iter(spark):
+    from flyq_spark.operators.graph import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2)
+
+
+def test_dedup_components_keep_min(spark):
+    from flyq_spark.operators.graph import dedup_components_keep_min
+
+    pairs = spark.createDataFrame([(5, 2), (2, 9)], "id_a long, id_b long")
+    rows = {r["node"]: (r["component"], r["keep"]) for r in
+            dedup_components_keep_min(pairs).collect()}
+    assert rows == {2: (2, True), 5: (2, False), 9: (2, False)}
