@@ -933,6 +933,54 @@ def q_embedding_neardup(spark, sf_dir):
     return V.neardup_pairs_exact(emb, min_cosine=0.4).select("id_a", "id_b")
 
 
+def q_train_test_split(spark, sf_dir):
+    """Deterministic hash split: per-split document counts + char
+    volume. Membership is md5-prefix thresholding — a pure projection,
+    identical on any engine/partitioning, stable under corpus growth."""
+    from flyq_spark.operators.corpus import train_test_split
+
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        train_test_split(docs)
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+def q_corpus_shuffle(spark, sf_dir):
+    """Reproducible global permutation (shard-parallel rank, see
+    operators/corpus.py). Emits the first 100 positions of the
+    shuffled order — enough to pin the exact permutation prefix."""
+    from flyq_spark.operators.corpus import corpus_shuffle
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    return (
+        corpus_shuffle(docs)
+        .where(F.col("shuffle_rank") <= 100)
+        .select("doc_id", "shuffle_rank")
+    )
+
+
+def q_pack_documents(spark, sf_dir):
+    """Token-budget sequence packing: per (shard, pack) document count
+    and token total. Boundary-form packing (see operators/corpus.py);
+    the oracle reproduces the identical window arithmetic in SQL."""
+    from flyq_spark.operators.corpus import pack_documents
+
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        pack_documents(docs, token_budget=2048)
+        .groupBy("shard", "pack_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("pack_tokens"),
+        )
+    )
+
+
 def q_neardup_components(spark, sf_dir):
     """Duplicate CLUSTERS from exact near-dup pairs: iterative min-label
     propagation to the fixpoint (operators/graph.py) — similarity is not
@@ -1099,6 +1147,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk": q_similarity_topk,
         "embedding_neardup": q_embedding_neardup,
         "neardup_components": q_neardup_components,
+        "train_test_split": q_train_test_split,
+        "corpus_shuffle": q_corpus_shuffle,
+        "pack_documents": q_pack_documents,
         "embedding_quantize": q_embedding_quantize,
         "multimodal_content": q_multimodal_content,
         # rows-only (non-SQL-expressible: LSH/MinHash/SimHash/Arrow kernels)
@@ -1687,6 +1738,41 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                              CAST(b.embedding AS DOUBLE[])) >= 0.4
+""",
+        "train_test_split": """
+SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0d'
+            THEN 'test' ELSE 'train' END AS split,
+       count(*) AS n_docs,
+       sum(CAST(n_chars AS BIGINT)) AS total_chars
+FROM documents
+GROUP BY 1
+""",
+        "corpus_shuffle": """
+SELECT doc_id,
+       row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+         AS shuffle_rank
+FROM documents
+QUALIFY shuffle_rank <= 100
+""",
+        "pack_documents": """
+WITH toks AS (
+  SELECT doc_id,
+         md5(CAST(doc_id AS VARCHAR)) AS h,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END
+           AS BIGINT) AS n_tokens
+  FROM documents
+), packed AS (
+  SELECT doc_id, substr(h, 1, 1) AS shard, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           PARTITION BY substr(h, 1, 1) ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM toks
+)
+SELECT shard, CAST(floor(cum_before / 2048.0) AS BIGINT) AS pack_id,
+       count(*) AS n_docs, sum(n_tokens) AS pack_tokens
+FROM packed
+GROUP BY shard, pack_id
 """,
         "neardup_components": """
 WITH RECURSIVE pairs AS (

@@ -1,0 +1,126 @@
+"""Training-corpus preparation [EXT]: deterministic split / shuffle /
+sequence packing.
+
+Driver-mandated LLM-pipeline extensions (no reference counterpart).
+Everything here is DETERMINISTIC-BY-HASH rather than RNG-based: a
+train/test membership or a corpus order that changes between runs (or
+between engines) is a reproducibility bug in a training pipeline, so
+the primitives key off ``md5`` of the stable document id — the same
+bytes on any engine, any partitioning, any run. All three are pure
+projections / single-window plans: no RNG state, no driver loops.
+
+- ``train_test_split``: membership by hex-prefix threshold. md5 is
+  uniform, so prefix < '0d' keeps ≈ 13/256 ≈ 5.1%. Zero shuffles —
+  a codegen'd projection the scan absorbs.
+- ``corpus_shuffle``: a reproducible global permutation — rank in
+  (md5(id), id) order, computed shard-parallel (hash-digit shards +
+  broadcast offsets), never through a single-partition global window.
+- ``pack_documents``: token-budget packing per hash shard: documents
+  land in a shard (first md5 hex digit), are ordered by hash within
+  it, and a running token sum floor-divided by the budget yields pack
+  ids. One shuffle (the shard window); packs never cross shards, so
+  packing parallelism is constant in corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _id_hash(id_col: str) -> Column:
+    return F.md5(F.col(id_col).cast("string"))
+
+
+def train_test_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    test_prefix_below: str = "0d",
+) -> DataFrame:
+    """Append a deterministic ``split`` column ('test' iff the md5 hex
+    prefix of the id sorts below ``test_prefix_below``, else 'train').
+    Membership is a pure function of the id: stable across runs,
+    engines, partitionings, and corpus growth (a document never flips
+    split when other documents are added)."""
+    return df.withColumn(
+        "split",
+        F.when(
+            F.substring(_id_hash(id_col), 1, len(test_prefix_below))
+            < F.lit(test_prefix_below),
+            F.lit("test"),
+        ).otherwise(F.lit("train")),
+    )
+
+
+def corpus_shuffle(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Reproducible global permutation: ``shuffle_rank`` = position in
+    (md5(id), id) order. The hash destroys any source ordering
+    (time/site locality) exactly once, identically on every engine.
+
+    Scale shape: a naive global ORDER BY window funnels every row into
+    ONE partition. Instead rows are ranked within their first-hex-digit
+    shard (16-way parallel window), and the global rank is recovered by
+    adding the tiny per-shard offset table (16 rows, broadcast) — valid
+    because the shard digit is a PREFIX of the sort key, so shard-major
+    order IS global (md5, id) order. Same result, bounded shuffle."""
+    h = _id_hash(id_col)
+    shard = F.substring(h, 1, 1)
+    w = Window.partitionBy("_shard").orderBy(h, F.col(id_col))
+    ranked = df.withColumn("_shard", shard).withColumn(
+        "_local_rank", F.row_number().over(w).cast("long")
+    )
+    offsets = (
+        ranked.groupBy("_shard")
+        .agg(F.count("*").alias("_n"))
+        .withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_n").over(
+                    Window.orderBy("_shard").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).cast("long"),
+        )
+        .select("_shard", "_offset")
+    )
+    return (
+        ranked.join(F.broadcast(offsets), on="_shard")
+        .withColumn("shuffle_rank", (F.col("_local_rank") + F.col("_offset")).cast("long"))
+        .drop("_shard", "_local_rank", "_offset")
+    )
+
+
+def pack_documents(
+    df: DataFrame,
+    token_budget: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Boundary sequence packing: pack ``p`` in a shard holds the
+    documents whose preceding-token running sum falls in
+    [p*budget, (p+1)*budget) — the standard single-window formulation
+    (documents are never split; a pack can overflow by at most the one
+    straddling document; true close-on-overflow packing is a recursive
+    cumsum no fixed window expresses, and at training scale the
+    boundary form is what pipelines ship).
+
+    Shard-local by construction: documents land on 16 shards by their
+    first md5 hex digit and packs never cross shards, so the only
+    shuffle is the shard window and parallelism is constant in corpus
+    size. Output adds (shard, pack_id, n_tokens)."""
+    from flyq_spark.operators.text import token_count
+
+    toks = token_count(F.col(text_col))
+    h = _id_hash(id_col)
+    w = Window.partitionBy("shard").orderBy(h, F.col(id_col))
+    cum_before = F.coalesce(
+        F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0).cast("long"),
+    )
+    return (
+        df.withColumn("n_tokens", toks)
+        .withColumn("shard", F.substring(h, 1, 1))
+        .withColumn("pack_id", F.floor(cum_before / token_budget).cast("long"))
+    )

@@ -655,3 +655,75 @@ def test_dedup_components_keep_min(spark):
     rows = {r["node"]: (r["component"], r["keep"]) for r in
             dedup_components_keep_min(pairs).collect()}
     assert rows == {2: (2, True), 5: (2, False), 9: (2, False)}
+
+
+# -------------------------- corpus preparation ------------------------ #
+
+
+def test_train_test_split_stable_under_growth(spark, docs):
+    """A document's split never changes when the corpus grows: compute
+    membership on half the corpus and on all of it — the common docs
+    must agree."""
+    from flyq_spark.operators.corpus import train_test_split
+
+    full = {r["doc_id"]: r["split"] for r in train_test_split(docs).collect()}
+    half = {
+        r["doc_id"]: r["split"]
+        for r in train_test_split(docs.where(F.col("doc_id") % 2 == 0)).collect()
+    }
+    assert half and all(full[k] == v for k, v in half.items())
+    # both splits exist and the test fraction is in a sane band (~5%)
+    n_test = sum(1 for v in full.values() if v == "test")
+    assert 0.005 < n_test / len(full) < 0.20
+
+
+def test_corpus_shuffle_equals_naive_global_rank(spark, docs):
+    """The shard-parallel rank must equal the naive single-partition
+    global ORDER BY rank exactly."""
+    from pyspark.sql import Window
+
+    from flyq_spark.operators.corpus import corpus_shuffle
+
+    small = docs.select("doc_id").limit(300)
+    got = {r["doc_id"]: r["shuffle_rank"] for r in corpus_shuffle(small).collect()}
+    naive_w = Window.orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+    naive = {
+        r["doc_id"]: r["rank"]
+        for r in small.withColumn("rank", F.row_number().over(naive_w)).collect()
+    }
+    assert got == naive
+
+
+def test_pack_documents_boundary_invariants(spark, docs):
+    """Within every shard: pack ids are dense from 0, pack boundaries
+    respect the running-sum arithmetic, and no document is split."""
+    from flyq_spark.operators.corpus import pack_documents
+
+    budget = 512
+    rows = pack_documents(docs, token_budget=budget).select(
+        "shard", "pack_id", "n_tokens", "doc_id"
+    ).collect()
+    by_shard: dict = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert len(by_shard) > 1
+    for shard, members in by_shard.items():
+        packs = sorted({m["pack_id"] for m in members})
+        assert packs[0] == 0 and packs == list(range(len(packs)))
+        # every pack except possibly the last holds >= budget tokens
+        # only via its straddling last doc; i.e. tokens-before-last < budget
+        tot = sum(m["n_tokens"] for m in members)
+        assert tot >= 0
+        # boundary form: cum_before // budget == pack_id replayed locally
+        import hashlib
+
+        members.sort(
+            key=lambda m: (
+                hashlib.md5(str(m["doc_id"]).encode()).hexdigest(),
+                m["doc_id"],
+            )
+        )
+        cum = 0
+        for m in members:
+            assert m["pack_id"] == cum // budget
+            cum += m["n_tokens"]
