@@ -1,0 +1,58 @@
+"""Repo-wide physical-plan audit: no gate query may compile to a
+corpus-sized cartesian/nested-loop join. Queries that intentionally
+cross-join a ONE-ROW broadcast aggregate (a scalar subquery in
+DataFrame form: O(n) work, not O(n^2)) are allowlisted explicitly so a
+new accidental cross join fails loudly.
+
+This is the regression net behind the per-operator plan assertions:
+every new queries() entry is audited automatically just by existing.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# cross joins against a broadcast 1-row aggregate (scalar subquery form)
+SCALAR_BROADCAST_OK = {
+    "stream_from_offset",  # leo = max(offset)+1, 1 row
+    "retention_time",  # max(ts), 1 row
+    "q22_idle_customers",  # (n_pos, sum_pos) threshold, 1 row
+}
+
+
+@pytest.fixture(scope="module")
+def entry():
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry_for_audit", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_no_gate_query_has_unexpected_cartesian_or_nlj(spark, entry):
+    flagged = {}
+    for name, fn in entry.queries().items():
+        plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        hits = [
+            op
+            for op in ("CartesianProduct", "BroadcastNestedLoopJoin")
+            if op in plan
+        ]
+        if hits and name not in SCALAR_BROADCAST_OK:
+            flagged[name] = hits
+    assert flagged == {}, f"unexpected quadratic join shapes: {flagged}"
+
+
+def test_allowlist_entries_still_use_scalar_broadcast(spark, entry):
+    """The allowlist must stay honest: each listed query's plan contains
+    a broadcast exchange (the 1-row side) — if one is refactored away
+    from the scalar-broadcast pattern, prune the allowlist."""
+    qs = entry.queries()
+    for name in SCALAR_BROADCAST_OK:
+        plan = qs[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan, name
