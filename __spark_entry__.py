@@ -764,6 +764,51 @@ def q_pivot_priority_by_year(spark, sf_dir):
     return pivoted.select("order_year", *cleaned)
 
 
+def q_median_order_by_segment(spark, sf_dir):
+    """Exact per-group median (discrete, lower-median convention) the
+    SCALABLE way: rank-within-group window + group counts + rank
+    selection — never collect_list (a group-sized driver array is the
+    anti-pattern at scale). Emitted in integer cents; matches DuckDB's
+    quantile_disc(0.5) element choice exactly."""
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).select(
+        "c_mktsegment", (dec("o_totalprice") * 100).cast("long").alias("_price_c")
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("_price_c")
+    ranked = joined.withColumn("_rk", F.row_number().over(w))
+    counts = joined.groupBy("c_mktsegment").agg(F.count("*").alias("_n"))
+    return (
+        ranked.join(F.broadcast(counts), on="c_mktsegment")
+        .where(F.col("_rk") == F.ceil(F.col("_n") / 2))
+        .groupBy("c_mktsegment")
+        .agg(F.min("_price_c").alias("median_price_c"))
+    )
+
+
+def q_cube_revenue(spark, sf_dir):
+    """CUBE grouping (all 4 subtotal combinations of returnflag x
+    linestatus in ONE pass) — the grouping-sets shape beyond ROLLUP.
+    Spark and the oracle both expand to a single shuffle with grouping
+    id; NULL group keys are coalesced to 'ALL' for hash stability."""
+    li = _read(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            (F.sum(dec("l_extendedprice")) * 100).cast("long").alias("sum_price_c"),
+            F.count("*").cast("long").alias("n_items"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_price_c",
+            "n_items",
+        )
+    )
+
+
 # --------------------------------------------------------------------- #
 # Part C [EXT] — event analytics
 # --------------------------------------------------------------------- #
@@ -1127,6 +1172,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_order_totals": q_running_order_totals,
         "json_props_stats": q_json_props_stats,
         "pivot_priority_by_year": q_pivot_priority_by_year,
+        "median_order_by_segment": q_median_order_by_segment,
+        "cube_revenue": q_cube_revenue,
         # Part C [EXT]
         "sessionize": q_sessionize,
         "window_tumbling": q_window_tumbling,
@@ -1738,6 +1785,21 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                              CAST(b.embedding AS DOUBLE[])) >= 0.4
+""",
+        "median_order_by_segment": """
+SELECT c.c_mktsegment,
+       CAST(quantile_disc(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100, 0.5) AS BIGINT)
+         AS median_price_c
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+        "cube_revenue": """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_price_c,
+       count(*) AS n_items
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
 """,
         "train_test_split": """
 SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0d'
