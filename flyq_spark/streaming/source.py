@@ -168,3 +168,53 @@ def running_counts_stateful(stream: DataFrame, key_col: str = "key") -> DataFram
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def watermark_tracker_stateful(stream: DataFrame, key_col: str = "partition", offset_col: str = "offset") -> DataFrame:
+    """Per-key streaming high-watermark tracker on the MODERN stateful
+    API (Spark 4 ``transformWithStateInPandas``): ValueState holds
+    (high, n_seen) per key and every trigger emits the updated bounds —
+    the A12 watermark surface as a continuously-maintained stream
+    (reference log_engine.rs:133-144 computes the same bounds on
+    demand). vs applyInPandasWithState: typed named state cells, state
+    TTL support, and timers come for free when eviction is needed at
+    unbounded key cardinality."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _Tracker(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("hw", "high long, n_seen long")
+
+        def handleInputRows(self, key, rows, timer_values):
+            import pandas as pd
+
+            prev = self._state.get()
+            high, n_seen = (prev[0], prev[1]) if prev is not None else (-1, 0)
+            for pdf in rows:
+                if len(pdf):
+                    high = max(high, int(pdf["off"].max()))
+                    n_seen += len(pdf)
+            self._state.update((high, n_seen))
+            yield pd.DataFrame(
+                {"key": [key[0]], "high": [high], "n_seen": [n_seen]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        stream.select(
+            F.col(key_col).cast("long").alias("key"),
+            F.col(offset_col).cast("long").alias("off"),
+        )
+        .groupBy("key")
+        .transformWithStateInPandas(
+            _Tracker(),
+            outputStructType="key long, high long, n_seen long",
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

@@ -4,6 +4,8 @@ custom stateful operator."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -291,3 +293,35 @@ def test_streaming_session_window(engine, spark, tmp_path):
         (r["k"], int(r["n"])) for r in spark.sql("SELECT * FROM sw_test").collect()
     )
     assert got == [("u1", 1), ("u1", 2), ("u2", 1)]
+
+
+def test_watermark_tracker_stateful_tws(engine, spark, tmp_path):
+    """transformWithStateInPandas ValueState survives across triggers:
+    the tracker's final high/n_seen equal the batch watermark facts.
+
+    The TWS Python worker protocol needs google.protobuf, which this
+    container lacks -> skip there (the applyInPandasWithState path in
+    test_running_counts_stateful covers custom state without it)."""
+    pytest.importorskip("google.protobuf")
+    from flyq_spark.streaming.source import read_stream, watermark_tracker_stateful
+    from tests.conftest import make_messages
+
+    engine.produce("wt", make_messages(5, key=b"a"))
+    engine.produce("wt", make_messages(3, key=b"a"))
+    stream = read_stream(spark, engine.base_dir, "wt", max_files_per_trigger=1)
+    tracked = watermark_tracker_stateful(stream)
+    q = (
+        tracked.writeStream.format("memory")
+        .queryName("wt_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_wt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql(
+        "SELECT key, max(high) AS high, max(n_seen) AS n FROM wt_test GROUP BY key"
+    ).collect()
+    got = {r["key"]: (r["high"], r["n"]) for r in rows}
+    # single-partition topic: 8 messages, offsets 0..7
+    assert got == {0: (7, 8)}
