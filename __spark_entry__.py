@@ -1026,6 +1026,20 @@ def q_pack_documents(spark, sf_dir):
     )
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language stratified sample of documents:
+    50% of 'en', 25% of 'de', 10% of everything else — counts per lang.
+    Pure-projection membership (md5 threshold), no RNG, no shuffle
+    before the final count."""
+    from flyq_spark.operators.corpus import stratified_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    sampled = stratified_sample(
+        docs, "lang", {"en": 0.5, "de": 0.25}, default_fraction=0.10
+    )
+    return sampled.groupBy("lang").agg(F.count("*").cast("long").alias("n_sampled"))
+
+
 def q_neardup_components(spark, sf_dir):
     """Duplicate CLUSTERS from exact near-dup pairs: iterative min-label
     propagation to the fixpoint (operators/graph.py) — similarity is not
@@ -1197,6 +1211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_test_split": q_train_test_split,
         "corpus_shuffle": q_corpus_shuffle,
         "pack_documents": q_pack_documents,
+        "stratified_sample": q_stratified_sample,
         "embedding_quantize": q_embedding_quantize,
         "multimodal_content": q_multimodal_content,
         # rows-only (non-SQL-expressible: LSH/MinHash/SimHash/Arrow kernels)
@@ -1835,6 +1850,13 @@ SELECT shard, CAST(floor(cum_before / 2048.0) AS BIGINT) AS pack_id,
        count(*) AS n_docs, sum(n_tokens) AS pack_tokens
 FROM packed
 GROUP BY shard, pack_id
+""",
+        "stratified_sample": """
+SELECT lang, count(*) AS n_sampled
+FROM documents
+WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+      < CASE lang WHEN 'en' THEN 32768 WHEN 'de' THEN 16384 ELSE 6554 END
+GROUP BY lang
 """,
         "neardup_components": """
 WITH RECURSIVE pairs AS (

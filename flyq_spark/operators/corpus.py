@@ -124,3 +124,32 @@ def pack_documents(
         .withColumn("shard", F.substring(h, 1, 1))
         .withColumn("pack_id", F.floor(cum_before / token_budget).cast("long"))
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic stratified sampling: keep a row iff the first 4 md5
+    hex digits of its id fall below the stratum's threshold (fraction ×
+    65536, i.e. ~2.4 significant hex digits of resolution). Unlike
+    ``DataFrame.sampleBy`` (seeded RNG over partition iteration order,
+    engine-specific), membership is a pure function of (id, stratum
+    fraction): reproducible across engines and partitionings, and a row
+    never flips in or out when other rows change. Zero shuffles."""
+    h4 = F.conv(F.substring(_id_hash(id_col), 1, 4), 16, 10).cast("long")
+    thresholds = F.create_map(
+        *[
+            x
+            for kv in fractions.items()
+            for x in (F.lit(kv[0]), F.lit(int(round(kv[1] * 65536))))
+        ]
+    )
+    thr = F.coalesce(
+        thresholds.getItem(F.col(strata_col)),
+        F.lit(int(round(default_fraction * 65536))),
+    )
+    return df.where(h4 < thr)

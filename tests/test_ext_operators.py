@@ -727,3 +727,19 @@ def test_pack_documents_boundary_invariants(spark, docs):
         for m in members:
             assert m["pack_id"] == cum // budget
             cum += m["n_tokens"]
+
+
+def test_stratified_sample_deterministic_and_proportional(spark, docs):
+    from flyq_spark.operators.corpus import stratified_sample
+
+    frac = {"en": 0.5, "de": 0.25}
+    a = sorted(r["doc_id"] for r in stratified_sample(docs, "lang", frac).collect())
+    b = sorted(r["doc_id"] for r in stratified_sample(docs, "lang", frac).collect())
+    assert a == b and len(a) > 0
+    by_lang_total = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    kept = stratified_sample(docs, "lang", frac, default_fraction=0.0)
+    by_lang_kept = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert set(by_lang_kept) <= {"en", "de"}  # default 0 drops other strata
+    for lang, f in frac.items():
+        got = by_lang_kept.get(lang, 0) / by_lang_total[lang]
+        assert abs(got - f) < 0.25  # md5 uniformity at small-n tolerance
