@@ -218,3 +218,40 @@ def watermark_tracker_stateful(stream: DataFrame, key_col: str = "partition", of
             timeMode="None",
         )
     )
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "key",
+    ts_col: str = "timestamp",
+    watermark: str = "10 seconds",
+    max_delay: str = "5 seconds",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time interval bound: a
+    right-side event joins a left-side event with the same key when it
+    arrives within (left.ts, left.ts + max_delay]. Both sides carry
+    watermarks, so the join STATE IS BOUNDED — Spark evicts buffered
+    rows once the watermark passes the interval, which is what makes a
+    stream-stream join runnable indefinitely at scale (an unbounded
+    join state would OOM any cluster). Output: (key, left_ts, right_ts,
+    delay_seconds)."""
+    lw = left.select(
+        F.col(key_col).cast("string").alias("l_key"),
+        F.col(ts_col).alias("l_ts"),
+    ).withWatermark("l_ts", watermark)
+    rw = right.select(
+        F.col(key_col).cast("string").alias("r_key"),
+        F.col(ts_col).alias("r_ts"),
+    ).withWatermark("r_ts", watermark)
+    cond = (
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") > F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return lw.join(rw, cond).select(
+        F.col("l_key").alias("key"),
+        "l_ts",
+        "r_ts",
+        (F.unix_micros("r_ts") - F.unix_micros("l_ts")).alias("delay_us"),
+    )

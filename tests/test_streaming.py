@@ -325,3 +325,44 @@ def test_watermark_tracker_stateful_tws(engine, spark, tmp_path):
     got = {r["key"]: (r["high"], r["n"]) for r in rows}
     # single-partition topic: 8 messages, offsets 0..7
     assert got == {0: (7, 8)}
+
+
+def test_stream_stream_interval_join(engine, spark, tmp_path):
+    """Stream-stream inner join with bounded state: purchases join the
+    click they follow within 5 seconds, same key; a purchase outside the
+    interval produces no row."""
+    from flyq_spark.streaming.source import read_stream, stream_stream_interval_join
+
+    ts0 = 1_700_000_000_000
+    engine.produce(
+        "clicks",
+        [
+            {"key": b"u1", "value": b"c", "timestamp": ts0},
+            {"key": b"u2", "value": b"c", "timestamp": ts0 + 1_000},
+        ],
+    )
+    engine.produce(
+        "buys",
+        [
+            {"key": b"u1", "value": b"b", "timestamp": ts0 + 3_000},   # within 5s
+            {"key": b"u2", "value": b"b", "timestamp": ts0 + 20_000},  # outside
+        ],
+    )
+    clicks = read_stream(spark, engine.base_dir, "clicks").select(
+        F.decode("key", "utf-8").alias("key"), "timestamp"
+    )
+    buys = read_stream(spark, engine.base_dir, "buys").select(
+        F.decode("key", "utf-8").alias("key"), "timestamp"
+    )
+    joined = stream_stream_interval_join(clicks, buys, max_delay="5 seconds")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT key, delay_us FROM ssj_test").collect()
+    assert [(r["key"], r["delay_us"]) for r in rows] == [("u1", 3_000_000)]
