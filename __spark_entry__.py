@@ -1026,6 +1026,31 @@ def q_pack_documents(spark, sf_dir):
     )
 
 
+def q_inverted_index(spark, sf_dir):
+    """Inverted-index summary: the 50 highest-df terms with their df and
+    first posting (full posting arrays aren't hashable through the
+    pandas canonicalizer — the head + df pins the structure). Ordering
+    is total (df desc, term asc)."""
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        X.build_inverted_index(docs)
+        .select(
+            "term",
+            "df",
+            F.element_at("postings", 1).alias("first_doc"),
+            F.size("postings").cast("long").alias("n_postings"),
+        )
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(50)
+    )
+
+
+def q_term_search(spark, sf_dir):
+    """Conjunctive AND search for three common terms over documents."""
+    docs = _read(spark, sf_dir, "documents")
+    return X.search_all_terms(docs, ["batch", "join", "scan"]).orderBy("doc_id")
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic per-language stratified sample of documents:
     50% of 'en', 25% of 'de', 10% of everything else — counts per lang.
@@ -1212,6 +1237,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_shuffle": q_corpus_shuffle,
         "pack_documents": q_pack_documents,
         "stratified_sample": q_stratified_sample,
+        "inverted_index": q_inverted_index,
+        "term_search": q_term_search,
         "embedding_quantize": q_embedding_quantize,
         "multimodal_content": q_multimodal_content,
         # rows-only (non-SQL-expressible: LSH/MinHash/SimHash/Arrow kernels)
@@ -1850,6 +1877,30 @@ SELECT shard, CAST(floor(cum_before / 2048.0) AS BIGINT) AS pack_id,
        count(*) AS n_docs, sum(n_tokens) AS pack_tokens
 FROM packed
 GROUP BY shard, pack_id
+""",
+        "inverted_index": """
+WITH pairs AS (
+  SELECT DISTINCT doc_id AS doc, t.term
+  FROM documents,
+       unnest(string_split(lower(trim(text)), ' ')) AS t(term)
+  WHERE t.term <> ''
+)
+SELECT term, count(*) AS df, min(doc) AS first_doc, count(*) AS n_postings
+FROM pairs
+GROUP BY term
+ORDER BY df DESC, term ASC
+LIMIT 50
+""",
+        "term_search": """
+WITH pairs AS (
+  SELECT DISTINCT doc_id AS doc, t.term
+  FROM documents,
+       unnest(string_split(lower(trim(text)), ' ')) AS t(term)
+  WHERE t.term IN ('batch', 'join', 'scan')
+)
+SELECT doc AS doc_id FROM pairs
+GROUP BY doc HAVING count(*) = 3
+ORDER BY doc_id
 """,
         "stratified_sample": """
 SELECT lang, count(*) AS n_sampled

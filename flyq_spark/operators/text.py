@@ -123,3 +123,61 @@ def shingle_fingerprint(text: Column, k: int = 8, hash_fn: str = "md5") -> Colum
     else:
         raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
     return F.array_min(F.transform(positions, gram))
+
+
+def build_inverted_index(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Inverted index: (term, df, postings) with postings a sorted doc-id
+    array. Tokens are lowercase single-space splits (the repo-wide text
+    convention). The plan is explode → distinct(term, doc) → groupBy
+    term: shuffle volume = token occurrences, map-side combined.
+
+    Scale note: term frequency is Zipfian — a stopword's posting list is
+    a hot key. At 100 TB the posting ARRAY itself is the problem (one
+    reducer builds it), so production form caps or shards postings
+    (posting-list segments per (term, bucket)); df and the candidate
+    join below only need the (term, doc) pair relation, which AQE
+    skew-splits fine. The array form here is the compact exchange/report
+    format."""
+    pairs = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(F.split(F.lower(F.trim(F.col(text_col))), " ")).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .distinct()
+    )
+    return pairs.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"),
+        F.array_sort(F.collect_list("doc")).alias("postings"),
+    )
+
+
+def search_all_terms(
+    df: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Conjunctive (AND) term search straight off the (term, doc) pair
+    relation: a doc matches when it contains EVERY query term — count
+    of distinct matched terms == len(terms). No posting arrays are
+    materialized; the plan is a term-filtered explode (the filter
+    prunes before the shuffle) + one groupBy(doc) — shuffle volume =
+    matches only. Output: matching doc ids."""
+    wanted = [t.lower() for t in terms]
+    pairs = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(F.split(F.lower(F.trim(F.col(text_col))), " ")).alias("term"),
+        )
+        .where(F.col("term").isin(wanted))
+        .distinct()
+    )
+    return (
+        pairs.groupBy("doc")
+        .agg(F.count("*").alias("_nt"))
+        .where(F.col("_nt") == len(wanted))
+        .select(F.col("doc").alias(id_col))
+    )

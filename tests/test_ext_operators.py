@@ -743,3 +743,20 @@ def test_stratified_sample_deterministic_and_proportional(spark, docs):
     for lang, f in frac.items():
         got = by_lang_kept.get(lang, 0) / by_lang_total[lang]
         assert abs(got - f) < 0.25  # md5 uniformity at small-n tolerance
+
+
+def test_inverted_index_and_search_consistent(spark, docs):
+    """df == |postings|, postings sorted; AND-search equals the
+    intersection of the per-term posting sets."""
+    from flyq_spark.operators.text import build_inverted_index, search_all_terms
+
+    idx = build_inverted_index(docs)
+    sample = idx.orderBy(F.col("df").desc(), F.col("term")).limit(5).collect()
+    assert sample
+    for r in sample:
+        assert r["df"] == len(r["postings"])
+        assert list(r["postings"]) == sorted(r["postings"])
+    terms = [sample[0]["term"], sample[1]["term"]]
+    got = {r["doc_id"] for r in search_all_terms(docs, terms).collect()}
+    posting = {r["term"]: set(r["postings"]) for r in idx.where(F.col("term").isin(terms)).collect()}
+    assert got == posting[terms[0]] & posting[terms[1]]
