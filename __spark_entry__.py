@@ -1051,6 +1051,22 @@ def q_term_search(spark, sf_dir):
     return X.search_all_terms(docs, ["batch", "join", "scan"]).orderBy("doc_id")
 
 
+def q_zorder_codes(spark, sf_dir):
+    """Morton (Z-order) interleave of (user_id, event_id mod 1024) —
+    the clustering key behind multi-dimension file pruning
+    (operators/layout.py). Pure closed-form bit arithmetic, verified
+    against the oracle's independent shift/mask formulation."""
+    from flyq_spark.operators.layout import morton_code
+
+    ev = _read(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        morton_code(
+            F.col("user_id"), F.pmod(F.col("event_id"), F.lit(1024)), bits=10
+        ).alias("zcode"),
+    )
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic per-language stratified sample of documents:
     50% of 'en', 25% of 'de', 10% of everything else — counts per lang.
@@ -1239,6 +1255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "inverted_index": q_inverted_index,
         "term_search": q_term_search,
+        "zorder_codes": q_zorder_codes,
         "embedding_quantize": q_embedding_quantize,
         "multimodal_content": q_multimodal_content,
         # rows-only (non-SQL-expressible: LSH/MinHash/SimHash/Arrow kernels)
@@ -1901,6 +1918,11 @@ WITH pairs AS (
 SELECT doc AS doc_id FROM pairs
 GROUP BY doc HAVING count(*) = 3
 ORDER BY doc_id
+""",
+        "zorder_codes": """
+SELECT event_id,
+       CAST((((user_id >> 0) & 1) << 0) + ((((event_id % 1024) >> 0) & 1) << 1) + (((user_id >> 1) & 1) << 2) + ((((event_id % 1024) >> 1) & 1) << 3) + (((user_id >> 2) & 1) << 4) + ((((event_id % 1024) >> 2) & 1) << 5) + (((user_id >> 3) & 1) << 6) + ((((event_id % 1024) >> 3) & 1) << 7) + (((user_id >> 4) & 1) << 8) + ((((event_id % 1024) >> 4) & 1) << 9) + (((user_id >> 5) & 1) << 10) + ((((event_id % 1024) >> 5) & 1) << 11) + (((user_id >> 6) & 1) << 12) + ((((event_id % 1024) >> 6) & 1) << 13) + (((user_id >> 7) & 1) << 14) + ((((event_id % 1024) >> 7) & 1) << 15) + (((user_id >> 8) & 1) << 16) + ((((event_id % 1024) >> 8) & 1) << 17) + (((user_id >> 9) & 1) << 18) + ((((event_id % 1024) >> 9) & 1) << 19) AS BIGINT) AS zcode
+FROM events
 """,
         "stratified_sample": """
 SELECT lang, count(*) AS n_sampled

@@ -760,3 +760,62 @@ def test_inverted_index_and_search_consistent(spark, docs):
     got = {r["doc_id"] for r in search_all_terms(docs, terms).collect()}
     posting = {r["term"]: set(r["postings"]) for r in idx.where(F.col("term").isin(terms)).collect()}
     assert got == posting[terms[0]] & posting[terms[1]]
+
+
+# ----------------------------- z-order layout ------------------------- #
+
+
+def _py_morton(x: int, y: int, bits: int = 16) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_morton_code_matches_reference(spark):
+    from flyq_spark.operators.layout import morton_code
+
+    df = spark.createDataFrame(
+        [(x, y) for x in (0, 1, 5, 255, 65535) for y in (0, 2, 7, 100, 65535)],
+        "x long, y long",
+    )
+    rows = df.select("x", "y", morton_code(F.col("x"), F.col("y")).alias("z")).collect()
+    for r in rows:
+        assert r["z"] == _py_morton(r["x"], r["y"]), (r["x"], r["y"])
+
+
+def test_zorder_prunes_on_both_dimensions(spark, tmp_path):
+    """File-level min/max pruning: a narrow y-filter can skip most
+    z-ordered files but NO x-sorted files (their y-envelopes all span
+    the full domain); a narrow x-filter still prunes z-ordered files.
+    Z-order trades the single-dimension optimum for balance across all
+    interleaved dimensions -- the property this test pins."""
+    from flyq_spark.operators.layout import zorder_repartition
+
+    n = 1 << 12
+    df = spark.range(n).select(
+        (F.col("id") % 64).alias("x"),
+        F.floor(F.col("id") / 64).alias("y"),
+    )
+    zpath, spath = str(tmp_path / "zorder"), str(tmp_path / "sorted")
+    zorder_repartition(df, "x", "y", n_files=8, bits=6).write.parquet(zpath)
+    df.repartitionByRange(8, "x").sortWithinPartitions("x").write.parquet(spath)
+
+    def files_touching(path, col, lo, hi):
+        import glob
+
+        hit, total = 0, 0
+        for f in glob.glob(path + "/part-*.parquet"):
+            mn, mx = spark.read.parquet(f).agg(F.min(col), F.max(col)).collect()[0]
+            total += 1
+            if mx >= lo and mn <= hi:
+                hit += 1
+        return hit, total
+
+    zy, zn = files_touching(zpath, "y", 0, 7)
+    sy, sn = files_touching(spath, "y", 0, 7)
+    assert sy == sn, "x-sorted files must all span the y domain"
+    assert zy <= zn // 2, f"z-order should skip most files on y: {zy}/{zn}"
+    zx, _ = files_touching(zpath, "x", 0, 7)
+    assert zx <= (zn * 3) // 4, f"z-order must still prune on x: {zx}/{zn}"
