@@ -1051,6 +1051,45 @@ def q_term_search(spark, sf_dir):
     return X.search_all_terms(docs, ["batch", "join", "scan"]).orderBy("doc_id")
 
 
+def q_skew_salted_event_stats(spark, sf_dir):
+    """Salted two-phase aggregation over event types (operators/skew.py):
+    row-for-row equal to the plain groupBy — the oracle IS the plain
+    form, so the hash match proves the physical rewrite changes nothing
+    semantically. The first shuffle keys on (event_type, salt): no
+    single reducer owns a hot event type."""
+    from flyq_spark.operators.skew import salted_agg
+
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "_value_c", (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    )
+    return salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n_events": ("count", "*"),
+            "sum_value_c": ("sum", "_value_c"),
+            "max_value_c": ("max", "_value_c"),
+        },
+        salt_from="event_id",
+    )
+
+
+def q_ntile_user_value(spark, sf_dir):
+    """NTILE quartiles of users by total event value — the bucketed
+    ranking window shape. Quartile boundaries follow the (total desc,
+    user asc) total order, so bucket membership is deterministic."""
+    ev = _read(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("total_value_c")
+    )
+    w = Window.orderBy(F.col("total_value_c").desc(), F.col("user_id").asc())
+    return per_user.select(
+        "user_id", "total_value_c", F.ntile(4).over(w).cast("long").alias("quartile")
+    )
+
+
 def q_zorder_codes(spark, sf_dir):
     """Morton (Z-order) interleave of (user_id, event_id mod 1024) —
     the clustering key behind multi-dimension file pruning
@@ -1255,6 +1294,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "inverted_index": q_inverted_index,
         "term_search": q_term_search,
+        "skew_salted_event_stats": q_skew_salted_event_stats,
+        "ntile_user_value": q_ntile_user_value,
         "zorder_codes": q_zorder_codes,
         "embedding_quantize": q_embedding_quantize,
         "multimodal_content": q_multimodal_content,
@@ -1918,6 +1959,24 @@ WITH pairs AS (
 SELECT doc AS doc_id FROM pairs
 GROUP BY doc HAVING count(*) = 3
 ORDER BY doc_id
+""",
+        "skew_salted_event_stats": """
+SELECT event_type,
+       count(*) AS n_events,
+       sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS sum_value_c,
+       max(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS max_value_c
+FROM events
+GROUP BY event_type
+""",
+        "ntile_user_value": """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_value_c
+  FROM events GROUP BY user_id
+)
+SELECT user_id, total_value_c,
+       ntile(4) OVER (ORDER BY total_value_c DESC, user_id ASC) AS quartile
+FROM per_user
 """,
         "zorder_codes": """
 SELECT event_id,
