@@ -21,6 +21,13 @@ def get_spark(
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     if shuffle_partitions is None:
         shuffle_partitions = cpus
+    # The GEMM-backed operators run numpy inside one Python worker PER
+    # CORE; letting BLAS also spawn a thread pool per worker
+    # oversubscribes cores^2 and thrashes nondeterministically (observed
+    # 3s -> 30s on the blocked-GEMM near-dup join). One BLAS thread per
+    # worker is the correct parallelism: Spark owns the core fan-out.
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -34,6 +41,9 @@ def get_spark(
         # and stats-pruning need real timestamp statistics.
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.ui.enabled", "false")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
     )
     for k, v in (extra_conf or {}).items():
