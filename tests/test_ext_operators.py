@@ -819,3 +819,24 @@ def test_zorder_prunes_on_both_dimensions(spark, tmp_path):
     assert zy <= zn // 2, f"z-order should skip most files on y: {zy}/{zn}"
     zx, _ = files_touching(zpath, "x", 0, 7)
     assert zx <= (zn * 3) // 4, f"z-order must still prune on x: {zx}/{zn}"
+
+
+def test_corpus_ops_invariant_under_input_partitioning(spark, docs):
+    """Hash-keyed corpus ops must give identical results whatever the
+    input partitioning: repartition(7) vs original must match row-set
+    for split, shuffle ranks, and pack assignment."""
+    from flyq_spark.operators.corpus import (
+        corpus_shuffle,
+        pack_documents,
+        train_test_split,
+    )
+
+    alt = docs.repartition(7)
+    for fn, cols in (
+        (train_test_split, ("doc_id", "split")),
+        (corpus_shuffle, ("doc_id", "shuffle_rank")),
+        (pack_documents, ("doc_id", "shard", "pack_id")),
+    ):
+        a = sorted(tuple(r[c] for c in cols) for r in fn(docs).select(*cols).collect())
+        b = sorted(tuple(r[c] for c in cols) for r in fn(alt).select(*cols).collect())
+        assert a == b, fn.__name__
