@@ -1051,6 +1051,17 @@ def q_term_search(spark, sf_dir):
     return X.search_all_terms(docs, ["batch", "join", "scan"]).orderBy("doc_id")
 
 
+def q_bigram_top50(spark, sf_dir):
+    """Top-50 corpus bigrams by occurrence (doc count as tiebreak
+    context; total order via bigram asc)."""
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        X.bigram_counts(docs)
+        .orderBy(F.col("n_occurrences").desc(), F.col("bigram").asc())
+        .limit(50)
+    )
+
+
 def q_skew_salted_event_stats(spark, sf_dir):
     """Salted two-phase aggregation over event types (operators/skew.py):
     row-for-row equal to the plain groupBy — the oracle IS the plain
@@ -1294,6 +1305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "inverted_index": q_inverted_index,
         "term_search": q_term_search,
+        "bigram_top50": q_bigram_top50,
         "skew_salted_event_stats": q_skew_salted_event_stats,
         "ntile_user_value": q_ntile_user_value,
         "zorder_codes": q_zorder_codes,
@@ -1959,6 +1971,19 @@ WITH pairs AS (
 SELECT doc AS doc_id FROM pairs
 GROUP BY doc HAVING count(*) = 3
 ORDER BY doc_id
+""",
+        "bigram_top50": """
+WITH ex AS (
+  SELECT doc_id AS doc, u.bigram
+  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS arr FROM documents),
+       unnest([arr[i] || ' ' || arr[i+1] for i in range(1, len(arr))]) AS u(bigram)
+  WHERE NOT regexp_matches(u.bigram, '^ | $|^$')
+)
+SELECT bigram, count(DISTINCT doc) AS n_docs, count(*) AS n_occurrences
+FROM ex
+GROUP BY bigram
+ORDER BY n_occurrences DESC, bigram ASC
+LIMIT 50
 """,
         "skew_salted_event_stats": """
 SELECT event_type,

@@ -181,3 +181,25 @@ def search_all_terms(
         .where(F.col("_nt") == len(wanted))
         .select(F.col("doc").alias(id_col))
     )
+
+
+def bigram_counts(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus bigram statistics (the n-gram LM / collocation primitive):
+    (bigram, n_docs, n_occurrences). Bigrams come straight off the token
+    ARRAY via a sequence→transform projection — no window, no self-join,
+    no per-token shuffle; the only shuffle is the final groupBy(bigram),
+    map-side combined. Zipfian-term skew note as build_inverted_index."""
+    arr = F.split(F.lower(F.trim(F.col(text_col))), " ")
+    bigrams = F.when(F.size(arr) >= 2, F.transform(
+        F.sequence(F.lit(1), F.size(arr) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(arr, i), F.element_at(arr, i + 1)),
+    )).otherwise(F.array().cast("array<string>"))
+    exploded = df.select(
+        F.col(id_col).alias("doc"), F.explode(bigrams).alias("bigram")
+    ).where(~F.col("bigram").rlike("^ | $|^$"))
+    return exploded.groupBy("bigram").agg(
+        F.countDistinct("doc").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_occurrences"),
+    )

@@ -840,3 +840,14 @@ def test_corpus_ops_invariant_under_input_partitioning(spark, docs):
         a = sorted(tuple(r[c] for c in cols) for r in fn(docs).select(*cols).collect())
         b = sorted(tuple(r[c] for c in cols) for r in fn(alt).select(*cols).collect())
         assert a == b, fn.__name__
+
+
+def test_bigram_counts_exact(spark):
+    from flyq_spark.operators.text import bigram_counts
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "x"), (4, "")],
+        "doc_id long, text string",
+    )
+    got = {r["bigram"]: (r["n_docs"], r["n_occurrences"]) for r in bigram_counts(df).collect()}
+    assert got == {"a b": (2, 3), "b a": (1, 1)}
