@@ -1051,6 +1051,14 @@ def q_term_search(spark, sf_dir):
     return X.search_all_terms(docs, ["batch", "join", "scan"]).orderBy("doc_id")
 
 
+def q_bm25_top10(spark, sf_dir):
+    """BM25 top-10 for a two-term query (rows-only: log-based double
+    scores have no cross-engine-exact SQL form; ranks + scores are
+    pinned to 1e-9 against a numpy reference in pytest)."""
+    docs = _read(spark, sf_dir, "documents")
+    return X.bm25_topk(docs, ["batch", "join"], k=10).select("doc_id", "rank")
+
+
 def q_bigram_top50(spark, sf_dir):
     """Top-50 corpus bigrams by occurrence (doc count as tiebreak
     context; total order via bigram asc)."""
@@ -1306,6 +1314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": q_inverted_index,
         "term_search": q_term_search,
         "bigram_top50": q_bigram_top50,
+        "bm25_top10": q_bm25_top10,
         "skew_salted_event_stats": q_skew_salted_event_stats,
         "ntile_user_value": q_ntile_user_value,
         "zorder_codes": q_zorder_codes,

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # occurrence count of a marker inside padded text: (len - len(remove)) / len(marker)
@@ -202,4 +202,72 @@ def bigram_counts(
     return exploded.groupBy("bigram").agg(
         F.countDistinct("doc").cast("long").alias("n_docs"),
         F.count("*").cast("long").alias("n_occurrences"),
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 ranking of documents for a bag-of-terms query. All corpus
+    statistics are computed IN-PLAN (no driver round-trip): doc lengths
+    and the (doc, term, tf) relation come from one term-filtered explode
+    (the filter prunes before any shuffle); N and avgdl ride along as a
+    broadcast 1-row aggregate; idf uses the standard
+    ln(1 + (N - df + 0.5)/(df + 0.5)) form computed per term after a
+    groupBy(term) on the MATCHED relation only. Shuffle volume is
+    proportional to matches, never the corpus. Scores are double
+    (log-based — pinned against a numpy reference in pytest, not a SQL
+    oracle); ties break by id, so the top-k set is deterministic."""
+    wanted = [t.lower() for t in terms]
+    arr = F.split(F.lower(F.trim(F.col(text_col))), " ")
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        arr.alias("_toks"),
+        token_count(F.col(text_col)).alias("_dl"),
+    )
+    stats = base.agg(
+        F.count("*").alias("_n"), F.avg("_dl").alias("_avgdl")
+    )
+    matched = (
+        base.select(
+            "doc", "_dl", F.explode("_toks").alias("term")
+        )
+        .where(F.col("term").isin(wanted))
+        .groupBy("doc", "_dl", "term")
+        .agg(F.count("*").cast("double").alias("_tf"))
+    )
+    dfreq = matched.groupBy("term").agg(F.countDistinct("doc").alias("_df"))
+    scored = (
+        matched.join(F.broadcast(dfreq), on="term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "_s",
+            F.col("_idf")
+            * (F.col("_tf") * (k1 + 1))
+            / (
+                F.col("_tf")
+                + k1 * (1 - b + b * F.col("_dl") / F.col("_avgdl"))
+            ),
+        )
+        .groupBy("doc")
+        .agg(F.sum("_s").alias("score"))
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(F.col("doc").alias(id_col), "score", "rank")
     )

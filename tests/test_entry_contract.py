@@ -20,6 +20,7 @@ def test_queries_and_oracles_consistent():
         "ann_lsh_topk",
         "ann_ivf_topk",
         "kmeans_centroids",
+        "bm25_top10",
         "multimodal_features",
         "sketch_stats",
     }

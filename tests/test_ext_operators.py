@@ -851,3 +851,35 @@ def test_bigram_counts_exact(spark):
     )
     got = {r["bigram"]: (r["n_docs"], r["n_occurrences"]) for r in bigram_counts(df).collect()}
     assert got == {"a b": (2, 3), "b a": (1, 1)}
+
+
+def test_bm25_matches_numpy_reference(spark, docs):
+    """BM25 top-10 equals an independent numpy computation on the same
+    tokenization, bit-for-bit on ranks and to 1e-9 on scores."""
+    import math
+
+    from flyq_spark.operators.text import bm25_topk
+
+    terms = ["batch", "join"]
+    rows = docs.select("doc_id", "text").collect()
+    toks = {r["doc_id"]: r["text"].strip().lower().split(" ") if r["text"].strip() else [] for r in rows}
+    N = len(rows)
+    avgdl = sum(len(t) for t in toks.values()) / N
+    k1, b = 1.2, 0.75
+    dfreq = {t: sum(1 for d in toks.values() if t in d) for t in terms}
+    ref = {}
+    for doc, tl in toks.items():
+        s = 0.0
+        for t in terms:
+            tf = tl.count(t)
+            if tf == 0 or dfreq[t] == 0:
+                continue
+            idf = math.log(1 + (N - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(tl) / avgdl))
+        if s > 0:
+            ref[doc] = s
+    expected = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = [(r["doc_id"], r["score"]) for r in bm25_topk(docs, terms, k=10).orderBy("rank").collect()]
+    assert [d for d, _ in got] == [d for d, _ in expected]
+    for (d1, s1), (d2, s2) in zip(got, expected):
+        assert abs(s1 - s2) < 1e-9, (d1, s1, s2)
