@@ -21,6 +21,7 @@ SCALAR_BROADCAST_OK = {
     "stream_from_offset",  # leo = max(offset)+1, 1 row
     "retention_time",  # max(ts), 1 row
     "q22_idle_customers",  # (n_pos, sum_pos) threshold, 1 row
+    "bm25_top10",  # (N, avgdl) corpus stats, 1 row
 }
 
 
