@@ -1217,6 +1217,21 @@ def q_ann_ivf_topk(spark, sf_dir):
     )
 
 
+def q_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (rows-only: float asymmetric distances;
+    recall and self-retrieval pinned in pytest). Codebooks train on a
+    deterministic sample; the corpus is scanned as m-byte codes only."""
+    emb = _read(spark, sf_dir, "embeddings")
+    books, _dim = V.train_pq(emb, n_subspaces=4, n_codes=16)
+    encoded = V.pq_encode(emb, books)
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return V.topk_pq(encoded, queries, books, k=5).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
 def q_kmeans_centroids(spark, sf_dir):
     """Trained IVF coarse quantizer (rows-only: iterative algorithm, no
     SQL oracle form; semantics pinned in test_ext_operators.py — blob
@@ -1326,6 +1341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "kmeans_centroids": q_kmeans_centroids,
+        "pq_topk": q_pq_topk,
         "multimodal_features": q_multimodal_features,
     }
 

@@ -677,3 +677,165 @@ def topk_lsh(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
     )
+
+
+def train_pq(
+    embeddings: DataFrame,
+    n_subspaces: int = 4,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 4096,
+    kmeans_iters: int = 8,
+):
+    """Train product-quantization codebooks (the FAISS-PQ shape on
+    Spark): split dimensions into ``n_subspaces`` contiguous blocks and
+    learn ``n_codes`` centroids per block with k-means on a
+    DETERMINISTIC sample (smallest xxhash64(id) — the same fixed-budget
+    sampling the IVF pivots use; PQ training on a bounded sample is the
+    standard practice, the codebook is a model, not a relation).
+
+    Returns (codebooks, dim): a numpy array [n_subspaces][n_codes][sub_dim]
+    suitable for broadcast. Driver memory is O(m·k·d/m) = O(k·d) —
+    independent of corpus size."""
+    import numpy as np
+
+    rows = (
+        _deterministic_pivots(
+            embeddings.select(id_col, vec_col), sample_size, id_col, ("_id", "_v")
+        )
+    ).collect()
+    if not rows:
+        raise ValueError("train_pq: empty corpus")
+    X = np.array([r["_v"] for r in rows], dtype=np.float64)
+    dim = X.shape[1]
+    if dim % n_subspaces:
+        raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
+    sub = dim // n_subspaces
+    books = np.empty((n_subspaces, n_codes, sub), dtype=np.float64)
+    for m in range(n_subspaces):
+        B = X[:, m * sub : (m + 1) * sub]
+        # deterministic init: first n_codes distinct sample rows
+        C = B[: min(n_codes, len(B))].copy()
+        while len(C) < n_codes:  # corpus smaller than codebook: pad
+            C = np.vstack([C, C[: n_codes - len(C)]])
+        for _ in range(kmeans_iters):
+            d2 = ((B[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(n_codes):
+                members = B[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books[m] = C
+    return books, dim
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as ``n_subspaces`` one-byte codes (nearest
+    codebook centroid per block): a 4096-float embedding compresses to
+    m bytes. One narrow ``mapInPandas`` pass against the broadcast
+    codebooks — no shuffle. Output: (id, codes array<int>)."""
+    import numpy as np
+
+    spark = embeddings.sparkSession
+    id_type = [f.dataType.simpleString() for f in embeddings.schema.fields if f.name == id_col][0]
+    bc = spark.sparkContext.broadcast(codebooks)
+
+    def encode(iterator):
+        import pandas as pd
+
+        books = bc.value
+        m, k, sub = books.shape
+        for pdf in iterator:
+            if len(pdf) == 0:
+                continue
+            V = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            codes = np.empty((len(V), m), dtype=np.int32)
+            for i in range(m):
+                B = V[:, i * sub : (i + 1) * sub]
+                d2 = ((B[:, None, :] - books[i][None, :, :]) ** 2).sum(axis=2)
+                codes[:, i] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "codes": list(codes)}
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        encode, schema=f"{id_col} {id_type}, codes array<int>"
+    )
+
+
+def topk_pq(
+    encoded: DataFrame,
+    queries: DataFrame,
+    codebooks,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k by ASYMMETRIC distance: each query precomputes
+    an m x n_codes lookup table of squared distances to every codebook
+    centroid, and a corpus vector's distance is the sum of m table
+    lookups on its codes — the corpus is never decoded. One narrow
+    ``mapInPandas`` pass over the code table emits partition-local
+    top-k; a tiny global window merges. Output: (query_id, neighbor_id,
+    adist, rank) — rank ascending by distance, ties to smaller id."""
+    import numpy as np
+
+    spark = encoded.sparkSession
+    qrows = queries.select(query_id_col, vec_col).collect()
+    id_type = [f.dataType.simpleString() for f in encoded.schema.fields if f.name == id_col][0]
+    qid_type = [f.dataType.simpleString() for f in queries.schema.fields if f.name == query_id_col][0]
+    out_schema = f"query_id {qid_type}, neighbor_id {id_type}, adist double"
+    if not qrows:
+        return spark.createDataFrame([], out_schema + ", rank long")
+    m, ncodes, sub = codebooks.shape
+    Q = np.array([r[1] for r in qrows], dtype=np.float64)
+    tables = np.empty((len(qrows), m, ncodes), dtype=np.float64)
+    for i in range(m):
+        B = Q[:, i * sub : (i + 1) * sub]
+        tables[:, i, :] = ((B[:, None, :] - codebooks[i][None, :, :]) ** 2).sum(axis=2)
+    qids = [r[0] for r in qrows]
+    bc = spark.sparkContext.broadcast((qids, tables))
+    kk = int(k)
+
+    def scan(iterator):
+        import pandas as pd
+
+        qids_, T = bc.value
+        nq = len(qids_)
+        best = [None] * nq
+        for pdf in iterator:
+            if len(pdf) == 0:
+                continue
+            codes = np.vstack(pdf["codes"].to_numpy())  # batch x m
+            ids = pdf[id_col].to_numpy()
+            for qi in range(nq):
+                d = T[qi][np.arange(codes.shape[1])[None, :], codes].sum(axis=1)
+                cand = (d, ids) if best[qi] is None else (
+                    np.concatenate([best[qi][0], d]),
+                    np.concatenate([best[qi][1], ids]),
+                )
+                order = np.lexsort((cand[1], cand[0]))[:kk]  # dist asc, id asc
+                best[qi] = (cand[0][order], cand[1][order])
+        out = [
+            (qids_[qi], best[qi][1][j], best[qi][0][j])
+            for qi in range(nq)
+            if best[qi] is not None
+            for j in range(len(best[qi][0]))
+        ]
+        yield pd.DataFrame(out, columns=["query_id", "neighbor_id", "adist"])
+
+    local = fan_out(encoded).select(id_col, "codes").mapInPandas(scan, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )

@@ -21,6 +21,7 @@ def test_queries_and_oracles_consistent():
         "ann_ivf_topk",
         "kmeans_centroids",
         "bm25_top10",
+        "pq_topk",
         "multimodal_features",
         "sketch_stats",
     }

@@ -883,3 +883,53 @@ def test_bm25_matches_numpy_reference(spark, docs):
     assert [d for d, _ in got] == [d for d, _ in expected]
     for (d1, s1), (d2, s2) in zip(got, expected):
         assert abs(s1 - s2) < 1e-9, (d1, s1, s2)
+
+
+# --------------------------- product quantization --------------------- #
+
+
+def test_pq_roundtrip_and_recall(spark, emb):
+    """PQ pipeline: train on deterministic sample -> encode (m small
+    codes per vector) -> asymmetric-distance top-k. Recall@5 against
+    exact cosine top-k must be well above chance, and every query must
+    retrieve itself at rank 1 (its own codes minimize its own table)."""
+    from flyq_spark.operators.similarity import (
+        pq_encode,
+        topk_bruteforce,
+        topk_pq,
+        train_pq,
+    )
+
+    books, dim = train_pq(emb, n_subspaces=4, n_codes=16)
+    assert books.shape[0] == 4 and dim % 4 == 0
+    encoded = pq_encode(emb, books)
+    first = encoded.first()
+    assert len(first["codes"]) == 4
+
+    queries = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    approx = topk_pq(encoded, queries, books, k=5)
+    exact = topk_bruteforce(emb, queries, k=5)
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    nq = queries.count()
+    recall = len(a & e) / len(e)
+    corpus_n = emb.count()
+    chance = 5 / corpus_n
+    assert recall > 10 * chance, (recall, chance)
+    self_hits = {r["query_id"] for r in approx.collect() if r["query_id"] == r["neighbor_id"]}
+    assert len(self_hits) == nq
+
+
+def test_pq_deterministic(spark, emb):
+    from flyq_spark.operators.similarity import pq_encode, train_pq
+
+    b1, _ = train_pq(emb, n_subspaces=2, n_codes=8)
+    b2, _ = train_pq(emb, n_subspaces=2, n_codes=8)
+    import numpy as np
+
+    assert np.array_equal(b1, b2)
+    e1 = sorted((r["vec_id"], tuple(r["codes"])) for r in pq_encode(emb, b1).collect())
+    e2 = sorted((r["vec_id"], tuple(r["codes"])) for r in pq_encode(emb, b2).collect())
+    assert e1 == e2
