@@ -686,6 +686,263 @@ def q_q17_small_qty_revenue(spark, sf_dir):
     )
 
 
+def q_q6_forecast_revenue(spark, sf_dir):
+    """Pure scan-aggregate (TPC-H Q6 shape): every predicate — shipdate
+    range, discount band, quantity cap — pushes to the parquet scan, so
+    at 100 TB this reads only row groups whose stats overlap the window.
+    Discounts compare as DECIMAL(18,2) on both engines so the 0.05/0.07
+    band edges are exact, never float-rounded."""
+    li = _read(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    lo, hi = F.lit(0.05).cast("decimal(18,2)"), F.lit(0.07).cast("decimal(18,2)")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & dec("l_discount").between(lo, hi)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            (F.sum(dec("l_extendedprice") * dec("l_discount")) * 10000)
+            .cast("long")
+            .alias("revenue_c4"),
+            F.count("*").cast("long").alias("n_items"),
+        )
+    )
+
+
+def q_q8_market_share(spark, sf_dir):
+    """National market share (TPC-H Q8 shape): one nation's slice of a
+    region's market for one product type, by order year. Share is
+    emitted as exact (numerator, denominator) cents — never a float
+    division. Dim filters (part type, region) broadcast and prune the
+    fact join; both nation lookups are broadcast hash joins."""
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    part = _read(spark, sf_dir, "part").where(F.col("p_type") == "STANDARD")
+    cust = _read(spark, sf_dir, "customer")
+    supp = _read(spark, sf_dir, "supplier")
+    nation = _read(spark, sf_dir, "nation")
+    region = _read(spark, sf_dir, "region").where(F.col("r_name") == "MIDDLE EAST")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("_c_nkey"), F.col("n_regionkey").alias("_c_rkey")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("_s_nkey"), F.col("n_name").alias("_s_nation")
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    rev = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("_c_nkey"))
+        .join(F.broadcast(region), F.col("_c_rkey") == region.r_regionkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("_s_nkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("_s_nation") == "NATION_9", rev).otherwise(
+                        F.lit(0).cast("decimal(18,2)")
+                    )
+                )
+                * 10000
+            )
+            .cast("long")
+            .alias("nation_revenue_c4"),
+            (F.sum(rev) * 10000).cast("long").alias("total_revenue_c4"),
+        )
+    )
+
+
+def q_q9_profit_by_nation_year(spark, sf_dir):
+    """Product-line profit rollup (TPC-H Q9 shape, adapted: the fixture
+    has no partsupp, so profit = discounted revenue without the
+    ps_supplycost term — the join/group shape is Q9's). Part-name LIKE
+    filter broadcasts; facts group by (supplier nation, order year)."""
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    part = _read(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    supp = _read(spark, sf_dir, "supplier")
+    nation = _read(spark, sf_dir, "nation")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("n_name", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            (
+                F.sum(
+                    dec("l_extendedprice")
+                    * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+                )
+                * 10000
+            )
+            .cast("long")
+            .alias("profit_c4")
+        )
+    )
+
+
+def q_q12_shipping_priority(spark, sf_dir):
+    """Conditional counts by shipping speed (TPC-H Q12 shape, adapted:
+    the fixture has no shipmode/receiptdate, so the bucket is the
+    order-to-ship delay — >90 days = SLOW). One fact join, one groupBy;
+    the CASE counts fold into the same aggregation pass."""
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.when(
+                F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 90, "SLOW"
+            )
+            .otherwise("FAST")
+            .alias("ship_speed")
+        )
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+def q_q15_top_supplier(spark, sf_dir):
+    """Top supplier by quarterly revenue (TPC-H Q15 shape): the view +
+    scalar-subquery max becomes an aggregate reused on both sides — the
+    1-row max broadcasts, so no second scan ranks the whole relation."""
+    li = _read(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    supp = _read(spark, sf_dir, "supplier")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    rev = li.groupBy("l_suppkey").agg(
+        (
+            F.sum(
+                dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+            )
+            * 10000
+        )
+        .cast("long")
+        .alias("total_revenue_c4")
+    )
+    mx = rev.agg(F.max("total_revenue_c4").alias("_mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue_c4") == F.col("_mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue_c4")
+    )
+
+
+def q_q2_min_cost_supplier(spark, sf_dir):
+    """Correlated per-part minimum (TPC-H Q2 shape, adapted: the fixture
+    has no partsupp, so a (part, supplier)'s cost is its cheapest
+    observed lineitem price). The correlated MIN subquery becomes a
+    window min over the part key — computed AFTER the broadcast part
+    filter prunes the aggregate to qualifying parts only."""
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part").where(
+        (F.col("p_size") == 15) & (F.col("p_type") == "SMALL")
+    )
+    supp = _read(spark, sf_dir, "supplier")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    cost = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_partkey", "l_suppkey")
+        .agg((F.min(dec("l_extendedprice")) * 100).cast("long").alias("cost_c"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        cost.withColumn("_min_c", F.min("cost_c").over(w))
+        .where(F.col("cost_c") == F.col("_min_c"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            "p_partkey",
+            "s_suppkey",
+            "s_name",
+            (dec("s_acctbal") * 100).cast("long").alias("acctbal_c"),
+            "cost_c",
+        )
+    )
+
+
+def q_q11_important_parts(spark, sf_dir):
+    """Group-HAVING against a scalar-subquery fraction of the total
+    (TPC-H Q11 shape, adapted to lineitem value per part for one
+    nation's suppliers). The share test cross-multiplies into exact
+    integers (value * 800 > total) so no float threshold; the 1-row
+    total broadcasts."""
+    li = _read(spark, sf_dir, "lineitem")
+    supp = _read(spark, sf_dir, "supplier")
+    nation = _read(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_9")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    v = (
+        li.join(
+            F.broadcast(
+                supp.join(
+                    F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+                ).select("s_suppkey")
+            ),
+            li.l_suppkey == F.col("s_suppkey"),
+        )
+        .groupBy("l_partkey")
+        .agg((F.sum(dec("l_extendedprice")) * 100).cast("long").alias("value_c"))
+    )
+    total = v.agg(F.sum("value_c").alias("_total"))
+    return (
+        v.crossJoin(F.broadcast(total))
+        .where(F.col("value_c") * 800 > F.col("_total"))
+        .select("l_partkey", "value_c")
+    )
+
+
+def q_q21_waiting_suppliers(spark, sf_dir):
+    """Suppliers who alone held up multi-supplier orders (TPC-H Q21
+    shape, adapted: "late" = shipped >90 days after the order date; the
+    fixture has no commit/receipt dates). The classic EXISTS (another
+    supplier) + NOT EXISTS (another LATE supplier) pair is rewritten as
+    ONE per-order aggregation — countDistinct suppliers and late
+    suppliers — replacing two lineitem self-joins with a single shuffle
+    on the order key; the filter n_supp > 1 AND n_late = 1 is exactly
+    the EXISTS/NOT-EXISTS condition."""
+    orders = _read(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    li = _read(spark, sf_dir, "lineitem")
+    supp = _read(spark, sf_dir, "supplier")
+    flagged = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 90).alias("_late"),
+    )
+    per_order = flagged.groupBy(F.col("l_orderkey").alias("_ok")).agg(
+        F.countDistinct("l_suppkey").alias("_n_supp"),
+        F.countDistinct(F.when(F.col("_late"), F.col("l_suppkey"))).alias("_n_late"),
+    )
+    return (
+        flagged.where(F.col("_late"))
+        .join(per_order, flagged.l_orderkey == F.col("_ok"))
+        .where((F.col("_n_supp") > 1) & (F.col("_n_late") == 1))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )
+
+
 def q_setops_customer_segments(spark, sf_dir):
     """Set operations (INTERSECT / EXCEPT): BUILDING-segment customers
     split into those who did and did not place an urgent order. Both
@@ -1296,6 +1553,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_items": q_q10_returned_items,
         "q7_volume_shipping": q_q7_volume_shipping,
         "q17_small_qty_revenue": q_q17_small_qty_revenue,
+        "q6_forecast_revenue": q_q6_forecast_revenue,
+        "q8_market_share": q_q8_market_share,
+        "q9_profit_by_nation_year": q_q9_profit_by_nation_year,
+        "q12_shipping_priority": q_q12_shipping_priority,
+        "q15_top_supplier": q_q15_top_supplier,
+        "q2_min_cost_supplier": q_q2_min_cost_supplier,
+        "q11_important_parts": q_q11_important_parts,
+        "q21_waiting_suppliers": q_q21_waiting_suppliers,
         "setops_customer_segments": q_setops_customer_segments,
         "running_order_totals": q_running_order_totals,
         "json_props_stats": q_json_props_stats,
@@ -1673,6 +1938,121 @@ JOIN part p ON l.l_partkey = p.p_partkey
 JOIN per_part t ON l.l_partkey = t.pk
 WHERE p.p_brand = 'Brand#23'
   AND CAST(l.l_quantity AS DECIMAL(18,2)) * t.cnt * 5 < t.sum_qty
+""",
+        "q6_forecast_revenue": """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT)
+         AS revenue_c4,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN CAST(0.05 AS DECIMAL(18,2)) AND CAST(0.07 AS DECIMAL(18,2))
+  AND l_quantity < 24
+""",
+        "q8_market_share": """
+SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CASE WHEN n2.n_name = 'NATION_9'
+           THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))
+           ELSE CAST(0 AS DECIMAL(18,2)) END) * 10000 AS BIGINT) AS nation_revenue_c4,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) * 10000 AS BIGINT)
+         AS total_revenue_c4
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+JOIN region r ON n1.n_regionkey = r.r_regionkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+WHERE r.r_name = 'MIDDLE EAST' AND p.p_type = 'STANDARD'
+  AND o.o_orderdate >= TIMESTAMP '1995-01-01' AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY year(o.o_orderdate)
+""",
+        "q9_profit_by_nation_year": """
+SELECT n.n_name, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) * 10000 AS BIGINT)
+         AS profit_c4
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE p.p_name LIKE '%red%'
+GROUP BY n.n_name, year(o.o_orderdate)
+""",
+        "q12_shipping_priority": """
+SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 90 THEN 'SLOW' ELSE 'FAST' END
+         AS ship_speed,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+         AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT)
+         AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY 1
+""",
+        "q15_top_supplier": """
+WITH revenue AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) * 10000 AS BIGINT)
+           AS total_revenue_c4
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue_c4
+FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+WHERE total_revenue_c4 = (SELECT max(total_revenue_c4) FROM revenue)
+""",
+        "q2_min_cost_supplier": """
+WITH cost AS (
+  SELECT p.p_partkey, l.l_suppkey,
+         CAST(min(CAST(l.l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cost_c
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_size = 15 AND p.p_type = 'SMALL'
+  GROUP BY p.p_partkey, l.l_suppkey
+)
+SELECT c.p_partkey, s.s_suppkey, s.s_name,
+       CAST(CAST(s.s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS acctbal_c,
+       c.cost_c
+FROM cost c JOIN supplier s ON c.l_suppkey = s.s_suppkey
+WHERE c.cost_c = (SELECT min(c2.cost_c) FROM cost c2 WHERE c2.p_partkey = c.p_partkey)
+""",
+        "q11_important_parts": """
+WITH v AS (
+  SELECT l_partkey, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS value_c
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_9'
+  GROUP BY l_partkey
+)
+SELECT l_partkey, value_c FROM v
+WHERE value_c * 800 > (SELECT sum(value_c) FROM v)
+""",
+        "q21_waiting_suppliers": """
+WITH flagged AS (
+  SELECT l_orderkey, l_suppkey,
+         CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 90 THEN 1 ELSE 0 END AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+),
+per_order AS (
+  SELECT l_orderkey AS ok, count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS n_late
+  FROM flagged GROUP BY l_orderkey
+)
+SELECT s_name, count(*) AS numwait
+FROM flagged f
+JOIN per_order p ON f.l_orderkey = p.ok
+JOIN supplier s ON f.l_suppkey = s.s_suppkey
+WHERE f.late = 1 AND p.n_supp > 1 AND p.n_late = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 20
 """,
         "setops_customer_segments": """
 SELECT 'building_urgent' AS tag, k FROM (
