@@ -943,6 +943,44 @@ def q_q21_waiting_suppliers(spark, sf_dir):
     )
 
 
+def q_q20_dominant_suppliers(spark, sf_dir):
+    """Nested semi-join with a correlated share threshold (TPC-H Q20
+    shape, adapted: the fixture has no partsupp, so "excess availability"
+    becomes market dominance — a supplier qualifies when its 1996 shipped
+    quantity of a 'widget' part exceeds half that part's total). The
+    correlated aggregate is a window sum over the already-grouped pair
+    relation (no second fact scan); the qualifying-supplier key set
+    semi-joins into the nation-filtered supplier dim, so the fact side is
+    scanned exactly once."""
+    li = _read(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    part = _read(spark, sf_dir, "part").where(F.col("p_name").like("%widget%"))
+    supp = _read(spark, sf_dir, "supplier")
+    nation = _read(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_3", "NATION_9")
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    pair = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg((F.sum(dec("l_quantity")) * 100).cast("long").alias("_qty_c"))
+    )
+    w = Window.partitionBy("l_partkey")
+    dom = (
+        pair.withColumn("_tot_c", F.sum("_qty_c").over(w))
+        .where(F.col("_qty_c") * 2 > F.col("_tot_c"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(dom, supp.s_suppkey == dom.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
 def q_setops_customer_segments(spark, sf_dir):
     """Set operations (INTERSECT / EXCEPT): BUILDING-segment customers
     split into those who did and did not place an urgent order. Both
@@ -1283,6 +1321,24 @@ def q_pack_documents(spark, sf_dir):
     )
 
 
+def q_contamination_check(spark, sf_dir):
+    """Train/test decontamination: per TEST document, distinct 8-gram
+    count and how many of those 8-grams leak from the TRAIN split
+    (distinct-deduped equi-join on the shingle — see
+    operators/corpus.py:contamination_ngrams for the scale shape)."""
+    from flyq_spark.operators.corpus import contamination_ngrams
+
+    docs = _read(spark, sf_dir, "documents")
+    return contamination_ngrams(docs, n=8)
+
+
+def q_repetition_signals(spark, sf_dir):
+    """Gopher-style per-document repetition signals as exact integers
+    (word totals/uniques/top-word count + bigram totals/uniques)."""
+    docs = _read(spark, sf_dir, "documents")
+    return X.repetition_signals(docs)
+
+
 def q_inverted_index(spark, sf_dir):
     """Inverted-index summary: the 50 highest-df terms with their df and
     first posting (full posting arrays aren't hashable through the
@@ -1561,6 +1617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q2_min_cost_supplier": q_q2_min_cost_supplier,
         "q11_important_parts": q_q11_important_parts,
         "q21_waiting_suppliers": q_q21_waiting_suppliers,
+        "q20_dominant_suppliers": q_q20_dominant_suppliers,
         "setops_customer_segments": q_setops_customer_segments,
         "running_order_totals": q_running_order_totals,
         "json_props_stats": q_json_props_stats,
@@ -1590,6 +1647,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_test_split": q_train_test_split,
         "corpus_shuffle": q_corpus_shuffle,
         "pack_documents": q_pack_documents,
+        "contamination_check": q_contamination_check,
+        "repetition_signals": q_repetition_signals,
         "stratified_sample": q_stratified_sample,
         "inverted_index": q_inverted_index,
         "term_search": q_term_search,
@@ -2054,6 +2113,25 @@ GROUP BY s_name
 ORDER BY numwait DESC, s_name ASC
 LIMIT 20
 """,
+        "q20_dominant_suppliers": """
+WITH pair AS (
+  SELECT l_suppkey AS sk, l_partkey AS pk,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS qty_c
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE '%widget%'
+    AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY 1, 2
+),
+dom AS (
+  SELECT DISTINCT sk FROM (
+    SELECT sk, qty_c, sum(qty_c) OVER (PARTITION BY pk) AS tot_c FROM pair)
+  WHERE qty_c * 2 > tot_c
+)
+SELECT s_suppkey, s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name IN ('NATION_3', 'NATION_9')
+  AND s_suppkey IN (SELECT sk FROM dom)
+""",
         "setops_customer_segments": """
 SELECT 'building_urgent' AS tag, k FROM (
   SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
@@ -2352,6 +2430,54 @@ SELECT shard, CAST(floor(cum_before / 2048.0) AS BIGINT) AS pack_id,
        count(*) AS n_docs, sum(n_tokens) AS pack_tokens
 FROM packed
 GROUP BY shard, pack_id
+""",
+        "contamination_check": """
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0d'
+              THEN 'test' ELSE 'train' END AS split
+  FROM documents
+),
+test_ng AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(w[CAST(i AS BIGINT):CAST(i AS BIGINT)+7], ' ') AS ng
+  FROM base, UNNEST(range(1, len(w) - 6)) AS t(i)
+  WHERE split = 'test'
+),
+train_ng AS (
+  SELECT DISTINCT array_to_string(w[CAST(i AS BIGINT):CAST(i AS BIGINT)+7], ' ') AS ng
+  FROM base, UNNEST(range(1, len(w) - 6)) AS t(i)
+  WHERE split = 'train'
+)
+SELECT t.doc_id, count(*) AS n_ngrams, count(tr.ng) AS n_contaminated
+FROM test_ng t LEFT JOIN train_ng tr USING (ng)
+GROUP BY t.doc_id
+""",
+        "repetition_signals": """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+wc AS (
+  SELECT doc_id, word, count(*) AS c FROM tok GROUP BY 1, 2
+),
+agg AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+         count(*) AS n_unique_words, CAST(max(c) AS BIGINT) AS top_word_count
+  FROM wc GROUP BY 1
+),
+bg AS (
+  SELECT doc_id,
+         CAST(greatest(len(string_split(text, ' ')) - 1, 0) AS BIGINT) AS n_bigrams,
+         CAST(len(list_distinct(list_transform(
+           range(1, len(string_split(text, ' '))),
+           i -> string_split(text, ' ')[CAST(i AS BIGINT)] || ' ' ||
+                string_split(text, ' ')[CAST(i AS BIGINT) + 1]
+         ))) AS BIGINT) AS n_unique_bigrams
+  FROM documents
+)
+SELECT a.doc_id, a.n_words, a.n_unique_words, a.top_word_count,
+       b.n_bigrams, b.n_unique_bigrams
+FROM agg a JOIN bg b ON a.doc_id = b.doc_id
 """,
         "inverted_index": """
 WITH pairs AS (

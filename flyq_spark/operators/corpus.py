@@ -126,6 +126,70 @@ def pack_documents(
     )
 
 
+def _word_ngrams(words: Column, n: int) -> Column:
+    """All word ``n``-grams of an array column as space-joined strings
+    (empty array when the document has fewer than ``n`` words — the
+    guard matters because ``F.sequence`` with stop < start would emit a
+    DESCENDING index range, not an empty one)."""
+    idx = F.when(
+        F.size(words) >= n, F.sequence(F.lit(1), F.size(words) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(idx, lambda i: F.array_join(F.slice(words, i, n), " "))
+
+
+def contamination_ngrams(
+    df: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    test_prefix_below: str = "0d",
+) -> DataFrame:
+    """Train/test decontamination check: for every TEST document, how
+    many of its distinct word ``n``-grams also appear anywhere in the
+    TRAIN split. The standard eval-leakage test (n=8 is the usual
+    shingle size) expressed as one distinct-deduped equi-join:
+
+      test side:  (doc_id, ngram) distinct  — per-doc shingle set
+      train side: (ngram) distinct          — global train shingle set
+      left join on the ngram, count hits per test doc
+
+    Output: (doc_id, n_ngrams, n_contaminated) as exact BIGINTs — the
+    caller derives the contamination ratio; emitting integers keeps the
+    result engine-hash-exact.
+
+    Scale shape: shingle explode is a narrow projection; both sides
+    dedup with map-side partial aggregation BEFORE the join, so the
+    join is |distinct shingles| not |token positions|; the join itself
+    is a plain equi sort-merge/hash join on the shingle key — never a
+    corpus x corpus comparison. At 100 TB the string key would be
+    xxhash64-compressed to 8 bytes (collisions only shrink the reported
+    contamination by ~0 at 2^-64); the string form here keeps the
+    DuckDB oracle bit-exact. Documents with < n words have no shingles
+    and drop out, identically on both engines."""
+    base = train_test_split(
+        df.select(id_col, text_col), id_col, test_prefix_below
+    ).withColumn("_ng", _word_ngrams(F.split(F.col(text_col), " "), n))
+    test_ng = (
+        base.where(F.col("split") == "test")
+        .select(id_col, F.explode("_ng").alias("_g"))
+        .distinct()
+    )
+    train_ng = (
+        base.where(F.col("split") == "train")
+        .select(F.explode("_ng").alias("_g"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        test_ng.join(train_ng, on="_g", how="left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_ngrams"),
+            F.count("_hit").cast("long").alias("n_contaminated"),
+        )
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

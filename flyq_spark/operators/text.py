@@ -205,6 +205,48 @@ def bigram_counts(
     )
 
 
+def repetition_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document repetition signals (the Gopher-rule quality family):
+    (n_words, n_unique_words, top_word_count, n_bigrams,
+    n_unique_bigrams) as exact BIGINTs — the caller derives the
+    duplicate-word / duplicate-bigram / top-word fractions; integer
+    outputs keep the result engine-hash-exact.
+
+    Two linear passes, no quadratic per-row work: word counts go
+    explode → groupBy(doc, word) → groupBy(doc) (both shuffles map-side
+    combined and keyed by the doc id, so a 1M-token document is LINEAR
+    in its length — unlike the tempting pure-projection
+    array_max(transform(distinct, w -> count)) form, which is O(unique
+    × length) per row); bigram uniqueness is a pure array projection
+    (sequence → transform → array_distinct) joined back on the doc id."""
+    arr = F.split(F.col(text_col), " ")
+    bigrams = F.when(
+        F.size(arr) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(arr) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(arr, i), F.element_at(arr, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    proj = df.select(
+        F.col(id_col),
+        F.size(bigrams).cast("long").alias("n_bigrams"),
+        F.size(F.array_distinct(bigrams)).cast("long").alias("n_unique_bigrams"),
+    )
+    wc = (
+        df.select(F.col(id_col), F.explode(arr).alias("_w"))
+        .groupBy(id_col, "_w")
+        .agg(F.count("*").alias("_c"))
+    )
+    agg = wc.groupBy(id_col).agg(
+        F.sum("_c").cast("long").alias("n_words"),
+        F.count("*").cast("long").alias("n_unique_words"),
+        F.max("_c").cast("long").alias("top_word_count"),
+    )
+    return agg.join(proj, on=id_col)
+
+
 def bm25_topk(
     df: DataFrame,
     terms: list[str],

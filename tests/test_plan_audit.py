@@ -22,6 +22,8 @@ SCALAR_BROADCAST_OK = {
     "retention_time",  # max(ts), 1 row
     "q22_idle_customers",  # (n_pos, sum_pos) threshold, 1 row
     "bm25_top10",  # (N, avgdl) corpus stats, 1 row
+    "q11_important_parts",  # sum(value_c) grand total, 1 row
+    "q15_top_supplier",  # max(total_revenue_c4), 1 row
 }
 
 
