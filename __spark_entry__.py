@@ -1230,6 +1230,17 @@ def q_token_stats(spark, sf_dir):
     return X.with_token_stats(_read(spark, sf_dir, "documents"))
 
 
+def q_bpe_token_stats(spark, sf_dir):
+    """BPE-ish pretokenizer counts next to whitespace counts: the token
+    budget a training pipeline actually plans against."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.token_count(F.col("text")).alias("n_ws_tokens"),
+        X.bpe_pretoken_count(F.col("text")).alias("n_pretokens"),
+    )
+
+
 def q_text_quality(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     return docs.select(
@@ -1638,6 +1649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "doc_fingerprints": q_doc_fingerprints,
         "token_stats": q_token_stats,
+        "bpe_token_stats": q_bpe_token_stats,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "ngram_jaccard": q_ngram_jaccard,
@@ -2293,6 +2305,15 @@ SELECT doc_id,
          / (CASE WHEN length(trim(text)) = 0 THEN 0
             ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END)
          AS mean_token_len
+FROM documents
+""",
+        "bpe_token_stats": """
+SELECT doc_id,
+       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END AS BIGINT)
+         AS n_ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +'))
+         AS BIGINT) AS n_pretokens
 FROM documents
 """,
         "text_quality": """

@@ -53,6 +53,22 @@ def token_count(text: Column) -> Column:
     )
 
 
+#: GPT-2-style pretokenizer, simplified to the subset RE2 also supports
+#: (no lookahead): a leading-space word run, digit run, punctuation run,
+#: or residual space run. Alternation is leftmost-first in both Java
+#: regex (Spark) and RE2 (DuckDB), so the match sequence — and therefore
+#: the count — is engine-exact.
+BPE_PRETOKEN_PATTERN = r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +"
+
+
+def bpe_pretoken_count(text: Column, pattern: str = BPE_PRETOKEN_PATTERN) -> Column:
+    """BPE-ish token-budget estimate: the number of pretokenizer matches
+    (the unit BPE merges operate within — an upper bound on merged token
+    count and the standard budget proxy when the merge table isn't in
+    the engine). One vectorized regexp_extract_all per row, JVM-side."""
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(pattern), 0)).cast("long")
+
+
 def with_token_stats(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
