@@ -39,6 +39,7 @@ HEADLINE = [
     ("top_events_per_user", False),
     ("dedup_exact", False),
     ("token_stats", False),
+    ("contamination_check", False),
     ("lang_id", False),
     ("doc_fingerprints", False),
     ("minhash_pairs", False),

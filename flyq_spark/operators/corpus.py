@@ -166,8 +166,10 @@ def contamination_ngrams(
     contamination by ~0 at 2^-64); the string form here keeps the
     DuckDB oracle bit-exact. Documents with < n words have no shingles
     and drop out, identically on both engines."""
+    from flyq_spark.operators.util import fan_out
+
     base = train_test_split(
-        df.select(id_col, text_col), id_col, test_prefix_below
+        fan_out(df.select(id_col, text_col)), id_col, test_prefix_below
     ).withColumn("_ng", _word_ngrams(F.split(F.col(text_col), " "), n))
     test_ng = (
         base.where(F.col("split") == "test")

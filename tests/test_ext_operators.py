@@ -745,6 +745,88 @@ def test_stratified_sample_deterministic_and_proportional(spark, docs):
         assert abs(got - f) < 0.25  # md5 uniformity at small-n tolerance
 
 
+def test_contamination_ngrams_matches_python_reference(spark, docs):
+    """Per-test-doc 8-gram totals and train-leak counts must equal a
+    pure-Python recomputation (same md5 split rule, same shingling)."""
+    import hashlib
+
+    from flyq_spark.operators.corpus import contamination_ngrams
+
+    n = 8
+    rows = docs.select("doc_id", "text").collect()
+    split = {
+        r["doc_id"]: (
+            "test"
+            if hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:2] < "0d"
+            else "train"
+        )
+        for r in rows
+    }
+
+    def shingles(text):
+        w = text.split(" ")
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+    train_set = set()
+    for r in rows:
+        if split[r["doc_id"]] == "train":
+            train_set |= shingles(r["text"])
+    expected = {
+        r["doc_id"]: (len(s), len(s & train_set))
+        for r in rows
+        if split[r["doc_id"]] == "test" and (s := shingles(r["text"]))
+    }
+    got = {
+        r["doc_id"]: (r["n_ngrams"], r["n_contaminated"])
+        for r in contamination_ngrams(docs, n=n).collect()
+    }
+    assert got == expected and any(c for _, c in got.values())
+
+
+def test_repetition_signals_matches_python_reference(spark, docs):
+    from collections import Counter
+
+    from flyq_spark.operators.text import repetition_signals
+
+    got = {
+        r["doc_id"]: (
+            r["n_words"],
+            r["n_unique_words"],
+            r["top_word_count"],
+            r["n_bigrams"],
+            r["n_unique_bigrams"],
+        )
+        for r in repetition_signals(docs).collect()
+    }
+    for r in docs.select("doc_id", "text").limit(50).collect():
+        w = r["text"].split(" ")
+        wc = Counter(w)
+        bg = [" ".join(w[i : i + 2]) for i in range(len(w) - 1)]
+        assert got[r["doc_id"]] == (
+            len(w),
+            len(wc),
+            max(wc.values()),
+            len(bg),
+            len(set(bg)),
+        )
+
+
+def test_bpe_pretoken_count_matches_python_reference(spark, docs):
+    import re
+
+    from flyq_spark.operators.text import BPE_PRETOKEN_PATTERN, bpe_pretoken_count
+
+    got = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", bpe_pretoken_count(F.col("text")).alias("n")
+        ).collect()
+    }
+    pat = re.compile(BPE_PRETOKEN_PATTERN)
+    for r in docs.select("doc_id", "text").limit(50).collect():
+        assert got[r["doc_id"]] == len(pat.findall(r["text"].lower()))
+
+
 def test_inverted_index_and_search_consistent(spark, docs):
     """df == |postings|, postings sorted; AND-search equals the
     intersection of the per-term posting sets."""
