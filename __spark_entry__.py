@@ -1332,6 +1332,14 @@ def q_pack_documents(spark, sf_dir):
     )
 
 
+def q_quality_filter(spark, sf_dir):
+    """Composed Gopher-rule keep/drop verdict per document — the actual
+    corpus-filter stage, first-failing-rule semantics, all-integer
+    threshold arithmetic (see operators/text.py:quality_filter)."""
+    docs = _read(spark, sf_dir, "documents")
+    return X.quality_filter(docs)
+
+
 def q_contamination_check(spark, sf_dir):
     """Train/test decontamination: per TEST document, distinct 8-gram
     count and how many of those 8-grams leak from the TRAIN split
@@ -1659,6 +1667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_test_split": q_train_test_split,
         "corpus_shuffle": q_corpus_shuffle,
         "pack_documents": q_pack_documents,
+        "quality_filter": q_quality_filter,
         "contamination_check": q_contamination_check,
         "repetition_signals": q_repetition_signals,
         "stratified_sample": q_stratified_sample,
@@ -2451,6 +2460,39 @@ SELECT shard, CAST(floor(cum_before / 2048.0) AS BIGINT) AS pack_id,
        count(*) AS n_docs, sum(n_tokens) AS pack_tokens
 FROM packed
 GROUP BY shard, pack_id
+""",
+        "quality_filter": """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+wc AS (
+  SELECT doc_id, word, count(*) AS c FROM tok GROUP BY 1, 2
+),
+agg AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+         CAST(max(c) AS BIGINT) AS top_c
+  FROM wc GROUP BY 1
+),
+bg AS (
+  SELECT doc_id,
+         CAST(greatest(len(string_split(text, ' ')) - 1, 0) AS BIGINT) AS n_bg,
+         CAST(len(list_distinct(list_transform(
+           range(1, len(string_split(text, ' '))),
+           i -> string_split(text, ' ')[CAST(i AS BIGINT)] || ' ' ||
+                string_split(text, ' ')[CAST(i AS BIGINT) + 1]
+         ))) AS BIGINT) AS n_ubg
+  FROM documents
+),
+r AS (
+  SELECT a.doc_id,
+         CASE WHEN n_words < 20 THEN 'too_short'
+              WHEN n_words > 100000 THEN 'too_long'
+              WHEN top_c * 100 > n_words * 15 THEN 'repetitive_word'
+              WHEN (n_bg - n_ubg) * 100 > n_bg * 10 THEN 'repetitive_bigram'
+              ELSE 'ok' END AS reason
+  FROM agg a JOIN bg USING (doc_id)
+)
+SELECT doc_id, reason, reason = 'ok' AS keep FROM r
 """,
         "contamination_check": """
 WITH base AS (

@@ -263,6 +263,81 @@ def repetition_signals(
     return agg.join(proj, on=id_col)
 
 
+def quality_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 20,
+    max_words: int = 100_000,
+    max_top_word_pct: int = 15,
+    max_dup_bigram_pct: int = 10,
+) -> DataFrame:
+    """Composed Gopher-rule document filter: (doc_id, reason, keep)
+    where ``reason`` is the FIRST failing rule (too_short / too_long /
+    repetitive_word / repetitive_bigram) or 'ok'. Thresholds compare
+    cross-multiplied integers (``top_count*100 > n_words*pct``) — no
+    float ratio ever materializes, so the verdict is engine-exact.
+    Cost is one ``repetition_signals`` pass; the CASE chain is a free
+    projection on top."""
+    sig = repetition_signals(df, id_col, text_col)
+    reason = (
+        F.when(F.col("n_words") < min_words, F.lit("too_short"))
+        .when(F.col("n_words") > max_words, F.lit("too_long"))
+        .when(
+            F.col("top_word_count") * 100 > F.col("n_words") * max_top_word_pct,
+            F.lit("repetitive_word"),
+        )
+        .when(
+            (F.col("n_bigrams") - F.col("n_unique_bigrams")) * 100
+            > F.col("n_bigrams") * max_dup_bigram_pct,
+            F.lit("repetitive_bigram"),
+        )
+        .otherwise(F.lit("ok"))
+    )
+    return sig.select(
+        F.col(id_col), reason.alias("reason"), (reason == "ok").alias("keep")
+    )
+
+
+#: Default PII patterns (Java-regex and RE2 compatible: no lookaround).
+#: Order matters: longer/more-specific patterns first so a phone number
+#: inside an email-like token is not half-redacted.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+    # no leading \b: "(" is non-word, so a boundary can never precede it
+    "phone": r"(?:\+?1[-. ])?(?:\([0-9]{3}\) ?|\b[0-9]{3}[-. ])[0-9]{3}[-. ][0-9]{4}\b",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """PII scrubbing for a training corpus: replaces each pattern match
+    with ``[<NAME>]`` (e.g. ``[EMAIL]``) and appends one BIGINT hit
+    counter per pattern (``n_email``, ...) so downstream audits can
+    aggregate redaction volume without re-scanning.
+
+    All work is JVM-side ``regexp_replace``/``regexp_count`` — one
+    codegen'd projection, zero shuffles, linear per row. Patterns apply
+    in dict order over the progressively-redacted text; counts are
+    measured on the ORIGINAL text so overlapping patterns report what
+    they would have matched, independent of application order."""
+    pats = patterns or PII_PATTERNS
+    original = F.col(text_col)
+    redacted = original
+    out = df
+    for name, pat in pats.items():
+        out = out.withColumn(
+            f"n_{name}", F.regexp_count(original, F.lit(pat)).cast("long")
+        )
+        redacted = F.regexp_replace(redacted, pat, f"[{name.upper()}]")
+    return out.withColumn(text_col, redacted)
+
+
 def bm25_topk(
     df: DataFrame,
     terms: list[str],

@@ -827,6 +827,52 @@ def test_bpe_pretoken_count_matches_python_reference(spark, docs):
         assert got[r["doc_id"]] == len(pat.findall(r["text"].lower()))
 
 
+def test_quality_filter_first_failing_rule(spark):
+    from flyq_spark.operators.text import quality_filter
+
+    rows = [
+        (1, "one two three"),  # 3 words -> too_short (min 5)
+        (2, "spam spam spam spam spam spam"),  # top word 100% -> repetitive_word
+        # 8 words, unique-enough words but only 2 distinct bigrams of 7
+        (3, "a b a b a b a b"),
+        (4, "the quick brown fox jumps over lazy dogs"),  # ok
+        # too_short wins over repetitive_word (first failing rule)
+        (5, "x x x"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["reason"], r["keep"])
+        for r in quality_filter(
+            df, min_words=5, max_top_word_pct=40, max_dup_bigram_pct=50
+        ).collect()
+    }
+    assert got == {
+        1: ("too_short", False),
+        2: ("repetitive_word", False),
+        3: ("repetitive_word", False),  # 4/8 = 50% > 40%
+        4: ("ok", True),
+        5: ("too_short", False),
+    }
+
+
+def test_redact_pii_patterns_and_counts(spark):
+    from flyq_spark.operators.text import redact_pii
+
+    rows = [
+        (1, "mail me at jane.doe+x@example.co.uk or call 555-867-5309 now"),
+        (2, "ssn 123-45-6789 from host 10.0.0.1 and (212) 555-0123"),
+        (3, "clean text with no identifiers at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r.asDict() for r in redact_pii(df).collect()}
+    assert got[1]["text"] == "mail me at [EMAIL] or call [PHONE] now"
+    assert (got[1]["n_email"], got[1]["n_phone"]) == (1, 1)
+    assert got[2]["text"] == "ssn [SSN] from host [IPV4] and [PHONE]"
+    assert (got[2]["n_ssn"], got[2]["n_ipv4"], got[2]["n_phone"]) == (1, 1, 1)
+    assert got[3]["text"] == rows[2][1]
+    assert all(got[3][f"n_{k}"] == 0 for k in ("email", "ssn", "phone", "ipv4"))
+
+
 def test_inverted_index_and_search_consistent(spark, docs):
     """df == |postings|, postings sorted; AND-search equals the
     intersection of the per-term posting sets."""
