@@ -1,0 +1,108 @@
+"""End-to-end training-corpus pipeline — the composition the individual
+[EXT] operators exist for, in the order a real pretraining data build
+runs them:
+
+    ingest → PII redaction → quality filter (Gopher rules)
+           → exact dedup → MinHash near-dup → connected components
+           → survivor choice → train/test split → decontamination audit
+           → reproducible shuffle → sequence packing
+
+Every stage is one of the library operators (no logic lives here), so
+the pipeline inherits their scale shapes: projections stay zero-shuffle,
+candidate generation stays bucketed, nothing is ever all-pairs, and the
+whole build is deterministic — same input, same corpus, on any engine,
+any partitioning, any run.
+
+Usage:
+    python examples/pipeline.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def build_training_corpus(
+    spark: SparkSession, sf_dir: str, jaccard_threshold: float = 0.5
+) -> dict[str, DataFrame]:
+    """Run the full build; returns the per-stage frames so callers can
+    audit any intermediate ({'corpus': final packed frame, ...})."""
+    from flyq_spark.io import read_documents
+    from flyq_spark.operators.corpus import (
+        contamination_ngrams,
+        corpus_shuffle,
+        pack_documents,
+        train_test_split,
+    )
+    from flyq_spark.operators.dedup import dedup_exact_rows, minhash_lsh_pairs
+    from flyq_spark.operators.graph import dedup_components_keep_min
+    from flyq_spark.operators.text import quality_filter, redact_pii
+
+    docs = read_documents(spark, f"{sf_dir}/documents.parquet")
+
+    # 1. scrub PII, then drop low-quality docs (first-failing-rule audit)
+    clean = redact_pii(docs)
+    verdicts = quality_filter(clean)
+    kept = clean.join(
+        verdicts.where(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
+    )
+
+    # 2. exact dedup (md5 keep-first), then near-dup clustering:
+    #    LSH candidates → connected components → keep cluster minimum
+    exact = dedup_exact_rows(kept, text_col="text", id_col="doc_id")
+    pairs = minhash_lsh_pairs(
+        exact, text_col="text", id_col="doc_id", jaccard_threshold=jaccard_threshold
+    )
+    survivors = dedup_components_keep_min(pairs)
+    deduped = exact.join(
+        survivors.where(~F.col("keep")).select(F.col("node").alias("doc_id")),
+        "doc_id",
+        "left_anti",
+    )
+
+    # 3. deterministic split + decontamination audit (8-gram leakage)
+    split = train_test_split(deduped)
+    contamination = contamination_ngrams(deduped)
+
+    # 4. reproducible order + token-budget packing for the train side
+    train = split.where(F.col("split") == "train").drop("split")
+    corpus = pack_documents(corpus_shuffle(train), token_budget=2048)
+
+    return {
+        "verdicts": verdicts,
+        "deduped": deduped,
+        "contamination": contamination,
+        "corpus": corpus,
+    }
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    from flyq_spark.session import get_spark
+
+    spark = get_spark("flyq_pipeline")
+    stages = build_training_corpus(spark, sf_dir)
+    n_docs = stages["corpus"].count()
+    dropped = {
+        r["reason"]: r["n"]
+        for r in stages["verdicts"]
+        .groupBy("reason")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    leak = stages["contamination"].agg(
+        F.sum("n_contaminated").alias("c"), F.sum("n_ngrams").alias("t")
+    ).first()
+    print(f"corpus: {n_docs} packed train docs")
+    print(f"quality verdicts: {dropped}")
+    print(f"contamination: {leak['c']}/{leak['t']} test 8-grams seen in train")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

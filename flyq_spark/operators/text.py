@@ -237,6 +237,9 @@ def repetition_signals(
     array_max(transform(distinct, w -> count)) form, which is O(unique
     × length) per row); bigram uniqueness is a pure array projection
     (sequence → transform → array_distinct) joined back on the doc id."""
+    from flyq_spark.operators.util import fan_out
+
+    df = fan_out(df)
     arr = F.split(F.col(text_col), " ")
     bigrams = F.when(
         F.size(arr) >= 2,
