@@ -1587,6 +1587,27 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+def q_duplicate_spans(spark, sf_dir):
+    """Exact duplicate-substring spans (C4-style substring dedup): maximal
+    token spans covered by word 8-grams occurring >1 time corpus-wide.
+    One gram-key shuffle + per-doc gaps-and-islands merge (see
+    operators/dedup.py:duplicate_spans for the scale shape)."""
+    from flyq_spark.operators.dedup import duplicate_spans
+
+    docs = _read(spark, sf_dir, "documents")
+    return duplicate_spans(docs, k=8)
+
+
+def q_source_composition(spark, sf_dir):
+    """Per-source corpus composition (mixture-weighting inputs): docs,
+    whitespace tokens, distinct languages, longest doc — exact BIGINTs,
+    one map-side-combined groupBy (operators/corpus.py)."""
+    from flyq_spark.operators.corpus import source_composition
+
+    docs = _read(spark, sf_dir, "documents")
+    return source_composition(docs)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the monitor composition (A12+A13+A14+A29) at sf0.001."""
     return q_monitor_alerts(spark, SF0001)
@@ -1680,6 +1701,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_codes": q_zorder_codes,
         "embedding_quantize": q_embedding_quantize,
         "multimodal_content": q_multimodal_content,
+        "duplicate_spans": q_duplicate_spans,
+        "source_composition": q_source_composition,
         # rows-only (non-SQL-expressible: LSH/MinHash/SimHash/Arrow kernels)
         "minhash_pairs": q_minhash_pairs,
         "simhash_neardup": q_simhash_neardup,
@@ -2515,6 +2538,51 @@ train_ng AS (
 SELECT t.doc_id, count(*) AS n_ngrams, count(tr.ng) AS n_contaminated
 FROM test_ng t LEFT JOIN train_ng tr USING (ng)
 GROUP BY t.doc_id
+""",
+        "duplicate_spans": """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+grams AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         array_to_string(w[CAST(i AS BIGINT):CAST(i AS BIGINT)+7], ' ') AS g
+  FROM toks, UNNEST(range(1, len(w) - 6)) AS t(i)
+),
+dup AS (
+  SELECT doc_id, pos, count(*) OVER (PARTITION BY g) AS c FROM grams
+),
+keep AS (
+  SELECT doc_id, pos FROM dup WHERE c > 1
+),
+marked AS (
+  SELECT doc_id, pos,
+    CASE WHEN pos > coalesce(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos), -16) + 8
+         THEN 1 ELSE 0 END AS brk
+  FROM keep
+),
+isl AS (
+  SELECT doc_id, pos,
+    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+  FROM marked
+)
+SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + 7 AS BIGINT) AS span_end,
+       CAST(max(pos) + 7 - min(pos) + 1 AS BIGINT) AS span_tokens
+FROM isl GROUP BY doc_id, island
+""",
+        "source_composition": """
+WITH t AS (
+  SELECT source, lang,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE length(trim(text))
+                   - length(replace(trim(text), ' ', '')) + 1 END AS n_t
+  FROM documents
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_t) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(max(n_t) AS BIGINT) AS max_doc_tokens
+FROM t GROUP BY source
 """,
         "repetition_signals": """
 WITH tok AS (

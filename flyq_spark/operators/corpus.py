@@ -219,3 +219,36 @@ def stratified_sample(
         F.lit(int(round(default_fraction * 65536))),
     )
     return df.where(h4 < thr)
+
+
+def source_composition(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-source corpus composition — the statistics a mixture-weighting
+    step consumes (how many docs/tokens each domain contributes, how
+    monolingual it is, how long its longest document runs) before
+    choosing per-source sampling rates for ``stratified_sample``.
+
+    One hash-groupBy on the source key with map-side partial
+    aggregation; token counts are the length-arithmetic projection from
+    ``text.token_count`` (no split/explode — the scan never materializes
+    token arrays). All outputs are exact BIGINTs; callers derive shares
+    so the result stays engine-hash-exact.
+
+    Output: (source, n_docs, n_tokens, n_langs, max_doc_tokens)."""
+    from flyq_spark.operators.text import token_count
+
+    toks = token_count(F.col(text_col))
+    return (
+        df.withColumn("_t", toks)
+        .groupBy(F.col(source_col).alias("source"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("_t").cast("long").alias("n_tokens"),
+            F.countDistinct(lang_col).cast("long").alias("n_langs"),
+            F.max("_t").cast("long").alias("max_doc_tokens"),
+        )
+    )

@@ -325,3 +325,89 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", jaccard)
         .where(F.col("jaccard") >= min_jaccard)
     )
+
+
+# --------------------------------------------------------------------- #
+# exact duplicate-substring spans (the C4 / "Deduplicating Training
+# Data Makes Language Models Better" primitive)
+# --------------------------------------------------------------------- #
+
+
+def duplicate_spans(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact duplicate-substring detection: maximal token spans whose
+    every position starts a word ``k``-gram that occurs MORE THAN ONCE
+    anywhere in the corpus (within- or cross-document). This is the
+    span primitive behind C4-style substring dedup — the downstream
+    excision policy (drop span, keep first occurrence, drop doc) is the
+    caller's; detection is the corpus-scale part.
+
+    Plan, in three one-shuffle stages:
+
+    1. position-tagged shingles: ``sequence`` → ``transform`` →
+       ``explode`` emits (id, pos, gram) — a narrow codegen projection,
+       no shuffle; documents with < k words emit nothing (explicit
+       guard: ``sequence(1, n-k+1)`` with n < k would emit a DESCENDING
+       range, not an empty one).
+    2. global duplication test: ``count() over (partition by gram)`` —
+       ONE shuffle on the gram key (a groupBy+semi-join form would
+       shuffle the same rows twice). Positions whose count is 1 drop.
+       At 100 TB the gram key would be xxhash64-compressed to 8 bytes
+       before the exchange (a 2^-64 collision only merges two span
+       sets); the string key here keeps the DuckDB oracle bit-exact,
+       same tradeoff as ``contamination_ngrams``.
+    3. span merge: per-doc gaps-and-islands over the surviving
+       positions — ``lag`` marks a break when the next duplicated
+       k-gram starts more than k tokens after the previous one
+       (overlapping OR exactly-adjacent grams merge into one contiguous
+       duplicated region), running sum numbers islands, groupBy emits
+       (span_start, span_end). Shuffle is on the doc id, carrying only
+       integer positions.
+
+    Output: (doc_id, span_start, span_end, span_tokens), 1-based
+    inclusive token positions."""
+    words = F.split(F.col(text_col), " ")
+    idx = F.when(
+        F.size(words) >= k, F.sequence(F.lit(1), F.size(words) - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = fan_out(df).select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.array_join(F.slice(words, i, k), " ").alias("_g"),
+                ),
+            )
+        ).alias("_pg"),
+    ).select(id_col, F.col("_pg.pos").alias("pos"), F.col("_pg._g").alias("_g"))
+    dup_pos = grams.withColumn(
+        "_c", F.count("*").over(Window.partitionBy("_g"))
+    ).where(F.col("_c") > 1).select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    brk = F.when(
+        F.col("pos") > F.coalesce(F.lag("pos").over(w), F.lit(-(2 * k))) + k,
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    islands = dup_pos.withColumn("_brk", brk).withColumn(
+        "_island",
+        F.sum("_brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islands.groupBy(id_col, "_island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + (k - 1)).cast("long").alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+    )

@@ -1061,3 +1061,87 @@ def test_pq_deterministic(spark, emb):
     e1 = sorted((r["vec_id"], tuple(r["codes"])) for r in pq_encode(emb, b1).collect())
     e2 = sorted((r["vec_id"], tuple(r["codes"])) for r in pq_encode(emb, b2).collect())
     assert e1 == e2
+
+
+def test_duplicate_spans_matches_python_reference(spark, docs):
+    """Maximal duplicated-8-gram spans must equal a pure-Python
+    recomputation (global gram counting incl. within-doc repeats,
+    merge when the next duplicated gram starts <= k after the last)."""
+    from collections import Counter
+
+    from flyq_spark.operators.dedup import duplicate_spans
+
+    k = 8
+    rows = docs.select("doc_id", "text").collect()
+    counts: Counter = Counter()
+    words = {}
+    for r in rows:
+        w = r["text"].split(" ")
+        words[r["doc_id"]] = w
+        for i in range(len(w) - k + 1):
+            counts[" ".join(w[i : i + k])] += 1
+    expected = set()
+    for doc_id, w in words.items():
+        ps = [
+            i + 1
+            for i in range(len(w) - k + 1)
+            if counts[" ".join(w[i : i + k])] > 1
+        ]
+        spans = []
+        for p in ps:
+            if spans and p <= spans[-1][1] + 1:  # prev end = last_pos + k - 1
+                spans[-1] = (spans[-1][0], max(spans[-1][1], p + k - 1))
+            else:
+                spans.append((p, p + k - 1))
+        for s, e in spans:
+            expected.add((doc_id, s, e, e - s + 1))
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in duplicate_spans(docs, k=k).collect()
+    }
+    assert got == expected and got  # non-vacuous: the fixture has dups
+
+
+def test_duplicate_spans_handcrafted(spark):
+    """Shared phrase across docs -> one exact span each; short docs and
+    unique text emit nothing; overlapping grams merge into one span."""
+    from flyq_spark.operators.dedup import duplicate_spans
+
+    phrase = "a b c d"  # k=3: grams 'a b c' (pos 1) and 'b c d' (pos 2)
+    df = spark.createDataFrame(
+        [
+            (1, f"{phrase} x y z q"),
+            (2, f"p q r {phrase}"),
+            (3, "only unique words here nothing repeats at all"),
+            (4, "ab"),  # shorter than k
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in duplicate_spans(df, k=3).collect()
+    }
+    assert got == {(1, 1, 4), (2, 4, 7)}
+
+
+def test_source_composition_matches_python_reference(spark, docs):
+    from flyq_spark.operators.corpus import source_composition
+
+    rows = docs.select("source", "lang", "text").collect()
+    agg: dict = {}
+    for r in rows:
+        t = r["text"].strip()
+        n_t = 0 if not t else t.count(" ") + 1
+        d = agg.setdefault(r["source"], {"docs": 0, "toks": 0, "langs": set(), "mx": 0})
+        d["docs"] += 1
+        d["toks"] += n_t
+        d["langs"].add(r["lang"])
+        d["mx"] = max(d["mx"], n_t)
+    expected = {
+        s: (d["docs"], d["toks"], len(d["langs"]), d["mx"]) for s, d in agg.items()
+    }
+    got = {
+        r["source"]: (r["n_docs"], r["n_tokens"], r["n_langs"], r["max_doc_tokens"])
+        for r in source_composition(docs).collect()
+    }
+    assert got == expected
