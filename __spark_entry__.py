@@ -1598,6 +1598,17 @@ def q_duplicate_spans(spark, sf_dir):
     return duplicate_spans(docs, k=8)
 
 
+def q_span_removal(spark, sf_dir):
+    """Substring-dedup excision: documents rebuilt with every duplicated
+    8-gram span removed (drop-all policy; see
+    operators/dedup.py:remove_duplicate_spans). Pure HOF projection over
+    a left join to the per-doc span table."""
+    from flyq_spark.operators.dedup import remove_duplicate_spans
+
+    docs = _read(spark, sf_dir, "documents")
+    return remove_duplicate_spans(docs, k=8)
+
+
 def q_source_composition(spark, sf_dir):
     """Per-source corpus composition (mixture-weighting inputs): docs,
     whitespace tokens, distinct languages, longest doc — exact BIGINTs,
@@ -1702,6 +1713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": q_embedding_quantize,
         "multimodal_content": q_multimodal_content,
         "duplicate_spans": q_duplicate_spans,
+        "span_removal": q_span_removal,
         "source_composition": q_source_composition,
         # rows-only (non-SQL-expressible: LSH/MinHash/SimHash/Arrow kernels)
         "minhash_pairs": q_minhash_pairs,
@@ -2569,6 +2581,54 @@ SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
        CAST(max(pos) + 7 AS BIGINT) AS span_end,
        CAST(max(pos) + 7 - min(pos) + 1 AS BIGINT) AS span_tokens
 FROM isl GROUP BY doc_id, island
+""",
+        "span_removal": """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+grams AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         array_to_string(w[CAST(i AS BIGINT):CAST(i AS BIGINT)+7], ' ') AS g
+  FROM toks, UNNEST(range(1, len(w) - 6)) AS t(i)
+),
+dup AS (
+  SELECT doc_id, pos, count(*) OVER (PARTITION BY g) AS c FROM grams
+),
+keep AS (
+  SELECT doc_id, pos FROM dup WHERE c > 1
+),
+marked AS (
+  SELECT doc_id, pos,
+    CASE WHEN pos > coalesce(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos), -16) + 8
+         THEN 1 ELSE 0 END AS brk
+  FROM keep
+),
+isl AS (
+  SELECT doc_id, pos,
+    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+  FROM marked
+),
+spans AS (
+  SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end
+  FROM isl GROUP BY doc_id, island
+),
+tokpos AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos, w[CAST(i AS BIGINT)] AS tok
+  FROM toks, UNNEST(range(1, len(w) + 1)) AS t(i)
+),
+clean AS (
+  SELECT t.doc_id, t.pos, t.tok
+  FROM tokpos t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans s
+    WHERE s.doc_id = t.doc_id AND t.pos BETWEEN s.span_start AND s.span_end
+  )
+)
+SELECT tk.doc_id,
+       coalesce(string_agg(c.tok, ' ' ORDER BY c.pos), '') AS clean_text,
+       CAST(len(tk.w) - count(c.tok) AS BIGINT) AS n_removed_tokens
+FROM toks tk LEFT JOIN clean c USING (doc_id)
+GROUP BY tk.doc_id, len(tk.w)
 """,
         "source_composition": """
 WITH t AS (

@@ -411,3 +411,53 @@ def duplicate_spans(
             (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
         )
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    spans: DataFrame | None = None,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Excise duplicated substrings: rebuild each document's text with
+    every token inside a ``duplicate_spans`` span removed. This is the
+    simplest deterministic excision policy (drop ALL occurrences —
+    appropriate when duplicated regions are boilerplate/contamination);
+    keep-one policies need a global ordering choice and belong to the
+    caller, who can filter the span table before passing it in.
+
+    Plan: aggregate the span table per doc (tiny: spans, not text),
+    LEFT join onto the corpus, then one pure higher-order-function
+    projection — ``arrays_zip`` tokens with their 1-based positions,
+    ``filter`` out positions covered by any span (``exists`` over the
+    per-doc span array), ``array_join`` back. No Python in the path;
+    documents without spans pass through with a zero-row join miss.
+
+    Output: (id, clean_text, n_removed_tokens)."""
+    if spans is None:
+        spans = duplicate_spans(df, k=k, id_col=id_col, text_col=text_col)
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    words = F.split(F.col(text_col), " ")
+    zipped = F.arrays_zip(
+        words.alias("w"), F.sequence(F.lit(1), F.size(words)).alias("p")
+    )
+    covered = lambda x: F.exists(  # noqa: E731
+        F.col("_spans"),
+        lambda s: (x["p"] >= s["span_start"]) & (x["p"] <= s["span_end"]),
+    )
+    kept = F.when(
+        F.col("_spans").isNull(), F.transform(zipped, lambda x: x["w"])
+    ).otherwise(
+        F.transform(F.filter(zipped, lambda x: ~covered(x)), lambda x: x["w"])
+    )
+    return (
+        df.join(per_doc, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.array_join(kept, " ").alias("clean_text"),
+            (F.size(words) - F.size(kept)).cast("long").alias("n_removed_tokens"),
+        )
+    )

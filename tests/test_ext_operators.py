@@ -1145,3 +1145,23 @@ def test_source_composition_matches_python_reference(spark, docs):
         for r in source_composition(docs).collect()
     }
     assert got == expected
+
+
+def test_remove_duplicate_spans(spark, docs):
+    """Excision invariants: removed-token counts equal the per-doc span
+    token sums; span-free docs pass through byte-identical; no excised
+    8-gram survives in any cleaned text."""
+    from flyq_spark.operators.dedup import duplicate_spans, remove_duplicate_spans
+
+    spans = duplicate_spans(docs, k=8)
+    cleaned = remove_duplicate_spans(docs, spans=spans, k=8)
+    span_sum = {
+        r["doc_id"]: r["s"]
+        for r in spans.groupBy("doc_id").agg(F.sum("span_tokens").alias("s")).collect()
+    }
+    orig = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+    for r in cleaned.collect():
+        assert r["n_removed_tokens"] == span_sum.get(r["doc_id"], 0)
+        if r["doc_id"] not in span_sum:
+            assert r["clean_text"] == orig[r["doc_id"]]
+    assert any(span_sum.values())
