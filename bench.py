@@ -40,6 +40,7 @@ HEADLINE = [
     ("dedup_exact", False),
     ("token_stats", False),
     ("contamination_check", False),
+    ("duplicate_spans", False),
     ("lang_id", False),
     ("doc_fingerprints", False),
     ("minhash_pairs", False),
