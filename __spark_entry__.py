@@ -1598,6 +1598,17 @@ def q_duplicate_spans(spark, sf_dir):
     return duplicate_spans(docs, k=8)
 
 
+def q_rare_token_stats(spark, sf_dir):
+    """CCNet-style frequency filtering core: per-doc counts of tokens
+    whose corpus-wide frequency is <= 100, as exact integers (float
+    surprisal sums would be partition-order-dependent — see
+    operators/text.py:rare_token_stats). Threshold 100 splits the
+    fixture vocabulary (its rare marker token sits at freq ~26 at
+    sf0.01; every regular word is >800)."""
+    docs = _read(spark, sf_dir, "documents")
+    return X.rare_token_stats(docs, max_freq=100)
+
+
 def q_span_removal(spark, sf_dir):
     """Substring-dedup excision: documents rebuilt with every duplicated
     8-gram span removed (drop-all policy; see
@@ -1715,6 +1726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_spans": q_duplicate_spans,
         "span_removal": q_span_removal,
         "source_composition": q_source_composition,
+        "rare_token_stats": q_rare_token_stats,
         # rows-only (non-SQL-expressible: LSH/MinHash/SimHash/Arrow kernels)
         "minhash_pairs": q_minhash_pairs,
         "simhash_neardup": q_simhash_neardup,
@@ -2629,6 +2641,18 @@ SELECT tk.doc_id,
        CAST(len(tk.w) - count(c.tok) AS BIGINT) AS n_removed_tokens
 FROM toks tk LEFT JOIN clean c USING (doc_id)
 GROUP BY tk.doc_id, len(tk.w)
+""",
+        "rare_token_stats": """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+freq AS (
+  SELECT doc_id, w, count(*) OVER (PARTITION BY w) AS c FROM toks
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN c <= 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare_tokens,
+       CAST(count(DISTINCT CASE WHEN c <= 100 THEN w END) AS BIGINT) AS n_distinct_rare
+FROM freq GROUP BY doc_id
 """,
         "source_composition": """
 WITH t AS (

@@ -407,3 +407,54 @@ def bm25_topk(
         .where(F.col("rank") <= k)
         .select(F.col("doc").alias(id_col), "score", "rank")
     )
+
+
+def rare_token_stats(
+    df: DataFrame,
+    max_freq: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document rare-token counts against corpus-wide word
+    frequencies — the integer-exact core of CCNet-style frequency
+    filtering (documents dominated by words the corpus has barely seen
+    are OCR noise, mojibake, or gibberish; documents with none are
+    boilerplate). A word is "rare" when its TOTAL corpus occurrence
+    count is <= ``max_freq``.
+
+    Emitting counts (not a log-probability) is deliberate: float
+    surprisal sums are partition-order-dependent, so two runs of the
+    same query could hash differently; integer counts are associative
+    and engine-exact. Callers derive ratios.
+
+    Plan: token explode (narrow) → ONE word-key shuffle where
+    ``count() over (partition by word)`` attaches corpus frequency (the
+    rare vocabulary is the long tail — most of the vocabulary — so a
+    broadcast-a-rare-set join shape would NOT scale; the window form
+    never materializes a vocabulary relation) → one doc-key aggregation
+    with map-side combine. Distinct-rare counting is exact per doc
+    (bounded by document length, never corpus-wide state).
+
+    Output: (doc_id, n_tokens, n_rare_tokens, n_distinct_rare)."""
+    from flyq_spark.operators.util import fan_out
+
+    toks = fan_out(df).select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("_w")
+    )
+    with_freq = toks.withColumn(
+        "_c", F.count("*").over(Window.partitionBy("_w"))
+    )
+    return (
+        with_freq.groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum((F.col("_c") <= max_freq).cast("long"))
+            .cast("long")
+            .alias("n_rare_tokens"),
+            F.count_distinct(
+                F.when(F.col("_c") <= max_freq, F.col("_w"))
+            )
+            .cast("long")
+            .alias("n_distinct_rare"),
+        )
+    )

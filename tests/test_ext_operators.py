@@ -1165,3 +1165,34 @@ def test_remove_duplicate_spans(spark, docs):
         if r["doc_id"] not in span_sum:
             assert r["clean_text"] == orig[r["doc_id"]]
     assert any(span_sum.values())
+
+
+def test_rare_token_stats_matches_python_reference(spark, docs):
+    from collections import Counter
+
+    from flyq_spark.operators.text import rare_token_stats
+
+    rows = docs.select("doc_id", "text").collect()
+    freq: Counter = Counter()
+    for r in rows:
+        freq.update(r["text"].split(" "))
+    expected = {}
+    for r in rows:
+        w = r["text"].split(" ")
+        rare = [t for t in w if freq[t] <= 4]
+        expected[r["doc_id"]] = (len(w), len(rare), len(set(rare)))
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_rare_tokens"], r["n_distinct_rare"])
+        for r in rare_token_stats(docs, max_freq=4).collect()
+    }
+    assert got == expected
+
+
+def test_rare_token_stats_discriminates_marker_token(spark, docs):
+    """The fixture's rare marker token ('dup', freq ~29 at sf0.001) must
+    be counted rare at max_freq=100 while regular words are not."""
+    from flyq_spark.operators.text import rare_token_stats
+
+    out = rare_token_stats(docs, max_freq=100)
+    total_rare = out.agg(F.sum("n_rare_tokens")).first()[0]
+    assert 0 < total_rare < 100  # some docs carry the marker; most words aren't rare
