@@ -1598,6 +1598,17 @@ def q_duplicate_spans(spark, sf_dir):
     return duplicate_spans(docs, k=8)
 
 
+def q_syndication_audit(spark, sf_dir):
+    """Near-dup pairs mapped to the source dimension: within- vs
+    cross-source duplication counts (composition of the exact Jaccard
+    join + two broadcast decoration joins —
+    operators/dedup.py:syndication_by_source)."""
+    from flyq_spark.operators.dedup import syndication_by_source
+
+    docs = _read(spark, sf_dir, "documents")
+    return syndication_by_source(docs, min_jaccard=0.9)
+
+
 def q_rare_token_stats(spark, sf_dir):
     """CCNet-style frequency filtering core: per-doc counts of tokens
     whose corpus-wide frequency is <= 100, as exact integers (float
@@ -1727,6 +1738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_removal": q_span_removal,
         "source_composition": q_source_composition,
         "rare_token_stats": q_rare_token_stats,
+        "syndication_audit": q_syndication_audit,
         # rows-only (non-SQL-expressible: LSH/MinHash/SimHash/Arrow kernels)
         "minhash_pairs": q_minhash_pairs,
         "simhash_neardup": q_simhash_neardup,
@@ -2641,6 +2653,26 @@ SELECT tk.doc_id,
        CAST(len(tk.w) - count(c.tok) AS BIGINT) AS n_removed_tokens
 FROM toks tk LEFT JOIN clean c USING (doc_id)
 GROUP BY tk.doc_id, len(tk.w)
+""",
+        "syndication_audit": """
+WITH base AS (
+  SELECT doc_id, list_distinct(string_split_regex(lower(text), '\\s+')) AS toks
+  FROM documents
+  WHERE len(list_distinct(string_split_regex(lower(text), '\\s+'))) > 0
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM base a JOIN base b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+          / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.9
+)
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM pairs
+JOIN documents da ON pairs.id_a = da.doc_id
+JOIN documents db ON pairs.id_b = db.doc_id
+GROUP BY 1, 2
 """,
         "rare_token_stats": """
 WITH toks AS (

@@ -461,3 +461,46 @@ def remove_duplicate_spans(
             (F.size(words) - F.size(kept)).cast("long").alias("n_removed_tokens"),
         )
     )
+
+
+def syndication_by_source(
+    df: DataFrame,
+    min_jaccard: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Syndication audit: where near-duplicate pairs live in the source
+    dimension — per unordered source pair, how many exact-Jaccard
+    near-dup document pairs connect them. Diagonal rows (source_a ==
+    source_b) are within-source duplication (templating, reposts);
+    off-diagonal rows are cross-source syndication (mirrors, wire copy)
+    — the signal that decides whether dedup should collapse sources.
+
+    Composition, not new machinery: candidate pairs come from the
+    skew-resistant exact similarity join (``ngram_jaccard_pairs``); the
+    pair relation is then decorated with each side's source via two
+    plain equi-joins on the id. The pair table is orders of magnitude
+    smaller than the corpus, so AQE converts both decoration joins to
+    broadcasts at runtime (left as logical equi-joins on purpose —
+    forcing a broadcast hint here nests the similarity join inside a
+    broadcast build and serializes it onto one thread). Output:
+    (source_a, source_b, n_pairs), source_a <= source_b."""
+    pairs = ngram_jaccard_pairs(
+        df, text_col=text_col, id_col=id_col, min_jaccard=min_jaccard
+    ).select("id_a", "id_b")
+    src_a = df.select(
+        F.col(id_col).alias("id_a"), F.col(source_col).alias("_src_a")
+    )
+    src_b = df.select(
+        F.col(id_col).alias("id_b"), F.col(source_col).alias("_src_b")
+    )
+    both = pairs.join(src_a, on="id_a").join(src_b, on="id_b")
+    return (
+        both.select(
+            F.least("_src_a", "_src_b").alias("source_a"),
+            F.greatest("_src_a", "_src_b").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+    )

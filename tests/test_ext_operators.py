@@ -1196,3 +1196,33 @@ def test_rare_token_stats_discriminates_marker_token(spark, docs):
     out = rare_token_stats(docs, max_freq=100)
     total_rare = out.agg(F.sum("n_rare_tokens")).first()[0]
     assert 0 < total_rare < 100  # some docs carry the marker; most words aren't rare
+
+
+def test_syndication_by_source_matches_python_reference(spark, docs):
+    """Source-pair counts must equal a brute-force recomputation of the
+    exact token-set Jaccard join decorated with sources."""
+    from flyq_spark.operators.dedup import syndication_by_source
+
+    rows = docs.select("doc_id", "text", "source").collect()
+    toks = {
+        r["doc_id"]: set(t for t in r["text"].lower().split() if t)
+        for r in rows
+    }
+    srcs = {r["doc_id"]: r["source"] for r in rows}
+    from collections import Counter
+
+    expected: Counter = Counter()
+    ids = sorted(toks)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            ta, tb = toks[a], toks[b]
+            if not ta or not tb:
+                continue
+            inter = len(ta & tb)
+            if inter / (len(ta) + len(tb) - inter) >= 0.9:
+                expected[tuple(sorted((srcs[a], srcs[b])))] += 1
+    got = {
+        (r["source_a"], r["source_b"]): r["n_pairs"]
+        for r in syndication_by_source(docs, min_jaccard=0.9).collect()
+    }
+    assert got == dict(expected) and got
