@@ -1598,6 +1598,18 @@ def q_duplicate_spans(spark, sf_dir):
     return duplicate_spans(docs, k=8)
 
 
+def q_log_compaction(spark, sf_dir):
+    """[EXT] Kafka-style log compaction over the produce log: latest
+    record per (partition, key), offsets preserved (one window shuffle —
+    operators/retention.py:compact_by_key)."""
+    from flyq_spark.operators.retention import compact_by_key
+
+    log = events_log(spark, sf_dir)
+    return compact_by_key(log).select(
+        "part_id", "msg_offset", "msg_key", "msg_value"
+    )
+
+
 def q_syndication_audit(spark, sf_dir):
     """Near-dup pairs mapped to the source dimension: within- vs
     cross-source duplication counts (composition of the exact Jaccard
@@ -1739,6 +1751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_composition": q_source_composition,
         "rare_token_stats": q_rare_token_stats,
         "syndication_audit": q_syndication_audit,
+        "log_compaction": q_log_compaction,
         # rows-only (non-SQL-expressible: LSH/MinHash/SimHash/Arrow kernels)
         "minhash_pairs": q_minhash_pairs,
         "simhash_neardup": q_simhash_neardup,
@@ -2653,6 +2666,16 @@ SELECT tk.doc_id,
        CAST(len(tk.w) - count(c.tok) AS BIGINT) AS n_removed_tokens
 FROM toks tk LEFT JOIN clean c USING (doc_id)
 GROUP BY tk.doc_id, len(tk.w)
+""",
+        "log_compaction": f"""
+WITH {EVENTS_LOG_CTE},
+ranked AS (
+  SELECT part_id, msg_offset, msg_key, msg_value,
+         row_number() OVER (PARTITION BY part_id, msg_key
+                            ORDER BY msg_offset DESC) AS rn
+  FROM log WHERE msg_key IS NOT NULL
+)
+SELECT part_id, msg_offset, msg_key, msg_value FROM ranked WHERE rn = 1
 """,
         "syndication_audit": """
 WITH base AS (

@@ -78,3 +78,34 @@ def post_retention_watermarks(
         "high_watermark",
         "log_end_offset",
     )
+
+
+def compact_by_key(
+    log: DataFrame,
+    part_col: str = "part_id",
+    key_col: str = "msg_key",
+    offset_col: str = "msg_offset",
+) -> DataFrame:
+    """Kafka-style log compaction: keep only the LATEST record (highest
+    offset) for each (partition, key) — the retention policy for
+    changelog topics where the log is a materialized map and old values
+    for a key are dead weight. [EXT]: the reference broker (a pure
+    queue) has no compaction; this is the standard broker feature its
+    users would reach for next.
+
+    One shuffle: ``row_number() over (partition by part, key order by
+    offset desc)`` and keep rank 1 — no self-join against a max-offset
+    aggregate (which would shuffle the log twice). Null-key records
+    (round-robin traffic) are never compacted away, matching Kafka:
+    compaction is defined only for keyed records.
+
+    Offsets are preserved, not re-densified — consumers seek by stored
+    offset into a compacted topic exactly as Kafka's do."""
+    w = Window.partitionBy(part_col, key_col).orderBy(F.col(offset_col).desc())
+    keyed = log.where(F.col(key_col).isNotNull())
+    latest = (
+        keyed.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return latest.unionByName(log.where(F.col(key_col).isNull()))

@@ -123,3 +123,30 @@ def test_maintain_topic_retains_then_compacts(engine):
     assert leo == 24 and high == 23 and low > 0
     rows = engine.read_from_offset("m", 0, 0)
     assert [int(r["offset"]) for r in rows] == list(range(low, 24))
+
+
+def test_compact_by_key_keeps_latest_and_null_keys(spark):
+    from flyq_spark.operators.retention import compact_by_key
+
+    log = spark.createDataFrame(
+        [
+            (0, 0, "k1", "v0"),
+            (0, 1, "k1", "v1"),
+            (0, 2, "k2", "v2"),
+            (0, 3, None, "rr0"),
+            (0, 4, None, "rr1"),
+            (1, 0, "k1", "other-part"),
+        ],
+        "part_id long, msg_offset long, msg_key string, msg_value string",
+    )
+    got = {
+        (r["part_id"], r["msg_offset"], r["msg_key"], r["msg_value"])
+        for r in compact_by_key(log).collect()
+    }
+    assert got == {
+        (0, 1, "k1", "v1"),          # older k1@0 compacted away
+        (0, 2, "k2", "v2"),
+        (0, 3, None, "rr0"),          # null keys never compacted
+        (0, 4, None, "rr1"),
+        (1, 0, "k1", "other-part"),   # per-partition keyspace
+    }
