@@ -1598,6 +1598,22 @@ def q_duplicate_spans(spark, sf_dir):
     return duplicate_spans(docs, k=8)
 
 
+def q_upsample_mix(spark, sf_dir):
+    """Deterministic mixture upweighting: 'en' docs 2.5x, 'de' 1.5x,
+    rest 1x — per-lang (row, distinct-doc) counts after replication
+    (operators/corpus.py:upsample_strata; md5-threshold fractional
+    copies, sequence+explode projection, no RNG)."""
+    from flyq_spark.operators.corpus import upsample_strata
+
+    docs = _read(spark, sf_dir, "documents")
+    up = upsample_strata(docs, "lang", {"en": 2.5, "de": 1.5})
+    return up.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.count_distinct("doc_id").cast("long").alias("n_docs"),
+        F.max("copy_id").cast("long").alias("max_copies"),
+    )
+
+
 def q_log_compaction(spark, sf_dir):
     """[EXT] Kafka-style log compaction over the produce log: latest
     record per (partition, key), offsets preserved (one window shuffle —
@@ -1752,6 +1768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rare_token_stats": q_rare_token_stats,
         "syndication_audit": q_syndication_audit,
         "log_compaction": q_log_compaction,
+        "upsample_mix": q_upsample_mix,
         # rows-only (non-SQL-expressible: LSH/MinHash/SimHash/Arrow kernels)
         "minhash_pairs": q_minhash_pairs,
         "simhash_neardup": q_simhash_neardup,
@@ -2666,6 +2683,29 @@ SELECT tk.doc_id,
        CAST(len(tk.w) - count(c.tok) AS BIGINT) AS n_removed_tokens
 FROM toks tk LEFT JOIN clean c USING (doc_id)
 GROUP BY tk.doc_id, len(tk.w)
+""",
+        "upsample_mix": """
+WITH rated AS (
+  SELECT doc_id, lang,
+         CASE lang WHEN 'en' THEN 2.5 WHEN 'de' THEN 1.5 ELSE 1.0 END AS rate,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) AS h4
+  FROM documents
+),
+copies AS (
+  SELECT doc_id, lang,
+         CAST(floor(rate) AS BIGINT)
+         + CASE WHEN h4 < CAST(round((rate - floor(rate)) * 65536) AS BIGINT)
+                THEN 1 ELSE 0 END AS n_copies
+  FROM rated
+),
+exploded AS (
+  SELECT doc_id, lang, CAST(i AS BIGINT) AS copy_id
+  FROM copies, UNNEST(range(1, n_copies + 1)) AS t(i)
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(max(copy_id) AS BIGINT) AS max_copies
+FROM exploded GROUP BY lang
 """,
         "log_compaction": f"""
 WITH {EVENTS_LOG_CTE},

@@ -252,3 +252,43 @@ def source_composition(
             F.max("_t").cast("long").alias("max_doc_tokens"),
         )
     )
+
+
+def upsample_strata(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    id_col: str = "doc_id",
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Deterministic mixture UPWEIGHTING: replicate each row
+    ``rate[stratum]`` times in expectation, where the fractional part is
+    resolved per row by the same md5 threshold ``stratified_sample``
+    uses (rate 2.3 → every row appears twice, and the deterministic
+    ~30% of rows whose 4-hex-digit id hash falls below 0.3·65536 appear
+    a third time). Together the two operators give full mixture control:
+    rates < 1 thin a stratum, rates > 1 repeat it — epoch weighting for
+    high-quality sources without materializing copies upstream.
+
+    Membership is a pure function of (id, stratum rate): reproducible
+    across engines/partitionings, rows never flip when other rows
+    change. Replication is a ``sequence``+``explode`` projection — no
+    shuffle, no RNG, and the output carries ``copy_id`` (1-based) so
+    downstream shuffling/packing can separate the copies.
+
+    The ``sequence(1, n)`` guard matters: Spark's sequence with stop <
+    start emits a DESCENDING range, so n_copies = 0 must map to an
+    empty array, not [1, 0]."""
+    h4 = F.conv(F.substring(_id_hash(id_col), 1, 4), 16, 10).cast("long")
+    rate_expr = F.lit(float(default_rate))
+    for stratum, rate in rates.items():
+        rate_expr = F.when(
+            F.col(strata_col) == stratum, F.lit(float(rate))
+        ).otherwise(rate_expr)
+    whole = F.floor(rate_expr).cast("long")
+    frac_thresh = F.round((rate_expr - whole) * 65536).cast("long")
+    n_copies = whole + (h4 < frac_thresh).cast("long")
+    idx = F.when(
+        n_copies >= 1, F.sequence(F.lit(1).cast("long"), n_copies)
+    ).otherwise(F.array().cast("array<long>"))
+    return df.withColumn("copy_id", F.explode(idx))

@@ -1226,3 +1226,31 @@ def test_syndication_by_source_matches_python_reference(spark, docs):
         for r in syndication_by_source(docs, min_jaccard=0.9).collect()
     }
     assert got == dict(expected) and got
+
+
+def test_upsample_strata_deterministic_replication(spark, docs):
+    """Replication counts: every row appears floor(rate) or ceil(rate)
+    times, expectation within tolerance, byte-identical across runs,
+    and copy_id is a dense 1..n per doc."""
+    import hashlib
+
+    from flyq_spark.operators.corpus import upsample_strata
+
+    rates = {"en": 2.5, "de": 1.5}
+    up = upsample_strata(docs, "lang", rates).select("doc_id", "lang", "copy_id")
+    rows = up.collect()
+    per_doc: dict = {}
+    lang_of = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r["copy_id"])
+        lang_of[r["doc_id"]] = r["lang"]
+    for doc_id, copies in per_doc.items():
+        rate = rates.get(lang_of[doc_id], 1.0)
+        h4 = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:4], 16)
+        expected = int(rate) + (1 if h4 < round((rate - int(rate)) * 65536) else 0)
+        assert sorted(copies) == list(range(1, expected + 1)), doc_id
+    # every source doc survives (rates >= 1)
+    assert set(per_doc) == {r["doc_id"] for r in docs.select("doc_id").collect()}
+    # determinism
+    again = {(r["doc_id"], r["copy_id"]) for r in up.collect()}
+    assert again == {(r["doc_id"], r["copy_id"]) for r in rows}
