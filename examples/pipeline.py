@@ -3,8 +3,9 @@
 runs them:
 
     ingest → PII redaction → quality filter (Gopher rules)
-           → exact dedup → MinHash near-dup → connected components
-           → survivor choice → train/test split → decontamination audit
+           → substring-span excision → exact dedup → MinHash near-dup
+           → connected components → survivor choice → train/test split
+           → decontamination audit → mixture upweighting
            → reproducible shuffle → sequence packing
 
 Every stage is one of the library operators (no logic lives here), so
@@ -52,9 +53,16 @@ def build_training_corpus(
         verdicts.where(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
     )
 
-    # 2. exact dedup (md5 keep-first), then near-dup clustering:
+    # 2. substring-level dedup first (excise duplicated 8-gram spans —
+    #    boilerplate shared across otherwise-distinct docs), then
+    #    exact dedup (md5 keep-first), then near-dup clustering:
     #    LSH candidates → connected components → keep cluster minimum
-    exact = dedup_exact_rows(kept, text_col="text", id_col="doc_id")
+    from flyq_spark.operators.dedup import remove_duplicate_spans
+
+    excised = remove_duplicate_spans(kept, k=8).join(
+        kept.drop("text"), "doc_id"
+    ).withColumnRenamed("clean_text", "text").drop("n_removed_tokens")
+    exact = dedup_exact_rows(excised, text_col="text", id_col="doc_id")
     pairs = minhash_lsh_pairs(
         exact, text_col="text", id_col="doc_id", jaccard_threshold=jaccard_threshold
     )
@@ -69,9 +77,15 @@ def build_training_corpus(
     split = train_test_split(deduped)
     contamination = contamination_ngrams(deduped)
 
-    # 4. reproducible order + token-budget packing for the train side
+    # 4. mixture upweighting (high-quality langs get extra epochs), then
+    #    reproducible order + token-budget packing for the train side
+    from flyq_spark.operators.corpus import upsample_strata
+
     train = split.where(F.col("split") == "train").drop("split")
-    corpus = pack_documents(corpus_shuffle(train), token_budget=2048)
+    weighted = upsample_strata(train, "lang", {"en": 1.5}).withColumn(
+        "doc_id", F.col("doc_id") * 10 + F.col("copy_id")
+    ).drop("copy_id")  # re-key copies so shuffle/packing treat them as docs
+    corpus = pack_documents(corpus_shuffle(weighted), token_budget=2048)
 
     return {
         "verdicts": verdicts,
