@@ -255,3 +255,22 @@ def stream_stream_interval_join(
         "r_ts",
         (F.unix_micros("r_ts") - F.unix_micros("l_ts")).alias("delay_us"),
     )
+
+
+def latest_per_key(
+    stream: DataFrame,
+    key_cols: tuple[str, ...] = ("partition", "key"),
+    value_col: str = "value",
+    order_col: str = "offset",
+) -> DataFrame:
+    """KTable materialization: fold the stream to its latest record per
+    key — the streaming form of log compaction (the batch form is
+    operators/retention.py:compact_by_key). ``max_by(value, offset)``
+    keeps exactly one row of state per live key, updated in place; emit
+    with update/complete output mode (a changelog view has no append
+    semantics — rows revise). State is bounded by the keyspace, not the
+    stream length, the same bound Kafka Streams' KTable accepts."""
+    return stream.groupBy(*[F.col(c) for c in key_cols]).agg(
+        F.max_by(F.col(value_col), F.col(order_col)).alias("latest_value"),
+        F.max(F.col(order_col)).alias("latest_offset"),
+    )

@@ -125,3 +125,48 @@ def test_salted_agg_equals_direct(spark):
         ).collect()
     }
     assert direct == salted
+
+
+@pytest.mark.parametrize("seed", [3, 99, 2024])
+def test_duplicate_spans_random_corpora_match_model(spark, seed):
+    """Seeded random small-vocab corpora: duplicate_spans must equal the
+    pure-Python model (global counting, islands merge) on every one."""
+    from flyq_spark.operators.dedup import duplicate_spans
+
+    rng = random.Random(seed)
+    k = rng.choice([2, 3, 4])
+    vocab = [f"w{i}" for i in range(rng.choice([5, 8, 15]))]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 30))))
+        for i in range(40)
+    ]
+
+    from collections import Counter
+
+    counts: Counter = Counter()
+    for _, text in docs:
+        w = text.split(" ")
+        for i in range(len(w) - k + 1):
+            counts[" ".join(w[i : i + k])] += 1
+    expected = set()
+    for doc_id, text in docs:
+        w = text.split(" ")
+        ps = [
+            i + 1
+            for i in range(len(w) - k + 1)
+            if counts[" ".join(w[i : i + k])] > 1
+        ]
+        spans: list = []
+        for p in ps:
+            if spans and p <= spans[-1][1] + 1:
+                spans[-1] = (spans[-1][0], max(spans[-1][1], p + k - 1))
+            else:
+                spans.append((p, p + k - 1))
+        expected |= {(doc_id, s, e, e - s + 1) for s, e in spans}
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in duplicate_spans(df, k=k).collect()
+    }
+    assert got == expected

@@ -366,3 +366,52 @@ def test_stream_stream_interval_join(engine, spark, tmp_path):
     q.awaitTermination(180)
     rows = spark.sql("SELECT key, delay_us FROM ssj_test").collect()
     assert [(r["key"], r["delay_us"]) for r in rows] == [("u1", 3_000_000)]
+
+
+def test_latest_per_key_ktable_view(engine, spark, tmp_path):
+    """Streaming KTable: after two produce rounds the complete-mode view
+    holds exactly the latest value per (partition, key) — bit-identical
+    to batch compact_by_key over the same log."""
+    from flyq_spark.operators.retention import compact_by_key
+    from flyq_spark.streaming.source import latest_per_key, read_stream
+
+    msgs = [
+        {"key": b"a", "value": b"a0", "timestamp": 1_700_000_000_000},
+        {"key": b"b", "value": b"b0", "timestamp": 1_700_000_000_001},
+        {"key": b"a", "value": b"a1", "timestamp": 1_700_000_000_002},
+    ]
+    engine.create_topic("kt", partitions=2)
+    engine.produce("kt", msgs)
+    engine.produce("kt", [{"key": b"b", "value": b"b1", "timestamp": 1_700_000_000_003}])
+
+    stream = read_stream(spark, engine.base_dir, "kt")
+    q = (
+        latest_per_key(stream)
+        .writeStream.format("memory")
+        .queryName("ktable")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    from flyq_spark import storage
+
+    got = {
+        (int(r["partition"]), bytes(r["key"])): bytes(r["latest_value"])
+        for r in spark.sql("SELECT * FROM ktable").collect()
+    }
+    batch = compact_by_key(
+        spark.read.option("basePath", storage.topic_dir(engine.base_dir, "kt"))
+        .parquet(storage.topic_dir(engine.base_dir, "kt")),
+        part_col="partition",
+        key_col="key",
+        offset_col="offset",
+    )
+    expected = {
+        (int(r["partition"]), bytes(r["key"])): bytes(r["value"])
+        for r in batch.collect()
+    }
+    assert got == expected
+    latest_a = {k: v for k, v in got.items() if k[1] == b"a"}
+    assert set(latest_a.values()) == {b"a1"}  # the revision won
