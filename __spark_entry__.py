@@ -1669,6 +1669,54 @@ def q_source_composition(spark, sf_dir):
     return source_composition(docs)
 
 
+def q_minhash_sig(spark, sf_dir):
+    """Oracle-replayable MinHash signatures: 32 md5-permutation min
+    components per document joined to one string (operators/dedup.py:
+    minhash_signatures — one shingle explode, ONE map-side-combined
+    groupBy shuffle; the md5 family makes the exact signature replay
+    in ANSI SQL, unlike the Scala-side pyspark.ml hash family)."""
+    docs = _read(spark, sf_dir, "documents")
+    sig = D.minhash_signatures(docs, k=32)
+    return sig.select(
+        "doc_id", F.array_join("minhash", "|").alias("minhash_sig")
+    )
+
+
+def q_minhash_jaccard_pairs(spark, sf_dir):
+    """End-to-end ORACLE-CHECKED MinHash-LSH near-dup join: md5
+    permutation signatures, 8 bands x 4 rows banding (candidates from
+    an equi-join on the band key), exact shingle-Jaccard verify
+    (operators/dedup.py:minhash_band_pairs). The pyspark.ml variant
+    (`minhash_pairs`) stays rows-only because its hash family lives in
+    Scala; this one is deterministic SQL at every stage."""
+    docs = _read(spark, sf_dir, "documents")
+    return D.minhash_band_pairs(docs, min_jaccard=0.5, k=32, bands=8)
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention matrix over events: users bucketed by
+    first-event week, distinct-active counts per week offset — exact
+    BIGINTs, two user-keyed shuffles (operators/sessions.py:
+    cohort_retention)."""
+    ev = _read(spark, sf_dir, "events")
+    return S.cohort_retention(ev).select(
+        F.unix_micros("cohort_week").alias("cohort_week_us"),
+        "week_offset",
+        "n_users",
+    )
+
+
+def q_length_percentiles(spark, sf_dir):
+    """Exact per-language doc-length percentiles (rank-selection
+    definition: value at 1-based rank ceil(p*n)) — corpus QA profiling
+    with one group-keyed shuffle (operators/corpus.py:
+    length_percentiles)."""
+    from flyq_spark.operators.corpus import length_percentiles
+
+    docs = _read(spark, sf_dir, "documents")
+    return length_percentiles(docs, "lang", "n_chars", (0.5, 0.9, 0.99))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the monitor composition (A12+A13+A14+A29) at sf0.001."""
     return q_monitor_alerts(spark, SF0001)
@@ -1769,6 +1817,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "syndication_audit": q_syndication_audit,
         "log_compaction": q_log_compaction,
         "upsample_mix": q_upsample_mix,
+        "minhash_sig": q_minhash_sig,
+        "minhash_jaccard_pairs": q_minhash_jaccard_pairs,
+        "cohort_retention": q_cohort_retention,
+        "length_percentiles": q_length_percentiles,
         # rows-only (non-SQL-expressible: LSH/MinHash/SimHash/Arrow kernels)
         "minhash_pairs": q_minhash_pairs,
         "simhash_neardup": q_simhash_neardup,
@@ -1778,6 +1830,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": q_pq_topk,
         "multimodal_features": q_multimodal_features,
     }
+
+
+def _minhash_oracle(k: int = 32, bands: int = 8) -> tuple[str, str]:
+    """DuckDB replay of the md5-permutation MinHash family: (signature
+    SQL, banded-LSH pair SQL). Generated so the 32 min-components and 8
+    band keys stay mechanically in sync with minhash_signatures /
+    minhash_band_pairs defaults."""
+    r = k // bands
+    mins = ",\n         ".join(f"min(md5(g || '#{i}')) AS m{i}" for i in range(k))
+    allm = ", ".join(f"m{i}" for i in range(k))
+    band_vals = ",\n    ".join(
+        "({b}, md5(concat_ws('|', {cols})))".format(
+            b=b, cols=", ".join(f"m{b * r + j}" for j in range(r))
+        )
+        for b in range(bands)
+    )
+    head = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(w[CAST(i AS BIGINT):CAST(i AS BIGINT)+2], ' ') AS g
+  FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
+),
+sigs AS (
+  SELECT doc_id, {mins}
+  FROM grams GROUP BY doc_id
+)"""
+    sig_sql = head + f"""
+SELECT doc_id, concat_ws('|', {allm}) AS minhash_sig FROM sigs
+"""
+    pairs_sql = head + f""",
+banded AS (
+  SELECT doc_id, v.band, v.bits
+  FROM sigs, LATERAL (VALUES
+    {band_vals}) AS v(band, bits)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c
+  JOIN grams ga ON ga.doc_id = c.id_a
+  JOIN grams gb ON gb.doc_id = c.id_b AND gb.g = ga.g
+  GROUP BY c.id_a, c.id_b
+)
+SELECT x.id_a, x.id_b,
+       CAST(x.i AS DOUBLE) / (sa.n + sb.n - x.i) AS jaccard
+FROM inter x
+JOIN sizes sa ON sa.doc_id = x.id_a
+JOIN sizes sb ON sb.doc_id = x.id_b
+WHERE CAST(x.i AS DOUBLE) / (sa.n + sb.n - x.i) >= 0.5
+"""
+    return sig_sql, pairs_sql
+
+
+_MINHASH_SIG_SQL, _MINHASH_PAIRS_SQL = _minhash_oracle()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2887,5 +3001,34 @@ FROM embeddings
 SELECT doc_id, sha256(text) AS content_id,
        CAST(strlen(text) AS BIGINT) AS n_bytes, 'text' AS kind
 FROM documents
+""",
+        "minhash_sig": _MINHASH_SIG_SQL,
+        "minhash_jaccard_pairs": _MINHASH_PAIRS_SQL,
+        "cohort_retention": """
+WITH cohort AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cw
+  FROM events GROUP BY user_id
+),
+weekly AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+)
+SELECT epoch_us(cw) AS cohort_week_us,
+       CAST(date_diff('day', cw, wk) // 7 AS BIGINT) AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM weekly JOIN cohort USING (user_id)
+GROUP BY 1, 2
+""",
+        "length_percentiles": """
+WITH ranked AS (
+  SELECT lang, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
+       CAST(max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN n_chars END) AS BIGINT) AS p50,
+       CAST(max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN n_chars END) AS BIGINT) AS p90,
+       CAST(max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN n_chars END) AS BIGINT) AS p99
+FROM ranked GROUP BY lang
 """,
     }

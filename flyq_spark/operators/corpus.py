@@ -292,3 +292,52 @@ def upsample_strata(
         n_copies >= 1, F.sequence(F.lit(1).cast("long"), n_copies)
     ).otherwise(F.array().cast("array<long>"))
     return df.withColumn("copy_id", F.explode(idx))
+
+
+def length_percentiles(
+    df: DataFrame,
+    group_col: str = "lang",
+    value_col: str = "n_chars",
+    percentiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """EXACT per-group percentiles of an integer metric (doc-length
+    profiling for corpus QA): the value at 1-based rank ``ceil(p * n)``
+    in ascending order — the inverted-CDF definition, chosen because it
+    is a pure integer-rank selection every engine computes identically
+    (interpolating definitions average two values and reopen float
+    territory).
+
+    Plan: ONE shuffle on the group key serving both windows (rank and
+    group count share the partitioning), then a groupBy that selects
+    each percentile rank with a conditional max — no collect, no
+    second pass over the data. Ties are safe: row_number among equal
+    values is arbitrary, but the value AT a given rank of a sorted
+    multiset is unique regardless of tie order.
+
+    Scale note: exact per-group percentiles sort each group — right
+    whenever groups fit a partition (languages, sources: thousands of
+    groups, not billions). For a single giant group use the built-in
+    ``percentile_approx`` sketch (see ``sketch_stats``); same API
+    shape, bounded error instead of a sort.
+
+    Output: (group, n_docs, p50, p90, ... as BIGINT)."""
+    w = Window.partitionBy(group_col)
+    ranked = (
+        df.select(F.col(group_col), F.col(value_col))
+        .withColumn("_rn", F.row_number().over(w.orderBy(F.col(value_col).asc())))
+        .withColumn("_n", F.count(F.lit(1)).over(w))
+    )
+    sels = [
+        F.max(
+            F.when(
+                F.col("_rn") == F.ceil(F.lit(float(p)) * F.col("_n")),
+                F.col(value_col),
+            )
+        )
+        .cast("long")
+        .alias("p" + str(p).replace("0.", "").ljust(2, "0"))
+        for p in percentiles
+    ]
+    return ranked.groupBy(group_col).agg(
+        F.max("_n").cast("long").alias("n_docs"), *sels
+    )

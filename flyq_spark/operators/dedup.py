@@ -463,6 +463,150 @@ def remove_duplicate_spans(
     )
 
 
+# --------------------------------------------------------------------- #
+# oracle-replayable MinHash-LSH (md5 permutation family)
+# --------------------------------------------------------------------- #
+
+
+def shingle_set(text_col: Column, n: int = 3) -> Column:
+    """Distinct word ``n``-gram set as space-joined strings (empty array
+    below ``n`` words)."""
+    from flyq_spark.operators.corpus import _word_ngrams
+
+    return F.array_distinct(_word_ngrams(F.split(text_col, " "), n))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    k: int = 32,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash signatures from an md5 permutation family: the i-th
+    component is ``min(md5(shingle || '#i'))`` over the document's
+    distinct word ``shingle_n``-grams.
+
+    Unlike the pyspark.ml MinHashLSH variant (whose hash family lives
+    in Scala), every component here is a deterministic SQL expression —
+    the exact signature replays on any engine with md5, which is what
+    makes this family ORACLE-CHECKABLE end to end. Statistically it is
+    standard MinHash: md5 is uniform, so
+    P(sig_i(A) == sig_i(B)) == Jaccard(A, B) per component.
+
+    Plan: one narrow shingle explode, then ONE groupBy(id) computing
+    all k mins with map-side partial aggregation — k scales the
+    per-row arithmetic (JVM codegen), never the shuffle row count.
+    Documents with no shingles emit no row. Output: (id, minhash
+    array<string> of length k)."""
+    grams = fan_out(df).select(
+        F.col(id_col), F.explode(shingle_set(F.col(text_col), shingle_n)).alias("_g")
+    )
+    mins = [
+        F.min(F.md5(F.concat(F.col("_g"), F.lit(f"#{i}")))).alias(f"_m{i}")
+        for i in range(k)
+    ]
+    return (
+        grams.groupBy(id_col)
+        .agg(*mins)
+        .select(
+            F.col(id_col),
+            F.array(*[F.col(f"_m{i}") for i in range(k)]).alias("minhash"),
+        )
+    )
+
+
+def minhash_band_pairs(
+    df: DataFrame,
+    min_jaccard: float = 0.5,
+    k: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup pairs with the md5 permutation
+    family — the fully deterministic, oracle-replayable counterpart of
+    ``minhash_lsh_pairs``.
+
+    Banding: the k-component signature splits into ``bands`` bands of
+    r = k/bands rows; a pair is a candidate iff some band's r
+    components are ALL equal (band key = md5 of the joined band slice,
+    so the join key is one 32-char string regardless of r). Candidate
+    generation is an equi-join on (band, band_key) — shuffle carries
+    |docs| x bands tiny rows plus matches, never n^2 comparisons. The
+    s-curve is the standard one: P(candidate | J=s) =
+    1 - (1 - s^r)^bands.
+
+    Verify: exact shingle-set Jaccard (array_intersect arithmetic) on a
+    join back to the persisted gram sets; output only pairs with
+    J >= min_jaccard. Recall below the LSH knee is probabilistic BY
+    DESIGN, but it is the SAME deterministic pair set on every engine —
+    both candidate generation and verify replay in ANSI SQL.
+
+    Output: (id_a, id_b, jaccard) with id_a < id_b."""
+    if k % bands:
+        raise ValueError(f"k={k} not divisible by bands={bands}")
+    r = k // bands
+    base = (
+        fan_out(df)
+        .select(F.col(id_col), shingle_set(F.col(text_col), shingle_n).alias("_grams"))
+        .where(F.size("_grams") > 0)
+        .persist()  # three consumers: signatures + both verify sides
+    )
+    grams = base.select(id_col, F.explode("_grams").alias("_g"))
+    mins = [
+        F.min(F.md5(F.concat(F.col("_g"), F.lit(f"#{i}")))).alias(f"_m{i}")
+        for i in range(k)
+    ]
+    sigs = grams.groupBy(id_col).agg(*mins)
+    banded = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|", *[F.col(f"_m{band * r + j}") for j in range(r)]
+                            )
+                        ).alias("bits"),
+                    )
+                    for band in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bits")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bits") == F.col("b.bits"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ga = base.select(F.col(id_col).alias("id_a"), F.col("_grams").alias("_ga"))
+    gb = base.select(F.col(id_col).alias("id_b"), F.col("_grams").alias("_gb"))
+    inter = F.size(F.array_intersect(F.col("_ga"), F.col("_gb")))
+    union = F.size("_ga") + F.size("_gb") - inter
+    return (
+        cand.join(ga, on="id_a")
+        .join(gb, on="id_b")
+        .select(
+            "id_a", "id_b", (inter.cast("double") / union.cast("double")).alias("jaccard")
+        )
+        .where(F.col("jaccard") >= min_jaccard)
+    )
+
+
 def syndication_by_source(
     df: DataFrame,
     min_jaccard: float = 0.5,

@@ -116,3 +116,47 @@ def dedup_events(
     return events.groupBy(*[F.col(c) for c in key_cols]).agg(
         F.min("event_id").alias("event_id")
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention: users grouped by the week of their FIRST
+    event; for each (cohort_week, week_offset), how many of that
+    cohort's users were active ``week_offset`` weeks later. The classic
+    product-analytics retention matrix, computed with exact integer
+    arithmetic so it replays identically on any engine.
+
+    Plan, two shuffles total:
+
+    1. cohort assignment: ``groupBy(user).min(ts)`` truncated to the
+       ISO week (``date_trunc('week')`` — Monday start on every
+       engine) — map-side combined, one shuffle on the user key;
+    2. activity: distinct (user, week) pairs — the distinct reuses the
+       SAME user-keyed exchange when AQE co-partitions, then a join
+       back to the cohort table on the user key and a final count per
+       (cohort_week, week_offset). Week offsets are day-difference / 7
+       — both weeks are Monday-truncated so the division is exact.
+
+    The per-user state is one timestamp; no window over the full event
+    history, no collect. Output: (cohort_week, week_offset, n_users)
+    with n_users BIGINT-exact (each user contributes at most one row
+    per week via the distinct)."""
+    cohort = events.groupBy(user_col).agg(
+        F.date_trunc("week", F.min(ts_col)).alias("cohort_week")
+    )
+    weekly = events.select(
+        F.col(user_col), F.date_trunc("week", F.col(ts_col)).alias("_wk")
+    ).distinct()
+    return (
+        weekly.join(cohort, on=user_col)
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("_wk"), F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )

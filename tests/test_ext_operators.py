@@ -1254,3 +1254,131 @@ def test_upsample_strata_deterministic_replication(spark, docs):
     # determinism
     again = {(r["doc_id"], r["copy_id"]) for r in up.collect()}
     assert again == {(r["doc_id"], r["copy_id"]) for r in rows}
+
+
+# ------------------- md5-permutation MinHash family -------------------- #
+
+
+def test_minhash_signature_matches_python_reference(spark):
+    """Every signature component equals a Python-computed
+    min(md5(shingle || '#i')) over the distinct word 3-gram set —
+    the md5 family is fully deterministic, no statistical tolerance."""
+    import hashlib
+
+    from flyq_spark.operators.dedup import minhash_signatures
+
+    rows = [
+        (1, "a b c d e f"),
+        (2, "a b c d e f"),          # identical -> identical signature
+        (3, "x y z a b c d"),
+        (4, "aa"),                    # < 3 words -> no shingles -> no row
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    k = 8
+    got = {
+        r["doc_id"]: r["minhash"]
+        for r in minhash_signatures(df, k=k).collect()
+    }
+
+    def ref_sig(text):
+        words = text.split(" ")
+        grams = {" ".join(words[i : i + 3]) for i in range(len(words) - 2)}
+        return [
+            min(hashlib.md5(f"{g}#{i}".encode()).hexdigest() for g in grams)
+            for i in range(k)
+        ]
+
+    assert set(got) == {1, 2, 3}
+    for doc_id, text in rows[:3]:
+        assert got[doc_id] == ref_sig(text), doc_id
+    assert got[1] == got[2]
+
+
+def test_minhash_band_pairs_exact_verify_and_recall(spark, docs):
+    """Band pairs: (a) every emitted pair's jaccard equals the exact
+    shingle Jaccard (verify stage is exact); (b) emitted pairs are a
+    subset of the brute-force pair set at the threshold; (c) the
+    fixture's heavy near-dups (J >= 0.9, where 8x4 banding recall is
+    1-(1-0.9^4)^8 > 0.999) are all found — on this corpus the banded
+    set equals the brute-force set at J >= 0.9."""
+    from flyq_spark.operators.dedup import minhash_band_pairs, shingle_set
+
+    small = docs.limit(200)
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_band_pairs(small, min_jaccard=0.5).collect()
+    }
+    gram_sets = {
+        r["doc_id"]: set(r["g"])
+        for r in small.select(
+            "doc_id", shingle_set(F.col("text"), 3).alias("g")
+        ).collect()
+    }
+    brute = {}
+    ids = sorted(gram_sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            ga, gb = gram_sets[a], gram_sets[b]
+            if not ga or not gb:
+                continue
+            inter = len(ga & gb)
+            j = inter / (len(ga) + len(gb) - inter)
+            if j >= 0.5:
+                brute[(a, b)] = j
+    assert set(got) <= set(brute)
+    for pair, j in got.items():
+        assert abs(j - brute[pair]) < 1e-12, pair
+    heavy = {p for p, j in brute.items() if j >= 0.9}
+    assert heavy and heavy <= set(got)
+
+
+# ------------------- cohort retention / percentiles -------------------- #
+
+
+def test_cohort_retention_handcrafted(spark):
+    """3 users across 3 weeks: known matrix, including a user skipping a
+    week (offset 2 present without offset 1)."""
+    import datetime
+
+    from flyq_spark.operators.sessions import cohort_retention
+
+    mon = datetime.datetime(2024, 1, 1)  # a Monday
+    wk = datetime.timedelta(days=7)
+    rows = [
+        # u1: cohort week0, active weeks 0,1,2
+        (1, mon), (1, mon + wk), (1, mon + 2 * wk + datetime.timedelta(days=3)),
+        # u2: cohort week0, active weeks 0,2 (skips 1)
+        (2, mon + datetime.timedelta(days=4)), (2, mon + 2 * wk),
+        # u3: cohort week1, active week 1 only (two events same week)
+        (3, mon + wk), (3, mon + wk + datetime.timedelta(days=2)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r["cohort_week"], r["week_offset"]): r["n_users"]
+        for r in cohort_retention(ev).collect()
+    }
+    assert got == {
+        (mon, 0): 2, (mon, 1): 1, (mon, 2): 2,
+        (mon + wk, 0): 1,
+    }
+
+
+def test_length_percentiles_match_python_rank(spark, docs):
+    """Percentiles equal the value at rank ceil(p*n) of the sorted
+    per-lang value list (inverted-CDF definition), computed in Python."""
+    import math
+
+    from flyq_spark.operators.corpus import length_percentiles
+
+    got = {
+        r["lang"]: (r["n_docs"], r["p50"], r["p90"], r["p99"])
+        for r in length_percentiles(docs).collect()
+    }
+    vals: dict = {}
+    for r in docs.select("lang", "n_chars").collect():
+        vals.setdefault(r["lang"], []).append(r["n_chars"])
+    for lang, xs in vals.items():
+        xs.sort()
+        n = len(xs)
+        exp = tuple(xs[math.ceil(p * n) - 1] for p in (0.5, 0.9, 0.99))
+        assert got[lang] == (n, *exp), lang
