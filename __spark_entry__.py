@@ -1717,6 +1717,55 @@ def q_length_percentiles(spark, sf_dir):
     return length_percentiles(docs, "lang", "n_chars", (0.5, 0.9, 0.99))
 
 
+def q_dedup_agreement(spark, sf_dir):
+    """Lexical-vs-semantic near-dup agreement audit: document pairs
+    flagged by the EXACT token-Jaccard join (>= 0.5), by the EXACT
+    embedding-cosine join (>= 0.4), or by both — the diagnostic that
+    decides whether a corpus needs both dedup passes or one subsumes
+    the other. Composition of two bucketed similarity joins (each
+    candidate-bounded, never corpus x corpus) + one full-outer
+    equi-join on the pair key — the pair relations are orders of
+    magnitude smaller than the corpus. Output: (category, n_pairs)."""
+    docs = _read(spark, sf_dir, "documents")
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    lex = D.ngram_jaccard_pairs(docs, min_jaccard=0.5).select(
+        "id_a", "id_b", F.lit(True).alias("_lex")
+    )
+    sem = V.neardup_pairs_exact(emb, min_cosine=0.4).select(
+        "id_a", "id_b", F.lit(True).alias("_sem")
+    )
+    both = lex.join(sem, on=["id_a", "id_b"], how="full_outer")
+    cat = (
+        F.when(F.col("_lex").isNotNull() & F.col("_sem").isNotNull(), "both")
+        .when(F.col("_lex").isNotNull(), "lexical_only")
+        .otherwise("semantic_only")
+    )
+    return both.groupBy(cat.alias("category")).agg(
+        F.count("*").cast("long").alias("n_pairs")
+    )
+
+
+def q_interarrival_stats(spark, sf_dir):
+    """Per-user event inter-arrival profiling (consumer jitter
+    telemetry): gaps between consecutive events of the same user as
+    exact integer microseconds — min/max/sum per user. ONE user-keyed
+    shuffle serves both the lag window and the final groupBy (same
+    partitioning; ties broken by event_id so the gap sequence is
+    deterministic)."""
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    us = F.unix_micros(F.col("ts"))
+    gaps = ev.select(
+        "user_id", (us - F.lag(us).over(w)).alias("_gap")
+    ).where(F.col("_gap").isNotNull())
+    return gaps.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        F.min("_gap").cast("long").alias("min_gap_us"),
+        F.max("_gap").cast("long").alias("max_gap_us"),
+        F.sum("_gap").cast("long").alias("sum_gap_us"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the monitor composition (A12+A13+A14+A29) at sf0.001."""
     return q_monitor_alerts(spark, SF0001)
@@ -1821,6 +1870,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_jaccard_pairs": q_minhash_jaccard_pairs,
         "cohort_retention": q_cohort_retention,
         "length_percentiles": q_length_percentiles,
+        "dedup_agreement": q_dedup_agreement,
+        "interarrival_stats": q_interarrival_stats,
         # rows-only (non-SQL-expressible: LSH/MinHash/SimHash/Arrow kernels)
         "minhash_pairs": q_minhash_pairs,
         "simhash_neardup": q_simhash_neardup,
@@ -3030,5 +3081,44 @@ SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
        CAST(max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN n_chars END) AS BIGINT) AS p90,
        CAST(max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN n_chars END) AS BIGINT) AS p99
 FROM ranked GROUP BY lang
+""",
+        "dedup_agreement": """
+WITH base AS (
+  SELECT doc_id, list_distinct(string_split_regex(lower(text), '\\s+')) AS toks
+  FROM documents
+  WHERE len(list_distinct(string_split_regex(lower(text), '\\s+'))) > 0
+),
+lex AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM base a JOIN base b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+          / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.5
+),
+sem AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) >= 0.4
+)
+SELECT CASE WHEN l.id_a IS NOT NULL AND s.id_a IS NOT NULL THEN 'both'
+            WHEN l.id_a IS NOT NULL THEN 'lexical_only'
+            ELSE 'semantic_only' END AS category,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM lex l FULL OUTER JOIN sem s ON l.id_a = s.id_a AND l.id_b = s.id_b
+GROUP BY 1
+""",
+        "interarrival_stats": """
+WITH gaps AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(min(gap) AS BIGINT) AS min_gap_us,
+       CAST(max(gap) AS BIGINT) AS max_gap_us,
+       CAST(sum(gap) AS BIGINT) AS sum_gap_us
+FROM gaps WHERE gap IS NOT NULL
+GROUP BY user_id
 """,
     }

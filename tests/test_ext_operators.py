@@ -1382,3 +1382,70 @@ def test_length_percentiles_match_python_rank(spark, docs):
         n = len(xs)
         exp = tuple(xs[math.ceil(p * n) - 1] for p in (0.5, 0.9, 0.99))
         assert got[lang] == (n, *exp), lang
+
+
+def test_interarrival_stats_handcrafted(spark):
+    """Known gaps incl. duplicate timestamps (tie broken by event_id →
+    a zero gap, not an ordering flip) and a single-event user (no row)."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    s = datetime.timedelta(seconds=1)
+    ev = spark.createDataFrame(
+        [
+            (1, 1, t0), (2, 1, t0 + 3 * s), (3, 1, t0 + 3 * s), (4, 1, t0 + 10 * s),
+            (5, 2, t0),  # single event -> no gaps -> no row
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    us = F.unix_micros(F.col("ts"))
+    gaps = ev.select("user_id", (us - F.lag(us).over(w)).alias("g")).where(
+        F.col("g").isNotNull()
+    )
+    got = {
+        r["user_id"]: (r["n"], r["mn"], r["mx"], r["sm"])
+        for r in gaps.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("g").alias("mn"),
+            F.max("g").alias("mx"),
+            F.sum("g").alias("sm"),
+        )
+        .collect()
+    }
+    assert got == {1: (3, 0, 7_000_000, 10_000_000)}
+
+
+def test_dedup_agreement_categories(spark, docs, emb):
+    """Category counts equal the full-outer composition of the two
+    exact pair sets, computed independently in Python from collected
+    pair relations."""
+    from flyq_spark.operators.dedup import ngram_jaccard_pairs
+    from flyq_spark.operators.similarity import neardup_pairs_exact
+
+    lex = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, min_jaccard=0.5).collect()
+    }
+    sem = {
+        (r["id_a"], r["id_b"])
+        for r in neardup_pairs_exact(
+            emb.select("vec_id", "embedding"), min_cosine=0.4
+        ).collect()
+    }
+    expected = {
+        "both": len(lex & sem),
+        "lexical_only": len(lex - sem),
+        "semantic_only": len(sem - lex),
+    }
+    expected = {k: v for k, v in expected.items() if v}
+    from __spark_entry__ import q_dedup_agreement
+
+    got = {
+        r["category"]: r["n_pairs"]
+        for r in q_dedup_agreement(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert got == expected and got
