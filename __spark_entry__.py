@@ -1766,6 +1766,51 @@ def q_interarrival_stats(spark, sf_dir):
     )
 
 
+def q_cdc_apply(spark, sf_dir):
+    """CDC latest-wins merge (the MERGE INTO / Debezium-sink shape,
+    operators/cdc.py:apply_changes): snapshot = latest state per user
+    among events with event_id < 500; change batch = the rest, with
+    'error' events as deletes. One window on the merge key, no join —
+    shuffle carries each input row exactly once. event_id is the
+    change LSN (globally unique), so the merge is fully deterministic."""
+    from flyq_spark.operators.cdc import apply_changes
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("value_c"),
+        "event_id",
+    )
+    wsnap = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
+    snapshot = (
+        ev.where(F.col("event_id") < 500)
+        .withColumn("_rn", F.row_number().over(wsnap))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    changes = ev.where(F.col("event_id") >= 500).withColumn(
+        "op", F.when(F.col("event_type") == "error", "d").otherwise("u")
+    )
+    return apply_changes(snapshot, changes, ("user_id",), "event_id")
+
+
+def q_scd2_history(spark, sf_dir):
+    """Slowly-changing-dimension type-2 interval history per user
+    (operators/cdc.py:scd2_history): one row per run of equal
+    consecutive event_type values, valid_from/valid_to as epoch
+    micros (valid_to NULL while current). One user-keyed shuffle."""
+    from flyq_spark.operators.cdc import scd2_history
+
+    ev = _read(spark, sf_dir, "events")
+    hist = scd2_history(ev, "user_id", "event_type", "ts", "event_id")
+    return hist.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        F.unix_micros("valid_to").alias("valid_to_us"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the monitor composition (A12+A13+A14+A29) at sf0.001."""
     return q_monitor_alerts(spark, SF0001)
@@ -1872,6 +1917,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_percentiles": q_length_percentiles,
         "dedup_agreement": q_dedup_agreement,
         "interarrival_stats": q_interarrival_stats,
+        "cdc_apply": q_cdc_apply,
+        "scd2_history": q_scd2_history,
         # rows-only (non-SQL-expressible: LSH/MinHash/SimHash/Arrow kernels)
         "minhash_pairs": q_minhash_pairs,
         "simhash_neardup": q_simhash_neardup,
@@ -3120,5 +3167,48 @@ SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
        CAST(sum(gap) AS BIGINT) AS sum_gap_us
 FROM gaps WHERE gap IS NOT NULL
 GROUP BY user_id
+""",
+        "cdc_apply": """
+WITH ev AS (
+  SELECT user_id, event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS value_c,
+         event_id
+  FROM events
+),
+snap AS (
+  SELECT user_id, event_type, value_c, event_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+    FROM ev WHERE event_id < 500
+  ) WHERE rn = 1
+),
+chg AS (
+  SELECT user_id, event_type, value_c, event_id,
+         CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op
+  FROM ev WHERE event_id >= 500
+),
+unioned AS (
+  SELECT user_id, event_type, value_c, event_id, 'u' AS op, 0 AS pri FROM snap
+  UNION ALL
+  SELECT user_id, event_type, value_c, event_id, op, 1 AS pri FROM chg
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY event_id DESC, pri DESC) AS rn
+  FROM unioned
+)
+SELECT user_id, event_type, value_c, event_id
+FROM ranked WHERE rn = 1 AND op <> 'd'
+""",
+        "scd2_history": """
+WITH pts AS (
+  SELECT user_id, event_type, ts, event_id,
+         coalesce(event_type <> lag(event_type)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id), TRUE) AS chg
+  FROM events
+)
+SELECT user_id, event_type,
+       epoch_us(ts) AS valid_from_us,
+       epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS valid_to_us
+FROM pts WHERE chg
 """,
     }

@@ -1,0 +1,104 @@
+"""Change-data-capture / warehouse-merge operators [EXT].
+
+The reference is an append-only log broker (FlyQ segments,
+flyq-storage/src/segment.rs); downstream warehouses consume that log as
+a CHANGE STREAM. These operators are the standard landing patterns for
+it on Spark — the Delta-Lake MERGE / dimension-history capabilities,
+expressed engine-agnostically so they replay as plain SQL:
+
+- ``apply_changes``: latest-wins upsert/delete merge of a change batch
+  into a snapshot (the MERGE INTO shape, CDC "op" column honored);
+- ``scd2_history``: slowly-changing-dimension type-2 interval history
+  (valid_from / valid_to per attribute run) from an event stream.
+
+Both are single-key-shuffle plans: every window and aggregation shares
+the one exchange on the merge key. No collect, no Python in the path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def apply_changes(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key_cols: tuple[str, ...],
+    ts_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Latest-wins CDC merge: apply a change batch (rows carrying an
+    ``op`` column, ``'u'`` upsert / ``'d'`` delete) onto a snapshot.
+
+    Semantics (the Kafka-Connect / Debezium sink contract): for every
+    key, order snapshot ∪ changes by (ts, change-over-snapshot); the
+    newest row wins; if it is a delete the key disappears. Snapshot
+    rows rank as upserts at their stored timestamp, and a change at the
+    SAME timestamp beats the snapshot (re-delivered batches converge —
+    the merge is idempotent: applying the same batch twice is a no-op).
+
+    Plan: unionByName with a source-priority literal, ONE window on the
+    key (row_number by ts desc, priority desc), filter rank 1 and op !=
+    'd'. One shuffle on the merge key, no join at all — cheaper than
+    the join-form MERGE whenever the change batch isn't tiny; at 100 TB
+    the shuffle carries |snapshot| + |changes| rows exactly once.
+    Output: the merged snapshot (op/priority columns dropped)."""
+    data_cols = [c for c in snapshot.columns]
+    snap = snapshot.withColumn(op_col, F.lit("u")).withColumn("_pri", F.lit(0))
+    chg = changes.select(*data_cols, op_col).withColumn("_pri", F.lit(1))
+    unioned = snap.unionByName(chg)
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(ts_col).desc(), F.col("_pri").desc()
+    )
+    return (
+        unioned.withColumn("_rn", F.row_number().over(w))
+        .where((F.col("_rn") == 1) & (F.col(op_col) != "d"))
+        .select(*data_cols)
+    )
+
+
+def scd2_history(
+    df: DataFrame,
+    key_col: str,
+    attr_col: str,
+    ts_col: str,
+    tie_col: str,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history: collapse an event
+    stream into attribute VALIDITY INTERVALS — one row per run of equal
+    consecutive ``attr_col`` values per key, with ``valid_from`` (first
+    event of the run) and ``valid_to`` (start of the next run; NULL
+    while current).
+
+    Plan, one key-shuffle total (all three windows share the
+    (key, ts, tie) sort):
+
+    1. change points: rows where the attribute differs from its lag
+       (or the first row) — a filter, not an aggregation, so the run's
+       FIRST timestamp is preserved;
+    2. valid_to: lead(valid_from) over the surviving change points —
+       intervals tile the timeline with no gaps by construction;
+    3. deterministic ordering ties on ``tie_col`` (events can share a
+       timestamp; without the tie-break run detection would be
+       partition-order-dependent).
+
+    Output: (key, attr, valid_from, valid_to). The streaming analog is
+    ``transformWithStateInPandas`` keeping the last attribute per key;
+    this batch form replays the full history."""
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(tie_col).asc()
+    )
+    changed = F.col(attr_col) != F.lag(attr_col).over(w)
+    points = df.select(key_col, attr_col, ts_col, tie_col).withColumn(
+        "_chg", F.coalesce(changed, F.lit(True))
+    ).where(F.col("_chg"))
+    w2 = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(tie_col).asc()
+    )
+    return points.select(
+        F.col(key_col),
+        F.col(attr_col),
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+    )

@@ -1449,3 +1449,57 @@ def test_dedup_agreement_categories(spark, docs, emb):
         for r in q_dedup_agreement(spark, "/root/testdata/sf0.001").collect()
     }
     assert got == expected and got
+
+
+# ----------------------------- CDC / merge ----------------------------- #
+
+
+def test_apply_changes_merge_semantics(spark):
+    """Upsert-new, update-existing, delete, and stale-change-loses; a
+    change at the SAME ts as the snapshot row wins (idempotent
+    redelivery); applying the same batch twice equals applying once."""
+    from flyq_spark.operators.cdc import apply_changes
+
+    snap = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40)],
+        "k long, v string, ts long",
+    )
+    chg = spark.createDataFrame(
+        [
+            (1, "a2", 15, "u"),   # update
+            (2, "xx", 5, "u"),    # stale: older than snapshot -> ignored
+            (3, "zz", 30, "d"),   # delete at same ts -> change wins -> gone
+            (5, "e", 50, "u"),    # brand-new key
+        ],
+        "k long, v string, ts long, op string",
+    )
+    once = apply_changes(snap, chg, ("k",), "ts")
+    got = {(r["k"], r["v"], r["ts"]) for r in once.collect()}
+    assert got == {(1, "a2", 15), (2, "b", 20), (4, "d", 40), (5, "e", 50)}
+    twice = apply_changes(once, chg, ("k",), "ts")
+    assert {(r["k"], r["v"], r["ts"]) for r in twice.collect()} == got
+
+
+def test_scd2_history_runs_and_intervals(spark):
+    """Equal-attribute runs collapse; intervals tile (valid_to equals
+    the next valid_from); current run has NULL valid_to; same-ts ties
+    resolved by the tie column."""
+    from flyq_spark.operators.cdc import scd2_history
+
+    rows = [
+        (1, 1, "x", 100), (2, 1, "x", 200), (3, 1, "y", 300),
+        (4, 1, "y", 300),  # same ts as event 3, same attr -> same run
+        (5, 1, "x", 400),
+        (6, 2, "a", 100),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, k long, attr string, ts long")
+    got = sorted(
+        (r["k"], r["attr"], r["valid_from"], r["valid_to"])
+        for r in scd2_history(df, "k", "attr", "ts", "event_id").collect()
+    )
+    assert got == [
+        (1, "x", 100, 300),
+        (1, "x", 400, None),
+        (1, "y", 300, 400),
+        (2, "a", 100, None),
+    ]
