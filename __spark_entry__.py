@@ -1811,6 +1811,24 @@ def q_scd2_history(spark, sf_dir):
     )
 
 
+def q_session_window_counts(spark, sf_dir):
+    """Spark's NATIVE session_window operator (the one the streaming
+    path uses), oracle-checked against gaps-and-islands SQL — proving
+    the built-in's merge semantics (end = last event + gap; an event AT
+    the previous end merges, strictly-after starts a new session)
+    match the custom ``sessionize`` family. One user-keyed shuffle."""
+    ev = _read(spark, sf_dir, "events")
+    out = ev.groupBy("user_id", F.session_window("ts", "30 minutes")).agg(
+        F.count("*").cast("long").alias("n_events")
+    )
+    return out.select(
+        "user_id",
+        F.unix_micros("session_window.start").alias("session_start_us"),
+        F.unix_micros("session_window.end").alias("session_end_us"),
+        "n_events",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the monitor composition (A12+A13+A14+A29) at sf0.001."""
     return q_monitor_alerts(spark, SF0001)
@@ -1919,6 +1937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interarrival_stats": q_interarrival_stats,
         "cdc_apply": q_cdc_apply,
         "scd2_history": q_scd2_history,
+        "session_window_counts": q_session_window_counts,
         # rows-only (non-SQL-expressible: LSH/MinHash/SimHash/Arrow kernels)
         "minhash_pairs": q_minhash_pairs,
         "simhash_neardup": q_simhash_neardup,
@@ -3210,5 +3229,26 @@ SELECT user_id, event_type,
        epoch_us(ts) AS valid_from_us,
        epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS valid_to_us
 FROM pts WHERE chg
+""",
+        "session_window_counts": """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                        + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+isl AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM marked
+)
+SELECT user_id,
+       epoch_us(min(ts)) AS session_start_us,
+       epoch_us(max(ts) + INTERVAL 30 MINUTE) AS session_end_us,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM isl GROUP BY user_id, island
 """,
     }

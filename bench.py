@@ -44,6 +44,8 @@ HEADLINE = [
     ("lang_id", False),
     ("doc_fingerprints", False),
     ("minhash_pairs", False),
+    ("minhash_jaccard_pairs", False),
+    ("cdc_apply", False),
     ("simhash_neardup", False),
     ("similarity_topk", True),
     ("ann_lsh_topk", True),

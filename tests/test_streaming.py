@@ -415,3 +415,42 @@ def test_latest_per_key_ktable_view(engine, spark, tmp_path):
     assert got == expected
     latest_a = {k: v for k, v in got.items() if k[1] == b"a"}
     assert set(latest_a.values()) == {b"a1"}  # the revision won
+
+
+def test_stream_static_dimension_join(engine, spark, tmp_path):
+    """Stream-static enrichment: a static dimension table joined onto
+    the log stream (the broadcast-dimension pattern — the static side
+    re-resolves per micro-batch, no state store involved). Keys missing
+    from the dimension survive with NULL via a left join."""
+    from flyq_spark.streaming.source import read_stream
+
+    t0 = 1_700_000_000_000
+    engine.produce(
+        "enrich",
+        [
+            {"key": b"0", "value": b"a", "timestamp": t0},
+            {"key": b"1", "value": b"b", "timestamp": t0 + 1},
+            {"key": b"9", "value": b"c", "timestamp": t0 + 2},  # no dim row
+        ],
+    )
+    dim = spark.createDataFrame(
+        [("0", "zero"), ("1", "one"), ("2", "two")], "k string, name string"
+    )
+    stream = read_stream(spark, engine.base_dir, "enrich").select(
+        F.col("key").cast("string").alias("k"), "offset"
+    )
+    enriched = stream.join(F.broadcast(dim), on="k", how="left")
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enrich_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["k"], r["name"])
+        for r in spark.sql("SELECT k, name FROM enrich_test").collect()
+    }
+    assert got == {("0", "zero"), ("1", "one"), ("9", None)}
