@@ -1670,15 +1670,18 @@ def q_source_composition(spark, sf_dir):
 
 
 def q_minhash_sig(spark, sf_dir):
-    """Oracle-replayable MinHash signatures: 32 md5-permutation min
+    """Oracle-replayable MinHash signatures: 32 universal-hash min
     components per document joined to one string (operators/dedup.py:
-    minhash_signatures — one shingle explode, ONE map-side-combined
-    groupBy shuffle; the md5 family makes the exact signature replay
-    in ANSI SQL, unlike the Scala-side pyspark.ml hash family)."""
+    minhash_signatures — ONE md5 per shingle + k affine mod-prime
+    permutations, one map-side-combined groupBy shuffle; the family
+    replays in ANSI SQL, unlike the Scala-side pyspark.ml hashes)."""
     docs = _read(spark, sf_dir, "documents")
     sig = D.minhash_signatures(docs, k=32)
     return sig.select(
-        "doc_id", F.array_join("minhash", "|").alias("minhash_sig")
+        "doc_id",
+        F.array_join(
+            F.transform("minhash", lambda x: x.cast("string")), "|"
+        ).alias("minhash_sig"),
     )
 
 
@@ -1829,6 +1832,36 @@ def q_session_window_counts(spark, sf_dir):
     )
 
 
+def q_bpe_merges(spark, sf_dir):
+    """Train a BPE tokenizer on the corpus (operators/bpe.py:train_bpe):
+    the word-frequency groupBy compresses the corpus to a Zipf-bounded
+    dict; the merge loop runs on that model-sized dict with
+    lexicographic tie-breaks, so the merge sequence is a pure function
+    of the corpus. Rows-only (a 50-iteration argmax loop has no SQL
+    form); pinned against a pure-Python reference in pytest."""
+    from flyq_spark.operators.bpe import train_bpe
+
+    docs = _read(spark, sf_dir, "documents")
+    merges = train_bpe(docs, n_merges=50)
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, left string, right string",
+    )
+
+
+def q_bpe_encode_stats(spark, sf_dir):
+    """Per-doc token counts under the trained BPE model
+    (operators/bpe.py:bpe_token_counts): each DISTINCT word encodes
+    once (broadcast merge ranks), counts join back — word-keyed
+    shuffles only, document text never re-scanned per merge.
+    Rows-only; the encode path is pinned in pytest."""
+    from flyq_spark.operators.bpe import bpe_token_counts, train_bpe
+
+    docs = _read(spark, sf_dir, "documents")
+    merges = train_bpe(docs, n_merges=50)
+    return bpe_token_counts(docs, merges)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the monitor composition (A12+A13+A14+A29) at sf0.001."""
     return q_monitor_alerts(spark, SF0001)
@@ -1939,6 +1972,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_history": q_scd2_history,
         "session_window_counts": q_session_window_counts,
         # rows-only (non-SQL-expressible: LSH/MinHash/SimHash/Arrow kernels)
+        "bpe_merges": q_bpe_merges,
+        "bpe_encode_stats": q_bpe_encode_stats,
         "minhash_pairs": q_minhash_pairs,
         "simhash_neardup": q_simhash_neardup,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1950,16 +1985,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def _minhash_oracle(k: int = 32, bands: int = 8) -> tuple[str, str]:
-    """DuckDB replay of the md5-permutation MinHash family: (signature
-    SQL, banded-LSH pair SQL). Generated so the 32 min-components and 8
-    band keys stay mechanically in sync with minhash_signatures /
-    minhash_band_pairs defaults."""
+    """DuckDB replay of the universal-hash MinHash family: (signature
+    SQL, banded-LSH pair SQL). Generated from the SAME LCG-derived
+    (a_i, b_i) coefficients the Spark operators use
+    (operators/dedup.py:minhash_params), so the 32 min-components and 8
+    band keys stay mechanically in sync."""
     r = k // bands
-    mins = ",\n         ".join(f"min(md5(g || '#{i}')) AS m{i}" for i in range(k))
+    p = D.MINHASH_PRIME
+    params = D.minhash_params(k)
+    mins = ",\n         ".join(
+        f"min(({a} * h + {b}) % {p}) AS m{i}" for i, (a, b) in enumerate(params)
+    )
     allm = ", ".join(f"m{i}" for i in range(k))
     band_vals = ",\n    ".join(
         "({b}, md5(concat_ws('|', {cols})))".format(
-            b=b, cols=", ".join(f"m{b * r + j}" for j in range(r))
+            b=b,
+            cols=", ".join(f"CAST(m{b * r + j} AS VARCHAR)" for j in range(r)),
         )
         for b in range(bands)
     )
@@ -1972,9 +2013,14 @@ grams AS (
          array_to_string(w[CAST(i AS BIGINT):CAST(i AS BIGINT)+2], ' ') AS g
   FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
 ),
+hashed AS (
+  SELECT doc_id, g,
+         CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) AS h
+  FROM grams
+),
 sigs AS (
   SELECT doc_id, {mins}
-  FROM grams GROUP BY doc_id
+  FROM hashed GROUP BY doc_id
 )"""
     sig_sql = head + f"""
 SELECT doc_id, concat_ws('|', {allm}) AS minhash_sig FROM sigs

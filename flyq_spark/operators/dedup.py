@@ -476,6 +476,23 @@ def shingle_set(text_col: Column, n: int = 3) -> Column:
     return F.array_distinct(_word_ngrams(F.split(text_col, " "), n))
 
 
+MINHASH_PRIME = 4294967311  # smallest prime > 2^32
+
+
+def minhash_params(k: int, seed: int = 1) -> list[tuple[int, int]]:
+    """Deterministic (a, b) affine coefficients for the universal-hash
+    permutation family (LCG-derived; a odd < 2^31 so a*h32 stays under
+    2^63 — no BIGINT overflow on any SQL engine)."""
+    state = seed
+    out = []
+    for _ in range(k):
+        state = (1103515245 * state + 12345) % (1 << 31)
+        a = state | 1
+        state = (1103515245 * state + 12345) % (1 << 31)
+        out.append((a, state))
+    return out
+
+
 def minhash_signatures(
     df: DataFrame,
     k: int = 32,
@@ -483,28 +500,34 @@ def minhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """MinHash signatures from an md5 permutation family: the i-th
-    component is ``min(md5(shingle || '#i'))`` over the document's
-    distinct word ``shingle_n``-grams.
+    """MinHash signatures from a universal-hash permutation family:
+    base hash h = first 8 md5 hex digits of the shingle (a 32-bit
+    uniform int), i-th component = ``min((a_i * h + b_i) mod p)`` over
+    the document's distinct word ``shingle_n``-grams, with fixed
+    LCG-derived (a_i, b_i) and p = 4294967311 (the classic Broder
+    construction).
 
     Unlike the pyspark.ml MinHashLSH variant (whose hash family lives
-    in Scala), every component here is a deterministic SQL expression —
-    the exact signature replays on any engine with md5, which is what
-    makes this family ORACLE-CHECKABLE end to end. Statistically it is
-    standard MinHash: md5 is uniform, so
-    P(sig_i(A) == sig_i(B)) == Jaccard(A, B) per component.
+    in Scala), every component is a deterministic SQL expression — the
+    exact signature replays on any engine with md5 + 64-bit integers,
+    which is what makes this family ORACLE-CHECKABLE end to end. ONE
+    md5 per shingle; the k permutations are integer multiply-add-mod
+    (codegen'd), so k scales arithmetic width, not hashing cost.
 
     Plan: one narrow shingle explode, then ONE groupBy(id) computing
-    all k mins with map-side partial aggregation — k scales the
-    per-row arithmetic (JVM codegen), never the shuffle row count.
-    Documents with no shingles emit no row. Output: (id, minhash
-    array<string> of length k)."""
+    all k mins with map-side partial aggregation — never more than one
+    shuffle row per (doc, shingle). Documents with no shingles emit no
+    row. Output: (id, minhash array<long> of length k)."""
     grams = fan_out(df).select(
         F.col(id_col), F.explode(shingle_set(F.col(text_col), shingle_n)).alias("_g")
     )
+    h32 = F.conv(F.substring(F.md5(F.col("_g")), 1, 8), 16, 10).cast("long")
+    grams = grams.select(F.col(id_col), h32.alias("_h"))
     mins = [
-        F.min(F.md5(F.concat(F.col("_g"), F.lit(f"#{i}")))).alias(f"_m{i}")
-        for i in range(k)
+        F.min((F.lit(a) * F.col("_h") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(
+            f"_m{i}"
+        )
+        for i, (a, b) in enumerate(minhash_params(k))
     ]
     return (
         grams.groupBy(id_col)
@@ -555,11 +578,15 @@ def minhash_band_pairs(
         .persist()  # three consumers: signatures + both verify sides
     )
     grams = base.select(id_col, F.explode("_grams").alias("_g"))
+    h32 = F.conv(F.substring(F.md5(F.col("_g")), 1, 8), 16, 10).cast("long")
+    hashed = grams.select(F.col(id_col), h32.alias("_h"))
     mins = [
-        F.min(F.md5(F.concat(F.col("_g"), F.lit(f"#{i}")))).alias(f"_m{i}")
-        for i in range(k)
+        F.min((F.lit(a) * F.col("_h") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(
+            f"_m{i}"
+        )
+        for i, (a, b) in enumerate(minhash_params(k))
     ]
-    sigs = grams.groupBy(id_col).agg(*mins)
+    sigs = hashed.groupBy(id_col).agg(*mins)
     banded = sigs.select(
         F.col(id_col),
         F.explode(
@@ -569,7 +596,11 @@ def minhash_band_pairs(
                         F.lit(band).alias("band"),
                         F.md5(
                             F.concat_ws(
-                                "|", *[F.col(f"_m{band * r + j}") for j in range(r)]
+                                "|",
+                                *[
+                                    F.col(f"_m{band * r + j}").cast("string")
+                                    for j in range(r)
+                                ],
                             )
                         ).alias("bits"),
                     )

@@ -1261,11 +1261,16 @@ def test_upsample_strata_deterministic_replication(spark, docs):
 
 def test_minhash_signature_matches_python_reference(spark):
     """Every signature component equals a Python-computed
-    min(md5(shingle || '#i')) over the distinct word 3-gram set —
-    the md5 family is fully deterministic, no statistical tolerance."""
+    min((a_i * h + b_i) mod p) over the distinct word 3-gram set, with
+    h = first 8 md5 hex digits — fully deterministic, no statistical
+    tolerance."""
     import hashlib
 
-    from flyq_spark.operators.dedup import minhash_signatures
+    from flyq_spark.operators.dedup import (
+        MINHASH_PRIME,
+        minhash_params,
+        minhash_signatures,
+    )
 
     rows = [
         (1, "a b c d e f"),
@@ -1279,13 +1284,14 @@ def test_minhash_signature_matches_python_reference(spark):
         r["doc_id"]: r["minhash"]
         for r in minhash_signatures(df, k=k).collect()
     }
+    params = minhash_params(k)
 
     def ref_sig(text):
         words = text.split(" ")
         grams = {" ".join(words[i : i + 3]) for i in range(len(words) - 2)}
+        hs = [int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams]
         return [
-            min(hashlib.md5(f"{g}#{i}".encode()).hexdigest() for g in grams)
-            for i in range(k)
+            min((a * h + b) % MINHASH_PRIME for h in hs) for a, b in params
         ]
 
     assert set(got) == {1, 2, 3}
