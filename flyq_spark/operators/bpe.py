@@ -1,0 +1,197 @@
+"""BPE tokenizer training + encoding over a document corpus [EXT].
+
+Driver-mandated LLM-pipeline extension (no reference counterpart): the
+"train a tokenizer on the corpus" capability. The scale trick is the
+standard one every fast BPE trainer uses (HF tokenizers, the original
+Sennrich et al. 2016 implementation): BPE statistics depend only on the
+WORD FREQUENCY DICT, not on the corpus layout — so
+
+1. ONE distributed groupBy compresses the corpus (unbounded) to the
+   distinct-word frequency table (Zipf-bounded: millions of entries at
+   100 TB, not trillions of tokens);
+2. a deterministic top-``dict_cap`` cut (freq desc, word asc — a
+   TakeOrderedAndProject, per-partition top-k merged on the driver)
+   bounds driver memory like any trained-model state;
+3. the merge loop runs on that dict driver-side: count weighted
+   adjacent symbol pairs, merge the argmax, repeat. The merge table IS
+   the model — O(n_merges), broadcast back for encoding.
+
+Encoding replays the merge list per word, again via the dict: encode
+each DISTINCT word once (mapInPandas over the word table, broadcast
+merge ranks), then join token counts back onto documents — per-doc work
+scales with distinct words touched, not corpus bytes re-tokenized.
+
+Determinism: ties in pair counts break lexicographically, so the merge
+sequence is a pure function of the corpus — replayable anywhere; pinned
+against a pure-Python reference in pytest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+END = "</w>"  # end-of-word sentinel (Sennrich-style)
+
+
+def word_frequencies(
+    df: DataFrame, text_col: str = "text", lowercase: bool = True
+) -> DataFrame:
+    """Distinct-word frequency table: the compressed BPE training input.
+    One explode + ONE map-side-combined groupBy shuffle on the word."""
+    from flyq_spark.operators.util import fan_out
+
+    col = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    return (
+        fan_out(df)
+        .select(F.explode(F.split(col, "\\s+")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _pair_counts(vocab: dict[tuple[str, ...], int]) -> dict[tuple[str, str], int]:
+    counts: dict[tuple[str, str], int] = {}
+    for sym, freq in vocab.items():
+        for i in range(len(sym) - 1):
+            p = (sym[i], sym[i + 1])
+            counts[p] = counts.get(p, 0) + freq
+    return counts
+
+
+def _merge_vocab(
+    vocab: dict[tuple[str, ...], int], pair: tuple[str, str]
+) -> dict[tuple[str, ...], int]:
+    a, b = pair
+    out: dict[tuple[str, ...], int] = {}
+    for sym, freq in vocab.items():
+        merged = []
+        i = 0
+        while i < len(sym):
+            if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                merged.append(a + b)
+                i += 2
+            else:
+                merged.append(sym[i])
+                i += 1
+        out[tuple(merged)] = out.get(tuple(merged), 0) + freq
+    return out
+
+
+def train_bpe(
+    df: DataFrame,
+    n_merges: int = 50,
+    text_col: str = "text",
+    dict_cap: int = 100_000,
+) -> list[tuple[str, str]]:
+    """Train BPE merges on the corpus. Returns the ordered merge list
+    [(left, right), ...] — the tokenizer model.
+
+    Distributed part: the word-frequency groupBy + deterministic
+    top-``dict_cap`` cut (orderBy freq desc, word asc + limit →
+    TakeOrderedAndProject, O(dict_cap) driver memory regardless of
+    corpus size). Driver part: the classic merge loop over the dict —
+    argmax pair by (count desc, pair asc), stop early when no pair
+    repeats. Ties break lexicographically: the merge sequence is a pure
+    function of the corpus."""
+    rows = (
+        word_frequencies(df, text_col)
+        .orderBy(F.col("freq").desc(), F.col("word").asc())
+        .limit(dict_cap)
+        .collect()
+    )
+    vocab: dict[tuple[str, ...], int] = {}
+    for r in rows:
+        sym = tuple(r["word"]) + (END,)
+        vocab[sym] = vocab.get(sym, 0) + r["freq"]
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts = _pair_counts(vocab)
+        if not counts:
+            break
+        # deterministic: max count, then lexicographically SMALLEST pair
+        best_count = max(counts.values())
+        if best_count < 2:
+            break
+        best = min(p for p, c in counts.items() if c == best_count)
+        merges.append(best)
+        vocab = _merge_vocab(vocab, best)
+    return merges
+
+
+def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Apply merges to one word (lowest-rank merge first — the standard
+    BPE encode order, equivalent to replaying training)."""
+    sym = list(word) + [END]
+    while len(sym) > 1:
+        best_rank, best_i = None, None
+        for i in range(len(sym) - 1):
+            r = ranks.get((sym[i], sym[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_i is None:
+            break
+        sym[best_i : best_i + 2] = [sym[best_i] + sym[best_i + 1]]
+    return sym
+
+
+def bpe_token_counts(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document BPE token counts under a trained merge list.
+
+    Scale shape: encode each DISTINCT word once — a ``mapInPandas``
+    pass over the word table with the merge ranks broadcast (model-
+    sized, like centroids) — then join per-doc word counts onto the
+    encoded lengths and sum. Shuffles are word-keyed (dict-sized), not
+    token-keyed; no document text is ever re-scanned per merge.
+    Output: (id, n_words, n_bpe_tokens)."""
+    import pandas as pd  # noqa: F401  (imported for the worker closure)
+
+    from flyq_spark.operators.util import fan_out
+
+    spark = df.sparkSession
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    bc = spark.sparkContext.broadcast(ranks)
+
+    doc_words = (
+        fan_out(df)
+        .select(
+            F.col(id_col),
+            F.explode(F.split(F.lower(F.col(text_col)), "\\s+")).alias("word"),
+        )
+        .where(F.col("word") != "")
+        .groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    words = doc_words.select("word").distinct()
+
+    def encode_batch(iterator):
+        import pandas as pd
+
+        ranks_ = bc.value
+        for pdf in iterator:
+            if len(pdf) == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    "word": pdf["word"],
+                    "n_tokens": [
+                        len(encode_word(w, ranks_)) for w in pdf["word"]
+                    ],
+                }
+            )
+
+    encoded = words.mapInPandas(encode_batch, schema="word string, n_tokens int")
+    return (
+        doc_words.join(encoded, on="word")
+        .groupBy(id_col)
+        .agg(
+            F.sum("n").cast("long").alias("n_words"),
+            F.sum(F.col("n") * F.col("n_tokens")).cast("long").alias("n_bpe_tokens"),
+        )
+    )

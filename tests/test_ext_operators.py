@@ -1509,3 +1509,80 @@ def test_scd2_history_runs_and_intervals(spark):
         (1, "y", 300, 400),
         (2, "a", 100, None),
     ]
+
+
+# ------------------------------- BPE ----------------------------------- #
+
+
+def _ref_bpe_train(word_freqs, n_merges):
+    """Independent reference BPE trainer (Sennrich-style) on a word-freq
+    dict: argmax pair by (count desc, lexicographically smallest)."""
+    vocab = {}
+    for w, f in word_freqs.items():
+        sym = tuple(w) + ("</w>",)
+        vocab[sym] = vocab.get(sym, 0) + f
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for sym, f in vocab.items():
+            for i in range(len(sym) - 1):
+                counts[(sym[i], sym[i + 1])] = counts.get((sym[i], sym[i + 1]), 0) + f
+        if not counts or max(counts.values()) < 2:
+            break
+        best = min(p for p, c in counts.items() if c == max(counts.values()))
+        merges.append(best)
+        new = {}
+        for sym, f in vocab.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and (sym[i], sym[i + 1]) == best:
+                    out.append(sym[i] + sym[i + 1])
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            new[tuple(out)] = new.get(tuple(out), 0) + f
+        vocab = new
+    return merges
+
+
+def test_train_bpe_matches_reference(spark):
+    from flyq_spark.operators.bpe import train_bpe
+
+    rows = [
+        (1, "low low low lower lower"),
+        (2, "newest newest newest widest widest"),
+        (3, "low newest"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    freqs: dict = {}
+    for _, text in rows:
+        for w in text.split():
+            freqs[w] = freqs.get(w, 0) + 1
+    expected = _ref_bpe_train(freqs, 10)
+    got = train_bpe(df, n_merges=10)
+    assert got == expected and got
+    assert got == train_bpe(df, n_merges=10)  # deterministic
+
+
+def test_bpe_token_counts_equal_direct_encode(spark):
+    """The distinct-word-join counting path equals encoding every word
+    of every document directly in Python."""
+    from flyq_spark.operators.bpe import bpe_token_counts, encode_word, train_bpe
+
+    rows = [
+        (1, "low low lower newest"),
+        (2, "widest newest newest low"),
+        (3, "zzz"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = train_bpe(df, n_merges=6)
+    ranks = {p: i for i, p in enumerate(merges)}
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_token_counts(df, merges).collect()
+    }
+    for doc_id, text in rows:
+        words = text.lower().split()
+        exp_tokens = sum(len(encode_word(w, ranks)) for w in words)
+        assert got[doc_id] == (len(words), exp_tokens), doc_id
