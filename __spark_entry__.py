@@ -1862,6 +1862,22 @@ def q_bpe_encode_stats(spark, sf_dir):
     return bpe_token_counts(docs, merges)
 
 
+def q_hashed_doc_vectors(spark, sf_dir):
+    """Feature-hashing featurizer (operators/text.py:
+    hashing_trick_vectors): dense 64-bucket token-count vectors,
+    bucket = md5-derived hash mod dim — the SQL-replayable HashingTF.
+    Integer counts, two integer-keyed shuffles; vector emitted as a
+    joined string for the hash gate."""
+    docs = _read(spark, sf_dir, "documents")
+    v = X.hashing_trick_vectors(docs, dim=64)
+    return v.select(
+        "doc_id",
+        F.concat_ws(",", F.transform("vec", lambda x: x.cast("string"))).alias(
+            "vec_str"
+        ),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the monitor composition (A12+A13+A14+A29) at sf0.001."""
     return q_monitor_alerts(spark, SF0001)
@@ -1971,6 +1987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_apply": q_cdc_apply,
         "scd2_history": q_scd2_history,
         "session_window_counts": q_session_window_counts,
+        "hashed_doc_vectors": q_hashed_doc_vectors,
         # rows-only (non-SQL-expressible: LSH/MinHash/SimHash/Arrow kernels)
         "bpe_merges": q_bpe_merges,
         "bpe_encode_stats": q_bpe_encode_stats,
@@ -3296,5 +3313,28 @@ SELECT user_id,
        epoch_us(max(ts) + INTERVAL 30 MINUTE) AS session_end_us,
        CAST(count(*) AS BIGINT) AS n_events
 FROM isl GROUP BY user_id, island
+""",
+        "hashed_doc_vectors": """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w
+  FROM documents
+),
+b AS (
+  SELECT doc_id,
+         CAST(CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT) % 64 AS INT) AS bucket
+  FROM toks WHERE w <> ''
+),
+counts AS (
+  SELECT doc_id, bucket, count(*) AS c FROM b GROUP BY doc_id, bucket
+),
+grid AS (
+  SELECT d.doc_id, dm.bucket
+  FROM (SELECT DISTINCT doc_id FROM counts) d,
+       (SELECT unnest(range(0, 64)) AS bucket) dm
+)
+SELECT g.doc_id,
+       string_agg(CAST(coalesce(c.c, 0) AS VARCHAR), ',' ORDER BY g.bucket) AS vec_str
+FROM grid g LEFT JOIN counts c ON c.doc_id = g.doc_id AND c.bucket = g.bucket
+GROUP BY g.doc_id
 """,
     }

@@ -458,3 +458,53 @@ def rare_token_stats(
             .alias("n_distinct_rare"),
         )
     )
+
+
+def hashing_trick_vectors(
+    df: DataFrame,
+    dim: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Feature-hashing featurizer (the HashingTF / Vowpal-Wabbit trick,
+    SQL-replayable): each document becomes a dense ``dim``-bucket token
+    COUNT vector, bucket = first-8-md5-hex-digits(token) mod dim — the
+    bridge from the text stack to the embedding/ANN stack when no
+    trained encoder is available (hashed count vectors feed
+    ``topk_bruteforce``/LSH/IVF unchanged after normalization).
+
+    Integer counts on purpose: the vector is engine- and
+    partition-order-exact (normalization is one HOF away for callers,
+    ``F.transform(vec, x -> x / norm)``).
+
+    Plan: token explode → ONE (doc, bucket) map-side-combined count →
+    ONE doc-key aggregation assembling the dense vector via
+    ``map_from_entries`` + a ``sequence`` transform (order-independent
+    map lookups, so collect_list ordering cannot leak in). Both
+    shuffles carry integer keys/counts only; the vector materializes
+    once per document. Output: (id, vec array<long> of length dim)."""
+    from flyq_spark.operators.util import fan_out
+
+    toks = fan_out(df).select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), "\\s+")).alias("_w"),
+    ).where(F.col("_w") != "")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("_w")), 1, 8), 16, 10).cast("long")
+        % dim
+    ).cast("int")
+    counts = toks.select(id_col, bucket.alias("_b")).groupBy(id_col, "_b").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    assembled = counts.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("_b"), F.col("_c")))
+        ).alias("_m")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.element_at(F.col("_m"), i.cast("int")), F.lit(0)).cast(
+            "long"
+        ),
+    )
+    return assembled.select(F.col(id_col), dense.alias("vec"))

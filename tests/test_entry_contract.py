@@ -15,6 +15,8 @@ def test_queries_and_oracles_consistent():
     # the documented rows-only set is exactly the non-oracle remainder
     rows_only = set(qs) - set(oracles)
     assert rows_only == {
+        "bpe_merges",
+        "bpe_encode_stats",
         "minhash_pairs",
         "simhash_neardup",
         "ann_lsh_topk",

@@ -1586,3 +1586,33 @@ def test_bpe_token_counts_equal_direct_encode(spark):
         words = text.lower().split()
         exp_tokens = sum(len(encode_word(w, ranks)) for w in words)
         assert got[doc_id] == (len(words), exp_tokens), doc_id
+
+
+def test_hashing_trick_vectors_match_python_reference(spark, docs):
+    """Vectors equal the Python-computed bucket counts (md5-derived
+    bucket, mod 64); vector sums equal token counts; a known near-dup
+    pair has high count-vector cosine."""
+    import hashlib
+
+    import numpy as np
+
+    from flyq_spark.operators.text import hashing_trick_vectors
+
+    dim = 64
+    sample = docs.where(F.col("doc_id").isin([0, 50, 7])).collect()
+    got = {
+        r["doc_id"]: r["vec"]
+        for r in hashing_trick_vectors(
+            docs.where(F.col("doc_id").isin([0, 50, 7])), dim=dim
+        ).collect()
+    }
+    for row in sample:
+        toks = [w for w in row["text"].lower().split() if w]
+        exp = [0] * dim
+        for w in toks:
+            exp[int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % dim] += 1
+        assert got[row["doc_id"]] == exp, row["doc_id"]
+        assert sum(got[row["doc_id"]]) == len(toks)
+    a, b = np.array(got[0], float), np.array(got[50], float)
+    cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+    assert cos > 0.9  # docs 0 and 50 are near-dups (J ~ 0.95)
