@@ -7,6 +7,7 @@ runs them:
            → connected components → survivor choice → train/test split
            → decontamination audit → mixture upweighting
            → reproducible shuffle → sequence packing
+           → tokenizer training (BPE on the final corpus) + token audit
 
 Every stage is one of the library operators (no logic lives here), so
 the pipeline inherits their scale shapes: projections stay zero-shuffle,
@@ -87,11 +88,20 @@ def build_training_corpus(
     ).drop("copy_id")  # re-key copies so shuffle/packing treat them as docs
     corpus = pack_documents(corpus_shuffle(weighted), token_budget=2048)
 
+    # 5. train the tokenizer ON the corpus it will serve (word-freq dict
+    #    is the only distributed pass) and audit the token budget under it
+    from flyq_spark.operators.bpe import bpe_token_counts, train_bpe
+
+    merges = train_bpe(weighted, n_merges=50)
+    token_audit = bpe_token_counts(weighted, merges)
+
     return {
         "verdicts": verdicts,
         "deduped": deduped,
         "contamination": contamination,
         "corpus": corpus,
+        "bpe_merges": merges,
+        "token_audit": token_audit,
     }
 
 
@@ -112,9 +122,16 @@ def main() -> None:
     leak = stages["contamination"].agg(
         F.sum("n_contaminated").alias("c"), F.sum("n_ngrams").alias("t")
     ).first()
+    toks = stages["token_audit"].agg(
+        F.sum("n_bpe_tokens").alias("bpe"), F.sum("n_words").alias("w")
+    ).first()
     print(f"corpus: {n_docs} packed train docs")
     print(f"quality verdicts: {dropped}")
     print(f"contamination: {leak['c']}/{leak['t']} test 8-grams seen in train")
+    print(
+        f"tokenizer: {len(stages['bpe_merges'])} merges; "
+        f"{toks['bpe']} BPE tokens over {toks['w']} words"
+    )
     spark.stop()
 
 
