@@ -40,7 +40,14 @@ def read_documents(
     if fmt in ("json", "jsonl"):
         return spark.read.schema(schema).json(path)
     if fmt == "csv":
-        return spark.read.schema(schema).option("header", "true").csv(path)
+        # multiLine: documents legitimately contain newlines; without it
+        # a quoted multi-line field silently parses into null rows
+        return (
+            spark.read.schema(schema)
+            .option("header", "true")
+            .option("multiLine", "true")
+            .csv(path)
+        )
     if fmt == "orc":
         return spark.read.schema(schema).orc(path)
     raise ValueError(f"unsupported format {fmt!r} (parquet|json|jsonl|csv|orc)")
@@ -66,3 +73,38 @@ def read_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         elif dtype == "timestamp_ntz":
             df = df.withColumn(name, F.col(name).cast("timestamp"))
     return df
+
+
+def write_documents(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    partition_by: tuple[str, ...] | None = None,
+    max_records_per_file: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Export a corpus in any supported batch format — the write side of
+    ``read_documents`` (training pipelines hand shards to downstream
+    consumers as JSONL as often as parquet).
+
+    Scale governance is explicit: ``max_records_per_file`` bounds file
+    sizes (the same ``maxRecordsPerFile`` lever the engine's segment
+    rotation uses) and ``partition_by`` lays out hive partitions so
+    downstream filters prune directories. CSV writes quote/escape
+    embedded delimiters and newlines (default Spark CSV options), so
+    text round-trips losslessly through every format."""
+    w = df.write.mode(mode)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", int(max_records_per_file))
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if fmt == "parquet":
+        w.parquet(path)
+    elif fmt in ("json", "jsonl"):
+        w.json(path)
+    elif fmt == "csv":
+        w.option("header", "true").csv(path)
+    elif fmt == "orc":
+        w.orc(path)
+    else:
+        raise ValueError(f"unsupported format {fmt!r} (parquet|json|jsonl|csv|orc)")
