@@ -1878,6 +1878,16 @@ def q_hashed_doc_vectors(spark, sf_dir):
     )
 
 
+def q_unigram_surprisal(spark, sf_dir):
+    """Unigram-LM surprisal quality score (operators/text.py:
+    unigram_surprisal): mean -ln(freq/total) per doc under the corpus's
+    own unigram model. One word-key window + doc aggregation + a 1-row
+    broadcast total. Rows-only (float scores); pinned vs numpy in
+    pytest."""
+    docs = _read(spark, sf_dir, "documents")
+    return X.unigram_surprisal(docs)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the monitor composition (A12+A13+A14+A29) at sf0.001."""
     return q_monitor_alerts(spark, SF0001)
@@ -1989,6 +1999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window_counts": q_session_window_counts,
         "hashed_doc_vectors": q_hashed_doc_vectors,
         # rows-only (non-SQL-expressible: LSH/MinHash/SimHash/Arrow kernels)
+        "unigram_surprisal": q_unigram_surprisal,
         "bpe_merges": q_bpe_merges,
         "bpe_encode_stats": q_bpe_encode_stats,
         "minhash_pairs": q_minhash_pairs,

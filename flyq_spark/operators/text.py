@@ -508,3 +508,48 @@ def hashing_trick_vectors(
         ),
     )
     return assembled.select(F.col(id_col), dense.alias("vec"))
+
+
+def unigram_surprisal(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Unigram-LM surprisal quality score (the CCNet criterion proper):
+    mean per-token surprisal -ln(freq/total) under the corpus's OWN
+    unigram model — low = fluent/common text, high = OCR noise or
+    gibberish. Complements ``rare_token_stats`` (integer counts) with
+    the actual LM form.
+
+    Plan, mirroring ``rare_token_stats``: token explode → ONE word-key
+    window attaches corpus frequency (no vocabulary relation — the
+    window never materializes the long tail) → one doc-key aggregation
+    of (Σ ln freq, n) → the corpus total joins as a 1-row broadcast
+    (scalar-subquery shape), so mean surprisal = ln(total) - Σln(freq)/n
+    needs no third pass. Float outputs → rows-only in the gate, pinned
+    against numpy in pytest (per-doc sums are short; cross-partition
+    reduction order does not change them materially, and the gate never
+    hashes them).
+
+    Output: (id, n_tokens, mean_surprisal)."""
+    from flyq_spark.operators.util import fan_out
+
+    toks = fan_out(df).select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), "\\s+")).alias("_w"),
+    ).where(F.col("_w") != "")
+    with_freq = toks.withColumn(
+        "_c", F.count("*").over(Window.partitionBy("_w"))
+    )
+    per_doc = with_freq.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum(F.log("_c")).alias("_sum_ln"),
+    )
+    total = toks.agg(F.count("*").cast("long").alias("_total"))
+    return per_doc.crossJoin(F.broadcast(total)).select(
+        F.col(id_col),
+        "n_tokens",
+        (F.log("_total") - F.col("_sum_ln") / F.col("n_tokens")).alias(
+            "mean_surprisal"
+        ),
+    )

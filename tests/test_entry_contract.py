@@ -15,6 +15,7 @@ def test_queries_and_oracles_consistent():
     # the documented rows-only set is exactly the non-oracle remainder
     rows_only = set(qs) - set(oracles)
     assert rows_only == {
+        "unigram_surprisal",
         "bpe_merges",
         "bpe_encode_stats",
         "minhash_pairs",

@@ -1616,3 +1616,31 @@ def test_hashing_trick_vectors_match_python_reference(spark, docs):
     a, b = np.array(got[0], float), np.array(got[50], float)
     cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
     assert cos > 0.9  # docs 0 and 50 are near-dups (J ~ 0.95)
+
+
+def test_unigram_surprisal_matches_numpy(spark, docs):
+    """Per-doc mean surprisal equals the numpy-computed value under the
+    same corpus unigram model (1e-9 tolerance); common-word docs score
+    lower than docs holding rare markers."""
+    import math
+
+    from flyq_spark.operators.text import unigram_surprisal
+
+    sample = docs.limit(150)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["mean_surprisal"])
+        for r in unigram_surprisal(sample).collect()
+    }
+    freqs: dict = {}
+    doc_toks = {}
+    for r in sample.collect():
+        toks = [w for w in r["text"].lower().split() if w]
+        doc_toks[r["doc_id"]] = toks
+        for w in toks:
+            freqs[w] = freqs.get(w, 0) + 1
+    total = sum(freqs.values())
+    for doc_id, toks in doc_toks.items():
+        exp = sum(math.log(total / freqs[w]) for w in toks) / len(toks)
+        n, s = got[doc_id]
+        assert n == len(toks)
+        assert abs(s - exp) < 1e-9, doc_id

@@ -24,6 +24,7 @@ SCALAR_BROADCAST_OK = {
     "bm25_top10",  # (N, avgdl) corpus stats, 1 row
     "q11_important_parts",  # sum(value_c) grand total, 1 row
     "q15_top_supplier",  # max(total_revenue_c4), 1 row
+    "unigram_surprisal",  # ln(total tokens) corpus normalizer, 1 row
 }
 
 
