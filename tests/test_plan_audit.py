@@ -60,3 +60,27 @@ def test_allowlist_entries_still_use_scalar_broadcast(spark, entry):
     for name in SCALAR_BROADCAST_OK:
         plan = qs[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan, name
+
+
+def test_plan_shapes_match_baseline(spark, entry):
+    """Every gate query's plan-shape metrics (shuffle count, join
+    strategy census, aggregate/window counts) must equal the committed
+    baseline — the regression net for 'a refactor quietly added an
+    exchange / degraded a join'. After an INTENDED plan change,
+    regenerate deliberately: python tools/plan_snapshot.py"""
+    import json
+    import os
+
+    from tools.plan_snapshot import SF_DIR, plan_shape
+
+    path = os.path.join(os.path.dirname(os.path.dirname(__file__)), "plans_baseline.json")
+    baseline = json.load(open(path))
+    qs = entry.queries()
+    assert set(baseline) == set(qs), "baseline stale: query set changed"
+    diffs = {}
+    for name, fn in qs.items():
+        plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        got = plan_shape(plan)
+        if got != baseline[name]:
+            diffs[name] = {"baseline": baseline[name], "got": got}
+    assert diffs == {}, f"plan shapes drifted: {json.dumps(diffs, indent=1)}"
