@@ -129,14 +129,14 @@ def cohort_retention(
     product-analytics retention matrix, computed with exact integer
     arithmetic so it replays identically on any engine.
 
-    Plan, two shuffles total:
+    Plan, three narrow integer-keyed shuffles (user, (user, week),
+    (cohort, offset) — each carries one timestamp/int pair per row):
 
     1. cohort assignment: ``groupBy(user).min(ts)`` truncated to the
        ISO week (``date_trunc('week')`` — Monday start on every
-       engine) — map-side combined, one shuffle on the user key;
-    2. activity: distinct (user, week) pairs — the distinct reuses the
-       SAME user-keyed exchange when AQE co-partitions, then a join
-       back to the cohort table on the user key and a final count per
+       engine) — map-side combined;
+    2. activity: distinct (user, week) pairs, then a join back to the
+       cohort table on the user key and a final count per
        (cohort_week, week_offset). Week offsets are day-difference / 7
        — both weeks are Monday-truncated so the division is exact.
 
