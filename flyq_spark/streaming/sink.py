@@ -53,3 +53,50 @@ def write_stream_to_topic(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def upsert_sink(
+    snapshot_path: str,
+    key_cols: tuple[str, ...],
+    ts_col: str,
+    op_col: str = "op",
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch callback maintaining a latest-wins SNAPSHOT table
+    from a CDC change stream — the streaming MERGE pattern (Delta's
+    ``foreachBatch`` + MERGE INTO recipe, expressed with the batch
+    ``apply_changes`` operator so batch and streaming share one merge
+    semantics).
+
+    Each micro-batch: read the current snapshot (empty on first batch),
+    apply the batch's upserts/deletes (latest-wins, idempotent — safe
+    under at-least-once redelivery), write to a tmp dir, atomically
+    swap. Single-writer discipline holds by construction (foreachBatch
+    invocations are serial within a query); the swap is
+    directory-rename-atomic so concurrent READERS see either the old or
+    the new snapshot, never a partial write. The batch itself may carry
+    several changes per key — apply_changes resolves them by
+    (ts, change-beats-snapshot) in one window."""
+    import os
+    import shutil
+
+    from flyq_spark.operators.cdc import apply_changes
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        data_cols = [c for c in batch_df.columns if c != op_col]
+        if os.path.isdir(snapshot_path):
+            snapshot = spark.read.parquet(snapshot_path).select(*data_cols)
+        else:
+            snapshot = spark.createDataFrame([], batch_df.drop(op_col).schema)
+        merged = apply_changes(snapshot, batch_df, key_cols, ts_col, op_col)
+        tmp = snapshot_path.rstrip("/") + f"._tmp_{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        old = snapshot_path.rstrip("/") + f"._old_{batch_id}"
+        if os.path.isdir(snapshot_path):
+            os.rename(snapshot_path, old)
+        os.rename(tmp, snapshot_path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    return write

@@ -454,3 +454,46 @@ def test_stream_static_dimension_join(engine, spark, tmp_path):
         for r in spark.sql("SELECT k, name FROM enrich_test").collect()
     }
     assert got == {("0", "zero"), ("1", "one"), ("9", None)}
+
+
+def test_streaming_cdc_upsert_snapshot(engine, spark, tmp_path):
+    """CDC change stream -> foreachBatch latest-wins snapshot: after two
+    chunks (second updates one key, deletes another, adds one), the
+    snapshot equals applying all changes in ts order."""
+    from flyq_spark.streaming.sink import upsert_sink
+
+    src = str(tmp_path / "changes")
+    snap = str(tmp_path / "snapshot")
+    schema = "k long, v string, ts long, op string"
+
+    def write_chunk(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).json(src)
+
+    write_chunk([(1, "a", 10, "u"), (2, "b", 10, "u"), (3, "c", 10, "u")])
+    stream = spark.readStream.schema(schema).json(src)
+    sink = upsert_sink(snap, ("k",), "ts")
+    q = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["k"], r["v"]) for r in spark.read.parquet(snap).collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "c")}
+
+    write_chunk([(1, "a2", 20, "u"), (2, "x", 20, "d"), (4, "d", 20, "u")])
+    q = (
+        spark.readStream.schema(schema).json(src)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["k"], r["v"]) for r in spark.read.parquet(snap).collect()}
+    assert got == {(1, "a2"), (3, "c"), (4, "d")}
