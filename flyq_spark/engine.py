@@ -294,6 +294,41 @@ class FlyQEngine:
         except Exception:
             return self.spark.createDataFrame([], LOG_SCHEMA)
 
+    def register_views(self, topics: list[str] | None = None) -> list[str]:
+        """Expose the broker surface to plain ``spark.sql``: one temp view
+        ``flyq_<topic>`` per topic log plus ``flyq_consumer_offsets`` and
+        ``flyq_watermarks`` control views — a SQL user can then express
+        every read-side client op (point consume, range scan, lag join)
+        as a SELECT without touching the Python API. Views are lazy
+        DataFrames: the log views inherit partition pruning and footer
+        stats, and re-resolve files per query (no snapshot staleness
+        beyond Spark's own file-index caching). Returns the view names."""
+        names = []
+        for t in topics if topics is not None else self.list_topics():
+            name = f"flyq_{t}"
+            self.log(t).createOrReplaceTempView(name)
+            names.append(name)
+        self.consumer_offsets_df().createOrReplaceTempView("flyq_consumer_offsets")
+        names.append("flyq_consumer_offsets")
+        wm_rows = [
+            Row(
+                topic=t,
+                partition=int(p),
+                low=int(w[0]),
+                high=int(w[1]),
+                log_end_offset=int(w[2]),
+            )
+            for t in (topics if topics is not None else self.list_topics())
+            for p in range(self.topic_partitions(t))
+            for w in (self.get_watermark(t, p),)
+        ]
+        self.spark.createDataFrame(
+            wm_rows,
+            "topic string, partition int, low long, high long, log_end_offset long",
+        ).createOrReplaceTempView("flyq_watermarks")
+        names.append("flyq_watermarks")
+        return names
+
     def consume(self, topic: str, partition: int, offset: int) -> Row | None:
         """Point read at >= offset; past-end -> None (log_engine.rs:75-102:
         OffsetNotFound degrades to graceful None)."""

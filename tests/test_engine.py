@@ -210,3 +210,44 @@ def test_consume_plan_pushes_partition_and_offset(engine):
     assert "PartitionFilters" in plan and "partition" in plan.split("PartitionFilters", 1)[1][:120]
     pushed = plan.split("PushedFilters: [", 1)[1][:120]
     assert "EqualTo(offset,5)" in pushed
+
+
+def test_register_views_sql_surface(engine, spark):
+    """Every read-side client op is expressible as plain SQL over the
+    registered views: point consume, range scan, and the lag join."""
+    engine.create_topic("sqlt", partitions=2)
+    engine.produce(
+        "sqlt",
+        [
+            {"key": b"a", "value": f"v{i}".encode(), "timestamp": 1_700_000_000_000 + i}
+            for i in range(10)
+        ],
+    )
+    engine.commit_offset("g1", "sqlt", 0, 2)
+    names = engine.register_views()
+    assert "flyq_sqlt" in names and "flyq_watermarks" in names
+
+    point = spark.sql(
+        "SELECT value FROM flyq_sqlt WHERE partition = 0 AND offset = 0"
+    ).collect()
+    assert len(point) == 1
+
+    n = spark.sql("SELECT count(*) AS n FROM flyq_sqlt").first()["n"]
+    assert n == 10
+
+    lag = spark.sql(
+        """
+        SELECT w.partition,
+               w.log_end_offset - coalesce(o.offset, 0) AS lag
+        FROM flyq_watermarks w
+        LEFT JOIN flyq_consumer_offsets o
+          ON o.topic = w.topic AND o.partition = w.partition AND o.group = 'g1'
+        WHERE w.topic = 'sqlt'
+        ORDER BY w.partition
+        """
+    ).collect()
+    by_part = {r["partition"]: r["lag"] for r in lag}
+    leo = {
+        p: engine.get_watermark("sqlt", p)[2] for p in (0, 1)
+    }
+    assert by_part[0] == leo[0] - 2 and by_part[1] == leo[1]
