@@ -1888,6 +1888,46 @@ def q_unigram_surprisal(spark, sf_dir):
     return X.unigram_surprisal(docs)
 
 
+def q_ann_filtered_topk(spark, sf_dir):
+    """Metadata-FILTERED vector search (the filter+ANN production
+    pattern: restrict by an attribute, then rank by similarity): exact
+    cosine top-5 per query over only even-label corpus vectors. The
+    predicate is pushed BELOW the scoring pass — the filtered corpus is
+    what streams through the GEMM — so selective filters cut scoring
+    cost proportionally; the same composition applies in front of the
+    LSH/IVF paths."""
+    emb = _read(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("label") % 2 == 0)
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return V.topk_bruteforce(corpus, queries, k=5).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+def q_normalize_text(spark, sf_dir):
+    """Text normalization stage (the cleanup pass that runs BEFORE any
+    dedup/fingerprint so near-identical docs actually collide):
+    lowercase, strip control characters, collapse whitespace runs,
+    trim; emits the normalized fingerprint alongside. Pure zero-shuffle
+    projection, entirely codegen'd regexp/string ops."""
+    docs = _read(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[\\x00-\\x1f]", " "),
+            "\\s+",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.md5(norm).alias("norm_fp"),
+        F.length(norm).cast("long").alias("n_chars_norm"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the monitor composition (A12+A13+A14+A29) at sf0.001."""
     return q_monitor_alerts(spark, SF0001)
@@ -1998,6 +2038,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_history": q_scd2_history,
         "session_window_counts": q_session_window_counts,
         "hashed_doc_vectors": q_hashed_doc_vectors,
+        "ann_filtered_topk": q_ann_filtered_topk,
+        "normalize_text": q_normalize_text,
         # rows-only (non-SQL-expressible: LSH/MinHash/SimHash/Arrow kernels)
         "unigram_surprisal": q_unigram_surprisal,
         "bpe_merges": q_bpe_merges,
@@ -3347,5 +3389,29 @@ SELECT g.doc_id,
        string_agg(CAST(coalesce(c.c, 0) AS VARCHAR), ',' ORDER BY g.bucket) AS vec_str
 FROM grid g LEFT JOIN counts c ON c.doc_id = g.doc_id AND c.bucket = g.bucket
 GROUP BY g.doc_id
+""",
+        "ann_filtered_topk": """
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                           CAST(e.embedding AS DOUBLE[])) DESC,
+                    e.vec_id ASC) AS rank
+  FROM embeddings q JOIN embeddings e ON e.label % 2 = 0
+  WHERE q.vec_id % 100 = 0
+) WHERE rank <= 5
+""",
+        "normalize_text": """
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+              regexp_replace(lower(text), '[\\x00-\\x1f]', ' ', 'g'),
+              '\s+', ' ', 'g')) AS norm_text
+  FROM documents
+)
+SELECT doc_id, norm_text, md5(norm_text) AS norm_fp,
+       CAST(strlen(norm_text) AS BIGINT) AS n_chars_norm
+FROM n
 """,
     }

@@ -1644,3 +1644,33 @@ def test_unigram_surprisal_matches_numpy(spark, docs):
         n, s = got[doc_id]
         assert n == len(toks)
         assert abs(s - exp) < 1e-9, doc_id
+
+
+def test_normalize_text_handles_control_and_whitespace(spark):
+    """Control chars become spaces, whitespace runs collapse, case
+    folds, ends trim — so near-identical docs share a fingerprint."""
+    from __spark_entry__ import q_normalize_text  # noqa: F401
+
+    df = spark.createDataFrame(
+        [
+            (1, "Hello\x01  World\t\tfoo  "),
+            (2, "hello world foo"),
+            (3, "\x1fhello   WORLD\nfoo"),
+        ],
+        "doc_id long, text string",
+    )
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[\\x00-\\x1f]", " "),
+            "\\s+",
+            " ",
+        )
+    )
+    got = {
+        r["doc_id"]: (r["n"], r["fp"])
+        for r in df.select(
+            "doc_id", norm.alias("n"), F.md5(norm).alias("fp")
+        ).collect()
+    }
+    assert got[1][0] == got[2][0] == got[3][0] == "hello world foo"
+    assert got[1][1] == got[2][1] == got[3][1]
