@@ -1928,6 +1928,21 @@ def q_normalize_text(spark, sf_dir):
     )
 
 
+def q_mmr_topk(spark, sf_dir):
+    """Diversity-aware retrieval (operators/similarity.py:topk_mmr):
+    exact top-50 candidate pool per query, then greedy MMR selection
+    inside applyInPandas — distributed across queries, O(k*pool) per
+    query. Rows-only (greedy float loop has no SQL form); pinned
+    against a pure-Python reference in pytest."""
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return V.topk_mmr(emb, queries, k=5, pool=50, lam=0.7).select(
+        "query_id", "neighbor_id", "mmr_rank"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the monitor composition (A12+A13+A14+A29) at sf0.001."""
     return q_monitor_alerts(spark, SF0001)
@@ -2042,6 +2057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": q_normalize_text,
         # rows-only (non-SQL-expressible: LSH/MinHash/SimHash/Arrow kernels)
         "unigram_surprisal": q_unigram_surprisal,
+        "mmr_topk": q_mmr_topk,
         "bpe_merges": q_bpe_merges,
         "bpe_encode_stats": q_bpe_encode_stats,
         "minhash_pairs": q_minhash_pairs,

@@ -839,3 +839,91 @@ def topk_pq(
         local.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
     )
+
+
+def topk_mmr(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    pool: int = 50,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Diversity-aware top-k via Maximal Marginal Relevance: greedily
+    pick the candidate maximizing ``lam * relevance - (1-lam) *
+    max_sim_to_already_selected`` — the selection pass retrieval
+    pipelines run AFTER ANN so near-duplicate hits don't crowd the
+    result (lam=1 degenerates to plain relevance ranking).
+
+    Scale shape: stage 1 bounds the problem — the exact top-``pool``
+    per query (``topk_bruteforce``: broadcast queries, partition-local
+    GEMM, tiny global merge). Stage 2 joins candidate vectors back
+    (equi-join on the id, |queries| x pool rows) and runs the greedy
+    loop per query inside ``applyInPandas`` — distributed ACROSS
+    queries, O(k * pool) numpy work within each, never corpus-sized.
+    Ties break toward the smaller neighbor id, so the selection is
+    deterministic. Output: (query_id, neighbor_id, relevance,
+    mmr_rank 1..k)."""
+    import numpy as np
+
+    cand = topk_bruteforce(
+        embeddings, queries, k=pool, id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col,
+    ).select("query_id", "neighbor_id", F.col("score").alias("relevance"))
+    vecs = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nvec")
+    )
+    joined = cand.join(vecs, on="neighbor_id")
+    id_type = [
+        f.dataType.simpleString()
+        for f in embeddings.schema.fields
+        if f.name == id_col
+    ][0]
+    qid_type = [
+        f.dataType.simpleString()
+        for f in queries.schema.fields
+        if f.name == query_id_col
+    ][0]
+    out_schema = (
+        f"query_id {qid_type}, neighbor_id {id_type}, "
+        "relevance double, mmr_rank long"
+    )
+    kk, ll = int(k), float(lam)
+
+    def mmr(key, pdf):
+        import pandas as pd
+
+        order = np.lexsort((pdf["neighbor_id"].to_numpy(), -pdf["relevance"].to_numpy()))
+        pdf = pdf.iloc[order].reset_index(drop=True)
+        V = np.vstack(pdf["_nvec"].to_numpy()).astype(np.float64)
+        n = np.linalg.norm(V, axis=1)
+        n[n == 0.0] = 1.0
+        U = V / n[:, None]
+        S = U @ U.T  # candidate-candidate cosine
+        rel = pdf["relevance"].to_numpy()
+        ids = pdf["neighbor_id"].to_numpy()
+        selected: list[int] = []
+        remaining = list(range(len(pdf)))
+        while remaining and len(selected) < kk:
+            if selected:
+                red = S[np.ix_(remaining, selected)].max(axis=1)
+            else:
+                red = np.zeros(len(remaining))
+            obj = ll * rel[remaining] - (1.0 - ll) * red
+            # candidates are pre-sorted (relevance desc, id asc), and
+            # argmax takes the FIRST max — so ties deterministically go
+            # to the more-relevant / smaller-id candidate
+            pick = remaining.pop(int(np.argmax(obj)))
+            selected.append(pick)
+        return pd.DataFrame(
+            {
+                "query_id": [key[0]] * len(selected),
+                "neighbor_id": ids[selected],
+                "relevance": rel[selected],
+                "mmr_rank": np.arange(1, len(selected) + 1, dtype=np.int64),
+            }
+        )
+
+    return joined.groupBy("query_id").applyInPandas(mmr, schema=out_schema)

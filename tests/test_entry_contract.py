@@ -16,6 +16,7 @@ def test_queries_and_oracles_consistent():
     rows_only = set(qs) - set(oracles)
     assert rows_only == {
         "unigram_surprisal",
+        "mmr_topk",
         "bpe_merges",
         "bpe_encode_stats",
         "minhash_pairs",

@@ -1674,3 +1674,63 @@ def test_normalize_text_handles_control_and_whitespace(spark):
     }
     assert got[1][0] == got[2][0] == got[3][0] == "hello world foo"
     assert got[1][1] == got[2][1] == got[3][1]
+
+
+def test_topk_mmr_matches_python_reference_and_diversifies(spark, emb):
+    """MMR selection equals a pure-Python greedy reference; lam=1
+    degenerates to plain relevance order; lam<1 skips at least one
+    near-duplicate that plain top-k keeps (fixture has near-dup
+    vectors)."""
+    import numpy as np
+
+    from flyq_spark.operators.similarity import topk_bruteforce, topk_mmr
+
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    pool = 30
+    cand = topk_bruteforce(emb, queries, k=pool).collect()
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], float)
+        for r in emb.collect()
+    }
+
+    def ref_mmr(lam, k=5):
+        out = {}
+        by_q: dict = {}
+        for r in cand:
+            by_q.setdefault(r["query_id"], []).append(r)
+        for q, rows in by_q.items():
+            rows.sort(key=lambda r: (-r["score"], r["neighbor_id"]))
+            ids = [r["neighbor_id"] for r in rows]
+            rel = np.array([r["score"] for r in rows])
+            U = np.vstack([vecs[i] for i in ids])
+            n = np.linalg.norm(U, axis=1)
+            n[n == 0] = 1
+            U = U / n[:, None]
+            S = U @ U.T
+            remaining = list(range(len(ids)))
+            sel: list = []
+            while remaining and len(sel) < k:
+                red = (
+                    S[np.ix_(remaining, sel)].max(axis=1)
+                    if sel
+                    else np.zeros(len(remaining))
+                )
+                obj = lam * rel[remaining] - (1 - lam) * red
+                sel.append(remaining.pop(int(np.argmax(obj))))
+            out[q] = [ids[i] for i in sel]
+        return out
+
+    for lam in (1.0, 0.5):
+        got = {}
+        for r in topk_mmr(emb, queries, k=5, pool=pool, lam=lam).collect():
+            got.setdefault(r["query_id"], []).append(
+                (r["mmr_rank"], r["neighbor_id"])
+            )
+        got = {q: [i for _, i in sorted(v)] for q, v in got.items()}
+        assert got == ref_mmr(lam), lam
+
+    plain = ref_mmr(1.0)
+    diverse = ref_mmr(0.5)
+    assert any(set(plain[q]) != set(diverse[q]) for q in plain)
