@@ -37,6 +37,9 @@ def apply_changes(
     rows rank as upserts at their stored timestamp, and a change at the
     SAME timestamp beats the snapshot (re-delivered batches converge —
     the merge is idempotent: applying the same batch twice is a no-op).
+    ``ts_col`` should be a per-key-unique change LSN: two CHANGE rows
+    sharing both key and ts have no defined order — fold a sequence
+    number into ts upstream if the source can emit same-ts duplicates.
 
     Plan: unionByName with a source-priority literal, ONE window on the
     key (row_number by ts desc, priority desc), filter rank 1 and op !=

@@ -170,3 +170,45 @@ def test_duplicate_spans_random_corpora_match_model(spark, seed):
         for r in duplicate_spans(df, k=k).collect()
     }
     assert got == expected
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_apply_changes_random_batches_match_dict_model(spark, seed):
+    """Randomized CDC sequences: applying R random change batches via
+    apply_changes (folding each batch into the running snapshot) must
+    equal a trivial Python dict model that replays ALL changes in
+    (ts, batch-order) — including deletes, re-inserts after delete,
+    stale updates, and same-ts redelivery."""
+    from flyq_spark.operators.cdc import apply_changes
+
+    rng = random.Random(seed)
+    keys = list(range(8))
+    model: dict[int, tuple[str, int]] = {}
+    snapshot = spark.createDataFrame([], "k long, v string, ts long")
+    ts = 0
+    for _ in range(4):  # batches
+        batch = []
+        for _ in range(rng.randint(1, 10)):
+            k = rng.choice(keys)
+            ts += rng.randint(0, 2)  # allow ts ties within a batch
+            op = "d" if rng.random() < 0.25 else "u"
+            batch.append((k, f"v{ts}_{k}", ts, op))
+        chg = spark.createDataFrame(batch, "k long, v string, ts long, op string")
+        snapshot = apply_changes(snapshot, chg, ("k",), "ts")
+        # model: replay this batch — later ts wins; on a ts tie the
+        # change beats the snapshot, and within the batch the winner is
+        # the LAST row in batch order among max-ts rows for the key
+        per_key: dict[int, tuple[str, int, str]] = {}
+        for k, v, t, op in batch:
+            cur = per_key.get(k)
+            if cur is None or t >= cur[1]:
+                per_key[k] = (v, t, op)
+        for k, (v, t, op) in per_key.items():
+            cur = model.get(k)
+            if cur is None or t >= cur[1]:
+                if op == "d":
+                    model.pop(k, None)
+                else:
+                    model[k] = (v, t)
+        got = {r["k"]: (r["v"], r["ts"]) for r in snapshot.collect()}
+        assert got == model, f"diverged at ts={ts}"
