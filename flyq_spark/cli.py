@@ -105,6 +105,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--retention-ms", type=int, default=None)
     p.add_argument("--retention-bytes", type=int, default=None)
     p.add_argument("--compact-above-files", type=int, default=16)
+
+    p = sub.add_parser(
+        "sql",
+        help="run a SQL statement over the broker views (flyq_<topic>, "
+        "flyq_consumer_offsets, flyq_watermarks)",
+    )
+    p.add_argument("statement")
+    p.add_argument(
+        "--limit", type=int, default=100, help="max rows printed (default 100)"
+    )
     return ap
 
 
@@ -159,6 +169,10 @@ def run(args, engine) -> dict:
             retention_bytes=args.retention_bytes,
         )
         return {"deleted_files": deleted}
+    if args.cmd == "sql":
+        engine.register_views()
+        rows = engine.spark.sql(args.statement).limit(args.limit).collect()
+        return {"rows": [r.asDict(recursive=True) for r in rows]}
     if args.cmd == "repair":
         return {"meta": engine.repair_topic(args.topic)}
     if args.cmd == "maintain":

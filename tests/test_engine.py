@@ -251,3 +251,23 @@ def test_register_views_sql_surface(engine, spark):
         p: engine.get_watermark("sqlt", p)[2] for p in (0, 1)
     }
     assert by_part[0] == leo[0] - 2 and by_part[1] == leo[1]
+
+
+def test_cli_sql_subcommand(engine, spark, capsys):
+    """flyq sql: plain SELECT over the registered broker views."""
+    from flyq_spark import cli
+
+    engine.create_topic("clisql", partitions=1)
+    engine.produce(
+        "clisql",
+        [{"key": None, "value": b"x", "timestamp": 1_700_000_000_000}] * 3,
+    )
+    args = cli.build_parser().parse_args(
+        [
+            "--base-dir", engine.base_dir,
+            "sql",
+            "SELECT count(*) AS n FROM flyq_clisql",
+        ]
+    )
+    out = cli.run(args, engine)
+    assert out["rows"] == [{"n": 3}]
