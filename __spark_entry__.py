@@ -2955,12 +2955,16 @@ WITH base AS (
 ),
 test_ng AS (
   SELECT DISTINCT doc_id,
-         array_to_string(w[CAST(i AS BIGINT):CAST(i AS BIGINT)+7], ' ') AS ng
+         CAST(concat('0x', substr(md5(
+           array_to_string(w[CAST(i AS BIGINT):CAST(i AS BIGINT)+7], ' ')
+         ), 1, 15)) AS BIGINT) AS ng
   FROM base, UNNEST(range(1, len(w) - 6)) AS t(i)
   WHERE split = 'test'
 ),
 train_ng AS (
-  SELECT DISTINCT array_to_string(w[CAST(i AS BIGINT):CAST(i AS BIGINT)+7], ' ') AS ng
+  SELECT DISTINCT CAST(concat('0x', substr(md5(
+           array_to_string(w[CAST(i AS BIGINT):CAST(i AS BIGINT)+7], ' ')
+         ), 1, 15)) AS BIGINT) AS ng
   FROM base, UNNEST(range(1, len(w) - 6)) AS t(i)
   WHERE split = 'train'
 )
@@ -2974,7 +2978,9 @@ WITH toks AS (
 ),
 grams AS (
   SELECT doc_id, CAST(i AS BIGINT) AS pos,
-         array_to_string(w[CAST(i AS BIGINT):CAST(i AS BIGINT)+7], ' ') AS g
+         CAST(concat('0x', substr(md5(
+           array_to_string(w[CAST(i AS BIGINT):CAST(i AS BIGINT)+7], ' ')
+         ), 1, 15)) AS BIGINT) AS g
   FROM toks, UNNEST(range(1, len(w) - 6)) AS t(i)
 ),
 dup AS (
@@ -3005,7 +3011,9 @@ WITH toks AS (
 ),
 grams AS (
   SELECT doc_id, CAST(i AS BIGINT) AS pos,
-         array_to_string(w[CAST(i AS BIGINT):CAST(i AS BIGINT)+7], ' ') AS g
+         CAST(concat('0x', substr(md5(
+           array_to_string(w[CAST(i AS BIGINT):CAST(i AS BIGINT)+7], ' ')
+         ), 1, 15)) AS BIGINT) AS g
   FROM toks, UNNEST(range(1, len(w) - 6)) AS t(i)
 ),
 dup AS (

@@ -161,24 +161,30 @@ def contamination_ngrams(
     dedup with map-side partial aggregation BEFORE the join, so the
     join is |distinct shingles| not |token positions|; the join itself
     is a plain equi sort-merge/hash join on the shingle key — never a
-    corpus x corpus comparison. At 100 TB the string key would be
-    xxhash64-compressed to 8 bytes (collisions only shrink the reported
-    contamination by ~0 at 2^-64); the string form here keeps the
-    DuckDB oracle bit-exact. Documents with < n words have no shingles
-    and drop out, identically on both engines."""
+    corpus x corpus comparison. The key is the shingle's md5-derived
+    60-BIT INTEGER, not the string: an 8-byte key instead of a ~70-byte
+    8-gram cuts shuffle/dedup bytes ~8x, replays bit-exactly on any
+    engine with md5 (the oracle computes the identical hash), and a
+    2^-60 collision merely merges two shingles on BOTH engines
+    identically (reported contamination shifts by ~0). Documents with
+    < n words have no shingles and drop out, identically on both
+    engines."""
     from flyq_spark.operators.util import fan_out
 
     base = train_test_split(
         fan_out(df.select(id_col, text_col)), id_col, test_prefix_below
     ).withColumn("_ng", _word_ngrams(F.split(F.col(text_col), " "), n))
+    h60 = lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")  # noqa: E731
     test_ng = (
         base.where(F.col("split") == "test")
         .select(id_col, F.explode("_ng").alias("_g"))
+        .select(F.col(id_col), h60(F.col("_g")).alias("_g"))
         .distinct()
     )
     train_ng = (
         base.where(F.col("split") == "train")
         .select(F.explode("_ng").alias("_g"))
+        .select(h60(F.col("_g")).alias("_g"))
         .distinct()
         .withColumn("_hit", F.lit(1))
     )

@@ -385,7 +385,13 @@ def duplicate_spans(
                 ),
             )
         ).alias("_pg"),
-    ).select(id_col, F.col("_pg.pos").alias("pos"), F.col("_pg._g").alias("_g"))
+    ).select(
+        id_col,
+        F.col("_pg.pos").alias("pos"),
+        F.conv(F.substring(F.md5(F.col("_pg._g")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("_g"),
+    )
     dup_pos = grams.withColumn(
         "_c", F.count("*").over(Window.partitionBy("_g"))
     ).where(F.col("_c") > 1).select(id_col, "pos")
