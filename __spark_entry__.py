@@ -1943,6 +1943,31 @@ def q_mmr_topk(spark, sf_dir):
     )
 
 
+def q_rolling_7day_value(spark, sf_dir):
+    """RANGE-frame window aggregation (the frame type ROWS can't
+    express): per event, the user's value total over the trailing
+    7 days — frame bounds in epoch seconds so both engines bound the
+    window identically; BIGINT-cents sums; same-ts ties all share one
+    frame, so tie order cannot change any result. One user-keyed
+    shuffle."""
+    ev = _read(spark, sf_dir, "events")
+    sec = F.unix_timestamp(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(sec)
+        .rangeBetween(-7 * 86400, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("long"))
+        .over(w)
+        .cast("long")
+        .alias("rolling_value_c"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the monitor composition (A12+A13+A14+A29) at sf0.001."""
     return q_monitor_alerts(spark, SF0001)
@@ -2055,6 +2080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hashed_doc_vectors": q_hashed_doc_vectors,
         "ann_filtered_topk": q_ann_filtered_topk,
         "normalize_text": q_normalize_text,
+        "rolling_7day_value": q_rolling_7day_value,
         # rows-only (non-SQL-expressible: LSH/MinHash/SimHash/Arrow kernels)
         "unigram_surprisal": q_unigram_surprisal,
         "mmr_topk": q_mmr_topk,
@@ -3437,5 +3463,13 @@ WITH n AS (
 SELECT doc_id, norm_text, md5(norm_text) AS norm_fp,
        CAST(strlen(norm_text) AS BIGINT) AS n_chars_norm
 FROM n
+""",
+        "rolling_7day_value": """
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY epoch(ts)
+         RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS rolling_value_c
+FROM events
 """,
     }

@@ -356,10 +356,11 @@ def duplicate_spans(
     2. global duplication test: ``count() over (partition by gram)`` —
        ONE shuffle on the gram key (a groupBy+semi-join form would
        shuffle the same rows twice). Positions whose count is 1 drop.
-       At 100 TB the gram key would be xxhash64-compressed to 8 bytes
-       before the exchange (a 2^-64 collision only merges two span
-       sets); the string key here keeps the DuckDB oracle bit-exact,
-       same tradeoff as ``contamination_ngrams``.
+       The exchange key is the gram's md5-derived 60-BIT INTEGER, not
+       the string — 8 bytes instead of a ~70-byte k-gram cuts shuffle
+       bytes ~8x and still replays bit-exactly on any engine with md5
+       (a 2^-60 collision only merges two span sets, identically on
+       both engines), same construction as ``contamination_ngrams``.
     3. span merge: per-doc gaps-and-islands over the surviving
        positions — ``lag`` marks a break when the next duplicated
        k-gram starts more than k tokens after the previous one
