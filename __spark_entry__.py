@@ -1968,6 +1968,63 @@ def q_rolling_7day_value(spark, sf_dir):
     )
 
 
+def q_event_transitions(spark, sf_dir):
+    """User-journey transition matrix: counts of consecutive
+    (prev_event_type -> event_type) pairs per user stream — the Markov
+    first-order view funnels are built from. One user-keyed shuffle for
+    the lag window, then a tiny (types x types) aggregation; ties on ts
+    break by event_id so the pair sequence is deterministic."""
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).where(F.col("prev_type").isNotNull())
+    return pairs.groupBy("prev_type", "next_type").agg(
+        F.count("*").cast("long").alias("n_transitions")
+    )
+
+
+def q_neardup_triangles(spark, sf_dir):
+    """Transitivity audit of the near-dup relation: triangle and wedge
+    counts over the exact-Jaccard pair graph. High triangle density
+    means components are near-cliques — collapsing each component to
+    one survivor is safe; low density warns of chain-shaped components
+    where transitive dedup over-merges. Edges are ordered (a < b), so
+    a triangle is one 3-way equi-join e(a,b) x e(b,c) x e(a,c) — the
+    standard distributed shape (join volume bounded by edge adjacency,
+    never corpus-sized); wedges are sum over nodes of C(deg, 2). All
+    BIGINT-exact."""
+    docs = _read(spark, sf_dir, "documents")
+    edges = D.ngram_jaccard_pairs(docs, min_jaccard=0.5).select("id_a", "id_b").persist()
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.id_b") == F.col("e2.id_a"))
+        .join(
+            e3,
+            (F.col("e1.id_a") == F.col("e3.id_a"))
+            & (F.col("e2.id_b") == F.col("e3.id_b")),
+        )
+        .count()
+    )
+    deg = (
+        edges.select(F.col("id_a").alias("node"))
+        .unionAll(edges.select(F.col("id_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    agg = deg.agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.sum(F.expr("deg * (deg - 1) / 2")).cast("long").alias("n_wedges"),
+    ).first()
+    n_edges = edges.count()
+    edges.unpersist()
+    return spark.createDataFrame(
+        [(int(n_edges), int(agg["n_nodes"]), int(tri), int(agg["n_wedges"]))],
+        "n_edges long, n_nodes long, n_triangles long, n_wedges long",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the monitor composition (A12+A13+A14+A29) at sf0.001."""
     return q_monitor_alerts(spark, SF0001)
@@ -2081,6 +2138,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_filtered_topk": q_ann_filtered_topk,
         "normalize_text": q_normalize_text,
         "rolling_7day_value": q_rolling_7day_value,
+        "event_transitions": q_event_transitions,
+        "neardup_triangles": q_neardup_triangles,
         # rows-only (non-SQL-expressible: LSH/MinHash/SimHash/Arrow kernels)
         "unigram_surprisal": q_unigram_surprisal,
         "mmr_topk": q_mmr_topk,
@@ -3471,5 +3530,42 @@ SELECT event_id, user_id, epoch_us(ts) AS ts_us,
          RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW
        ) AS BIGINT) AS rolling_value_c
 FROM events
+""",
+        "event_transitions": """
+WITH pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+         event_type AS next_type
+  FROM events
+)
+SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n_transitions
+FROM pairs WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type
+""",
+        "neardup_triangles": """
+WITH base AS (
+  SELECT doc_id, list_distinct(string_split_regex(lower(text), '\\s+')) AS toks
+  FROM documents
+  WHERE len(list_distinct(string_split_regex(lower(text), '\\s+'))) > 0
+),
+edges AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM base a JOIN base b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+          / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.5
+),
+deg AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT id_a AS node FROM edges UNION ALL SELECT id_b FROM edges
+  ) GROUP BY node
+),
+tri AS (
+  SELECT count(*) AS t
+  FROM edges e1 JOIN edges e2 ON e1.id_b = e2.id_a
+       JOIN edges e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+)
+SELECT CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges,
+       CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+       CAST((SELECT t FROM tri) AS BIGINT) AS n_triangles,
+       CAST((SELECT sum(d * (d - 1) / 2) FROM deg) AS BIGINT) AS n_wedges
 """,
     }
