@@ -2025,6 +2025,21 @@ def q_neardup_triangles(spark, sf_dir):
     )
 
 
+def q_heavy_hitter_tokens(spark, sf_dir):
+    """EXACT heavy-hitter tokens (freq >= 0.5% of all tokens) via the
+    Misra-Gries candidate pass + exact verify (operators/sketch.py:
+    heavy_hitters — the sketch prunes the key space, the exact pass
+    makes the result oracle-checkable; at scale the exchange carries
+    candidate keys only, not the vocabulary)."""
+    from flyq_spark.operators.sketch import heavy_hitters
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = fan_out(docs).select(
+        F.explode(F.split(F.lower(F.col("text")), "\\s+")).alias("tok")
+    ).where(F.col("tok") != "")
+    return heavy_hitters(toks, "tok", min_fraction=0.005)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the monitor composition (A12+A13+A14+A29) at sf0.001."""
     return q_monitor_alerts(spark, SF0001)
@@ -2140,6 +2155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_7day_value": q_rolling_7day_value,
         "event_transitions": q_event_transitions,
         "neardup_triangles": q_neardup_triangles,
+        "heavy_hitter_tokens": q_heavy_hitter_tokens,
         # rows-only (non-SQL-expressible: LSH/MinHash/SimHash/Arrow kernels)
         "unigram_surprisal": q_unigram_surprisal,
         "mmr_topk": q_mmr_topk,
@@ -3567,5 +3583,16 @@ SELECT CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges,
        CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
        CAST((SELECT t FROM tri) AS BIGINT) AS n_triangles,
        CAST((SELECT sum(d * (d - 1) / 2) FROM deg) AS BIGINT) AS n_wedges
+""",
+        "heavy_hitter_tokens": """
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(text), '\\s+')) AS item
+  FROM documents
+),
+t AS (SELECT item FROM toks WHERE item <> '')
+SELECT item, CAST(count(*) AS BIGINT) AS n_occurrences
+FROM t
+GROUP BY item
+HAVING count(*) >= ceil(0.005 * (SELECT count(*) FROM t))
 """,
     }

@@ -1734,3 +1734,29 @@ def test_topk_mmr_matches_python_reference_and_diversifies(spark, emb):
     plain = ref_mmr(1.0)
     diverse = ref_mmr(0.5)
     assert any(set(plain[q]) != set(diverse[q]) for q in plain)
+
+
+def test_heavy_hitters_equals_exact_and_survives_partitioning(spark):
+    """Misra-Gries + exact verify equals a plain exact computation on a
+    skewed synthetic stream, under both 1-partition and 16-partition
+    layouts (the per-partition memory budget must not change results)."""
+    from flyq_spark.operators.sketch import heavy_hitters
+
+    rows = (
+        [("hot1",)] * 400
+        + [("hot2",)] * 250
+        + [(f"cold{i}",) for i in range(350)]
+    )
+    expected_n = len(rows)
+    thresh = -(-expected_n * 5 // 1000)  # ceil(0.005 * n)
+    exact = {}
+    for (w,) in rows:
+        exact[w] = exact.get(w, 0) + 1
+    expected = {(w, c) for w, c in exact.items() if c >= thresh}
+    for parts in (1, 16):
+        df = spark.createDataFrame(rows, "item string").repartition(parts)
+        got = {
+            (r["item"], r["n_occurrences"])
+            for r in heavy_hitters(df, "item", min_fraction=0.005).collect()
+        }
+        assert got == expected, parts

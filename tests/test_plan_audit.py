@@ -25,6 +25,7 @@ SCALAR_BROADCAST_OK = {
     "q11_important_parts",  # sum(value_c) grand total, 1 row
     "q15_top_supplier",  # max(total_revenue_c4), 1 row
     "unigram_surprisal",  # ln(total tokens) corpus normalizer, 1 row
+    "heavy_hitter_tokens",  # total-token threshold scalar, 1 row
 }
 
 
