@@ -2040,6 +2040,27 @@ def q_heavy_hitter_tokens(spark, sf_dir):
     return heavy_hitters(toks, "tok", min_fraction=0.005)
 
 
+def q_table_profile(spark, sf_dir):
+    """Exact per-column profile of events (operators/profile.py:
+    table_profile): ONE aggregation pass for all columns' row/null/
+    exact-distinct/min/max, unpivoted by a zero-shuffle stack.
+    Timestamps profile as epoch micros, money as integer cents, so
+    min/max stringify identically on every engine."""
+    from flyq_spark.operators.profile import table_profile
+
+    ev = _read(spark, sf_dir, "events")
+    return table_profile(
+        ev,
+        {
+            "event_id": F.col("event_id"),
+            "user_id": F.col("user_id"),
+            "event_type": F.col("event_type"),
+            "ts_us": F.unix_micros(F.col("ts")),
+            "value_c": (F.col("value").cast("decimal(18,2)") * 100).cast("long"),
+        },
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the monitor composition (A12+A13+A14+A29) at sf0.001."""
     return q_monitor_alerts(spark, SF0001)
@@ -2156,6 +2177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": q_event_transitions,
         "neardup_triangles": q_neardup_triangles,
         "heavy_hitter_tokens": q_heavy_hitter_tokens,
+        "table_profile": q_table_profile,
         # rows-only (non-SQL-expressible: LSH/MinHash/SimHash/Arrow kernels)
         "unigram_surprisal": q_unigram_surprisal,
         "mmr_topk": q_mmr_topk,
@@ -3594,5 +3616,33 @@ SELECT item, CAST(count(*) AS BIGINT) AS n_occurrences
 FROM t
 GROUP BY item
 HAVING count(*) >= ceil(0.005 * (SELECT count(*) FROM t))
+""",
+        "table_profile": """
+WITH ev AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS value_c
+  FROM events
+)
+SELECT 'event_id' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+       CAST(min(event_id) AS VARCHAR) AS min_v, CAST(max(event_id) AS VARCHAR) AS max_v
+FROM ev
+UNION ALL
+SELECT 'user_id', count(*), sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END),
+       count(DISTINCT user_id), CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR)
+FROM ev
+UNION ALL
+SELECT 'event_type', count(*), sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END),
+       count(DISTINCT event_type), min(event_type), max(event_type)
+FROM ev
+UNION ALL
+SELECT 'ts_us', count(*), sum(CASE WHEN ts_us IS NULL THEN 1 ELSE 0 END),
+       count(DISTINCT ts_us), CAST(min(ts_us) AS VARCHAR), CAST(max(ts_us) AS VARCHAR)
+FROM ev
+UNION ALL
+SELECT 'value_c', count(*), sum(CASE WHEN value_c IS NULL THEN 1 ELSE 0 END),
+       count(DISTINCT value_c), CAST(min(value_c) AS VARCHAR), CAST(max(value_c) AS VARCHAR)
+FROM ev
 """,
     }
