@@ -2061,6 +2061,16 @@ def q_table_profile(spark, sf_dir):
     )
 
 
+def q_offsets_for_times(spark, sf_dir):
+    """Kafka offsetsForTimes as dataflow (operators/watermarks.py:
+    offsets_for_times; engine API FlyQEngine.offsets_for_times): per
+    partition, the earliest offset with ts >= 2024-01-15 — the
+    consumer seek-by-timestamp API. Timestamp filter prunes row
+    groups; ONE tiny partition-key aggregation."""
+    log = events_log(spark, sf_dir)
+    return W.offsets_for_times(log, F.lit("2024-01-15").cast("timestamp"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the monitor composition (A12+A13+A14+A29) at sf0.001."""
     return q_monitor_alerts(spark, SF0001)
@@ -2178,6 +2188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_triangles": q_neardup_triangles,
         "heavy_hitter_tokens": q_heavy_hitter_tokens,
         "table_profile": q_table_profile,
+        "offsets_for_times": q_offsets_for_times,
         # rows-only (non-SQL-expressible: LSH/MinHash/SimHash/Arrow kernels)
         "unigram_surprisal": q_unigram_surprisal,
         "mmr_topk": q_mmr_topk,
@@ -3645,4 +3656,11 @@ SELECT 'value_c', count(*), sum(CASE WHEN value_c IS NULL THEN 1 ELSE 0 END),
        count(DISTINCT value_c), CAST(min(value_c) AS VARCHAR), CAST(max(value_c) AS VARCHAR)
 FROM ev
 """,
+        "offsets_for_times": f"""
+WITH {{L}}
+SELECT part_id, CAST(min(msg_offset) AS BIGINT) AS first_offset
+FROM log
+WHERE msg_ts >= TIMESTAMP '2024-01-15'
+GROUP BY part_id
+""".format(L=L),
     }

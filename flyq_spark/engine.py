@@ -469,6 +469,53 @@ class FlyQEngine:
         high = leo - 1 if leo > 0 else 0
         return low, high, leo
 
+    def mirror_topic(self, src: "FlyQEngine", topic: str) -> dict:
+        """Replicate a topic from another engine PRESERVING partitions
+        and offsets — the MirrorMaker capability (a consumer on the
+        mirror resumes at the same committed offsets). One distributed
+        read → partitioned write of the source log (no re-routing, no
+        offset re-assignment: the columns ARE the layout), then the
+        standard crash-recovery path (``repair_topic``) rebuilds
+        LEO/low from the copied footers — replication reuses recovery
+        instead of a second metadata protocol. Returns the rebuilt
+        meta. Idempotence: mirror into a fresh topic (re-mirroring
+        appends duplicate files)."""
+        src_meta = src._meta(topic)
+        if not self.topic_exists(topic):
+            self.create_topic(topic, partitions=int(src_meta["partitions"]))
+        (
+            src.log(topic)
+            .select([f.name for f in LOG_SCHEMA.fields])
+            .repartition(max(1, min(int(src_meta["partitions"]), 32)), "partition")
+            .sortWithinPartitions("partition", "offset")
+            .write.mode("append")
+            .option("maxRecordsPerFile", str(self.config.max_records_per_file))
+            .partitionBy("partition")
+            .parquet(storage.topic_dir(self.base_dir, topic))
+        )
+        return self.repair_topic(topic)
+
+    def offsets_for_times(self, topic: str, ts_millis: int) -> dict[int, int | None]:
+        """Kafka ``offsetsForTimes``: per partition, the earliest offset
+        whose timestamp is >= ``ts_millis`` (None when no such record —
+        Kafka's null). One pruned scan + tiny partition-key aggregation
+        (operators/watermarks.py:offsets_for_times is the dataflow
+        form); the timestamp filter prunes row groups via footer
+        stats."""
+        from pyspark.sql import functions as F
+
+        rows = (
+            self.log(topic)
+            .where(F.col("timestamp") >= F.timestamp_millis(F.lit(int(ts_millis))))
+            .groupBy("partition")
+            .agg(F.min("offset").alias("first_offset"))
+            .collect()
+        )
+        found = {int(r["partition"]): int(r["first_offset"]) for r in rows}
+        return {
+            p: found.get(p) for p in range(self.topic_partitions(topic))
+        }
+
     def get_consumer_lag(self, group: str, topic: str | None = None) -> dict:
         """lag = max(0, high_watermark - committed) per partition, summed —
         the reference formula exactly (log_engine.rs:209:

@@ -80,3 +80,26 @@ def partition_health(
         F.max(offset_col).cast("long").alias("high_watermark"),
         (F.max(offset_col) + 1).cast("long").alias("log_end_offset"),
     )
+
+
+def offsets_for_times(
+    log: DataFrame,
+    ts_cutoff,
+    part_col: str = "part_id",
+    offset_col: str = "msg_offset",
+    ts_col: str = "msg_ts",
+) -> DataFrame:
+    """Kafka's ``offsetsForTimes`` as dataflow: per partition, the
+    EARLIEST offset whose timestamp is >= the cutoff — the seek API a
+    consumer uses to start "from 9am yesterday". Partitions with no
+    qualifying record emit no row (Kafka returns null there).
+
+    Scale shape: the timestamp predicate reaches the parquet scan
+    (footer min/max row-group skipping, since log data is appended in
+    rough time order), then ONE tiny groupBy on the partition key. No
+    window, no join."""
+    return (
+        log.where(F.col(ts_col) >= ts_cutoff)
+        .groupBy(F.col(part_col).alias("part_id"))
+        .agg(F.min(offset_col).cast("long").alias("first_offset"))
+    )

@@ -271,3 +271,62 @@ def test_cli_sql_subcommand(engine, spark, capsys):
     )
     out = cli.run(args, engine)
     assert out["rows"] == [{"n": 3}]
+
+
+def test_offsets_for_times_seek(engine, spark):
+    """Kafka offsetsForTimes semantics: earliest offset with ts >= cutoff
+    per partition; None where no record qualifies."""
+    engine.create_topic("seek", partitions=2)
+    t0 = 1_700_000_000_000
+    engine.produce(
+        "seek",
+        [
+            {"key": b"a", "value": b"x", "timestamp": t0 + i * 1000}
+            for i in range(10)
+        ],
+    )
+    # round-robin: partition p holds seqs p, p+2, ... -> ts t0+p*1000, +2000...
+    got = engine.offsets_for_times("seek", t0 + 5000)
+    log = {
+        (r["partition"], r["offset"]): r["timestamp"]
+        for r in engine.log("seek").collect()
+    }
+    expected = {}
+    for p in (0, 1):
+        offs = sorted(
+            o for (pp, o) in log if pp == p
+            and log[(pp, o)].timestamp() * 1000 >= t0 + 5000
+        )
+        expected[p] = offs[0] if offs else None
+    assert got == expected
+    assert engine.offsets_for_times("seek", t0 + 10_000_000) == {0: None, 1: None}
+
+
+def test_mirror_topic_preserves_offsets(engine, spark, tmp_path):
+    """Mirrored topic is row-identical (partition, offset, key, value)
+    and consumers resume at the same offsets on the mirror."""
+    from flyq_spark.engine import FlyQEngine
+
+    engine.create_topic("mt", partitions=2)
+    engine.produce(
+        "mt",
+        [
+            {"key": str(i % 3).encode(), "value": f"v{i}".encode(),
+             "timestamp": 1_700_000_000_000 + i}
+            for i in range(20)
+        ],
+    )
+    dst = FlyQEngine(engine.spark, str(tmp_path / "mirror"))
+    meta = dst.mirror_topic(engine, "mt")
+    assert meta["partitions"] == 2
+    src_rows = {
+        (r["partition"], r["offset"], bytes(r["key"]), bytes(r["value"]))
+        for r in engine.log("mt").collect()
+    }
+    dst_rows = {
+        (r["partition"], r["offset"], bytes(r["key"]), bytes(r["value"]))
+        for r in dst.log("mt").collect()
+    }
+    assert src_rows == dst_rows and len(src_rows) == 20
+    for p in (0, 1):
+        assert dst.get_watermark("mt", p) == engine.get_watermark("mt", p)
