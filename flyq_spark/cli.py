@@ -106,6 +106,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--retention-bytes", type=int, default=None)
     p.add_argument("--compact-above-files", type=int, default=16)
 
+    p = sub.add_parser("seek", help="earliest offset per partition with ts >= millis")
+    p.add_argument("topic")
+    p.add_argument("ts_millis", type=int)
+
+    p = sub.add_parser(
+        "delete-records",
+        help="truncate a partition below an offset (low watermark advances)",
+    )
+    p.add_argument("topic")
+    p.add_argument("partition", type=int)
+    p.add_argument("before_offset", type=int)
+
     p = sub.add_parser(
         "sql",
         help="run a SQL statement over the broker views (flyq_<topic>, "
@@ -169,6 +181,10 @@ def run(args, engine) -> dict:
             retention_bytes=args.retention_bytes,
         )
         return {"deleted_files": deleted}
+    if args.cmd == "seek":
+        return {"offsets": engine.offsets_for_times(args.topic, args.ts_millis)}
+    if args.cmd == "delete-records":
+        return {"deleted": engine.delete_records(args.topic, args.partition, args.before_offset)}
     if args.cmd == "sql":
         engine.register_views()
         rows = engine.spark.sql(args.statement).limit(args.limit).collect()

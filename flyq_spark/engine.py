@@ -620,6 +620,28 @@ class FlyQEngine:
         storage.save_topic_meta(self.base_dir, topic, meta)
         return deleted
 
+    def delete_records(self, topic: str, partition: int, before_offset: int) -> list[str]:
+        """Kafka AdminClient ``deleteRecords``: logically truncate a
+        partition below ``before_offset`` — low_watermark advances to
+        ``before_offset`` immediately (reads clamp there), and files
+        that lie ENTIRELY below it are physically removed (file-granular
+        like retention; a file straddling the boundary stays until
+        compaction or later truncation reclaims it, exactly how Kafka
+        keeps the straddling segment). Returns deleted file paths."""
+        meta = self._meta(topic)
+        stats = storage.partition_file_stats(self.base_dir, topic, partition)
+        deleted: list[str] = []
+        for st in stats:
+            if st.max_offset is not None and st.max_offset < before_offset:
+                os.remove(st.path)
+                deleted.append(st.path)
+        key = str(int(partition))
+        meta["low_watermarks"][key] = max(
+            int(meta["low_watermarks"].get(key, 0)), int(before_offset)
+        )
+        storage.save_topic_meta(self.base_dir, topic, meta)
+        return deleted
+
     # ------------------------------------------------------------------ #
     # recovery (A18/A19 analog)
     # ------------------------------------------------------------------ #

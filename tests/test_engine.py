@@ -330,3 +330,33 @@ def test_mirror_topic_preserves_offsets(engine, spark, tmp_path):
     assert src_rows == dst_rows and len(src_rows) == 20
     for p in (0, 1):
         assert dst.get_watermark("mt", p) == engine.get_watermark("mt", p)
+
+
+def test_delete_records_truncation(engine, spark):
+    """deleteRecords semantics: low watermark advances immediately;
+    files entirely below the cutoff vanish; reads clamp at the new low;
+    a straddling file keeps its above-cutoff rows readable."""
+    from flyq_spark.engine import FlyQEngine
+
+    eng = FlyQEngine(engine.spark, engine.base_dir, )
+    eng.create_topic("trunc", partitions=1)
+    # three produce batches -> three files in partition 0
+    for batch in range(3):
+        eng.produce(
+            "trunc",
+            [
+                {"key": None, "value": f"b{batch}m{i}".encode(),
+                 "timestamp": 1_700_000_000_000 + batch * 10 + i}
+                for i in range(5)
+            ],
+        )
+    assert eng.get_watermark("trunc", 0) == (0, 14, 15)
+    deleted = eng.delete_records("trunc", 0, before_offset=7)
+    assert len(deleted) == 1  # the offsets 0-4 file; 5-9 straddles and stays
+    low, high, leo = eng.get_watermark("trunc", 0)
+    assert (low, high, leo) == (7, 14, 15)
+    remaining = sorted(
+        r["offset"] for r in eng.log("trunc").where("partition = 0").collect()
+    )
+    assert remaining == list(range(5, 15))  # straddler keeps 5,6 physically
+    assert eng.consume("trunc", 0, 10) is not None
