@@ -195,3 +195,88 @@ def bpe_token_counts(
             F.sum(F.col("n") * F.col("n_tokens")).cast("long").alias("n_bpe_tokens"),
         )
     )
+
+
+def build_vocab(merges: list[tuple[str, str]]) -> dict[str, int]:
+    """Deterministic token-id vocabulary from a merge list: byte-level
+    base symbols (0-255 as latin-1 chars) and the end-of-word sentinel
+    first, then one merged symbol per merge in training order — the
+    id assignment every BPE implementation uses, reproducible from the
+    merge table alone."""
+    vocab: dict[str, int] = {}
+    for b in range(256):
+        vocab[chr(b)] = len(vocab)
+    vocab[END] = len(vocab)
+    for a, b in merges:
+        sym = a + b
+        if sym not in vocab:
+            vocab[sym] = len(vocab)
+    return vocab
+
+
+def bpe_encode_ids(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Documents as token-ID sequences under a trained merge list — the
+    final corpus → ids step before sequence packing. Same scale shape
+    as ``bpe_token_counts``: each DISTINCT word encodes once against
+    the broadcast (ranks, vocab) model, then a word-keyed join
+    reassembles documents via position-ordered flatten (pure HOF; the
+    join carries word-id-list rows, not re-tokenized text). Symbols
+    outside the vocab (non-latin-1 chars) map to id -1 (the caller's
+    UNK policy). Output: (id, token_ids array<int>, n_tokens)."""
+    from flyq_spark.operators.util import fan_out
+
+    spark = df.sparkSession
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    vocab = build_vocab(merges)
+    bc = spark.sparkContext.broadcast((ranks, vocab))
+
+    words_pos = (
+        fan_out(df)
+        .select(
+            F.col(id_col),
+            F.posexplode(F.split(F.lower(F.col(text_col)), "\\s+")).alias(
+                "pos", "word"
+            ),
+        )
+        .where(F.col("word") != "")
+    )
+    words = words_pos.select("word").distinct()
+
+    def encode_batch(iterator):
+        import pandas as pd
+
+        ranks_, vocab_ = bc.value
+        for pdf in iterator:
+            if len(pdf) == 0:
+                continue
+            ids = [
+                [vocab_.get(sym, -1) for sym in encode_word(w, ranks_)]
+                for w in pdf["word"]
+            ]
+            yield pd.DataFrame({"word": pdf["word"], "wids": ids})
+
+    encoded = words.mapInPandas(encode_batch, schema="word string, wids array<int>")
+    return (
+        words_pos.join(encoded, on="word")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("wids")))
+                    ),
+                    lambda s: s["wids"],
+                )
+            ).alias("token_ids")
+        )
+        .select(
+            F.col(id_col),
+            "token_ids",
+            F.size("token_ids").cast("long").alias("n_tokens"),
+        )
+    )

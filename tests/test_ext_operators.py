@@ -1760,3 +1760,33 @@ def test_heavy_hitters_equals_exact_and_survives_partitioning(spark):
             for r in heavy_hitters(df, "item", min_fraction=0.005).collect()
         }
         assert got == expected, parts
+
+
+def test_bpe_encode_ids_roundtrip(spark):
+    """Token-id sequences decode back to the original text through the
+    inverted vocab (id assignment is a pure function of the merges);
+    n_tokens matches bpe_token_counts."""
+    from flyq_spark.operators.bpe import (
+        bpe_encode_ids,
+        bpe_token_counts,
+        build_vocab,
+        train_bpe,
+    )
+
+    rows = [(1, "low low lower newest"), (2, "widest newest low")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = train_bpe(df, n_merges=6)
+    vocab = build_vocab(merges)
+    inv = {v: k for k, v in vocab.items()}
+    got = {
+        r["doc_id"]: (list(r["token_ids"]), r["n_tokens"])
+        for r in bpe_encode_ids(df, merges).collect()
+    }
+    counts = {
+        r["doc_id"]: r["n_bpe_tokens"] for r in bpe_token_counts(df, merges).collect()
+    }
+    for doc_id, text in rows:
+        ids, n = got[doc_id]
+        assert n == len(ids) == counts[doc_id]
+        decoded = "".join(inv[i] for i in ids).replace("</w>", " ").strip()
+        assert decoded == text
