@@ -106,6 +106,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--retention-bytes", type=int, default=None)
     p.add_argument("--compact-above-files", type=int, default=16)
 
+    p = sub.add_parser("describe", help="topic summary: partitions, watermarks, config, files")
+    p.add_argument("topic")
+
     p = sub.add_parser("seek", help="earliest offset per partition with ts >= millis")
     p.add_argument("topic")
     p.add_argument("ts_millis", type=int)
@@ -181,6 +184,8 @@ def run(args, engine) -> dict:
             retention_bytes=args.retention_bytes,
         )
         return {"deleted_files": deleted}
+    if args.cmd == "describe":
+        return engine.describe_topic(args.topic)
     if args.cmd == "seek":
         return {"offsets": engine.offsets_for_times(args.topic, args.ts_millis)}
     if args.cmd == "delete-records":

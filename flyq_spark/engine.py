@@ -71,24 +71,64 @@ class FlyQEngine:
     # topic management
     # ------------------------------------------------------------------ #
 
-    def create_topic(self, topic: str, partitions: int | None = None) -> None:
-        """Create a topic directory + meta (log_engine.rs:105-131)."""
+    def create_topic(
+        self,
+        topic: str,
+        partitions: int | None = None,
+        retention_ms: int | None = None,
+        retention_bytes: int | None = None,
+    ) -> None:
+        """Create a topic directory + meta (log_engine.rs:105-131).
+        ``retention_ms`` / ``retention_bytes`` are PER-TOPIC config
+        overrides (the Kafka topic-config pattern): persisted in the
+        topic meta and preferred over the engine defaults whenever
+        retention/maintenance runs without explicit arguments."""
         if partitions is None:
             partitions = self.config.default_partitions
         if self.topic_exists(topic):
             return
         for p in range(partitions):
             os.makedirs(storage.partition_dir(self.base_dir, topic, p), exist_ok=True)
-        storage.save_topic_meta(
-            self.base_dir,
-            topic,
-            {
-                "partitions": partitions,
-                "log_end_offsets": {},
-                "low_watermarks": {},
-                "rr_cursor": 0,
-            },
-        )
+        meta = {
+            "partitions": partitions,
+            "log_end_offsets": {},
+            "low_watermarks": {},
+            "rr_cursor": 0,
+        }
+        config = {}
+        if retention_ms is not None:
+            config["retention_ms"] = int(retention_ms)
+        if retention_bytes is not None:
+            config["retention_bytes"] = int(retention_bytes)
+        if config:
+            meta["config"] = config
+        storage.save_topic_meta(self.base_dir, topic, meta)
+
+    def describe_topic(self, topic: str) -> dict:
+        """One-call topic summary (the CLI ``describe`` payload):
+        partition count, per-partition (low, high, leo), per-topic
+        config overrides, and file/byte totals — all from meta + footer
+        stats, no data scan."""
+        meta = self._meta(topic)
+        n = int(meta["partitions"])
+        parts = {}
+        n_files = 0
+        n_bytes = 0
+        for p in range(n):
+            low, high, leo = self.get_watermark(topic, p)
+            stats = storage.partition_file_stats(self.base_dir, topic, p)
+            n_files += len(stats)
+            n_bytes += sum(st.size_bytes for st in stats)
+            parts[p] = {"low": low, "high": high, "log_end_offset": leo,
+                        "files": len(stats)}
+        return {
+            "topic": topic,
+            "partitions": n,
+            "config": dict(meta.get("config", {})),
+            "total_files": n_files,
+            "total_bytes": n_bytes,
+            "partition_state": parts,
+        }
 
     def topic_exists(self, topic: str) -> bool:
         return storage.load_topic_meta(self.base_dir, topic) is not None
@@ -583,10 +623,14 @@ class FlyQEngine:
         import time as _time
 
         meta = self._meta(topic)
-        retention_ms = self.config.retention_ms if retention_ms is None else retention_ms
-        retention_bytes = (
-            self.config.retention_bytes if retention_bytes is None else retention_bytes
-        )
+        topic_cfg = meta.get("config", {})
+        if retention_ms is None:
+            retention_ms = int(topic_cfg.get("retention_ms", self.config.retention_ms))
+        if retention_bytes is None:
+            retention_bytes = topic_cfg.get(
+                "retention_bytes", self.config.retention_bytes
+            )
+            retention_bytes = None if retention_bytes is None else int(retention_bytes)
         now_ms = int(_time.time() * 1000) if now_ms is None else now_ms
         cutoff = now_ms - retention_ms
         deleted: list[str] = []

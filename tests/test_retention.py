@@ -150,3 +150,27 @@ def test_compact_by_key_keeps_latest_and_null_keys(spark):
         (0, 4, None, "rr1"),
         (1, 0, "k1", "other-part"),   # per-partition keyspace
     }
+
+
+def test_per_topic_retention_override(engine):
+    """A topic created with retention_ms override uses it when
+    apply_retention runs without arguments (the Kafka topic-config
+    pattern); describe_topic surfaces the override."""
+    t0 = 1_700_000_000_000
+    engine.create_topic("rtopic", partitions=1, retention_ms=1000)
+    # two produce batches -> two files; first entirely older than cutoff
+    engine.produce(
+        "rtopic",
+        [{"key": None, "value": b"old", "timestamp": t0 + i} for i in range(3)],
+    )
+    engine.produce(
+        "rtopic",
+        [{"key": None, "value": b"new", "timestamp": t0 + 60_000 + i} for i in range(3)],
+    )
+    desc = engine.describe_topic("rtopic")
+    assert desc["config"] == {"retention_ms": 1000}
+    assert desc["partition_state"][0]["files"] == 2
+    deleted = engine.apply_retention("rtopic", now_ms=t0 + 70_000)
+    assert len(deleted) == 1  # old file out; engine default (7d) would keep it
+    low, high, leo = engine.get_watermark("rtopic", 0)
+    assert (low, high, leo) == (3, 5, 6)
