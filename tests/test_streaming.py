@@ -4,6 +4,8 @@ custom stateful operator."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from pyspark.sql import functions as F
@@ -497,3 +499,43 @@ def test_streaming_cdc_upsert_snapshot(engine, spark, tmp_path):
     q.awaitTermination(120)
     got = {(r["k"], r["v"]) for r in spark.read.parquet(snap).collect()}
     assert got == {(1, "a2"), (3, "c"), (4, "d")}
+
+
+def test_progress_listener_persists_metrics(engine, spark, tmp_path):
+    """Each micro-batch emits one JSON progress line with the batch's
+    input-row count; the log is queryable as a plain DataFrame."""
+    import json
+    import time
+
+    from flyq_spark.streaming.metrics import attach_progress_listener
+    from flyq_spark.streaming.source import read_stream
+
+    out = str(tmp_path / "progress.jsonl")
+    listener = attach_progress_listener(spark, out)
+    try:
+        engine.produce(
+            "met",
+            [{"key": None, "value": b"x", "timestamp": 1_700_000_000_000 + i}
+             for i in range(7)],
+        )
+        q = (
+            read_stream(spark, engine.base_dir, "met")
+            .writeStream.format("memory")
+            .queryName("met_q")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # listener bus is async; give it a moment to drain
+        for _ in range(40):
+            if os.path.exists(out) and sum(
+                json.loads(ln)["num_input_rows"] for ln in open(out)
+            ) >= 7:
+                break
+            time.sleep(0.5)
+        recs = [json.loads(ln) for ln in open(out)]
+        assert sum(r["num_input_rows"] for r in recs) == 7
+        assert all(r["name"] == "met_q" for r in recs if r["name"])
+    finally:
+        spark.streams.removeListener(listener)
