@@ -758,6 +758,54 @@ class FlyQEngine:
                 compacted[p] = self.compact_partition(topic, p)
         return {"deleted_files": deleted, "compacted_partitions": compacted}
 
+    def compact_partition_by_key(self, topic: str, partition: int) -> int:
+        """Kafka ``cleanup.policy=compact`` for one partition: rewrite
+        keeping only the LATEST record per key (null-key records are
+        never compacted away, matching Kafka). Reuses the dataflow
+        operator (operators/retention.py:compact_by_key — one window
+        shuffle, offsets preserved so consumers seek into the compacted
+        log unchanged) and the size-targeted parallel rewrite of
+        ``compact_partition``; low watermark and LEO are untouched
+        (compaction removes middles, not ends). Returns surviving row
+        count. Single-writer contract applies."""
+        from flyq_spark.operators.retention import compact_by_key
+
+        pdir = storage.partition_dir(self.base_dir, topic, partition)
+        stats = storage.partition_file_stats(self.base_dir, topic, partition)
+        if not stats:
+            return 0
+        # a partition-dir read has no hive `partition` column; pin it as
+        # a literal for the window key, drop it again before the write
+        df = self.spark.read.parquet(pdir).withColumn(
+            "partition", F.lit(int(partition))
+        )
+        compacted = (
+            compact_by_key(
+                df, part_col="partition", key_col="key", offset_col="offset"
+            )
+            .drop("partition")
+            .persist()
+        )
+        n_rows = compacted.count()
+        total_bytes = sum(s.size_bytes for s in stats)
+        n_out = max(1, -(-total_bytes // self.config.segment_max_bytes))
+        tmp = pdir + ".compact_tmp"
+        (
+            compacted.repartitionByRange(n_out, "offset")
+            .sortWithinPartitions("offset")
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", str(self.config.max_records_per_file))
+            .parquet(tmp)
+        )
+        compacted.unpersist()
+        for st in stats:
+            os.remove(st.path)
+        for name in os.listdir(tmp):
+            if name.endswith(".parquet"):
+                os.replace(os.path.join(tmp, name), os.path.join(pdir, name))
+        shutil.rmtree(tmp, ignore_errors=True)
+        return n_rows
+
     def compact_partition(self, topic: str, partition: int) -> int:
         """Rewrite a partition's files into size-targeted files — the
         housekeeping analog of segment rotation (partition.rs:116-127).

@@ -174,3 +174,32 @@ def test_per_topic_retention_override(engine):
     assert len(deleted) == 1  # old file out; engine default (7d) would keep it
     low, high, leo = engine.get_watermark("rtopic", 0)
     assert (low, high, leo) == (3, 5, 6)
+
+
+def test_compact_partition_by_key(engine):
+    """cleanup.policy=compact: only the latest record per key survives,
+    null-key records are exempt, offsets/watermarks are preserved, and
+    point reads by stored offset still work on the compacted log."""
+    engine.create_topic("ckt", partitions=1)
+    t0 = 1_700_000_000_000
+    msgs = []
+    for i in range(9):
+        key = None if i % 3 == 2 else str(i % 2).encode()  # keys 0,1 + nulls
+        msgs.append({"key": key, "value": f"v{i}".encode(), "timestamp": t0 + i})
+    engine.produce("ckt", msgs)
+    before = engine.get_watermark("ckt", 0)
+    n = engine.compact_partition_by_key("ckt", 0)
+    rows = {
+        (None if r["key"] is None else bytes(r["key"])): (r["offset"], bytes(r["value"]))
+        for r in engine.log("ckt").where("key is not null").collect()
+    }
+    # latest per key: key b'0' at offset 6 (v6), key b'1' at offset 7 (v7)
+    assert rows == {b"0": (6, b"v6"), b"1": (7, b"v7")}
+    nulls = sorted(
+        r["offset"] for r in engine.log("ckt").where("key is null").collect()
+    )
+    assert nulls == [2, 5, 8]  # null-key records all survive
+    assert n == 5
+    assert engine.get_watermark("ckt", 0) == before  # watermarks untouched
+    got = engine.consume("ckt", 0, 7)  # seek by stored offset still works
+    assert bytes(got["value"]) == b"v7"
