@@ -2071,6 +2071,24 @@ def q_offsets_for_times(spark, sf_dir):
     return W.offsets_for_times(log, F.lit("2024-01-15").cast("timestamp"))
 
 
+def q_value_histogram(spark, sf_dir):
+    """Equi-width histogram of event values: 20 buckets of 25.00 over
+    [0, 500), integer-cents bucket arithmetic (floor(value_c / 2500)
+    clamped) so both engines bin identically — the profiling complement
+    of the exact percentiles. One map-side-combined groupBy on a
+    20-value key; empty buckets emit no row."""
+    ev = _read(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    bucket = F.least(F.greatest(F.floor(cents / 2500), F.lit(0)), F.lit(19)).cast(
+        "long"
+    )
+    return (
+        ev.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("n_events"))
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the monitor composition (A12+A13+A14+A29) at sf0.001."""
     return q_monitor_alerts(spark, SF0001)
@@ -2189,6 +2207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitter_tokens": q_heavy_hitter_tokens,
         "table_profile": q_table_profile,
         "offsets_for_times": q_offsets_for_times,
+        "value_histogram": q_value_histogram,
         # rows-only (non-SQL-expressible: LSH/MinHash/SimHash/Arrow kernels)
         "unigram_surprisal": q_unigram_surprisal,
         "mmr_topk": q_mmr_topk,
@@ -3663,4 +3682,11 @@ FROM log
 WHERE msg_ts >= TIMESTAMP '2024-01-15'
 GROUP BY part_id
 """.format(L=L),
+        "value_histogram": """
+SELECT CAST(least(greatest(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 2500,
+                           0), 19) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY 1
+""",
     }
