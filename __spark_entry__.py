@@ -2786,7 +2786,7 @@ FROM orders
 """,
         "json_props_stats": """
 SELECT event_type,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
        max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
        count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k

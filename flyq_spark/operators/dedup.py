@@ -353,9 +353,17 @@ def duplicate_spans(
        no shuffle; documents with < k words emit nothing (explicit
        guard: ``sequence(1, n-k+1)`` with n < k would emit a DESCENDING
        range, not an empty one).
-    2. global duplication test: ``count() over (partition by gram)`` —
-       ONE shuffle on the gram key (a groupBy+semi-join form would
-       shuffle the same rows twice). Positions whose count is 1 drop.
+    2. global duplication test: ``groupBy(gram).count()`` keeps the
+       count aggregation MAP-SIDE COMBINED (a Zipfian head gram —
+       boilerplate 8-grams — collapses to one row per map partition
+       before the exchange, where a ``count() over (partition by
+       gram)`` window would ship every occurrence of the hot gram to a
+       single reducer: a straggler/OOM at corpus scale), then a
+       LEFT SEMI equi-join attaches the >1 verdict back onto the
+       position rows. The semi-join's shuffle is AQE-skew-splittable
+       (windows are not), so hot grams spread across reducers. Two
+       shuffles of the same rows, but both are combine-/split-safe —
+       the scale-correct trade against the window's single skewed one.
        The exchange key is the gram's md5-derived 60-BIT INTEGER, not
        the string — 8 bytes instead of a ~70-byte k-gram cuts shuffle
        bytes ~8x and still replays bit-exactly on any engine with md5
@@ -393,9 +401,13 @@ def duplicate_spans(
         .cast("long")
         .alias("_g"),
     )
-    dup_pos = grams.withColumn(
-        "_c", F.count("*").over(Window.partitionBy("_g"))
-    ).where(F.col("_c") > 1).select(id_col, "pos")
+    dup_grams = (
+        grams.groupBy("_g")
+        .agg(F.count("*").alias("_c"))
+        .where(F.col("_c") > 1)
+        .select("_g")
+    )
+    dup_pos = grams.join(dup_grams, "_g", "left_semi").select(id_col, "pos")
     w = Window.partitionBy(id_col).orderBy("pos")
     brk = F.when(
         F.col("pos") > F.coalesce(F.lag("pos").over(w), F.lit(-(2 * k))) + k,

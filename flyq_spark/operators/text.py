@@ -427,13 +427,22 @@ def rare_token_stats(
     same query could hash differently; integer counts are associative
     and engine-exact. Callers derive ratios.
 
-    Plan: token explode (narrow) → ONE word-key shuffle where
-    ``count() over (partition by word)`` attaches corpus frequency (the
-    rare vocabulary is the long tail — most of the vocabulary — so a
-    broadcast-a-rare-set join shape would NOT scale; the window form
-    never materializes a vocabulary relation) → one doc-key aggregation
-    with map-side combine. Distinct-rare counting is exact per doc
-    (bounded by document length, never corpus-wide state).
+    Plan, skew-safe at corpus scale: token explode (narrow) →
+    ``groupBy(doc, word).count()`` FIRST — the composite key spreads a
+    Zipfian head word ("the") across every document, and map-side
+    combine collapses its per-doc occurrences before any exchange; all
+    later stages see one row per (doc, word), not one per token.
+    Corpus frequency is then ``groupBy(word).sum`` over those compact
+    rows (combine-friendly — a ``count() over (partition by word)``
+    window here would ship every occurrence of a hot word to one
+    reducer, a straggler/OOM at 100 TB, and windows cannot be
+    AQE-skew-split). The rare vocabulary (the long tail — most of the
+    vocabulary, so broadcast would NOT scale) comes back via a LEFT
+    SEMI equi-join on the word key, whose shuffle AQE can skew-split;
+    the semi-join's left side carries doc-counts, not occurrences, so
+    a hot word contributes #docs rows, not #tokens. Distinct-rare
+    counting is exact per doc (bounded by document length, never
+    corpus-wide state).
 
     Output: (doc_id, n_tokens, n_rare_tokens, n_distinct_rare)."""
     from flyq_spark.operators.util import fan_out
@@ -441,19 +450,24 @@ def rare_token_stats(
     toks = fan_out(df).select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("_w")
     )
-    with_freq = toks.withColumn(
-        "_c", F.count("*").over(Window.partitionBy("_w"))
+    doc_word = toks.groupBy(id_col, "_w").agg(F.count("*").alias("_n"))
+    rare_vocab = (
+        doc_word.groupBy("_w")
+        .agg(F.sum("_n").alias("_c"))
+        .where(F.col("_c") <= max_freq)
+        .select("_w", F.lit(1).alias("_rare"))
     )
     return (
-        with_freq.groupBy(id_col)
+        doc_word.join(rare_vocab, "_w", "left")
+        .groupBy(id_col)
         .agg(
-            F.count("*").cast("long").alias("n_tokens"),
-            F.sum((F.col("_c") <= max_freq).cast("long"))
+            F.sum("_n").cast("long").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("_rare") == 1, F.col("_n")).otherwise(0)
+            )
             .cast("long")
             .alias("n_rare_tokens"),
-            F.count_distinct(
-                F.when(F.col("_c") <= max_freq, F.col("_w"))
-            )
+            F.count(F.when(F.col("_rare") == 1, F.col("_w")))
             .cast("long")
             .alias("n_distinct_rare"),
         )
@@ -521,10 +535,14 @@ def unigram_surprisal(
     gibberish. Complements ``rare_token_stats`` (integer counts) with
     the actual LM form.
 
-    Plan, mirroring ``rare_token_stats``: token explode → ONE word-key
-    window attaches corpus frequency (no vocabulary relation — the
-    window never materializes the long tail) → one doc-key aggregation
-    of (Σ ln freq, n) → the corpus total joins as a 1-row broadcast
+    Plan, mirroring ``rare_token_stats``'s skew-safe shape: token
+    explode → ``groupBy(doc, word).count()`` first (map-side combine on
+    the composite key collapses a hot word's per-doc occurrences before
+    any exchange) → corpus frequency via ``groupBy(word).sum`` over the
+    compact rows + an AQE-skew-splittable equi-join back (a word-key
+    window here would ship every occurrence of "the" to one reducer —
+    the straggler/OOM shape at 100 TB) → one doc-key aggregation of
+    (Σ n·ln freq, Σ n) → the corpus total joins as a 1-row broadcast
     (scalar-subquery shape), so mean surprisal = ln(total) - Σln(freq)/n
     needs no third pass. Float outputs → rows-only in the gate, pinned
     against numpy in pytest (per-doc sums are short; cross-partition
@@ -538,12 +556,15 @@ def unigram_surprisal(
         F.col(id_col),
         F.explode(F.split(F.lower(F.col(text_col)), "\\s+")).alias("_w"),
     ).where(F.col("_w") != "")
-    with_freq = toks.withColumn(
-        "_c", F.count("*").over(Window.partitionBy("_w"))
-    )
-    per_doc = with_freq.groupBy(id_col).agg(
-        F.count("*").cast("long").alias("n_tokens"),
-        F.sum(F.log("_c")).alias("_sum_ln"),
+    doc_word = toks.groupBy(id_col, "_w").agg(F.count("*").alias("_n"))
+    word_counts = doc_word.groupBy("_w").agg(F.sum("_n").alias("_c"))
+    per_doc = (
+        doc_word.join(word_counts, "_w")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_n").cast("long").alias("n_tokens"),
+            F.sum(F.col("_n") * F.log("_c")).alias("_sum_ln"),
+        )
     )
     total = toks.agg(F.count("*").cast("long").alias("_total"))
     return per_doc.crossJoin(F.broadcast(total)).select(
