@@ -191,15 +191,16 @@ class FlyQEngine:
         except Exception:
             pass
 
-        df, is_local = self._as_message_df(messages)
+        df, is_local, n_keyless = self._as_message_df(messages)
         if collect_acks is None:
             collect_acks = is_local
         if "seq" not in df.columns:
-            # Arrival order for a DataFrame batch: Spark's scan order. The
-            # id is NOT globally dense, but round-robin only needs the
-            # per-spark-partition cycling of its low bits; per-partition
-            # offset order just needs a total order. No shuffle, no window.
-            df = df.withColumn("seq", F.monotonically_increasing_id())
+            # Arrival order for a DataFrame batch is Spark's scan order.
+            # Stamp a DENSE (0..m-1) seq plus the keyless round-robin
+            # rank so assignment and cursor advance are bit-exact with
+            # the reference (topic.rs:77-87): one tiny per-spark-partition
+            # counts job, then a narrow Arrow pass — no shuffle, no window.
+            df, _, n_keyless = self._with_dense_seq(df)
 
         routed = route(df, n, method=method, rr_cursor=rr_cursor)
         assigned = assign_offsets(routed, prev_leo)
@@ -266,11 +267,17 @@ class FlyQEngine:
 
         # Commit point: LEO + cursor advance (partition_state.rs:27-29;
         # cursor persistence is stronger than the reference, topic.rs:35).
+        # The cursor advances by the KEYLESS row count — the reference
+        # increments next_partition only on keyless produces
+        # (topic.rs:80-83). Caller-supplied `seq` batches have no keyless
+        # rank (n_keyless is None) and use the documented slotted
+        # semantics: every row consumes a cycle slot, cursor += total.
         total = 0
         for p, c in counts.items():
             meta["log_end_offsets"][str(p)] = prev_leo.get(p, 0) + c
             total += c
-        meta["rr_cursor"] = (rr_cursor + total) % n if n else 0
+        advance = total if n_keyless is None else n_keyless
+        meta["rr_cursor"] = (rr_cursor + advance) % n if n else 0
         storage.save_topic_meta(self.base_dir, topic, meta)
         if collect_acks:
             return acks
@@ -279,35 +286,130 @@ class FlyQEngine:
             for p in counts
         }
 
-    def _as_message_df(self, messages) -> tuple[DataFrame, bool]:
+    def _as_message_df(self, messages) -> tuple[DataFrame, bool, int | None]:
+        """Normalize input to a message DataFrame.
+
+        Returns (df, is_local_batch, n_keyless). For local list batches the
+        rows carry dense ``seq`` (arrival order) and ``_rr`` (rank among
+        KEYLESS rows — the reference's round-robin counter, topic.rs:80-83)
+        and ``n_keyless`` is exact. DataFrame input passes through
+        (n_keyless=None; produce stamps seq/_rr if absent)."""
         if isinstance(messages, DataFrame):
             df = messages
             for field in ("key", "headers"):
                 if field not in df.columns:
                     df = df.withColumn(field, F.lit(None).cast(MESSAGE_SCHEMA[field].dataType))
-            return df, False
+            return df, False, None
         rows = []
+        n_keyless = 0
         for i, m in enumerate(messages):
             ts = m["timestamp"]
             if isinstance(ts, (int, float)):  # epoch millis, the reference unit
                 from datetime import datetime, timezone
 
                 ts = datetime.fromtimestamp(ts / 1000.0, tz=timezone.utc)
+            key = m.get("key")
+            keyless = key is None or len(key) == 0  # quirk Q1: b"" == no key
             rows.append(
                 Row(
-                    key=m.get("key"),
+                    key=key,
                     value=m["value"],
                     timestamp=ts,
                     headers=m.get("headers"),
                     seq=m.get("seq", i),
+                    _rr=n_keyless if keyless else None,
                 )
             )
+            if keyless:
+                n_keyless += 1
         from pyspark.sql import types as T
 
         schema = T.StructType(
-            list(MESSAGE_SCHEMA.fields) + [T.StructField("seq", T.LongType(), False)]
+            list(MESSAGE_SCHEMA.fields)
+            + [
+                T.StructField("seq", T.LongType(), False),
+                T.StructField("_rr", T.LongType(), True),
+            ]
         )
-        return self.spark.createDataFrame(rows, schema), True
+        return self.spark.createDataFrame(rows, schema), True, n_keyless
+
+    def _with_dense_seq(self, df: DataFrame) -> tuple[DataFrame, int, int]:
+        """Stamp dense scan-order ``seq`` (0..m-1) and the keyless
+        round-robin rank ``_rr`` on a DataFrame batch — the distributed
+        restatement of the reference's arrival order + next_partition
+        counter (topic.rs:77-87).
+
+        Two narrow passes, NO shuffle and NO window (a 100 TB produce
+        batch must not serialize through one reducer):
+
+        1. a per-spark-partition (rows, keyless-rows) count job — the
+           collect is O(#partitions) scalars, from which cumulative bases
+           are computed on the driver;
+        2. ``mapInPandas`` streams each partition's Arrow batches in
+           order, stamping ``seq = base[pid] + i`` and, for keyless rows,
+           ``_rr = rr_base[pid] + running keyless count``. File-source
+           scan order is deterministic, so the two passes agree.
+
+        Returns (stamped_df, total_rows, total_keyless)."""
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        src = df.drop("_rr").withColumn("_pid", F.spark_partition_id())
+        keyless_flag = (
+            F.col("key").isNull() | (F.length(F.col("key")) == 0)
+        ).cast("long")
+        stats = (
+            src.groupBy("_pid")
+            .agg(F.count("*").alias("_n"), F.sum(keyless_flag).alias("_nk"))
+            .collect()
+        )
+        base: dict[int, int] = {}
+        rr_base: dict[int, int] = {}
+        acc = kacc = 0
+        for r in sorted(stats, key=lambda r: int(r["_pid"])):
+            pid = int(r["_pid"])
+            base[pid] = acc
+            rr_base[pid] = kacc
+            acc += int(r["_n"])
+            kacc += int(r["_nk"] or 0)
+
+        out_schema = T.StructType(
+            [f for f in src.schema.fields]
+            + [
+                T.StructField("seq", T.LongType(), False),
+                T.StructField("_rr", T.LongType(), True),
+            ]
+        )
+
+        def stamp(batches):
+            seq_next = rr_next = None
+            for pdf in batches:
+                m = len(pdf)
+                if m == 0:
+                    continue
+                pid = int(pdf["_pid"].iloc[0])
+                if seq_next is None:
+                    seq_next, rr_next = base[pid], rr_base[pid]
+                keyless = pdf["key"].map(
+                    lambda k: k is None or len(k) == 0
+                )
+                out = pdf.copy()
+                out["seq"] = pd.array(
+                    range(seq_next, seq_next + m), dtype="Int64"
+                )
+                rr_vals = keyless.cumsum() - 1 + rr_next
+                out["_rr"] = pd.array(
+                    [
+                        int(v) if kl else None
+                        for v, kl in zip(rr_vals, keyless)
+                    ],
+                    dtype="Int64",
+                )
+                seq_next += m
+                rr_next += int(keyless.sum())
+                yield out
+
+        return src.mapInPandas(stamp, out_schema).drop("_pid"), acc, kacc
 
     # ------------------------------------------------------------------ #
     # read path (A7/A8/A9 + client stubs A28a-c)

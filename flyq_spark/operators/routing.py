@@ -77,8 +77,14 @@ def _xxh3_partition_udf(n_partitions: int):
 
     @pandas_udf("int")
     def xxh3_route(keys: pd.Series) -> pd.Series:
+        # NULL-safe: Spark evaluates a pandas UDF over the WHOLE batch
+        # even when it sits in the not-taken branch of a `when`, so
+        # keyless rows reach here; their value is discarded by the
+        # routing `when`, any placeholder works.
         return keys.map(
-            lambda k: int((digest(bytes(k)) & 0xFFFFFFFF) % n_partitions)
+            lambda k: 0
+            if k is None or len(k) == 0
+            else int((digest(bytes(k)) & 0xFFFFFFFF) % n_partitions)
         ).astype("int32")
 
     return xxh3_route
@@ -106,9 +112,16 @@ def route(
 ) -> DataFrame:
     """Add a ``partition`` column. Input needs `key` and a total-order `seq`.
 
-    `seq` must be dense per batch (0..m-1); the engine's produce path
-    enforces this (see engine._with_dense_seq) so that round-robin is the
-    shuffle-free projection ``pmod(rr_cursor + seq, n)``.
+    Round-robin is always a shuffle-free projection. When the batch
+    carries ``_rr`` — the dense rank among KEYLESS rows that the engine's
+    produce path stamps (engine._with_dense_seq / _as_message_df) —
+    keyless rows route as ``pmod(rr_cursor + _rr, n)``: bit-exact
+    reference semantics, where only keyless messages advance the cycle
+    (topic.rs:80-83). Without ``_rr``, `seq` itself must be dense per
+    batch (0..m-1) and routing degrades to the documented SLOTTED cycle
+    ``pmod(rr_cursor + seq, n)``: every row consumes a slot, so keyed
+    rows shift the cycle — identical to the reference only for
+    all-keyless batches.
     """
     if method not in ROUTING_METHODS:
         raise ValueError(
@@ -124,7 +137,8 @@ def route(
     if n_partitions == 1:
         return df.withColumn("partition", F.lit(0))
 
-    rr_part = F.pmod(F.lit(int(rr_cursor)) + F.col(seq_col), F.lit(n_partitions)).cast(
+    rr_idx = F.col("_rr") if "_rr" in df.columns else F.col(seq_col)
+    rr_part = F.pmod(F.lit(int(rr_cursor)) + rr_idx, F.lit(n_partitions)).cast(
         "int"
     )
     return df.withColumn(

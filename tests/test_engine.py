@@ -360,3 +360,70 @@ def test_delete_records_truncation(engine, spark):
     )
     assert remaining == list(range(5, 15))  # straddler keeps 5,6 physically
     assert eng.consume("trunc", 0, 10) is not None
+
+
+def test_dataframe_produce_dense_seq_round_robin(engine, spark):
+    """A DataFrame batch WITHOUT seq gets a dense scan-order seq, so
+    keyless round-robin is strict arrival-order (topic.rs:80-83) even
+    when the batch spans many spark partitions, and the persisted
+    cursor equals the number of keyless rows routed."""
+    from pyspark.sql import functions as F
+
+    from flyq_spark import storage
+
+    engine.create_topic("dfp", partitions=4)
+    m = 25  # not a multiple of 4: partitions end unevenly
+    batch = (
+        spark.range(m)
+        .repartition(7)  # force a multi-partition, shuffled scan order
+        .select(
+            F.lit(None).cast("binary").alias("key"),
+            F.encode(F.col("id").cast("string"), "utf-8").alias("value"),
+            F.timestamp_millis(F.lit(1_700_000_000_000) + F.col("id")).alias(
+                "timestamp"
+            ),
+        )
+    )
+    engine.produce("dfp", batch)
+    # arrival order is the scan order the engine stamped; recover it from
+    # (partition, offset) — within a partition offsets follow seq order —
+    # and check the global interleave is a strict 0,1,2,3,0,1,... cycle.
+    rows = engine.log("dfp").select("partition", "offset").collect()
+    by_part = {}
+    for r in rows:
+        by_part.setdefault(int(r["partition"]), []).append(int(r["offset"]))
+    # strict RR from cursor 0 over 25 rows: partition p gets ceil((25-p)/4)
+    assert {p: len(v) for p, v in by_part.items()} == {0: 7, 1: 6, 2: 6, 3: 6}
+    for p, offs in by_part.items():
+        assert sorted(offs) == list(range(len(offs)))
+    meta = storage.load_topic_meta(engine.base_dir, "dfp")
+    assert int(meta["rr_cursor"]) == 25 % 4
+
+
+def test_mixed_batch_keyless_only_cursor_advance(engine):
+    """Reference parity for MIXED batches: keyed messages do not consume
+    round-robin slots and do not advance the cursor (topic.rs:77-87)."""
+    from flyq_spark import storage
+    from flyq_spark.functions.hashing import flyq_partition_for_key
+
+    engine.create_topic("mix", partitions=4, )
+    batch = [
+        {"key": b"k-a", "value": b"v0", "timestamp": 1_700_000_000_000},
+        {"key": None, "value": b"v1", "timestamp": 1_700_000_000_001},
+        {"key": b"", "value": b"v2", "timestamp": 1_700_000_000_002},  # Q1: keyless
+        {"key": b"k-b", "value": b"v3", "timestamp": 1_700_000_000_003},
+        {"key": None, "value": b"v4", "timestamp": 1_700_000_000_004},
+    ]
+    acks = engine.produce("mix", batch, method="xxh3")
+    # keyless rows v1, v2, v4 take RR ranks 0, 1, 2 -> partitions 0, 1, 2
+    assert acks[1][0] == 0 and acks[2][0] == 1 and acks[4][0] == 2
+    # keyed rows route by hash, independent of the cycle
+    assert acks[0][0] == flyq_partition_for_key(b"k-a", 4)
+    assert acks[3][0] == flyq_partition_for_key(b"k-b", 4)
+    meta = storage.load_topic_meta(engine.base_dir, "mix")
+    assert int(meta["rr_cursor"]) == 3  # 3 keyless rows, not 5
+    # a second keyless produce continues the cycle at partition 3
+    acks2 = engine.produce(
+        "mix", [{"key": None, "value": b"v5", "timestamp": 1_700_000_000_005}]
+    )
+    assert acks2[0][0] == 3
