@@ -444,11 +444,28 @@ class FlyQEngine:
         as a SELECT without touching the Python API. Views are lazy
         DataFrames: the log views inherit partition pruning and footer
         stats, and re-resolve files per query (no snapshot staleness
-        beyond Spark's own file-index caching). Returns the view names."""
+        beyond Spark's own file-index caching). Topic names may contain
+        characters illegal in SQL identifiers ('-', '.'), so view names
+        sanitize them to '_' (collisions disambiguate with a numeric
+        suffix); a topic whose log fails to register is skipped rather
+        than aborting SQL access to every other topic. Returns the view
+        names actually registered."""
+        import re
+
         names = []
+        taken: set[str] = set()
         for t in topics if topics is not None else self.list_topics():
-            name = f"flyq_{t}"
-            self.log(t).createOrReplaceTempView(name)
+            name = "flyq_" + re.sub(r"[^A-Za-z0-9_]", "_", t)
+            if name in taken:
+                i = 2
+                while f"{name}_{i}" in taken:
+                    i += 1
+                name = f"{name}_{i}"
+            try:
+                self.log(t).createOrReplaceTempView(name)
+            except Exception:
+                continue
+            taken.add(name)
             names.append(name)
         self.consumer_offsets_df().createOrReplaceTempView("flyq_consumer_offsets")
         names.append("flyq_consumer_offsets")
@@ -773,8 +790,18 @@ class FlyQEngine:
         that lie ENTIRELY below it are physically removed (file-granular
         like retention; a file straddling the boundary stays until
         compaction or later truncation reclaims it, exactly how Kafka
-        keeps the straddling segment). Returns deleted file paths."""
+        keeps the straddling segment). ``before_offset`` beyond the log
+        end raises, mirroring Kafka's OFFSET_OUT_OF_RANGE for
+        deleteRecords past the high watermark — silently clamping would
+        let the low watermark pass LEO and corrupt the watermark triple.
+        Returns deleted file paths."""
         meta = self._meta(topic)
+        leo = int(meta["log_end_offsets"].get(str(int(partition)), 0))
+        if before_offset > leo:
+            raise ValueError(
+                f"before_offset {before_offset} is beyond the log end "
+                f"offset {leo} for {topic}/{partition} (OFFSET_OUT_OF_RANGE)"
+            )
         stats = storage.partition_file_stats(self.base_dir, topic, partition)
         deleted: list[str] = []
         for st in stats:

@@ -77,7 +77,13 @@ def heavy_hitters(
         if counter:
             yield pd.DataFrame({"item": list(counter.keys())})
 
-    candidates = items.mapInPandas(partials, schema="item string").distinct()
+    # candidate schema mirrors the actual item type — hardcoding
+    # 'item string' would crash Arrow (or silently retype the semi-join
+    # key) for bigint/binary item columns behind the generic Column API
+    item_type = items.schema["item"].dataType.simpleString()
+    candidates = items.mapInPandas(
+        partials, schema=f"item {item_type}"
+    ).distinct()
     total = items.agg(F.count("*").cast("long").alias("_n"))
     exact = (
         items.join(F.broadcast(candidates), on="item", how="left_semi")

@@ -69,21 +69,45 @@ def upsert_sink(
 
     Each micro-batch: read the current snapshot (empty on first batch),
     apply the batch's upserts/deletes (latest-wins, idempotent — safe
-    under at-least-once redelivery), write to a tmp dir, atomically
-    swap. Single-writer discipline holds by construction (foreachBatch
-    invocations are serial within a query); the swap is
-    directory-rename-atomic so concurrent READERS see either the old or
-    the new snapshot, never a partial write. The batch itself may carry
-    several changes per key — apply_changes resolves them by
-    (ts, change-beats-snapshot) in one window."""
+    under at-least-once redelivery), write to a tmp dir, swap. Each
+    rename is atomic, but the swap is TWO renames (current→old,
+    tmp→current), so there is a brief window where the snapshot path is
+    absent — a concurrent reader can observe a missing directory (never
+    a partial one) and should retry; a crash inside the window strands
+    the snapshot under ``._old_<batch>``, which the next batch (or
+    query restart) recovers before merging. Single-writer discipline
+    holds by construction (foreachBatch invocations are serial within a
+    query). The batch itself may carry several changes per key —
+    apply_changes resolves them by (ts, change-beats-snapshot) in one
+    window."""
+    import glob
     import os
+    import re
     import shutil
 
     from flyq_spark.operators.cdc import apply_changes
 
+    def _recover() -> None:
+        root = snapshot_path.rstrip("/")
+        olds = sorted(
+            glob.glob(root + "._old_*"),
+            key=lambda p: int(re.search(r"_(\d+)$", p).group(1))
+            if re.search(r"_(\d+)$", p)
+            else -1,
+        )
+        if not os.path.isdir(root) and olds:
+            # crash between the two renames: roll the newest old forward
+            os.rename(olds[-1], root)
+            olds = olds[:-1]
+        for d in olds:
+            shutil.rmtree(d, ignore_errors=True)
+        for d in glob.glob(root + "._tmp_*"):
+            shutil.rmtree(d, ignore_errors=True)
+
     def write(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        _recover()
         spark = batch_df.sparkSession
         data_cols = [c for c in batch_df.columns if c != op_col]
         if os.path.isdir(snapshot_path):

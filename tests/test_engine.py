@@ -427,3 +427,34 @@ def test_mixed_batch_keyless_only_cursor_advance(engine):
         "mix", [{"key": None, "value": b"v5", "timestamp": 1_700_000_000_005}]
     )
     assert acks2[0][0] == 3
+
+
+def test_register_views_sanitizes_broker_style_topic_names(engine, spark):
+    """Broker-legal topic names ('-', '.') are illegal SQL identifiers;
+    view registration must sanitize, not abort the loop."""
+    engine.create_topic("svc-a.events.v2", partitions=1)
+    engine.produce(
+        "svc-a.events.v2",
+        [{"key": None, "value": b"x", "timestamp": 1_700_000_000_000}] * 2,
+    )
+    engine.create_topic("plain", partitions=1)
+    names = engine.register_views()
+    assert "flyq_svc_a_events_v2" in names and "flyq_plain" in names
+    n = spark.sql("SELECT count(*) AS n FROM flyq_svc_a_events_v2").first()["n"]
+    assert n == 2
+
+
+def test_delete_records_beyond_leo_raises(engine):
+    """Kafka rejects deleteRecords past the high watermark
+    (OFFSET_OUT_OF_RANGE); clamping silently would let low > LEO."""
+    import pytest
+
+    engine.create_topic("bound", partitions=1)
+    engine.produce(
+        "bound",
+        [{"key": None, "value": b"x", "timestamp": 1_700_000_000_000 + i}
+         for i in range(5)],
+    )
+    with pytest.raises(ValueError, match="OFFSET_OUT_OF_RANGE"):
+        engine.delete_records("bound", 0, before_offset=99)
+    assert engine.get_watermark("bound", 0) == (0, 4, 5)

@@ -1790,3 +1790,20 @@ def test_bpe_encode_ids_roundtrip(spark):
         assert n == len(ids) == counts[doc_id]
         decoded = "".join(inv[i] for i in ids).replace("</w>", " ").strip()
         assert decoded == text
+
+
+def test_heavy_hitters_non_string_item_type(spark):
+    """The MG candidate pass must mirror the item column's actual type —
+    a bigint key column used to crash the Arrow conversion against the
+    hardcoded 'item string' schema."""
+    from pyspark.sql import functions as F
+
+    from flyq_spark.operators.sketch import heavy_hitters
+
+    df = spark.range(1000).select(
+        F.when(F.col("id") % 2 == 0, F.lit(7)).otherwise(F.col("id")).alias("k")
+    )
+    got = {(r["item"], r["n_occurrences"]) for r in
+           heavy_hitters(df, "k", min_fraction=0.4).collect()}
+    assert got == {(7, 501)}  # 500 evens remapped + id=7 itself
+    assert dict(heavy_hitters(df, "k", min_fraction=0.4).dtypes)["item"] == "bigint"
