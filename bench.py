@@ -123,12 +123,25 @@ def main() -> None:
         shutil.rmtree(base, ignore_errors=True)
 
     total = round(sum(times.values()), 3)
+    # Fixed-subset metric: the 21 queries shared with BENCH_r03, so
+    # round-over-round perf regressions are one comparable number even
+    # as the headline set keeps growing.
+    core21 = [
+        "ann_lsh_topk", "consumer_lag", "dedup_exact", "doc_fingerprints",
+        "engine_consume_scan", "engine_produce", "lang_id", "minhash_pairs",
+        "monitor_alerts", "produce_log", "q1_pricing", "q3_top_orders",
+        "q5_region_revenue", "retention_size", "sessionize",
+        "simhash_neardup", "similarity_topk", "token_stats",
+        "top_events_per_user", "watermarks", "window_tumbling",
+    ]
+    core21_total = round(sum(times[q] for q in core21 if q in times), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_total_runtime",
                 "value": total,
                 "unit": "sec",
+                "core21_runtime": core21_total,
                 "queries": times,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -66,43 +66,93 @@ def decode_stored_records(buf: bytes) -> list[dict]:
 
 def export_topic(engine, topic: str, out_dir: str) -> list[str]:
     """Write a topic as a reference-compatible data directory; returns
-    written segment paths."""
-    written = []
+    written segment paths.
+
+    Executor-parallel: rows repartition onto their broker partition and
+    sort by offset within it, then each task streams its partitions'
+    records straight into segment+index files — a multi-TB topic exports
+    at cluster width instead of serializing through the driver's
+    ``toLocalIterator``. Byte layout is unchanged (pinned by
+    tests/test_segment_io.py). On a real cluster ``out_dir`` must be a
+    filesystem the executors share with the driver (the reference's data
+    directory is inherently a local-directory layout); local[?] mode
+    trivially satisfies this."""
+    from itertools import chain
+
+    from pyspark.sql import functions as F
+
+    n = engine.topic_partitions(topic)
     tdir = os.path.join(out_dir, "topic_" + topic)
-    for p in range(engine.topic_partitions(topic)):
-        pdir = os.path.join(tdir, f"partition_{p}")
-        os.makedirs(pdir, exist_ok=True)
-        low, _, leo = engine.get_watermark(topic, p)
-        if leo <= low:
-            continue
-        base = low
-        seg_path = os.path.join(pdir, f"segment_{base:020d}.log")
-        idx_path = os.path.join(pdir, f"segment_{base:020d}.index")
-        n_since_index = 0
-        with open(seg_path, "wb") as seg, open(idx_path, "wb") as idx:
-            file_pos = 0
-            for row in engine.stream_from_offset(topic, p, low).toLocalIterator():
-                headers = (
-                    [(h["key"], bytes(h["value"])) for h in row["headers"]]
-                    if row["headers"]
-                    else None
+    lows: dict[int, int] = {}
+    for p in range(n):
+        os.makedirs(os.path.join(tdir, f"partition_{p}"), exist_ok=True)
+        lows[p] = engine.get_watermark(topic, p)[0]
+    low_expr = (
+        F.coalesce(
+            F.create_map(
+                *chain.from_iterable(
+                    (F.lit(int(p)), F.lit(int(v))) for p, v in lows.items()
                 )
-                rec = encode_stored_record(
-                    int(row["offset"]),
-                    bytes(row["key"]) if row["key"] is not None else None,
-                    bytes(row["value"]),
-                    int(row["timestamp"].timestamp() * 1000),
-                    headers,
+            )[F.col("partition")],
+            F.lit(0),
+        )
+        if lows
+        else F.lit(0)
+    )
+    df = (
+        engine.log(topic)
+        .where(F.col("offset") >= low_expr)
+        .repartition(max(1, min(n, 32)), "partition")
+        .sortWithinPartitions("partition", "offset")
+    )
+
+    def write_task(rows):
+        paths: list[str] = []
+        cur = base = None
+        seg = idx = None
+        file_pos = n_since_index = 0
+        for row in rows:
+            p = int(row["partition"])
+            off = int(row["offset"])
+            if p != cur:
+                if seg is not None:
+                    seg.close()
+                    idx.close()
+                cur, base = p, off
+                file_pos = n_since_index = 0
+                pdir = os.path.join(tdir, f"partition_{p}")
+                os.makedirs(pdir, exist_ok=True)
+                seg_path = os.path.join(pdir, f"segment_{base:020d}.log")
+                seg = open(seg_path, "wb")
+                idx = open(
+                    os.path.join(pdir, f"segment_{base:020d}.index"), "wb"
                 )
-                if int(row["offset"]) == base or n_since_index >= INDEX_INTERVAL:
-                    idx.write(struct.pack(">QQ", int(row["offset"]), file_pos))
-                    n_since_index = 0
-                else:
-                    n_since_index += 1
-                seg.write(rec)
-                file_pos += len(rec)
-        written.append(seg_path)
-    return written
+                paths.append(seg_path)
+            headers = (
+                [(h["key"], bytes(h["value"])) for h in row["headers"]]
+                if row["headers"]
+                else None
+            )
+            rec = encode_stored_record(
+                off,
+                bytes(row["key"]) if row["key"] is not None else None,
+                bytes(row["value"]),
+                int(row["timestamp"].timestamp() * 1000),
+                headers,
+            )
+            if off == base or n_since_index >= INDEX_INTERVAL:
+                idx.write(struct.pack(">QQ", off, file_pos))
+                n_since_index = 0
+            else:
+                n_since_index += 1
+            seg.write(rec)
+            file_pos += len(rec)
+        if seg is not None:
+            seg.close()
+            idx.close()
+        return iter(paths)
+
+    return sorted(df.rdd.mapPartitions(write_task).collect())
 
 
 def import_flyq_dir(engine, src_dir: str) -> dict[str, int]:
