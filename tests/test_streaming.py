@@ -562,3 +562,25 @@ def test_upsert_sink_recovers_stranded_old_snapshot(spark, tmp_path):
     assert got == {(1, "a"), (2, "b"), (3, "c")}
     assert not os.path.exists(snap + "._old_0")
     assert not os.path.exists(snap + "._tmp_1")
+
+
+def test_watermark_tracker_stateful_plan_analyzes(engine, spark):
+    """Runtime execution of transformWithStateInPandas needs
+    google.protobuf (absent in this container; the sibling test skips),
+    but ANALYSIS is JVM-side: pin that the operator builds, resolves the
+    grouping key/state types, and lands TransformWithStateInPandas in
+    the analyzed plan with the declared output schema — so the skip
+    cannot hide an API break in the operator itself."""
+    from flyq_spark.streaming.source import read_stream, watermark_tracker_stateful
+    from tests.conftest import make_messages
+
+    engine.produce("wtp", make_messages(3, key=b"a"))
+    stream = read_stream(spark, engine.base_dir, "wtp")
+    tracked = watermark_tracker_stateful(stream)
+    assert tracked.isStreaming
+    assert [(f.name, f.dataType.simpleString()) for f in tracked.schema.fields] == [
+        ("key", "bigint"), ("high", "bigint"), ("n_seen", "bigint"),
+    ]
+    analyzed = tracked._jdf.queryExecution().analyzed().toString()
+    # Spark 4.1 names the analyzed node TransformWithStateInPySpark
+    assert "transformwithstatein" in analyzed.lower()
