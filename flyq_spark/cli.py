@@ -130,6 +130,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--limit", type=int, default=100, help="max rows printed (default 100)"
     )
+    p = sub.add_parser(
+        "serve",
+        help="run the FlyQ wire-protocol TCP server (A27) over this "
+        "engine so stock-protocol clients can connect",
+    )
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=9092)
+    p.add_argument(
+        "--ticks",
+        type=int,
+        default=None,
+        help=argparse.SUPPRESS,  # test hook: serve N seconds then exit
+    )
     return ap
 
 
@@ -196,6 +209,19 @@ def run(args, engine) -> dict:
         return {"rows": [r.asDict(recursive=True) for r in rows]}
     if args.cmd == "repair":
         return {"meta": engine.repair_topic(args.topic)}
+    if args.cmd == "serve":
+        from flyq_spark.server import FlyQServer
+
+        with FlyQServer(engine, host=args.host, port=args.port) as srv:
+            if args.ticks is not None:  # test hook: bounded lifetime
+                time.sleep(args.ticks)
+            else:  # pragma: no cover - interactive path
+                try:
+                    while True:
+                        time.sleep(3600)
+                except KeyboardInterrupt:
+                    pass
+            return {"served": f"{srv.host}:{srv.port}"}
     if args.cmd == "maintain":
         ticks = []
         n = 0

@@ -297,3 +297,55 @@ def flyq_partition_for_key(key: bytes, n_partitions: int) -> int:
     """Bit-exact replica of the reference's keyed routing
     (topic.rs:90-93): ``xxh3_64(key) as u32 % partition_count``."""
     return (xxh3_64(key) & 0xFFFFFFFF) % n_partitions
+
+
+# --------------------------------------------------------------------- #
+# XXH32 — the reference's frame checksum (flyq-protocol/src/frame.rs:50
+# uses xxh32(payload, 0)). Implemented from the public xxHash spec
+# (https://github.com/Cyan4973/xxHash/blob/dev/doc/xxhash_spec.md),
+# pinned on published test vectors in tests/test_wire_protocol.py.
+# --------------------------------------------------------------------- #
+
+_P32_1 = 0x9E3779B1
+_P32_2 = 0x85EBCA77
+_P32_3 = 0xC2B2AE3D
+_P32_4 = 0x27D4EB2F
+_P32_5 = 0x165667B1
+_MASK32 = 0xFFFFFFFF
+
+
+def _rotl32(x: int, r: int) -> int:
+    return ((x << r) | (x >> (32 - r))) & _MASK32
+
+
+def xxh32(data: bytes, seed: int = 0) -> int:
+    """Unsigned XXH32 one-shot digest."""
+    n = len(data)
+    pos = 0
+    if n >= 16:
+        a1 = (seed + _P32_1 + _P32_2) & _MASK32
+        a2 = (seed + _P32_2) & _MASK32
+        a3 = seed & _MASK32
+        a4 = (seed - _P32_1) & _MASK32
+        while pos + 16 <= n:
+            a1 = (_rotl32((a1 + _le32(data, pos) * _P32_2) & _MASK32, 13) * _P32_1) & _MASK32
+            a2 = (_rotl32((a2 + _le32(data, pos + 4) * _P32_2) & _MASK32, 13) * _P32_1) & _MASK32
+            a3 = (_rotl32((a3 + _le32(data, pos + 8) * _P32_2) & _MASK32, 13) * _P32_1) & _MASK32
+            a4 = (_rotl32((a4 + _le32(data, pos + 12) * _P32_2) & _MASK32, 13) * _P32_1) & _MASK32
+            pos += 16
+        h = (_rotl32(a1, 1) + _rotl32(a2, 7) + _rotl32(a3, 12) + _rotl32(a4, 18)) & _MASK32
+    else:
+        h = (seed + _P32_5) & _MASK32
+    h = (h + n) & _MASK32
+    while pos + 4 <= n:
+        h = (_rotl32((h + _le32(data, pos) * _P32_3) & _MASK32, 17) * _P32_4) & _MASK32
+        pos += 4
+    while pos < n:
+        h = (_rotl32((h + data[pos] * _P32_5) & _MASK32, 11) * _P32_1) & _MASK32
+        pos += 1
+    h ^= h >> 15
+    h = (h * _P32_2) & _MASK32
+    h ^= h >> 13
+    h = (h * _P32_3) & _MASK32
+    h ^= h >> 16
+    return h
