@@ -2089,6 +2089,39 @@ def q_value_histogram(spark, sf_dir):
     )
 
 
+def q_quality_weighted_sample(spark, sf_dir):
+    """[EXT] DCLM/FineWeb-style quality-weighted Bernoulli sampling with
+    a deterministic md5 coin: keep probability = min(1, n_chars/256)."""
+    from flyq_spark.operators.corpus import quality_weighted_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    kept = quality_weighted_sample(
+        docs, F.col("n_chars") / F.lit(256.0), id_col="doc_id"
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
+def q_semdedup(spark, sf_dir):
+    """[EXT] SemDeDup semantic dedup: k-means cluster -> within-cluster
+    greedy cosine prune (threshold 0.9). Iterative float pipeline -> no
+    SQL oracle; the gate records rows/schema, pytest pins semantics."""
+    from flyq_spark.operators.similarity import semdedup_prune
+
+    emb = _read(spark, sf_dir, "embeddings")
+    res = semdedup_prune(emb, threshold=0.9, n_clusters=8)
+    return (
+        res.groupBy("cell")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.sum(F.col("keep").cast("long")).cast("long").alias("n_kept"),
+        )
+        .orderBy("cell")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the monitor composition (A12+A13+A14+A29) at sf0.001."""
     return q_monitor_alerts(spark, SF0001)
@@ -2261,6 +2294,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_centroids": q_kmeans_centroids,
         "pq_topk": q_pq_topk,
         "multimodal_features": q_multimodal_features,
+        "quality_weighted_sample": q_quality_weighted_sample,
+        "semdedup": q_semdedup,
     }
 
 
@@ -3729,5 +3764,17 @@ SELECT CAST(least(greatest(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) //
        CAST(count(*) AS BIGINT) AS n_events
 FROM events
 GROUP BY 1
+""",
+        # keep iff md5-60bit(id) < trunc(weight * 2^60): trunc-then-cast
+        # matches Spark's truncate-toward-zero double->long cast (a bare
+        # DuckDB CAST would ROUND); the double product is IEEE-identical
+        # on both engines, so the comparison is bit-exact.
+        "quality_weighted_sample": """
+SELECT source, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      < CAST(trunc(least(greatest(n_chars / 256.0, 0.0), 1.0)
+                   * POWER(2, 60)) AS BIGINT)
+GROUP BY source
 """,
     }

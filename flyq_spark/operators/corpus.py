@@ -347,3 +347,26 @@ def length_percentiles(
     return ranked.groupBy(group_col).agg(
         F.max("_n").cast("long").alias("n_docs"), *sels
     )
+
+
+def quality_weighted_sample(
+    df: DataFrame,
+    weight_col: Column | str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Independent per-row Bernoulli sampling with row-specific keep
+    probability — the DCLM/FineWeb-style quality-weighted mixing
+    primitive (keep high-quality documents with probability ~1, noisy
+    ones with probability ~their score) made DETERMINISTIC: the coin is
+    the first 15 md5 hex digits of the id as a 60-bit uniform, kept iff
+    ``hash < weight * 2^60``. Membership is a pure function of
+    (id, weight): reproducible across engines, partitionings, and runs;
+    a row never flips when other rows change; and the identical
+    expression replays in ANSI SQL, so the gate can hash-compare it.
+
+    Weights clamp to [0, 1]. Pure projection + filter — zero shuffles,
+    zero state, shard-parallel at any corpus size."""
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    w = F.least(F.greatest(w.cast("double"), F.lit(0.0)), F.lit(1.0))
+    h60 = F.conv(F.substring(_id_hash(id_col), 1, 15), 16, 10).cast("long")
+    return df.where(h60 < (w * F.lit(float(1 << 60))).cast("long"))

@@ -927,3 +927,84 @@ def topk_mmr(
         )
 
     return joined.groupBy("query_id").applyInPandas(mmr, schema=out_schema)
+
+
+def semdedup_prune(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_clusters: int = 64,
+    centroids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication", 2023): drop documents
+    whose EMBEDDING is near-duplicate to a kept one, finding candidates
+    only within k-means clusters — the semantic counterpart of
+    MinHash near-dup (which only sees lexical overlap).
+
+    Scale shape, exactly the paper's:
+
+    1. cluster: ``train_kmeans`` (or caller-supplied ``centroids``) —
+       an O(k x d) broadcast model, corpus never collected;
+    2. assign: one narrow ``mapInPandas`` GEMM pass (``assign_cells``);
+    3. prune per cluster: ``applyInPandas`` groups hold ~n/k members;
+       inside a group one BLAS gram matrix + a greedy sweep in
+       DETERMINISTIC id order — keep a member iff its cosine to every
+       already-kept member is <= threshold. Keep-first-by-id replaces
+       the paper's keep-low-centroid-similarity tiebreak so reruns and
+       engines agree bit-for-bit.
+
+    The within-cluster work is O((n/k)^2) floats — the paper's own
+    regime; size ``n_clusters`` so n/k fits executor memory (the same
+    sizing contract as ``neardup_pairs_exact``, which documents the
+    degenerate-cluster caveat).
+
+    Output: (id, cell, keep, n_cluster_members) — one row per input
+    vector; filter ``keep`` to materialize the deduplicated corpus."""
+    import numpy as np
+
+    if centroids is None:
+        centroids = train_kmeans(
+            embeddings, n_clusters=n_clusters, id_col=id_col, vec_col=vec_col
+        )
+    assigned = assign_cells(
+        embeddings, centroids, id_col=id_col, vec_col=vec_col, nprobe=1
+    ).drop("probe_rank")
+    id_type = [
+        f.dataType.simpleString()
+        for f in embeddings.schema.fields
+        if f.name == id_col
+    ][0]
+    members = embeddings.select(id_col, vec_col).join(assigned, id_col)
+    out_schema = (
+        f"{id_col} {id_type}, cell int, keep boolean, n_cluster_members long"
+    )
+    thr = float(threshold)
+
+    def prune(key, pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        V = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+        vn = np.linalg.norm(V, axis=1)
+        vn[vn == 0.0] = 1.0
+        U = V / vn[:, None]
+        n = len(U)
+        S = U @ U.T
+        keep = np.zeros(n, dtype=bool)
+        kept_idx: list[int] = []
+        for i in range(n):
+            if not kept_idx or float(S[i, kept_idx].max()) <= thr:
+                keep[i] = True
+                kept_idx.append(i)
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                "cell": np.full(n, int(key[0]), dtype="int32"),
+                "keep": keep,
+                "n_cluster_members": np.full(n, n, dtype="int64"),
+            }
+        )
+
+    return members.groupBy("cell").applyInPandas(prune, schema=out_schema)

@@ -28,6 +28,7 @@ def test_queries_and_oracles_consistent():
         "pq_topk",
         "multimodal_features",
         "sketch_stats",
+        "semdedup",
     }
 
 

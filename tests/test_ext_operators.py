@@ -1807,3 +1807,61 @@ def test_heavy_hitters_non_string_item_type(spark):
            heavy_hitters(df, "k", min_fraction=0.4).collect()}
     assert got == {(7, 501)}  # 500 evens remapped + id=7 itself
     assert dict(heavy_hitters(df, "k", min_fraction=0.4).dtypes)["item"] == "bigint"
+
+
+def test_quality_weighted_sample_deterministic_and_monotonic(spark):
+    """Keep-probability semantics: weight 1 keeps all, 0 keeps none,
+    membership matches the driver-side md5 formula exactly, and the kept
+    set is monotone in the weight (same coin, higher threshold)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from flyq_spark.operators.corpus import quality_weighted_sample
+
+    df = spark.range(500).select(F.col("id").alias("doc_id"))
+    assert quality_weighted_sample(df, F.lit(1.0)).count() == 500
+    assert quality_weighted_sample(df, F.lit(0.0)).count() == 0
+
+    kept30 = {r["doc_id"] for r in quality_weighted_sample(df, F.lit(0.3)).collect()}
+    kept60 = {r["doc_id"] for r in quality_weighted_sample(df, F.lit(0.6)).collect()}
+    assert kept30 <= kept60
+
+    def coin(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+
+    expect30 = {i for i in range(500) if coin(i) < int(0.3 * (1 << 60))}
+    assert kept30 == expect30
+    # ~30% at n=500 with a uniform coin
+    assert 100 <= len(kept30) <= 200
+
+
+def test_semdedup_prune_drops_embedding_duplicates(spark):
+    """Exact-duplicate embeddings collapse to one kept member (smallest
+    id), distinct directions all survive; output covers every input row
+    exactly once."""
+    from flyq_spark.operators.similarity import semdedup_prune
+
+    rows = []
+    # 3 well-separated directions; direction 0 duplicated 4x, plus a
+    # near-duplicate (scaled copy: same direction, different norm)
+    base = [
+        [1.0, 0.0, 0.0, 0.0],
+        [0.0, 1.0, 0.0, 0.0],
+        [0.0, 0.0, 1.0, 0.0],
+    ]
+    vid = 0
+    for d, v in enumerate(base):
+        rows.append((vid, v)); vid += 1
+    for _ in range(3):  # duplicates of direction 0
+        rows.append((vid, base[0])); vid += 1
+    rows.append((vid, [2.0, 0.0, 0.0, 0.0])); vid += 1  # scaled dup of dir 0
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semdedup_prune(emb, threshold=0.95, n_clusters=2).collect()
+    assert len(out) == len(rows)  # one verdict per input
+    kept = sorted(r["vec_id"] for r in out if r["keep"])
+    dropped = sorted(r["vec_id"] for r in out if not r["keep"])
+    # all 5 copies of direction 0 collapse to the smallest id (0);
+    # directions 1 and 2 survive
+    assert 0 in kept and 1 in kept and 2 in kept
+    assert dropped == [3, 4, 5, 6]
