@@ -296,3 +296,27 @@ def test_cli_serve_subcommand(engine):
     finally:
         t.join(timeout=15)
     assert "served" in out
+
+
+def test_wire_monitor_example(engine):
+    """The reference's monitor flow over the full wire stack: produce,
+    commit, then poll watermark/health/lag through the TCP client
+    (monitor.rs thresholds reproduced in examples/wire_monitor.py)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/examples")
+    from wire_monitor import poll
+
+    from flyq_spark.server import FlyQServer, FlyQWireClient
+    from tests.conftest import make_messages
+
+    engine.create_topic("wmon", partitions=1)
+    engine.produce("wmon", make_messages(5))
+    engine.commit_offset("mon-g", "wmon", 0, 2)
+    with FlyQServer(engine, clock_ms=lambda: 1) as srv:
+        with FlyQWireClient(srv.host, srv.port) as cli:
+            lines = poll(cli, "mon-g", ["wmon"])
+    assert any("wmon[0] watermarks=(0,4,5)" in ln for ln in lines)
+    # hw=4, committed=2 -> lag 2 (reference formula, quirk Q4)
+    assert any("lag=2 [ok]" in ln for ln in lines)
+    assert lines[-1] == "  total_lag=2"
