@@ -320,3 +320,86 @@ def test_wire_monitor_example(engine):
     # hw=4, committed=2 -> lag 2 (reference formula, quirk Q4)
     assert any("lag=2 [ok]" in ln for ln in lines)
     assert lines[-1] == "  total_lag=2"
+
+
+# ------------------------- property tests ------------------------- #
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_topics = st.text(
+    alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+    max_size=40,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    version=st.integers(0, 255),
+    ftype=st.sampled_from(list(FrameType)),
+    corr=st.integers(0, 2**32 - 1),
+    payload=st.binary(max_size=512),
+)
+def test_frame_roundtrip_property(version, ftype, corr, payload):
+    got, rest = wire.decode_frame(
+        Frame(version, ftype, corr, payload).encode()
+    )
+    assert rest == b""
+    assert (got.version, got.frame_type, got.correlation_id, got.payload) == (
+        version, ftype, corr, payload,
+    )
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    topic=_topics,
+    partition=st.integers(0, 2**32 - 1),
+    group=_topics,
+    offset=st.integers(0, 2**64 - 1),
+)
+def test_commit_offset_roundtrip_property(topic, partition, group, offset):
+    got = wire.decode_commit_offset_request(
+        wire.encode_commit_offset_request(topic, partition, group, offset)
+    )
+    assert got == {
+        "topic": topic, "partition": partition, "group": group, "offset": offset,
+    }
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    offset=st.integers(0, 2**64 - 1),
+    key=st.none() | st.binary(min_size=1, max_size=64),
+    value=st.binary(max_size=256),
+    ts=st.integers(0, 2**63 - 1),
+    headers=st.none()
+    | st.lists(
+        st.tuples(
+            st.text(max_size=16),
+            st.binary(max_size=32),
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+)
+def test_consume_response_roundtrip_property(offset, key, value, ts, headers):
+    got = wire.decode_consume_response(
+        wire.encode_consume_response(offset, key, value, ts, headers)
+    )
+    assert got["offset"] == offset and got["key"] == key
+    assert got["value"] == value and got["timestamp"] == ts
+    assert got["headers"] == headers
+
+
+@settings(max_examples=100, deadline=None)
+@given(data=st.binary(min_size=1, max_size=256))
+def test_truncated_payload_raises_not_crashes(data):
+    """Any truncation of a valid commit-offset payload either decodes to
+    the same fields or raises ProtocolError — never an unhandled
+    exception (the reference's bounds checks, utils.rs:3-11)."""
+    full = wire.encode_commit_offset_request("topic-x", 3, "group-y", 42)
+    for cut in range(len(full)):
+        try:
+            wire.decode_commit_offset_request(full[:cut])
+        except ProtocolError:
+            pass
