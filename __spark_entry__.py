@@ -2104,6 +2104,34 @@ def q_quality_weighted_sample(spark, sf_dir):
     )
 
 
+def q_corpus_prep_pipeline(spark, sf_dir):
+    """[EXT] End-to-end training-corpus preparation — the COMPOSED flow
+    a real pipeline runs, each stage the already-gate-checked operator:
+    Gopher quality filter (keep 'ok') -> exact dedup (keep smallest id
+    per md5(text)) -> deterministic train split -> per-source corpus
+    stats. This row proves the stages compose: verdict semi-joins stay
+    on the 8-byte doc id, dedup shuffles the 16-byte fingerprint, the
+    split is a zero-shuffle projection, and the final rollup is one
+    map-side-combined aggregation."""
+    from flyq_spark.operators.corpus import train_test_split
+    from flyq_spark.operators.dedup import dedup_exact
+
+    docs = _read(spark, sf_dir, "documents")
+    ok = X.quality_filter(docs).where(F.col("keep")).select("doc_id")
+    kept = docs.join(ok, "doc_id", "left_semi")
+    deduped = kept.join(
+        dedup_exact(kept), "doc_id", "left_semi"
+    )
+    train = train_test_split(deduped).where(F.col("split") == "train")
+    return train.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias(
+            "n_tokens"
+        ),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
 def q_semdedup(spark, sf_dir):
     """[EXT] SemDeDup semantic dedup: k-means cluster -> within-cluster
     greedy cosine prune (threshold 0.9). Iterative float pipeline -> no
@@ -2296,6 +2324,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "quality_weighted_sample": q_quality_weighted_sample,
         "semdedup": q_semdedup,
+        "corpus_prep_pipeline": q_corpus_prep_pipeline,
     }
 
 
@@ -3764,6 +3793,50 @@ SELECT CAST(least(greatest(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) //
        CAST(count(*) AS BIGINT) AS n_events
 FROM events
 GROUP BY 1
+""",
+        "corpus_prep_pipeline": """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+wc AS (
+  SELECT doc_id, word, count(*) AS c FROM tok GROUP BY 1, 2
+),
+agg AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+         CAST(max(c) AS BIGINT) AS top_c
+  FROM wc GROUP BY 1
+),
+bg AS (
+  SELECT doc_id,
+         CAST(greatest(len(string_split(text, ' ')) - 1, 0) AS BIGINT) AS n_bg,
+         CAST(len(list_distinct(list_transform(
+           range(1, len(string_split(text, ' '))),
+           i -> string_split(text, ' ')[CAST(i AS BIGINT)] || ' ' ||
+                string_split(text, ' ')[CAST(i AS BIGINT) + 1]
+         ))) AS BIGINT) AS n_ubg
+  FROM documents
+),
+ok AS (
+  SELECT a.doc_id
+  FROM agg a JOIN bg USING (doc_id)
+  WHERE NOT (n_words < 20 OR n_words > 100000
+             OR top_c * 100 > n_words * 15
+             OR (n_bg - n_ubg) * 100 > n_bg * 10)
+),
+kept AS (
+  SELECT d.* FROM documents d JOIN ok USING (doc_id)
+),
+survivors AS (
+  SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)
+),
+train AS (
+  SELECT k.* FROM kept k JOIN survivors USING (doc_id)
+  WHERE substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 2) >= '0d'
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM train GROUP BY source
 """,
         # keep iff md5-60bit(id) < trunc(weight * 2^60): trunc-then-cast
         # matches Spark's truncate-toward-zero double->long cast (a bare
