@@ -403,3 +403,37 @@ def test_truncated_payload_raises_not_crashes(data):
             wire.decode_commit_offset_request(full[:cut])
         except ProtocolError:
             pass
+
+
+def test_server_concurrent_clients(engine):
+    """Two clients on live connections interleave produces and reads;
+    the engine lock serializes dispatch (the reference's global mutex),
+    so every ack is unique and the log ends consistent."""
+    import threading
+
+    from flyq_spark.server import FlyQServer, FlyQWireClient
+
+    engine.create_topic("wirecc", partitions=1)
+    acks: list[tuple[int, int]] = []
+    lock = threading.Lock()
+
+    with FlyQServer(engine, clock_ms=lambda: 7) as srv:
+        def worker(tag: bytes, n: int) -> None:
+            with FlyQWireClient(srv.host, srv.port) as cli:
+                for i in range(n):
+                    ack = cli.produce("wirecc", tag + str(i).encode())
+                    with lock:
+                        acks.append(ack)
+
+        threads = [
+            threading.Thread(target=worker, args=(b"a-", 4)),
+            threading.Thread(target=worker, args=(b"b-", 4)),
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        with FlyQWireClient(srv.host, srv.port) as cli:
+            wm = cli.watermark("wirecc", 0)
+    assert sorted(o for _, o in acks) == list(range(8))  # unique dense offsets
+    assert wm == {"low_watermark": 0, "high_watermark": 7, "log_end_offset": 8}
