@@ -157,12 +157,18 @@ def export_topic(engine, topic: str, out_dir: str) -> list[str]:
 
 def import_flyq_dir(engine, src_dir: str) -> dict[str, int]:
     """Load every topic of a reference data directory into the engine,
-    preserving partitions and offsets exactly. Returns {topic: rows}."""
-    from datetime import datetime, timezone
+    preserving partitions and offsets exactly. Returns {topic: rows}.
 
-    from flyq_spark.schemas import LOG_SCHEMA
-
+    Executor-parallel (mirror of ``export_topic``): the driver only
+    LISTS segment files; decoding runs as one task per segment via
+    ``parallelize(files).flatMap`` — a multi-TB data directory imports
+    at cluster width instead of byte-crawling through the driver.
+    Watermark bounds come from a per-partition aggregate over the
+    decoded rows (a partitions-sized collect), sharing one cached pass
+    with the parquet write. ``src_dir`` must be a filesystem executors
+    share with the driver, the same contract as export."""
     imported: dict[str, int] = {}
+    sc = engine.spark.sparkContext
     for name in sorted(os.listdir(src_dir)):
         if not name.startswith("topic_"):
             continue
@@ -176,43 +182,71 @@ def import_flyq_dir(engine, src_dir: str) -> dict[str, int]:
         n = (max(part_ids) + 1) if part_ids else 1
         engine.create_topic(topic, partitions=n)
         meta = engine._meta(topic)
-        rows = []
-        for p in part_ids:
-            pdir = os.path.join(tdir, f"partition_{p}")
-            segs = sorted(f for f in os.listdir(pdir) if _SEGMENT_RE.match(f))
-            p_offsets = []
-            for seg in segs:
-                with open(os.path.join(pdir, seg), "rb") as f:
-                    for m in decode_stored_records(f.read()):
-                        p_offsets.append(int(m["offset"]))
-                        rows.append(
-                            (
-                                int(m["offset"]),
-                                m["key"],
-                                m["value"],
-                                datetime.fromtimestamp(
-                                    m["timestamp"] / 1000.0, tz=timezone.utc
-                                ),
-                                [
-                                    {"key": k, "value": v}
-                                    for k, v in (m["headers"] or [])
-                                ]
-                                or None,
-                                p,
-                            )
-                        )
-            if p_offsets:
-                meta["log_end_offsets"][str(p)] = max(p_offsets) + 1
-                meta["low_watermarks"][str(p)] = min(p_offsets)
-        if rows:
-            df = engine.spark.createDataFrame(rows, LOG_SCHEMA)
-            (
-                df.repartition(max(1, min(n, 32)), "partition")
-                .sortWithinPartitions("partition", "offset")
-                .write.mode("append")
-                .partitionBy("partition")
-                .parquet(storage.topic_dir(engine.base_dir, topic))
+        files = [
+            (p, os.path.join(tdir, f"partition_{p}", seg))
+            for p in part_ids
+            for seg in sorted(
+                f
+                for f in os.listdir(os.path.join(tdir, f"partition_{p}"))
+                if _SEGMENT_RE.match(f)
             )
+        ]
+        total = 0
+        if files:
+            from pyspark.sql import functions as F
+
+            from flyq_spark.schemas import LOG_SCHEMA
+
+            def decode_file(item):
+                from datetime import datetime, timezone
+
+                p, path = item
+                with open(path, "rb") as f:
+                    data = f.read()
+                for m in decode_stored_records(data):
+                    yield (
+                        int(m["offset"]),
+                        m["key"],
+                        m["value"],
+                        datetime.fromtimestamp(
+                            m["timestamp"] / 1000.0, tz=timezone.utc
+                        ),
+                        [
+                            {"key": k, "value": v}
+                            for k, v in (m["headers"] or [])
+                        ]
+                        or None,
+                        p,
+                    )
+
+            rdd = sc.parallelize(files, max(1, min(len(files), 64))).flatMap(
+                decode_file
+            )
+            df = engine.spark.createDataFrame(rdd, LOG_SCHEMA).persist()
+            try:
+                bounds = (
+                    df.groupBy("partition")
+                    .agg(
+                        F.min("offset").alias("lo"),
+                        F.max("offset").alias("hi"),
+                        F.count("*").alias("cnt"),
+                    )
+                    .collect()
+                )
+                for r in bounds:
+                    p = str(int(r["partition"]))
+                    meta["log_end_offsets"][p] = int(r["hi"]) + 1
+                    meta["low_watermarks"][p] = int(r["lo"])
+                    total += int(r["cnt"])
+                (
+                    df.repartition(max(1, min(n, 32)), "partition")
+                    .sortWithinPartitions("partition", "offset")
+                    .write.mode("append")
+                    .partitionBy("partition")
+                    .parquet(storage.topic_dir(engine.base_dir, topic))
+                )
+            finally:
+                df.unpersist()
         storage.save_topic_meta(engine.base_dir, topic, meta)
-        imported[topic] = len(rows)
+        imported[topic] = total
     return imported
