@@ -2165,8 +2165,10 @@ _DRIVER_WINDOW = [
     # the r4 red row, now fixed — prove it green
     "json_props_stats",
     # produce/routing changed this round (dense seq + keyless-only RR)
-    "produce_log", "route_keyed", "route_round_robin", "consume_point",
-    "consume_by_key", "watermarks", "consumer_lag", "commit_offset_upsert",
+    "produce_log", "route_keyed", "route_round_robin",
+    "watermarks", "consumer_lag", "commit_offset_upsert",
+    # new this round, oracle-backed
+    "corpus_prep_pipeline", "quality_weighted_sample",
     # never driver-checked before r5: custom joins, CDC, corpus/dedup,
     # retrieval, analytics, layout
     "asof_last_purchase", "range_join_pairs", "minhash_sig",
