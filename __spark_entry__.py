@@ -1488,6 +1488,25 @@ def q_neardup_components(spark, sf_dir):
     )
 
 
+def q_neardup_keep_best(spark, sf_dir):
+    """[EXT] Quality-aware survivor selection over near-dup clusters:
+    the production dedup decision (keep the BEST document per duplicate
+    group, argmax label with min-id ties) — components from the same
+    exact pair set as neardup_components, survivor via one
+    per-component window. Oracle replays the recursive-CTE closure plus
+    a row_number argmax."""
+    from flyq_spark.operators.graph import dedup_components_keep_best
+
+    emb = _read(spark, sf_dir, "embeddings")
+    pairs = V.neardup_pairs_exact(
+        emb.select("vec_id", "embedding"), min_cosine=0.4
+    )
+    quality = emb.select("vec_id", F.col("label").cast("long").alias("quality"))
+    return dedup_components_keep_best(pairs, quality, id_col="vec_id").select(
+        F.col("node").alias("vec_id"), "component", "keep", "survivor"
+    )
+
+
 def q_embedding_quantize(spark, sf_dir):
     """int8 symmetric quantization of the embedding column (the 4x
     storage-reduction op for 100 TB vector corpora). The gate emits the
@@ -2174,7 +2193,7 @@ _DRIVER_WINDOW = [
     "asof_last_purchase", "range_join_pairs", "minhash_sig",
     "minhash_jaccard_pairs", "cdc_apply", "scd2_history",
     "duplicate_spans", "rare_token_stats", "contamination_check",
-    "neardup_components", "dedup_exact", "dedup_events",
+    "neardup_components", "neardup_keep_best", "dedup_exact",
     "doc_fingerprints", "token_stats", "text_quality", "lang_id",
     "ngram_jaccard", "similarity_topk", "embedding_neardup",
     "span_removal", "train_test_split", "corpus_shuffle",
@@ -2327,6 +2346,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_weighted_sample": q_quality_weighted_sample,
         "semdedup": q_semdedup,
         "corpus_prep_pipeline": q_corpus_prep_pipeline,
+        "neardup_keep_best": q_neardup_keep_best,
     }
 
 
@@ -3795,6 +3815,36 @@ SELECT CAST(least(greatest(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) //
        CAST(count(*) AS BIGINT) AS n_events
 FROM events
 GROUP BY 1
+""",
+        "neardup_keep_best": """
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) >= 0.4
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM pairs
+), reach(nd, lab) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT e.u, r.lab FROM reach r JOIN edges e ON e.v = r.nd
+), comp AS (
+  SELECT nd, min(lab) AS component FROM reach GROUP BY nd
+), scored AS (
+  SELECT c.nd, c.component, CAST(e.label AS BIGINT) AS q
+  FROM comp c JOIN embeddings e ON e.vec_id = c.nd
+), ranked AS (
+  SELECT nd, component, q,
+         row_number() OVER (PARTITION BY component
+                            ORDER BY q DESC, nd ASC) AS rn
+  FROM scored
+), best AS (
+  SELECT component, nd AS survivor FROM ranked WHERE rn = 1
+)
+SELECT s.nd AS vec_id, s.component, s.nd = b.survivor AS keep, b.survivor
+FROM scored s JOIN best b USING (component)
 """,
         "corpus_prep_pipeline": """
 WITH tok AS (

@@ -29,7 +29,7 @@ the node key; AQE handles the skew of a super-cluster node.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -113,4 +113,47 @@ def dedup_components_keep_min(
     comp = connected_components(pairs, src_col, dst_col)
     return comp.select(
         "node", "component", (F.col("node") == F.col("component")).alias("keep")
+    )
+
+
+def dedup_components_keep_best(
+    pairs: DataFrame,
+    quality: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "quality",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Survivor selection by QUALITY across near-dup clusters — what a
+    production pipeline actually keeps (the best document of each
+    duplicate group, not the smallest id): survivor = argmax quality,
+    ties broken toward the smallest id so the choice is deterministic.
+
+    ``quality`` is any (id, score) relation — Gopher signal counts, a
+    classifier score, document length. The join attaches scores only to
+    CLUSTERED nodes (|pairs|-bounded, not corpus-bounded), and the
+    argmax is one per-component window over cluster members — cluster
+    sizes are near-dup group sizes, never corpus-scale partitions.
+
+    Returns (node, component, keep, survivor) for every clustered node;
+    nodes absent from ``pairs`` are implicitly kept (no row)."""
+    comp = connected_components(pairs, src_col, dst_col)
+    scored = comp.join(
+        quality.select(
+            F.col(id_col).alias("node"), F.col(quality_col).alias("_q")
+        ),
+        "node",
+        "left",
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("_q").desc_nulls_last(), F.col("node").asc()
+    )
+    return (
+        scored.withColumn("survivor", F.first("node").over(w))
+        .select(
+            "node",
+            "component",
+            (F.col("node") == F.col("survivor")).alias("keep"),
+            "survivor",
+        )
     )

@@ -1865,3 +1865,26 @@ def test_semdedup_prune_drops_embedding_duplicates(spark):
     # directions 1 and 2 survive
     assert 0 in kept and 1 in kept and 2 in kept
     assert dropped == [3, 4, 5, 6]
+
+
+def test_dedup_keep_best_survivor_by_quality(spark):
+    """Survivor = argmax quality per duplicate cluster, min-id ties;
+    unclustered nodes emit no row (implicitly kept)."""
+    from flyq_spark.operators.graph import dedup_components_keep_best
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    quality = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (10, 1), (11, 1), (99, 7)],
+        "doc_id long, quality long",
+    )
+    out = {
+        r["node"]: (r["keep"], r["survivor"])
+        for r in dedup_components_keep_best(pairs, quality).collect()
+    }
+    # cluster {1,2,3}: quality 9 tie between 2 and 3 -> survivor 2
+    assert out[1] == (False, 2) and out[2] == (True, 2) and out[3] == (False, 2)
+    # cluster {10,11}: tie -> smallest id 10
+    assert out[10] == (True, 10) and out[11] == (False, 10)
+    assert 99 not in out  # never paired -> implicitly kept
