@@ -1488,6 +1488,18 @@ def q_neardup_components(spark, sf_dir):
     )
 
 
+def q_simhash_md5_neardup(spark, sf_dir):
+    """[EXT] Oracle-replayable SimHash near-dup: md5 token hash,
+    occurrence-weighted 32-bit majority vote, banded candidate join,
+    exact Hamming verify via bit_count(xor) — every stage integer SQL,
+    so unlike the xxhash64 `simhash_neardup` row this one hash-checks
+    (the SimHash counterpart of the r4 MinHash md5 family)."""
+    from flyq_spark.operators.dedup import simhash_md5_neardup_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return simhash_md5_neardup_pairs(docs, max_hamming=3, bands=4)
+
+
 def q_neardup_keep_best(spark, sf_dir):
     """[EXT] Quality-aware survivor selection over near-dup clusters:
     the production dedup decision (keep the BEST document per duplicate
@@ -2347,6 +2359,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "corpus_prep_pipeline": q_corpus_prep_pipeline,
         "neardup_keep_best": q_neardup_keep_best,
+        "simhash_md5_neardup": q_simhash_md5_neardup,
     }
 
 
@@ -3815,6 +3828,44 @@ SELECT CAST(least(greatest(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) //
        CAST(count(*) AS BIGINT) AS n_events
 FROM events
 GROUP BY 1
+""",
+        # 32 conditional vote sums generated below; bit b of the
+        # signature is set iff its occurrence-weighted vote is > 0 —
+        # identical integer arithmetic to operators/dedup.py simhash_md5
+        "simhash_md5_neardup": f"""
+WITH tok AS (
+  SELECT doc_id, word, count(*) AS c FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(text), '\\s+')) AS word
+    FROM documents
+  ) WHERE word <> '' GROUP BY 1, 2
+),
+h AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(word), 1, 8)) AS BIGINT) AS hv, c
+  FROM tok
+),
+votes AS (
+  SELECT doc_id,
+         {", ".join(f"sum(CASE WHEN (hv >> {i}) & 1 = 1 THEN c ELSE -c END) AS b{i}" for i in range(32))}
+  FROM h GROUP BY doc_id
+),
+sig AS (
+  SELECT doc_id,
+         CAST({" + ".join(f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(32))} AS BIGINT) AS s
+  FROM votes
+),
+bands AS (
+  SELECT doc_id, s, band, (s >> (CAST(band AS INTEGER) * 8)) & 255 AS bv
+  FROM sig, UNNEST(range(0, 4)) AS t(band)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS sa, b.s AS sb
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
+                           AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 3
 """,
         "neardup_keep_best": """
 WITH RECURSIVE pairs AS (

@@ -698,3 +698,122 @@ def syndication_by_source(
         .groupBy("source_a", "source_b")
         .agg(F.count("*").cast("long").alias("n_pairs"))
     )
+
+
+def simhash_md5(
+    df: DataFrame,
+    bits: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ORACLE-REPLAYABLE SimHash — the md5 counterpart of ``simhash``
+    (whose xxhash64 token hash has no portable SQL equivalent), same
+    construction the r4 MinHash md5 family used to make LSH
+    hash-checkable end to end: token hash = first 8 md5 hex digits (a
+    32-bit uniform int), per-bit majority vote weighted by the token's
+    occurrence count, bit set iff the vote sum is > 0. Every step is
+    integer arithmetic on a deterministic hash — the signature replays
+    bit-exactly on any engine with md5.
+
+    Skew-safe plan: tokens pre-aggregate to (doc, word, count) with
+    map-side combine (a hot word crosses the wire once per doc), ONE
+    md5 per distinct (doc, word), then one groupBy(doc) computing all
+    ``bits`` conditional sums. Output: (id, simhash long)."""
+    from functools import reduce
+
+    from flyq_spark.operators.util import fan_out
+
+    toks = (
+        fan_out(df)
+        .select(
+            F.col(id_col),
+            F.explode(F.split(F.lower(F.col(text_col)), "\\s+")).alias("_w"),
+        )
+        .where(F.col("_w") != "")
+        .groupBy(id_col, "_w")
+        .agg(F.count("*").alias("_c"))
+    )
+    h32 = F.conv(F.substring(F.md5(F.col("_w")), 1, 8), 16, 10).cast("long")
+    hashed = toks.select(F.col(id_col), h32.alias("_h"), "_c")
+    votes = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) == 1,
+                F.col("_c"),
+            ).otherwise(-F.col("_c"))
+        ).alias(f"_b{i}")
+        for i in range(bits)
+    ]
+    agg = hashed.groupBy(id_col).agg(*votes)
+    sig = reduce(
+        lambda a, b: a + b,
+        [
+            F.when(F.col(f"_b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            for i in range(bits)
+        ],
+    )
+    return agg.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_md5_neardup_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    bits: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Banded near-dup join over the md5 SimHash: signatures split into
+    ``bands`` equal bit-bands; by pigeonhole any pair within
+    ``max_hamming`` < ``bands`` differing bits collides on at least one
+    untouched band, so candidate generation is an equi-join on
+    (band, band_value) — never all-pairs — and the exact Hamming verify
+    (``bit_count(xor)``) runs on candidates only. Both stages are plain
+    integer SQL: the whole pipeline hash-checks against the oracle.
+
+    Output: (id_a, id_b, hamming) with id_a < id_b."""
+    if bits % bands:
+        raise ValueError(f"bits={bits} not divisible by bands={bands}")
+    if max_hamming >= bands:
+        raise ValueError(
+            f"pigeonhole guarantee needs max_hamming < bands "
+            f"(got {max_hamming} >= {bands})"
+        )
+    width = bits // bands
+    mask = (1 << width) - 1
+    sigs = simhash_md5(df, bits=bits, id_col=id_col, text_col=text_col)
+    banded = sigs.select(
+        F.col(id_col),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bv"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_bd"),
+    ).select(id_col, "simhash", F.col("_bd.band").alias("band"), F.col("_bd.bv").alias("bv"))
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("_sa"), "band", "bv"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("_sb"), "band", "bv"
+    )
+    cand = (
+        a.join(b, ["band", "bv"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_sa", "_sb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))).cast("long")
+    return cand.select(
+        "id_a", "id_b", ham.alias("hamming")
+    ).where(F.col("hamming") <= max_hamming)

@@ -1888,3 +1888,29 @@ def test_dedup_keep_best_survivor_by_quality(spark):
     # cluster {10,11}: tie -> smallest id 10
     assert out[10] == (True, 10) and out[11] == (False, 10)
     assert 99 not in out  # never paired -> implicitly kept
+
+
+def test_simhash_md5_neardup_semantics(spark):
+    """Identical docs pair at hamming 0; one-word edits stay within the
+    threshold; unrelated docs never pair. Signature is a pure function
+    of content (the md5 family's oracle-replayability contract)."""
+    from flyq_spark.operators.dedup import simhash_md5, simhash_md5_neardup_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy dog again and again"),
+            (3, "the quick brown fox jumps over the lazy cat again and again"),
+            (4, "completely different content about spark shuffles and joins"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_md5_neardup_pairs(docs, max_hamming=3).collect()
+    }
+    assert pairs[(1, 2)] == 0  # identical -> same signature
+    assert all(4 not in p for p in pairs)  # unrelated never pairs
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_md5(docs).collect()}
+    assert sigs[1] == sigs[2] and sigs[1] != sigs[4]
+    assert 0 <= sigs[1] < (1 << 32)
