@@ -2206,7 +2206,7 @@ _DRIVER_WINDOW = [
     "minhash_jaccard_pairs", "cdc_apply", "scd2_history",
     "duplicate_spans", "rare_token_stats", "contamination_check",
     "neardup_components", "neardup_keep_best", "dedup_exact",
-    "doc_fingerprints", "token_stats", "text_quality", "lang_id",
+    "simhash_md5_neardup", "doc_fingerprints", "text_quality", "lang_id",
     "ngram_jaccard", "similarity_topk", "embedding_neardup",
     "span_removal", "train_test_split", "corpus_shuffle",
     "pack_documents", "quality_filter", "stratified_sample",
