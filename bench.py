@@ -50,6 +50,11 @@ HEADLINE = [
     ("similarity_topk", True),
     ("ann_lsh_topk", True),
     ("embedding_neardup", True),
+    # r5 additions: the de-skewed frequency operator and the two new
+    # oracle-checked pipelines
+    ("rare_token_stats", False),
+    ("simhash_md5_neardup", False),
+    ("corpus_prep_pipeline", True),
 ]
 
 
