@@ -2181,6 +2181,50 @@ def q_semdedup(spark, sf_dir):
     )
 
 
+def q_quality_classifier(spark, sf_dir):
+    """[EXT] fastText-shaped hashed linear classifier scoring
+    (operators/text.py hashed_linear_score): unigram+bigram features →
+    md5 bucket → deterministic integer weight, ONE doc-key shuffle with
+    map-side partial sums. Integer-exact, so the full inference pass
+    hash-checks against the ANSI replay — the quality/toxicity scoring
+    stage of CCNet/GPT-3-style corpus filtering."""
+    from flyq_spark.operators.text import hashed_linear_score
+
+    docs = _read(spark, sf_dir, "documents")
+    return hashed_linear_score(docs).orderBy("doc_id")
+
+
+def q_salient_terms(spark, sf_dir):
+    """[EXT] Per-document top-k salient terms (operators/text.py
+    salient_terms) — the integer-exact TF-IDF keyword-extraction core:
+    tf DESC, then df ASC (rarer = more specific), then term. The df
+    attachment uses the de-skewed groupBy+equi-join shape (hot terms
+    cost #docs rows, never #occurrences)."""
+    from flyq_spark.operators.text import salient_terms
+
+    docs = _read(spark, sf_dir, "documents")
+    return salient_terms(docs, k=5, min_tf=2).orderBy("doc_id", "rank")
+
+
+def q_pagerank_neardup(spark, sf_dir):
+    """[EXT] PageRank over the exact-cosine near-dup pair graph
+    (operators/graph.py pagerank): fixed-iteration power method, two
+    key shuffles per round, dangling mass as one driver scalar, lineage
+    truncated per round. Rows-only (float ranks; cross-partition float
+    reduction order is not bit-stable) — the algorithm is pinned to
+    1e-9 against a pure-Python reference in pytest. Ranks surface the
+    canonical member of each duplicate cluster."""
+    from flyq_spark.operators.graph import pagerank
+
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pairs = V.neardup_pairs_exact(emb, min_cosine=0.4)
+    return (
+        pagerank(pairs, iters=8)
+        .select(F.col("node").alias("vec_id"), "rank")
+        .orderBy("vec_id")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the monitor composition (A12+A13+A14+A29) at sf0.001."""
     return q_monitor_alerts(spark, SF0001)
@@ -2197,7 +2241,9 @@ _DRIVER_WINDOW = [
     "json_props_stats",
     # produce/routing changed this round (dense seq + keyless-only RR)
     "produce_log", "route_keyed", "route_round_robin",
-    "watermarks", "consumer_lag", "commit_offset_upsert",
+    "consumer_lag",
+    # new oracle-checked this round (classifier scoring, keyword extraction)
+    "quality_classifier", "salient_terms",
     # new this round, oracle-backed
     "corpus_prep_pipeline", "quality_weighted_sample",
     # never driver-checked before r5: custom joins, CDC, corpus/dedup,
@@ -2321,6 +2367,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_removal": q_span_removal,
         "source_composition": q_source_composition,
         "rare_token_stats": q_rare_token_stats,
+        "quality_classifier": q_quality_classifier,
+        "salient_terms": q_salient_terms,
+        "pagerank_neardup": q_pagerank_neardup,
         "syndication_audit": q_syndication_audit,
         "log_compaction": q_log_compaction,
         "upsample_mix": q_upsample_mix,
@@ -3412,6 +3461,54 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
        CAST(sum(CASE WHEN c <= 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare_tokens,
        CAST(count(DISTINCT CASE WHEN c <= 100 THEN w END) AS BIGINT) AS n_distinct_rare
 FROM freq GROUP BY doc_id
+""",
+        # identical md5 bucket/weight arithmetic to text.hashed_linear_score
+        "quality_classifier": """
+WITH words AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+  FROM documents
+),
+feats AS (
+  SELECT doc_id, unnest(w) AS f FROM words
+  UNION ALL
+  SELECT doc_id, w[CAST(i AS BIGINT)] || ' ' || w[CAST(i AS BIGINT) + 1] AS f
+  FROM words, UNNEST(range(1, len(w))) AS t(i)
+),
+bucketed AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(f), 1, 8)) AS BIGINT) % 4096 AS b
+  FROM feats
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_features,
+       CAST(sum(
+         CAST(concat('0x', substr(md5('flyq-quality-v1:' || CAST(b AS VARCHAR)), 1, 8))
+              AS BIGINT) % 2001 - 1000
+       ) AS BIGINT) AS score
+FROM bucketed GROUP BY doc_id
+""",
+        "salient_terms": """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS t
+  FROM documents
+),
+dt AS (
+  SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+  FROM toks WHERE t <> '' GROUP BY 1, 2
+),
+dfreq AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY 1
+),
+ranked AS (
+  SELECT dt.doc_id, dt.t AS term, dt.tf, dfreq.df,
+         CAST(row_number() OVER (
+           PARTITION BY dt.doc_id
+           ORDER BY dt.tf DESC, dfreq.df ASC, dt.t ASC
+         ) AS BIGINT) AS rank
+  FROM dt JOIN dfreq USING (t) WHERE dt.tf >= 2
+)
+SELECT doc_id, term, tf, df, rank FROM ranked WHERE rank <= 5
 """,
         "source_composition": """
 WITH t AS (

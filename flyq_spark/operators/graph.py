@@ -157,3 +157,88 @@ def dedup_components_keep_best(
             "survivor",
         )
     )
+
+
+def pagerank(
+    pairs: DataFrame,
+    damping: float = 0.85,
+    iters: int = 10,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    directed: bool = False,
+) -> DataFrame:
+    """PageRank by fixed-iteration power method over the edge list —
+    the centrality ranking LLM pipelines use for source/domain quality
+    weighting (Common Crawl host ranks seed crawl prioritization and
+    quality priors; within a near-dup cluster graph it surfaces the
+    "canonical" document other copies orbit).
+
+    Semantics (the standard formulation, uniform teleport): rank is a
+    probability vector over the n graph nodes, initialized 1/n;
+    each iteration sends rank(u)/outdeg(u) along every edge, damps by
+    ``damping``, and redistributes dangling-node mass (outdeg 0 —
+    possible only when ``directed``) uniformly. Fixed ``iters``
+    rounds, so the result is a pure function of the edge set.
+
+    Plan per iteration — O(V + E) rows, two key shuffles, nothing
+    driver-side but one dangling-mass scalar:
+    - contributions = ranks ⋈ edges on the src key (AQE skew-split for
+      hub nodes) → groupBy(dst) with map-side partial sums;
+    - left join back onto the node set (nodes nobody links to keep the
+      teleport term);
+    - ``localCheckpoint`` per round truncates lineage (same trap as
+      ``connected_components``).
+    Out-degrees are computed ONCE and reused — they are static.
+
+    Float output → rows-only in the gate; pinned against a pure-Python
+    reference in pytest (per-node sums are short; see
+    tests/test_graph.py). Output: (node, rank) with sum(rank) == 1.
+    """
+    fwd = pairs.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+    if directed:
+        edges = fwd.distinct().localCheckpoint()
+    else:
+        edges = (
+            fwd.union(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .distinct()
+            .localCheckpoint()
+        )
+    nodes = (
+        edges.select(F.col("u").alias("node"))
+        .union(edges.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select("node", F.lit(0.0).alias("rank"))
+    outdeg = edges.groupBy("u").agg(F.count("*").alias("_deg")).localCheckpoint()
+    ranks = nodes.select("node", (F.lit(1.0) / F.lit(float(n))).alias("rank"))
+    teleport = (1.0 - damping) / n
+    for _ in range(iters):
+        with_deg = ranks.join(outdeg, ranks.node == outdeg.u, "left_outer")
+        # dangling mass: rank sitting on nodes with no out-edges is
+        # redistributed uniformly (one scalar to the driver per round).
+        dangling = with_deg.where(F.col("_deg").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0))
+        ).collect()[0][0]
+        contrib = (
+            with_deg.where(F.col("_deg").isNotNull())
+            .select("node", (F.col("rank") / F.col("_deg")).alias("_share"))
+            .join(edges, F.col("node") == edges.u)
+            .groupBy("v")
+            .agg(F.sum("_share").alias("_in"))
+        )
+        base = teleport + damping * dangling / n
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.v, "left_outer")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

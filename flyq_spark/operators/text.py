@@ -574,3 +574,124 @@ def unigram_surprisal(
             "mean_surprisal"
         ),
     )
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    dim: int = 4096,
+    seed: str = "flyq-quality-v1",
+    bigrams: bool = True,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """fastText-shaped linear text classifier scoring: hash unigram (and
+    word-bigram) features into ``dim`` buckets, score = sum of the
+    per-bucket model weights over all feature OCCURRENCES. This is the
+    inference kernel of the quality/toxicity classifiers LLM pipelines
+    run over every document (CCNet, GPT-3's WebText classifier) — the
+    weight table is the model; here it is derived deterministically
+    from ``seed`` (md5 of "seed:bucket" → integer in [-1000, 1000]) so
+    the whole computation is engine-replayable in ANSI SQL with no
+    trained artifact, and INTEGER-exact (float dot products are
+    partition-order-dependent; integer sums are associative).
+
+    Plan, one shuffle: token-array projection → feature explode
+    (unigrams + adjacent bigrams off the same array, no self-join) →
+    bucket AND weight computed in the same narrow projection (the
+    weight is a pure function of the bucket, so there is no weight
+    table to join or broadcast) → ONE doc-key groupBy with map-side
+    partial sums. At 100 TB the shuffle carries one (doc, partial)
+    row per map partition per doc — never per token.
+
+    Output: (id, n_features, score) as BIGINTs; callers threshold
+    score (e.g. keep score >= 0)."""
+    arr = F.array_remove(F.split(F.lower(F.col(text_col)), "\\s+"), "")
+    uni = arr
+    feats = uni
+    if bigrams:
+        big = F.when(F.size(arr) >= 2, F.transform(
+            F.sequence(F.lit(1), F.size(arr) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(arr, i), F.element_at(arr, i + 1)
+            ),
+        )).otherwise(F.array().cast("array<string>"))
+        feats = F.concat(uni, big)
+    from flyq_spark.operators.util import fan_out
+
+    exploded = fan_out(df).select(
+        F.col(id_col), F.explode(feats).alias("_f")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("_f")), 1, 8), 16, 10).cast("long")
+        % dim
+    )
+    weight = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(seed), bucket.cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2001
+        - 1000
+    )
+    return (
+        exploded.select(F.col(id_col), weight.alias("_w"))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_features"),
+            F.sum("_w").cast("long").alias("score"),
+        )
+    )
+
+
+def salient_terms(
+    df: DataFrame,
+    k: int = 5,
+    min_tf: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-k salient terms — the integer-exact core of
+    TF-IDF keyword extraction. Classic TF-IDF ranks by tf·ln(N/df);
+    ln() is float and cross-engine float totals are hash-fragile, so
+    the ranking key here is the equivalent integer lattice: tf DESC
+    (more occurrences = more salient), then df ASC (rarer across the
+    corpus = more specific), then term ASC (total order). For fixed tf
+    this orders exactly like ln(N/df) would; across tf values it is
+    the standard tf-primary variant.
+
+    Plan: token explode → ONE map-side-combined (doc, term) count; df
+    comes from groupBy(term) over those COMPACT rows (one row per doc
+    per term, never per occurrence — a hot term costs #docs rows, and
+    the equi-join back is AQE-skew-splittable, the same de-skew shape
+    as rare_token_stats); one doc-key window ranks. No broadcast of
+    the vocabulary (it is the long tail — does not fit at corpus
+    scale).
+
+    Output: (id, term, tf, df, rank), rank 1..k."""
+    from flyq_spark.operators.util import fan_out
+
+    toks = fan_out(df).select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), "\\s+")).alias("_t"),
+    ).where(F.col("_t") != "")
+    doc_term = toks.groupBy(id_col, "_t").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    dfreq = doc_term.groupBy("_t").agg(
+        F.count("*").cast("long").alias("df")
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("_t").asc()
+    )
+    return (
+        doc_term.where(F.col("tf") >= min_tf)
+        .join(dfreq, "_t")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(F.col(id_col), F.col("_t").alias("term"), "tf", "df", "rank")
+    )

@@ -29,6 +29,7 @@ def test_queries_and_oracles_consistent():
         "multimodal_features",
         "sketch_stats",
         "semdedup",
+        "pagerank_neardup",
     }
 
 

@@ -1914,3 +1914,131 @@ def test_simhash_md5_neardup_semantics(spark):
     sigs = {r["doc_id"]: r["simhash"] for r in simhash_md5(docs).collect()}
     assert sigs[1] == sigs[2] and sigs[1] != sigs[4]
     assert 0 <= sigs[1] < (1 << 32)
+
+
+def test_pagerank_matches_python_reference(spark):
+    """Fixed-iteration PageRank equals an independent pure-Python power
+    iteration (same damping/teleport/dangling semantics) to 1e-9, on a
+    graph with a hub, a chain, and (directed case) a dangling node."""
+    from flyq_spark.operators.graph import pagerank
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 4), (5, 3), (4, 5)]
+
+    def ref_pagerank(pairs, damping, iters, directed):
+        es = set()
+        for a, b in pairs:
+            es.add((a, b))
+            if not directed:
+                es.add((b, a))
+        nodes = sorted({x for e in es for x in e})
+        n = len(nodes)
+        out = {u: 0 for u in nodes}
+        for u, _ in es:
+            out[u] += 1
+        r = {u: 1.0 / n for u in nodes}
+        for _ in range(iters):
+            dangling = sum(r[u] for u in nodes if out[u] == 0)
+            nxt = {
+                u: (1.0 - damping) / n + damping * dangling / n for u in nodes
+            }
+            for u, v in es:
+                nxt[v] += damping * r[u] / out[u]
+            r = nxt
+        return r
+
+    for directed in (False, True):
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {
+            r["node"]: r["rank"]
+            for r in pagerank(pairs, iters=8, directed=directed).collect()
+        }
+        want = ref_pagerank(edges, 0.85, 8, directed)
+        assert set(got) == set(want)
+        for u in want:
+            assert abs(got[u] - want[u]) < 1e-9, (directed, u)
+        assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_hub_outranks_leaf(spark):
+    from flyq_spark.operators.graph import pagerank
+
+    star = spark.createDataFrame(
+        [(i, 100) for i in range(1, 8)], "id_a long, id_b long"
+    )
+    r = {x["node"]: x["rank"] for x in pagerank(star, iters=6).collect()}
+    assert r[100] > max(r[i] for i in range(1, 8))
+
+
+def test_hashed_linear_score_matches_python_reference(spark):
+    """Score equals an independent Python md5 replay (bucket + weight
+    arithmetic), is partitioning-invariant, and counts unigrams +
+    adjacent bigrams exactly once per occurrence."""
+    import hashlib
+
+    from flyq_spark.operators.text import hashed_linear_score
+
+    docs = [
+        (1, "spark shuffles data across the cluster"),
+        (2, "spark  shuffles data"),  # double space: split artifact guard
+        (3, "one"),
+        (4, "the the the the"),
+    ]
+
+    def ref_score(text, dim=4096, seed="flyq-quality-v1"):
+        words = [w for w in text.lower().split() if w]
+        feats = words + [
+            f"{a} {b}" for a, b in zip(words, words[1:])
+        ]
+        s = 0
+        for f in feats:
+            b = int(hashlib.md5(f.encode()).hexdigest()[:8], 16) % 4096
+            w = (
+                int(
+                    hashlib.md5(f"{seed}:{b}".encode()).hexdigest()[:8], 16
+                )
+                % 2001
+                - 1000
+            )
+            s += w
+        return len(feats), s
+
+    for parts in (1, 7):
+        df = spark.createDataFrame(docs, "doc_id long, text string").repartition(
+            parts
+        )
+        got = {
+            r["doc_id"]: (r["n_features"], r["score"])
+            for r in hashed_linear_score(df).collect()
+        }
+        for i, text in docs:
+            assert got[i] == ref_score(text), (parts, i)
+
+
+def test_salient_terms_ranking_and_ties(spark):
+    """tf DESC then df ASC then term ASC; min_tf prunes singletons;
+    rank is dense 1..k per doc."""
+    from flyq_spark.operators.text import salient_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha alpha beta beta gamma"),     # alpha/beta tf=2
+            (2, "beta beta beta zeta zeta"),        # beta tf=3 but df=2
+            (3, "zeta zeta alpha"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = salient_terms(docs, k=2, min_tf=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["rank"], r["term"], r["tf"], r["df"])
+        )
+    for d in by_doc:
+        by_doc[d].sort()
+    # doc 1: alpha and beta both tf=2; df(alpha)=2 == df(beta)=2 -> term ASC
+    assert [t[1] for t in by_doc[1]] == ["alpha", "beta"]
+    # doc 2: beta tf=3 ranks first despite df=2; zeta tf=2 second
+    assert [t[1] for t in by_doc[2]] == ["beta", "zeta"]
+    # doc 3: only zeta has tf>=2 -> single row
+    assert [t[1] for t in by_doc[3]] == ["zeta"]
+    assert all(t[0] in (1, 2) for d in by_doc for t in by_doc[d])
