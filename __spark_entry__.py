@@ -1547,6 +1547,33 @@ def q_multimodal_content(spark, sf_dir):
 # ---- non-SQL-expressible (rows-only gate; pinned in pytest) ----------- #
 
 
+def q_phash_neardup(spark, sf_dir):
+    """[EXT] Perceptual near-dup over media payloads
+    (operators/multimodal.py): Arrow-batched dHash (decode stubbed,
+    locality-preserving) → banded Hamming equi-join + popcount verify.
+    Rows-only (the hash crosses the Python kernel boundary); hash
+    semantics, pigeonhole recall, and determinism pinned in pytest."""
+    media = M.attach_media(
+        _read(spark, sf_dir, "documents"), "text", kind="image"
+    )
+    hashes = M.perceptual_hash(media)
+    return (
+        M.phash_neardup_pairs(hashes, max_hamming=8)
+        .join(
+            media.select(F.col("content_id").alias("id_a"),
+                         F.col("doc_id").alias("doc_a")),
+            "id_a",
+        )
+        .join(
+            media.select(F.col("content_id").alias("id_b"),
+                         F.col("doc_id").alias("doc_b")),
+            "id_b",
+        )
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def q_minhash_pairs(spark, sf_dir):
     return D.minhash_lsh_pairs(_read(spark, sf_dir, "documents"), jaccard_threshold=0.4)
 
@@ -2363,6 +2390,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_codes": q_zorder_codes,
         "embedding_quantize": q_embedding_quantize,
         "multimodal_content": q_multimodal_content,
+        "phash_neardup": q_phash_neardup,
         "duplicate_spans": q_duplicate_spans,
         "span_removal": q_span_removal,
         "source_composition": q_source_composition,

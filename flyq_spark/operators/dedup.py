@@ -817,3 +817,47 @@ def simhash_md5_neardup_pairs(
     return cand.select(
         "id_a", "id_b", ham.alias("hamming")
     ).where(F.col("hamming") <= max_hamming)
+
+
+def minhash_band_keys(
+    sigs: DataFrame,
+    k: int = 32,
+    bands: int = 8,
+    id_col: str = "doc_id",
+    sig_col: str = "minhash",
+) -> DataFrame:
+    """LSH band keys off a ``minhash_signatures`` output: one
+    (id, band, band_key) row per band, band_key = md5 of the band's
+    signature slice joined with '|' (a fixed-width join key regardless
+    of r = k/bands). Factored out of ``minhash_band_pairs`` so callers
+    that maintain a SIGNATURE STORE (e.g. the streaming dedup sink,
+    which anti-joins new batches against all prior band keys) share the
+    exact banding arithmetic with the batch pair join."""
+    if k % bands:
+        raise ValueError(f"k={k} not divisible by bands={bands}")
+    r = k // bands
+    sig = F.col(sig_col)
+    return sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.element_at(sig, band * r + j + 1).cast(
+                                        "string"
+                                    )
+                                    for j in range(r)
+                                ],
+                            )
+                        ).alias("band_key"),
+                    )
+                    for band in range(bands)
+                ]
+            )
+        ).alias("_bb"),
+    ).select(id_col, "_bb.band", "_bb.band_key")

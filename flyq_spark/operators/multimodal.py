@@ -146,3 +146,125 @@ def frame_sample_plan(df: DataFrame, every_n: int = 8) -> DataFrame:
             F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
         ).alias("frame_idx"),
     )
+
+
+# ----------------------------------------------------------------------- #
+# perceptual near-dup (dHash over the decoded luma grid)
+# ----------------------------------------------------------------------- #
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("content_id", T.StringType(), False),
+        T.StructField("phash", T.LongType(), False),
+    ]
+)
+
+
+def _luma_grid_stub(payload: bytes, rows: int = 8, cols: int = 9):
+    """STUB luma downsample — deterministic, LOCALITY-PRESERVING fake in
+    place of a real decode+resize (PIL's ``convert('L').resize((9, 8))``
+    in a real deployment). The payload bytes are treated as the decoded
+    sample stream and mean-pooled into a rows x cols grid, so payloads
+    that differ in a few bytes get nearly identical grids — unlike a
+    digest-derived fake, which would avalanche and make "near" vacuous.
+    """
+    import numpy as np
+
+    raw = np.frombuffer(payload, dtype=np.uint8)
+    if raw.size == 0:
+        raw = np.zeros(rows * cols, dtype=np.uint8)
+    if raw.size < rows * cols:
+        raw = np.tile(raw, (rows * cols + raw.size - 1) // raw.size)
+    return np.array(
+        [c.mean() for c in np.array_split(raw, rows * cols)], dtype=np.float64
+    ).reshape(rows, cols)
+
+
+def perceptual_hash(df: DataFrame) -> DataFrame:
+    """64-bit dHash per payload — the perceptual fingerprint image
+    pipelines dedup on (difference hash: bit (r, c) = grid[r][c+1] >
+    grid[r][c] over an 8x9 luma grid; gradient direction survives
+    re-encoding/resizing, which is why dHash/pHash families beat
+    content_id sha256 for NEAR-duplicate media). Decode is the stubbed
+    kernel above; the Arrow ``mapInPandas`` boundary, schema, and
+    partition-parallel batch shape are the real deployment's.
+
+    Input needs (content_id, payload) — see ``attach_media``. One
+    Python call per Arrow batch, no shuffle. Output: (content_id,
+    phash) with phash an int64 (bit 63 may set the sign — callers XOR
+    and popcount, they never compare magnitudes)."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            hashes = []
+            for payload in pdf["payload"]:
+                g = _luma_grid_stub(bytes(payload))
+                bits = (g[:, 1:] > g[:, :-1]).flatten()
+                h = np.uint64(0)
+                for b in bits:
+                    h = (h << np.uint64(1)) | np.uint64(bool(b))
+                hashes.append(np.int64(h))
+            yield pd.DataFrame(
+                {"content_id": pdf["content_id"], "phash": hashes}
+            )
+
+    return df.select("content_id", "payload").mapInPandas(run, PHASH_SCHEMA)
+
+
+def phash_neardup_pairs(
+    hashes: DataFrame, max_hamming: int = 8, bands: int = 8
+) -> DataFrame:
+    """Near-duplicate media pairs from 64-bit perceptual hashes: banded
+    Hamming LSH (a pair collides when some band's 64/bands bits match
+    exactly — by pigeonhole, every pair within ``max_hamming <
+    bands`` differing bits is caught by SOME band, so recall is 1.0 in
+    that regime, probabilistic above it) + exact popcount verify on
+    candidates only. Same banded equi-join shape as SimHash: shuffle
+    carries |media| x bands small rows, never n^2 comparisons; all
+    bit arithmetic is JVM-side codegen.
+
+    Output: (id_a, id_b, hamming) on content_id, id_a < id_b."""
+    if 64 % bands:
+        raise ValueError(f"bands={bands} must divide 64")
+    width = 64 // bands
+    mask = (1 << width) - 1
+    banded = hashes.select(
+        F.col("content_id"),
+        F.col("phash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        (
+                            F.shiftrightunsigned(F.col("phash"), i * width)
+                            .bitwiseAND(F.lit(mask))
+                        ).alias("bits"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("_bb"),
+    ).select("content_id", "phash", "_bb.band", "_bb.bits")
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bits") == F.col("b.bits"),
+                F.col("a.content_id") < F.col("b.content_id"),
+            ],
+        )
+        .select(
+            F.col("a.content_id").alias("id_a"),
+            F.col("b.content_id").alias("id_b"),
+            ham.cast("long").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )

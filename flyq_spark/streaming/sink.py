@@ -18,6 +18,7 @@ from __future__ import annotations
 from typing import Callable
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from flyq_spark.engine import FlyQEngine
 
@@ -122,5 +123,92 @@ def upsert_sink(
             os.rename(snapshot_path, old)
         os.rename(tmp, snapshot_path)
         shutil.rmtree(old, ignore_errors=True)
+
+    return write
+
+
+def neardup_dedup_sink(
+    out_path: str,
+    state_path: str,
+    k: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch callback deduplicating a DOCUMENT STREAM against
+    everything already accepted — streaming MinHash-LSH near-dup
+    filtering (the continuous-ingest form of ``minhash_band_pairs``;
+    what a crawl pipeline runs so the corpus never accumulates
+    near-copies between batch dedup passes).
+
+    Per micro-batch:
+    1. md5-family MinHash signatures → LSH band keys (the exact
+       arithmetic of the batch operator, via ``minhash_band_keys``);
+    2. within-batch dedup: a document is dropped when any of its band
+       buckets contains a smaller id (deterministic keep-smallest; a
+       dropped doc's bands still suppress ITS near-dups — transitive
+       cluster collapse, same policy as ``dedup_components_keep_min``);
+    3. history dedup: LEFT ANTI against all band keys in the state
+       store from STRICTLY EARLIER batches;
+    4. survivors' rows land under ``out/batch_id=N``, their band keys
+       under ``state/batch_id=N`` — both written with overwrite, and
+       step 3's strict ``batch_id < N`` filter ignores this batch's own
+       prior partial output, so an at-least-once REPLAY of batch N is
+       byte-idempotent (the foreachBatch epoch id is the dedup unit,
+       the same recipe Structured Streaming docs give for idempotent
+       sinks).
+
+    Documents with no shingles (shorter than ``shingle_n`` words) have
+    no signature and always pass through. State is (band, band_key)
+    rows — O(accepted docs x bands) small rows, partition-pruned by
+    batch_id on read; at 100 TB the anti-join is a key shuffle AQE can
+    skew-split, never a scan-per-doc. A real deployment compacts old
+    batch_id partitions periodically (shape unchanged).
+    """
+    import os
+
+    from flyq_spark.operators.dedup import minhash_band_keys, minhash_signatures
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        sigs = minhash_signatures(
+            batch_df, k=k, shingle_n=shingle_n, id_col=id_col, text_col=text_col
+        )
+        band_df = minhash_band_keys(
+            sigs, k=k, bands=bands, id_col=id_col
+        ).persist()
+        bucket_min = band_df.groupBy("band", "band_key").agg(
+            F.min(id_col).alias("_min_id")
+        )
+        drops = (
+            band_df.join(bucket_min, ["band", "band_key"])
+            .where(F.col(id_col) > F.col("_min_id"))
+            .select(id_col)
+        )
+        if os.path.isdir(state_path):
+            prior = (
+                spark.read.parquet(state_path)
+                .where(F.col("batch_id") < batch_id)
+                .select("band", "band_key")
+            )
+            drops = drops.union(
+                band_df.join(prior, ["band", "band_key"], "left_semi").select(
+                    id_col
+                )
+            )
+        drops = drops.distinct()
+        survivors = batch_df.join(drops, id_col, "left_anti")
+        survivors.write.mode("overwrite").parquet(
+            out_path.rstrip("/") + f"/batch_id={batch_id}"
+        )
+        band_df.join(drops, id_col, "left_anti").select(
+            "band", "band_key"
+        ).write.mode("overwrite").parquet(
+            state_path.rstrip("/") + f"/batch_id={batch_id}"
+        )
+        band_df.unpersist()
 
     return write

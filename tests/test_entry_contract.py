@@ -30,6 +30,7 @@ def test_queries_and_oracles_consistent():
         "sketch_stats",
         "semdedup",
         "pagerank_neardup",
+        "phash_neardup",
     }
 
 

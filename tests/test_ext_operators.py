@@ -2042,3 +2042,68 @@ def test_salient_terms_ranking_and_ties(spark):
     # doc 3: only zeta has tf>=2 -> single row
     assert [t[1] for t in by_doc[3]] == ["zeta"]
     assert all(t[0] in (1, 2) for d in by_doc for t in by_doc[d])
+
+
+def test_perceptual_hash_locality_and_neardup(spark):
+    """Identical payloads share a phash (hamming 0); a small byte edit
+    moves few bits (near pair); random unrelated payloads don't pair.
+    The hash is deterministic through the Arrow batch path."""
+    from flyq_spark.operators.multimodal import (
+        attach_media,
+        perceptual_hash,
+        phash_neardup_pairs,
+    )
+
+    base = bytes(range(256)) * 8
+    edited = bytearray(base)
+    for i in range(0, 24):
+        edited[i] = 255 - edited[i]  # local corruption, most bytes intact
+    unrelated = bytes((i * 37 + 11) % 251 for i in range(2048))
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, bytes(edited)), (4, unrelated)],
+        "media_id long, blob binary",
+    )
+    media = attach_media(df, "blob", kind="image")
+    hashes = perceptual_hash(media)
+    hx = {
+        r["content_id"]: r["phash"]
+        for r in hashes.join(
+            media.select("media_id", "content_id"), "content_id"
+        ).collect()
+    }
+    assert len(hx) == 3  # 1 and 2 share a content_id
+    # determinism across two runs
+    hx2 = {r["content_id"]: r["phash"] for r in perceptual_hash(media).collect()}
+    assert hx == hx2
+
+    cid = {
+        r["media_id"]: r["content_id"]
+        for r in media.select("media_id", "content_id").collect()
+    }
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_neardup_pairs(hashes, max_hamming=8).collect()
+    }
+    near = tuple(sorted((cid[1], cid[3])))
+    assert near in pairs and pairs[near] <= 8
+    assert all(cid[4] not in p for p in pairs)
+
+
+def test_phash_bands_catch_all_pairs_under_pigeonhole(spark):
+    """With bands=8 every pair at hamming < 8 MUST be found (pigeonhole:
+    7 differing bits cannot touch all 8 bands)."""
+    from flyq_spark.operators.multimodal import phash_neardup_pairs
+
+    h = 0x0123456789ABCDEF
+    flipped = h ^ 0b1011011  # 5 bits, all inside the low band
+    spread = h ^ ((1 << 0) | (1 << 9) | (1 << 18) | (1 << 27) | (1 << 36))
+    df = spark.createDataFrame(
+        [("a", h), ("b", flipped), ("c", spread)],
+        "content_id string, phash long",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_neardup_pairs(df, max_hamming=7).collect()
+    }
+    assert got[("a", "b")] == 5
+    assert got[("a", "c")] == 5  # 5 bits across 5 bands: 3 bands still clean

@@ -584,3 +584,56 @@ def test_watermark_tracker_stateful_plan_analyzes(engine, spark):
     analyzed = tracked._jdf.queryExecution().analyzed().toString()
     # Spark 4.1 names the analyzed node TransformWithStateInPySpark
     assert "transformwithstatein" in analyzed.lower()
+
+
+def test_neardup_dedup_sink_filters_across_batches(spark, tmp_path):
+    """Batch-internal near-dups keep the smallest id; a later batch's
+    near-copy of an accepted doc is dropped; novel docs pass; replaying
+    a batch (at-least-once redelivery) is idempotent."""
+    from flyq_spark.streaming.sink import neardup_dedup_sink
+
+    out = str(tmp_path / "accepted")
+    state = str(tmp_path / "bands")
+    sink = neardup_dedup_sink(out, state, k=32, bands=8)
+    base = (
+        "spark shuffles data across the cluster by key so joins "
+        "colocate matching rows before the merge step runs"
+    )
+    perturbed = base.replace("merge", "combine")
+    other = (
+        "completely unrelated prose about broker offsets watermarks "
+        "retention segments and consumer lag accounting in a log"
+    )
+    schema = "doc_id long, text string"
+    b0 = spark.createDataFrame(
+        [(1, base), (2, base), (3, other)], schema
+    )
+    sink(b0, 0)
+    got0 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got0 == {1, 3}  # 2 is a within-batch copy of 1
+
+    b1 = spark.createDataFrame(
+        [(10, perturbed), (11, "novel text nothing like the others at all honestly truly")],
+        schema,
+    )
+    sink(b1, 1)
+    got1 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got1 == {1, 3, 11}  # 10 near-dups accepted doc 1
+
+    # replay batch 1 (same epoch id): output unchanged, no double-drop
+    sink(b1, 1)
+    got2 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got2 == got1
+
+
+def test_neardup_dedup_sink_short_docs_pass(spark, tmp_path):
+    """Docs below the shingle width have no signature and always pass."""
+    from flyq_spark.streaming.sink import neardup_dedup_sink
+
+    sink = neardup_dedup_sink(
+        str(tmp_path / "o"), str(tmp_path / "s"), k=32, bands=8
+    )
+    b = spark.createDataFrame([(1, "hi"), (2, "hi")], "doc_id long, text string")
+    sink(b, 0)
+    got = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "o")).collect()}
+    assert got == {1, 2}
