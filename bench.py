@@ -55,6 +55,9 @@ HEADLINE = [
     ("rare_token_stats", False),
     ("simhash_md5_neardup", False),
     ("corpus_prep_pipeline", True),
+    # classifier scoring + keyword extraction (one-shuffle text passes)
+    ("quality_classifier", False),
+    ("salient_terms", False),
 ]
 
 

@@ -217,11 +217,17 @@ def pagerank(
     teleport = (1.0 - damping) / n
     for _ in range(iters):
         with_deg = ranks.join(outdeg, ranks.node == outdeg.u, "left_outer")
-        # dangling mass: rank sitting on nodes with no out-edges is
-        # redistributed uniformly (one scalar to the driver per round).
-        dangling = with_deg.where(F.col("_deg").isNull()).agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0))
-        ).collect()[0][0]
+        if directed:
+            # dangling mass: rank sitting on nodes with no out-edges is
+            # redistributed uniformly (one scalar to the driver per round).
+            dangling = with_deg.where(F.col("_deg").isNull()).agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0))
+            ).collect()[0][0]
+        else:
+            # symmetrized edges give every node an out-edge — dangling
+            # mass is structurally zero, so skip the per-round driver
+            # aggregate entirely (halves round-trips for the common case)
+            dangling = 0.0
         contrib = (
             with_deg.where(F.col("_deg").isNotNull())
             .select("node", (F.col("rank") / F.col("_deg")).alias("_share"))
