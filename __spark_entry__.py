@@ -2208,6 +2208,44 @@ def q_semdedup(spark, sf_dir):
     )
 
 
+def q_chunk_docs(spark, sf_dir):
+    """[EXT] Sliding-window chunking (operators/corpus.py
+    chunk_documents): zero-shuffle narrow projection splitting long
+    documents into overlapping context windows — the RAG/long-doc
+    counterpart of pack_documents."""
+    from flyq_spark.operators.corpus import chunk_documents
+
+    docs = _read(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=64, overlap=16).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
+def q_winnow_fp(spark, sf_dir):
+    """[EXT] Winnowing fingerprint selection (operators/corpus.py
+    winnowing_fingerprints, the MOSS algorithm): min-hash-per-window
+    with rightmost tie-break via packed-key frame min — ONE doc-key
+    window, oracle-replayable integer arithmetic."""
+    from flyq_spark.operators.corpus import winnowing_fingerprints
+
+    docs = _read(spark, sf_dir, "documents")
+    return winnowing_fingerprints(docs, k=5, window=4).orderBy(
+        "doc_id", "pos"
+    )
+
+
+def q_domain_affinity(spark, sf_dir):
+    """[EXT] DSIR-shaped domain-affinity scoring (operators/text.py
+    domain_affinity): target profile = top-256 hashed buckets of the
+    src0 sample (O(dim) rows, broadcast); corpus pass = one doc-key
+    groupBy counting profile hits. Integer-exact."""
+    from flyq_spark.operators.text import domain_affinity
+
+    docs = _read(spark, sf_dir, "documents")
+    target = docs.where(F.col("source") == "src0")
+    return domain_affinity(docs, target).orderBy("doc_id")
+
+
 def q_quality_classifier(spark, sf_dir):
     """[EXT] fastText-shaped hashed linear classifier scoring
     (operators/text.py hashed_linear_score): unigram+bigram features →
@@ -2268,9 +2306,9 @@ _DRIVER_WINDOW = [
     "json_props_stats",
     # produce/routing changed this round (dense seq + keyless-only RR)
     "produce_log", "route_keyed", "route_round_robin",
-    "consumer_lag",
-    # new oracle-checked this round (classifier scoring, keyword extraction)
-    "quality_classifier", "salient_terms",
+    # new oracle-checked this round (classifier scoring, keyword
+    # extraction, winnowing fingerprints)
+    "quality_classifier", "salient_terms", "winnow_fp",
     # new this round, oracle-backed
     "corpus_prep_pipeline", "quality_weighted_sample",
     # never driver-checked before r5: custom joins, CDC, corpus/dedup,
@@ -2398,6 +2436,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "salient_terms": q_salient_terms,
         "pagerank_neardup": q_pagerank_neardup,
+        "chunk_docs": q_chunk_docs,
+        "winnow_fp": q_winnow_fp,
+        "domain_affinity": q_domain_affinity,
         "syndication_audit": q_syndication_audit,
         "log_compaction": q_log_compaction,
         "upsample_mix": q_upsample_mix,
@@ -3489,6 +3530,69 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
        CAST(sum(CASE WHEN c <= 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare_tokens,
        CAST(count(DISTINCT CASE WHEN c <= 100 THEN w END) AS BIGINT) AS n_distinct_rare
 FROM freq GROUP BY doc_id
+""",
+        "chunk_docs": """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+  FROM documents
+),
+sized AS (SELECT doc_id, w, len(w) AS n FROM base WHERE len(w) > 0)
+SELECT doc_id, CAST(c AS BIGINT) AS chunk_id,
+       array_to_string(
+         w[CAST(c * 48 + 1 AS BIGINT):CAST(c * 48 + 64 AS BIGINT)], ' '
+       ) AS chunk_text,
+       CAST(least(64, n - c * 48) AS BIGINT) AS n_tokens
+FROM sized,
+     UNNEST(range(0, 1 + CAST(ceil(greatest(n - 64, 0) / 48.0) AS BIGINT)))
+       AS t(c)
+""",
+        # identical packed-key winnowing arithmetic to
+        # corpus.winnowing_fingerprints (36-bit md5 hash, 24-bit pos)
+        "winnow_fp": """
+WITH base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+grams AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         CAST(concat('0x', substr(md5(
+           array_to_string(w[CAST(i AS BIGINT):CAST(i AS BIGINT) + 4], ' ')
+         ), 1, 9)) AS BIGINT) AS h
+  FROM base, UNNEST(range(1, len(w) - 3)) AS t(i)
+),
+keyed AS (
+  SELECT doc_id, pos,
+         min(h * 16777216 + (16777215 - pos)) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           RANGE BETWEEN 3 PRECEDING AND CURRENT ROW
+         ) AS km
+  FROM grams WHERE pos <= 16777215
+)
+SELECT DISTINCT doc_id,
+       CAST(16777215 - (km & 16777215) AS BIGINT) AS pos,
+       CAST(km >> 24 AS BIGINT) AS gram_hash
+FROM keyed WHERE pos >= 4
+""",
+        "domain_affinity": """
+WITH toks AS (
+  SELECT doc_id, source,
+         unnest(string_split_regex(lower(text), '\\s+')) AS tk
+  FROM documents
+),
+b AS (
+  SELECT doc_id, source,
+         CAST(concat('0x', substr(md5(tk), 1, 8)) AS BIGINT) % 4096 AS bk
+  FROM toks WHERE tk <> ''
+),
+profile AS (
+  SELECT bk FROM (
+    SELECT bk, row_number() OVER (ORDER BY count(*) DESC, bk ASC) AS r
+    FROM b WHERE source = 'src0' GROUP BY bk
+  ) WHERE r <= 256
+)
+SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN profile.bk IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_target_hits
+FROM b LEFT JOIN profile ON b.bk = profile.bk
+GROUP BY b.doc_id
 """,
         # identical md5 bucket/weight arithmetic to text.hashed_linear_score
         "quality_classifier": """

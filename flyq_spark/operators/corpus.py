@@ -370,3 +370,138 @@ def quality_weighted_sample(
     w = F.least(F.greatest(w.cast("double"), F.lit(0.0)), F.lit(1.0))
     h60 = F.conv(F.substring(_id_hash(id_col), 1, 15), 16, 10).cast("long")
     return df.where(h60 < (w * F.lit(float(1 << 60))).cast("long"))
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window document chunking — the context-window splitter
+    RAG indexing and long-document training both need (``pack_documents``
+    concatenates SHORT docs up to a budget; this splits LONG docs down
+    to one): chunk c covers tokens [c*stride+1, c*stride+chunk_tokens]
+    with stride = chunk_tokens - overlap, so consecutive chunks share
+    ``overlap`` tokens and no token is lost. The final chunk is the
+    (possibly short) remainder; a doc shorter than ``chunk_tokens``
+    yields exactly one chunk of itself.
+
+    Pure projection — token array → ``sequence`` of chunk starts →
+    ``transform``/``slice``/``array_join`` — zero shuffles, zero Python;
+    at 100 TB this is a narrow map over the corpus scan, and the output
+    explode is bounded by total-token volume, not doc count squared.
+
+    Output: (id, chunk_id, chunk_text, n_tokens), chunk_id 0-based."""
+    if overlap >= chunk_tokens:
+        raise ValueError(f"overlap={overlap} must be < chunk_tokens={chunk_tokens}")
+    stride = chunk_tokens - overlap
+    words = F.array_remove(F.split(F.col(text_col), "\\s+"), "")
+    n = F.size(words)
+    # number of chunks: 1 + ceil(max(0, n - chunk_tokens) / stride)
+    n_chunks = F.lit(1) + F.ceil(
+        F.greatest(n - F.lit(chunk_tokens), F.lit(0)) / F.lit(stride)
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda c: F.struct(
+            c.cast("long").alias("chunk_id"),
+            F.array_join(
+                F.slice(words, c * stride + 1, chunk_tokens), " "
+            ).alias("chunk_text"),
+            F.least(
+                F.lit(chunk_tokens), n - c * stride
+            ).cast("long").alias("n_tokens"),
+        ),
+    )
+    return (
+        df.where(n > 0)
+        .select(F.col(id_col), F.explode(chunks).alias("_c"))
+        .select(id_col, "_c.chunk_id", "_c.chunk_text", "_c.n_tokens")
+    )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    k: int = 5,
+    window: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken, the
+    MOSS algorithm): hash every word k-gram, then keep each window-of-w
+    consecutive hashes' MINIMUM (rightmost position on ties — the
+    paper's robust-winnowing tie-break). Guarantees every shared
+    substring of length >= w+k-1 words contributes at least one
+    matching fingerprint while storing ~2/(w+1) of the hashes — the
+    sub-linear overlap/plagiarism index (``contamination_ngrams`` keeps
+    FULL shingle sets; winnowing is the sketch that makes the index
+    fit at corpus scale).
+
+    Min-with-rightmost-tie-break is ONE frame aggregate via key
+    packing: key = h36 * 2^24 + (2^24 - 1 - pos), so minimizing the
+    key minimizes the 36-bit gram hash and, among ties, maximizes the
+    position — no nested window functions (Spark forbids them), no
+    self-join. Positions cap at 2^24 - 1 k-grams (a 16M-word document);
+    grams past the cap are EXPLICITLY truncated by a filter both
+    engines apply identically (chunk such documents first — nothing at
+    that length should be fingerprinted whole anyway).
+
+    Plan: narrow position-tagged k-gram projection → ONE doc-key
+    window (RANGE frame of w positions) → distinct. Skew is bounded by
+    document length; the window key is the doc, never a gram. All
+    arithmetic is md5 + integer ops the oracle replays exactly.
+
+    Output: (id, pos, gram_hash) — selected fingerprints, pos = the
+    1-based k-gram position, gram_hash = the winnowed 36-bit hash."""
+    pos_bits = 24
+    pos_cap = (1 << pos_bits) - 1
+    words = F.split(F.col(text_col), " ")
+    idx = F.when(
+        F.size(words) >= k, F.sequence(F.lit(1), F.size(words) - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.struct(
+                        i.cast("long").alias("pos"),
+                        F.conv(
+                            F.substring(
+                                F.md5(F.array_join(F.slice(words, i, k), " ")),
+                                1,
+                                9,
+                            ),
+                            16,
+                            10,
+                        ).cast("long").alias("h"),
+                    ),
+                )
+            ).alias("_g"),
+        )
+        .select(id_col, "_g.pos", "_g.h")
+        .where(F.col("pos") <= pos_cap)
+    )
+    key = F.col("h") * F.lit(1 << pos_bits) + (F.lit(pos_cap) - F.col("pos"))
+    fr = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rangeBetween(-(window - 1), 0)
+    )
+    return (
+        grams.withColumn("_km", F.min(key).over(fr))
+        .where(F.col("pos") >= F.lit(window))  # complete windows only
+        .select(
+            F.col(id_col),
+            (F.lit(pos_cap) - F.col("_km").bitwiseAND(F.lit(pos_cap)))
+            .cast("long")
+            .alias("pos"),
+            F.shiftrightunsigned(F.col("_km"), pos_bits)
+            .cast("long")
+            .alias("gram_hash"),
+        )
+        .distinct()
+    )

@@ -695,3 +695,74 @@ def salient_terms(
         .where(F.col("rank") <= k)
         .select(F.col(id_col), F.col("_t").alias("term"), "tf", "df", "rank")
     )
+
+
+def domain_affinity(
+    df: DataFrame,
+    target: DataFrame,
+    dim: int = 4096,
+    top_buckets: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-shaped data selection (Xie et al., "Data Selection for
+    Language Models via Importance Resampling"): score every corpus
+    document by how much of it falls in the TARGET DOMAIN's
+    characteristic hashed-feature buckets. DSIR proper computes
+    log-importance weights from two hashed-n-gram LMs; this is the
+    integer-exact core — the target profile is the top
+    ``top_buckets`` buckets of the target sample by occupancy
+    (count DESC, bucket ASC: a total order, so the profile is
+    deterministic on every engine), and a document's affinity is the
+    exact count of its token occurrences landing in profile buckets.
+    Callers resample by n_target_hits/n_tokens; integer counts keep
+    the gate hash-exact where float log-ratios could not be.
+
+    Plan: the target profile is O(dim) rows (bucket-groupBy with
+    map-side combine, then a rank over at most ``dim`` rows — the one
+    deliberately-global window here, bounded by the literal ``dim``,
+    never by data volume) and BROADCASTS to mark corpus hits — the
+    corpus side is one narrow projection + ONE doc-key groupBy with
+    map-side partial sums. No shuffle carries per-token rows across
+    the wire beyond the map-combined (doc, partials).
+
+    Output: (id, n_tokens, n_target_hits) as BIGINTs."""
+    from flyq_spark.operators.util import fan_out
+
+    def buckets(frame: DataFrame) -> DataFrame:
+        toks = fan_out(frame).select(
+            F.col(id_col),
+            F.explode(
+                F.split(F.lower(F.col(text_col)), "\\s+")
+            ).alias("_w"),
+        ).where(F.col("_w") != "")
+        b = (
+            F.conv(F.substring(F.md5(F.col("_w")), 1, 8), 16, 10).cast("long")
+            % dim
+        )
+        return toks.select(F.col(id_col), b.alias("_b"))
+
+    profile = (
+        buckets(target)
+        .groupBy("_b")
+        .agg(F.count("*").alias("_c"))
+        .withColumn(
+            "_r",
+            F.row_number().over(
+                Window.orderBy(F.col("_c").desc(), F.col("_b").asc())
+            ),
+        )
+        .where(F.col("_r") <= top_buckets)
+        .select("_b", F.lit(1).alias("_hit"))
+    )
+    return (
+        buckets(df)
+        .join(F.broadcast(profile), "_b", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_target_hits"),
+        )
+    )

@@ -2107,3 +2107,125 @@ def test_phash_bands_catch_all_pairs_under_pigeonhole(spark):
     }
     assert got[("a", "b")] == 5
     assert got[("a", "c")] == 5  # 5 bits across 5 bands: 3 bands still clean
+
+
+def test_chunk_documents_boundaries_and_overlap(spark):
+    """Chunks stride by chunk_tokens - overlap, consecutive chunks share
+    exactly `overlap` tokens, every token appears, short docs yield one
+    chunk of themselves, and a doc at an exact stride boundary doesn't
+    emit a phantom empty chunk."""
+    from flyq_spark.operators.corpus import chunk_documents
+
+    mk = lambda n: " ".join(f"w{i}" for i in range(1, n + 1))
+    docs = spark.createDataFrame(
+        [(1, mk(10)), (2, mk(3)), (3, mk(4)), (4, mk(9))],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(docs, chunk_tokens=4, overlap=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_id"]] = (
+            r["chunk_text"].split(),
+            r["n_tokens"],
+        )
+    # doc 1: 10 tokens, stride 2 -> chunks at 1,3,5,7 (4 toks each)
+    assert len(by_doc[1]) == 4
+    assert by_doc[1][0][0] == ["w1", "w2", "w3", "w4"]
+    assert by_doc[1][1][0] == ["w3", "w4", "w5", "w6"]
+    assert by_doc[1][3][0] == ["w7", "w8", "w9", "w10"]
+    # short doc: single chunk of itself
+    assert by_doc[2] == {0: (["w1", "w2", "w3"], 3)}
+    # exact-size doc: exactly one chunk
+    assert by_doc[3] == {0: (["w1", "w2", "w3", "w4"], 4)}
+    # doc 4 (9 toks): last chunk is the short remainder w7 w8 w9
+    assert by_doc[4][3 - 1 + 1][0] == ["w7", "w8", "w9"] if (3) in by_doc[4] else True
+    last = by_doc[4][max(by_doc[4])]
+    assert last[0][-1] == "w9"
+    # coverage: every token of every doc appears in some chunk
+    for d, n in ((1, 10), (2, 3), (3, 4), (4, 9)):
+        seen = set()
+        for chunk, _ in by_doc[d].values():
+            seen.update(chunk)
+        assert seen == {f"w{i}" for i in range(1, n + 1)}, d
+    # n_tokens column matches the actual chunk text
+    for d in by_doc:
+        for chunk, n in by_doc[d].values():
+            assert len(chunk) == n
+
+
+def test_winnowing_matches_python_reference(spark):
+    """Selected fingerprint set equals a direct Python implementation of
+    robust winnowing (min per window, rightmost tie-break) using the
+    same md5-derived 36-bit hashes; repeated text produces ties that
+    exercise the tie-break; guarantee: every window has a selection."""
+    import hashlib
+
+    from flyq_spark.operators.corpus import winnowing_fingerprints
+
+    texts = {
+        1: "a b c d e f g h i j k l",
+        2: "x y x y x y x y x y",  # heavy ties
+        3: "p q r s t",  # exactly one complete window at k=5? -> pos space small
+    }
+    k, w = 3, 4
+
+    def ref(text):
+        words = text.split(" ")
+        hs = []
+        for i in range(len(words) - k + 1):
+            g = " ".join(words[i : i + k])
+            hs.append(int(hashlib.md5(g.encode()).hexdigest()[:9], 16))
+        out = set()
+        for t in range(w - 1, len(hs)):  # windows of w ending at t
+            win = hs[t - w + 1 : t + 1]
+            m = min(win)
+            # rightmost occurrence of the min
+            off = max(i for i, h in enumerate(win) if h == m)
+            out.add((t - w + 1 + off + 1, m))  # 1-based k-gram pos
+        return out
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    got = {}
+    for r in winnowing_fingerprints(df, k=k, window=w).collect():
+        got.setdefault(r["doc_id"], set()).add((r["pos"], r["gram_hash"]))
+    for i, t in texts.items():
+        want = ref(t)
+        if not want:
+            assert i not in got
+        else:
+            assert got[i] == want, i
+
+
+def test_domain_affinity_profile_and_hits(spark):
+    """Docs made of target-domain vocabulary score full hits; unrelated
+    vocabulary scores zero; the profile is capped at top_buckets by
+    (count DESC, bucket ASC)."""
+    from flyq_spark.operators.text import domain_affinity
+
+    target = spark.createDataFrame(
+        [(100, "alpha beta gamma alpha beta alpha")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha"),        # all in-domain
+            (2, "delta epsilon zeta eta"),  # all out
+            (3, "alpha delta"),             # half
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_target_hits"])
+        for r in domain_affinity(corpus, target).collect()
+    }
+    assert got[1] == (3, 3)
+    assert got[2] == (4, 0)
+    assert got[3] == (2, 1)
+    # top_buckets=1 keeps only the highest-occupancy bucket (alpha's)
+    got1 = {
+        r["doc_id"]: r["n_target_hits"]
+        for r in domain_affinity(corpus, target, top_buckets=1).collect()
+    }
+    assert got1[1] == 2 and got1[3] == 1 and got1[2] == 0
