@@ -2208,6 +2208,25 @@ def q_semdedup(spark, sf_dir):
     )
 
 
+def q_interval_overlap(spark, sf_dir):
+    """Interval-interval overlap join (operators/rangejoin.py
+    interval_overlap_pairs, keyed regime): per-(user, event_type)
+    activity spans, pairs of behavior types whose spans intersect —
+    the inequality-join shape engines bin-replicate for; here per-key
+    cardinality is bounded so one AQE-skew-splittable key shuffle
+    suffices. Oracle = the naive inequality join."""
+    from flyq_spark.operators.rangejoin import interval_overlap_pairs
+
+    ev = _read(spark, sf_dir, "events")
+    iv = ev.groupBy("user_id", "event_type").agg(
+        F.unix_micros(F.min("ts")).alias("s"),
+        F.unix_micros(F.max("ts")).alias("e"),
+    )
+    return interval_overlap_pairs(
+        iv, "event_type", "s", "e", key_col="user_id"
+    ).orderBy("user_id", "id_a", "id_b")
+
+
 def q_chunk_docs(spark, sf_dir):
     """[EXT] Sliding-window chunking (operators/corpus.py
     chunk_documents): zero-shuffle narrow projection splitting long
@@ -2437,6 +2456,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salient_terms": q_salient_terms,
         "pagerank_neardup": q_pagerank_neardup,
         "chunk_docs": q_chunk_docs,
+        "interval_overlap": q_interval_overlap,
         "winnow_fp": q_winnow_fp,
         "domain_affinity": q_domain_affinity,
         "syndication_audit": q_syndication_audit,
@@ -3530,6 +3550,18 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
        CAST(sum(CASE WHEN c <= 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare_tokens,
        CAST(count(DISTINCT CASE WHEN c <= 100 THEN w END) AS BIGINT) AS n_distinct_rare
 FROM freq GROUP BY doc_id
+""",
+        "interval_overlap": """
+WITH iv AS (
+  SELECT user_id, event_type,
+         epoch_us(min(ts)) AS s, epoch_us(max(ts)) AS e
+  FROM events GROUP BY 1, 2
+)
+SELECT a.user_id, a.event_type AS id_a, b.event_type AS id_b,
+       CAST(least(a.e, b.e) - greatest(a.s, b.s) AS BIGINT) AS overlap
+FROM iv a JOIN iv b
+  ON a.user_id = b.user_id AND a.event_type < b.event_type
+WHERE least(a.e, b.e) - greatest(a.s, b.s) >= 0
 """,
         "chunk_docs": """
 WITH base AS (

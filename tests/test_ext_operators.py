@@ -2229,3 +2229,61 @@ def test_domain_affinity_profile_and_hits(spark):
         for r in domain_affinity(corpus, target, top_buckets=1).collect()
     }
     assert got1[1] == 2 and got1[3] == 1 and got1[2] == 0
+
+
+def test_interval_overlap_pairs_equals_naive(spark):
+    """Both regimes (keyed equi-join, keyless bucket-replicate) produce
+    exactly the naive O(n^2) inequality-join pair set — including
+    touching intervals (overlap 0), nested intervals, and intervals
+    spanning many buckets."""
+    import itertools
+
+    from flyq_spark.operators.rangejoin import interval_overlap_pairs
+
+    rows = [
+        # (id, start, end, key)
+        (1, 0, 10, "a"),
+        (2, 5, 7, "a"),     # nested in 1
+        (3, 10, 20, "a"),   # touches 1 at 10
+        (4, 21, 30, "a"),   # disjoint from 3
+        (5, 0, 100, "b"),   # long interval, many buckets
+        (6, 99, 99, "b"),   # point interval at the far end of 5
+        (7, 101, 110, "b"),
+    ]
+
+    def naive(same_key):
+        out = {}
+        for (i1, s1, e1, k1), (i2, s2, e2, k2) in itertools.combinations(rows, 2):
+            if same_key and k1 != k2:
+                continue
+            ov = min(e1, e2) - max(s1, s2)
+            if ov >= 0:
+                out[(min(i1, i2), max(i1, i2))] = ov
+        return out
+
+    df = spark.createDataFrame(rows, "iid long, s long, e long, k string")
+    keyed = {
+        (r["id_a"], r["id_b"]): r["overlap"]
+        for r in interval_overlap_pairs(df, "iid", "s", "e", key_col="k").collect()
+    }
+    assert keyed == naive(same_key=True)
+    for width in (3, 8, 64):
+        bucketed = {
+            (r["id_a"], r["id_b"]): r["overlap"]
+            for r in interval_overlap_pairs(
+                df, "iid", "s", "e", bucket_width=width
+            ).collect()
+        }
+        assert bucketed == naive(same_key=False), width
+
+
+def test_interval_overlap_pairs_rejects_bad_args(spark):
+    import pytest as _pt
+
+    from flyq_spark.operators.rangejoin import interval_overlap_pairs
+
+    df = spark.createDataFrame([(1, 0, 1)], "iid long, s long, e long")
+    with _pt.raises(ValueError):
+        interval_overlap_pairs(df, "iid", "s", "e")
+    with _pt.raises(ValueError):
+        interval_overlap_pairs(df, "iid", "s", "e", key_col="k", bucket_width=5)
