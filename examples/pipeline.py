@@ -3,9 +3,11 @@
 runs them:
 
     ingest → PII redaction → quality filter (Gopher rules)
+           → classifier scoring (hashed linear, audit)
            → substring-span excision → exact dedup → MinHash near-dup
            → connected components → survivor choice → train/test split
-           → decontamination audit → mixture upweighting
+           → decontamination audit → domain-affinity audit (DSIR-shaped)
+           → mixture upweighting → context chunking
            → reproducible shuffle → sequence packing
            → tokenizer training (BPE on the final corpus) + token audit
 
@@ -74,19 +76,42 @@ def build_training_corpus(
         "left_anti",
     )
 
-    # 3. deterministic split + decontamination audit (8-gram leakage)
+    # 2b. classifier scoring audit — the fastText-shaped second quality
+    #     gate; a real build thresholds on a trained model's score, so
+    #     the frame is returned for auditing rather than filtered on
+    #     (the deterministic demo weights carry no signal)
+    from flyq_spark.operators.text import hashed_linear_score
+
+    cls_scores = hashed_linear_score(kept)
+
+    # 3. deterministic split + decontamination audit (8-gram leakage) +
+    #    domain-affinity audit (how much of each doc falls in the
+    #    en-subset's characteristic hashed buckets — DSIR's integer core)
+    from flyq_spark.operators.text import domain_affinity
+
     split = train_test_split(deduped)
     contamination = contamination_ngrams(deduped)
+    affinity = domain_affinity(
+        deduped, deduped.where(F.col("lang") == "en")
+    )
 
     # 4. mixture upweighting (high-quality langs get extra epochs), then
-    #    reproducible order + token-budget packing for the train side
-    from flyq_spark.operators.corpus import upsample_strata
+    #    context chunking (split docs beyond the model's window — a
+    #    no-op on short docs, load-bearing at scale), reproducible
+    #    order + token-budget packing for the train side
+    from flyq_spark.operators.corpus import chunk_documents, upsample_strata
 
     train = split.where(F.col("split") == "train").drop("split")
     weighted = upsample_strata(train, "lang", {"en": 1.5}).withColumn(
         "doc_id", F.col("doc_id") * 10 + F.col("copy_id")
     ).drop("copy_id")  # re-key copies so shuffle/packing treat them as docs
-    corpus = pack_documents(corpus_shuffle(weighted), token_budget=2048)
+    chunked = (
+        chunk_documents(weighted, chunk_tokens=512, overlap=64)
+        .join(weighted.select("doc_id", "lang", "source"), "doc_id")
+        .withColumn("doc_id", F.col("doc_id") * 100 + F.col("chunk_id"))
+        .select("doc_id", F.col("chunk_text").alias("text"), "lang", "source")
+    )
+    corpus = pack_documents(corpus_shuffle(chunked), token_budget=2048)
 
     # 5. train the tokenizer ON the corpus it will serve (word-freq dict
     #    is the only distributed pass) and audit the token budget under it
@@ -97,8 +122,10 @@ def build_training_corpus(
 
     return {
         "verdicts": verdicts,
+        "cls_scores": cls_scores,
         "deduped": deduped,
         "contamination": contamination,
+        "affinity": affinity,
         "corpus": corpus,
         "bpe_merges": merges,
         "token_audit": token_audit,
@@ -125,8 +152,12 @@ def main() -> None:
     toks = stages["token_audit"].agg(
         F.sum("n_bpe_tokens").alias("bpe"), F.sum("n_words").alias("w")
     ).first()
+    aff = stages["affinity"].agg(
+        F.sum("n_target_hits").alias("h"), F.sum("n_tokens").alias("t")
+    ).first()
     print(f"corpus: {n_docs} packed train docs")
     print(f"quality verdicts: {dropped}")
+    print(f"en-domain affinity: {aff['h']}/{aff['t']} token hits")
     print(f"contamination: {leak['c']}/{leak['t']} test 8-grams seen in train")
     print(
         f"tokenizer: {len(stages['bpe_merges'])} merges; "

@@ -2287,3 +2287,39 @@ def test_interval_overlap_pairs_rejects_bad_args(spark):
         interval_overlap_pairs(df, "iid", "s", "e")
     with _pt.raises(ValueError):
         interval_overlap_pairs(df, "iid", "s", "e", key_col="k", bucket_width=5)
+
+
+def test_pipeline_example_end_to_end(spark):
+    """The examples/pipeline.py composition runs at sf0.001 and its
+    invariants hold: the packed corpus is nonempty and smaller than or
+    equal to the post-upsample doc count in chunks, every corpus row
+    carries a pack assignment, the audits cover the deduped set, and
+    the whole build is deterministic across two runs."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/examples")
+    from pipeline import build_training_corpus
+
+    stages = build_training_corpus(spark, "/root/testdata/sf0.001")
+    corpus = stages["corpus"].select("doc_id", "shard", "pack_id").collect()
+    assert corpus, "empty corpus"
+    assert all(r["pack_id"] >= 0 for r in corpus)
+    from pyspark.sql import functions as _F
+
+    # span excision can empty a document; affinity scores every doc
+    # that still has at least one token
+    n_nonempty = stages["deduped"].where(
+        _F.length(_F.trim(_F.col("text"))) > 0
+    ).count()
+    assert stages["affinity"].count() == n_nonempty
+    assert stages["contamination"].count() > 0
+    assert stages["cls_scores"].count() > 0
+    assert len(stages["bpe_merges"]) == 50
+    # determinism: the corpus assignment is a pure function of input
+    again = build_training_corpus(spark, "/root/testdata/sf0.001")
+    a = sorted((r["doc_id"], r["shard"], r["pack_id"]) for r in corpus)
+    b = sorted(
+        (r["doc_id"], r["shard"], r["pack_id"])
+        for r in again["corpus"].select("doc_id", "shard", "pack_id").collect()
+    )
+    assert a == b
