@@ -1574,6 +1574,19 @@ def q_phash_neardup(spark, sf_dir):
     )
 
 
+def q_source_overlap(spark, sf_dir):
+    """[EXT] Pairwise source-content overlap audit via mergeable HLL
+    sketches (operators/sketch.py source_overlap_matrix): one corpus
+    pass builds per-source shingle sketches (map-side partials), a
+    broadcast self-join over |sources| rows does inclusion-exclusion.
+    Rows-only (estimates carry HLL error); accuracy and stability
+    pinned in pytest."""
+    from flyq_spark.operators.sketch import source_overlap_matrix
+
+    docs = _read(spark, sf_dir, "documents")
+    return source_overlap_matrix(docs).orderBy("group_a", "group_b")
+
+
 def q_minhash_pairs(spark, sf_dir):
     return D.minhash_lsh_pairs(_read(spark, sf_dir, "documents"), jaccard_threshold=0.4)
 
@@ -2448,6 +2461,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": q_embedding_quantize,
         "multimodal_content": q_multimodal_content,
         "phash_neardup": q_phash_neardup,
+        "source_overlap": q_source_overlap,
         "duplicate_spans": q_duplicate_spans,
         "span_removal": q_span_removal,
         "source_composition": q_source_composition,

@@ -31,6 +31,7 @@ def test_queries_and_oracles_consistent():
         "semdedup",
         "pagerank_neardup",
         "phash_neardup",
+        "source_overlap",
     }
 
 

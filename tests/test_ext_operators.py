@@ -2323,3 +2323,64 @@ def test_pipeline_example_end_to_end(spark):
         for r in again["corpus"].select("doc_id", "shard", "pack_id").collect()
     )
     assert a == b
+
+
+def test_source_overlap_matrix_accuracy_and_stability(spark):
+    """Overlap estimates land within HLL tolerance of exact distinct
+    shingle overlaps when sources share literal content, disjoint
+    sources estimate ~0 overlap, and estimates are stable across
+    partitionings up to sketch merge-order noise."""
+    import random
+
+    from flyq_spark.operators.sketch import source_overlap_matrix
+
+    rng = random.Random(7)
+    vocab = [f"tok{i}" for i in range(400)]
+
+    rows = []
+    a_texts = []
+    for i in range(40):
+        t = " ".join(rng.sample(vocab, 20))
+        a_texts.append(t)
+        rows.append((i, t, "A"))
+    for i in range(40):
+        # B shares half its DOCUMENTS with A (literal text reuse ->
+        # literal shingle overlap), half fresh
+        t = a_texts[i] if i < 20 else " ".join(rng.sample(vocab, 20))
+        rows.append((100 + i, t, "B"))
+    for i in range(40):
+        rows.append((200 + i, " ".join(f"z{j}_{i}" for j in range(20)), "C"))
+
+    out = {}
+    for parts in (2, 16):
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        ).repartition(parts)
+        out[parts] = {
+            (r["group_a"], r["group_b"]): (
+                r["est_a"], r["est_b"], r["est_union"], r["est_overlap"]
+            )
+            for r in source_overlap_matrix(df, shingle_n=3).collect()
+        }
+    assert set(out[2]) == {("A", "B"), ("A", "C"), ("B", "C")}
+    # merge-order wobble is a few counts, never percents
+    for pair in out[2]:
+        for x, y in zip(out[2][pair], out[16][pair]):
+            assert abs(x - y) <= max(0.02 * max(abs(x), abs(y)), 8), (pair, x, y)
+
+    def shingles(text, n=3):
+        w = text.split(" ")
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+    sets = {"A": set(), "B": set(), "C": set()}
+    for _id, text, src_ in rows:
+        sets[src_] |= shingles(text)
+    exact_ab = len(sets["A"] & sets["B"])
+    got = out[2]
+    assert exact_ab > 300  # half of B is literally A's docs
+    ea, eb, eu, ov = got[("A", "B")]
+    assert abs(ov - exact_ab) <= 0.15 * exact_ab, (ov, exact_ab)
+    # disjoint pairs: estimate within sketch noise of zero
+    for pair in (("A", "C"), ("B", "C")):
+        ea, eb, eu, ov = got[pair]
+        assert abs(ov) <= 0.05 * max(ea, eb), (pair, ov)

@@ -26,6 +26,7 @@ SCALAR_BROADCAST_OK = {
     "q15_top_supplier",  # max(total_revenue_c4), 1 row
     "unigram_surprisal",  # ln(total tokens) corpus normalizer, 1 row
     "heavy_hitter_tokens",  # total-token threshold scalar, 1 row
+    "source_overlap",  # |sources|-row HLL sketch table, inequality self-pair
 }
 
 
