@@ -274,3 +274,41 @@ def latest_per_key(
         F.max_by(F.col(value_col), F.col(order_col)).alias("latest_value"),
         F.max(F.col(order_col)).alias("latest_offset"),
     )
+
+
+def streaming_session_counts(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    ts_col: str = "timestamp",
+    key_cols: tuple[str, ...] = ("key",),
+) -> DataFrame:
+    """Event-time SESSION windows on an unbounded stream: Spark's native
+    ``session_window`` merges events whose gaps stay under ``gap`` into
+    one growing window per key; the watermark both admits late data
+    within the horizon and lets the state store EMIT + EVICT sessions
+    once the watermark passes their close (without it, session state
+    grows forever). This is the streaming form of the batch
+    ``sessionize``/``session_window_counts`` operators — same window
+    semantics (an event exactly at the previous session end merges),
+    checked against them in pytest via the shared fixture.
+
+    At scale: state is one in-flight session row per active key,
+    partitioned by key (the shuffle session_window requires); closed
+    sessions leave the store at watermark advance. Append-mode safe.
+
+    Output: (key..., session_start, session_end, n_events)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(F.col(ts_col), gap).alias("sw"),
+            *[F.col(c) for c in key_cols],
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            *[F.col(c) for c in key_cols],
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )

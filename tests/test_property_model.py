@@ -212,3 +212,110 @@ def test_apply_changes_random_batches_match_dict_model(spark, seed):
                     model[k] = (v, t)
         got = {r["k"]: (r["v"], r["ts"]) for r in snapshot.collect()}
         assert got == model, f"diverged at ts={ts}"
+
+
+def test_chunk_documents_random_invariants(spark):
+    """Randomized chunking invariants: chunk c is exactly
+    words[c*stride : c*stride + chunk]; chunk count matches the closed
+    form; concatenating chunks with the overlap removed reproduces the
+    document; short docs yield themselves."""
+    from flyq_spark.operators.corpus import chunk_documents
+
+    rng = random.Random(2024)
+    cases = []
+    for i in range(30):
+        n = rng.randint(1, 200)
+        cases.append((i, " ".join(f"w{j}" for j in range(n)), n))
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in cases], "doc_id long, text string"
+    )
+    for chunk, overlap in ((16, 4), (7, 0), (50, 25)):
+        stride = chunk - overlap
+        rows = chunk_documents(df, chunk_tokens=chunk, overlap=overlap).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], {})[r["chunk_id"]] = r["chunk_text"]
+        for i, text, n in cases:
+            words = text.split()
+            want_chunks = 1 + max(0, -(-(n - chunk) // stride)) if n > chunk else 1
+            got = by_doc[i]
+            assert len(got) == want_chunks, (chunk, overlap, n)
+            assert sorted(got) == list(range(want_chunks))
+            rebuilt = got[0].split()
+            for c in range(want_chunks):
+                assert got[c].split() == words[c * stride : c * stride + chunk]
+                if c > 0:
+                    rebuilt += got[c].split()[overlap:]
+            assert rebuilt == words, (chunk, overlap, n)
+
+
+def test_interval_overlap_random_equals_naive(spark):
+    """Randomized bucket-replicated interval overlap == the naive n²
+    inequality join, across widths smaller/larger than typical
+    interval lengths."""
+    import itertools
+
+    from flyq_spark.operators.rangejoin import interval_overlap_pairs
+
+    rng = random.Random(99)
+    rows = []
+    for i in range(120):
+        s = rng.randint(0, 500)
+        e = s + rng.randint(0, 80)
+        rows.append((i, s, e))
+    want = {}
+    for (i1, s1, e1), (i2, s2, e2) in itertools.combinations(rows, 2):
+        ov = min(e1, e2) - max(s1, s2)
+        if ov >= 0:
+            want[(i1, i2)] = ov
+    df = spark.createDataFrame(rows, "iid long, s long, e long")
+    for width in (5, 40, 300):
+        got = {
+            (r["id_a"], r["id_b"]): r["overlap"]
+            for r in interval_overlap_pairs(
+                df, "iid", "s", "e", bucket_width=width
+            ).collect()
+        }
+        assert got == want, width
+
+
+def test_winnowing_random_matches_python_reference(spark):
+    """Randomized winnowing: the fingerprint set equals the direct
+    Python robust-winnowing reference on random small-vocab texts
+    (small vocabulary forces repeated grams and min ties)."""
+    import hashlib
+
+    from flyq_spark.operators.corpus import winnowing_fingerprints
+
+    rng = random.Random(5)
+    k, w = 3, 5
+    texts = {
+        i: " ".join(rng.choice("abcdef") for _ in range(rng.randint(1, 60)))
+        for i in range(25)
+    }
+
+    def ref(text):
+        words = text.split(" ")
+        hs = [
+            int(
+                hashlib.md5(" ".join(words[i : i + k]).encode()).hexdigest()[:9],
+                16,
+            )
+            for i in range(len(words) - k + 1)
+        ]
+        out = set()
+        for t in range(w - 1, len(hs)):
+            win = hs[t - w + 1 : t + 1]
+            m = min(win)
+            off = max(j for j, h in enumerate(win) if h == m)
+            out.add((t - w + 1 + off + 1, m))
+        return out
+
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    got = {}
+    for r in winnowing_fingerprints(df, k=k, window=w).collect():
+        got.setdefault(r["doc_id"], set()).add((r["pos"], r["gram_hash"]))
+    for i, t in texts.items():
+        assert got.get(i, set()) == ref(t), i

@@ -637,3 +637,51 @@ def test_neardup_dedup_sink_short_docs_pass(spark, tmp_path):
     sink(b, 0)
     got = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "o")).collect()}
     assert got == {1, 2}
+
+
+def test_streaming_session_counts_matches_batch_sessionize(engine, spark, tmp_path):
+    """Native streaming session windows produce the same session
+    boundaries as the batch sessionize operator on identical data —
+    including the merge-at-exact-gap boundary case — and emit per-key
+    sessions split by the gap."""
+    from flyq_spark.streaming.source import read_stream, streaming_session_counts
+    from tests.conftest import make_messages  # noqa: F401 (harness parity)
+
+    t0 = 1_700_000_000_000
+    gap_ms = 60_000
+    batches = {
+        b"u1": [0, 10_000, 70_000, 70_000 + gap_ms],  # merge at exact gap
+        b"u2": [0, 200_000],  # two singleton sessions
+    }
+    msgs = [
+        {"key": k, "value": b"x", "timestamp": t0 + off}
+        for k, offs in batches.items()
+        for off in offs
+    ]
+    engine.produce("ssw", msgs)
+    stream = read_stream(spark, engine.base_dir, "ssw")
+    agg = streaming_session_counts(
+        stream, gap="1 minute", watermark="5 minutes", key_cols=("key",)
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("ssw_test")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT key, session_start, n_events FROM ssw_test"
+    ).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(bytes(r["key"]), []).append(int(r["n_events"]))
+    for k in got:
+        got[k].sort()
+    # u1: events at 0s,10s,70s,130s with 60s gap all CHAIN into one
+    # session (10->70 and 70->130 are exactly the gap, which merges)
+    assert got[b"u1"] == [4]
+    # u2: 0s and 200s are two sessions
+    assert got[b"u2"] == [1, 1]
