@@ -2221,6 +2221,22 @@ def q_semdedup(spark, sf_dir):
     )
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """[EXT] Incremental near-dup dedup (operators/dedup.py
+    dedup_against): the src1 slice deduped against the src0 corpus by
+    md5-family MinHash-LSH band-key anti-join — linear in each side,
+    never |new| x |corpus|; the batch form of the streaming dedup
+    sink. Oracle replays the identical signature/band arithmetic."""
+    from flyq_spark.operators.dedup import dedup_against
+
+    docs = _read(spark, sf_dir, "documents")
+    survivors = dedup_against(
+        docs.where(F.col("source") == "src1"),
+        docs.where(F.col("source") == "src0"),
+    )
+    return survivors.select("doc_id", "lang", "n_chars").orderBy("doc_id")
+
+
 def q_interval_overlap(spark, sf_dir):
     """Interval-interval overlap join (operators/rangejoin.py
     interval_overlap_pairs, keyed regime): per-(user, event_type)
@@ -2471,6 +2487,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_neardup": q_pagerank_neardup,
         "chunk_docs": q_chunk_docs,
         "interval_overlap": q_interval_overlap,
+        "incremental_dedup": q_incremental_dedup,
         "winnow_fp": q_winnow_fp,
         "domain_affinity": q_domain_affinity,
         "syndication_audit": q_syndication_audit,
@@ -2586,6 +2603,62 @@ WHERE CAST(x.i AS DOUBLE) / (sa.n + sb.n - x.i) >= 0.5
 
 
 _MINHASH_SIG_SQL, _MINHASH_PAIRS_SQL = _minhash_oracle()
+
+
+def _incremental_dedup_oracle(k: int = 32, bands: int = 8) -> str:
+    """DuckDB replay of ``dedup_against`` (src1 deduped against src0):
+    same LCG coefficients, same band keys, LSH-level anti-join."""
+    r = k // bands
+    p = D.MINHASH_PRIME
+    params = D.minhash_params(k)
+    mins = ",\n         ".join(
+        f"min(({a} * h + {b}) % {p}) AS m{i}" for i, (a, b) in enumerate(params)
+    )
+    band_vals = ",\n    ".join(
+        "({b}, md5(concat_ws('|', {cols})))".format(
+            b=b,
+            cols=", ".join(f"CAST(m{b * r + j} AS VARCHAR)" for j in range(r)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS w
+  FROM documents WHERE source IN ('src0', 'src1')
+),
+grams AS (
+  SELECT DISTINCT doc_id, source,
+         array_to_string(w[CAST(i AS BIGINT):CAST(i AS BIGINT)+2], ' ') AS g
+  FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
+),
+hashed AS (
+  SELECT doc_id, source, g,
+         CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) AS h
+  FROM grams
+),
+sigs AS (
+  SELECT doc_id, source, {mins}
+  FROM hashed GROUP BY doc_id, source
+),
+banded AS (
+  SELECT doc_id, source, v.band, v.bits
+  FROM sigs, LATERAL (VALUES
+    {band_vals}) AS v(band, bits)
+),
+hits AS (
+  SELECT DISTINCT a.doc_id
+  FROM banded a
+  JOIN (SELECT DISTINCT band, bits FROM banded WHERE source = 'src0') c
+    ON a.band = c.band AND a.bits = c.bits
+  WHERE a.source = 'src1'
+)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d
+WHERE d.source = 'src1' AND d.doc_id NOT IN (SELECT doc_id FROM hits)
+"""
+
+
+_INCREMENTAL_DEDUP_SQL = _incremental_dedup_oracle()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3828,6 +3901,7 @@ SELECT doc_id, sha256(text) AS content_id,
 FROM documents
 """,
         "minhash_sig": _MINHASH_SIG_SQL,
+        "incremental_dedup": _INCREMENTAL_DEDUP_SQL,
         "minhash_jaccard_pairs": _MINHASH_PAIRS_SQL,
         "cohort_retention": """
 WITH cohort AS (

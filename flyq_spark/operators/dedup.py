@@ -861,3 +861,54 @@ def minhash_band_keys(
             )
         ).alias("_bb"),
     ).select(id_col, "_bb.band", "_bb.band_key")
+
+
+def dedup_against(
+    new: DataFrame,
+    corpus: DataFrame,
+    k: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental near-dup dedup: keep only the NEW documents whose
+    MinHash-LSH band keys collide with NOTHING in the existing corpus —
+    the batch form of ``streaming.sink.neardup_dedup_sink`` (a crawl
+    refresh deduped against last month's accepted corpus without
+    re-pairing the corpus with itself), sharing the exact md5-family
+    arithmetic via ``minhash_signatures``/``minhash_band_keys``.
+
+    Decision granularity is LSH-level (any band collision drops the
+    doc — conservative toward dedup; callers wanting exact-Jaccard
+    verification join the survivors of this pass through
+    ``minhash_band_pairs`` against the corpus instead). Documents too
+    short to shingle have no signature and always pass.
+
+    Plan: both sides reduce to (band, band_key) rows; the corpus side
+    is distinct-deduped map-side BEFORE its shuffle; the decision is
+    one LEFT SEMI + one LEFT ANTI equi-join, both AQE-skew-splittable.
+    Nothing pairs corpus docs with each other — cost is linear in each
+    side, never |new| x |corpus|."""
+    new_bands = minhash_band_keys(
+        minhash_signatures(
+            new, k=k, shingle_n=shingle_n, id_col=id_col, text_col=text_col
+        ),
+        k=k,
+        bands=bands,
+        id_col=id_col,
+    )
+    corpus_bands = minhash_band_keys(
+        minhash_signatures(
+            corpus, k=k, shingle_n=shingle_n, id_col=id_col, text_col=text_col
+        ),
+        k=k,
+        bands=bands,
+        id_col=id_col,
+    ).select("band", "band_key").distinct()
+    hits = (
+        new_bands.join(corpus_bands, ["band", "band_key"], "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return new.join(hits, id_col, "left_anti")

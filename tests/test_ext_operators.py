@@ -2384,3 +2384,29 @@ def test_source_overlap_matrix_accuracy_and_stability(spark):
     for pair in (("A", "C"), ("B", "C")):
         ea, eb, eu, ov = got[pair]
         assert abs(ov) <= 0.05 * max(ea, eb), (pair, ov)
+
+
+def test_dedup_against_semantics(spark):
+    """A new doc near-dupping the corpus is dropped; novel and
+    too-short docs pass; corpus docs are never compared to each other
+    (corpus self-dups don't affect the outcome)."""
+    from flyq_spark.operators.dedup import dedup_against
+
+    base = (
+        "spark shuffles data across the cluster by key so joins "
+        "colocate matching rows before the merge step runs"
+    )
+    corpus = spark.createDataFrame(
+        [(1, base), (2, base)],  # corpus contains its own dup — irrelevant
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, base.replace("merge", "combine")),  # near-dup of corpus
+            (11, "genuinely novel text with nothing shared at all here"),
+            (12, "hi"),  # too short to shingle
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"] for r in dedup_against(new, corpus).collect()}
+    assert got == {11, 12}
