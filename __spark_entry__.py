@@ -2221,6 +2221,40 @@ def q_semdedup(spark, sf_dir):
     )
 
 
+def q_snapshot_diff(spark, sf_dir):
+    """CDC changefeed derivation (operators/cdc.py diff_snapshots, the
+    inverse of apply_changes): two deterministic order-table snapshots
+    — keys %11==5 added, %7==3 removed, %5==0 repriced a day later —
+    diffed with ONE full-outer key join + null-safe struct comparison.
+    Roundtrip (apply_changes(old, diff) == new) is property-tested;
+    the oracle replays the same FULL OUTER JOIN + CASE."""
+    from flyq_spark.operators.cdc import diff_snapshots
+
+    base = _read(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("price_c"),
+        F.unix_micros(F.col("o_orderdate")).alias("ts"),
+    )
+    old = base.where(F.col("o_orderkey") % 11 != 5)
+    changed = F.col("o_orderkey") % 5 == 0
+    new = base.where(F.col("o_orderkey") % 7 != 3).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(changed, F.col("price_c") + 100)
+        .otherwise(F.col("price_c"))
+        .alias("price_c"),
+        F.when(changed, F.col("ts") + 86_400_000_000)
+        .otherwise(F.col("ts"))
+        .alias("ts"),
+    )
+    return diff_snapshots(old, new, ("o_orderkey",), "ts").orderBy(
+        "o_orderkey"
+    )
+
+
 def q_incremental_dedup(spark, sf_dir):
     """[EXT] Incremental near-dup dedup (operators/dedup.py
     dedup_against): the src1 slice deduped against the src0 corpus by
@@ -2488,6 +2522,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": q_chunk_docs,
         "interval_overlap": q_interval_overlap,
         "incremental_dedup": q_incremental_dedup,
+        "snapshot_diff": q_snapshot_diff,
         "winnow_fp": q_winnow_fp,
         "domain_affinity": q_domain_affinity,
         "syndication_audit": q_syndication_audit,
@@ -3902,6 +3937,33 @@ FROM documents
 """,
         "minhash_sig": _MINHASH_SIG_SQL,
         "incremental_dedup": _INCREMENTAL_DEDUP_SQL,
+        "snapshot_diff": """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c,
+         epoch_us(o_orderdate) AS ts
+  FROM orders
+),
+old AS (SELECT * FROM base WHERE o_orderkey % 11 <> 5),
+new AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 5 = 0 THEN price_c + 100 ELSE price_c END
+           AS price_c,
+         CASE WHEN o_orderkey % 5 = 0 THEN ts + 86400000000 ELSE ts END AS ts
+  FROM base WHERE o_orderkey % 7 <> 3
+)
+SELECT coalesce(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+       coalesce(n.o_orderstatus, o.o_orderstatus) AS o_orderstatus,
+       coalesce(n.price_c, o.price_c) AS price_c,
+       coalesce(n.ts, o.ts) AS ts,
+       CASE WHEN o.o_orderkey IS NULL THEN 'u'
+            WHEN n.o_orderkey IS NULL THEN 'd'
+            ELSE 'u' END AS op
+FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+   OR (o.o_orderstatus, o.price_c, o.ts) IS DISTINCT FROM
+      (n.o_orderstatus, n.price_c, n.ts)
+""",
         "minhash_jaccard_pairs": _MINHASH_PAIRS_SQL,
         "cohort_retention": """
 WITH cohort AS (

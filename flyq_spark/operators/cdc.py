@@ -105,3 +105,57 @@ def scd2_history(
         F.col(ts_col).alias("valid_from"),
         F.lead(ts_col).over(w2).alias("valid_to"),
     )
+
+
+def diff_snapshots(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: tuple[str, ...],
+    ts_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Derive a CHANGE BATCH from two snapshots — the inverse of
+    ``apply_changes`` (when a source can't emit CDC, diff its daily
+    snapshots; the Debezium "snapshot diff" / Delta CHANGE-feed-
+    backfill pattern): emits ``op='u'`` rows carrying the NEW values
+    for keys that appeared or changed, and ``op='d'`` rows carrying the
+    old values for keys that vanished. Unchanged keys emit nothing.
+
+    Roundtrip contract (property-tested): ``apply_changes(old,
+    diff_snapshots(old, new)) == new``, PROVIDED ``ts_col`` is
+    non-decreasing per key across snapshots (true of any LSN/updated-at
+    column; a changed row whose new ts went BACKWARD would lose the
+    merge to the snapshot it is meant to replace — same-ts changes are
+    fine, change-beats-snapshot priority covers them).
+
+    Plan: ONE full-outer equi-join on the key (AQE-skew-splittable),
+    change detection via null-safe struct comparison of the non-key
+    columns (one codegen'd expression regardless of column count). No
+    window, no collect. Output: data columns + ``op``."""
+    data_cols = list(old.columns)
+    if list(new.columns) != data_cols:
+        raise ValueError(
+            f"snapshot schemas differ: {data_cols} vs {list(new.columns)}"
+        )
+    val_cols = [c for c in data_cols if c not in key_cols]
+    o = old.alias("o")
+    n = new.alias("n")
+    cond = [F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}")) for k in key_cols]
+    joined = o.join(n, on=cond, how="full_outer")
+    in_old = F.col(f"o.{key_cols[0]}").isNotNull()
+    in_new = F.col(f"n.{key_cols[0]}").isNotNull()
+    same = F.struct(*[F.col(f"o.{c}") for c in val_cols]).eqNullSafe(
+        F.struct(*[F.col(f"n.{c}") for c in val_cols])
+    )
+    op = (
+        F.when(~in_old, F.lit("u"))           # added
+        .when(~in_new, F.lit("d"))            # removed
+        .when(~same, F.lit("u"))              # changed
+        .otherwise(F.lit(None))               # unchanged -> dropped
+    )
+    side = lambda c: F.when(in_new, F.col(f"n.{c}")).otherwise(F.col(f"o.{c}"))
+    return (
+        joined.withColumn(op_col, op)
+        .where(F.col(op_col).isNotNull())
+        .select(*[side(c).alias(c) for c in data_cols], op_col)
+    )

@@ -52,10 +52,16 @@ def train_test_split(
     )
 
 
-def corpus_shuffle(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def corpus_shuffle(
+    df: DataFrame, id_col: str = "doc_id", seed: str | int | None = None
+) -> DataFrame:
     """Reproducible global permutation: ``shuffle_rank`` = position in
     (md5(id), id) order. The hash destroys any source ordering
     (time/site locality) exactly once, identically on every engine.
+    ``seed`` folds into the hash (md5("seed:id")) for EPOCH RESHUFFLING
+    — training wants a different, equally reproducible order each
+    epoch (seed=epoch number); ``None`` keeps the historical md5(id)
+    permutation.
 
     Scale shape: a naive global ORDER BY window funnels every row into
     ONE partition. Instead rows are ranked within their first-hex-digit
@@ -63,7 +69,12 @@ def corpus_shuffle(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     adding the tiny per-shard offset table (16 rows, broadcast) — valid
     because the shard digit is a PREFIX of the sort key, so shard-major
     order IS global (md5, id) order. Same result, bounded shuffle."""
-    h = _id_hash(id_col)
+    if seed is None:
+        h = _id_hash(id_col)
+    else:
+        h = F.md5(
+            F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
+        )
     shard = F.substring(h, 1, 1)
     w = Window.partitionBy("_shard").orderBy(h, F.col(id_col))
     ranked = df.withColumn("_shard", shard).withColumn(

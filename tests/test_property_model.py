@@ -319,3 +319,71 @@ def test_winnowing_random_matches_python_reference(spark):
         got.setdefault(r["doc_id"], set()).add((r["pos"], r["gram_hash"]))
     for i, t in texts.items():
         assert got.get(i, set()) == ref(t), i
+
+
+def test_diff_snapshots_roundtrip_random(spark):
+    """apply_changes(old, diff_snapshots(old, new)) == new on randomized
+    snapshot pairs with adds / deletes / value changes / ts bumps and
+    NULLs in value columns; unchanged keys emit no change row."""
+    from flyq_spark.operators.cdc import apply_changes, diff_snapshots
+
+    rng = random.Random(31)
+    schema = "k long, v string, x long, ts long"
+    for trial in range(5):
+        old_rows, new_rows = [], []
+        for k in range(40):
+            v = rng.choice(["a", "b", None])
+            x = rng.randint(0, 5)
+            ts = rng.randint(0, 100)
+            present_old = rng.random() < 0.8
+            if present_old:
+                old_rows.append((k, v, x, ts))
+            if rng.random() < 0.8:  # present in new
+                if present_old and rng.random() < 0.5:
+                    new_rows.append((k, v, x, ts))  # unchanged
+                else:
+                    new_rows.append(
+                        (k, rng.choice(["a", "c", None]), rng.randint(0, 5),
+                         ts + rng.randint(0, 10))
+                    )
+        old = spark.createDataFrame(old_rows, schema)
+        new = spark.createDataFrame(new_rows, schema)
+        diff = diff_snapshots(old, new, ("k",), "ts")
+        merged = apply_changes(old, diff, ("k",), "ts")
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, new.collect())
+        ), trial
+        # no change rows for untouched keys
+        changed_keys = {r["k"] for r in diff.collect()}
+        old_map = {r[0]: r for r in old_rows}
+        new_map = {r[0]: r for r in new_rows}
+        for k in set(old_map) & set(new_map):
+            if old_map[k] == new_map[k]:
+                assert k not in changed_keys
+
+
+def test_corpus_shuffle_seed_epochs(spark):
+    """Seeded shuffles are reproducible, permutations of 1..n, differ
+    between epochs, and seed=None preserves the historical order."""
+    from flyq_spark.operators.corpus import corpus_shuffle
+
+    df = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(300)], "doc_id long, text string"
+    )
+    base = {r["doc_id"]: r["shuffle_rank"] for r in corpus_shuffle(df).collect()}
+    e1 = {
+        r["doc_id"]: r["shuffle_rank"]
+        for r in corpus_shuffle(df, seed=1).collect()
+    }
+    e1b = {
+        r["doc_id"]: r["shuffle_rank"]
+        for r in corpus_shuffle(df, seed=1).collect()
+    }
+    e2 = {
+        r["doc_id"]: r["shuffle_rank"]
+        for r in corpus_shuffle(df, seed=2).collect()
+    }
+    for m in (base, e1, e2):
+        assert sorted(m.values()) == list(range(1, 301))
+    assert e1 == e1b
+    assert e1 != e2 and e1 != base
