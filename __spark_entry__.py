@@ -2221,6 +2221,19 @@ def q_semdedup(spark, sf_dir):
     )
 
 
+def q_eval_sample(spark, sf_dir):
+    """[EXT] Deterministic exact-k eval-set sampling per (source, lang)
+    cell (operators/corpus.py sample_k_per_group): rank by (md5(id),
+    id) inside one group-key window — reproducible forever, unlike
+    RNG/partition-order sampleBy."""
+    from flyq_spark.operators.corpus import sample_k_per_group
+
+    docs = _read(spark, sf_dir, "documents")
+    return sample_k_per_group(docs, ("source", "lang"), k=3).select(
+        "doc_id", "source", "lang", "sample_rank"
+    ).orderBy("source", "lang", "sample_rank")
+
+
 def q_snapshot_diff(spark, sf_dir):
     """CDC changefeed derivation (operators/cdc.py diff_snapshots, the
     inverse of apply_changes): two deterministic order-table snapshots
@@ -2523,6 +2536,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_overlap": q_interval_overlap,
         "incremental_dedup": q_incremental_dedup,
         "snapshot_diff": q_snapshot_diff,
+        "eval_sample": q_eval_sample,
         "winnow_fp": q_winnow_fp,
         "domain_affinity": q_domain_affinity,
         "syndication_audit": q_syndication_audit,
@@ -3937,6 +3951,16 @@ FROM documents
 """,
         "minhash_sig": _MINHASH_SIG_SQL,
         "incremental_dedup": _INCREMENTAL_DEDUP_SQL,
+        "eval_sample": """
+SELECT doc_id, source, lang, sample_rank FROM (
+  SELECT doc_id, source, lang,
+         CAST(row_number() OVER (
+           PARTITION BY source, lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS BIGINT) AS sample_rank
+  FROM documents
+) WHERE sample_rank <= 3
+""",
         "snapshot_diff": """
 WITH base AS (
   SELECT o_orderkey, o_orderstatus,

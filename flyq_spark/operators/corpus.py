@@ -516,3 +516,30 @@ def winnowing_fingerprints(
         )
         .distinct()
     )
+
+
+def sample_k_per_group(
+    df: DataFrame,
+    group_cols: tuple[str, ...],
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic exact-k sample per group — eval/debug-set
+    construction ("k examples per (source, lang) cell"): rank rows
+    within each group by (md5(id), id) and keep the first k. The hash
+    order is a reproducible pseudo-random draw — engine-, partitioning-
+    and run-independent, unlike ``sampleBy`` (RNG + partition-order
+    dependent), and exact-k unlike the fraction-based
+    ``stratified_sample``; both matter when the eval set must be
+    re-derivable from the corpus forever.
+
+    Plan: ONE group-key window (rank + filter). Group skew is bounded
+    by the largest group; for the pathological one-giant-group case the
+    md5-threshold ``stratified_sample`` is the right tool instead (no
+    window at all). Output: input columns + ``sample_rank`` (1..k)."""
+    h = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(*group_cols).orderBy(h, F.col(id_col))
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("sample_rank") <= k)
+    )

@@ -2410,3 +2410,28 @@ def test_dedup_against_semantics(spark):
     )
     got = {r["doc_id"] for r in dedup_against(new, corpus).collect()}
     assert got == {11, 12}
+
+
+def test_sample_k_per_group_deterministic_exact_k(spark):
+    from flyq_spark.operators.corpus import sample_k_per_group
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(100)], "doc_id long, source string"
+    )
+    for parts in (1, 8):
+        got = {}
+        for r in sample_k_per_group(
+            df.repartition(parts), ("source",), k=5
+        ).collect():
+            got.setdefault(r["source"], []).append(
+                (r["sample_rank"], r["doc_id"])
+            )
+        assert set(got) == {"s0", "s1", "s2"}
+        for s in got:
+            assert sorted(r for r, _ in got[s]) == [1, 2, 3, 4, 5]
+        if parts == 1:
+            first = got
+    assert got == first  # partitioning-invariant
+    # a group smaller than k yields all its rows
+    small = spark.createDataFrame([(1, "x"), (2, "x")], "doc_id long, source string")
+    assert sample_k_per_group(small, ("source",), k=5).count() == 2
