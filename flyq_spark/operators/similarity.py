@@ -184,6 +184,7 @@ def neardup_pairs_exact(
     vec_col: str = "embedding",
     n_pivots: int = 256,
     n_blocks: int = 16,
+    max_block_rows: int = 200_000,
 ) -> DataFrame:
     """EXACT embedding near-duplicate pairs with a bucketed (never
     corpus x corpus) plan — a pivot-pruned blocked-GEMM similarity join.
@@ -261,11 +262,32 @@ def neardup_pairs_exact(
         assign, schema=f"{id_col} {id_type}, _unit array<double>, _cell int, _pdist double"
     ).persist()  # two consumers: the radius pass and the scoring join
 
-    # per-cell radii -> qualifying cell pairs -> qualifying superblock
-    # pairs; all O(k)/O(k^2) arithmetic on the driver, corpus-free
-    radii_rows = assigned.groupBy("_cell").agg(F.max("_pdist").alias("_r")).collect()
+    # per-cell radii AND counts -> qualifying cell pairs -> qualifying
+    # superblock pairs; all O(k)/O(k^2) arithmetic on the driver,
+    # corpus-free. The counts ride the radius aggregate for free and
+    # let the superblock count ADAPT to the corpus: raise n_blocks (up
+    # to cell granularity) until no block holds more than
+    # ``max_block_rows`` vectors, bounding each applyInPandas group's
+    # memory at scale instead of leaving it ~n/b. The PAIR SET is
+    # invariant under this choice (recall is 100% by construction at
+    # any granularity); only execution grouping changes. The residual
+    # caveat is cell granularity itself: data collapsed into ONE cell
+    # cannot be split further — that adversarial regime belongs to the
+    # LSH path, as before.
+    radii_rows = (
+        assigned.groupBy("_cell")
+        .agg(F.max("_pdist").alias("_r"), F.count("*").alias("_n"))
+        .collect()
+    )
     occupied = np.array([r["_cell"] for r in radii_rows], dtype=int)
     radii = np.array([r["_r"] for r in radii_rows])
+    cell_counts = np.array([r["_n"] for r in radii_rows], dtype=np.int64)
+    while n_blocks < n_pivots:
+        loads = np.bincount(occupied % n_blocks, weights=cell_counts)
+        if loads.max(initial=0) <= max_block_rows:
+            break
+        n_blocks *= 2
+    n_blocks = min(n_blocks, n_pivots)
     Po = P[occupied]
     pd2 = (
         (Po * Po).sum(axis=1)[:, None]

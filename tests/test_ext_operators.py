@@ -2435,3 +2435,21 @@ def test_sample_k_per_group_deterministic_exact_k(spark):
     # a group smaller than k yields all its rows
     small = spark.createDataFrame([(1, "x"), (2, "x")], "doc_id long, source string")
     assert sample_k_per_group(small, ("source",), k=5).count() == 2
+
+
+def test_neardup_exact_pairs_invariant_under_block_adaptation(spark, emb):
+    """The exact pair set must not depend on execution granularity:
+    forcing the adaptive path (tiny max_block_rows) and pinning a large
+    n_blocks both produce the default configuration's pairs."""
+    from flyq_spark.operators.similarity import neardup_pairs_exact
+
+    def pairs(**kw):
+        return sorted(
+            (r["id_a"], r["id_b"], round(r["score"], 9))
+            for r in neardup_pairs_exact(emb, min_cosine=0.4, **kw).collect()
+        )
+
+    base = pairs()
+    assert base == pairs(max_block_rows=5)     # forces n_blocks -> n_pivots
+    assert base == pairs(n_blocks=64)
+    assert len(base) > 0
