@@ -58,6 +58,12 @@ HEADLINE = [
     # classifier scoring + keyword extraction (one-shuffle text passes)
     ("quality_classifier", False),
     ("salient_terms", False),
+    # continuation batch: winnowing, changefeed diff, incremental dedup,
+    # perceptual media near-dup
+    ("winnow_fp", False),
+    ("snapshot_diff", False),
+    ("incremental_dedup", False),
+    ("phash_neardup", False),
 ]
 
 

@@ -400,13 +400,19 @@ def chunk_documents(
     yields exactly one chunk of itself.
 
     Pure projection — token array → ``sequence`` of chunk starts →
-    ``transform``/``slice``/``array_join`` — zero shuffles, zero Python;
-    at 100 TB this is a narrow map over the corpus scan, and the output
-    explode is bounded by total-token volume, not doc count squared.
+    ``transform``/``slice``/``array_join`` — no shuffle beyond the
+    ``fan_out`` input guard (a no-op once data arrives as many splits;
+    without it a single-row-group fixture pins the slicing onto one
+    core), zero Python; at 100 TB this is a narrow map over the corpus
+    scan, and the output explode is bounded by total-token volume, not
+    doc count squared.
 
     Output: (id, chunk_id, chunk_text, n_tokens), chunk_id 0-based."""
+    from flyq_spark.operators.util import fan_out
+
     if overlap >= chunk_tokens:
         raise ValueError(f"overlap={overlap} must be < chunk_tokens={chunk_tokens}")
+    df = fan_out(df)
     stride = chunk_tokens - overlap
     words = F.array_remove(F.split(F.col(text_col), "\\s+"), "")
     n = F.size(words)
@@ -466,8 +472,11 @@ def winnowing_fingerprints(
 
     Output: (id, pos, gram_hash) — selected fingerprints, pos = the
     1-based k-gram position, gram_hash = the winnowed 36-bit hash."""
+    from flyq_spark.operators.util import fan_out
+
     pos_bits = 24
     pos_cap = (1 << pos_bits) - 1
+    df = fan_out(df)
     words = F.split(F.col(text_col), " ")
     idx = F.when(
         F.size(words) >= k, F.sequence(F.lit(1), F.size(words) - (k - 1))

@@ -190,9 +190,13 @@ def perceptual_hash(df: DataFrame) -> DataFrame:
     partition-parallel batch shape are the real deployment's.
 
     Input needs (content_id, payload) — see ``attach_media``. One
-    Python call per Arrow batch, no shuffle. Output: (content_id,
-    phash) with phash an int64 (bit 63 may set the sign — callers XOR
-    and popcount, they never compare magnitudes)."""
+    Python call per Arrow batch; ``fan_out`` guards the kernel against
+    single-row-group inputs (a no-op once data arrives as many splits —
+    at any real scale — but without it a one-file corpus pins ALL
+    hashing onto one core). Output: (content_id, phash) with phash an
+    int64 (bit 63 may set the sign — callers XOR and popcount, they
+    never compare magnitudes)."""
+    from flyq_spark.operators.util import fan_out
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import numpy as np
@@ -211,7 +215,9 @@ def perceptual_hash(df: DataFrame) -> DataFrame:
                 {"content_id": pdf["content_id"], "phash": hashes}
             )
 
-    return df.select("content_id", "payload").mapInPandas(run, PHASH_SCHEMA)
+    return fan_out(df.select("content_id", "payload")).mapInPandas(
+        run, PHASH_SCHEMA
+    )
 
 
 def phash_neardup_pairs(
