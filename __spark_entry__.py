@@ -1574,6 +1574,21 @@ def q_phash_neardup(spark, sf_dir):
     )
 
 
+def q_lsh_tuning(spark, sf_dir):
+    """[EXT] LSH configuration sweep (operators/dedup.py
+    lsh_parameter_sweep): per-(k, bands) candidate volume and exact
+    recall against sample ground truth — the report that picks dedup
+    parameters before a full-corpus pass. Sample selection is
+    TakeOrderedAndProject (never a global window). Rows-only (float
+    recall); s-curve monotonicity and determinism pinned in pytest."""
+    from flyq_spark.operators.dedup import lsh_parameter_sweep
+
+    docs = _read(spark, sf_dir, "documents")
+    return lsh_parameter_sweep(
+        docs, configs=((32, 4), (32, 8), (32, 16)), sample_size=100
+    ).orderBy("bands")
+
+
 def q_source_overlap(spark, sf_dir):
     """[EXT] Pairwise source-content overlap audit via mergeable HLL
     sketches (operators/sketch.py source_overlap_matrix): one corpus
@@ -2525,6 +2540,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_content": q_multimodal_content,
         "phash_neardup": q_phash_neardup,
         "source_overlap": q_source_overlap,
+        "lsh_tuning": q_lsh_tuning,
         "duplicate_spans": q_duplicate_spans,
         "span_removal": q_span_removal,
         "source_composition": q_source_composition,

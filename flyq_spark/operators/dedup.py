@@ -912,3 +912,103 @@ def dedup_against(
         .distinct()
     )
     return new.join(hits, id_col, "left_anti")
+
+
+def lsh_parameter_sweep(
+    df: DataFrame,
+    configs: tuple[tuple[int, int], ...] = ((32, 4), (32, 8), (32, 16)),
+    sample_size: int = 200,
+    min_jaccard: float = 0.5,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """LSH configuration sweep on a deterministic sample — the tuning
+    report a pipeline runs BEFORE committing (k, bands) for a 100 TB
+    dedup pass: for each config, banded-candidate recall against the
+    sample's exact-Jaccard pair truth, plus the candidate volume that
+    config would generate (the cost side of the s-curve trade-off:
+    more bands = higher recall below the knee AND more candidate pairs
+    to verify).
+
+    Sample = the ``sample_size`` smallest (md5(id), id) documents — the
+    same reproducible pseudo-random draw as ``sample_k_per_group``, so
+    the report is a pure function of the corpus. Ground truth on the
+    sample comes from the banded join at MAXIMUM sensitivity (bands =
+    k, i.e. single-component bands — any minhash component collision,
+    which at Jaccard >= 0.5 thresholds has recall ~1 - (1-s)^k ≈ 1)
+    verified by exact shingle Jaccard; each config's candidates are a
+    SUBSET of that pool by construction (a full r-component band match
+    implies every component matches singly), so recall is exact pair
+    arithmetic, not an estimate of an estimate.
+
+    The driver loop is over |configs| (a handful); each iteration is
+    sample-sized work. Output: (k, bands, rows_per_band, n_true_pairs,
+    n_candidates, n_found, recall) — one row per config."""
+    from functools import reduce as _reduce
+
+    h = F.md5(F.col(id_col).cast("string"))
+    # global top-N by hash via orderBy+limit — Spark compiles this to
+    # TakeOrderedAndProject (per-partition top-N, merged on the driver),
+    # NOT a single-partition global window; scale-safe at any corpus size
+    sample = (
+        df.select(id_col, text_col, h.alias("_h"))
+        .orderBy("_h", id_col)
+        .limit(sample_size)
+        .drop("_h")
+        .persist()
+    )
+    ks = sorted({k for k, _ in configs})
+    if len(ks) != 1:
+        raise ValueError("configs must share one k (signature width)")
+    k = ks[0]
+    truth = (
+        minhash_band_pairs(
+            sample,
+            min_jaccard=min_jaccard,
+            k=k,
+            bands=k,  # single-component bands: the maximal candidate pool
+            shingle_n=shingle_n,
+            id_col=id_col,
+            text_col=text_col,
+        )
+        .select("id_a", "id_b")
+        .persist()
+    )
+    reports = []
+    for k_, bands in configs:
+        cand = minhash_band_pairs(
+            sample,
+            min_jaccard=0.0,  # count ALL candidates (the verify cost)
+            k=k_,
+            bands=bands,
+            shingle_n=shingle_n,
+            id_col=id_col,
+            text_col=text_col,
+        ).select("id_a", "id_b").persist()
+        found = cand.join(truth, ["id_a", "id_b"], "left_semi")
+        reports.append(
+            cand.agg(F.count("*").cast("long").alias("n_candidates"))
+            .crossJoin(
+                found.agg(F.count("*").cast("long").alias("n_found"))
+            )
+            .crossJoin(
+                truth.agg(F.count("*").cast("long").alias("n_true_pairs"))
+            )
+            .select(
+                F.lit(k_).cast("long").alias("k"),
+                F.lit(bands).cast("long").alias("bands"),
+                F.lit(k_ // bands).cast("long").alias("rows_per_band"),
+                "n_true_pairs",
+                "n_candidates",
+                "n_found",
+                F.when(
+                    F.col("n_true_pairs") > 0,
+                    F.col("n_found")
+                    / F.col("n_true_pairs").cast("double"),
+                )
+                .otherwise(F.lit(1.0))
+                .alias("recall"),
+            )
+        )
+    return _reduce(lambda a, b: a.unionByName(b), reports)

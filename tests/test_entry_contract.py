@@ -32,6 +32,7 @@ def test_queries_and_oracles_consistent():
         "pagerank_neardup",
         "phash_neardup",
         "source_overlap",
+        "lsh_tuning",
     }
 
 

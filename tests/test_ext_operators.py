@@ -2453,3 +2453,33 @@ def test_neardup_exact_pairs_invariant_under_block_adaptation(spark, emb):
     assert base == pairs(max_block_rows=5)     # forces n_blocks -> n_pivots
     assert base == pairs(n_blocks=64)
     assert len(base) > 0
+
+
+def test_lsh_parameter_sweep_monotone_recall(spark, docs):
+    """More bands (shorter bands) => candidate set grows and recall is
+    non-decreasing; recall is exact pair arithmetic (n_found <=
+    n_candidates, n_found <= n_true_pairs); the report is a pure
+    function of the corpus (two runs identical)."""
+    from flyq_spark.operators.dedup import lsh_parameter_sweep
+
+    def run():
+        return {
+            (r["k"], r["bands"]): (
+                r["n_true_pairs"], r["n_candidates"], r["n_found"], r["recall"]
+            )
+            for r in lsh_parameter_sweep(
+                docs, configs=((32, 4), (32, 8), (32, 16)), sample_size=50
+            ).collect()
+        }
+
+    rep = run()
+    assert rep == run()  # deterministic
+    assert set(rep) == {(32, 4), (32, 8), (32, 16)}
+    prev_cand = prev_rec = -1
+    for bands in (4, 8, 16):
+        true_n, cand, found, rec = rep[(32, bands)]
+        assert found <= cand and found <= true_n
+        assert 0.0 <= rec <= 1.0
+        assert cand >= prev_cand and rec >= prev_rec  # s-curve monotonicity
+        prev_cand, prev_rec = cand, rec
+    assert rep[(32, 16)][3] > 0  # sensitive config finds something
