@@ -1574,6 +1574,20 @@ def q_phash_neardup(spark, sf_dir):
     )
 
 
+def q_ivf_tuning(spark, sf_dir):
+    """[EXT] IVF nprobe sweep (operators/similarity.py
+    ivf_parameter_sweep): recall@k vs probe cost on a deterministic
+    query sample against brute-force truth — the vector-search
+    counterpart of lsh_tuning. Rows-only; exact monotonicity pinned in
+    pytest."""
+    from flyq_spark.operators.similarity import ivf_parameter_sweep
+
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return ivf_parameter_sweep(
+        emb, nprobes=(1, 2, 4, 8), n_queries=50, k=5, n_pivots=64
+    ).orderBy("nprobe")
+
+
 def q_lsh_tuning(spark, sf_dir):
     """[EXT] LSH configuration sweep (operators/dedup.py
     lsh_parameter_sweep): per-(k, bands) candidate volume and exact
@@ -2541,6 +2555,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_neardup": q_phash_neardup,
         "source_overlap": q_source_overlap,
         "lsh_tuning": q_lsh_tuning,
+        "ivf_tuning": q_ivf_tuning,
         "duplicate_spans": q_duplicate_spans,
         "span_removal": q_span_removal,
         "source_composition": q_source_composition,

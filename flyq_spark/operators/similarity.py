@@ -1030,3 +1030,81 @@ def semdedup_prune(
         )
 
     return members.groupBy("cell").applyInPandas(prune, schema=out_schema)
+
+
+def ivf_parameter_sweep(
+    embeddings: DataFrame,
+    nprobes: tuple[int, ...] = (1, 2, 4, 8),
+    n_queries: int = 50,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_pivots: int = 64,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF nprobe sweep — recall@k vs probe cost on a deterministic
+    query sample, the vector-search counterpart of
+    ``dedup.lsh_parameter_sweep`` (pick nprobe before the full-corpus
+    serving config is frozen): ground truth is exact brute-force top-k
+    for the sampled queries; each nprobe's IVF result is scored by
+    NEIGHBOR-SET recall against it (rank-agnostic — IVF returns exact
+    scores for probed candidates, so rank errors only come from missed
+    cells). Probing more cells is monotone by construction (cell sets
+    nest), so recall is non-decreasing in nprobe.
+
+    Queries = the ``n_queries`` smallest xxhash64(id) vectors
+    (TakeOrderedAndProject — no global window), the same deterministic
+    draw the pivot sampler uses. The driver loop is |nprobes| (a
+    handful); each iteration is one bucket join. Output: (nprobe,
+    n_queries, n_truth, n_found, recall) — one row per config."""
+    from functools import reduce as _reduce
+
+    qs = (
+        embeddings.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias(vec_col)
+        )
+        .withColumn("_h", F.xxhash64(F.col("query_id")))
+        .orderBy("_h", "query_id")
+        .limit(n_queries)
+        .drop("_h")
+        .persist()
+    )
+    truth = (
+        topk_bruteforce(embeddings, qs, k=k, id_col=id_col, vec_col=vec_col)
+        .select("query_id", "neighbor_id")
+        .persist()
+    )
+    if centroids is None:
+        centroids = _deterministic_pivots(
+            embeddings.select(id_col, vec_col), n_pivots, id_col, (id_col, vec_col)
+        ).persist()
+    reports = []
+    for nprobe in nprobes:
+        found = (
+            topk_ivf(
+                embeddings,
+                qs,
+                k=k,
+                id_col=id_col,
+                vec_col=vec_col,
+                n_pivots=n_pivots,
+                nprobe=nprobe,
+                centroids=centroids,
+            )
+            .select("query_id", "neighbor_id")
+            .join(truth, ["query_id", "neighbor_id"], "left_semi")
+        )
+        reports.append(
+            truth.agg(F.count("*").cast("long").alias("n_truth"))
+            .crossJoin(found.agg(F.count("*").cast("long").alias("n_found")))
+            .select(
+                F.lit(nprobe).cast("long").alias("nprobe"),
+                F.lit(n_queries).cast("long").alias("n_queries"),
+                "n_truth",
+                "n_found",
+                (F.col("n_found") / F.col("n_truth").cast("double")).alias(
+                    "recall"
+                ),
+            )
+        )
+    return _reduce(lambda a, b: a.unionByName(b), reports)

@@ -33,6 +33,7 @@ def test_queries_and_oracles_consistent():
         "phash_neardup",
         "source_overlap",
         "lsh_tuning",
+        "ivf_tuning",
     }
 
 

@@ -2483,3 +2483,29 @@ def test_lsh_parameter_sweep_monotone_recall(spark, docs):
         assert cand >= prev_cand and rec >= prev_rec  # s-curve monotonicity
         prev_cand, prev_rec = cand, rec
     assert rep[(32, 16)][3] > 0  # sensitive config finds something
+
+
+def test_ivf_parameter_sweep_monotone_recall(spark, emb):
+    """Probed cell sets nest, and a true top-k neighbor present in any
+    candidate pool is in that pool's top-k — so n_found and recall are
+    non-decreasing in nprobe, exactly. Report is deterministic."""
+    from flyq_spark.operators.similarity import ivf_parameter_sweep
+
+    def run():
+        return {
+            r["nprobe"]: (r["n_truth"], r["n_found"], r["recall"])
+            for r in ivf_parameter_sweep(
+                emb, nprobes=(1, 2, 4), n_queries=20, k=3, n_pivots=16
+            ).collect()
+        }
+
+    rep = run()
+    assert rep == run()
+    prev = -1
+    for nprobe in (1, 2, 4):
+        n_truth, n_found, rec = rep[nprobe]
+        assert n_truth == 20 * 3
+        assert 0 <= n_found <= n_truth
+        assert n_found >= prev
+        prev = n_found
+    assert rep[4][2] > rep[1][2] or rep[1][2] == 1.0
