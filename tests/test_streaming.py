@@ -685,3 +685,57 @@ def test_streaming_session_counts_matches_batch_sessionize(engine, spark, tmp_pa
     assert got[b"u1"] == [4]
     # u2: 0s and 200s are two sessions
     assert got[b"u2"] == [1, 1]
+
+
+def test_streaming_pipeline_example_end_to_end(engine, spark, tmp_path):
+    """The examples/streaming_pipeline.py composition: low-quality docs
+    are filtered, near-dups of previously ACCEPTED docs are dropped
+    across micro-batches, novel quality docs land in the corpus, and a
+    second availableNow run over new messages extends (not rebuilds)
+    the corpus."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/examples")
+    from streaming_pipeline import build_stream
+
+    base = (
+        "spark shuffles data across the cluster by key so joins "
+        "colocate matching rows before the merge step runs smoothly"
+    )
+    novel = (
+        "a completely different story about broker offsets watermarks "
+        "retention and consumer lag accounting in a partitioned log"
+    )
+    t0 = 1_700_000_000_000
+    msgs1 = [
+        {"key": None, "value": base.encode(), "timestamp": t0},
+        {"key": None, "value": b"too short", "timestamp": t0 + 1},
+        {"key": None, "value": novel.encode(), "timestamp": t0 + 2},
+    ]
+    engine.produce("sp", msgs1)
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    q = build_stream(spark, engine.base_dir, "sp", out, ck).start()
+    q.awaitTermination(120)
+    acc1 = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(out + "/accepted").collect()
+    }
+    assert set(acc1) == {0, 2}  # offsets of base and novel; short dropped
+
+    # batch 2: a near-dup of an accepted doc + one genuinely new doc
+    msgs2 = [
+        {"key": None, "value": base.replace("merge", "combine").encode(),
+         "timestamp": t0 + 3},
+        {"key": None, "value": (
+            "yet another unrelated passage describing winnowing "
+            "fingerprints chunking and salience extraction operators"
+        ).encode(), "timestamp": t0 + 4},
+    ]
+    engine.produce("sp", msgs2)
+    q = build_stream(spark, engine.base_dir, "sp", out, ck).start()
+    q.awaitTermination(120)
+    acc2 = {
+        r["doc_id"] for r in spark.read.parquet(out + "/accepted").collect()
+    }
+    assert acc2 == {0, 2, 4}  # offset 3 (near-dup) dropped, 4 accepted
