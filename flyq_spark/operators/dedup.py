@@ -783,6 +783,11 @@ def simhash_md5_neardup_pairs(
         )
     width = bits // bands
     mask = (1 << width) - 1
+    # no persist needed here (unlike minhash_band_pairs, whose THREE
+    # consumers diverge before the exchange): both self-join sides are
+    # the identical aggregation subtree, which AQE exchange reuse
+    # already computes once — verified by timing; a cache would only
+    # add materialization cost
     sigs = simhash_md5(df, bits=bits, id_col=id_col, text_col=text_col)
     banded = sigs.select(
         F.col(id_col),
