@@ -2250,6 +2250,37 @@ def q_semdedup(spark, sf_dir):
     )
 
 
+def q_rank_metrics(spark, sf_dir):
+    """Relative-rank window family over per-customer order values:
+    dense_rank / percent_rank / cume_dist plus a frame-bounded
+    first_value — the remaining ANSI window functions not yet covered
+    by the rank/ntile/lag/RANGE gate rows. percent_rank and cume_dist
+    are single IEEE divisions of exact integers, so they hash
+    bit-identically across engines. One customer-key shuffle shared by
+    every function (same window spec)."""
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("price_c"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("price_c").desc(), F.col("o_orderkey").asc()
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "price_c",
+        F.dense_rank().over(w).cast("long").alias("drank"),
+        F.percent_rank().over(w).alias("prank"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.first("price_c").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("top_price_c"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
 def q_eval_sample(spark, sf_dir):
     """[EXT] Deterministic exact-k eval-set sampling per (source, lang)
     cell (operators/corpus.py sample_k_per_group): rank by (md5(id),
@@ -2568,6 +2599,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "snapshot_diff": q_snapshot_diff,
         "eval_sample": q_eval_sample,
+        "rank_metrics": q_rank_metrics,
         "winnow_fp": q_winnow_fp,
         "domain_affinity": q_domain_affinity,
         "syndication_audit": q_syndication_audit,
@@ -3982,6 +4014,23 @@ FROM documents
 """,
         "minhash_sig": _MINHASH_SIG_SQL,
         "incremental_dedup": _INCREMENTAL_DEDUP_SQL,
+        "rank_metrics": """
+SELECT o_custkey, o_orderkey,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c,
+       CAST(dense_rank() OVER w AS BIGINT) AS drank,
+       percent_rank() OVER w AS prank,
+       cume_dist() OVER w AS cdist,
+       first_value(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+         OVER (PARTITION BY o_custkey
+               ORDER BY CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT) DESC, o_orderkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS top_price_c
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT) DESC, o_orderkey ASC)
+""",
         "eval_sample": """
 SELECT doc_id, source, lang, sample_rank FROM (
   SELECT doc_id, source, lang,
