@@ -105,10 +105,13 @@ def build_training_corpus(
     weighted = upsample_strata(train, "lang", {"en": 1.5}).withColumn(
         "doc_id", F.col("doc_id") * 10 + F.col("copy_id")
     ).drop("copy_id")  # re-key copies so shuffle/packing treat them as docs
+    # re-key factor bounds chunk_id at 1M chunks/doc (~448M words at
+    # stride 448) — far past any real document; unlike the copy_id
+    # factor above, chunk count is data-dependent, so the bound is wide
     chunked = (
         chunk_documents(weighted, chunk_tokens=512, overlap=64)
         .join(weighted.select("doc_id", "lang", "source"), "doc_id")
-        .withColumn("doc_id", F.col("doc_id") * 100 + F.col("chunk_id"))
+        .withColumn("doc_id", F.col("doc_id") * 1_000_000 + F.col("chunk_id"))
         .select("doc_id", F.col("chunk_text").alias("text"), "lang", "source")
     )
     corpus = pack_documents(corpus_shuffle(chunked), token_budget=2048)

@@ -38,9 +38,12 @@ def build_stream(
 ):
     """Wire the stream; returns the (not-yet-started) writeStream.
 
-    The per-batch function keys documents by their broker OFFSET —
-    dense, unique, and stable under replay (a redelivered batch carries
-    the same offsets, which the dedup sink's idempotence relies on)."""
+    The per-batch function keys documents by (partition, offset)
+    packed into one id (partition * 2^40 + offset) — unique across a
+    multi-partition topic (offsets are PER-PARTITION in this engine)
+    and stable under replay, which the dedup sink's idempotence relies
+    on; 2^40 offsets per partition is ~10^12 messages, far past any
+    single partition's range."""
     from flyq_spark.operators.text import quality_filter, redact_pii
     from flyq_spark.streaming.sink import neardup_dedup_sink
     from flyq_spark.streaming.source import read_stream
@@ -52,7 +55,10 @@ def build_stream(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         docs = batch_df.select(
-            F.col("offset").alias("doc_id"),
+            (
+                F.col("partition").cast("long") * F.lit(1 << 40)
+                + F.col("offset")
+            ).alias("doc_id"),
             F.decode(F.col("value"), "UTF-8").alias("text"),
         )
         clean = redact_pii(docs).select("doc_id", "text")

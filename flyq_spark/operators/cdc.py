@@ -138,12 +138,17 @@ def diff_snapshots(
             f"snapshot schemas differ: {data_cols} vs {list(new.columns)}"
         )
     val_cols = [c for c in data_cols if c not in key_cols]
-    o = old.alias("o")
-    n = new.alias("n")
+    # presence is detected by marker literals, NOT key nullness: the
+    # join condition is null-safe (NULL keys are legal and match each
+    # other), so a NULL key would read as "absent" and misclassify the
+    # row (an unchanged NULL-key row must emit nothing, a vanished one
+    # must emit 'd')
+    o = old.withColumn("_in_o", F.lit(1)).alias("o")
+    n = new.withColumn("_in_n", F.lit(1)).alias("n")
     cond = [F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}")) for k in key_cols]
     joined = o.join(n, on=cond, how="full_outer")
-    in_old = F.col(f"o.{key_cols[0]}").isNotNull()
-    in_new = F.col(f"n.{key_cols[0]}").isNotNull()
+    in_old = F.col("o._in_o").isNotNull()
+    in_new = F.col("n._in_n").isNotNull()
     same = F.struct(*[F.col(f"o.{c}") for c in val_cols]).eqNullSafe(
         F.struct(*[F.col(f"n.{c}") for c in val_cols])
     )

@@ -410,8 +410,12 @@ def chunk_documents(
     Output: (id, chunk_id, chunk_text, n_tokens), chunk_id 0-based."""
     from flyq_spark.operators.util import fan_out
 
-    if overlap >= chunk_tokens:
-        raise ValueError(f"overlap={overlap} must be < chunk_tokens={chunk_tokens}")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"overlap={overlap} must satisfy 0 <= overlap < "
+            f"chunk_tokens={chunk_tokens} (a negative overlap would "
+            "silently skip tokens between chunks)"
+        )
     df = fan_out(df)
     stride = chunk_tokens - overlap
     words = F.array_remove(F.split(F.col(text_col), "\\s+"), "")
@@ -546,7 +550,7 @@ def sample_k_per_group(
     by the largest group; for the pathological one-giant-group case the
     md5-threshold ``stratified_sample`` is the right tool instead (no
     window at all). Output: input columns + ``sample_rank`` (1..k)."""
-    h = F.md5(F.col(id_col).cast("string"))
+    h = _id_hash(id_col)
     w = Window.partitionBy(*group_cols).orderBy(h, F.col(id_col))
     return (
         df.withColumn("sample_rank", F.row_number().over(w).cast("long"))

@@ -606,28 +606,17 @@ def minhash_band_pairs(
         for i, (a, b) in enumerate(minhash_params(k))
     ]
     sigs = hashed.groupBy(id_col).agg(*mins)
-    banded = sigs.select(
+    # ONE banding implementation repo-wide: the same minhash_band_keys
+    # the streaming sink and dedup_against use (and the oracle replays)
+    # — a divergence between two copies would silently break
+    # cross-operator and oracle agreement
+    sig_arr = sigs.select(
         F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(band).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                "|",
-                                *[
-                                    F.col(f"_m{band * r + j}").cast("string")
-                                    for j in range(r)
-                                ],
-                            )
-                        ).alias("bits"),
-                    )
-                    for band in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bits")
+        F.array(*[F.col(f"_m{i}") for i in range(k)]).alias("minhash"),
+    )
+    banded = minhash_band_keys(
+        sig_arr, k=k, bands=bands, id_col=id_col
+    ).withColumnRenamed("band_key", "bits")
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -952,7 +941,9 @@ def lsh_parameter_sweep(
     n_candidates, n_found, recall) — one row per config."""
     from functools import reduce as _reduce
 
-    h = F.md5(F.col(id_col).cast("string"))
+    from flyq_spark.operators.corpus import _id_hash
+
+    h = _id_hash(id_col)
     # global top-N by hash via orderBy+limit — Spark compiles this to
     # TakeOrderedAndProject (per-partition top-N, merged on the driver),
     # NOT a single-partition global window; scale-safe at any corpus size

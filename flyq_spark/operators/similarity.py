@@ -1102,9 +1102,12 @@ def ivf_parameter_sweep(
                 F.lit(n_queries).cast("long").alias("n_queries"),
                 "n_truth",
                 "n_found",
-                (F.col("n_found") / F.col("n_truth").cast("double")).alias(
-                    "recall"
-                ),
+                F.when(
+                    F.col("n_truth") > 0,
+                    F.col("n_found") / F.col("n_truth").cast("double"),
+                )
+                .otherwise(F.lit(1.0))  # vacuous truth: nothing to miss
+                .alias("recall"),
             )
         )
     return _reduce(lambda a, b: a.unionByName(b), reports)

@@ -166,7 +166,7 @@ def neardup_dedup_sink(
     skew-split, never a scan-per-doc. A real deployment compacts old
     batch_id partitions periodically (shape unchanged).
     """
-    import os
+    from pyspark.errors import AnalysisException
 
     from flyq_spark.operators.dedup import minhash_band_keys, minhash_signatures
 
@@ -188,11 +188,17 @@ def neardup_dedup_sink(
             .where(F.col(id_col) > F.col("_min_id"))
             .select(id_col)
         )
-        if os.path.isdir(state_path):
-            prior = (
-                spark.read.parquet(state_path)
-                .where(F.col("batch_id") < batch_id)
-                .select("band", "band_key")
+        # probe the store by attempting the read (not os.path — the
+        # state dir may live on any Hadoop filesystem, where a local
+        # isdir is always false and would silently disable history
+        # dedup)
+        try:
+            state = spark.read.parquet(state_path)
+        except AnalysisException:
+            state = None  # first batch: no store yet
+        if state is not None:
+            prior = state.where(F.col("batch_id") < batch_id).select(
+                "band", "band_key"
             )
             drops = drops.union(
                 band_df.join(prior, ["band", "band_key"], "left_semi").select(

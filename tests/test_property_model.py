@@ -387,3 +387,39 @@ def test_corpus_shuffle_seed_epochs(spark):
         assert sorted(m.values()) == list(range(1, 301))
     assert e1 == e1b
     assert e1 != e2 and e1 != base
+
+
+def test_diff_snapshots_null_keys(spark):
+    """NULL keys are legal (the join is null-safe): an unchanged
+    NULL-key row emits nothing, a changed one emits 'u', a vanished one
+    emits 'd' — presence must come from markers, not key nullness."""
+    from flyq_spark.operators.cdc import apply_changes, diff_snapshots
+
+    schema = "k long, v string, ts long"
+    # unchanged NULL-key row
+    old = spark.createDataFrame([(None, "a", 1), (1, "x", 1)], schema)
+    new = spark.createDataFrame([(None, "a", 1), (1, "y", 2)], schema)
+    diff = diff_snapshots(old, new, ("k",), "ts").collect()
+    assert len(diff) == 1 and diff[0]["k"] == 1 and diff[0]["op"] == "u"
+    # vanished NULL-key row
+    old2 = spark.createDataFrame([(None, "a", 1)], schema)
+    new2 = spark.createDataFrame([], schema)
+    d2 = diff_snapshots(old2, new2, ("k",), "ts").collect()
+    assert len(d2) == 1 and d2[0]["k"] is None and d2[0]["op"] == "d"
+    # roundtrip with NULL keys present
+    merged = apply_changes(
+        old, diff_snapshots(old, new, ("k",), "ts"), ("k",), "ts"
+    )
+    assert sorted(map(tuple, merged.collect()), key=str) == sorted(
+        map(tuple, new.collect()), key=str
+    )
+
+
+def test_chunk_documents_rejects_negative_overlap(spark):
+    import pytest as _pt
+
+    from flyq_spark.operators.corpus import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pt.raises(ValueError):
+        chunk_documents(df, chunk_tokens=4, overlap=-1)
