@@ -2250,6 +2250,30 @@ def q_semdedup(spark, sf_dir):
     )
 
 
+def q_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS ((priority), (status), ()) — the grouping
+    construct rollup/cube cannot express (two independent dimension
+    slices + grand total without their cross product), via spark.sql
+    over a temp view; single-shuffle expanded aggregate on both
+    engines. The 'ALL' coalesce is safe because both columns are
+    NOT NULL in the fixture (real NULLs would need grouping()
+    flags)."""
+    orders = _read(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+               coalesce(o_orderstatus, 'ALL') AS status,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+                 AS total_price_c,
+               CAST(count(*) AS BIGINT) AS order_count
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        ORDER BY priority, status
+        """
+    )
+
+
 def q_rank_metrics(spark, sf_dir):
     """Relative-rank window family over per-customer order values:
     dense_rank / percent_rank / cume_dist plus a frame-bounded
@@ -2600,6 +2624,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "eval_sample": q_eval_sample,
         "rank_metrics": q_rank_metrics,
+        "grouping_sets": q_grouping_sets,
         "winnow_fp": q_winnow_fp,
         "domain_affinity": q_domain_affinity,
         "syndication_audit": q_syndication_audit,
@@ -4014,6 +4039,15 @@ FROM documents
 """,
         "minhash_sig": _MINHASH_SIG_SQL,
         "incremental_dedup": _INCREMENTAL_DEDUP_SQL,
+        "grouping_sets": """
+SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+       coalesce(o_orderstatus, 'ALL') AS status,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+         AS total_price_c,
+       CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+""",
         "rank_metrics": """
 SELECT o_custkey, o_orderkey,
        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c,
