@@ -33,6 +33,7 @@ import os
 import shutil
 from typing import Any, Iterable
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, Row, SparkSession
 from pyspark.sql import functions as F
 
@@ -115,7 +116,7 @@ class FlyQEngine:
         n_files = 0
         n_bytes = 0
         for p in range(n):
-            low, high, leo = self.get_watermark(topic, p)
+            low, high, leo = self._watermark_from_meta(meta, p)
             stats = storage.partition_file_stats(self.base_dir, topic, p)
             n_files += len(stats)
             n_bytes += sum(st.size_bytes for st in stats)
@@ -433,8 +434,13 @@ class FlyQEngine:
             )
             df.schema  # force analysis so path problems surface here
             return df
-        except Exception:
-            return self.spark.createDataFrame([], LOG_SCHEMA)
+        except AnalysisException as ex:
+            # ONLY the empty-topic case (no files yet) degrades to an
+            # empty frame; real read failures (permissions, corrupt
+            # listings) must surface, not masquerade as an empty topic
+            if "PATH_NOT_FOUND" in str(ex) or "UNABLE_TO_INFER_SCHEMA" in str(ex):
+                return self.spark.createDataFrame([], LOG_SCHEMA)
+            raise
 
     def register_views(self, topics: list[str] | None = None) -> list[str]:
         """Expose the broker surface to plain ``spark.sql``: one temp view
@@ -453,22 +459,30 @@ class FlyQEngine:
         import re
 
         names = []
+        registered: list[str] = []
+        # Spark temp view names are case-INSENSITIVE by default, so the
+        # collision key must be folded — topics 'Events'/'events' would
+        # otherwise silently replace each other's views
         taken: set[str] = set()
         for t in topics if topics is not None else self.list_topics():
             name = "flyq_" + re.sub(r"[^A-Za-z0-9_]", "_", t)
-            if name in taken:
+            if name.lower() in taken:
                 i = 2
-                while f"{name}_{i}" in taken:
+                while f"{name}_{i}".lower() in taken:
                     i += 1
                 name = f"{name}_{i}"
             try:
                 self.log(t).createOrReplaceTempView(name)
             except Exception:
                 continue
-            taken.add(name)
+            taken.add(name.lower())
             names.append(name)
+            registered.append(t)
         self.consumer_offsets_df().createOrReplaceTempView("flyq_consumer_offsets")
         names.append("flyq_consumer_offsets")
+        # only topics whose log view registered contribute watermark
+        # rows — a skipped/vanished topic must not abort the whole call
+        # after views were already (partially) registered
         wm_rows = [
             Row(
                 topic=t,
@@ -477,9 +491,10 @@ class FlyQEngine:
                 high=int(w[1]),
                 log_end_offset=int(w[2]),
             )
-            for t in (topics if topics is not None else self.list_topics())
-            for p in range(self.topic_partitions(t))
-            for w in (self.get_watermark(t, p),)
+            for t in registered
+            for m in (self._meta(t),)
+            for p in range(int(m["partitions"]))
+            for w in (self._watermark_from_meta(m, p),)
         ]
         self.spark.createDataFrame(
             wm_rows,
@@ -488,9 +503,22 @@ class FlyQEngine:
         names.append("flyq_watermarks")
         return names
 
+    def _clamped_start(self, topic: str, partition: int, offset: int) -> int:
+        """Reads clamp at the LOW WATERMARK: ``delete_records`` is a
+        LOGICAL truncation (a file straddling the boundary keeps its
+        below-cutoff rows on disk until compaction reclaims them), so
+        every read path must start at max(offset, low) — otherwise
+        truncated records stay readable and contradict the watermark
+        triple (Kafka reads below the log start offset are out of
+        range; we degrade to clamping, the gentler of the two)."""
+        low, _, _ = self.get_watermark(topic, partition)
+        return max(int(offset), low)
+
     def consume(self, topic: str, partition: int, offset: int) -> Row | None:
         """Point read at >= offset; past-end -> None (log_engine.rs:75-102:
-        OffsetNotFound degrades to graceful None)."""
+        OffsetNotFound degrades to graceful None). Starts no lower than
+        the low watermark (see _clamped_start)."""
+        offset = self._clamped_start(topic, partition, offset)
         rows = (
             self.log(topic)
             .where((F.col("partition") == partition) & (F.col("offset") >= offset))
@@ -504,7 +532,9 @@ class FlyQEngine:
     consume_from_partition = consume
 
     def stream_from_offset(self, topic: str, partition: int, offset: int) -> DataFrame:
-        """Ordered range scan from offset (partition.rs:144-165)."""
+        """Ordered range scan from offset (partition.rs:144-165); starts
+        no lower than the low watermark (see _clamped_start)."""
+        offset = self._clamped_start(topic, partition, offset)
         return (
             self.log(topic)
             .where((F.col("partition") == partition) & (F.col("offset") >= offset))
@@ -539,9 +569,14 @@ class FlyQEngine:
                 .select(keyed_partition(F.lit(key), n, method).alias("p"))
                 .collect()[0]["p"]
             )
+        low, _, _ = self.get_watermark(topic, p)
         return (
             self.log(topic)
-            .where((F.col("partition") == p) & (F.col("key") == F.lit(key)))
+            .where(
+                (F.col("partition") == p)
+                & (F.col("key") == F.lit(key))
+                & (F.col("offset") >= low)
+            )
             .orderBy("offset")
             .collect()
         )
@@ -616,17 +651,23 @@ class FlyQEngine:
     # observability (A12/A13/A14)
     # ------------------------------------------------------------------ #
 
+    @staticmethod
+    def _watermark_from_meta(meta: dict, partition: int) -> tuple[int, int, int]:
+        """Watermark triple from an already-loaded meta dict — loops over
+        partitions/topics (describe, lag, views) use this so one
+        operation costs ONE meta file read, not one per partition."""
+        leo = int(meta["log_end_offsets"].get(str(partition), 0))
+        low = int(meta["low_watermarks"].get(str(partition), 0))
+        high = leo - 1 if leo > 0 else 0
+        return low, high, leo
+
     def get_watermark(self, topic: str, partition: int) -> tuple[int, int, int]:
         """(low, high, leo) from O(1) metadata (log_engine.rs:133-144).
 
         Quirk Q6: fresh partition reports (0, 0, 0); after n appends
         (0, n-1, n). LEO survives retention; low advances past deleted
         offsets (partition.rs:285)."""
-        meta = self._meta(topic)
-        leo = int(meta["log_end_offsets"].get(str(partition), 0))
-        low = int(meta["low_watermarks"].get(str(partition), 0))
-        high = leo - 1 if leo > 0 else 0
-        return low, high, leo
+        return self._watermark_from_meta(self._meta(topic), partition)
 
     def mirror_topic(self, src: "FlyQEngine", topic: str) -> dict:
         """Replicate a topic from another engine PRESERVING partitions
@@ -642,6 +683,11 @@ class FlyQEngine:
         src_meta = src._meta(topic)
         if not self.topic_exists(topic):
             self.create_topic(topic, partitions=int(src_meta["partitions"]))
+        # same defensive conf produce() sets: an INT96 mirror write
+        # would erase footer timestamp stats and kill time retention
+        self.spark.conf.set(
+            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+        )
         (
             src.log(topic)
             .select([f.name for f in LOG_SCHEMA.fields])
@@ -652,7 +698,28 @@ class FlyQEngine:
             .partitionBy("partition")
             .parquet(storage.topic_dir(self.base_dir, topic))
         )
-        return self.repair_topic(topic)
+        meta = self.repair_topic(topic)
+        # footers alone cannot rebuild everything: per-topic config
+        # overrides, the round-robin cursor, and the LEO/low of a
+        # partition whose files were fully truncated at the source
+        # (zero files but a live watermark triple consumers depend on).
+        # Merge those from the SOURCE meta — offsets-preserved means the
+        # whole triple, not just what the copied data implies.
+        if src_meta.get("config"):
+            meta["config"] = dict(src_meta["config"])
+        meta["rr_cursor"] = int(src_meta.get("rr_cursor", 0))
+        for p in range(int(src_meta["partitions"])):
+            key = str(p)
+            meta["log_end_offsets"][key] = max(
+                int(meta["log_end_offsets"].get(key, 0)),
+                int(src_meta["log_end_offsets"].get(key, 0)),
+            )
+            meta["low_watermarks"][key] = max(
+                int(meta["low_watermarks"].get(key, 0)),
+                int(src_meta["low_watermarks"].get(key, 0)),
+            )
+        storage.save_topic_meta(self.base_dir, topic, meta)
+        return meta
 
     def offsets_for_times(self, topic: str, ts_millis: int) -> dict[int, int | None]:
         """Kafka ``offsetsForTimes``: per partition, the earliest offset
@@ -689,7 +756,7 @@ class FlyQEngine:
         for t in topics:
             meta = self._meta(t)
             for p in range(int(meta["partitions"])):
-                _, high, leo = self.get_watermark(t, p)
+                _, high, leo = self._watermark_from_meta(meta, p)
                 committed = self.committed_offset(group, t, p) or 0
                 lag = max(0, high - committed)
                 total += lag
@@ -770,6 +837,13 @@ class FlyQEngine:
                     victims.append(s)
                     if too_big:
                         over_cap -= s.size_bytes
+                else:
+                    # contiguity: deletion stops at the first surviving
+                    # file (partition.rs:225-308 deletes oldest-first and
+                    # breaks at the first keeper) — deleting a LATER
+                    # too-old file past a survivor would advance the low
+                    # watermark over still-live older offsets
+                    break
             if not victims:
                 continue
             new_low = max(
@@ -834,6 +908,15 @@ class FlyQEngine:
         meta = self._meta(topic)
         tdir = storage.topic_dir(self.base_dir, topic)
         n = int(meta["partitions"])
+        # a crash mid-compaction leaves .compact_old/.compact_tmp dirs;
+        # roll those back before trusting the footer scan
+        for name in os.listdir(tdir):
+            if name.startswith(".compact_old_p") or name.startswith(".compact_tmp_p"):
+                try:
+                    p = int(name.rsplit("_p", 1)[1])
+                except ValueError:
+                    continue
+                self._recover_compaction(topic, p)
         for name in os.listdir(tdir):
             if name.startswith("partition="):
                 try:
@@ -861,6 +944,42 @@ class FlyQEngine:
     # ------------------------------------------------------------------ #
     # maintenance: compaction (A5 analog)
     # ------------------------------------------------------------------ #
+
+    def _compact_paths(self, topic: str, partition: int) -> tuple[str, str, str]:
+        """(live, tmp, old) dirs for a compaction swap. tmp/old are
+        DOT-PREFIXED siblings inside the topic dir: Spark's file index
+        skips '.'/'_' names, so a concurrent log() read can never list
+        half a rewrite or parse them as a hive partition value."""
+        pdir = storage.partition_dir(self.base_dir, topic, partition)
+        tdir = storage.topic_dir(self.base_dir, topic)
+        tmp = os.path.join(tdir, f".compact_tmp_p{int(partition)}")
+        old = os.path.join(tdir, f".compact_old_p{int(partition)}")
+        return pdir, tmp, old
+
+    def _recover_compaction(self, topic: str, partition: int) -> None:
+        """Roll back a compaction interrupted mid-swap. The swap is
+        rename(live→old); rename(tmp→live); rmtree(old) — a crash
+        leaves at most: a stale tmp (before the swap: remove it), a
+        missing live dir with old present (between the renames: roll
+        OLD back — always safe, compaction is re-runnable), or a
+        leftover old after the swap (finish the cleanup). Called before
+        every compaction and from repair_topic."""
+        pdir, tmp, old = self._compact_paths(topic, partition)
+        if os.path.isdir(old):
+            if not os.path.isdir(pdir):
+                os.rename(old, pdir)
+            else:
+                shutil.rmtree(old, ignore_errors=True)
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    def _swap_compacted(self, topic: str, partition: int) -> None:
+        """Atomic-per-step directory swap installing a finished rewrite;
+        see _recover_compaction for the crash analysis."""
+        pdir, tmp, old = self._compact_paths(topic, partition)
+        os.rename(pdir, old)
+        os.rename(tmp, pdir)
+        shutil.rmtree(old, ignore_errors=True)
 
     def maintain_topic(
         self,
@@ -899,10 +1018,16 @@ class FlyQEngine:
         count. Single-writer contract applies."""
         from flyq_spark.operators.retention import compact_by_key
 
-        pdir = storage.partition_dir(self.base_dir, topic, partition)
+        self._recover_compaction(topic, partition)
+        pdir, tmp, _old = self._compact_paths(topic, partition)
         stats = storage.partition_file_stats(self.base_dir, topic, partition)
         if not stats:
             return 0
+        # same defensive conf produce() sets: an INT96 rewrite would
+        # erase footer timestamp stats and kill time retention (Q5)
+        self.spark.conf.set(
+            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+        )
         # a partition-dir read has no hive `partition` column; pin it as
         # a literal for the window key, drop it again before the write
         df = self.spark.read.parquet(pdir).withColumn(
@@ -918,7 +1043,6 @@ class FlyQEngine:
         n_rows = compacted.count()
         total_bytes = sum(s.size_bytes for s in stats)
         n_out = max(1, -(-total_bytes // self.config.segment_max_bytes))
-        tmp = pdir + ".compact_tmp"
         (
             compacted.repartitionByRange(n_out, "offset")
             .sortWithinPartitions("offset")
@@ -927,12 +1051,7 @@ class FlyQEngine:
             .parquet(tmp)
         )
         compacted.unpersist()
-        for st in stats:
-            os.remove(st.path)
-        for name in os.listdir(tmp):
-            if name.endswith(".parquet"):
-                os.replace(os.path.join(tmp, name), os.path.join(pdir, name))
-        shutil.rmtree(tmp, ignore_errors=True)
+        self._swap_compacted(topic, partition)
         return n_rows
 
     def compact_partition(self, topic: str, partition: int) -> int:
@@ -947,14 +1066,17 @@ class FlyQEngine:
         over-target partition compacts with N writers instead of the
         single coalesce(1) straggler a 100x partition would hit, while
         offset-ordered point/range reads still prune by footer stats."""
-        pdir = storage.partition_dir(self.base_dir, topic, partition)
+        self._recover_compaction(topic, partition)
+        pdir, tmp, _old = self._compact_paths(topic, partition)
         stats = storage.partition_file_stats(self.base_dir, topic, partition)
         if not stats:
             return 0
+        self.spark.conf.set(
+            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+        )
         total_bytes = sum(s.size_bytes for s in stats)
         n_out = max(1, -(-total_bytes // self.config.segment_max_bytes))
         df = self.spark.read.parquet(pdir)
-        tmp = pdir + ".compact_tmp"
         (
             df.repartitionByRange(n_out, "offset")
             .sortWithinPartitions("offset")
@@ -962,10 +1084,5 @@ class FlyQEngine:
             .option("maxRecordsPerFile", str(self.config.max_records_per_file))
             .parquet(tmp)
         )
-        for s in stats:
-            os.remove(s.path)
-        for name in os.listdir(tmp):
-            if name.endswith(".parquet"):
-                os.replace(os.path.join(tmp, name), os.path.join(pdir, name))
-        shutil.rmtree(tmp, ignore_errors=True)
+        self._swap_compacted(topic, partition)
         return len(storage.partition_file_stats(self.base_dir, topic, partition))

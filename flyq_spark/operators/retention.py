@@ -100,12 +100,20 @@ def compact_by_key(
     compaction is defined only for keyed records.
 
     Offsets are preserved, not re-densified — consumers seek by stored
-    offset into a compacted topic exactly as Kafka's do."""
+    offset into a compacted topic exactly as Kafka's do.
+
+    "Keyless" follows quirk Q1's definition: NULL **or empty** key —
+    the codec cannot distinguish them (a zero-length key decodes as
+    None, message.rs:83-92) and the router treats both as round-robin
+    traffic, so compaction must exempt both (collapsing b"" records
+    would delete unrelated keyless messages that happened to share a
+    partition)."""
+    keyless = F.col(key_col).isNull() | (F.octet_length(F.col(key_col)) == 0)
     w = Window.partitionBy(part_col, key_col).orderBy(F.col(offset_col).desc())
-    keyed = log.where(F.col(key_col).isNotNull())
+    keyed = log.where(~keyless)
     latest = (
         keyed.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
-    return latest.unionByName(log.where(F.col(key_col).isNull()))
+    return latest.unionByName(log.where(keyless))

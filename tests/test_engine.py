@@ -458,3 +458,153 @@ def test_delete_records_beyond_leo_raises(engine):
     with pytest.raises(ValueError, match="OFFSET_OUT_OF_RANGE"):
         engine.delete_records("bound", 0, before_offset=99)
     assert engine.get_watermark("bound", 0) == (0, 4, 5)
+
+
+def test_compaction_crash_recovery(engine):
+    """A compaction interrupted mid-swap must roll back losslessly: a
+    stranded .compact_old with the live dir missing is restored, stale
+    .compact_tmp is swept, and data/watermarks are intact afterward."""
+    import os
+    import shutil
+
+    from flyq_spark import storage
+    from tests.conftest import make_messages
+
+    engine.produce("cc", make_messages(30))
+    pdir, tmp, old = engine._compact_paths("cc", 0)
+    # simulate: crash between rename(live->old) and rename(tmp->live)
+    os.makedirs(tmp)  # incomplete rewrite (no _SUCCESS, no files)
+    os.rename(pdir, old)
+    assert not os.path.isdir(pdir)
+    engine._recover_compaction("cc", 0)
+    assert os.path.isdir(pdir) and not os.path.isdir(old) and not os.path.isdir(tmp)
+    assert engine.read_from_offset("cc", 0, 0)[0]["offset"] == 0
+    assert len(engine.read_from_offset("cc", 0, 0)) == 30
+    # simulate: crash after the swap, old not yet removed
+    shutil.copytree(pdir, old)
+    engine._recover_compaction("cc", 0)
+    assert os.path.isdir(pdir) and not os.path.isdir(old)
+    # repair_topic also runs the recovery
+    os.makedirs(tmp)
+    meta = engine.repair_topic("cc")
+    assert not os.path.isdir(tmp)
+    assert int(meta["log_end_offsets"]["0"]) == 30
+    # a real compaction still works end-to-end after all that
+    engine.compact_partition("cc", 0)
+    assert len(engine.read_from_offset("cc", 0, 0)) == 30
+
+
+def test_compact_by_key_exempts_empty_key(engine):
+    """Quirk Q1: b'' is KEYLESS (codec can't distinguish it from None),
+    so compaction must never collapse empty-key records."""
+    msgs = [
+        {"key": b"", "value": f"k{i}".encode(), "timestamp": 1_700_000_000_000 + i}
+        for i in range(6)
+    ] + [
+        {"key": b"real", "value": f"r{i}".encode(), "timestamp": 1_700_000_100_000 + i}
+        for i in range(3)
+    ]
+    engine.create_topic("ek", partitions=1)
+    engine.produce("ek", msgs)
+    n = engine.compact_partition_by_key("ek", 0)
+    rows = engine.read_from_offset("ek", 0, 0)
+    empties = [r for r in rows if r["key"] == bytearray(b"") or r["key"] == b""]
+    reals = [r for r in rows if bytes(r["key"] or b"") == b"real"]
+    assert len(empties) == 6  # all keyless records survive
+    assert len(reals) == 1    # keyed records compact to latest
+    assert n == len(rows)
+
+
+def test_delete_records_reads_clamp_at_low(engine):
+    """Logical truncation: a straddling file keeps truncated rows on
+    disk, but every read path starts at the low watermark."""
+    from tests.conftest import make_messages
+
+    engine.produce("dr", make_messages(10, key=b"a"))
+    engine.delete_records("dr", 0, 5)
+    low, high, leo = engine.get_watermark("dr", 0)
+    assert (low, high, leo) == (5, 9, 10)
+    assert engine.consume("dr", 0, 0)["offset"] == 5  # clamped, not 0
+    offs = [r["offset"] for r in engine.read_from_offset("dr", 0, 0)]
+    assert offs == [5, 6, 7, 8, 9]
+    by_key = engine.consume_by_key("dr", b"a")
+    assert min(r["offset"] for r in by_key) == 5
+    got = engine.consume_with_group("dr", 0, "g1")
+    assert got is not None and got[1]["offset"] == 5
+
+
+def test_retention_time_stops_at_first_survivor(engine, spark):
+    """Contiguity (partition.rs:225-308): a too-old file BEHIND a
+    recent one is never deleted — removing it would advance the low
+    watermark past still-live older offsets."""
+    from tests.conftest import make_messages
+
+    # file 1: RECENT timestamps; file 2: OLD; file 3: newest (active)
+    t_new = 1_700_000_000_000
+    t_old = 1_600_000_000_000
+    engine.create_topic("oo", partitions=1)
+    engine.produce("oo", [{"key": None, "value": b"a", "timestamp": t_new}])
+    engine.produce("oo", [{"key": None, "value": b"b", "timestamp": t_old}])
+    engine.produce("oo", [{"key": None, "value": b"c", "timestamp": t_new + 1}])
+    deleted = engine.apply_retention(
+        "oo", now_ms=t_new + 10_000, retention_ms=3_600_000
+    )
+    # the old file (offset 1) sits behind the recent file (offset 0):
+    # contiguity forbids deleting it
+    assert deleted == []
+    low, _, leo = engine.get_watermark("oo", 0)
+    assert (low, leo) == (0, 3)
+    # but when the OLDEST file is the stale one, it goes
+    engine.create_topic("oo2", partitions=1)
+    engine.produce("oo2", [{"key": None, "value": b"a", "timestamp": t_old}])
+    engine.produce("oo2", [{"key": None, "value": b"b", "timestamp": t_new}])
+    engine.produce("oo2", [{"key": None, "value": b"c", "timestamp": t_new + 1}])
+    deleted = engine.apply_retention(
+        "oo2", now_ms=t_new + 10_000, retention_ms=3_600_000
+    )
+    assert len(deleted) == 1
+    low, _, _ = engine.get_watermark("oo2", 0)
+    assert low == 1
+
+
+def test_register_views_case_collision_and_vanished_topic(engine, spark):
+    """Case-folded collision handling (Spark view names are
+    case-insensitive) and resilience to a topic that fails to load."""
+    from tests.conftest import make_messages
+
+    engine.produce("CaseT", make_messages(2))
+    engine.produce("caset", make_messages(3))
+    names = engine.register_views(["CaseT", "caset", "never_existed"])
+    log_views = [n for n in names if n.startswith("flyq_") and "case" in n.lower()]
+    assert len(log_views) == 2 and len({v.lower() for v in log_views}) == 2
+    counts = sorted(
+        engine.spark.sql(f"SELECT count(*) AS c FROM {v}").collect()[0]["c"]
+        for v in log_views
+    )
+    assert counts == [2, 3]
+    # the vanished topic is skipped; watermark view still registered
+    wm = engine.spark.sql(
+        "SELECT DISTINCT topic FROM flyq_watermarks ORDER BY topic"
+    ).collect()
+    assert {r["topic"] for r in wm} == {"CaseT", "caset"}
+
+
+def test_mirror_preserves_config_cursor_and_truncated_leo(engine, spark, tmp_path):
+    """MirrorMaker parity: config overrides, the round-robin cursor,
+    and the watermark triple of a fully-truncated partition all survive
+    mirroring (footers alone cannot rebuild them)."""
+    from flyq_spark.engine import FlyQEngine
+    from tests.conftest import make_messages
+
+    engine.create_topic("mt", partitions=2, retention_ms=1234)
+    engine.produce("mt", make_messages(10))
+    # fully truncate partition 0 (delete everything below its LEO)
+    leo0 = engine.get_watermark("mt", 0)[2]
+    engine.delete_records("mt", 0, leo0)
+    mirror = FlyQEngine(spark, str(tmp_path / "mirror"))
+    meta = mirror.mirror_topic(engine, "mt")
+    src_meta = engine._meta("mt")
+    assert meta["config"].get("retention_ms") == 1234
+    assert int(meta["rr_cursor"]) == int(src_meta["rr_cursor"])
+    assert mirror.get_watermark("mt", 0) == engine.get_watermark("mt", 0)
+    assert mirror.get_watermark("mt", 1) == engine.get_watermark("mt", 1)
