@@ -55,7 +55,7 @@ class FlyQServer:
 
         class _Handler(socketserver.BaseRequestHandler):
             def handle(self) -> None:  # one reference connection loop
-                buf = b""
+                buf = bytearray()
                 sock = self.request
                 while True:
                     try:
@@ -65,12 +65,16 @@ class FlyQServer:
                     if not chunk:
                         return
                     buf += chunk
+                    pos = 0
                     while True:
                         try:
-                            frame, buf = wire.decode_frame(buf)
+                            frame, pos = wire.decode_frame_at(buf, pos)
                         except ProtocolError:
                             return  # corrupt frame: close, listener.rs:46
                         if frame is None:
+                            # compact ONCE per drain (cursor parsing keeps
+                            # per-frame work O(frame), not O(buffer))
+                            del buf[:pos]
                             break
                         if frame.frame_type != FrameType.REQUEST:
                             continue  # listener.rs:48-51
@@ -123,7 +127,11 @@ class FlyQServer:
                 )
                 if row is None:
                     return b""
-                return self._row_response(req["offset"], row)
+                # the row's ACTUAL offset, not the requested one: consume
+                # returns the first record at >= offset (clamped at the
+                # low watermark), and a client paginating with
+                # response.offset + 1 must advance past it
+                return self._row_response(int(row["offset"]), row)
             if op == OpCode.CONSUME_WITH_GROUP:
                 req = wire.decode_consume_with_group_request(data)
                 got = self.engine.consume_with_group(
@@ -131,8 +139,11 @@ class FlyQServer:
                 )
                 if got is None:
                     return b""
-                offset, row = got
-                return self._row_response(offset, row)
+                _committed, row = got
+                # the delivered record's actual offset (see CONSUME): a
+                # client committing response.offset + 1 must move past
+                # the record it just read, even across truncation gaps
+                return self._row_response(int(row["offset"]), row)
             if op == OpCode.COMMIT_OFFSET:
                 req = wire.decode_commit_offset_request(data)
                 self.engine.commit_offset(
@@ -193,7 +204,11 @@ class FlyQServer:
         return self.host, self.port
 
     def stop(self) -> None:
-        self._server.shutdown()
+        # shutdown() blocks on an event only serve_forever sets — calling
+        # it without start() would deadlock forever; server_close() alone
+        # releases the socket bound in __init__
+        if self._thread is not None:
+            self._server.shutdown()
         self._server.server_close()
         if self._thread:
             self._thread.join(timeout=5)
@@ -234,21 +249,35 @@ class FlyQWireClient:
             wire.encode_payload(op, data),
         )
         self._sock.sendall(frame.encode())
-        while True:
-            got, self._buf = wire.decode_frame(self._buf)
-            if got is not None:
-                if got.correlation_id != self._corr:
-                    continue  # stale frame from a cancelled call
-                resp_op, resp_data = wire.decode_payload(got.payload)
-                if resp_op != op:
-                    raise ProtocolError(
-                        f"response op {resp_op} for request op {op}"
-                    )
-                return resp_data
-            chunk = self._sock.recv(65536)
-            if not chunk:
-                raise ConnectionError("server closed connection")
-            self._buf += chunk
+        buf = bytearray(self._buf)
+        pos = 0
+        try:
+            while True:
+                got, pos = wire.decode_frame_at(buf, pos)
+                if got is not None:
+                    if got.frame_type == FrameType.ERROR:
+                        raise ProtocolError(
+                            f"broker error frame: {got.payload!r}"
+                        )
+                    if got.frame_type != FrameType.RESPONSE:
+                        continue  # e.g. HEARTBEAT: skip, like the server
+                    if got.correlation_id != self._corr:
+                        continue  # stale frame from a cancelled call
+                    resp_op, resp_data = wire.decode_payload(got.payload)
+                    if resp_op != op:
+                        raise ProtocolError(
+                            f"response op {resp_op} for request op {op}"
+                        )
+                    return resp_data
+                del buf[:pos]
+                pos = 0
+                chunk = self._sock.recv(65536)
+                if not chunk:
+                    raise ConnectionError("server closed connection")
+                buf += chunk
+        finally:
+            del buf[:pos]
+            self._buf = bytes(buf)
 
     def produce(self, topic: str, message: bytes) -> tuple[int, int]:
         ack = wire.decode_produce_ack(

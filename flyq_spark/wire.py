@@ -75,19 +75,36 @@ class Frame:
         )
 
 
-def decode_frame(buf: bytes) -> tuple[Frame | None, bytes]:
-    """Incremental decode (frame.rs:57-97): returns (frame, rest) or
-    (None, buf) when the buffer does not yet hold a complete frame.
-    Checksum mismatch and unknown frame types raise ProtocolError."""
-    if len(buf) < FRAME_HEADER_LEN:
-        return None, buf
+#: Upper bound on a frame payload this implementation will buffer.
+#: The wire format itself allows any u32 length, but waiting for up to
+#: 4 GiB that may never arrive (a garbage header that happened to parse)
+#: is an unbounded-memory hang — reject early instead. Far above any
+#: legitimate payload (single messages; the reference reads are bounded
+#: the same way by segment sizes).
+MAX_PAYLOAD_LEN = 64 * 1024 * 1024
+
+
+def decode_frame_at(buf, start: int = 0) -> tuple[Frame | None, int]:
+    """Incremental decode (frame.rs:57-97) without copying the tail:
+    returns (frame, new_start) or (None, start) when the buffer does not
+    yet hold a complete frame after ``start``. Connection loops parse a
+    growing buffer with a cursor and compact once per drain — O(bytes)
+    total instead of the O(n²) full-tail copy per frame. Checksum
+    mismatch, unknown frame types, and payloads beyond MAX_PAYLOAD_LEN
+    raise ProtocolError."""
+    if len(buf) - start < FRAME_HEADER_LEN:
+        return None, start
     version, ftype_raw, corr_id, payload_len, checksum = struct.unpack_from(
-        ">BBIII", buf, 0
+        ">BBIII", buf, start
     )
-    if len(buf) < FRAME_HEADER_LEN + payload_len:
-        return None, buf
-    payload = bytes(buf[FRAME_HEADER_LEN : FRAME_HEADER_LEN + payload_len])
-    rest = bytes(buf[FRAME_HEADER_LEN + payload_len :])
+    if payload_len > MAX_PAYLOAD_LEN:
+        raise ProtocolError(
+            f"payload length {payload_len} exceeds cap {MAX_PAYLOAD_LEN}"
+        )
+    if len(buf) - start < FRAME_HEADER_LEN + payload_len:
+        return None, start
+    p0 = start + FRAME_HEADER_LEN
+    payload = bytes(buf[p0 : p0 + payload_len])
     actual = xxh32(payload)
     if actual != checksum:
         raise ProtocolError(
@@ -97,7 +114,16 @@ def decode_frame(buf: bytes) -> tuple[Frame | None, bytes]:
         ftype = FrameType(ftype_raw)
     except ValueError:
         raise ProtocolError(f"unknown frame type {ftype_raw}") from None
-    return Frame(version, ftype, corr_id, payload), rest
+    return Frame(version, ftype, corr_id, payload), p0 + payload_len
+
+
+def decode_frame(buf: bytes) -> tuple[Frame | None, bytes]:
+    """(frame, rest) convenience wrapper over ``decode_frame_at`` —
+    codec tests and simple callers; loops should use the cursor form."""
+    frame, consumed = decode_frame_at(buf, 0)
+    if frame is None:
+        return None, buf
+    return frame, bytes(buf[consumed:])
 
 
 # --------------------------------------------------------------------- #
@@ -250,7 +276,10 @@ def decode_consumer_lag_request(data: bytes) -> dict:
     r = _Reader(data)
     group = r.lstr()
     topics = None
-    if r.u8() == 1:
+    flag = r.u8()
+    if flag not in (0, 1):
+        raise ProtocolError(f"invalid option flag {flag}")
+    if flag == 1:
         topics = [r.lstr() for _ in range(r.u32())]
     return {"group": group, "topics": topics}
 
@@ -384,6 +413,9 @@ def decode_partition_health_response(data: bytes) -> dict:
         "log_end_offset": r.u64(),
         "last_cleanup": None,
     }
-    if r.u8() == 1:
+    flag = r.u8()
+    if flag not in (0, 1):
+        raise ProtocolError(f"invalid option flag {flag}")
+    if flag == 1:
         out["last_cleanup"] = r.u64()
     return out

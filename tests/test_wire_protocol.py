@@ -437,3 +437,143 @@ def test_server_concurrent_clients(engine):
             wm = cli.watermark("wirecc", 0)
     assert sorted(o for _, o in acks) == list(range(8))  # unique dense offsets
     assert wm == {"low_watermark": 0, "high_watermark": 7, "log_end_offset": 8}
+
+
+def test_consume_reports_actual_offset_after_truncation(engine):
+    """A client paginating with response.offset + 1 must advance: after
+    delete_records the first readable row is at the low watermark, and
+    both CONSUME and CONSUME_WITH_GROUP must report THAT offset, not
+    the requested/committed one (otherwise next = offset+1 re-reads the
+    same row forever)."""
+    from flyq_spark.server import FlyQServer, FlyQWireClient
+
+    engine.create_topic("trunc", partitions=1)
+    with FlyQServer(engine, clock_ms=lambda: 1_700_000_000_000) as srv:
+        with FlyQWireClient(srv.host, srv.port) as cli:
+            for i in range(10):
+                cli.produce("trunc", f"m{i}".encode())
+            engine.delete_records("trunc", 0, 5)
+            msg = cli.consume("trunc", 0, 2)
+            assert msg["offset"] == 5 and msg["value"] == b"m5"
+            nxt = cli.consume("trunc", 0, msg["offset"] + 1)
+            assert nxt["offset"] == 6  # pagination advances
+            cli.commit_offset("trunc", 0, "g", 2)
+            got = cli.consume_with_group("trunc", 0, "g")
+            assert got["offset"] == 5
+            cli.commit_offset("trunc", 0, "g", got["offset"] + 1)
+            got = cli.consume_with_group("trunc", 0, "g")
+            assert got["offset"] == 6
+
+
+def test_frame_payload_cap_and_strict_flags():
+    import struct
+
+    import pytest as _pt
+
+    from flyq_spark import wire
+
+    # a header-shaped prefix claiming a 4 GiB payload must fail fast,
+    # not buffer forever
+    hdr = struct.pack(">BBIII", wire.PROTOCOL_VERSION, 1, 1, 0xFFFFFFFF, 0)
+    with _pt.raises(wire.ProtocolError):
+        wire.decode_frame(hdr)
+    # option flags must be 0 or 1
+    bad = wire.encode_consumer_lag_request("g", None)
+    bad = bad[:-1] + b"\x02"
+    with _pt.raises(wire.ProtocolError):
+        wire.decode_consumer_lag_request(bad)
+
+
+def test_decode_frame_at_cursor_parses_pipelined_frames():
+    from flyq_spark import wire
+    from flyq_spark.wire import Frame, FrameType
+
+    frames = [
+        Frame(wire.PROTOCOL_VERSION, FrameType.REQUEST, i, b"\x01" + bytes([i]))
+        for i in range(1, 6)
+    ]
+    buf = b"".join(f.encode() for f in frames) + b"\x01"  # trailing partial
+    pos = 0
+    got = []
+    while True:
+        f, pos = wire.decode_frame_at(buf, pos)
+        if f is None:
+            break
+        got.append(f.correlation_id)
+    assert got == [1, 2, 3, 4, 5]
+    assert buf[pos:] == b"\x01"
+
+
+def test_server_stop_without_start_does_not_hang(engine):
+    """stop() on a constructed-but-never-started server must release the
+    socket and return (shutdown() would otherwise block forever)."""
+    import socket
+
+    from flyq_spark.server import FlyQServer
+
+    srv = FlyQServer(engine)
+    host, port = srv.host, srv.port
+    srv.stop()  # must not deadlock
+    # port is released: a fresh bind succeeds
+    s = socket.socket()
+    s.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    s.bind((host, port))
+    s.close()
+
+
+def test_client_skips_heartbeat_and_raises_on_error_frame(engine):
+    """A reference broker may emit HEARTBEAT frames mid-stream; the
+    client must skip them and still match its response, and must
+    surface ERROR frames instead of misparsing them."""
+    import socket
+    import threading
+
+    import pytest as _pt
+
+    from flyq_spark import wire
+    from flyq_spark.server import FlyQWireClient
+    from flyq_spark.wire import Frame, FrameType, OpCode, ProtocolError
+
+    srv = socket.socket()
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    host, port = srv.getsockname()
+
+    def fake_broker():
+        conn, _ = srv.accept()
+        buf = b""
+        # first request: heartbeat noise, then the real response
+        while True:
+            f, buf = wire.decode_frame(buf)
+            if f is not None:
+                break
+            buf += conn.recv(65536)
+        hb = Frame(wire.PROTOCOL_VERSION, FrameType.HEARTBEAT, 0, b"")
+        ack = wire.encode_produce_ack(0, 7)
+        resp = Frame(
+            wire.PROTOCOL_VERSION, FrameType.RESPONSE, f.correlation_id,
+            wire.encode_payload(OpCode.PRODUCE, ack),
+        )
+        conn.sendall(hb.encode() + resp.encode())
+        # second request: answer with an ERROR frame
+        buf2 = b""
+        while True:
+            f2, buf2 = wire.decode_frame(buf2)
+            if f2 is not None:
+                break
+            buf2 += conn.recv(65536)
+        err = Frame(
+            wire.PROTOCOL_VERSION, FrameType.ERROR, f2.correlation_id, b"boom"
+        )
+        conn.sendall(err.encode())
+        conn.close()
+
+    t = threading.Thread(target=fake_broker, daemon=True)
+    t.start()
+    with FlyQWireClient(host, port, timeout=10) as cli:
+        assert cli.produce("t", b"x") == (0, 7)
+        with _pt.raises(ProtocolError):
+            cli.produce("t", b"y")
+    srv.close()
+    t.join(timeout=5)
