@@ -114,8 +114,19 @@ class FlyQStreamReader(DataSourceStreamReader):
 
     # -- data path (executor side) ----------------------------------------
     def read(self, partition: FlyQRangePartition):
-        if partition.partition < 0 or not os.path.isdir(partition.pdir):
-            return iter(())
+        if partition.partition < 0:
+            return iter(())  # the declared no-op batch
+        if not os.path.isdir(partition.pdir):
+            # a REAL range always has data behind it (partitions() only
+            # emits end > start); a missing dir is transient (e.g. the
+            # compaction swap window) — raise so Spark retries the task.
+            # Returning empty here would let the checkpoint commit past
+            # offsets that were never delivered: silent data loss.
+            raise FileNotFoundError(
+                f"partition dir {partition.pdir} missing for range "
+                f"[{partition.start}, {partition.end}) — transient "
+                "(compaction swap?); task will retry"
+            )
         import pyarrow.dataset as ds
 
         dataset = ds.dataset(partition.pdir, format="parquet")
@@ -123,23 +134,30 @@ class FlyQStreamReader(DataSourceStreamReader):
             columns=["offset", "key", "value", "timestamp", "headers"],
             filter=(ds.field("offset") >= partition.start)
             & (ds.field("offset") < partition.end),
-        )
-        rows = table.sort_by("offset").to_pylist()
-        return iter(
-            (
-                partition.partition,
-                r["offset"],
-                r["key"],
-                r["value"],
-                r["timestamp"],
-                # struct elements as tuples — the DataSource row protocol
-                # positionally converts nested structs like top-level rows
-                [(h["key"], h["value"]) for h in r["headers"]]
-                if r["headers"] is not None
-                else None,
-            )
-            for r in rows
-        )
+        ).sort_by("offset")
+
+        def rows():
+            # chunked conversion: bound the Python-object footprint to
+            # one record batch at a time (a whole-partition 'earliest'
+            # first batch would otherwise hold the full history as
+            # dicts — several-x amplification over the Arrow table)
+            for batch in table.to_batches(max_chunksize=8192):
+                for r in batch.to_pylist():
+                    yield (
+                        partition.partition,
+                        r["offset"],
+                        r["key"],
+                        r["value"],
+                        r["timestamp"],
+                        # struct elements as tuples — the DataSource row
+                        # protocol positionally converts nested structs
+                        # like top-level rows
+                        [(h["key"], h["value"]) for h in r["headers"]]
+                        if r["headers"] is not None
+                        else None,
+                    )
+
+        return rows()
 
 
 class FlyQDataSource(DataSource):

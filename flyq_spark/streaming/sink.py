@@ -80,13 +80,25 @@ def upsert_sink(
     holds by construction (foreachBatch invocations are serial within a
     query). The batch itself may carry several changes per key —
     apply_changes resolves them by (ts, change-beats-snapshot) in one
-    window."""
+    window.
+
+    CONSTRAINT: ``snapshot_path`` must be DRIVER-LOCAL — the atomic
+    swap is os.rename, which no object store honors (the sibling
+    ``neardup_dedup_sink`` needs no swap and works on any scheme).
+    A scheme-qualified path is rejected up front rather than failing
+    with a confusing missing-file error on the first batch."""
     import glob
     import os
     import re
     import shutil
 
     from flyq_spark.operators.cdc import apply_changes
+
+    if "://" in snapshot_path:
+        raise ValueError(
+            f"upsert_sink needs a driver-local snapshot_path (os.rename "
+            f"swap); got scheme-qualified {snapshot_path!r}"
+        )
 
     def _recover() -> None:
         root = snapshot_path.rstrip("/")
@@ -205,7 +217,10 @@ def neardup_dedup_sink(
                     id_col
                 )
             )
-        drops = drops.distinct()
+        # persist the (tiny) drop set: BOTH writes below consume it, and
+        # without the cache the second write re-runs the bucket-min join
+        # AND the ever-growing state-store scan
+        drops = drops.distinct().persist()
         survivors = batch_df.join(drops, id_col, "left_anti")
         survivors.write.mode("overwrite").parquet(
             out_path.rstrip("/") + f"/batch_id={batch_id}"
@@ -215,6 +230,7 @@ def neardup_dedup_sink(
         ).write.mode("overwrite").parquet(
             state_path.rstrip("/") + f"/batch_id={batch_id}"
         )
+        drops.unpersist()
         band_df.unpersist()
 
     return write

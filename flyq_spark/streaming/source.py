@@ -14,7 +14,7 @@ aggregation under a watermark, and within-watermark dedup.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flyq_spark import storage
@@ -30,7 +30,16 @@ def read_stream(
 ) -> DataFrame:
     """Tail a topic as a stream. ``from_offset`` plays the role of the
     Kafka source's startingOffsets (applied as a pushed-down filter;
-    files wholly below it are pruned via footer stats)."""
+    files wholly below it are pruned via footer stats).
+
+    CONSTRAINT: this is a FILE-tail — Spark's file source identifies
+    input by path, so engine COMPACTION (which rewrites a partition
+    into new files carrying the same offsets) would re-deliver every
+    surviving row as new input. Do not run ``maintain``/compaction on a
+    topic while a file-tail query is live; the offset-based
+    ``format("flyq")`` source (streaming/datasource.py) tracks
+    positions by OFFSET and is immune — prefer it when maintenance
+    must run concurrently."""
     tdir = storage.topic_dir(base_dir, topic)
     reader = spark.readStream.schema(LOG_SCHEMA).option("basePath", tdir)
     if max_files_per_trigger is not None:
@@ -99,9 +108,15 @@ def consume_stream_with_group(
     Two bookkeeping layers cooperate: the stream checkpoint dedups file
     input across restarts, while the committed offsets keep the FlyQ-side
     cursor (and filter out pre-committed rows on a fresh checkpoint).
-    """
-    from pyspark.sql import functions as F
 
+    Commits are CONTIGUITY-AWARE: offsets are dense per partition, so a
+    batch that sees offsets [100, 199] while [c, 99] are not yet visible
+    (file listing races the multi-file produce commit) advances the
+    committed offset only to the first gap — never past rows that were
+    not processed. Without this, a crash + fresh-checkpoint restart
+    (which trusts the committed offsets) would permanently skip the
+    unseen range, breaking at-least-once.
+    """
     committed0 = {
         p: engine.committed_offset(group, topic, p) or 0
         for p in range(engine.topic_partitions(topic))
@@ -114,13 +129,37 @@ def consume_stream_with_group(
     stream = read_stream(engine.spark, engine.base_dir, topic)
     if start_filter is not None:
         stream = stream.where(start_filter)
+    spark_sess = engine.spark
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         process(batch_df)
+        # contiguous-prefix commit against the CURRENT committed offset
+        # (re-read per batch — it advances across batches): consider
+        # only rows at >= committed, rank them by offset, and the
+        # prefix rows satisfy offset - rn == committed - 1; max(offset)
+        # over that prefix + 1 is the largest safe commit. Late files
+        # re-delivering already-committed offsets rank below the filter
+        # and cannot stall or corrupt the cursor.
+        parts = [
+            int(r["partition"])
+            for r in batch_df.select("partition").distinct().collect()
+        ]
+        cur = spark_sess.createDataFrame(
+            [(p, int(engine.committed_offset(group, topic, p) or 0)) for p in parts],
+            "partition int, _c long",
+        )
+        w = Window.partitionBy("partition").orderBy("offset")
+        ranked = (
+            batch_df.select("partition", "offset")
+            .join(F.broadcast(cur), "partition")
+            .where(F.col("offset") >= F.col("_c"))
+            .withColumn("_rn", F.row_number().over(w))
+        )
         tops = (
-            batch_df.groupBy("partition")
+            ranked.where(F.col("offset") - F.col("_rn") == F.col("_c") - 1)
+            .groupBy("partition")
             .agg(F.max("offset").alias("mx"))
             .collect()
         )
@@ -235,7 +274,7 @@ def stream_stream_interval_join(
     rows once the watermark passes the interval, which is what makes a
     stream-stream join runnable indefinitely at scale (an unbounded
     join state would OOM any cluster). Output: (key, left_ts, right_ts,
-    delay_seconds)."""
+    delay_us)."""
     lw = left.select(
         F.col(key_col).cast("string").alias("l_key"),
         F.col(ts_col).alias("l_ts"),
@@ -269,7 +308,15 @@ def latest_per_key(
     keeps exactly one row of state per live key, updated in place; emit
     with update/complete output mode (a changelog view has no append
     semantics — rows revise). State is bounded by the keyspace, not the
-    stream length, the same bound Kafka Streams' KTable accepts."""
+    stream length, the same bound Kafka Streams' KTable accepts.
+
+    KEYED records only, matching ``compact_by_key`` (quirk Q1: NULL and
+    b'' are both keyless round-robin traffic — a "latest value" is
+    undefined for them, and folding them would collapse unrelated
+    messages into one state row per partition)."""
+    if "key" in key_cols:
+        keyless = F.col("key").isNull() | (F.octet_length(F.col("key")) == 0)
+        stream = stream.where(~keyless)
     return stream.groupBy(*[F.col(c) for c in key_cols]).agg(
         F.max_by(F.col(value_col), F.col(order_col)).alias("latest_value"),
         F.max(F.col(order_col)).alias("latest_offset"),
