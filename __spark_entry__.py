@@ -4025,10 +4025,10 @@ FROM reach GROUP BY node
 """,
         "embedding_quantize": """
 SELECT vec_id,
-       127.0 / CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS scale,
+       127.0 / greatest(CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE), 1e-12) AS scale,
        array_to_string(list_transform(embedding,
          x -> CAST(round(CAST(x AS DOUBLE)
-                  * (127.0 / CAST(list_max(list_transform(embedding, y -> abs(y))) AS DOUBLE)))
+                  * (127.0 / greatest(CAST(list_max(list_transform(embedding, y -> abs(y))) AS DOUBLE), 1e-12)))
               AS INTEGER)), ',') AS qvec_str
 FROM embeddings
 """,

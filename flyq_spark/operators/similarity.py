@@ -136,11 +136,21 @@ def neardup_pairs(
 ) -> DataFrame:
     """Embedding near-duplicate pairs: LSH-bucketed candidates + exact
     cosine verify. Output (id_a, id_b, score). Pass ``dim`` to skip the
-    driver-side dimension sniff."""
+    driver-side dimension sniff (done on the RAW frame — sniffing after
+    fan_out would execute the corpus-wide repartition just to read one
+    row). Norms are computed once per ROW before the self-join: a
+    vector in a hot bucket would otherwise pay its O(d) norm aggregate
+    once per candidate PAIR."""
+    if dim is None:
+        d_row = embeddings.select(F.size(vec_col).alias("d")).first()
+        dim = int(d_row["d"]) if d_row else 0
     sigs = with_lsh_signature(
         fan_out(embeddings), vec_col=vec_col, n_planes=n_planes, seed=seed, dim=dim
-    )
+    ).withColumn("_norm", F.greatest(norm(F.col(vec_col)), F.lit(1e-12)))
     a, b = sigs.alias("a"), sigs.alias("b")
+    score = dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / (
+        F.col("a._norm") * F.col("b._norm")
+    )
     return (
         a.join(
             b,
@@ -152,7 +162,7 @@ def neardup_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("score"),
+            score.alias("score"),
         )
         .where(F.col("score") >= min_cosine)
     )
@@ -375,15 +385,38 @@ def quantize_embedding(vec: Column) -> tuple[Column, Column]:
     ``scale = 127 / max(|x|)`` and ``q = round(x * scale)`` — 4x smaller
     storage/shuffle for 100 TB embedding corpora; cosine on dequantized
     vectors stays within ~1e-2 of exact (pinned in tests). Pure
-    higher-order-function arithmetic, replayable as SQL."""
-    scale = F.lit(127.0) / F.array_max(F.transform(vec, lambda x: F.abs(x)))
-    qvec = F.transform(vec, lambda x: F.round(x.cast("double") * scale).cast("int"))
+    higher-order-function arithmetic, replayable as SQL.
+
+    Two expression-level details that matter at scale: max(|x|) is
+    clamped at 1e-12 (an all-zero embedding would otherwise divide by
+    zero — a hard error under ANSI mode, NULL-poison otherwise), and
+    the scale is evaluated ONCE per row via the single-element-array
+    hoist (``transform([scale], s -> transform(vec, ...))``): Spark
+    does not hoist loop-invariant subexpressions out of HOF lambdas, so
+    the naive form recomputes the O(d) array_max for EVERY element —
+    O(d²) per vector on the hot path."""
+    amax = F.greatest(
+        F.array_max(F.transform(vec, lambda x: F.abs(x))), F.lit(1e-12)
+    )
+    scale = F.lit(127.0) / amax
+    qvec = F.element_at(
+        F.transform(
+            F.array(scale),
+            lambda s: F.transform(
+                vec, lambda x: F.round(x.cast("double") * s).cast("int")
+            ),
+        ),
+        1,
+    )
     return scale, qvec
 
 
-def quantized_cosine(qa: Column, sa: Column, qb: Column, sb: Column) -> Column:
-    """Cosine over int8-quantized vectors. Scales cancel in cosine, so
-    this is integer dot products in double accumulators."""
+def quantized_cosine(qa: Column, qb: Column) -> Column:
+    """Cosine over int8-quantized vectors — integer dot products in
+    double accumulators. Takes only the quantized vectors: symmetric
+    per-vector scales CANCEL in cosine (q = s·x ⇒ cos(qa,qb) =
+    cos(xa,xb) up to rounding), so threading scale columns through
+    would be dead weight inviting a wrong "fix"."""
     return dot(qa, qb) / (norm(qa) * norm(qb))
 
 
@@ -519,10 +552,14 @@ def train_kmeans(
     import numpy as np
 
     spark = embeddings.sparkSession
-    src = fan_out(embeddings).select(id_col, vec_col)
+    # persist: every Lloyd iteration scans this frame (collect of
+    # partials), and without the cache each round re-executes the
+    # corpus read + fan_out shuffle — max_iter full re-reads
+    src = fan_out(embeddings).select(id_col, vec_col).persist()
     init = _deterministic_pivots(src, n_clusters, id_col, ("_pid", "_pvec")).collect()
     C = np.array([r["_pvec"] for r in init], dtype=np.float64)
     if C.size == 0:
+        src.unpersist()
         return spark.createDataFrame([], "cell int, centroid array<double>")
     cn = np.linalg.norm(C, axis=1)
     cn[cn == 0.0] = 1.0
@@ -581,6 +618,7 @@ def train_kmeans(
         if shift < tol:
             break
 
+    src.unpersist()
     return spark.createDataFrame(
         [(int(i), [float(x) for x in C[i]]) for i in range(k)],
         "cell int, centroid array<double>",
@@ -668,6 +706,8 @@ def topk_lsh(
     linearly in tables, still never n×m. Pass ``dim`` (known from the
     table schema/registry in production) to avoid the one driver-side
     dimension sniff."""
+    if n_tables < 1:
+        raise ValueError(f"n_tables must be >= 1 (got {n_tables})")
     if dim is None:
         dim_row = embeddings.select(F.size(vec_col).alias("d")).first()
         dim = int(dim_row["d"]) if dim_row else 0
@@ -998,9 +1038,14 @@ def semdedup_prune(
         for f in embeddings.schema.fields
         if f.name == id_col
     ][0]
+    # cell type follows the CENTROIDS schema (assign_cells supports
+    # caller models with e.g. string cell ids — hardcoding int would
+    # fail inside the Arrow worker with an opaque traceback)
+    cell_type = centroids.schema.fields[0].dataType.simpleString()
     members = embeddings.select(id_col, vec_col).join(assigned, id_col)
     out_schema = (
-        f"{id_col} {id_type}, cell int, keep boolean, n_cluster_members long"
+        f"{id_col} {id_type}, cell {cell_type}, keep boolean, "
+        "n_cluster_members long"
     )
     thr = float(threshold)
 
@@ -1023,7 +1068,7 @@ def semdedup_prune(
         return pd.DataFrame(
             {
                 id_col: pdf[id_col],
-                "cell": np.full(n, int(key[0]), dtype="int32"),
+                "cell": [key[0]] * n,  # native type from the group key
                 "keep": keep,
                 "n_cluster_members": np.full(n, n, dtype="int64"),
             }

@@ -512,9 +512,7 @@ def test_quantized_cosine_close_to_exact(spark, emb):
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
             cosine(F.col("a.embedding"), F.col("b.embedding")).alias("exact"),
-            quantized_cosine(
-                F.col("a.q"), F.col("a.s"), F.col("b.q"), F.col("b.s")
-            ).alias("approx"),
+            quantized_cosine(F.col("a.q"), F.col("b.q")).alias("approx"),
         )
         .collect()
     )
