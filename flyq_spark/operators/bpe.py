@@ -149,9 +149,9 @@ def bpe_token_counts(
     sized, like centroids) — then join per-doc word counts onto the
     encoded lengths and sum. Shuffles are word-keyed (dict-sized), not
     token-keyed; no document text is ever re-scanned per merge.
-    Output: (id, n_words, n_bpe_tokens)."""
-    import pandas as pd  # noqa: F401  (imported for the worker closure)
-
+    Empty/whitespace-only documents emit an explicit (id, 0, 0) row —
+    implicit absence would silently shrink the row set under joins and
+    corpus-size counts. Output: (id, n_words, n_bpe_tokens)."""
     from flyq_spark.operators.util import fan_out
 
     spark = df.sparkSession
@@ -187,13 +187,20 @@ def bpe_token_counts(
             )
 
     encoded = words.mapInPandas(encode_batch, schema="word string, n_tokens int")
-    return (
+    agg = (
         doc_words.join(encoded, on="word")
         .groupBy(id_col)
         .agg(
             F.sum("n").cast("long").alias("n_words"),
             F.sum(F.col("n") * F.col("n_tokens")).cast("long").alias("n_bpe_tokens"),
         )
+    )
+    return df.select(id_col).distinct().join(agg, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_words"), F.lit(0)).cast("long").alias("n_words"),
+        F.coalesce(F.col("n_bpe_tokens"), F.lit(0))
+        .cast("long")
+        .alias("n_bpe_tokens"),
     )
 
 
@@ -202,7 +209,16 @@ def build_vocab(merges: list[tuple[str, str]]) -> dict[str, int]:
     base symbols (0-255 as latin-1 chars) and the end-of-word sentinel
     first, then one merged symbol per merge in training order — the
     id assignment every BPE implementation uses, reproducible from the
-    merge table alone."""
+    merge table alone.
+
+    Caveat inherited from string-symbol BPE (Sennrich reference
+    implementation shares it): symbols are compared by SURFACE, so a
+    corpus containing text that merges into the literal string '</w>'
+    would alias the end-of-word sentinel (ids become non-invertible for
+    that token). Byte-level pretokenization (out-of-band markers) is
+    the production answer; for word-salad/natural corpora the collision
+    requires adjacent '<', '/', 'w', '>' characters merging — absent
+    from the fixture and vanishingly rare in practice."""
     vocab: dict[str, int] = {}
     for b in range(256):
         vocab[chr(b)] = len(vocab)
@@ -261,7 +277,7 @@ def bpe_encode_ids(
             yield pd.DataFrame({"word": pdf["word"], "wids": ids})
 
     encoded = words.mapInPandas(encode_batch, schema="word string, wids array<int>")
-    return (
+    agg = (
         words_pos.join(encoded, on="word")
         .groupBy(id_col)
         .agg(
@@ -273,6 +289,18 @@ def bpe_encode_ids(
                     lambda s: s["wids"],
                 )
             ).alias("token_ids")
+        )
+    )
+    # empty/whitespace-only docs emit an explicit empty sequence
+    return (
+        df.select(id_col)
+        .distinct()
+        .join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(
+                F.col("token_ids"), F.array().cast("array<int>")
+            ).alias("token_ids"),
         )
         .select(
             F.col(id_col),

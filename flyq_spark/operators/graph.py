@@ -13,9 +13,11 @@ GraphX/GraphFrames connectedComponents):
 - one iteration = one equi-join (labels onto symmetrized edges) + one
   min-aggregate + one least() merge: two key shuffles, no row
   explosion beyond 2|E|;
-- the driver sees ONE scalar per iteration (sum of labels — labels
-  only decrease, so the sum is stationary exactly at the fixpoint) to
-  decide convergence: no self-join just to detect change;
+- the driver sees ONE scalar per iteration to decide convergence:
+  for integral ids the exact sum of labels (labels only decrease, so
+  the sum is stationary exactly at the fixpoint — no join at all);
+  for other id types an exact changed-label probe (one node-key join,
+  limit-1 short-circuited);
 - every iteration also POINTER-JUMPS (label(n) := label(label(n))),
   so chains collapse in O(log diameter) rounds, not O(diameter);
 - ``localCheckpoint`` after each round truncates lineage — without it
@@ -47,6 +49,8 @@ def connected_components(
     propagation to the exact fixpoint; raises if ``max_iter`` rounds
     aren't enough (results would be wrong silently otherwise).
     """
+    from pyspark.sql import types as T
+
     fwd = pairs.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
     edges = fwd.union(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
     # localCheckpoint (eager) both materializes and TRUNCATES LINEAGE —
@@ -60,10 +64,29 @@ def connected_components(
         .select("node", F.col("node").alias("label"))
         .localCheckpoint()
     )
-    # labels only ever DECREASE, so sum(label) strictly decreases until
-    # the fixpoint: convergence is one cheap aggregate, no self-join.
-    prev_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+    # Convergence probe, two regimes by id TYPE:
+    # - integral ids: labels only ever DECREASE, so sum(label) (exact
+    #   decimal arithmetic) strictly decreases until the fixpoint — one
+    #   cheap aggregate, no join. The decimal cast is EXACT only for
+    #   integral types; a string id would crash the cast under ANSI (or
+    #   silently yield NULL==NULL "convergence" with ANSI off), and
+    #   fractional floats would alias under the 0-scale decimal.
+    # - any other id type: count labels that CHANGED this round via an
+    #   equi-join of consecutive label frames (limit-1 short-circuit) —
+    #   exact for every type, one extra node-key join per round.
+    integral = isinstance(
+        pairs.schema[src_col].dataType,
+        (T.LongType, T.IntegerType, T.ShortType, T.ByteType),
+    )
+
+    def _label_sum(frame):
+        return frame.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).collect()[0][0]
+
+    prev_sum = _label_sum(labels) if integral else None
     for _ in range(max_iter):
+        prev_labels = labels
         neigh_min = (
             edges.join(labels, edges.v == labels.node)
             .groupBy("u")
@@ -89,12 +112,23 @@ def connected_components(
             )
             .localCheckpoint()
         )
-        new_sum = labels.agg(
-            F.sum(F.col("label").cast("decimal(38,0)"))
-        ).collect()[0][0]
-        if new_sum == prev_sum:
+        if integral:
+            new_sum = _label_sum(labels)
+            converged = new_sum == prev_sum
+            prev_sum = new_sum
+        else:
+            # exact for every id type: any node whose label differs from
+            # last round means not converged (limit-1 short-circuits)
+            converged = (
+                labels.alias("a")
+                .join(prev_labels.alias("b"), "node")
+                .where(F.col("a.label") != F.col("b.label"))
+                .limit(1)
+                .count()
+                == 0
+            )
+        if converged:
             return labels.select("node", F.col("label").alias("component"))
-        prev_sum = new_sum
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} iterations; "
         "raise max_iter (diameter exceeds it)"

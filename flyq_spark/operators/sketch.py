@@ -57,7 +57,18 @@ def heavy_hitters(
     which guarantees the MG candidate union is a superset of every
     qualifying item (MG error <= n/k <= min_fraction·n/2 < threshold).
 
+    NULL is a first-class item (it forms a group, exactly as
+    ``GROUP BY item HAVING`` would return it — the oracle the gate
+    compares against): the sketch pass counts NULLs, and the verify
+    join is null-safe. The total row count rides the SAME sketch pass
+    as per-partition partials, so the operator is genuinely two passes
+    over the data, not three.
+
     Output: (item, n_occurrences) — BIGINT-exact, engine-replayable."""
+    if not 0.0 < min_fraction <= 1.0:
+        raise ValueError(
+            f"min_fraction must be in (0, 1] (got {min_fraction})"
+        )
     if k is None:
         k = int(2.0 / min_fraction) + 1
     items = df.select(
@@ -68,25 +79,44 @@ def heavy_hitters(
         import pandas as pd
 
         counter: dict = {}
+        total_rows = 0
         for pdf in iterator:
             if len(pdf) == 0:
                 continue
-            for item, cnt in pdf["item"].value_counts().items():
-                counter[item] = counter.get(item, 0) + int(cnt)
+            total_rows += len(pdf)
+            # dropna=False: NULL must enter the counter like any value
+            for item, cnt in pdf["item"].value_counts(dropna=False).items():
+                key = None if pd.isna(item) else item
+                counter[key] = counter.get(key, 0) + int(cnt)
             _mg_compress(counter, k)
-        if counter:
-            yield pd.DataFrame({"item": list(counter.keys())})
+        # candidate rows carry _pcount NULL; ONE total row per partition
+        # carries the partition's row count (so no third corpus scan
+        # just to learn n)
+        yield pd.DataFrame(
+            {
+                "item": list(counter.keys()) + [None],
+                "_pcount": [None] * len(counter) + [total_rows],
+            }
+        )
 
     # candidate schema mirrors the actual item type — hardcoding
     # 'item string' would crash Arrow (or silently retype the semi-join
     # key) for bigint/binary item columns behind the generic Column API
     item_type = items.schema["item"].dataType.simpleString()
-    candidates = items.mapInPandas(
-        partials, schema=f"item {item_type}"
-    ).distinct()
-    total = items.agg(F.count("*").cast("long").alias("_n"))
+    sketch = items.mapInPandas(
+        partials, schema=f"item {item_type}, _pcount long"
+    ).persist()  # two consumers: candidates + total
+    candidates = (
+        sketch.where(F.col("_pcount").isNull()).select("item").distinct()
+    )
+    total = sketch.agg(F.sum("_pcount").cast("long").alias("_n"))
+    cand = candidates.withColumnRenamed("item", "_citem")
     exact = (
-        items.join(F.broadcast(candidates), on="item", how="left_semi")
+        items.join(
+            F.broadcast(cand),
+            items["item"].eqNullSafe(F.col("_citem")),
+            "left_semi",
+        )
         .groupBy("item")
         .agg(F.count("*").cast("long").alias("n_occurrences"))
     )
@@ -154,6 +184,11 @@ def source_overlap_matrix(
             est_a.cast("long").alias("est_a"),
             est_b.cast("long").alias("est_b"),
             est_u.cast("long").alias("est_union"),
-            (est_a + est_b - est_u).cast("long").alias("est_overlap"),
+            # clamp: sketch error can push est_union above est_a+est_b
+            # for disjoint slices — a negative intersection is noise,
+            # not signal
+            F.greatest(F.lit(0.0), est_a + est_b - est_u)
+            .cast("long")
+            .alias("est_overlap"),
         )
     )

@@ -2507,3 +2507,18 @@ def test_ivf_parameter_sweep_monotone_recall(spark, emb):
         assert n_found >= prev
         prev = n_found
     assert rep[4][2] > rep[1][2] or rep[1][2] == 1.0
+
+
+def test_connected_components_string_ids(spark):
+    """Non-integral node ids must work (the decimal-sum convergence
+    probe is integral-only; string ids use the exact changed-label
+    probe): a chain of string ids converges to the lexicographic min."""
+    from flyq_spark.operators.graph import connected_components
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("x", "y")],
+        "id_a string, id_b string",
+    )
+    got = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a", "e": "a",
+                   "x": "x", "y": "x"}
