@@ -3765,7 +3765,9 @@ GROUP BY 1, 2
 """,
         "rare_token_stats": """
 WITH toks AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+  ) WHERE w <> ''
 ),
 freq AS (
   SELECT doc_id, w, count(*) OVER (PARTITION BY w) AS c FROM toks
@@ -4125,9 +4127,11 @@ WITH ranked AS (
   FROM documents
 )
 SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
-       CAST(max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN n_chars END) AS BIGINT) AS p50,
-       CAST(max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN n_chars END) AS BIGINT) AS p90,
-       CAST(max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN n_chars END) AS BIGINT) AS p99
+       -- exact integer ceil(p*n): (num*n + den-1) // den, mirroring the
+       -- engine's exact_ceil_frac (float ceil is off-by-one for many p*n)
+       CAST(max(CASE WHEN rn = (1 * n + 1) // 2 THEN n_chars END) AS BIGINT) AS p50,
+       CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN n_chars END) AS BIGINT) AS p90,
+       CAST(max(CASE WHEN rn = (99 * n + 99) // 100 THEN n_chars END) AS BIGINT) AS p99
 FROM ranked GROUP BY lang
 """,
         "dedup_agreement": """
@@ -4334,7 +4338,7 @@ t AS (SELECT item FROM toks WHERE item <> '')
 SELECT item, CAST(count(*) AS BIGINT) AS n_occurrences
 FROM t
 GROUP BY item
-HAVING count(*) >= ceil(0.005 * (SELECT count(*) FROM t))
+HAVING count(*) >= ((SELECT count(*) FROM t) + 199) // 200
 """,
         "table_profile": """
 WITH ev AS (

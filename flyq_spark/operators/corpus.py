@@ -338,6 +338,8 @@ def length_percentiles(
     shape, bounded error instead of a sort.
 
     Output: (group, n_docs, p50, p90, ... as BIGINT)."""
+    from flyq_spark.operators.util import exact_ceil_frac
+
     w = Window.partitionBy(group_col)
     ranked = (
         df.select(F.col(group_col), F.col(value_col))
@@ -347,7 +349,7 @@ def length_percentiles(
     sels = [
         F.max(
             F.when(
-                F.col("_rn") == F.ceil(F.lit(float(p)) * F.col("_n")),
+                F.col("_rn") == exact_ceil_frac(F.col("_n"), p),
                 F.col(value_col),
             )
         )

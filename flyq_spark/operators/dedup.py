@@ -171,9 +171,27 @@ def simhash_neardup_pairs(
     bands) shares at least one exact band → candidates come from equality
     joins on (band_idx, band_bits), then popcount(xor) verifies. No
     all-pairs comparison anywhere. Signatures persist so the self-join's
-    two sides share one tokenize+vote computation."""
-    sigs = simhash(df, text_col, id_col).persist()
+    two sides share one tokenize+vote computation.
+
+    Guards: the pigeonhole guarantee needs ``max_hamming < bands``
+    (silent recall loss otherwise), and every band must cover at least
+    one real signature bit — a band whose shift lands past bit 62 is
+    identically zero, which would make the "never all-pairs" equi-join
+    degenerate into an O(n²) cross product through that band."""
+    if max_hamming >= bands:
+        raise ValueError(
+            f"pigeonhole guarantee needs max_hamming < bands "
+            f"(got {max_hamming} >= {bands})"
+        )
     width = SIMHASH_BITS // bands + 1
+    if (bands - 1) * width >= SIMHASH_BITS:
+        raise ValueError(
+            f"bands={bands} leaves a degenerate empty band at width "
+            f"{width} over {SIMHASH_BITS} bits — every pair would "
+            "collide there (all-pairs join); use a band count whose "
+            "last band still covers a real bit (e.g. 3, 4, 7, 8)"
+        )
+    sigs = simhash(df, text_col, id_col).persist()
     banded = sigs.select(
         id_col,
         "simhash",
@@ -256,8 +274,15 @@ def prefix_filter_candidates(
         .withColumn("_rn", F.row_number().over(wdoc.orderBy("_df", "_tok")))
         .withColumn("_n", F.count(F.lit(1)).over(wdoc))
     )
+    from flyq_spark.operators.util import exact_ceil_frac
+
+    # ceil(t*n) in EXACT integer arithmetic: float ceil over-counts for
+    # thousands of (t, n) pairs (0.55*100 -> 55.000...007 -> ceil 56),
+    # which would shrink the prefix by one token and silently break the
+    # 100%-recall pigeonhole this operator is built on
     prefix = ranked.where(
-        F.col("_rn") <= F.col("_n") - F.ceil(F.lit(float(min_jaccard)) * F.col("_n")) + 1
+        F.col("_rn")
+        <= F.col("_n") - exact_ceil_frac(F.col("_n"), min_jaccard) + 1
     ).select(id_col, "_tok")
     a, b = prefix.alias("a"), prefix.alias("b")
     return (
@@ -971,7 +996,8 @@ def lsh_parameter_sweep(
         .select("id_a", "id_b")
         .persist()
     )
-    reports = []
+    n_true = truth.count()
+    rows = []
     for k_, bands in configs:
         cand = minhash_band_pairs(
             sample,
@@ -982,29 +1008,27 @@ def lsh_parameter_sweep(
             id_col=id_col,
             text_col=text_col,
         ).select("id_a", "id_b").persist()
-        found = cand.join(truth, ["id_a", "id_b"], "left_semi")
-        reports.append(
-            cand.agg(F.count("*").cast("long").alias("n_candidates"))
-            .crossJoin(
-                found.agg(F.count("*").cast("long").alias("n_found"))
-            )
-            .crossJoin(
-                truth.agg(F.count("*").cast("long").alias("n_true_pairs"))
-            )
-            .select(
-                F.lit(k_).cast("long").alias("k"),
-                F.lit(bands).cast("long").alias("bands"),
-                F.lit(k_ // bands).cast("long").alias("rows_per_band"),
-                "n_true_pairs",
-                "n_candidates",
-                "n_found",
-                F.when(
-                    F.col("n_true_pairs") > 0,
-                    F.col("n_found")
-                    / F.col("n_true_pairs").cast("double"),
-                )
-                .otherwise(F.lit(1.0))
-                .alias("recall"),
+        n_cand = cand.count()
+        n_found = cand.join(truth, ["id_a", "id_b"], "left_semi").count()
+        cand.unpersist()
+        rows.append(
+            (
+                k_,
+                bands,
+                k_ // bands,
+                n_true,
+                n_cand,
+                n_found,
+                (n_found / n_true) if n_true > 0 else 1.0,
             )
         )
-    return _reduce(lambda a, b: a.unionByName(b), reports)
+    # counts are collected eagerly so every per-config cache (and the
+    # sample/truth frames) can be RELEASED before returning — a sweep
+    # must not leave corpus-sample caches pinned for the session
+    sample.unpersist()
+    truth.unpersist()
+    return sample.sparkSession.createDataFrame(
+        rows,
+        "k long, bands long, rows_per_band long, n_true_pairs long, "
+        "n_candidates long, n_found long, recall double",
+    )

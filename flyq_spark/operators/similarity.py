@@ -1102,8 +1102,6 @@ def ivf_parameter_sweep(
     draw the pivot sampler uses. The driver loop is |nprobes| (a
     handful); each iteration is one bucket join. Output: (nprobe,
     n_queries, n_truth, n_found, recall) — one row per config."""
-    from functools import reduce as _reduce
-
     qs = (
         embeddings.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias(vec_col)
@@ -1119,13 +1117,15 @@ def ivf_parameter_sweep(
         .select("query_id", "neighbor_id")
         .persist()
     )
-    if centroids is None:
+    own_centroids = centroids is None
+    if own_centroids:
         centroids = _deterministic_pivots(
             embeddings.select(id_col, vec_col), n_pivots, id_col, (id_col, vec_col)
         ).persist()
-    reports = []
+    n_truth = truth.count()
+    rows = []
     for nprobe in nprobes:
-        found = (
+        n_found = (
             topk_ivf(
                 embeddings,
                 qs,
@@ -1138,21 +1138,24 @@ def ivf_parameter_sweep(
             )
             .select("query_id", "neighbor_id")
             .join(truth, ["query_id", "neighbor_id"], "left_semi")
+            .count()
         )
-        reports.append(
-            truth.agg(F.count("*").cast("long").alias("n_truth"))
-            .crossJoin(found.agg(F.count("*").cast("long").alias("n_found")))
-            .select(
-                F.lit(nprobe).cast("long").alias("nprobe"),
-                F.lit(n_queries).cast("long").alias("n_queries"),
-                "n_truth",
-                "n_found",
-                F.when(
-                    F.col("n_truth") > 0,
-                    F.col("n_found") / F.col("n_truth").cast("double"),
-                )
-                .otherwise(F.lit(1.0))  # vacuous truth: nothing to miss
-                .alias("recall"),
+        rows.append(
+            (
+                nprobe,
+                n_queries,
+                n_truth,
+                n_found,
+                (n_found / n_truth) if n_truth > 0 else 1.0,
             )
         )
-    return _reduce(lambda a, b: a.unionByName(b), reports)
+    # eager counts -> every sweep cache is released before returning
+    qs.unpersist()
+    truth.unpersist()
+    if own_centroids:
+        centroids.unpersist()
+    return embeddings.sparkSession.createDataFrame(
+        rows,
+        "nprobe long, n_queries long, n_truth long, n_found long, "
+        "recall double",
+    )

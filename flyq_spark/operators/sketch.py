@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from flyq_spark.operators.util import exact_ceil_frac
+
 
 def _mg_compress(counter: dict, k: int) -> None:
     """In-place Misra-Gries compression to at most k counters."""
@@ -124,7 +126,7 @@ def heavy_hitters(
         exact.crossJoin(F.broadcast(total))
         .where(
             F.col("n_occurrences")
-            >= F.ceil(F.lit(float(min_fraction)) * F.col("_n")).cast("long")
+            >= exact_ceil_frac(F.col("_n"), min_fraction)
         )
         .select("item", "n_occurrences")
     )

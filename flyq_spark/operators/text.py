@@ -79,9 +79,14 @@ def with_token_stats(
         F.col(id_col),
         n_tok.alias("n_tokens"),
         F.length(t).cast("long").alias("n_chars"),
-        (F.length(F.replace(t, F.lit(" "), F.lit(""))).cast("double") / n_tok).alias(
-            "mean_token_len"
-        ),
+        # empty docs: mean length 0.0, not a DIVIDE_BY_ZERO abort
+        # (ANSI mode is Spark 4's default)
+        F.when(
+            n_tok > 0,
+            F.length(F.replace(t, F.lit(" "), F.lit(""))).cast("double") / n_tok,
+        )
+        .otherwise(F.lit(0.0))
+        .alias("mean_token_len"),
     )
 
 
@@ -93,7 +98,10 @@ def quality_score(text: Column) -> Column:
     stop_hits = _occurrences(_padded(text), " the ") + _occurrences(
         _padded(text), " a "
     )
-    stop_ratio = stop_hits.cast("double") / n_tok
+    # empty docs score 0, not DIVIDE_BY_ZERO (ANSI default)
+    stop_ratio = F.when(
+        n_tok > 0, stop_hits.cast("double") / n_tok
+    ).otherwise(F.lit(0.0))
     length_prior = F.least(n_tok.cast("double") / F.lit(64.0), F.lit(1.0))
     return (F.lit(0.5) * length_prior + F.lit(0.5) * F.least(stop_ratio * 8, F.lit(1.0)))
 
@@ -181,8 +189,10 @@ def search_all_terms(
     of distinct matched terms == len(terms). No posting arrays are
     materialized; the plan is a term-filtered explode (the filter
     prunes before the shuffle) + one groupBy(doc) — shuffle volume =
-    matches only. Output: matching doc ids."""
-    wanted = [t.lower() for t in terms]
+    matches only. Duplicate query terms are deduped (the match count is
+    DISTINCT terms; comparing it against a duplicated length could
+    never be satisfied). Output: matching doc ids."""
+    wanted = sorted({t.lower() for t in terms})
     pairs = (
         df.select(
             F.col(id_col).alias("doc"),
@@ -207,11 +217,10 @@ def bigram_counts(
     ARRAY via a sequence→transform projection — no window, no self-join,
     no per-token shuffle; the only shuffle is the final groupBy(bigram),
     map-side combined. Zipfian-term skew note as build_inverted_index."""
+    from flyq_spark.operators.corpus import _word_ngrams
+
     arr = F.split(F.lower(F.trim(F.col(text_col))), " ")
-    bigrams = F.when(F.size(arr) >= 2, F.transform(
-        F.sequence(F.lit(1), F.size(arr) - 1),
-        lambda i: F.concat_ws(" ", F.element_at(arr, i), F.element_at(arr, i + 1)),
-    )).otherwise(F.array().cast("array<string>"))
+    bigrams = _word_ngrams(arr, 2)
     exploded = df.select(
         F.col(id_col).alias("doc"), F.explode(bigrams).alias("bigram")
     ).where(~F.col("bigram").rlike("^ | $|^$"))
@@ -236,18 +245,20 @@ def repetition_signals(
     in its length — unlike the tempting pure-projection
     array_max(transform(distinct, w -> count)) form, which is O(unique
     × length) per row); bigram uniqueness is a pure array projection
-    (sequence → transform → array_distinct) joined back on the doc id."""
+    (sequence → transform → array_distinct) joined back on the doc id.
+
+    Tokenization contract: tokens are split-on-single-space SEGMENTS,
+    including the empty segments consecutive spaces produce (an empty
+    doc counts one empty word) — deliberately mirrored by the ANSI
+    oracle replay; run ``normalize_text`` upstream when whitespace is
+    untrusted."""
     from flyq_spark.operators.util import fan_out
 
     df = fan_out(df)
     arr = F.split(F.col(text_col), " ")
-    bigrams = F.when(
-        F.size(arr) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(arr) - 1),
-            lambda i: F.concat_ws(" ", F.element_at(arr, i), F.element_at(arr, i + 1)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    from flyq_spark.operators.corpus import _word_ngrams
+
+    bigrams = _word_ngrams(arr, 2)
     proj = df.select(
         F.col(id_col),
         F.size(bigrams).cast("long").alias("n_bigrams"),
@@ -329,7 +340,7 @@ def redact_pii(
     in dict order over the progressively-redacted text; counts are
     measured on the ORIGINAL text so overlapping patterns report what
     they would have matched, independent of application order."""
-    pats = patterns or PII_PATTERNS
+    pats = PII_PATTERNS if patterns is None else patterns
     original = F.col(text_col)
     redacted = original
     out = df
@@ -449,7 +460,9 @@ def rare_token_stats(
 
     toks = fan_out(df).select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("_w")
-    )
+    ).where(F.col("_w") != "")  # '' from empty docs/double spaces is not
+    # a token — unfiltered it would enter the vocabulary and, being
+    # rare, mark empty docs as 100% rare (a quality-signal distortion)
     doc_word = toks.groupBy(id_col, "_w").agg(F.count("*").alias("_n"))
     rare_vocab = (
         doc_word.groupBy("_w")
@@ -609,13 +622,9 @@ def hashed_linear_score(
     uni = arr
     feats = uni
     if bigrams:
-        big = F.when(F.size(arr) >= 2, F.transform(
-            F.sequence(F.lit(1), F.size(arr) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(arr, i), F.element_at(arr, i + 1)
-            ),
-        )).otherwise(F.array().cast("array<string>"))
-        feats = F.concat(uni, big)
+        from flyq_spark.operators.corpus import _word_ngrams
+
+        feats = F.concat(uni, _word_ngrams(arr, 2))
     from flyq_spark.operators.util import fan_out
 
     exploded = fan_out(df).select(

@@ -26,3 +26,29 @@ def fan_out(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def exact_ceil_frac(n, fraction: float, max_den: int = 100_000):
+    """``ceil(fraction * n)`` as EXACT integer arithmetic on a column.
+
+    The naive ``F.ceil(F.lit(float(f)) * n)`` inherits IEEE error:
+    0.55 * 100 = 55.000000000000007 in double, so its ceil is 56 — off
+    by one for thousands of (fraction, n) pairs, which silently breaks
+    exactness guarantees built on the rank (prefix-filter recall,
+    inverted-CDF percentiles, heavy-hitter thresholds). Here the
+    fraction is read as the DECIMAL the caller wrote
+    (``Fraction(str(f))``, e.g. 0.55 → 11/20) and
+    ceil(num·n/den) = (num·n + den − 1) div den is computed in
+    integers. The one double division is exact for quotients up to
+    ~2^36 with den ≤ 1e5 (the true value is never within 1/den of the
+    next integer, and 1/den dwarfs the ulp), and exact integers divide
+    exactly — proven-safe truncation.
+    """
+    from fractions import Fraction
+
+    from pyspark.sql import functions as F
+
+    fr = Fraction(str(fraction)).limit_denominator(max_den)
+    num, den = fr.numerator, fr.denominator
+    x = F.lit(num) * n + F.lit(den - 1)
+    return (x / F.lit(den)).cast("long")

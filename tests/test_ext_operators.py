@@ -53,10 +53,17 @@ def test_simhash_identical_and_perturbed(spark):
     assert sigs[1] == sigs[2]
     pairs = {
         (r["id_a"], r["id_b"]): r["hamming"]
-        for r in simhash_neardup_pairs(df, max_hamming=8).collect()
+        for r in simhash_neardup_pairs(df, max_hamming=7, bands=8).collect()
     }
     assert pairs.get((1, 2)) == 0
     assert (1, 4) not in pairs and (2, 4) not in pairs
+    # invalid configs are rejected, not silently lossy/quadratic
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        simhash_neardup_pairs(df, max_hamming=8, bands=4)  # pigeonhole
+    with _pt.raises(ValueError):
+        simhash_neardup_pairs(df, max_hamming=3, bands=10)  # empty band
 
 
 def test_minhash_pairs_have_high_true_jaccard(spark, docs):
