@@ -27,8 +27,6 @@ SCALAR_BROADCAST_OK = {
     "unigram_surprisal",  # ln(total tokens) corpus normalizer, 1 row
     "heavy_hitter_tokens",  # total-token threshold scalar, 1 row
     "source_overlap",  # |sources|-row HLL sketch table, inequality self-pair
-    "lsh_tuning",  # per-config 1-row count aggregates cross-joined
-    "ivf_tuning",  # per-config 1-row count aggregates cross-joined
 }
 
 
