@@ -156,14 +156,23 @@ def run(args, engine) -> dict:
         return {"topics": engine.list_topics()}
     if args.cmd == "produce":
         value = args.value.encode() if args.value is not None else sys.stdin.buffer.read()
-        headers = [
-            (kv.split("=", 1)[0], kv.split("=", 1)[1].encode()) for kv in args.header
-        ] or None
+        headers = []
+        for kv in args.header:
+            if "=" not in kv:
+                raise SystemExit(
+                    f"--header {kv!r}: expected KEY=VALUE"
+                )
+            hk, hv = kv.split("=", 1)
+            headers.append((hk, hv.encode()))
+        headers = headers or None
         acks = engine.produce(
             args.topic,
             [
                 {
-                    "key": args.key.encode() if args.key else None,
+                    # `is not None`: --key "" is the EMPTY key (which the
+                    # codec conflates with no-key on the wire, quirk Q1,
+                    # but routing must still hash it consistently)
+                    "key": args.key.encode() if args.key is not None else None,
                     "value": value,
                     "timestamp": int(time.time() * 1000),
                     "headers": headers,

@@ -53,8 +53,10 @@ def decode_stored_records(buf: bytes) -> list[dict]:
     while pos + 4 <= len(buf):
         (rec_len,) = struct.unpack_from(">I", buf, pos)
         pos += 4
-        if pos + rec_len > len(buf):
-            break  # torn tail — the reference's recovery also stops here
+        if rec_len < 8 or pos + rec_len > len(buf):
+            # torn/zero-padded tail — the reference's recovery also
+            # stops at the first implausible frame instead of crashing
+            break
         (offset,) = struct.unpack_from(">Q", buf, pos)
         body = buf[pos + 8 : pos + rec_len]
         pos += rec_len
@@ -102,6 +104,11 @@ def export_topic(engine, topic: str, out_dir: str) -> list[str]:
     df = (
         engine.log(topic)
         .where(F.col("offset") >= low_expr)
+        # epoch millis computed ENGINE-side: int(dt.timestamp()*1000)
+        # on the collected datetime truncates 1 ms low for ~0.6% of
+        # values (float) and resolves DST-ambiguous local times wrongly
+        # on non-UTC executors; unix_millis is exact and tz-free
+        .withColumn("_ts_ms", F.unix_millis(F.col("timestamp")))
         .repartition(max(1, min(n, 32)), "partition")
         .sortWithinPartitions("partition", "offset")
     )
@@ -137,14 +144,13 @@ def export_topic(engine, topic: str, out_dir: str) -> list[str]:
                 off,
                 bytes(row["key"]) if row["key"] is not None else None,
                 bytes(row["value"]),
-                int(row["timestamp"].timestamp() * 1000),
+                int(row["_ts_ms"]),
                 headers,
             )
-            if off == base or n_since_index >= INDEX_INTERVAL:
+            n_since_index += 1
+            if off == base or n_since_index > INDEX_INTERVAL:
                 idx.write(struct.pack(">QQ", off, file_pos))
-                n_since_index = 0
-            else:
-                n_since_index += 1
+                n_since_index = 1
             seg.write(rec)
             file_pos += len(rec)
         if seg is not None:
@@ -180,6 +186,15 @@ def import_flyq_dir(engine, src_dir: str) -> dict[str, int]:
             if d.startswith("partition_")
         )
         n = (max(part_ids) + 1) if part_ids else 1
+        if engine.topic_exists(topic):
+            existing = engine._meta(topic)
+            if any(int(v) > 0 for v in existing["log_end_offsets"].values()):
+                raise ValueError(
+                    f"refusing to import into non-empty topic {topic!r}: "
+                    "appended duplicate offsets would corrupt the log "
+                    "(import into a fresh engine/topic, or delete the "
+                    "topic first)"
+                )
         engine.create_topic(topic, partitions=n)
         meta = engine._meta(topic)
         files = [
@@ -238,6 +253,13 @@ def import_flyq_dir(engine, src_dir: str) -> dict[str, int]:
                     meta["log_end_offsets"][p] = int(r["hi"]) + 1
                     meta["low_watermarks"][p] = int(r["lo"])
                     total += int(r["cnt"])
+                # same defensive conf every engine write path sets:
+                # INT96 would strip footer timestamp stats and kill
+                # time retention over imported files (quirk Q5)
+                engine.spark.conf.set(
+                    "spark.sql.parquet.outputTimestampType",
+                    "TIMESTAMP_MICROS",
+                )
                 (
                     df.repartition(max(1, min(n, 32)), "partition")
                     .sortWithinPartitions("partition", "offset")

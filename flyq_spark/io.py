@@ -46,6 +46,11 @@ def read_documents(
             spark.read.schema(schema)
             .option("header", "true")
             .option("multiLine", "true")
+            # distinguish '' from NULL on read: CSV's default collapses
+            # an empty field to null, silently turning empty documents
+            # into missing ones after a CSV hop
+            .option("emptyValue", "")
+            .option("nullValue", "\\N")
             .csv(path)
         )
     if fmt == "orc":
@@ -103,7 +108,11 @@ def write_documents(
     elif fmt in ("json", "jsonl"):
         w.json(path)
     elif fmt == "csv":
-        w.option("header", "true").csv(path)
+        # emptyValue '""' writes empty strings QUOTED so the reader can
+        # tell them from null (unquoted empty / \\N)
+        w.option("header", "true").option("emptyValue", '""').option(
+            "nullValue", "\\N"
+        ).csv(path)
     elif fmt == "orc":
         w.orc(path)
     else:

@@ -102,3 +102,42 @@ def test_import_preserves_offsets_after_retention_gap(engine, spark, tmp_path):
     assert [int(r["offset"]) for r in dest.read_from_offset("gap", 0, 0)] == list(
         range(low, leo)
     )
+
+
+def test_zero_padded_tail_stops_cleanly():
+    """A zero-padded torn tail (partial-write artifact) must stop the
+    decode at the intact prefix, not crash the import task."""
+    from flyq_spark.functions.segment_io import (
+        decode_stored_records,
+        encode_stored_record,
+    )
+
+    rec = encode_stored_record(0, b"k", b"v", 1_700_000_000_000)
+    out = decode_stored_records(rec + b"\x00" * 16)
+    assert len(out) == 1 and out[0]["offset"] == 0
+
+
+def test_export_timestamp_exact_millis(engine, tmp_path):
+    """Epoch millis are exact through export: 1079337347472 truncates
+    1 ms low under float conversion — pinned byte-exact here."""
+    from flyq_spark.functions.segment_io import decode_stored_records, export_topic
+
+    ts = 1_079_337_347_472  # int(dt.timestamp()*1000) gives ...471
+    engine.produce("tsx", [{"key": None, "value": b"v", "timestamp": ts}])
+    export_topic(engine, "tsx", str(tmp_path / "out"))
+    seg = next((tmp_path / "out" / "topic_tsx" / "partition_0").glob("*.log"))
+    rows = decode_stored_records(seg.read_bytes())
+    assert rows[0]["timestamp"] == ts
+
+
+def test_import_refuses_non_empty_topic(engine, tmp_path):
+    """Appending duplicate offsets into a live topic would corrupt the
+    log; the import must refuse instead."""
+    import pytest as _pt
+
+    from flyq_spark.functions.segment_io import export_topic, import_flyq_dir
+
+    engine.produce("imp", [{"key": None, "value": b"v", "timestamp": 1}])
+    export_topic(engine, "imp", str(tmp_path / "d"))
+    with _pt.raises(ValueError):
+        import_flyq_dir(engine, str(tmp_path / "d"))
