@@ -1759,6 +1759,48 @@ def q_span_removal(spark, sf_dir):
     return remove_duplicate_spans(docs, k=8)
 
 
+def q_paragraph_dedup(spark, sf_dir):
+    """Paragraph-level keep-first dedup (operators/dedup.py:
+    paragraph_dedup) over a SYNTHETIC multi-paragraph corpus: the fixture
+    documents are single-line, so synthetic doc g concatenates documents
+    [3g, 3g+5) with '\\n' — overlapping sliding windows (stride 3,
+    width 5) put each document in ~2 synthetic docs, guaranteeing
+    cross-document duplicate paragraphs. Deterministic and
+    oracle-replayable; rebuilt text is md5-hashed to keep the gate row
+    narrow."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    member = docs.withColumn(
+        "g",
+        F.explode(
+            F.sequence(
+                F.greatest(
+                    F.lit(0).cast("long"),
+                    F.call_function(
+                        "div", F.col("doc_id") - F.lit(2), F.lit(3).cast("long")
+                    ),
+                ),
+                F.call_function("div", F.col("doc_id"), F.lit(3).cast("long")),
+            )
+        ),
+    )
+    synth = member.groupBy("g").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                lambda s: s["text"],
+            ),
+        ).alias("text")
+    )
+    out = D.paragraph_dedup(synth, id_col="g")
+    return out.select(
+        "g",
+        "n_units",
+        "n_kept",
+        F.md5(F.coalesce("text", F.lit(""))).alias("content_fp"),
+    ).orderBy("g")
+
+
 def q_source_composition(spark, sf_dir):
     """Per-source corpus composition (mixture-weighting inputs): docs,
     whitespace tokens, distinct languages, longest doc — exact BIGINTs,
@@ -2481,31 +2523,28 @@ def entry(spark: SparkSession) -> DataFrame:
 # prior round's record. Every entry still runs in the full local sweep
 # (tools/verify_local.py) regardless of position.
 _DRIVER_WINDOW = [
-    # the r4 red row, now fixed — prove it green
-    "json_props_stats",
-    # produce/routing changed this round (dense seq + keyless-only RR)
+    # the four r5 red rows (oracle HUGEINT casts fixed r6) — prove green
+    "train_test_split", "pack_documents", "skew_salted_event_stats",
+    "table_profile",
+    # oracle-backed queries never in any driver window before r6
+    "bpe_token_stats", "repetition_signals", "source_composition",
+    "chunk_docs", "interval_overlap", "incremental_dedup",
+    "snapshot_diff", "eval_sample", "rank_metrics", "grouping_sets",
+    "domain_affinity", "syndication_audit", "log_compaction",
+    "upsample_mix", "dedup_agreement", "interarrival_stats",
+    "hashed_doc_vectors", "ann_filtered_topk", "normalize_text",
+    "rolling_7day_value", "event_transitions", "neardup_triangles",
+    # r5-proven rows kept to re-confirm the broad surface
     "produce_log", "route_keyed", "route_round_robin",
-    # new oracle-checked this round (classifier scoring, keyword
-    # extraction, winnowing fingerprints)
-    "quality_classifier", "salient_terms", "winnow_fp",
-    # new this round, oracle-backed
-    "corpus_prep_pipeline", "quality_weighted_sample",
-    # never driver-checked before r5: custom joins, CDC, corpus/dedup,
-    # retrieval, analytics, layout
-    "asof_last_purchase", "range_join_pairs", "minhash_sig",
-    "minhash_jaccard_pairs", "cdc_apply", "scd2_history",
-    "duplicate_spans", "rare_token_stats", "contamination_check",
-    "neardup_components", "neardup_keep_best", "dedup_exact",
-    "simhash_md5_neardup", "doc_fingerprints", "text_quality", "lang_id",
-    "ngram_jaccard", "similarity_topk", "embedding_neardup",
-    "span_removal", "train_test_split", "corpus_shuffle",
-    "pack_documents", "quality_filter", "stratified_sample",
-    "inverted_index", "term_search", "bigram_top50",
-    "skew_salted_event_stats", "ntile_user_value", "zorder_codes",
-    "embedding_quantize", "heavy_hitter_tokens", "table_profile",
-    "offsets_for_times", "value_histogram", "time_rollup",
-    "top_events_per_user", "cohort_retention", "length_percentiles",
-    "session_window_counts",
+    "consume_with_group", "consumer_lag", "partition_health",
+    "retention_time", "watermarks", "monitor_alerts",
+    "asof_last_purchase", "range_join_pairs", "cdc_apply",
+    "dedup_exact", "minhash_jaccard_pairs", "simhash_md5_neardup",
+    "ngram_jaccard", "duplicate_spans", "similarity_topk",
+    "embedding_neardup", "quality_classifier", "rare_token_stats",
+    "corpus_prep_pipeline", "session_window_counts",
+    # new in r6: paragraph-granularity dedup behind the synthetic gate
+    "paragraph_dedup",
 ]
 
 
@@ -2613,6 +2652,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_tuning": q_ivf_tuning,
         "duplicate_spans": q_duplicate_spans,
         "span_removal": q_span_removal,
+        "paragraph_dedup": q_paragraph_dedup,
         "source_composition": q_source_composition,
         "rare_token_stats": q_rare_token_stats,
         "quality_classifier": q_quality_classifier,
@@ -3537,7 +3577,7 @@ GROUP BY CUBE (l_returnflag, l_linestatus)
 SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0d'
             THEN 'test' ELSE 'train' END AS split,
        count(*) AS n_docs,
-       sum(CAST(n_chars AS BIGINT)) AS total_chars
+       CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars
 FROM documents
 GROUP BY 1
 """,
@@ -3564,7 +3604,7 @@ WITH toks AS (
   FROM toks
 )
 SELECT shard, CAST(floor(cum_before / 2048.0) AS BIGINT) AS pack_id,
-       count(*) AS n_docs, sum(n_tokens) AS pack_tokens
+       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
 FROM packed
 GROUP BY shard, pack_id
 """,
@@ -3659,6 +3699,40 @@ SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
        CAST(max(pos) + 7 AS BIGINT) AS span_end,
        CAST(max(pos) + 7 - min(pos) + 1 AS BIGINT) AS span_tokens
 FROM isl GROUP BY doc_id, island
+""",
+        "paragraph_dedup": """
+WITH member AS (
+  SELECT t.g, d.doc_id, d.text
+  FROM documents d,
+       UNNEST(range(greatest(0, (d.doc_id - 2) // 3), (d.doc_id // 3) + 1)) AS t(g)
+),
+synth AS (
+  SELECT g, string_agg(text, chr(10) ORDER BY doc_id) AS text
+  FROM member GROUP BY g
+),
+units AS (
+  SELECT g, CAST(i - 1 AS BIGINT) AS pos, arr[i] AS unit
+  FROM (SELECT g, string_split(text, chr(10)) AS arr FROM synth),
+       UNNEST(range(1, len(arr) + 1)) AS t(i)
+),
+kept AS (
+  SELECT g, pos, unit FROM (
+    SELECT g, pos, unit,
+           row_number() OVER (PARTITION BY md5(unit) ORDER BY g, pos) AS rn
+    FROM units
+  ) WHERE rn = 1
+),
+tot AS (SELECT g, count(*) AS n_units FROM units GROUP BY g),
+reb AS (
+  SELECT g, count(*) AS n_kept,
+         string_agg(unit, chr(10) ORDER BY pos) AS text
+  FROM kept GROUP BY g
+)
+SELECT CAST(t.g AS BIGINT) AS g, t.n_units,
+       coalesce(r.n_kept, 0) AS n_kept,
+       md5(coalesce(r.text, '')) AS content_fp
+FROM tot t LEFT JOIN reb r USING (g)
+ORDER BY g
 """,
         "span_removal": """
 WITH toks AS (
@@ -3980,7 +4054,7 @@ LIMIT 50
         "skew_salted_event_stats": """
 SELECT event_type,
        count(*) AS n_events,
-       sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS sum_value_c,
+       CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_value_c,
        max(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS max_value_c
 FROM events
 GROUP BY event_type
@@ -4352,19 +4426,19 @@ SELECT 'event_id' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
        CAST(min(event_id) AS VARCHAR) AS min_v, CAST(max(event_id) AS VARCHAR) AS max_v
 FROM ev
 UNION ALL
-SELECT 'user_id', count(*), sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END),
+SELECT 'user_id', count(*), CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        count(DISTINCT user_id), CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR)
 FROM ev
 UNION ALL
-SELECT 'event_type', count(*), sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END),
+SELECT 'event_type', count(*), CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        count(DISTINCT event_type), min(event_type), max(event_type)
 FROM ev
 UNION ALL
-SELECT 'ts_us', count(*), sum(CASE WHEN ts_us IS NULL THEN 1 ELSE 0 END),
+SELECT 'ts_us', count(*), CAST(sum(CASE WHEN ts_us IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        count(DISTINCT ts_us), CAST(min(ts_us) AS VARCHAR), CAST(max(ts_us) AS VARCHAR)
 FROM ev
 UNION ALL
-SELECT 'value_c', count(*), sum(CASE WHEN value_c IS NULL THEN 1 ELSE 0 END),
+SELECT 'value_c', count(*), CAST(sum(CASE WHEN value_c IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        count(DISTINCT value_c), CAST(min(value_c) AS VARCHAR), CAST(max(value_c) AS VARCHAR)
 FROM ev
 """,

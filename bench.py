@@ -89,6 +89,12 @@ def main() -> None:
             df.write.mode("overwrite").format("noop").save()
         return time.time() - t0
 
+    # Queries with documented unchanged-plan run-to-run jitter (ANN probe
+    # joins; r4/r5 spread up to 4s): take min-of-3 so the fixed-subset
+    # metric stops absorbing their variance and can expose real
+    # regressions elsewhere.
+    JITTERY = {"ann_lsh_topk", "ann_ivf_topk", "similarity_topk"}
+
     times: dict[str, float] = {}
     for name, collect_small in HEADLINE:
         fn = qs[name]
@@ -100,6 +106,9 @@ def main() -> None:
         # long-running cluster amortizes; min is the steady-state number.
         t = run_once(fn, collect_small)
         if t < 20:
+            t = min(t, run_once(fn, collect_small))
+        if name in JITTERY:
+            spark.catalog.clearCache()
             t = min(t, run_once(fn, collect_small))
         times[name] = round(t, 3)
 

@@ -48,7 +48,12 @@ def read_documents(
             .option("multiLine", "true")
             # distinguish '' from NULL on read: CSV's default collapses
             # an empty field to null, silently turning empty documents
-            # into missing ones after a CSV hop
+            # into missing ones after a CSV hop.
+            # FORMAT BREAK (v0.5): files written before the \N convention
+            # encoded NULL as an unquoted empty field; those now read back
+            # as '' here. Deliberate — mapping unquoted empty to NULL
+            # would re-conflate the two cases this convention separates.
+            # Re-export legacy CSV via write_documents once to migrate.
             .option("emptyValue", "")
             .option("nullValue", "\\N")
             .csv(path)

@@ -933,6 +933,84 @@ def dedup_against(
     return new.join(hits, id_col, "left_anti")
 
 
+def split_units(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delim: str = "\n",
+) -> DataFrame:
+    """Explode documents into ordered sub-document units (paragraphs for
+    ``\\n``, lines, sentences for a regex delim): one row per
+    (id, unit_pos, unit). Narrow projection — no shuffle; downstream
+    operators decide the granularity of dedup/filtering.
+
+    The reference has no sub-document operations (its unit is the
+    message, flyq-protocol/src/message.rs); this is [EXT] surface — the
+    paragraph granularity of C4-style corpus dedup."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), delim)).alias("unit_pos", "unit"),
+    )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delim: str = "\n",
+    normalize: bool = False,
+) -> DataFrame:
+    """Corpus-wide paragraph-level keep-first dedup (the C4/CCNet "dedup
+    at line granularity" step): a paragraph survives only at its first
+    occurrence — smallest (id, position) over the whole corpus — and
+    every later copy is excised; documents are rebuilt from their
+    surviving paragraphs in original order. Returns
+    (id, n_units, n_kept, text) with text NULL when no paragraph
+    survived.
+
+    Plan shape: first occurrences come from one hash-aggregate on the
+    16 B md5 fingerprint (``min(struct(id, pos))`` — partial map-side
+    combine, so a boilerplate paragraph duplicated across millions of
+    documents contributes ONE row per map task to the shuffle, never a
+    hot-key window sort); survivors then rebuild via a groupBy(id). The
+    paragraph text crosses the rebuild shuffle once — unavoidable for
+    excision — and both shuffles are equi-key + AQE-splittable. At
+    100 TB nothing pairs paragraphs with each other and no driver state
+    exists."""
+    units = split_units(df, text_col=text_col, id_col=id_col, delim=delim)
+    fp = fingerprint(F.col("unit"), normalize)
+    keyed = units.withColumn("_fp", fp)
+    first = keyed.groupBy("_fp").agg(
+        F.min(F.struct(id_col, "unit_pos")).alias("_first")
+    )
+    survivors = keyed.join(
+        first.select(
+            "_fp",
+            F.col(f"_first.{id_col}").alias(id_col),
+            F.col("_first.unit_pos").alias("unit_pos"),
+        ),
+        ["_fp", id_col, "unit_pos"],
+        "left_semi",
+    )
+    rebuilt = survivors.groupBy(id_col).agg(
+        F.count("*").alias("n_kept"),
+        F.concat_ws(
+            delim,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("unit_pos", "unit"))),
+                lambda s: s["unit"],
+            ),
+        ).alias(text_col),
+    )
+    totals = units.groupBy(id_col).agg(F.count("*").alias("n_units"))
+    return totals.join(rebuilt, id_col, "left").select(
+        id_col,
+        "n_units",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        text_col,
+    )
+
+
 def lsh_parameter_sweep(
     df: DataFrame,
     configs: tuple[tuple[int, int], ...] = ((32, 4), (32, 8), (32, 16)),

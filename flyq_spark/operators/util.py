@@ -39,10 +39,10 @@ def exact_ceil_frac(n, fraction: float, max_den: int = 100_000):
     fraction is read as the DECIMAL the caller wrote
     (``Fraction(str(f))``, e.g. 0.55 → 11/20) and
     ceil(num·n/den) = (num·n + den − 1) div den is computed in
-    integers. The one double division is exact for quotients up to
-    ~2^36 with den ≤ 1e5 (the true value is never within 1/den of the
-    next integer, and 1/den dwarfs the ulp), and exact integers divide
-    exactly — proven-safe truncation.
+    integers end-to-end: SQL ``div`` (IntegralDivide) on longs, exact at
+    any magnitude — no IEEE double appears anywhere, so no quotient is
+    ever large enough to reintroduce the off-by-one this helper exists
+    to remove.
     """
     from fractions import Fraction
 
@@ -50,5 +50,5 @@ def exact_ceil_frac(n, fraction: float, max_den: int = 100_000):
 
     fr = Fraction(str(fraction)).limit_denominator(max_den)
     num, den = fr.numerator, fr.denominator
-    x = F.lit(num) * n + F.lit(den - 1)
-    return (x / F.lit(den)).cast("long")
+    x = F.lit(num).cast("long") * n + F.lit(den - 1)
+    return F.call_function("div", x, F.lit(den).cast("long"))

@@ -256,6 +256,8 @@ class FlyQWireClient:
                 got, pos = wire.decode_frame_at(buf, pos)
                 if got is not None:
                     if got.frame_type == FrameType.ERROR:
+                        if got.correlation_id != self._corr:
+                            continue  # stale ERROR from a cancelled call
                         raise ProtocolError(
                             f"broker error frame: {got.payload!r}"
                         )

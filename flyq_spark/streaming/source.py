@@ -117,8 +117,16 @@ def consume_stream_with_group(
     (which trusts the committed offsets) would permanently skip the
     unseen range, breaking at-least-once.
     """
+    # Start at max(committed, low watermark) per partition: delete_records
+    # is a LOGICAL truncation (below-cutoff rows linger on disk until
+    # compaction), so the file-tail must clamp exactly like the batch read
+    # paths (engine._clamped_start) — both to avoid re-delivering
+    # truncated rows and so the contiguity commit can restart when
+    # retention advanced past the committed offset.
     committed0 = {
-        p: engine.committed_offset(group, topic, p) or 0
+        p: engine._clamped_start(
+            topic, p, int(engine.committed_offset(group, topic, p) or 0)
+        )
         for p in range(engine.topic_partitions(topic))
     }
     start_filter = None
@@ -146,8 +154,25 @@ def consume_stream_with_group(
             int(r["partition"])
             for r in batch_df.select("partition").distinct().collect()
         ]
+        # Base = max(committed, low watermark): if retention/delete_records
+        # truncated past the committed offset, that offset never reappears
+        # and a committed-only base would leave the contiguity prefix empty
+        # forever (cursor permanently stalled). Clamping (mirroring
+        # engine._clamped_start) lets the prefix restart at the first
+        # retained offset — the truncated range is gone by policy, not
+        # skipped processing.
         cur = spark_sess.createDataFrame(
-            [(p, int(engine.committed_offset(group, topic, p) or 0)) for p in parts],
+            [
+                (
+                    p,
+                    int(
+                        engine._clamped_start(
+                            topic, p, int(engine.committed_offset(group, topic, p) or 0)
+                        )
+                    ),
+                )
+                for p in parts
+            ],
             "partition int, _c long",
         )
         w = Window.partitionBy("partition").orderBy("offset")

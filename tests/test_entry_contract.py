@@ -37,6 +37,34 @@ def test_queries_and_oracles_consistent():
     }
 
 
+def test_oracle_arrow_schemas_are_driver_safe():
+    """The driver fetches oracle results via Arrow; DuckDB widens bare
+    sum(BIGINT) to HUGEINT -> Arrow decimal128(38,0), which the driver
+    canonicalizes differently from Spark's int64 (hash mismatch with
+    rows/schema matching — the r4/r5 red-row class). Every oracle must
+    emit only driver-safe Arrow types; a decimal column here means a
+    missing outer CAST(... AS BIGINT)."""
+    import duckdb
+
+    import __spark_entry__ as e
+
+    con = duckdb.connect()
+    sf = "/root/testdata/sf0.001"
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    safe = {"int64", "int32", "double", "string", "large_string", "bool", "binary"}
+    offenders = []
+    for name, sql in e.oracle_sql().items():
+        tbl = con.sql(sql).arrow()
+        for f in tbl.schema:
+            ts = str(f.type)
+            if ts not in safe and not ts.startswith("timestamp"):
+                offenders.append((name, f.name, ts))
+    assert not offenders, f"driver-unsafe oracle output types: {offenders}"
+
+
 def test_entry_runs_on_vanilla_session(spark):
     """entry() must work with whatever session the driver provides —
     read_table pins the confs it needs at runtime."""

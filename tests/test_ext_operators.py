@@ -36,6 +36,31 @@ def test_dedup_exact_keeps_min_id(spark):
     assert sorted((r["doc_id"], r["text"]) for r in rows) == [(1, "aa"), (2, "bb"), (5, "cc")]
 
 
+def test_paragraph_dedup_keep_first_and_rebuild(spark):
+    """Keep-first at paragraph granularity: a repeated paragraph survives
+    only at its smallest (id, pos); documents rebuild in original order;
+    a document whose every paragraph appeared earlier rebuilds to NULL."""
+    from flyq_spark.operators.dedup import paragraph_dedup, split_units
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha\nbeta\nalpha"),   # intra-doc dup: 2nd 'alpha' dropped
+            (2, "beta\ngamma"),           # 'beta' first seen in doc 1
+            (3, "alpha\nbeta"),           # nothing survives
+        ],
+        "doc_id long, text string",
+    )
+    units = split_units(df)
+    assert units.count() == 7  # 3 + 2 + 2
+    got = {
+        r["doc_id"]: (r["n_units"], r["n_kept"], r["text"])
+        for r in paragraph_dedup(df).collect()
+    }
+    assert got[1] == (3, 2, "alpha\nbeta")
+    assert got[2] == (2, 1, "gamma")
+    assert got[3] == (2, 0, None)
+
+
 def test_simhash_identical_and_perturbed(spark):
     from flyq_spark.operators.dedup import simhash, simhash_neardup_pairs
 

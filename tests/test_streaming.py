@@ -204,6 +204,39 @@ def test_consume_stream_with_group_commits_offsets(engine, spark, tmp_path):
     assert engine.get_consumer_lag("g", "cg")["total_lag"] == 0
 
 
+def test_consume_stream_with_group_survives_retention_truncation(
+    engine, spark, tmp_path
+):
+    """If retention/delete_records advances the low watermark PAST a
+    group's committed offset, the committed offset never reappears in any
+    batch — a committed-only contiguity base would leave the prefix empty
+    forever and stall the cursor. The base is clamped to
+    max(committed, low watermark) so the prefix restarts at the first
+    retained offset and the cursor advances to the LEO."""
+    from flyq_spark.streaming.source import consume_stream_with_group
+    from tests.conftest import make_messages
+
+    engine.create_topic("cgrt", partitions=1)
+    engine.produce("cgrt", make_messages(10))
+    engine.commit_offset("g", "cgrt", 0, 2)
+    # logical truncation past the committed offset: low watermark -> 5
+    engine.delete_records("cgrt", 0, before_offset=5)
+    low, _, leo = engine.get_watermark("cgrt", 0)
+    assert low == 5 and leo == 10
+
+    seen = []
+    q = consume_stream_with_group(
+        engine, "cgrt", "g", str(tmp_path / "ckpt"),
+        lambda df: seen.extend(int(r["offset"]) for r in df.collect()),
+        trigger_once=True,
+    )
+    q.awaitTermination(120)
+    # only retained offsets delivered, and the cursor is NOT stuck at 2
+    assert min(seen) == 5 and max(seen) == 9
+    assert engine.committed_offset("g", "cgrt", 0) == leo
+    assert engine.get_consumer_lag("g", "cgrt")["total_lag"] == 0
+
+
 def test_flyq_datasource_stream(engine, spark, tmp_path):
     """Custom Python DataSource: Kafka-shaped startingOffsets + offset
     ranges; second produce delivers only new records under one checkpoint."""

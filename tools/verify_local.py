@@ -80,9 +80,14 @@ def main() -> int:
             print(f"rows  {name}: {len(rows)} rows ({took:.1f}s) [no oracle]")
             continue
         try:
-            res = con.sql(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            # Fetch via Arrow, mirroring the driver's gate: fetchall()
+            # converts DuckDB HUGEINT to Python int and masks type leaks
+            # (e.g. a bare sum() widening BIGINT -> HUGEINT -> Arrow
+            # decimal128(38,0)) that the driver's Arrow path fails on.
+            tbl = con.sql(oracles[name]).arrow()
+            ocols = list(tbl.column_names)
+            pycols = [c.to_pylist() for c in tbl.columns]
+            orows = [tuple(r) for r in zip(*pycols)] if pycols else []
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: oracle error: {e}")
