@@ -8,11 +8,13 @@ touching payloads; the content id deduplicates storage and joins across
 modalities).
 
 The decode/feature kernels are Arrow-batched ``mapInPandas`` with real
-schemas, partitioning, and batch shapes; the pixel/sample decoding itself
-is STUBBED (this container has no image/audio libraries) behind
-``_decode_stub`` — a clearly-marked deterministic fake so the Spark-side
-plumbing is fully testable. Swapping in PIL/torchaudio is a one-function
-change.
+schemas, partitioning, and batch shapes. Decoding is REAL for formats
+whose specs need nothing beyond stdlib+numpy — binary netpbm (PGM/PPM),
+uncompressed BMP, PCM WAV — sniffed by magic bytes; compressed codecs
+(JPEG/PNG/MP3/H.264) fall back to ``_decode_stub``, a clearly-marked
+deterministic fake (this container has no image/audio libraries), so the
+Spark-side plumbing is fully testable either way. Swapping in
+PIL/torchaudio for the compressed formats is a one-function change.
 """
 
 from __future__ import annotations
@@ -72,14 +74,59 @@ def attach_media(
     )
 
 
-def dedup_by_content(df: DataFrame, id_col: str) -> DataFrame:
-    """Storage-level dedup: one surviving row (min id) per content_id —
-    same one-shuffle hash-groupBy shape as text exact dedup."""
-    return (
-        df.groupBy("content_id")
-        .agg(F.min(id_col).alias(id_col))
-        .join(df, on=["content_id", id_col], how="left_semi")
+def read_media_dir(
+    spark,
+    path: str,
+    kind: str = "image",
+    glob: str | None = None,
+    mime: str | None = None,
+    recursive: bool = False,
+) -> DataFrame:
+    """Ingest a directory of raw media files as a multimodal table via
+    Spark's ``binaryFile`` source: one row per file with
+    (path, mod_time, payload, media_meta, content_id) — the entry point
+    that turns "a bucket of .wav/.ppm/.jpg objects" into the columnar
+    content-addressed layout the rest of this module operates on.
+
+    Scale notes: binaryFile is split-per-file (a file never splits), so
+    parallelism = file count — right for media corpora (millions of
+    small-to-medium objects); pair with ``glob`` (e.g. ``*.wav``) so
+    pruning happens at listing time, and follow with a repartition only
+    if the directory has a few giant files. Payload bytes flow straight
+    into ``extract_features``/``perceptual_hash`` whose decoders sniff
+    the format per payload.
+    """
+    if kind not in MEDIA_KINDS:
+        raise ValueError(f"kind must be one of {MEDIA_KINDS}")
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    df = reader.load(path)
+    payload = F.col("content")
+    return df.select(
+        F.col("path"),
+        F.col("modificationTime").alias("mod_time"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit(kind).alias("kind"),
+            F.col("length").cast("long").alias("n_bytes"),
+            F.lit(mime).cast("string").alias("mime"),
+        ).alias("media_meta"),
+        content_id(payload).alias("content_id"),
     )
+
+
+def dedup_by_content(df: DataFrame, id_col: str) -> DataFrame:
+    """Storage-level dedup: one surviving FULL row (min id) per
+    content_id — same survivor-semi-join shape as text
+    ``dedup_exact_rows``. (The pre-r6 version had the semi-join sides
+    swapped, which silently projected away every column except
+    (content_id, id): a semi join keeps only left-side columns, and with
+    the aggregate on the left the probe matched by construction.)"""
+    survivors = df.groupBy("content_id").agg(F.min(id_col).alias(id_col))
+    return df.join(survivors, on=["content_id", id_col], how="left_semi")
 
 
 # ----------------------------------------------------------------------- #
@@ -104,6 +151,170 @@ def _decode_stub(payload: bytes, kind: str, feature_dim: int) -> dict:
     return {"width": width, "height": height, "n_frames": n_frames, "feature": feature}
 
 
+# -- real decoders for library-free formats ----------------------------- #
+# Formats whose specs need nothing beyond stdlib struct + numpy get REAL
+# decoders: netpbm P5/P6 (binary PGM/PPM), uncompressed BMP (BI_RGB
+# 24/32 bpp), and PCM WAV (8/16-bit RIFF). Payloads are sniffed by magic
+# bytes; anything else (JPEG/PNG/MP3/H.264 — codecs that genuinely need
+# PIL/libav) falls back to the documented stub, so existing stub-pinned
+# tests and gate values are unchanged for non-media payloads.
+
+
+def _try_decode_netpbm(payload: bytes):
+    """Binary netpbm: P5 (gray) / P6 (RGB). Returns a float64 luma
+    matrix (H x W, 0..255) or None if not netpbm / malformed."""
+    import numpy as np
+
+    if payload[:2] not in (b"P5", b"P6"):
+        return None
+    try:
+        # header = magic + 3 ASCII ints (w, h, maxval), '#' comments legal
+        tokens, pos = [], 2
+        while len(tokens) < 3:
+            while pos < len(payload) and payload[pos : pos + 1].isspace():
+                pos += 1
+            if payload[pos : pos + 1] == b"#":
+                while pos < len(payload) and payload[pos] != 0x0A:
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(payload) and not payload[pos : pos + 1].isspace():
+                pos += 1
+            tokens.append(int(payload[start:pos]))
+        pos += 1  # single whitespace after maxval, then raster
+        w, h, maxval = tokens
+        if not (0 < w and 0 < h and 0 < maxval < 65536):
+            return None
+        ch = 3 if payload[:2] == b"P6" else 1
+        depth = 2 if maxval > 255 else 1
+        raster = payload[pos : pos + w * h * ch * depth]
+        if len(raster) < w * h * ch * depth:
+            return None
+        dt = ">u2" if depth == 2 else np.uint8
+        px = np.frombuffer(raster, dtype=dt).astype(np.float64).reshape(h, w, ch)
+        px = px * (255.0 / maxval)
+        if ch == 3:
+            luma = px[:, :, 0] * 0.299 + px[:, :, 1] * 0.587 + px[:, :, 2] * 0.114
+        else:
+            luma = px[:, :, 0]
+        return luma
+    except (ValueError, IndexError):
+        return None
+
+
+def _try_decode_bmp(payload: bytes):
+    """Uncompressed BMP (BITMAPINFOHEADER, BI_RGB, 24/32 bpp). Returns a
+    float64 luma matrix or None."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"BM" or len(payload) < 54:
+        return None
+    try:
+        pix_off = struct.unpack_from("<I", payload, 10)[0]
+        hdr_size = struct.unpack_from("<I", payload, 14)[0]
+        if hdr_size < 40:
+            return None
+        w, h_raw = struct.unpack_from("<ii", payload, 18)
+        bpp = struct.unpack_from("<H", payload, 28)[0]
+        compression = struct.unpack_from("<I", payload, 30)[0]
+        if compression != 0 or bpp not in (24, 32) or w <= 0 or h_raw == 0:
+            return None
+        h = abs(h_raw)
+        nch = bpp // 8
+        stride = (w * nch + 3) & ~3
+        if len(payload) < pix_off + stride * h:
+            return None
+        rows = np.frombuffer(
+            payload, dtype=np.uint8, count=stride * h, offset=pix_off
+        ).reshape(h, stride)[:, : w * nch].reshape(h, w, nch)
+        if h_raw > 0:  # positive height = bottom-up row order
+            rows = rows[::-1]
+        bgr = rows.astype(np.float64)
+        # BMP stores BGR(A)
+        return bgr[:, :, 2] * 0.299 + bgr[:, :, 1] * 0.587 + bgr[:, :, 0] * 0.114
+    except (ValueError, IndexError, struct.error):
+        return None
+
+
+def _try_decode_wav(payload: bytes):
+    """PCM WAV (RIFF, 8/16-bit integer samples). Returns
+    (sample_rate, n_channels, samples float64 in [-1, 1]) or None."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    try:
+        pos, fmt, data = 12, None, None
+        while pos + 8 <= len(payload):
+            cid = payload[pos : pos + 4]
+            size = struct.unpack_from("<I", payload, pos + 4)[0]
+            body = payload[pos + 8 : pos + 8 + size]
+            if cid == b"fmt " and len(body) >= 16:
+                fmt = struct.unpack_from("<HHIIHH", body, 0)
+            elif cid == b"data":
+                data = body
+            pos += 8 + size + (size & 1)  # chunks are word-aligned
+        if fmt is None or data is None:
+            return None
+        audio_format, n_channels, sample_rate, _, _, bits = fmt
+        if audio_format != 1 or n_channels < 1 or bits not in (8, 16):
+            return None
+        if bits == 16:
+            raw = np.frombuffer(data, dtype="<i2", count=len(data) // 2)
+            samples = raw.astype(np.float64) / 32768.0
+        else:  # 8-bit WAV is unsigned, midpoint 128
+            raw = np.frombuffer(data, dtype=np.uint8)
+            samples = (raw.astype(np.float64) - 128.0) / 128.0
+        return sample_rate, n_channels, samples
+    except (ValueError, IndexError, struct.error):
+        return None
+
+
+def _pool_1d(arr, k: int):
+    """Mean-pool a 1-D array into exactly k buckets (tiles short input)."""
+    import numpy as np
+
+    if arr.size == 0:
+        arr = np.zeros(k, dtype=np.float64)
+    if arr.size < k:
+        arr = np.tile(arr, (k + arr.size - 1) // arr.size)
+    return np.array([c.mean() for c in np.array_split(arr, k)], dtype=np.float64)
+
+
+def _decode_payload(payload: bytes, kind: str, feature_dim: int) -> dict:
+    """Real decode where the format allows it, stub otherwise.
+
+    Real paths: netpbm/BMP images -> true (width, height) + mean-pooled
+    luma feature (0..1); PCM WAV audio -> width=sample_rate,
+    height=n_channels, n_frames=n_samples (documented overload of the
+    fixed FEATURE_SCHEMA), feature = mean-pooled |amplitude| envelope.
+    """
+    luma = _try_decode_netpbm(payload)
+    if luma is None:
+        luma = _try_decode_bmp(payload)
+    if luma is not None:
+        h, w = luma.shape
+        feature = [float(x) / 255.0 for x in _pool_1d(luma.flatten(), feature_dim)]
+        return {"width": w, "height": h, "n_frames": 1, "feature": feature}
+    wav = _try_decode_wav(payload)
+    if wav is not None:
+        sample_rate, n_channels, samples = wav
+        import numpy as np
+
+        env = _pool_1d(np.abs(samples), feature_dim)
+        return {
+            "width": int(sample_rate),
+            "height": int(n_channels),
+            "n_frames": int(min(samples.size, 2**31 - 1)),
+            "feature": [float(x) for x in env],
+        }
+    return _decode_stub(payload, kind, feature_dim)
+
+
 def extract_features(
     df: DataFrame,
     kind: str = "image",
@@ -113,9 +324,14 @@ def extract_features(
     """Decode + featurize payloads via ``mapInPandas`` (Arrow batches of
     whole payload rows — the right boundary for media kernels: one Python
     call per batch, bytes never row-pickled). Input needs
-    payload/content_id (see attach_media). Partition-parallel; no shuffle.
+    payload/content_id (see attach_media). Partition-parallel; no
+    shuffle at any real scale — ``fan_out`` restores parallelism only
+    when the input arrives as fewer splits than cores (a one-row-group
+    fixture file would otherwise pin every decode onto one core).
     """
     import pandas as pd  # noqa: F401 (documents the batch type)
+
+    from flyq_spark.operators.util import fan_out
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -123,7 +339,7 @@ def extract_features(
         for pdf in batches:
             out = []
             for cid, payload in zip(pdf["content_id"], pdf["payload"]):
-                d = _decode_stub(bytes(payload), kind, feature_dim)
+                d = _decode_payload(bytes(payload), kind, feature_dim)
                 out.append(
                     (cid, kind, d["width"], d["height"], d["n_frames"], d["feature"])
                 )
@@ -131,7 +347,9 @@ def extract_features(
                 out, columns=[f.name for f in FEATURE_SCHEMA.fields]
             )
 
-    return df.select("content_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
+    return fan_out(df.select("content_id", "payload")).mapInPandas(
+        run, FEATURE_SCHEMA
+    )
 
 
 def frame_sample_plan(df: DataFrame, every_n: int = 8) -> DataFrame:
@@ -161,15 +379,33 @@ PHASH_SCHEMA = T.StructType(
 
 
 def _luma_grid_stub(payload: bytes, rows: int = 8, cols: int = 9):
-    """STUB luma downsample — deterministic, LOCALITY-PRESERVING fake in
-    place of a real decode+resize (PIL's ``convert('L').resize((9, 8))``
-    in a real deployment). The payload bytes are treated as the decoded
-    sample stream and mean-pooled into a rows x cols grid, so payloads
+    """Luma downsample to a rows x cols grid. REAL for netpbm/BMP
+    payloads (decoded pixels block-mean-pooled — the library-free
+    equivalent of PIL's ``convert('L').resize((9, 8))``); for everything
+    else, a deterministic LOCALITY-PRESERVING fake: the payload bytes are
+    treated as the decoded sample stream and mean-pooled, so payloads
     that differ in a few bytes get nearly identical grids — unlike a
     digest-derived fake, which would avalanche and make "near" vacuous.
     """
     import numpy as np
 
+    luma = _try_decode_netpbm(payload)
+    if luma is None:
+        luma = _try_decode_bmp(payload)
+    if luma is not None:
+        # block-mean resize: split rows into `rows` bands, cols into
+        # `cols` bands (tile first if the image is smaller than the grid)
+        if luma.shape[0] < rows:
+            luma = np.tile(luma, ((rows + luma.shape[0] - 1) // luma.shape[0], 1))
+        if luma.shape[1] < cols:
+            luma = np.tile(luma, (1, (cols + luma.shape[1] - 1) // luma.shape[1]))
+        return np.array(
+            [
+                [cell.mean() for cell in np.array_split(band, cols, axis=1)]
+                for band in np.array_split(luma, rows, axis=0)
+            ],
+            dtype=np.float64,
+        )
     raw = np.frombuffer(payload, dtype=np.uint8)
     if raw.size == 0:
         raw = np.zeros(rows * cols, dtype=np.uint8)

@@ -373,8 +373,10 @@ def test_attach_media_and_content_dedup(spark):
     assert rows[1]["content_id"] == rows[2]["content_id"] != rows[3]["content_id"]
     assert rows[1]["media_meta"]["n_bytes"] == len(b"same-bytes")
     assert rows[1]["media_meta"]["kind"] == "image"
-    kept = sorted(r["id"] for r in dedup_by_content(media, "id").collect())
-    assert kept == [1, 3]
+    kept_rows = dedup_by_content(media, "id").collect()
+    assert sorted(r["id"] for r in kept_rows) == [1, 3]
+    # full rows survive, not just (content_id, id) — r6 regression fix
+    assert {"payload", "media_meta", "blob"} <= set(kept_rows[0].asDict())
 
 
 def test_extract_features_deterministic_through_arrow(spark):
@@ -387,6 +389,102 @@ def test_extract_features_deterministic_through_arrow(spark):
     assert f1 == f2 and len(f1) == 2
     for w, h, feat in f1.values():
         assert 1 <= w <= 256 and 1 <= h <= 256 and len(feat) == 8
+
+
+def _make_ppm(w, h, pixel_fn):
+    """Binary P6 netpbm built by hand (no imaging library needed)."""
+    px = bytes(
+        c for y in range(h) for x in range(w) for c in pixel_fn(x, y)
+    )
+    return f"P6\n{w} {h}\n255\n".encode() + px
+
+
+def _make_wav(samples_i16, rate=8000):
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(rate)
+        f.writeframes(b"".join(int(s).to_bytes(2, "little", signed=True) for s in samples_i16))
+    return buf.getvalue()
+
+
+def test_extract_features_real_decoders_through_arrow(spark):
+    """netpbm/WAV payloads take the REAL decode path (magic-sniffed):
+    true pixel dimensions and sample counts come back through the same
+    Arrow mapInPandas boundary the stub uses; non-media payloads still
+    fall back to the stub."""
+    from flyq_spark.operators.multimodal import attach_media, extract_features
+
+    ppm = _make_ppm(16, 9, lambda x, y: (x * 15, x * 15, x * 15))
+    wav = _make_wav([0, 1000, -1000, 32000] * 50, rate=16000)
+    df = spark.createDataFrame(
+        [(1, bytearray(ppm)), (2, bytearray(wav)), (3, bytearray(b"not media"))],
+        "id long, blob binary",
+    )
+    feats = {
+        r["width"]: r
+        for r in extract_features(attach_media(df, "blob", kind="image")).collect()
+    }
+    assert 16 in feats and feats[16]["height"] == 9          # real image dims
+    assert 16000 in feats and feats[16000]["height"] == 1    # real sample rate
+    assert feats[16000]["n_frames"] == 200                   # real sample count
+    assert len(feats) == 3                                   # stub row present too
+    # image feature is normalized decoded luma, monotone along the ramp
+    f = feats[16]["feature"]
+    assert all(0.0 <= v <= 1.0 for v in f) and f[0] < f[-1]
+
+
+def test_perceptual_hash_real_image_locality(spark):
+    """dHash over REAL decoded pixels: a one-pixel perturbation of a
+    gradient image keeps Hamming distance small, while an inverted
+    gradient is far — the locality contract that makes phash near-dup
+    meaningful, now on true luma grids."""
+    from flyq_spark.operators.multimodal import attach_media, perceptual_hash
+
+    base = _make_ppm(18, 16, lambda x, y: (x * 14, x * 14, x * 14))
+    tweaked = bytearray(base)
+    tweaked[-1] ^= 0x7F  # one subpixel changed
+    inverted = _make_ppm(18, 16, lambda x, y: (255 - x * 14,) * 3)
+    df = spark.createDataFrame(
+        [(1, bytearray(base)), (2, bytes(tweaked)), (3, bytearray(inverted))],
+        "id long, blob binary",
+    )
+    hashes = {
+        r["id"]: r["phash"]
+        for r in attach_media(df, "blob", kind="image")
+        .select(F.col("id"), "content_id", "payload")
+        .transform(
+            lambda d: perceptual_hash(d).join(d.select("id", "content_id"), "content_id")
+        )
+        .collect()
+    }
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    assert ham(hashes[1], hashes[2]) <= 8    # near: one-subpixel tweak
+    assert ham(hashes[1], hashes[3]) >= 40   # far: inverted gradient
+
+
+def test_read_media_dir_binary_source(spark, tmp_path):
+    """binaryFile ingestion: a directory of raw media files becomes the
+    content-addressed multimodal table, glob-filtered at listing time,
+    and the payloads decode for real downstream."""
+    from flyq_spark.operators.multimodal import extract_features, read_media_dir
+
+    (tmp_path / "a.ppm").write_bytes(_make_ppm(5, 4, lambda x, y: (x, y, 0)))
+    (tmp_path / "b.wav").write_bytes(_make_wav([100, -100] * 30, rate=4000))
+    (tmp_path / "notes.txt").write_bytes(b"not media")
+
+    media = read_media_dir(spark, str(tmp_path), kind="image", glob="*.{ppm,wav}")
+    rows = media.collect()
+    assert len(rows) == 2  # txt pruned at listing
+    assert all(r["media_meta"]["n_bytes"] == len(bytes(r["payload"])) for r in rows)
+    dims = {
+        (r["width"], r["height"]) for r in extract_features(media).collect()
+    }
+    assert (5, 4) in dims and (4000, 1) in dims  # real decodes both kinds
 
 
 def test_frame_sample_plan(spark):
