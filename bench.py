@@ -64,6 +64,8 @@ HEADLINE = [
     ("snapshot_diff", False),
     ("incremental_dedup", False),
     ("phash_neardup", False),
+    # r6: paragraph-granularity dedup (synthetic multi-paragraph corpus)
+    ("paragraph_dedup", False),
 ]
 
 

@@ -467,6 +467,37 @@ def test_perceptual_hash_real_image_locality(spark):
     assert ham(hashes[1], hashes[3]) >= 40   # far: inverted gradient
 
 
+def test_media_decoders_never_raise_on_garbage():
+    """Decode kernels run inside executor tasks — an uncaught exception
+    kills the task, so random bytes, valid-magic garbage, truncations of
+    valid files, and allocation-bomb headers (giant claimed dims, tiny
+    raster) must all fall through to the stub, never raise."""
+    import random
+    import struct
+
+    from flyq_spark.operators.multimodal import _decode_payload, _luma_grid_stub
+
+    rng = random.Random(42)
+    cases = [bytes(rng.randrange(256) for _ in range(rng.randrange(200))) for _ in range(500)]
+    for magic in (b"P6", b"P5", b"BM", b"RIFF", b"RIFFxxxxWAVE"):
+        cases += [
+            magic + bytes(rng.randrange(256) for _ in range(rng.randrange(100)))
+            for _ in range(200)
+        ]
+    ppm = b"P6\n4 2\n255\n" + bytes(range(24))
+    wav = _make_wav([0, 1] * 50)
+    cases += [src[:cut] for src in (ppm, wav) for cut in range(len(src))]
+    cases.append(b"P6\n999999999 999999999\n255\n\x00")
+    cases.append(
+        b"BM" + b"\x00" * 8 + struct.pack("<I", 54)
+        + struct.pack("<IiiHHI", 40, 2**30, 2**30, 1, 24, 0) + b"\x00" * 20
+    )
+    for b in cases:
+        d = _decode_payload(b, "image", 8)
+        assert len(d["feature"]) == 8
+        assert _luma_grid_stub(b).shape == (8, 9)
+
+
 def test_read_media_dir_binary_source(spark, tmp_path):
     """binaryFile ingestion: a directory of raw media files becomes the
     content-addressed multimodal table, glob-filtered at listing time,
