@@ -49,6 +49,7 @@ HEADLINE = [
     ("simhash_neardup", False),
     ("similarity_topk", True),
     ("ann_lsh_topk", True),
+    ("ann_ivf_topk", True),
     ("embedding_neardup", True),
     # r5 additions: the de-skewed frequency operator and the two new
     # oracle-checked pipelines

@@ -933,23 +933,35 @@ def dedup_against(
     return new.join(hits, id_col, "left_anti")
 
 
+def _regex_quote(s: str) -> str:
+    """Quote a literal string for a Java regex (Pattern.quote): wrap in
+    \\Q...\\E, splitting around any embedded \\E so it cannot terminate
+    the quote early."""
+    return "\\Q" + s.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+
 def split_units(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     delim: str = "\n",
+    regex: bool = False,
 ) -> DataFrame:
     """Explode documents into ordered sub-document units (paragraphs for
-    ``\\n``, lines, sentences for a regex delim): one row per
-    (id, unit_pos, unit). Narrow projection — no shuffle; downstream
-    operators decide the granularity of dedup/filtering.
+    ``\\n``, lines; sentences with ``regex=True`` and a pattern): one
+    row per (id, unit_pos, unit). ``delim`` is a LITERAL separator
+    unless ``regex=True`` (it is quoted before reaching ``F.split``,
+    whose argument is always a Java regex). NULL text produces no unit
+    rows. Narrow projection — no shuffle; downstream operators decide
+    the granularity of dedup/filtering.
 
     The reference has no sub-document operations (its unit is the
     message, flyq-protocol/src/message.rs); this is [EXT] surface — the
     paragraph granularity of C4-style corpus dedup."""
+    pattern = delim if regex else _regex_quote(delim)
     return df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), delim)).alias("unit_pos", "unit"),
+        F.posexplode(F.split(F.col(text_col), pattern)).alias("unit_pos", "unit"),
     )
 
 
@@ -959,14 +971,24 @@ def paragraph_dedup(
     id_col: str = "doc_id",
     delim: str = "\n",
     normalize: bool = False,
+    regex: bool = False,
+    join_with: str | None = None,
 ) -> DataFrame:
     """Corpus-wide paragraph-level keep-first dedup (the C4/CCNet "dedup
     at line granularity" step): a paragraph survives only at its first
     occurrence — smallest (id, position) over the whole corpus — and
     every later copy is excised; documents are rebuilt from their
-    surviving paragraphs in original order. Returns
-    (id, n_units, n_kept, text) with text NULL when no paragraph
-    survived.
+    surviving paragraphs in original order. Returns one row per INPUT
+    document — (id, n_units, n_kept, text) — with text NULL when no
+    paragraph survived, and n_units=0 for NULL-text documents (which
+    split into no units but are never silently dropped).
+
+    ``delim`` is literal (regex-quoted for the split) unless
+    ``regex=True``; rebuilding always joins with a literal string —
+    ``join_with``, defaulting to ``delim`` itself, which is only valid
+    when delim is literal, so ``regex=True`` REQUIRES an explicit
+    ``join_with`` (a regex cannot be inverted into the separator it
+    matched).
 
     Plan shape: first occurrences come from one hash-aggregate on the
     16 B md5 fingerprint (``min(struct(id, pos))`` — partial map-side
@@ -977,7 +999,12 @@ def paragraph_dedup(
     excision — and both shuffles are equi-key + AQE-splittable. At
     100 TB nothing pairs paragraphs with each other and no driver state
     exists."""
-    units = split_units(df, text_col=text_col, id_col=id_col, delim=delim)
+    if regex and join_with is None:
+        raise ValueError("regex=True requires an explicit join_with literal")
+    join_delim = delim if join_with is None else join_with
+    units = split_units(
+        df, text_col=text_col, id_col=id_col, delim=delim, regex=regex
+    )
     fp = fingerprint(F.col("unit"), normalize)
     keyed = units.withColumn("_fp", fp)
     first = keyed.groupBy("_fp").agg(
@@ -995,7 +1022,7 @@ def paragraph_dedup(
     rebuilt = survivors.groupBy(id_col).agg(
         F.count("*").alias("n_kept"),
         F.concat_ws(
-            delim,
+            join_delim,
             F.transform(
                 F.array_sort(F.collect_list(F.struct("unit_pos", "unit"))),
                 lambda s: s["unit"],
@@ -1003,11 +1030,18 @@ def paragraph_dedup(
         ).alias(text_col),
     )
     totals = units.groupBy(id_col).agg(F.count("*").alias("n_units"))
-    return totals.join(rebuilt, id_col, "left").select(
-        id_col,
-        "n_units",
-        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-        text_col,
+    # anchor on the INPUT id set so NULL-text documents (no units) still
+    # get an output row instead of vanishing
+    return (
+        df.select(id_col)
+        .join(totals, id_col, "left")
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_units", F.lit(0)).alias("n_units"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            text_col,
+        )
     )
 
 

@@ -181,7 +181,11 @@ def _try_decode_netpbm(payload: bytes):
             while pos < len(payload) and not payload[pos : pos + 1].isspace():
                 pos += 1
             tokens.append(int(payload[start:pos]))
-        pos += 1  # single whitespace after maxval, then raster
+        # single whitespace after maxval, then raster — but accept CRLF
+        # as one separator (Windows writers emit it; consuming only the
+        # '\r' would shift the raster one byte and silently rotate every
+        # channel)
+        pos += 2 if payload[pos : pos + 2] == b"\r\n" else 1
         w, h, maxval = tokens
         if not (0 < w and 0 < h and 0 < maxval < 65536):
             return None
@@ -236,6 +240,17 @@ def _try_decode_bmp(payload: bytes):
         return bgr[:, :, 2] * 0.299 + bgr[:, :, 1] * 0.587 + bgr[:, :, 0] * 0.114
     except (ValueError, IndexError, struct.error):
         return None
+
+
+def _try_decode_image(payload: bytes):
+    """The one image sniff chain (netpbm, then BMP) — shared by feature
+    extraction and the dHash luma grid so 'which payloads decode for
+    real' can never diverge between them. Returns a float64 luma matrix
+    or None."""
+    luma = _try_decode_netpbm(payload)
+    if luma is None:
+        luma = _try_decode_bmp(payload)
+    return luma
 
 
 def _try_decode_wav(payload: bytes):
@@ -293,9 +308,7 @@ def _decode_payload(payload: bytes, kind: str, feature_dim: int) -> dict:
     height=n_channels, n_frames=n_samples (documented overload of the
     fixed FEATURE_SCHEMA), feature = mean-pooled |amplitude| envelope.
     """
-    luma = _try_decode_netpbm(payload)
-    if luma is None:
-        luma = _try_decode_bmp(payload)
+    luma = _try_decode_image(payload)
     if luma is not None:
         h, w = luma.shape
         feature = [float(x) / 255.0 for x in _pool_1d(luma.flatten(), feature_dim)]
@@ -389,9 +402,7 @@ def _luma_grid_stub(payload: bytes, rows: int = 8, cols: int = 9):
     """
     import numpy as np
 
-    luma = _try_decode_netpbm(payload)
-    if luma is None:
-        luma = _try_decode_bmp(payload)
+    luma = _try_decode_image(payload)
     if luma is not None:
         # block-mean resize: split rows into `rows` bands, cols into
         # `cols` bands (tile first if the image is smaller than the grid)

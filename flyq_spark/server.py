@@ -256,7 +256,16 @@ class FlyQWireClient:
                 got, pos = wire.decode_frame_at(buf, pos)
                 if got is not None:
                     if got.frame_type == FrameType.ERROR:
-                        if got.correlation_id != self._corr:
+                        # Skip ERRORs stale from a cancelled call — but
+                        # only when the broker echoed a real (nonzero)
+                        # correlation id. corr 0 means "could not parse
+                        # the request / no id to echo": treat as fatal
+                        # for THIS call, else it would stall until the
+                        # socket timeout with no diagnostic. (The
+                        # reference broker sends no ERROR frames at all —
+                        # it drops the connection, listener.rs:47 — so
+                        # this path is third-party-broker interop only.)
+                        if got.correlation_id not in (0, self._corr):
                             continue  # stale ERROR from a cancelled call
                         raise ProtocolError(
                             f"broker error frame: {got.payload!r}"

@@ -47,9 +47,9 @@ def test_oracle_arrow_schemas_are_driver_safe():
     import duckdb
 
     import __spark_entry__ as e
+    from tests.conftest import SF_SMALL as sf
 
     con = duckdb.connect()
-    sf = "/root/testdata/sf0.001"
     for t in (
         "region nation customer supplier part orders lineitem events documents embeddings"
     ).split():

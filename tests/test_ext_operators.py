@@ -61,6 +61,40 @@ def test_paragraph_dedup_keep_first_and_rebuild(spark):
     assert got[3] == (2, 0, None)
 
 
+def test_paragraph_dedup_null_text_regex_and_literal_delims(spark):
+    """Contract edges: NULL-text documents keep an output row
+    (n_units=0) instead of vanishing; a regex-metachar literal delim
+    splits literally (quoted, not interpreted); regex=True splits by
+    pattern but requires an explicit literal join_with for the rebuild."""
+    import pytest as _pytest
+
+    from flyq_spark.operators.dedup import paragraph_dedup
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "a.b|a")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_units"], r["n_kept"], r["text"])
+        for r in paragraph_dedup(df, delim=".").collect()
+    }
+    assert got[1] == (0, 0, None)       # NULL text: row preserved
+    assert got[2] == (2, 2, "a.b|a")    # '.' split literally, 2 units
+
+    crlf = spark.createDataFrame(
+        [(1, "x\r\ny"), (2, "y\nx")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["text"]
+        for r in paragraph_dedup(
+            crlf, delim=r"\r?\n", regex=True, join_with="\n"
+        ).collect()
+    }
+    assert got[1] == "x\ny" and got[2] is None  # both units seen in doc 1
+
+    with _pytest.raises(ValueError, match="join_with"):
+        paragraph_dedup(crlf, delim=r"\r?\n", regex=True)
+
+
 def test_simhash_identical_and_perturbed(spark):
     from flyq_spark.operators.dedup import simhash, simhash_neardup_pairs
 
@@ -465,6 +499,19 @@ def test_perceptual_hash_real_image_locality(spark):
     ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")
     assert ham(hashes[1], hashes[2]) <= 8    # near: one-subpixel tweak
     assert ham(hashes[1], hashes[3]) >= 40   # far: inverted gradient
+
+
+def test_netpbm_crlf_header_decodes_unshifted():
+    """A PPM whose header ends in CRLF must decode with the raster
+    aligned (consuming only the '\\r' would rotate every channel)."""
+    import numpy as np
+
+    from flyq_spark.operators.multimodal import _try_decode_netpbm
+
+    px = bytes([10, 20, 30, 40, 50, 60])
+    lf = _try_decode_netpbm(b"P6\n2 1\n255\n" + px)
+    crlf = _try_decode_netpbm(b"P6\r\n2 1\r\n255\r\n" + px)
+    assert crlf is not None and np.allclose(lf, crlf)
 
 
 def test_media_decoders_never_raise_on_garbage():
