@@ -1551,8 +1551,10 @@ def q_phash_neardup(spark, sf_dir):
     """[EXT] Perceptual near-dup over media payloads
     (operators/multimodal.py): Arrow-batched dHash (decode stubbed,
     locality-preserving) → banded Hamming equi-join + popcount verify.
-    Rows-only (the hash crosses the Python kernel boundary); hash
-    semantics, pigeonhole recall, and determinism pinned in pytest."""
+    Oracle-checked since r6: the stub grid, bit packing, signed phash,
+    band pigeonhole, and popcount all replay in ANSI SQL (ASCII
+    payloads make the byte stream SQL-visible); determinism and recall
+    additionally pinned in pytest."""
     media = M.attach_media(
         _read(spark, sf_dir, "documents"), "text", kind="image"
     )
@@ -4112,6 +4114,78 @@ FROM embeddings
 SELECT doc_id, sha256(text) AS content_id,
        CAST(strlen(text) AS BIGINT) AS n_bytes, 'text' AS kind
 FROM documents
+""",
+        # replays the full perceptual-hash pipeline exactly (multimodal.py
+        # _luma_grid_stub -> dHash -> banded Hamming join): the tiled byte
+        # stream IS the stub's decoded sample stream (fixture text is pure
+        # ASCII, so ord() == byte), np.array_split cell sizes are the
+        # first-(L%72)-get-one-extra rule, means compare as IEEE doubles
+        # on both engines, MSB-first bit packing two's-complements into
+        # the BIGINT phash, and the 8-band pigeonhole OR reproduces the
+        # operator's probabilistic recall at hamming == 8 exactly
+        "phash_neardup": f"""
+WITH d AS (
+  SELECT doc_id, text, strlen(text) AS L,
+         strlen(text) * ((72 + strlen(text) - 1) // strlen(text)) AS L2
+  FROM documents
+),
+b AS (
+  SELECT doc_id, CAST(t.p AS BIGINT) AS pos,
+         ord(substr(text, CAST((t.p % L) + 1 AS INT), 1)) AS byte, L2
+  FROM d, UNNEST(range(0, L2)) AS t(p)
+),
+cells AS (
+  SELECT doc_id,
+         CASE WHEN pos < (L2 % 72) * (L2 // 72 + 1)
+              THEN pos // (L2 // 72 + 1)
+              ELSE (L2 % 72) + (pos - (L2 % 72) * (L2 // 72 + 1)) // (L2 // 72)
+         END AS cell, byte
+  FROM b
+),
+grid AS (
+  SELECT doc_id, cell, CAST(sum(byte) AS DOUBLE) / count(*) AS mean
+  FROM cells GROUP BY 1, 2
+),
+bits AS (
+  SELECT g1.doc_id, (g1.cell // 9) * 8 + (g1.cell % 9) AS j,
+         CASE WHEN g2.mean > g1.mean THEN 1 ELSE 0 END AS bit
+  FROM grid g1 JOIN grid g2 ON g1.doc_id = g2.doc_id AND g2.cell = g1.cell + 1
+  WHERE g1.cell % 9 < 8
+),
+hashes AS (
+  SELECT doc_id, CAST(sum(CAST(bit AS HUGEINT) << (63 - j)) AS HUGEINT) AS hu
+  FROM bits GROUP BY doc_id
+),
+keyed AS (
+  SELECT h.doc_id, hu,
+         CAST(CASE WHEN hu >= (1::HUGEINT << 63) THEN hu - (1::HUGEINT << 64)
+              ELSE hu END AS BIGINT) AS ph,
+         sha256(d.text) AS cid
+  FROM hashes h JOIN documents d USING (doc_id)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
+FROM keyed a JOIN keyed b ON a.cid < b.cid
+WHERE bit_count(xor(a.ph, b.ph)) <= 8
+  AND ({" OR ".join(
+      f"(a.hu // (1::HUGEINT << {8 * i})) % 256 = "
+      f"(b.hu // (1::HUGEINT << {8 * i})) % 256"
+      for i in range(8)
+  )})
+ORDER BY doc_a, doc_b
+""",
+        # replays the documented decode STUB exactly (multimodal.py
+        # _decode_stub: dims = 1 + first/second sha256 digest bytes,
+        # n_frames = 1 for non-video) — the fixture payloads are text,
+        # which never match a real-decoder magic, so the stub is the
+        # deterministic contract under test
+        "multimodal_features": """
+WITH h AS (SELECT sha256(text) AS hex FROM documents)
+SELECT hex AS content_id, 'image' AS kind,
+       CAST(1 + CAST(concat('0x', substr(hex, 1, 2)) AS INT) AS INT) AS width,
+       CAST(1 + CAST(concat('0x', substr(hex, 3, 2)) AS INT) AS INT) AS height,
+       CAST(1 AS INT) AS n_frames
+FROM h
 """,
         "minhash_sig": _MINHASH_SIG_SQL,
         "incremental_dedup": _INCREMENTAL_DEDUP_SQL,

@@ -26,11 +26,9 @@ def test_queries_and_oracles_consistent():
         "kmeans_centroids",
         "bm25_top10",
         "pq_topk",
-        "multimodal_features",
         "sketch_stats",
         "semdedup",
         "pagerank_neardup",
-        "phash_neardup",
         "source_overlap",
         "lsh_tuning",
         "ivf_tuning",
