@@ -365,6 +365,95 @@ def extract_features(
     )
 
 
+AUDIO_SEGMENT_SCHEMA = T.StructType(
+    [
+        T.StructField("content_id", T.StringType(), False),
+        T.StructField("seg_idx", T.IntegerType(), False),
+        T.StructField("start_ms", T.LongType(), False),
+        T.StructField("end_ms", T.LongType(), False),
+        T.StructField("rms", T.DoubleType(), False),
+    ]
+)
+
+
+def segment_audio(
+    df: DataFrame,
+    frame_ms: int = 20,
+    threshold: float = 0.02,
+    min_silence_frames: int = 3,
+) -> DataFrame:
+    """Energy-based speech/sound segmentation (the VAD-shaped step an
+    audio training pipeline runs before transcription/featurization):
+    per-frame RMS over ``frame_ms`` windows, frames above ``threshold``
+    are active, runs of activity separated by fewer than
+    ``min_silence_frames`` silent frames merge into one segment. Output:
+    one row per detected segment with its bounds (ms) and mean RMS.
+
+    Non-WAV payloads (or WAVs the PCM decoder rejects) yield no rows —
+    segmentation of compressed audio needs the codec libraries this
+    container lacks. Same Arrow ``mapInPandas`` boundary and fan_out
+    guard as the other media kernels: per-payload work, no shuffle, no
+    driver state; at 100 TB parallelism is the split count.
+    """
+    from flyq_spark.operators.util import fan_out
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for cid, payload in zip(pdf["content_id"], pdf["payload"]):
+                wav = _try_decode_wav(bytes(payload))
+                if wav is None:
+                    continue
+                rate, nch, samples = wav
+                if nch > 1:  # mean-downmix interleaved channels
+                    n = samples.size // nch
+                    samples = samples[: n * nch].reshape(n, nch).mean(axis=1)
+                spf = max(1, rate * frame_ms // 1000)  # samples per frame
+                n_frames = samples.size // spf
+                if n_frames == 0:
+                    continue
+                frames = samples[: n_frames * spf].reshape(n_frames, spf)
+                rms = np.sqrt((frames**2).mean(axis=1))
+                active = rms > threshold
+                # merge: silence gaps shorter than min_silence_frames
+                # between active runs count as active
+                segs = []
+                start = None
+                silent = 0
+                for i, a in enumerate(active):
+                    if a:
+                        if start is None:
+                            start = i
+                        silent = 0
+                    elif start is not None:
+                        silent += 1
+                        if silent >= min_silence_frames:
+                            segs.append((start, i - silent + 1))
+                            start, silent = None, 0
+                if start is not None:
+                    segs.append((start, int(n_frames) - silent))
+                for k, (s, e) in enumerate(segs):
+                    out.append(
+                        (
+                            cid,
+                            k,
+                            int(s * spf * 1000 // rate),
+                            int(e * spf * 1000 // rate),
+                            float(rms[s:e].mean()),
+                        )
+                    )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in AUDIO_SEGMENT_SCHEMA.fields]
+            )
+
+    return fan_out(df.select("content_id", "payload")).mapInPandas(
+        run, AUDIO_SEGMENT_SCHEMA
+    )
+
+
 def frame_sample_plan(df: DataFrame, every_n: int = 8) -> DataFrame:
     """Video frame-sampling *plan*: one output row per sampled frame index
     (the decode of each frame is the stubbed kernel above). Demonstrates

@@ -501,6 +501,37 @@ def test_perceptual_hash_real_image_locality(spark):
     assert ham(hashes[1], hashes[3]) >= 40   # far: inverted gradient
 
 
+def test_segment_audio_energy_vad(spark):
+    """Energy segmentation on a real decoded WAV: tone / long silence /
+    tone yields two segments with correct bounds; a short silence gap
+    (< min_silence_frames) does NOT split; non-WAV payloads yield no
+    rows."""
+    from flyq_spark.operators.multimodal import attach_media, segment_audio
+
+    rate = 8000
+    spf = rate * 20 // 1000  # 160 samples per 20ms frame
+    tone = [20000] * (spf * 5)          # 5 loud frames
+    long_sil = [0] * (spf * 5)          # 5 silent frames (>= 3 splits)
+    short_sil = [0] * spf               # 1 silent frame (< 3 merges)
+    two_seg = _make_wav(tone + long_sil + tone, rate=rate)
+    one_seg = _make_wav(tone + short_sil + tone, rate=rate)
+    df = spark.createDataFrame(
+        [(1, bytearray(two_seg)), (2, bytearray(one_seg)), (3, bytearray(b"txt"))],
+        "id long, blob binary",
+    )
+    media = attach_media(df, "blob", kind="audio")
+    segs = segment_audio(media, frame_ms=20, threshold=0.02, min_silence_frames=3)
+    by_content = {}
+    for r in segs.collect():
+        by_content.setdefault(r["content_id"], []).append(
+            (r["seg_idx"], r["start_ms"], r["end_ms"])
+        )
+    cid = {r["id"]: r["content_id"] for r in media.collect()}
+    assert sorted(by_content[cid[1]]) == [(0, 0, 100), (1, 200, 300)]
+    assert sorted(by_content[cid[2]]) == [(0, 0, 220)]
+    assert cid[3] not in by_content  # non-WAV: no rows, no crash
+
+
 def test_netpbm_crlf_header_decodes_unshifted():
     """A PPM whose header ends in CRLF must decode with the raster
     aligned (consuming only the '\\r' would rotate every channel)."""
