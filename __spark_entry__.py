@@ -1689,6 +1689,68 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+def q_audio_segments(spark, sf_dir):
+    """[EXT] Energy-based audio segmentation (operators/multimodal.py
+    segment_audio) driven end-to-end: WAV payloads are SYNTHESIZED
+    deterministically per document (8 kHz PCM16; alternating tone/
+    silence runs whose lengths derive from doc_id bits, amplitude from
+    n_chars) inside an Arrow kernel, then content-addressed and
+    segmented. Rows-only (RMS floats cross the Python boundary);
+    synthesis is RNG-free so the row count and bounds are stable."""
+    import pandas as pd  # noqa: F401
+
+    from pyspark.sql import types as T
+
+    def synth(batches):
+        import io
+        import struct
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                rate, spf = 8000, 160  # 20 ms frames
+                amp = 5000 + int(n_chars) % 20000
+                frames = []
+                # 6 runs; run r is tone if bit r of doc_id set, length
+                # 2 + (doc_id >> r) % 3 frames
+                for r in range(6):
+                    ln = 2 + (int(doc_id) >> r) % 3
+                    val = amp if (int(doc_id) >> r) & 1 else 0
+                    frames += [val] * (ln * spf)
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as f:
+                    f.setnchannels(1)
+                    f.setsampwidth(2)
+                    f.setframerate(rate)
+                    f.writeframes(
+                        np.array(frames, dtype="<i2").tobytes()
+                    )
+                out.append((int(doc_id), buf.getvalue()))
+            yield pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    wavs = fan_out(docs).mapInPandas(
+        synth,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("payload", T.BinaryType(), False),
+            ]
+        ),
+    )
+    media = wavs.withColumn("content_id", M.content_id(F.col("payload")))
+    segs = M.segment_audio(media, frame_ms=20, threshold=0.02)
+    return (
+        segs.join(media.select("content_id", "doc_id"), "content_id")
+        .select("doc_id", "seg_idx", "start_ms", "end_ms")
+        .orderBy("doc_id", "seg_idx")
+    )
+
+
 def q_duplicate_spans(spark, sf_dir):
     """Exact duplicate-substring spans (C4-style substring dedup): maximal
     token spans covered by word 8-grams occurring >1 time corpus-wide.
@@ -2649,6 +2711,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": q_embedding_quantize,
         "multimodal_content": q_multimodal_content,
         "phash_neardup": q_phash_neardup,
+        "audio_segments": q_audio_segments,
         "source_overlap": q_source_overlap,
         "lsh_tuning": q_lsh_tuning,
         "ivf_tuning": q_ivf_tuning,

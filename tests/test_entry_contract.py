@@ -30,6 +30,7 @@ def test_queries_and_oracles_consistent():
         "semdedup",
         "pagerank_neardup",
         "source_overlap",
+        "audio_segments",
         "lsh_tuning",
         "ivf_tuning",
     }
