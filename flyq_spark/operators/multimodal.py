@@ -556,6 +556,38 @@ def perceptual_hash(df: DataFrame) -> DataFrame:
     )
 
 
+def phash_band_keys(
+    hashes: DataFrame, bands: int = 8, id_col: str = "content_id"
+) -> DataFrame:
+    """Explode 64-bit perceptual hashes into banded Hamming-LSH keys:
+    one row per (id, phash, band, band_key) where band_key is the band's
+    64/bands-bit slice. The candidate-generation half of
+    ``phash_neardup_pairs``, shared with the streaming media dedup sink
+    (same (band, band_key) shape as the MinHash sink's state store)."""
+    if 64 % bands:
+        raise ValueError(f"bands={bands} must divide 64")
+    width = 64 // bands
+    mask = (1 << width) - 1
+    return hashes.select(
+        F.col(id_col),
+        F.col("phash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        (
+                            F.shiftrightunsigned(F.col("phash"), i * width)
+                            .bitwiseAND(F.lit(mask))
+                        ).alias("band_key"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("_bb"),
+    ).select(id_col, "phash", "_bb.band", "_bb.band_key")
+
+
 def phash_neardup_pairs(
     hashes: DataFrame, max_hamming: int = 8, bands: int = 8
 ) -> DataFrame:
@@ -569,28 +601,7 @@ def phash_neardup_pairs(
     bit arithmetic is JVM-side codegen.
 
     Output: (id_a, id_b, hamming) on content_id, id_a < id_b."""
-    if 64 % bands:
-        raise ValueError(f"bands={bands} must divide 64")
-    width = 64 // bands
-    mask = (1 << width) - 1
-    banded = hashes.select(
-        F.col("content_id"),
-        F.col("phash"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        (
-                            F.shiftrightunsigned(F.col("phash"), i * width)
-                            .bitwiseAND(F.lit(mask))
-                        ).alias("bits"),
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("_bb"),
-    ).select("content_id", "phash", "_bb.band", "_bb.bits")
+    banded = phash_band_keys(hashes, bands=bands)
     a, b = banded.alias("a"), banded.alias("b")
     ham = F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
     return (
@@ -598,7 +609,7 @@ def phash_neardup_pairs(
             b,
             on=[
                 F.col("a.band") == F.col("b.band"),
-                F.col("a.bits") == F.col("b.bits"),
+                F.col("a.band_key") == F.col("b.band_key"),
                 F.col("a.content_id") < F.col("b.content_id"),
             ],
         )

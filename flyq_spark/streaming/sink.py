@@ -178,20 +178,65 @@ def neardup_dedup_sink(
     skew-split, never a scan-per-doc. A real deployment compacts old
     batch_id partitions periodically (shape unchanged).
     """
-    from pyspark.errors import AnalysisException
-
     from flyq_spark.operators.dedup import minhash_band_keys, minhash_signatures
+
+    def keys(batch_df: DataFrame) -> DataFrame:
+        sigs = minhash_signatures(
+            batch_df, k=k, shingle_n=shingle_n, id_col=id_col, text_col=text_col
+        )
+        return minhash_band_keys(sigs, k=k, bands=bands, id_col=id_col)
+
+    return _banded_dedup_sink(out_path, state_path, keys, id_col)
+
+
+def phash_dedup_sink(
+    out_path: str,
+    state_path: str,
+    bands: int = 8,
+    id_col: str = "content_id",
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch callback deduplicating a MEDIA PAYLOAD STREAM by
+    perceptual near-duplicate — the multimodal counterpart of
+    ``neardup_dedup_sink``, sharing its idempotent-replay skeleton but
+    keyed on banded 64-bit dHash slices (operators/multimodal.py
+    ``perceptual_hash``/``phash_band_keys``) instead of MinHash bands.
+    A payload is dropped when any of its Hamming-LSH bands collides with
+    a smaller id in the batch or with anything accepted in a strictly
+    earlier batch (conservative LSH-level decision, the same granularity
+    as the MinHash sink; by pigeonhole this catches every pair within
+    bands-1 differing bits). Batch rows need (id_col, payload)."""
+    from flyq_spark.operators.multimodal import perceptual_hash, phash_band_keys
+
+    def keys(batch_df: DataFrame) -> DataFrame:
+        hashes = perceptual_hash(
+            batch_df.select(F.col(id_col).alias("content_id"), "payload")
+        )
+        return phash_band_keys(hashes, bands=bands).select(
+            F.col("content_id").alias(id_col), "band", "band_key"
+        )
+
+    return _banded_dedup_sink(out_path, state_path, keys, id_col)
+
+
+def _banded_dedup_sink(
+    out_path: str,
+    state_path: str,
+    band_keys_fn: Callable[[DataFrame], DataFrame],
+    id_col: str,
+) -> Callable[[DataFrame, int], None]:
+    """Shared skeleton of the banded streaming dedup sinks: keep-smallest
+    within batch, LEFT ANTI against strictly-earlier state, idempotent
+    batch_id-partitioned writes (see neardup_dedup_sink's docstring for
+    the full protocol). ``band_keys_fn`` maps a batch to
+    (id_col, band, band_key) rows; rows it omits (unhashable payloads,
+    too-short documents) always pass through."""
+    from pyspark.errors import AnalysisException
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        sigs = minhash_signatures(
-            batch_df, k=k, shingle_n=shingle_n, id_col=id_col, text_col=text_col
-        )
-        band_df = minhash_band_keys(
-            sigs, k=k, bands=bands, id_col=id_col
-        ).persist()
+        band_df = band_keys_fn(batch_df).persist()
         bucket_min = band_df.groupBy("band", "band_key").agg(
             F.min(id_col).alias("_min_id")
         )

@@ -659,6 +659,44 @@ def test_neardup_dedup_sink_filters_across_batches(spark, tmp_path):
     assert got2 == got1
 
 
+def test_phash_dedup_sink_filters_media_across_batches(spark, tmp_path):
+    """Perceptual streaming dedup: a near-identical image (one-subpixel
+    tweak of a real-decoded PPM) is dropped within a batch and across
+    batches against the accepted store; a visually distinct image
+    passes; replaying a batch is idempotent."""
+    from flyq_spark.operators.multimodal import attach_media
+    from flyq_spark.streaming.sink import phash_dedup_sink
+    from tests.test_ext_operators import _make_ppm
+
+    out = str(tmp_path / "accepted")
+    state = str(tmp_path / "bands")
+    sink = phash_dedup_sink(out, state, bands=8)
+
+    base = _make_ppm(18, 16, lambda x, y: (x * 14, x * 14, x * 14))
+    tweak1 = bytearray(base); tweak1[-1] ^= 0x08
+    tweak2 = bytearray(base); tweak2[-4] ^= 0x08
+    inverted = _make_ppm(18, 16, lambda x, y: (255 - x * 14,) * 3)
+
+    def media(rows):
+        df = spark.createDataFrame(rows, "id long, blob binary")
+        return attach_media(df, "blob", kind="image").select(
+            "id", "content_id", "payload"
+        )
+
+    b0 = media([(1, bytearray(base)), (2, bytes(tweak1)), (3, bytearray(inverted))])
+    sink(b0, 0)
+    got0 = {r["id"] for r in spark.read.parquet(out).collect()}
+    assert len(got0) == 2 and 3 in got0  # one of the near-pair dropped
+
+    b1 = media([(10, bytes(tweak2)), (11, bytearray(inverted))])
+    sink(b1, 1)
+    got1 = {r["id"] for r in spark.read.parquet(out).collect()}
+    assert got1 == got0  # both batch-1 payloads collide with history
+
+    sink(b1, 1)  # at-least-once replay: unchanged
+    assert {r["id"] for r in spark.read.parquet(out).collect()} == got1
+
+
 def test_neardup_dedup_sink_short_docs_pass(spark, tmp_path):
     """Docs below the shingle width have no signature and always pass."""
     from flyq_spark.streaming.sink import neardup_dedup_sink
