@@ -61,6 +61,63 @@ def test_paragraph_dedup_keep_first_and_rebuild(spark):
     assert got[3] == (2, 0, None)
 
 
+def test_paragraph_dedup_randomized_vs_python_model(spark):
+    """Seeded random corpora (small alphabet so duplicate paragraphs are
+    dense, including empty paragraphs from doubled delimiters and NULL
+    texts) checked against a ~15-line pure-Python keep-first model, plus
+    the idempotence property: re-running on the rebuilt output keeps
+    every unit (nothing left to dedup)."""
+    import random
+
+    from flyq_spark.operators.dedup import paragraph_dedup
+
+    rng = random.Random(7)
+    words = ["aa", "bb", "cc"]
+    docs = []
+    for doc_id in range(25):
+        if rng.random() < 0.1:
+            docs.append((doc_id, None))
+            continue
+        paras = [
+            " ".join(rng.choices(words, k=rng.randrange(0, 3)))
+            for _ in range(rng.randrange(1, 5))
+        ]
+        docs.append((doc_id, "\n".join(paras)))
+
+    # python model: global keep-first at (id, pos)
+    seen: set[str] = set()
+    model: dict[int, tuple[int, int, str | None]] = {}
+    for doc_id, text in docs:
+        if text is None:
+            model[doc_id] = (0, 0, None)
+            continue
+        units = text.split("\n")
+        kept = []
+        for u in units:
+            if u not in seen:
+                seen.add(u)
+                kept.append(u)
+        model[doc_id] = (
+            len(units),
+            len(kept),
+            "\n".join(kept) if kept else None,
+        )
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = paragraph_dedup(df)
+    got = {
+        r["doc_id"]: (r["n_units"], r["n_kept"], r["text"])
+        for r in out.collect()
+    }
+    assert got == model
+
+    # idempotence on the rebuilt corpus (drop NULL-text rows first)
+    again = paragraph_dedup(out.where(F.col("text").isNotNull()))
+    assert all(
+        r["n_kept"] == r["n_units"] for r in again.collect()
+    ), "re-deduping the deduped corpus must keep every unit"
+
+
 def test_paragraph_dedup_null_text_regex_and_literal_delims(spark):
     """Contract edges: NULL-text documents keep an output row
     (n_units=0) instead of vanishing; a regex-metachar literal delim
