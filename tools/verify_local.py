@@ -5,8 +5,14 @@ entry exists, the oracle on DuckDB over the same parquet fixtures;
 compares row count, column names, and order-insensitive canonicalized
 values. Usage:
 
-    python tools/verify_local.py [sf_dir] [query ...]
-"""
+    python tools/verify_local.py [--pandas] [sf_dir] [query ...]
+
+``--pandas`` additionally replays the driver's EXACT hash path (sort
+columns by name, sort_values over all columns, md5 of to_csv with
+%.10g floats) — the canonicalizer here is value-equivalent but not
+byte-identical to the driver's, so run --pandas before windowing any
+query with new or type-changed columns (float formatting and list
+dtypes only bite on that path)."""
 
 from __future__ import annotations
 
@@ -44,9 +50,23 @@ def canon_rows(cols, rows):
     return sorted(tuple(canon(r[i]) for i in idx) for r in rows)
 
 
+def pandas_hash(df) -> str:
+    """The driver's canonicalization: columns sorted by name, rows by
+    all columns, md5 of the CSV with %.10g float formatting."""
+    import hashlib
+
+    cols = sorted(df.columns)
+    df = df[cols].sort_values(by=cols).reset_index(drop=True)
+    return hashlib.md5(
+        df.to_csv(index=False, float_format="%.10g").encode()
+    ).hexdigest()
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--pandas"]
+    use_pandas = "--pandas" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import duckdb
 
@@ -108,6 +128,14 @@ def main() -> int:
                     f"    spark : {a[diff] if diff < len(a) else '<none>'}\n"
                     f"    oracle: {b[diff] if diff < len(b) else '<none>'}"
                 )
+        if not problems and use_pandas:
+            try:
+                sp_pdf = fn(spark, sf_dir).toPandas()
+                oc_pdf = con.sql(oracles[name]).arrow().to_pandas()
+                if pandas_hash(sp_pdf) != pandas_hash(oc_pdf):
+                    problems.append("pandas-path hash mismatch")
+            except Exception as e:
+                problems.append(f"pandas-path error: {e}")
         if problems:
             failures.append(name)
             print(f"FAIL  {name}: {'; '.join(problems)}")
