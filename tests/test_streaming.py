@@ -293,6 +293,49 @@ def test_flyq_datasource_stream(engine, spark, tmp_path):
     assert set(got2) == {(0, 3), (0, 4), (1, 3), (1, 4)}
 
 
+def test_flyq_datasource_survives_compaction(engine, spark, tmp_path):
+    """The offset-based format("flyq") source tracks positions by
+    OFFSET, so engine compaction (which rewrites a partition into new
+    FILES carrying the same offsets) must not re-deliver already-read
+    records — the documented contrast with the file-tail read_stream,
+    which identifies input by path and is compaction-unsafe."""
+    from flyq_spark.streaming.datasource import register
+    from tests.conftest import make_messages
+
+    register(spark)
+    engine.create_topic("dsrcc", partitions=1)
+    engine.produce("dsrcc", make_messages(5))
+
+    seen: dict = {}
+
+    def drain(ckpt):
+        batch: list = []
+
+        def collect(df, _bid):
+            batch.extend(int(r["offset"]) for r in df.collect())
+
+        q = (
+            spark.readStream.format("flyq")
+            .option("base_dir", engine.base_dir)
+            .option("topic", "dsrcc")
+            .load()
+            .writeStream.foreachBatch(collect)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(batch)
+
+    ckpt = str(tmp_path / "ck")
+    assert drain(ckpt) == [0, 1, 2, 3, 4]
+
+    # compaction rewrites the partition's files; offsets are unchanged
+    engine.compact_partition("dsrcc", 0)
+    engine.produce("dsrcc", make_messages(3, ts0=1_800_000_000_000))
+    assert drain(ckpt) == [5, 6, 7]  # no re-delivery of compacted rows
+
+
 def test_streaming_session_window(engine, spark, tmp_path):
     """Native session_window aggregation on the stream: same gap
     semantics as the batch gaps-and-islands sessionizer."""
