@@ -1005,42 +1005,44 @@ def paragraph_dedup(
     units = split_units(
         df, text_col=text_col, id_col=id_col, delim=delim, regex=regex
     )
-    fp = fingerprint(F.col("unit"), normalize)
-    keyed = units.withColumn("_fp", fp)
+    keyed = units.withColumn("_fp", fingerprint(F.col("unit"), normalize))
     first = keyed.groupBy("_fp").agg(
         F.min(F.struct(id_col, "unit_pos")).alias("_first")
     )
-    survivors = keyed.join(
-        first.select(
-            "_fp",
-            F.col(f"_first.{id_col}").alias(id_col),
-            F.col("_first.unit_pos").alias("unit_pos"),
-        ),
-        ["_fp", id_col, "unit_pos"],
-        "left_semi",
+    # mark (not filter) survivors, so ONE groupBy(id) computes totals,
+    # kept counts, and the rebuild together — the exploded units cross
+    # a shuffle once, and the corpus is not re-scanned for totals
+    marked = keyed.join(first, "_fp").withColumn(
+        "_keep",
+        (F.col(id_col) == F.col(f"_first.{id_col}"))
+        & (F.col("unit_pos") == F.col("_first.unit_pos")),
     )
-    rebuilt = survivors.groupBy(id_col).agg(
-        F.count("*").alias("n_kept"),
+    per_doc = marked.groupBy(id_col).agg(
+        F.count("*").alias("n_units"),
+        F.count(F.when(F.col("_keep"), 1)).alias("n_kept"),
         F.concat_ws(
             join_delim,
             F.transform(
-                F.array_sort(F.collect_list(F.struct("unit_pos", "unit"))),
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_keep"), F.struct("unit_pos", "unit"))
+                    )
+                ),
                 lambda s: s["unit"],
             ),
         ).alias(text_col),
     )
-    totals = units.groupBy(id_col).agg(F.count("*").alias("n_units"))
     # anchor on the INPUT id set so NULL-text documents (no units) still
     # get an output row instead of vanishing
     return (
         df.select(id_col)
-        .join(totals, id_col, "left")
-        .join(rebuilt, id_col, "left")
+        .join(per_doc, id_col, "left")
         .select(
             id_col,
             F.coalesce("n_units", F.lit(0)).alias("n_units"),
             F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-            text_col,
+            F.when(F.coalesce("n_kept", F.lit(0)) > 0, F.col(text_col))
+            .alias(text_col),
         )
     )
 
