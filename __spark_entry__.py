@@ -2267,6 +2267,40 @@ def q_table_profile(spark, sf_dir):
     )
 
 
+def q_data_quality(spark, sf_dir):
+    """Declarative data-quality constraints (operators/profile.py:
+    check_constraints — Deequ/expectations shape): seven rules over
+    events in ONE aggregation pass, exact integer violation counts.
+    The rule set mixes passing checks (ids present + unique, props
+    JSON-shaped) with violating ones (value bounds, an allowed-set
+    missing 'error', a user-id cap) so both outcomes are gated."""
+    from flyq_spark.operators.profile import check_constraints
+
+    ev = _read(spark, sf_dir, "events")
+    return check_constraints(
+        ev,
+        [
+            {"name": "event_id_present", "column": "event_id", "kind": "not_null"},
+            {"name": "event_id_unique", "column": "event_id", "kind": "unique"},
+            {"name": "value_floor", "column": "value", "kind": "min", "value": 1.0},
+            {"name": "value_cap", "column": "value", "kind": "max", "value": 400.0},
+            {
+                "name": "known_event_types",
+                "column": "event_type",
+                "kind": "in_set",
+                "values": ["click", "view", "purchase", "signup"],
+            },
+            {"name": "user_id_cap", "column": "user_id", "kind": "max", "value": 99},
+            {
+                "name": "props_json_shaped",
+                "column": "props",
+                "kind": "regex",
+                "pattern": r"^\{.*\}$",
+            },
+        ],
+    ).orderBy("rule")
+
+
 def q_offsets_for_times(spark, sf_dir):
     """Kafka offsetsForTimes as dataflow (operators/watermarks.py:
     offsets_for_times; engine API FlyQEngine.offsets_for_times): per
@@ -2752,6 +2786,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_triangles": q_neardup_triangles,
         "heavy_hitter_tokens": q_heavy_hitter_tokens,
         "table_profile": q_table_profile,
+        "data_quality": q_data_quality,
         "offsets_for_times": q_offsets_for_times,
         "value_histogram": q_value_histogram,
         # rows-only (non-SQL-expressible: LSH/MinHash/SimHash/Arrow kernels)
@@ -4550,6 +4585,46 @@ SELECT item, CAST(count(*) AS BIGINT) AS n_occurrences
 FROM t
 GROUP BY item
 HAVING count(*) >= ((SELECT count(*) FROM t) + 199) // 200
+""",
+        "data_quality": """
+WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM events)
+SELECT 'event_id_present' AS rule, 'event_id' AS "column",
+       CAST(count(*) FILTER (WHERE event_id IS NULL) AS BIGINT) AS violations,
+       (SELECT n_rows FROM n) AS n_rows
+FROM events
+UNION ALL
+SELECT 'event_id_unique', 'event_id',
+       CAST(count(event_id) - count(DISTINCT event_id) AS BIGINT),
+       (SELECT n_rows FROM n)
+FROM events
+UNION ALL
+SELECT 'value_floor', 'value',
+       CAST(count(*) FILTER (WHERE value < 1.0) AS BIGINT),
+       (SELECT n_rows FROM n)
+FROM events
+UNION ALL
+SELECT 'value_cap', 'value',
+       CAST(count(*) FILTER (WHERE value > 400.0) AS BIGINT),
+       (SELECT n_rows FROM n)
+FROM events
+UNION ALL
+SELECT 'known_event_types', 'event_type',
+       CAST(count(*) FILTER (WHERE event_type IS NOT NULL AND event_type
+            NOT IN ('click', 'view', 'purchase', 'signup')) AS BIGINT),
+       (SELECT n_rows FROM n)
+FROM events
+UNION ALL
+SELECT 'user_id_cap', 'user_id',
+       CAST(count(*) FILTER (WHERE user_id > 99) AS BIGINT),
+       (SELECT n_rows FROM n)
+FROM events
+UNION ALL
+SELECT 'props_json_shaped', 'props',
+       CAST(count(*) FILTER (WHERE props IS NOT NULL AND NOT
+            regexp_matches(props, '^\\{.*\\}$')) AS BIGINT),
+       (SELECT n_rows FROM n)
+FROM events
+ORDER BY rule
 """,
         "table_profile": """
 WITH ev AS (

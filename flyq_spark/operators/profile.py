@@ -46,3 +46,61 @@ def table_profile(df: DataFrame, cols: dict[str, Column]) -> DataFrame:
             "(col_name, n_rows, n_nulls, n_distinct, min_v, max_v)"
         )
     )
+
+
+def check_constraints(df: DataFrame, rules: list[dict]) -> DataFrame:
+    """Declarative data-quality constraints (the Deequ/expectations
+    shape): evaluate every rule in ONE aggregation pass and report exact
+    violation counts. Output: (rule, column, violations, n_rows) — one
+    row per rule, integer-exact, oracle-replayable.
+
+    Rule dicts: {"name", "column", "kind", ...} with kinds
+      - ``not_null``                 violations = NULL rows
+      - ``unique``                   violations = rows beyond the first
+                                     occurrence of each value (exact:
+                                     count(col) − count_distinct(col))
+      - ``min`` / ``max`` (+value)   violations = rows strictly below /
+                                     above the bound (NULLs don't count
+                                     — pair with not_null to forbid)
+      - ``in_set`` (+values)         violations = non-NULL rows outside
+                                     the allowed set
+      - ``regex`` (+pattern)         violations = non-NULL rows with NO
+                                     match (Java regex, rlike = partial
+                                     find — anchor with ^...$ to demand
+                                     a full match)
+
+    Scale shape: one scan; conditional counts are map-side partials and
+    the ``unique`` distincts ride the same Expand + two-stage aggregate
+    the profiler uses; the 1-row wide result unpivots with a
+    zero-shuffle ``stack``. Adding rules widens the aggregate, never
+    adds a pass."""
+    kinds = {"not_null", "unique", "min", "max", "in_set", "regex"}
+    aggs = [F.count(F.lit(1)).cast("long").alias("_n")]
+    for i, r in enumerate(rules):
+        kind = r["kind"]
+        if kind not in kinds:
+            raise ValueError(f"unknown constraint kind {kind!r} (rule {r})")
+        c = F.col(r["column"])
+        if kind == "not_null":
+            expr = F.count(F.when(c.isNull(), 1))
+        elif kind == "unique":
+            expr = F.count(c) - F.count_distinct(c)
+        elif kind == "min":
+            expr = F.count(F.when(c < F.lit(r["value"]), 1))
+        elif kind == "max":
+            expr = F.count(F.when(c > F.lit(r["value"]), 1))
+        elif kind == "in_set":
+            expr = F.count(F.when(c.isNotNull() & ~c.isin(*r["values"]), 1))
+        else:  # regex
+            expr = F.count(F.when(c.isNotNull() & ~c.rlike(r["pattern"]), 1))
+        aggs.append(expr.cast("long").alias(f"_v{i}"))
+    wide = df.agg(*aggs)
+    stack_expr = ", ".join(
+        f"'{r['name']}', '{r['column']}', _v{i}" for i, r in enumerate(rules)
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(rules)}, {stack_expr}) AS (rule, column, violations)"
+        ),
+        F.col("_n").alias("n_rows"),
+    )

@@ -61,6 +61,50 @@ def test_paragraph_dedup_keep_first_and_rebuild(spark):
     assert got[3] == (2, 0, None)
 
 
+def test_check_constraints_counts_violations_exactly(spark):
+    """Every constraint kind against deliberately dirty data: NULL ids,
+    duplicate ids, out-of-bound values, a value outside the allowed
+    set, and a non-matching string — exact counts; NULLs only violate
+    not_null (bounds/sets/regex skip them); one aggregation pass."""
+    from flyq_spark.operators.profile import check_constraints
+
+    df = spark.createDataFrame(
+        [
+            (1, 5.0, "click", "{}"),
+            (1, -2.0, "click", "{}"),      # dup id, below floor
+            (None, 999.0, "drag", "nope"),  # null id, above cap, bad set+regex
+            (3, None, None, None),          # NULLs skip bounds/set/regex
+        ],
+        "id long, v double, kind string, blob string",
+    )
+    rules = [
+        {"name": "id_present", "column": "id", "kind": "not_null"},
+        {"name": "id_unique", "column": "id", "kind": "unique"},
+        {"name": "v_floor", "column": "v", "kind": "min", "value": 0.0},
+        {"name": "v_cap", "column": "v", "kind": "max", "value": 100.0},
+        {"name": "kind_known", "column": "kind", "kind": "in_set",
+         "values": ["click", "view"]},
+        {"name": "blob_json", "column": "blob", "kind": "regex",
+         "pattern": r"^\{.*\}$"},
+    ]
+    got = {
+        r["rule"]: (r["violations"], r["n_rows"])
+        for r in check_constraints(df, rules).collect()
+    }
+    assert got == {
+        "id_present": (1, 4),
+        "id_unique": (1, 4),
+        "v_floor": (1, 4),
+        "v_cap": (1, 4),
+        "kind_known": (1, 4),
+        "blob_json": (1, 4),
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown constraint kind"):
+        check_constraints(df, [{"name": "x", "column": "id", "kind": "nope"}])
+
+
 def test_paragraph_dedup_randomized_vs_python_model(spark):
     """Seeded random corpora (small alphabet so duplicate paragraphs are
     dense, including empty paragraphs from doubled delimiters and NULL
