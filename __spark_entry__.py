@@ -2301,6 +2301,17 @@ def q_data_quality(spark, sf_dir):
     ).orderBy("rule")
 
 
+def q_funnel(spark, sf_dir):
+    """Ordered funnel view→click→purchase (operators/sessions.py:
+    funnel_steps): greedy first-occurrence matching with strict time
+    progression, one filtered min-agg per step chained on the user key,
+    final counts in one stack-unpivoted aggregation."""
+    from flyq_spark.operators.sessions import funnel_steps
+
+    ev = _read(spark, sf_dir, "events")
+    return funnel_steps(ev, ("view", "click", "purchase")).orderBy("step_idx")
+
+
 def q_offsets_for_times(spark, sf_dir):
     """Kafka offsetsForTimes as dataflow (operators/watermarks.py:
     offsets_for_times; engine API FlyQEngine.offsets_for_times): per
@@ -2787,6 +2798,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitter_tokens": q_heavy_hitter_tokens,
         "table_profile": q_table_profile,
         "data_quality": q_data_quality,
+        "funnel": q_funnel,
         "offsets_for_times": q_offsets_for_times,
         "value_histogram": q_value_histogram,
         # rows-only (non-SQL-expressible: LSH/MinHash/SimHash/Arrow kernels)
@@ -4585,6 +4597,29 @@ SELECT item, CAST(count(*) AS BIGINT) AS n_occurrences
 FROM t
 GROUP BY item
 HAVING count(*) >= ((SELECT count(*) FROM t) + 199) // 200
+""",
+        "funnel": """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1
+)
+SELECT CAST(1 AS INT) AS step_idx, 'view' AS step,
+       (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_users
+UNION ALL
+SELECT CAST(2 AS INT), 'click', (SELECT CAST(count(*) AS BIGINT) FROM s2)
+UNION ALL
+SELECT CAST(3 AS INT), 'purchase', (SELECT CAST(count(*) AS BIGINT) FROM s3)
+ORDER BY step_idx
 """,
         "data_quality": """
 WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM events)

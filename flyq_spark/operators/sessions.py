@@ -118,6 +118,84 @@ def dedup_events(
     )
 
 
+def funnel_steps(
+    events: DataFrame,
+    steps: tuple[str, ...],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered-funnel analysis: for each step k, how many users
+    performed step 1, then step 2 STRICTLY LATER, ... then step k
+    strictly later still — greedy first-occurrence matching (user's
+    step-k time = earliest step-k event after their step-(k-1) time),
+    which is the standard funnel semantics and provably maximizes the
+    number of users completing each prefix.
+
+    Plan: ONE scan (filtered to the funnel's event types before the
+    shuffle) + ONE user-key shuffle: each user's relevant events are
+    collected time-sorted and a higher-order ``aggregate`` fold runs
+    the greedy matcher JVM-side — greedy scan-in-time-order is provably
+    equivalent to iterated earliest-next-step matching. Per-user state
+    is (step pointer, last matched ts); the per-user array holds only
+    step-typed events (a pathological single user generating a large
+    share of all step events would need pre-aggregation to (user, type,
+    ts) minima first — at that point the funnel answer for them is
+    degenerate anyway). Counts come from one final tiny aggregation,
+    stack-unpivoted; the whole funnel is one lazy two-shuffle plan.
+
+    Output: (step_idx, step, n_users) — n_users completing the prefix
+    through that step; conversion ratios are left to the caller (two
+    exact integers divide wherever they land)."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    n = len(steps)
+    steps_arr = F.array(*[F.lit(s) for s in steps])
+    init = F.struct(
+        F.lit(0).alias("k"), F.lit(None).cast("timestamp").alias("t")
+    )
+
+    def advance(st, ev):
+        ok = (
+            (st["k"] < F.lit(n))
+            & (ev["tp"] == F.element_at(steps_arr, st["k"] + 1))
+            & (st["t"].isNull() | (ev["ts"] > st["t"]))
+        )
+        return F.when(
+            ok, F.struct((st["k"] + 1).alias("k"), ev["ts"].alias("t"))
+        ).otherwise(st)
+
+    reached = (
+        events.where(F.col(type_col).isin(*steps))
+        .groupBy(user_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col(ts_col).alias("ts"), F.col(type_col).alias("tp"))
+                )
+            ).alias("_seq")
+        )
+        .select(F.aggregate("_seq", init, advance)["k"].alias("_reached"))
+    )
+    wide = reached.agg(
+        *[
+            F.count(F.when(F.col("_reached") >= k, 1))
+            .cast("long")
+            .alias(f"_n{k}")
+            for k in range(1, n + 1)
+        ]
+    )
+    quoted = [s.replace("'", "\\'") for s in steps]
+    stack_expr = ", ".join(
+        f"{k}, '{quoted[k - 1]}', _n{k}" for k in range(1, n + 1)
+    )
+    return wide.select(
+        F.expr(
+            f"stack({n}, {stack_expr}) AS (step_idx, step, n_users)"
+        )
+    )
+
+
 def cohort_retention(
     events: DataFrame,
     user_col: str = "user_id",

@@ -61,6 +61,44 @@ def test_paragraph_dedup_keep_first_and_rebuild(spark):
     assert got[3] == (2, 0, None)
 
 
+def test_funnel_steps_strict_order_and_ties(spark):
+    """Greedy funnel semantics: steps must occur in strictly increasing
+    time (same-timestamp progression does not count); out-of-order
+    events don't complete; a user's earlier extra events don't block
+    the match; repeated step types need a strictly later recurrence."""
+    from flyq_spark.operators.sessions import funnel_steps
+
+    t0 = 1_700_000_000_000_000
+    rows = [
+        # u1: clean view -> click -> purchase
+        (1, "view", t0), (1, "click", t0 + 10), (1, "purchase", t0 + 20),
+        # u2: click BEFORE view: reaches view only (no later click)
+        (2, "click", t0), (2, "view", t0 + 10),
+        # u3: view and click at the SAME ts: strictness blocks step 2
+        (3, "view", t0), (3, "click", t0),
+        # u4: noise events interleaved, still completes
+        (4, "error", t0), (4, "view", t0 + 1), (4, "signup", t0 + 2),
+        (4, "click", t0 + 3), (4, "purchase", t0 + 4),
+        # u5: never views
+        (5, "click", t0), (5, "purchase", t0 + 1),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts_us long"
+    ).select("user_id", "event_type", F.timestamp_micros("ts_us").alias("ts"))
+    got = {
+        r["step"]: r["n_users"]
+        for r in funnel_steps(ev, ("view", "click", "purchase")).collect()
+    }
+    assert got == {"view": 4, "click": 2, "purchase": 2}
+
+    # repeated step type requires a strictly later second occurrence
+    got2 = {
+        r["step_idx"]: r["n_users"]
+        for r in funnel_steps(ev, ("view", "view")).collect()
+    }
+    assert got2 == {1: 4, 2: 0}
+
+
 def test_check_constraints_counts_violations_exactly(spark):
     """Every constraint kind against deliberately dirty data: NULL ids,
     duplicate ids, out-of-bound values, a value outside the allowed
