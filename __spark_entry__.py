@@ -2301,6 +2301,22 @@ def q_data_quality(spark, sf_dir):
     ).orderBy("rule")
 
 
+def q_value_outliers(spark, sf_dir):
+    """Per-event-type Tukey-fence outlier screen over integer cents
+    (operators/profile.py:robust_outliers): exact rank quartiles,
+    integer 1.5×IQR fences, conditional counts — the robust QA pass for
+    metric columns."""
+    from flyq_spark.operators.profile import robust_outliers
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("value_c"),
+    )
+    return robust_outliers(ev, "event_type", "value_c").orderBy("event_type")
+
+
 def q_funnel(spark, sf_dir):
     """Ordered funnel view→click→purchase (operators/sessions.py:
     funnel_steps): greedy first-occurrence matching with strict time
@@ -2799,6 +2815,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_profile": q_table_profile,
         "data_quality": q_data_quality,
         "funnel": q_funnel,
+        "value_outliers": q_value_outliers,
         "offsets_for_times": q_offsets_for_times,
         "value_histogram": q_value_histogram,
         # rows-only (non-SQL-expressible: LSH/MinHash/SimHash/Arrow kernels)
@@ -4597,6 +4614,38 @@ SELECT item, CAST(count(*) AS BIGINT) AS n_occurrences
 FROM t
 GROUP BY item
 HAVING count(*) >= ((SELECT count(*) FROM t) + 199) // 200
+""",
+        "value_outliers": """
+WITH ev AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS value_c
+  FROM events
+),
+ranked AS (
+  SELECT event_type, value_c,
+         row_number() OVER (PARTITION BY event_type ORDER BY value_c) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM ev
+),
+q AS (
+  SELECT event_type, max(n) AS n_rows,
+         max(CASE WHEN rn = (1 * n + 3) // 4 THEN value_c END) AS p25,
+         max(CASE WHEN rn = (3 * n + 3) // 4 THEN value_c END) AS p75
+  FROM ranked GROUP BY event_type
+),
+f AS (
+  SELECT event_type, n_rows,
+         p25 - (3 * (p75 - p25)) // 2 AS lo,
+         p75 + (3 * (p75 - p25)) // 2 AS hi
+  FROM q
+)
+SELECT e.event_type, CAST(max(f.n_rows) AS BIGINT) AS n_rows,
+       CAST(max(f.lo) AS BIGINT) AS lo, CAST(max(f.hi) AS BIGINT) AS hi,
+       CAST(count(*) FILTER (WHERE e.value_c < f.lo) AS BIGINT) AS n_low,
+       CAST(count(*) FILTER (WHERE e.value_c > f.hi) AS BIGINT) AS n_high
+FROM ev e JOIN f USING (event_type)
+GROUP BY e.event_type
+ORDER BY e.event_type
 """,
         "funnel": """
 WITH s1 AS (

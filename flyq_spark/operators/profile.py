@@ -48,6 +48,54 @@ def table_profile(df: DataFrame, cols: dict[str, Column]) -> DataFrame:
     )
 
 
+def robust_outliers(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Tukey-fence outlier detection per group, EXACT end-to-end: Q1/Q3
+    are inverted-CDF rank selections (corpus.length_percentiles — pure
+    integer ranks), the 1.5×IQR fences use integer ``div`` (3·IQR div 2,
+    no float ever appears), and the counts are conditional aggregates.
+    The robust-statistics screen a pipeline runs on metric columns
+    (values in integer units — cents, bytes, micros) where mean/stddev
+    screens are wrecked by the very outliers they hunt.
+
+    Plan: one group-key window pass for the quartiles (groups must fit
+    a partition — same caveat as length_percentiles), fences broadcast
+    back (group-cardinality rows), one conditional re-aggregation.
+    Output: (group, n_rows, lo, hi, n_low, n_high)."""
+    from flyq_spark.operators.corpus import length_percentiles
+
+    q = length_percentiles(
+        df.select(group_col, value_col), group_col, value_col, (0.25, 0.75)
+    )
+    iqr = F.col("p75") - F.col("p25")
+    half3 = F.call_function(
+        "div", F.lit(3).cast("long") * iqr, F.lit(2).cast("long")
+    )
+    fences = q.select(
+        F.col(group_col),
+        F.col("n_docs").alias("n_rows"),
+        (F.col("p25") - half3).alias("lo"),
+        (F.col("p75") + half3).alias("hi"),
+    )
+    return (
+        df.select(group_col, value_col)
+        .join(F.broadcast(fences), group_col)
+        .groupBy(group_col)
+        .agg(
+            F.max("n_rows").cast("long").alias("n_rows"),
+            F.max("lo").cast("long").alias("lo"),
+            F.max("hi").cast("long").alias("hi"),
+            F.count(F.when(F.col(value_col) < F.col("lo"), 1))
+            .cast("long")
+            .alias("n_low"),
+            F.count(F.when(F.col(value_col) > F.col("hi"), 1))
+            .cast("long")
+            .alias("n_high"),
+        )
+    )
+
+
 def check_constraints(df: DataFrame, rules: list[dict]) -> DataFrame:
     """Declarative data-quality constraints (the Deequ/expectations
     shape): evaluate every rule in ONE aggregation pass and report exact

@@ -61,6 +61,26 @@ def test_paragraph_dedup_keep_first_and_rebuild(spark):
     assert got[3] == (2, 0, None)
 
 
+def test_robust_outliers_exact_fences(spark):
+    """Hand-computed Tukey fences: values 0..11 plus an extreme 100 in
+    group 'a' (n=13 → Q1=value@rank4=3, Q3=value@rank10=9, IQR=6,
+    fences [-6, 18] → exactly one high outlier); group 'b' is uniform
+    with zero outliers."""
+    from flyq_spark.operators.profile import robust_outliers
+
+    rows = [("a", v) for v in list(range(12)) + [100]] + [
+        ("b", v) for v in [5, 5, 5, 5]
+    ]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {r["g"]: r for r in robust_outliers(df, "g", "v").collect()}
+    a = got["a"]
+    assert (a["n_rows"], a["lo"], a["hi"], a["n_low"], a["n_high"]) == (
+        13, -6, 18, 0, 1
+    )
+    b = got["b"]
+    assert (b["lo"], b["hi"], b["n_low"], b["n_high"]) == (5, 5, 0, 0)
+
+
 def test_funnel_steps_strict_order_and_ties(spark):
     """Greedy funnel semantics: steps must occur in strictly increasing
     time (same-timestamp progression does not count); out-of-order
