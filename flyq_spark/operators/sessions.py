@@ -124,13 +124,18 @@ def funnel_steps(
     user_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
+    max_gap_seconds: int | None = None,
 ) -> DataFrame:
     """Ordered-funnel analysis: for each step k, how many users
     performed step 1, then step 2 STRICTLY LATER, ... then step k
     strictly later still — greedy first-occurrence matching (user's
     step-k time = earliest step-k event after their step-(k-1) time),
-    which is the standard funnel semantics and provably maximizes the
-    number of users completing each prefix.
+    which is the standard funnel semantics and, in the UNBOUNDED form,
+    provably maximizes the number of users completing each prefix.
+    With ``max_gap_seconds`` each step must also land within the gap of
+    the previous step's match — first-touch anchored, no backtracking
+    (see the inline note for why that differs from exists-any-
+    completion).
 
     Plan: ONE scan (filtered to the funnel's event types before the
     shuffle) + ONE user-key shuffle: each user's relevant events are
@@ -161,6 +166,23 @@ def funnel_steps(
             & (ev["tp"] == F.element_at(steps_arr, st["k"] + 1))
             & (st["t"].isNull() | (ev["ts"] > st["t"]))
         )
+        if max_gap_seconds is not None:
+            # bounded conversion window: step k must land within the gap
+            # of step k-1. SEMANTICS: first-touch anchored, no
+            # backtracking — each step matches at its earliest eligible
+            # time given prior matches, and a blown window does NOT
+            # re-anchor on a later step-1 (greedy is NOT exists-any-
+            # completion under windows: for A@0, A@50, B@55, gap 10 the
+            # first-touch funnel fails at B while re-anchoring would
+            # succeed; first-touch is the deterministic, attribution-
+            # friendly convention and is what replays in SQL).
+            ok = ok & (
+                st["t"].isNull()
+                | (
+                    ev["ts"].cast("long")
+                    <= st["t"].cast("long") + F.lit(max_gap_seconds)
+                )
+            )
         return F.when(
             ok, F.struct((st["k"] + 1).alias("k"), ev["ts"].alias("t"))
         ).otherwise(st)

@@ -118,6 +118,28 @@ def test_funnel_steps_strict_order_and_ties(spark):
     }
     assert got2 == {1: 4, 2: 0}
 
+    # bounded conversion window (second granularity): click 2s after
+    # view converts under gap 3 but not gap 1; first-touch anchoring —
+    # u7's early view anchors the window even though a later view would
+    # have converted (documented no-backtracking semantics)
+    t1 = 1_700_000_000_000_000
+    gap_rows = [
+        (6, "view", t1), (6, "click", t1 + 2_000_000),
+        (7, "view", t1), (7, "view", t1 + 50_000_000),
+        (7, "click", t1 + 51_000_000),
+    ]
+    gev = spark.createDataFrame(
+        gap_rows, "user_id long, event_type string, ts_us long"
+    ).select("user_id", "event_type", F.timestamp_micros("ts_us").alias("ts"))
+    for gap, expect in ((3, {"view": 2, "click": 1}), (1, {"view": 2, "click": 0})):
+        got_g = {
+            r["step"]: r["n_users"]
+            for r in funnel_steps(
+                gev, ("view", "click"), max_gap_seconds=gap
+            ).collect()
+        }
+        assert got_g == expect, f"gap={gap}"
+
 
 def test_check_constraints_counts_violations_exactly(spark):
     """Every constraint kind against deliberately dirty data: NULL ids,
