@@ -2317,6 +2317,25 @@ def q_value_outliers(spark, sf_dir):
     return robust_outliers(ev, "event_type", "value_c").orderBy("event_type")
 
 
+def q_profile_drift(spark, sf_dir):
+    """Snapshot drift report (operators/profile.py:profile_drift): the
+    events table split at 2024-01-15 into old/new halves, profiled and
+    diffed per column — integer ppm null rates, distinct deltas,
+    stringified range movement."""
+    from flyq_spark.operators.profile import profile_drift
+
+    ev = _read(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15").cast("timestamp")
+    cols = {
+        "user_id": F.col("user_id"),
+        "event_type": F.col("event_type"),
+        "value_c": (F.col("value").cast("decimal(18,2)") * 100).cast("long"),
+    }
+    return profile_drift(
+        ev.where(F.col("ts") < cutoff), ev.where(F.col("ts") >= cutoff), cols
+    ).orderBy("col_name")
+
+
 def q_funnel(spark, sf_dir):
     """Ordered funnel view→click→purchase (operators/sessions.py:
     funnel_steps): greedy first-occurrence matching with strict time
@@ -2816,6 +2835,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_quality": q_data_quality,
         "funnel": q_funnel,
         "value_outliers": q_value_outliers,
+        "profile_drift": q_profile_drift,
         "offsets_for_times": q_offsets_for_times,
         "value_histogram": q_value_histogram,
         # rows-only (non-SQL-expressible: LSH/MinHash/SimHash/Arrow kernels)
@@ -4614,6 +4634,38 @@ SELECT item, CAST(count(*) AS BIGINT) AS n_occurrences
 FROM t
 GROUP BY item
 HAVING count(*) >= ((SELECT count(*) FROM t) + 199) // 200
+""",
+        # numeric min/max computed in the NATIVE type, stringified only
+        # afterwards (an early VARCHAR cast would make max lexicographic:
+        # '99' > '149')
+        "profile_drift": f"""
+WITH ev AS (
+  SELECT user_id, event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS value_c, ts
+  FROM events
+),
+prof AS (
+  {" UNION ALL ".join(
+      f'''SELECT CASE WHEN ts < TIMESTAMP '2024-01-15' THEN 'o' ELSE 'n' END AS side,
+       '{c}' AS col_name, count(*) AS n_rows,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       count(DISTINCT {c}) AS n_distinct,
+       CAST(min({c}) AS VARCHAR) AS min_v, CAST(max({c}) AS VARCHAR) AS max_v
+FROM ev GROUP BY side'''
+      for c in ("user_id", "event_type", "value_c")
+  )}
+)
+SELECT o.col_name,
+       CAST(o.n_rows AS BIGINT) AS rows_old, CAST(n.n_rows AS BIGINT) AS rows_new,
+       CAST(CASE WHEN o.n_rows > 0 THEN o.n_nulls * 1000000 // o.n_rows ELSE 0 END AS BIGINT) AS null_ppm_old,
+       CAST(CASE WHEN n.n_rows > 0 THEN n.n_nulls * 1000000 // n.n_rows ELSE 0 END AS BIGINT) AS null_ppm_new,
+       CAST(o.n_distinct AS BIGINT) AS distinct_old,
+       CAST(n.n_distinct AS BIGINT) AS distinct_new,
+       (o.min_v IS DISTINCT FROM n.min_v) OR (o.max_v IS DISTINCT FROM n.max_v)
+         AS range_changed
+FROM (SELECT * FROM prof WHERE side = 'o') o
+JOIN (SELECT * FROM prof WHERE side = 'n') n USING (col_name)
+ORDER BY col_name
 """,
         "value_outliers": """
 WITH ev AS (

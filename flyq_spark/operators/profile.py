@@ -48,6 +48,42 @@ def table_profile(df: DataFrame, cols: dict[str, Column]) -> DataFrame:
     )
 
 
+def profile_drift(
+    old: DataFrame, new: DataFrame, cols: dict[str, "Column"]
+) -> DataFrame:
+    """Per-column drift report between two snapshots (the check a
+    pipeline runs when a new data drop arrives: did null rates spike,
+    did cardinality collapse, did the value range shift?). Both sides
+    run ``table_profile`` (one aggregation pass each), joined on the
+    column name — integer-exact: null rates are parts-per-million via
+    integer div, range movement is a boolean on the stringified
+    min/max. Output per column:
+    (col_name, rows_old, rows_new, null_ppm_old, null_ppm_new,
+    distinct_old, distinct_new, range_changed)."""
+    po = table_profile(old, cols)
+    pn = table_profile(new, cols)
+
+    def ppm(nulls, rows):
+        return F.when(rows > 0, F.call_function(
+            "div", nulls * F.lit(1_000_000).cast("long"), rows
+        )).otherwise(F.lit(0).cast("long"))
+
+    o, n = po.alias("o"), pn.alias("n")
+    return o.join(n, F.col("o.col_name") == F.col("n.col_name")).select(
+        F.col("o.col_name").alias("col_name"),
+        F.col("o.n_rows").alias("rows_old"),
+        F.col("n.n_rows").alias("rows_new"),
+        ppm(F.col("o.n_nulls"), F.col("o.n_rows")).alias("null_ppm_old"),
+        ppm(F.col("n.n_nulls"), F.col("n.n_rows")).alias("null_ppm_new"),
+        F.col("o.n_distinct").alias("distinct_old"),
+        F.col("n.n_distinct").alias("distinct_new"),
+        (
+            ~F.col("o.min_v").eqNullSafe(F.col("n.min_v"))
+            | ~F.col("o.max_v").eqNullSafe(F.col("n.max_v"))
+        ).alias("range_changed"),
+    )
+
+
 def robust_outliers(
     df: DataFrame, group_col: str, value_col: str
 ) -> DataFrame:

@@ -61,6 +61,33 @@ def test_paragraph_dedup_keep_first_and_rebuild(spark):
     assert got[3] == (2, 0, None)
 
 
+def test_profile_drift_detects_changes(spark):
+    """Null-rate spike (ppm integer), cardinality change, and range
+    shift all surface; an unchanged column reports zero drift."""
+    from flyq_spark.operators.profile import profile_drift
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "a"), (4, "b")], "v long, k string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (None, "b"), (9, "c"), (None, "b")], "v long, k string"
+    )
+    got = {
+        r["col_name"]: r
+        for r in profile_drift(
+            old, new, {"v": F.col("v"), "k": F.col("k")}
+        ).collect()
+    }
+    v = got["v"]
+    assert (v["null_ppm_old"], v["null_ppm_new"]) == (0, 500_000)
+    assert (v["distinct_old"], v["distinct_new"]) == (4, 2)
+    assert v["range_changed"]  # max moved 4 -> 9
+    k = got["k"]
+    assert (k["null_ppm_old"], k["null_ppm_new"]) == (0, 0)
+    assert (k["distinct_old"], k["distinct_new"]) == (2, 3)
+    assert k["range_changed"]  # max moved 'b' -> 'c'
+
+
 def test_robust_outliers_exact_fences(spark):
     """Hand-computed Tukey fences: values 0..11 plus an extreme 100 in
     group 'a' (n=13 → Q1=value@rank4=3, Q3=value@rank10=9, IQR=6,
