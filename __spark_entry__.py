@@ -2684,11 +2684,11 @@ _DRIVER_WINDOW = [
     "retention_time", "watermarks", "monitor_alerts",
     "asof_last_purchase", "range_join_pairs", "cdc_apply",
     "dedup_exact", "minhash_jaccard_pairs", "simhash_md5_neardup",
-    "ngram_jaccard", "duplicate_spans", "similarity_topk",
-    "embedding_neardup", "quality_classifier", "rare_token_stats",
     "corpus_prep_pipeline", "session_window_counts",
-    # new in r6: paragraph-granularity dedup behind the synthetic gate
-    "paragraph_dedup",
+    # new in r6: paragraph dedup, rows-only→oracle conversions, and the
+    # data-platform additions (quality / funnel / outliers / drift)
+    "paragraph_dedup", "multimodal_features", "phash_neardup",
+    "data_quality", "funnel", "value_outliers", "profile_drift",
 ]
 
 
