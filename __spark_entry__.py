@@ -1694,9 +1694,9 @@ def q_audio_segments(spark, sf_dir):
     segment_audio) driven end-to-end: WAV payloads are SYNTHESIZED
     deterministically per document (8 kHz PCM16; alternating tone/
     silence runs whose lengths derive from doc_id bits, amplitude from
-    n_chars) inside an Arrow kernel, then content-addressed and
-    segmented. Rows-only (RMS floats cross the Python boundary);
-    synthesis is RNG-free so the row count and bounds are stable."""
+    n_chars) inside an Arrow kernel, then segmented keyed directly on
+    doc_id. Rows-only (RMS floats cross the Python boundary); synthesis
+    is RNG-free so the row count and bounds are stable."""
     import pandas as pd  # noqa: F401
 
     from pyspark.sql import types as T
@@ -1742,10 +1742,12 @@ def q_audio_segments(spark, sf_dir):
             ]
         ),
     )
-    media = wavs.withColumn("content_id", M.content_id(F.col("payload")))
-    segs = M.segment_audio(media, frame_ms=20, threshold=0.02)
+    # segment directly on the unique doc_id (segment_audio id_col):
+    # one kernel pass, and no join back on content_id — two docs can
+    # synthesize byte-identical WAVs, and a non-distinct content_id
+    # join would fan their segment rows out N x N
     return (
-        segs.join(media.select("content_id", "doc_id"), "content_id")
+        M.segment_audio(wavs, frame_ms=20, threshold=0.02, id_col="doc_id")
         .select("doc_id", "seg_idx", "start_ms", "end_ms")
         .orderBy("doc_id", "seg_idx")
     )
@@ -4655,17 +4657,22 @@ FROM ev GROUP BY side'''
       for c in ("user_id", "event_type", "value_c")
   )}
 )
-SELECT o.col_name,
-       CAST(o.n_rows AS BIGINT) AS rows_old, CAST(n.n_rows AS BIGINT) AS rows_new,
-       CAST(CASE WHEN o.n_rows > 0 THEN o.n_nulls * 1000000 // o.n_rows ELSE 0 END AS BIGINT) AS null_ppm_old,
-       CAST(CASE WHEN n.n_rows > 0 THEN n.n_nulls * 1000000 // n.n_rows ELSE 0 END AS BIGINT) AS null_ppm_new,
-       CAST(o.n_distinct AS BIGINT) AS distinct_old,
-       CAST(n.n_distinct AS BIGINT) AS distinct_new,
+SELECT c.col_name,
+       coalesce(CAST(o.n_rows AS BIGINT), 0) AS rows_old,
+       coalesce(CAST(n.n_rows AS BIGINT), 0) AS rows_new,
+       CAST(CASE WHEN coalesce(o.n_rows, 0) > 0 THEN o.n_nulls * 1000000 // o.n_rows ELSE 0 END AS BIGINT) AS null_ppm_old,
+       CAST(CASE WHEN coalesce(n.n_rows, 0) > 0 THEN n.n_nulls * 1000000 // n.n_rows ELSE 0 END AS BIGINT) AS null_ppm_new,
+       coalesce(CAST(o.n_distinct AS BIGINT), 0) AS distinct_old,
+       coalesce(CAST(n.n_distinct AS BIGINT), 0) AS distinct_new,
        (o.min_v IS DISTINCT FROM n.min_v) OR (o.max_v IS DISTINCT FROM n.max_v)
          AS range_changed
-FROM (SELECT * FROM prof WHERE side = 'o') o
-JOIN (SELECT * FROM prof WHERE side = 'n') n USING (col_name)
-ORDER BY col_name
+-- anchor on the column list so an EMPTY side (cutoff outside the data
+-- range) still yields one row per column (rows=0), matching Spark's
+-- table_profile on an empty frame
+FROM (VALUES ('user_id'), ('event_type'), ('value_c')) AS c(col_name)
+LEFT JOIN (SELECT * FROM prof WHERE side = 'o') o USING (col_name)
+LEFT JOIN (SELECT * FROM prof WHERE side = 'n') n USING (col_name)
+ORDER BY c.col_name
 """,
         "value_outliers": """
 WITH ev AS (

@@ -381,6 +381,7 @@ def segment_audio(
     frame_ms: int = 20,
     threshold: float = 0.02,
     min_silence_frames: int = 3,
+    id_col: str = "content_id",
 ) -> DataFrame:
     """Energy-based speech/sound segmentation (the VAD-shaped step an
     audio training pipeline runs before transcription/featurization):
@@ -394,8 +395,18 @@ def segment_audio(
     container lacks. Same Arrow ``mapInPandas`` boundary and fan_out
     guard as the other media kernels: per-payload work, no shuffle, no
     driver state; at 100 TB parallelism is the split count.
+
+    ``id_col`` names the passthrough key (content_id by default; any
+    unique row key works and its input type is preserved) — segmenting
+    directly on a caller key avoids a join back, and with a NON-unique
+    key the caller must dedupe payloads first or accept fanned-out
+    segment rows.
     """
     from flyq_spark.operators.util import fan_out
+
+    out_schema = T.StructType(
+        [df.schema[id_col]] + [f for f in AUDIO_SEGMENT_SCHEMA.fields[1:]]
+    )
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import numpy as np
@@ -403,7 +414,7 @@ def segment_audio(
 
         for pdf in batches:
             out = []
-            for cid, payload in zip(pdf["content_id"], pdf["payload"]):
+            for cid, payload in zip(pdf[id_col], pdf["payload"]):
                 wav = _try_decode_wav(bytes(payload))
                 if wav is None:
                     continue
@@ -446,12 +457,10 @@ def segment_audio(
                         )
                     )
             yield pd.DataFrame(
-                out, columns=[f.name for f in AUDIO_SEGMENT_SCHEMA.fields]
+                out, columns=[f.name for f in out_schema.fields]
             )
 
-    return fan_out(df.select("content_id", "payload")).mapInPandas(
-        run, AUDIO_SEGMENT_SCHEMA
-    )
+    return fan_out(df.select(id_col, "payload")).mapInPandas(run, out_schema)
 
 
 def frame_sample_plan(df: DataFrame, every_n: int = 8) -> DataFrame:

@@ -158,12 +158,24 @@ def check_constraints(df: DataFrame, rules: list[dict]) -> DataFrame:
     the profiler uses; the 1-row wide result unpivots with a
     zero-shuffle ``stack``. Adding rules widens the aggregate, never
     adds a pass."""
+    import re
+
     kinds = {"not_null", "unique", "min", "max", "in_set", "regex"}
+    # rule/column names are interpolated into the stack() SQL literal —
+    # reject anything that could escape the quote, with a clear error
+    # instead of a Catalyst ParseException deep in execution
+    name_ok = re.compile(r"^[A-Za-z0-9_ .:/-]+$")
     aggs = [F.count(F.lit(1)).cast("long").alias("_n")]
     for i, r in enumerate(rules):
         kind = r["kind"]
         if kind not in kinds:
             raise ValueError(f"unknown constraint kind {kind!r} (rule {r})")
+        for field in ("name", "column"):
+            if not name_ok.match(r[field]):
+                raise ValueError(
+                    f"rule {field} {r[field]!r} may only contain letters, "
+                    "digits, and '_ .:/-'"
+                )
         c = F.col(r["column"])
         if kind == "not_null":
             expr = F.count(F.when(c.isNull(), 1))

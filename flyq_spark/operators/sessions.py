@@ -188,7 +188,14 @@ def funnel_steps(
         ).otherwise(st)
 
     reached = (
-        events.where(F.col(type_col).isin(*steps))
+        # NULL-ts events are excluded up front — an event with no time
+        # cannot participate in a time-ordered funnel. Without this, the
+        # fold's st.t-isNull() "no match yet" escape would let a NULL-ts
+        # step-1 event match and make every later step unconditionally
+        # time-eligible, silently inflating conversions.
+        events.where(
+            F.col(type_col).isin(*steps) & F.col(ts_col).isNotNull()
+        )
         .groupBy(user_col)
         .agg(
             F.array_sort(

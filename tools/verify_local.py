@@ -130,8 +130,12 @@ def main() -> int:
                 )
         if not problems and use_pandas:
             try:
+                # Spark re-executes via toPandas (faithful to the
+                # driver's fetch path — collected Rows coerce types
+                # differently); the oracle reuses the Arrow table the
+                # canon comparison already fetched
                 sp_pdf = fn(spark, sf_dir).toPandas()
-                oc_pdf = con.sql(oracles[name]).arrow().to_pandas()
+                oc_pdf = tbl.to_pandas()
                 if pandas_hash(sp_pdf) != pandas_hash(oc_pdf):
                     problems.append("pandas-path hash mismatch")
             except Exception as e:
