@@ -1867,6 +1867,48 @@ def q_paragraph_dedup(spark, sf_dir):
     ).orderBy("g")
 
 
+def q_boilerplate_removal(spark, sf_dir):
+    """Boilerplate-unit removal (operators/dedup.py:
+    boilerplate_removal) over the SAME synthetic multi-paragraph corpus
+    as paragraph_dedup (sliding windows stride 3, width 5 over the
+    single-line fixture docs). min_docs=2: any paragraph present in two
+    or more synthetic documents is excised from ALL of them — the
+    C4/RefinedWeb "repeated across pages" rule, vs paragraph_dedup's
+    keep-first. Rebuilt text is md5-hashed to keep the gate row
+    narrow."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    member = docs.withColumn(
+        "g",
+        F.explode(
+            F.sequence(
+                F.greatest(
+                    F.lit(0).cast("long"),
+                    F.call_function(
+                        "div", F.col("doc_id") - F.lit(2), F.lit(3).cast("long")
+                    ),
+                ),
+                F.call_function("div", F.col("doc_id"), F.lit(3).cast("long")),
+            )
+        ),
+    )
+    synth = member.groupBy("g").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                lambda s: s["text"],
+            ),
+        ).alias("text")
+    )
+    out = D.boilerplate_removal(synth, id_col="g", min_docs=2)
+    return out.select(
+        "g",
+        "n_units",
+        "n_kept",
+        F.md5(F.coalesce("text", F.lit(""))).alias("content_fp"),
+    ).orderBy("g")
+
+
 def q_source_composition(spark, sf_dir):
     """Per-source corpus composition (mixture-weighting inputs): docs,
     whitespace tokens, distinct languages, longest doc — exact BIGINTs,
@@ -2800,6 +2842,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_spans": q_duplicate_spans,
         "span_removal": q_span_removal,
         "paragraph_dedup": q_paragraph_dedup,
+        "boilerplate_removal": q_boilerplate_removal,
         "source_composition": q_source_composition,
         "rare_token_stats": q_rare_token_stats,
         "quality_classifier": q_quality_classifier,
@@ -3872,6 +3915,39 @@ kept AS (
            row_number() OVER (PARTITION BY md5(unit) ORDER BY g, pos) AS rn
     FROM units
   ) WHERE rn = 1
+),
+tot AS (SELECT g, count(*) AS n_units FROM units GROUP BY g),
+reb AS (
+  SELECT g, count(*) AS n_kept,
+         string_agg(unit, chr(10) ORDER BY pos) AS text
+  FROM kept GROUP BY g
+)
+SELECT CAST(t.g AS BIGINT) AS g, t.n_units,
+       coalesce(r.n_kept, 0) AS n_kept,
+       md5(coalesce(r.text, '')) AS content_fp
+FROM tot t LEFT JOIN reb r USING (g)
+ORDER BY g
+""",
+        "boilerplate_removal": """
+WITH member AS (
+  SELECT t.g, d.doc_id, d.text
+  FROM documents d,
+       UNNEST(range(greatest(0, (d.doc_id - 2) // 3), (d.doc_id // 3) + 1)) AS t(g)
+),
+synth AS (
+  SELECT g, string_agg(text, chr(10) ORDER BY doc_id) AS text
+  FROM member GROUP BY g
+),
+units AS (
+  SELECT g, CAST(i - 1 AS BIGINT) AS pos, arr[i] AS unit
+  FROM (SELECT g, string_split(text, chr(10)) AS arr FROM synth),
+       UNNEST(range(1, len(arr) + 1)) AS t(i)
+),
+bp AS (
+  SELECT md5(unit) AS fp FROM units GROUP BY 1 HAVING count(DISTINCT g) >= 2
+),
+kept AS (
+  SELECT g, pos, unit FROM units WHERE md5(unit) NOT IN (SELECT fp FROM bp)
 ),
 tot AS (SELECT g, count(*) AS n_units FROM units GROUP BY g),
 reb AS (

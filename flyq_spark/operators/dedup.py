@@ -1047,6 +1047,90 @@ def paragraph_dedup(
     )
 
 
+def boilerplate_removal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delim: str = "\n",
+    min_docs: int = 2,
+    normalize: bool = False,
+    regex: bool = False,
+    join_with: str | None = None,
+) -> DataFrame:
+    """Boilerplate-unit removal (the C4/RefinedWeb "drop lines that
+    repeat across many pages" step): a unit (paragraph/line) is
+    boilerplate when it occurs in >= ``min_docs`` DISTINCT documents,
+    and EVERY copy is excised — including the first, which is what
+    separates this from :func:`paragraph_dedup` (keep-first). Documents
+    are rebuilt from their surviving units in original order; the
+    return shape matches paragraph_dedup — one row per input document,
+    (id, n_units, n_kept, text), text NULL when nothing survived.
+
+    ``min_docs`` is an absolute distinct-document threshold, not a
+    corpus fraction, so the plan needs NO corpus-count scalar: the
+    whole operator is two equi-key shuffles (fingerprint agg, rebuild
+    groupBy). Use a fraction externally by computing
+    ``min_docs = ceil(frac * n_docs)`` once if the relative form is
+    wanted — keeping the scalar out of this plan keeps it a pure
+    streaming-friendly composition.
+
+    Plan shape: per-document repeats collapse map-side —
+    ``count(distinct id)`` per 16 B fingerprint is a partial-aggregated
+    hash agg, so a navigation bar shared by millions of pages crosses
+    the shuffle as one row per map task. Nothing pairs units; at 100 TB
+    both shuffles are equi-key + AQE-splittable, like paragraph_dedup.
+
+    [EXT] surface — the reference has no sub-document operations
+    (flyq-protocol/src/message.rs is message-granular)."""
+    if min_docs < 1:
+        raise ValueError(f"min_docs must be >= 1, got {min_docs}")
+    if regex and join_with is None:
+        raise ValueError("regex=True requires an explicit join_with literal")
+    join_delim = delim if join_with is None else join_with
+    units = split_units(
+        df, text_col=text_col, id_col=id_col, delim=delim, regex=regex
+    )
+    keyed = units.withColumn("_fp", fingerprint(F.col("unit"), normalize))
+    common = (
+        keyed.groupBy("_fp")
+        .agg(F.countDistinct(id_col).alias("_ndocs"))
+        .where(F.col("_ndocs") >= F.lit(min_docs))
+        .select("_fp")
+    )
+    # totals need ALL units (kept or not), so mark instead of anti-join:
+    # a left join against the boilerplate set attaches a keep flag and one
+    # groupBy over the full unit set computes totals + kept + rebuild.
+    flagged = keyed.join(
+        common.withColumn("_bp", F.lit(True)), "_fp", "left"
+    ).withColumn("_keep", F.col("_bp").isNull())
+    per_doc = flagged.groupBy(id_col).agg(
+        F.count("*").alias("n_units"),
+        F.count(F.when(F.col("_keep"), 1)).alias("n_kept"),
+        F.concat_ws(
+            join_delim,
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_keep"), F.struct("unit_pos", "unit"))
+                    )
+                ),
+                lambda s: s["unit"],
+            ),
+        ).alias(text_col),
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_units", F.lit(0)).alias("n_units"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.when(F.coalesce("n_kept", F.lit(0)) > 0, F.col(text_col))
+            .alias(text_col),
+        )
+    )
+
+
 def lsh_parameter_sweep(
     df: DataFrame,
     configs: tuple[tuple[int, int], ...] = ((32, 4), (32, 8), (32, 16)),

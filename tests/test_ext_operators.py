@@ -61,6 +61,45 @@ def test_paragraph_dedup_keep_first_and_rebuild(spark):
     assert got[3] == (2, 0, None)
 
 
+def test_boilerplate_removal_cross_doc_threshold(spark):
+    """A unit in >= min_docs DISTINCT documents is excised EVERYWHERE
+    (including its first occurrence — the contrast with keep-first);
+    intra-document repetition alone does not trip the distinct-doc
+    threshold; a fully-boilerplate document rebuilds to NULL."""
+    from flyq_spark.operators.dedup import boilerplate_removal
+
+    df = spark.createDataFrame(
+        [
+            (1, "nav\nbody-one\nnav"),  # 'nav' repeats in-doc AND cross-doc
+            (2, "nav\nbody-two"),
+            (3, "solo\nsolo"),           # intra-doc only: kept (1 distinct doc)
+            (4, "nav"),                  # all boilerplate -> NULL
+            (5, None),                   # NULL text -> 0 units, never dropped
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_units"], r["n_kept"], r["text"])
+        for r in boilerplate_removal(df, min_docs=2).collect()
+    }
+    assert got[1] == (3, 1, "body-one")
+    assert got[2] == (2, 1, "body-two")
+    assert got[3] == (2, 2, "solo\nsolo")
+    assert got[4] == (1, 0, None)
+    assert got[5] == (0, 0, None)
+    # min_docs=4: 'nav' is in only 3 distinct docs (1, 2, 4), so
+    # everything survives
+    relaxed = {
+        r["doc_id"]: r["n_kept"]
+        for r in boilerplate_removal(df, min_docs=4).collect()
+    }
+    assert relaxed == {1: 3, 2: 2, 3: 2, 4: 1, 5: 0}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        boilerplate_removal(df, min_docs=0)
+
+
 def test_profile_drift_detects_changes(spark):
     """Null-rate spike (ppm integer), cardinality change, and range
     shift all surface; an unchanged column reports zero drift."""
