@@ -2019,6 +2019,72 @@ def q_interarrival_stats(spark, sf_dir):
     )
 
 
+def _cents_nullable(col_value=None, col_event_id=None):
+    """Exact integer cents with a deterministic NULL lattice (event_id
+    % 13 == 0) so count-vs-non-null-count semantics are exercised in
+    both engines."""
+    value = F.col("value") if col_value is None else col_value
+    eid = F.col("event_id") if col_event_id is None else col_event_id
+    cents = (value.cast("decimal(18,2)") * 100).cast("long")
+    return F.when(eid % 13 != 0, cents)
+
+
+def q_incremental_agg(spark, sf_dir):
+    """Incremental materialized-view maintenance (operators/
+    incremental.py): base batch (event_id % 10 < 8) and delta batch
+    (the rest) are summarized independently and MERGED — the oracle is
+    the direct full aggregate, so the hash match proves
+    merge(summarize(a), summarize(b)) == summarize(a ∪ b): the base
+    table never needs rescanning. Average is an exact scaled integer
+    (IntegralDivide; both engines truncate identically on nonnegative
+    sums). State is key-cardinality-sized at any scale."""
+    from flyq_spark.operators.incremental import (
+        merge_increment,
+        read_view,
+        summarize,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    measures = {"value_c": _cents_nullable()}
+    base = summarize(ev.where(F.col("event_id") % 10 < 8), ("event_type",), measures)
+    delta = summarize(ev.where(F.col("event_id") % 10 >= 8), ("event_type",), measures)
+    merged = merge_increment(base, delta, ("event_type",), ("value_c",))
+    return read_view(merged, ("value_c",), avg_scale=100).select(
+        "event_type",
+        "n_rows",
+        "value_c_sum",
+        "value_c_cnt",
+        "value_c_min",
+        "value_c_max",
+        "value_c_avg",
+    )
+
+
+def q_incremental_retract(spark, sf_dir):
+    """CDC retraction against a sum/count view (operators/
+    incremental.py:merge_retractions): the view holds all events; a
+    delete batch retracts event_id % 7 == 0 rows (restating their
+    measures, the Debezium before-image contract). The oracle
+    aggregates the complement directly — the hash match proves
+    retraction == recompute-without-the-deleted-rows, in O(keys) state
+    with no rescan of the base."""
+    from flyq_spark.operators.incremental import (
+        merge_retractions,
+        summarize,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    measures = {"value_c": _cents_nullable()}
+    state = summarize(ev, ("event_type",), measures).select(
+        "event_type", "n_rows", "value_c_sum", "value_c_cnt"
+    )
+    deletes = ev.where(F.col("event_id") % 7 == 0).withColumn("op", F.lit("d"))
+    out = merge_retractions(
+        state, deletes, ("event_type",), measures, op_col="op"
+    )
+    return out.select("event_type", "n_rows", "value_c_sum", "value_c_cnt")
+
+
 def q_cdc_apply(spark, sf_dir):
     """CDC latest-wins merge (the MERGE INTO / Debezium-sink shape,
     operators/cdc.py:apply_changes): snapshot = latest state per user
@@ -2867,6 +2933,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_agreement": q_dedup_agreement,
         "interarrival_stats": q_interarrival_stats,
         "cdc_apply": q_cdc_apply,
+        "incremental_agg": q_incremental_agg,
+        "incremental_retract": q_incremental_retract,
         "scd2_history": q_scd2_history,
         "session_window_counts": q_session_window_counts,
         "hashed_doc_vectors": q_hashed_doc_vectors,
@@ -4545,6 +4613,36 @@ SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
        CAST(sum(gap) AS BIGINT) AS sum_gap_us
 FROM gaps WHERE gap IS NOT NULL
 GROUP BY user_id
+""",
+        "incremental_agg": """
+WITH v AS (
+  SELECT event_type,
+         CASE WHEN event_id % 13 <> 0
+              THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END AS c
+  FROM events
+)
+SELECT event_type,
+       count(*) AS n_rows,
+       CAST(sum(c) AS BIGINT) AS value_c_sum,
+       count(c) AS value_c_cnt,
+       min(c) AS value_c_min,
+       max(c) AS value_c_max,
+       (CAST(sum(c) AS BIGINT) * 100) // count(c) AS value_c_avg
+FROM v GROUP BY event_type
+""",
+        "incremental_retract": """
+WITH v AS (
+  SELECT event_type,
+         CASE WHEN event_id % 13 <> 0
+              THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END AS c
+  FROM events
+  WHERE event_id % 7 <> 0
+)
+SELECT event_type,
+       count(*) AS n_rows,
+       CAST(sum(c) AS BIGINT) AS value_c_sum,
+       count(c) AS value_c_cnt
+FROM v GROUP BY event_type
 """,
         "cdc_apply": """
 WITH ev AS (

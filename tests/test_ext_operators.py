@@ -100,6 +100,65 @@ def test_boilerplate_removal_cross_doc_threshold(spark):
         boilerplate_removal(df, min_docs=0)
 
 
+def test_incremental_view_merge_and_retract(spark):
+    """merge(summarize(a), summarize(b)) == summarize(a ∪ b); keys on
+    one side only pass through; a retraction that empties a key drops
+    it from the view; min/max state refuses retraction."""
+    import pytest as _pytest
+
+    from flyq_spark.operators.incremental import (
+        merge_increment,
+        merge_retractions,
+        read_view,
+        summarize,
+    )
+
+    a = spark.createDataFrame(
+        [("x", 10), ("x", None), ("y", 5)], "k string, v long"
+    )
+    b = spark.createDataFrame(
+        [("x", 3), ("z", 7)], "k string, v long"
+    )
+    measures = {"v": F.col("v")}
+    merged = merge_increment(
+        summarize(a, ("k",), measures),
+        summarize(b, ("k",), measures),
+        ("k",),
+        ("v",),
+    )
+    got = {
+        r["k"]: (r["n_rows"], r["v_sum"], r["v_cnt"], r["v_min"], r["v_max"])
+        for r in merged.collect()
+    }
+    assert got == {
+        "x": (3, 13, 2, 3, 10),   # NULL v counts as a row, not a value
+        "y": (1, 5, 1, 5, 5),
+        "z": (1, 7, 1, 7, 7),     # delta-only key passes through
+    }
+    # avg derivation: exact scaled-int and NULL when cnt == 0
+    view = read_view(merged, ("v",), avg_scale=10)
+    avgs = {r["k"]: r["v_avg"] for r in view.collect()}
+    assert avgs == {"x": 65, "y": 50, "z": 70}
+    nullcnt = spark.createDataFrame(
+        [("w", 2, None, 0)], "k string, n_rows long, v_sum long, v_cnt long"
+    )
+    assert read_view(nullcnt, ("v",)).collect()[0]["v_avg"] is None
+
+    # retraction: deleting y's only row removes the key; x keeps one row
+    state = merged.select("k", "n_rows", "v_sum", "v_cnt")
+    deletes = spark.createDataFrame(
+        [("x", 10, "d"), ("x", None, "d"), ("y", 5, "d")],
+        "k string, v long, op string",
+    )
+    after = merge_retractions(state, deletes, ("k",), measures)
+    got2 = {
+        r["k"]: (r["n_rows"], r["v_sum"], r["v_cnt"]) for r in after.collect()
+    }
+    assert got2 == {"x": (1, 3, 1), "z": (1, 7, 1)}
+    with _pytest.raises(ValueError):
+        merge_retractions(merged, deletes, ("k",), measures)
+
+
 def test_profile_drift_detects_changes(spark):
     """Null-rate spike (ppm integer), cardinality change, and range
     shift all surface; an unchanged column reports zero drift."""
