@@ -2085,6 +2085,48 @@ def q_incremental_retract(spark, sf_dir):
     return out.select("event_type", "n_rows", "value_c_sum", "value_c_cnt")
 
 
+def q_fuzzy_title_pairs(spark, sf_dir):
+    """Edit-distance fuzzy self-join (operators/fuzzy.py:
+    edit_distance_pairs — SymSpell delete-neighborhood blocking +
+    levenshtein verify, 100% recall at max_dist=1) over 20-char
+    document prefixes (the short-field granularity edit distance is
+    for). The oracle is the NAIVE all-pairs levenshtein join — the
+    hash match proves the blocked plan loses no pair."""
+    from flyq_spark.operators.fuzzy import edit_distance_pairs
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 20).alias("title")
+    )
+    out = edit_distance_pairs(
+        docs, max_dist=1, id_col="doc_id", text_col="title", max_len=20
+    )
+    return out.select(
+        "id_a", "id_b", F.col("dist").cast("long").alias("dist")
+    )
+
+
+def q_gap_fill_locf(spark, sf_dir):
+    """Time-bucket gap-fill with LOCF (operators/timeseries.py:
+    resample_locf — the TimescaleDB time_bucket_gapfill + locf shape):
+    15-minute buckets per event type, counts zero-filled, max value
+    cents carried forward across empty buckets. The grid densifies
+    AFTER aggregation (keys × span rows, independent of fact-table
+    size); integer bucket arithmetic end-to-end."""
+    from flyq_spark.operators.timeseries import resample_locf
+
+    ev = _read(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    return resample_locf(
+        ev,
+        ("event_type",),
+        "ts",
+        900,
+        {"n_events": F.count(F.lit(1)), "value_c_max": F.max(cents)},
+        fill=("value_c_max",),
+        zero_fill=("n_events",),
+    )
+
+
 def q_cdc_apply(spark, sf_dir):
     """CDC latest-wins merge (the MERGE INTO / Debezium-sink shape,
     operators/cdc.py:apply_changes): snapshot = latest state per user
@@ -2934,6 +2976,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interarrival_stats": q_interarrival_stats,
         "cdc_apply": q_cdc_apply,
         "incremental_agg": q_incremental_agg,
+        "gap_fill_locf": q_gap_fill_locf,
+        "fuzzy_title_pairs": q_fuzzy_title_pairs,
         "incremental_retract": q_incremental_retract,
         "scd2_history": q_scd2_history,
         "session_window_counts": q_session_window_counts,
@@ -4613,6 +4657,44 @@ SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
        CAST(sum(gap) AS BIGINT) AS sum_gap_us
 FROM gaps WHERE gap IS NOT NULL
 GROUP BY user_id
+""",
+        "fuzzy_title_pairs": """
+WITH p AS (
+  SELECT doc_id, substr(text, 1, 20) AS title FROM documents
+  WHERE text IS NOT NULL
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.title, b.title) AS BIGINT) AS dist
+FROM p a JOIN p b ON a.doc_id < b.doc_id
+WHERE levenshtein(a.title, b.title) <= 1
+""",
+        "gap_fill_locf": """
+WITH obs AS (
+  SELECT event_type,
+         (epoch_us(ts) // 900000000) * 900 AS bucket_start_s,
+         count(*) AS n_events,
+         max(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS value_c_max
+  FROM events GROUP BY 1, 2
+),
+span AS (
+  SELECT event_type, min(bucket_start_s) AS lo, max(bucket_start_s) AS hi
+  FROM obs GROUP BY 1
+),
+grid AS (
+  SELECT event_type, CAST(t.g AS BIGINT) AS bucket_start_s
+  FROM span, UNNEST(range(lo, hi + 900, 900)) AS t(g)
+),
+j AS (
+  SELECT g.event_type, g.bucket_start_s, o.n_events, o.value_c_max
+  FROM grid g LEFT JOIN obs o USING (event_type, bucket_start_s)
+)
+SELECT event_type, bucket_start_s,
+       coalesce(n_events, 0) AS n_events,
+       last_value(value_c_max IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY bucket_start_s
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_c_max,
+       n_events IS NOT NULL AS is_observed
+FROM j
 """,
         "incremental_agg": """
 WITH v AS (

@@ -1,0 +1,124 @@
+"""Time-series resampling / gap-fill [EXT].
+
+The reference's log rows carry event-time timestamps
+(flyq-protocol/src/message.rs `timestamp`); the standard analytics ask
+over such a stream is a REGULAR time series — one row per (key,
+bucket) even where no event landed, with missing values carried
+forward (LOCF, the TimescaleDB `time_bucket_gapfill` + `locf`
+capability). Spark has `window()` for the bucketing but nothing for
+the densification; this operator composes it from DataFrame
+primitives.
+
+Plan shape, and why it survives 100 TB: the fact table is touched by
+exactly ONE partial-aggregated groupBy((keys, bucket)) — the grid is
+generated from the per-key [min, max] bucket span AFTER aggregation,
+so its row count is keys × span/interval, independent of fact-table
+size. The forward-fill window partitions by key over that grid, never
+over raw events. Dense keys with multi-year spans at second
+granularity are the one hazard (grid explosion) — `max_buckets_per_key`
+guards it with an explicit error instead of an OOM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def time_bucket(ts_col: Column, interval_s: int) -> Column:
+    """Tumbling-bucket start in epoch SECONDS (exact integer floor
+    division on microseconds — no IEEE double in the path)."""
+    micros = F.unix_micros(ts_col)
+    return F.call_function(
+        "div", micros, F.lit(int(interval_s) * 1_000_000).cast("long")
+    ) * F.lit(int(interval_s)).cast("long")
+
+
+def resample_locf(
+    df: DataFrame,
+    keys: tuple[str, ...],
+    ts_col: str,
+    interval_s: int,
+    aggs: dict[str, Column],
+    fill: tuple[str, ...] = (),
+    zero_fill: tuple[str, ...] = (),
+    max_buckets_per_key: int = 10_000_000,
+) -> DataFrame:
+    """Aggregate into fixed buckets, densify each key's span, and fill
+    gaps: columns in ``fill`` get last-observation-carried-forward
+    (NULL before the first observation); columns in ``zero_fill`` get
+    0 (the natural fill for counts); everything else stays NULL on gap
+    rows. Adds ``bucket_start_s`` (epoch seconds) and ``is_observed``.
+
+    Rows with NULL timestamps have no position on the time axis and
+    are excluded up front (documented, not silent: they can neither
+    bucket nor carry forward)."""
+    if interval_s <= 0:
+        raise ValueError(f"interval_s must be positive, got {interval_s}")
+    overlap = set(fill) & set(zero_fill)
+    if overlap:
+        raise ValueError(f"columns in both fill and zero_fill: {sorted(overlap)}")
+    for name in (*fill, *zero_fill):
+        if name not in aggs:
+            raise ValueError(f"fill column {name!r} is not an agg output")
+    step = int(interval_s)
+    observed = (
+        df.where(F.col(ts_col).isNotNull())
+        .withColumn("bucket_start_s", time_bucket(F.col(ts_col), step))
+        .groupBy(*keys, "bucket_start_s")
+        .agg(*[expr.alias(name) for name, expr in aggs.items()])
+    )
+    span = observed.groupBy(*keys).agg(
+        F.min("bucket_start_s").alias("_lo"),
+        F.max("bucket_start_s").alias("_hi"),
+    )
+    guarded = span.withColumn(
+        "_n",
+        F.call_function(
+            "div", F.col("_hi") - F.col("_lo"), F.lit(step).cast("long")
+        )
+        + F.lit(1),
+    ).withColumn(
+        "bucket_start_s",
+        F.explode(
+            F.when(
+                F.col("_n") <= F.lit(int(max_buckets_per_key)),
+                F.sequence(
+                    F.col("_lo"), F.col("_hi"), F.lit(step).cast("long")
+                ),
+            ).otherwise(
+                F.raise_error(
+                    F.format_string(
+                        "resample_locf: key span needs %s buckets > "
+                        f"max_buckets_per_key={int(max_buckets_per_key)}; "
+                        "raise the interval or the cap",
+                        F.col("_n").cast("string"),
+                    )
+                )
+            )
+        ),
+    )
+    grid = guarded.select(*keys, "bucket_start_s")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("bucket_start_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # the observed flag must not key off an agg column's NULL pattern
+    # (max over all-NULL inputs is NULL on an observed row) — carry an
+    # explicit marker through the one grid join instead
+    out = grid.join(
+        observed.withColumn("_obs", F.lit(True)),
+        [*keys, "bucket_start_s"],
+        "left",
+    )
+    cols: list[Column] = [F.col(c) for c in keys] + [F.col("bucket_start_s")]
+    for name in aggs:
+        c = F.col(name)
+        if name in fill:
+            c = F.last(name, ignorenulls=True).over(w)
+        elif name in zero_fill:
+            c = F.coalesce(c, F.lit(0))
+        cols.append(c.alias(name))
+    cols.append(F.coalesce(F.col("_obs"), F.lit(False)).alias("is_observed"))
+    return out.select(*cols)

@@ -100,6 +100,94 @@ def test_boilerplate_removal_cross_doc_threshold(spark):
         boilerplate_removal(df, min_docs=0)
 
 
+def test_edit_distance_pairs_exact_vs_naive(spark):
+    """SymSpell delete-neighborhood blocking must lose NO pair: compare
+    against a naive O(n^2) Python Levenshtein at k=1 and k=2 over a
+    deterministic corpus engineered for near-collisions; NULLs never
+    match; the max_len guard trips row-level."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from flyq_spark.operators.fuzzy import edit_distance_pairs
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    # deterministic short strings over a 3-letter alphabet: dense
+    # near-collision space, lengths 0..6
+    strs = []
+    for i in range(60):
+        h = hashlib.md5(f"fz{i}".encode()).hexdigest()
+        n = int(h[:2], 16) % 7
+        strs.append("".join("abc"[int(c, 16) % 3] for c in h[2 : 2 + n]))
+    rows = [(i, s) for i, s in enumerate(strs)] + [(999, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for k in (1, 2):
+        want = sorted(
+            (i, j, lev(strs[i], strs[j]))
+            for i in range(len(strs))
+            for j in range(i + 1, len(strs))
+            if lev(strs[i], strs[j]) <= k
+        )
+        got = sorted(
+            (r["id_a"], r["id_b"], r["dist"])
+            for r in edit_distance_pairs(df, k).collect()
+        )
+        assert got == want, f"k={k}"
+    with _pytest.raises(ValueError):
+        edit_distance_pairs(df, 3)
+    with _pytest.raises(Exception, match="max_len"):
+        edit_distance_pairs(df, 1, max_len=3).collect()
+
+
+def test_resample_locf_gapfill_semantics(spark):
+    """Gap buckets appear with zero-filled counts and carried-forward
+    values; nothing precedes the first observation (NULL, not 0);
+    NULL-timestamp rows are excluded; the grid guard raises instead of
+    exploding."""
+    import pytest as _pytest
+
+    from flyq_spark.operators.timeseries import resample_locf
+
+    df = spark.createDataFrame(
+        [("a", 0, 10), ("a", 25, 20), ("b", 5, None), ("a", None, 99)],
+        "k string, sec long, v long",
+    ).withColumn("ts", F.timestamp_seconds(F.col("sec")))
+    aggs = {"n": F.count(F.lit(1)), "v_max": F.max("v")}
+    out = resample_locf(
+        df, ("k",), "ts", 10, aggs, fill=("v_max",), zero_fill=("n",)
+    )
+    rows = [
+        tuple(r)
+        for r in out.orderBy("k", "bucket_start_s").collect()
+    ]
+    assert rows == [
+        ("a", 0, 1, 10, True),     # NULL-ts row excluded from its bucket
+        ("a", 10, 0, 10, False),   # gap: zero-filled count, LOCF value
+        ("a", 20, 1, 20, True),
+        ("b", 0, 1, None, True),   # observed but all-NULL v: no fill source
+    ]
+    with _pytest.raises(ValueError):
+        resample_locf(df, ("k",), "ts", 0, aggs)
+    with _pytest.raises(ValueError):
+        resample_locf(df, ("k",), "ts", 10, aggs, fill=("nope",))
+    with _pytest.raises(ValueError):
+        resample_locf(df, ("k",), "ts", 10, aggs, fill=("n",), zero_fill=("n",))
+    with _pytest.raises(Exception, match="max_buckets_per_key"):
+        resample_locf(
+            df, ("k",), "ts", 10, aggs, max_buckets_per_key=1
+        ).collect()
+
+
 def test_incremental_view_merge_and_retract(spark):
     """merge(summarize(a), summarize(b)) == summarize(a ∪ b); keys on
     one side only pass through; a retraction that empties a key drops
