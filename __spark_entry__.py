@@ -2831,16 +2831,19 @@ _DRIVER_WINDOW = [
     "hashed_doc_vectors", "ann_filtered_topk", "normalize_text",
     "rolling_7day_value", "event_transitions", "neardup_triangles",
     # r5-proven rows kept to re-confirm the broad surface
-    "produce_log", "route_keyed", "route_round_robin",
-    "consume_with_group", "consumer_lag", "partition_health",
-    "retention_time", "watermarks", "monitor_alerts",
-    "asof_last_purchase", "range_join_pairs", "cdc_apply",
-    "dedup_exact", "minhash_jaccard_pairs", "simhash_md5_neardup",
-    "corpus_prep_pipeline", "session_window_counts",
+    "produce_log", "route_keyed", "consume_with_group",
+    "partition_health", "watermarks", "asof_last_purchase",
+    "range_join_pairs", "cdc_apply", "minhash_jaccard_pairs",
+    "simhash_md5_neardup", "corpus_prep_pipeline",
+    "session_window_counts",
     # new in r6: paragraph dedup, rows-only→oracle conversions, and the
     # data-platform additions (quality / funnel / outliers / drift)
     "paragraph_dedup", "multimodal_features", "phash_neardup",
     "data_quality", "funnel", "value_outliers", "profile_drift",
+    # new in r6 third session: boilerplate excision, incremental-view
+    # maintenance, gap-fill/LOCF, fuzzy edit-distance join
+    "boilerplate_removal", "incremental_agg", "incremental_retract",
+    "gap_fill_locf", "fuzzy_title_pairs",
 ]
 
 

@@ -246,6 +246,28 @@ def test_incremental_view_merge_and_retract(spark):
     with _pytest.raises(ValueError):
         merge_retractions(merged, deletes, ("k",), measures)
 
+    # approx-distinct state: HLL sketches merge across batches and the
+    # merged estimate equals the exact distinct of the UNION (sparse
+    # regime is exact) — the one aggregate plain sums cannot maintain
+    big_a = spark.createDataFrame(
+        [("x", i % 40) for i in range(200)], "k string, u long"
+    )
+    big_b = spark.createDataFrame(
+        [("x", 20 + (i % 50)) for i in range(200)], "k string, u long"
+    )
+    sa = summarize(big_a, ("k",), {}, approx_distinct={"u": F.col("u")})
+    sb = summarize(big_b, ("k",), {}, approx_distinct={"u": F.col("u")})
+    mg = merge_increment(sa, sb, ("k",), ())
+    est = read_view(mg, ()).collect()[0]["u_approx_distinct"]
+    assert est == 70  # |[0,40) ∪ [20,70)| exactly, sparse-mode HLL
+    with _pytest.raises(ValueError):
+        merge_retractions(
+            mg.select("k", F.lit(1).alias("n_rows"), "u_hll"),
+            deletes,
+            ("k",),
+            {},
+        )
+
 
 def test_profile_drift_detects_changes(spark):
     """Null-rate spike (ppm integer), cardinality change, and range
