@@ -279,3 +279,160 @@ def _banded_dedup_sink(
         band_df.unpersist()
 
     return write
+
+
+def aggregate_view_sink(
+    view_path: str,
+    keys: tuple[str, ...],
+    measures: dict,
+    approx_distinct: dict | None = None,
+    compact_every: int = 16,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch callback maintaining a continuously-updated
+    AGGREGATE view (a streaming materialized view) with the
+    :mod:`incremental` state layout: each micro-batch is summarized
+    once and lands as a DELTA partition; every ``compact_every``
+    batches the base and accumulated deltas fold into a new base.
+
+    Replay safety: additive merge is NOT idempotent (re-applying a
+    batch double-counts), so nothing is ever merged in place — a
+    replayed batch OVERWRITES its own ``delta/batch_id=N`` partition
+    (Structured Streaming re-delivers the same data for the same
+    batch_id), and compaction folds each delta exactly once. Crash
+    safety: a new base is complete only when its ``_VIEW_READY`` marker
+    exists; recovery keeps the newest ready base and deletes newer
+    incomplete ones plus any deltas the ready base already covers.
+    Read the view with :func:`read_aggregate_view`.
+
+    Scale: the per-batch work is one partial-aggregated summarize of
+    the batch (key-cardinality output) — the view never rescans
+    history; compaction cost is keys × (compact_every + 1) state rows,
+    amortized O(keys) per batch. ``view_path`` must be driver-local
+    (same os.rename/marker discipline as ``upsert_sink``)."""
+    import os
+    import shutil
+
+    from flyq_spark.operators.incremental import merge_increment, summarize
+
+    if "://" in view_path:
+        raise ValueError(
+            f"aggregate_view_sink needs a driver-local view_path; got "
+            f"scheme-qualified {view_path!r}"
+        )
+    if compact_every < 1:
+        raise ValueError(f"compact_every must be >= 1, got {compact_every}")
+
+    root = view_path.rstrip("/")
+
+    def _bases() -> list[tuple[int, str]]:
+        if not os.path.isdir(root):
+            return []
+        out = []
+        for d in os.listdir(root):
+            if d.startswith("base_upto_"):
+                try:
+                    out.append((int(d.rsplit("_", 1)[1]), os.path.join(root, d)))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def _deltas() -> list[tuple[int, str]]:
+        ddir = os.path.join(root, "delta")
+        if not os.path.isdir(ddir):
+            return []
+        out = []
+        for d in os.listdir(ddir):
+            if d.startswith("batch_id="):
+                try:
+                    out.append((int(d.split("=", 1)[1]), os.path.join(ddir, d)))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def _recover() -> tuple[int, str] | None:
+        """Newest READY base; drop incomplete bases and covered deltas."""
+        ready = None
+        for upto, path in _bases():
+            if os.path.exists(os.path.join(path, "_VIEW_READY")):
+                ready = (upto, path)
+        # every other base is either incomplete (no marker) or an older
+        # ready base stranded by a crash between marker and cleanup
+        for upto, path in _bases():
+            if (upto, path) != ready:
+                shutil.rmtree(path, ignore_errors=True)
+        if ready is not None:
+            for bid, path in _deltas():
+                if bid <= ready[0]:
+                    shutil.rmtree(path, ignore_errors=True)
+        return ready
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        ready = _recover()
+        summary = summarize(batch_df, keys, measures, approx_distinct)
+        delta_dir = os.path.join(root, "delta", f"batch_id={batch_id}")
+        summary.write.mode("overwrite").parquet(delta_dir)
+        deltas = [(b, p) for b, p in _deltas() if ready is None or b > ready[0]]
+        if len(deltas) < compact_every:
+            return
+        merged = spark.read.parquet(*[p for _, p in deltas])
+        state = merged
+        if ready is not None:
+            state = spark.read.parquet(ready[1]).unionByName(merged)
+        # one re-aggregate folds base + all deltas (merge_increment over
+        # an N-way union is the same single groupBy)
+        folded = merge_increment(
+            state.limit(0), state, keys, tuple(measures)
+        )
+        upto = deltas[-1][0]
+        new_base = os.path.join(root, f"base_upto_{upto}")
+        folded.write.mode("overwrite").parquet(new_base)
+        open(os.path.join(new_base, "_VIEW_READY"), "w").close()
+        if ready is not None:
+            shutil.rmtree(ready[1], ignore_errors=True)
+        for bid, path in deltas:
+            shutil.rmtree(path, ignore_errors=True)
+
+    return write
+
+
+def read_aggregate_view(
+    spark,
+    view_path: str,
+    keys: tuple[str, ...],
+    measures: tuple[str, ...] | list[str],
+):
+    """Current contents of an ``aggregate_view_sink`` view: newest ready
+    base merged with uncompacted deltas (one key-sized aggregation —
+    never the raw stream)."""
+    import os
+
+    from pyspark.sql import DataFrame as _DF  # noqa: F401
+
+    from flyq_spark.operators.incremental import merge_increment
+
+    root = view_path.rstrip("/")
+    paths = []
+    ready = None
+    if os.path.isdir(root):
+        # numeric order — lexicographic would rank base_upto_9 above
+        # base_upto_10 and read a stale base
+        for d in sorted(
+            (d for d in os.listdir(root) if d.startswith("base_upto_")),
+            key=lambda d: int(d.rsplit("_", 1)[1]),
+        ):
+            if os.path.exists(os.path.join(root, d, "_VIEW_READY")):
+                ready = (int(d.rsplit("_", 1)[1]), os.path.join(root, d))
+    if ready is not None:
+        paths.append(ready[1])
+    ddir = os.path.join(root, "delta")
+    if os.path.isdir(ddir):
+        for d in sorted(os.listdir(ddir)):
+            if d.startswith("batch_id="):
+                bid = int(d.split("=", 1)[1])
+                if ready is None or bid > ready[0]:
+                    paths.append(os.path.join(ddir, d))
+    if not paths:
+        raise FileNotFoundError(f"no view state under {view_path!r}")
+    state = spark.read.parquet(*paths)
+    return merge_increment(state.limit(0), state, keys, tuple(measures))

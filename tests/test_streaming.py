@@ -853,3 +853,54 @@ def test_streaming_pipeline_example_end_to_end(engine, spark, tmp_path):
         r["doc_id"] for r in spark.read.parquet(out + "/accepted").collect()
     }
     assert acc2 == {0, 2, 4}  # offset 3 (near-dup) dropped, 4 accepted
+
+
+def test_aggregate_view_sink_merge_compact_replay(spark, tmp_path):
+    """Streaming materialized view: deltas merge to the full-recompute
+    answer, compaction folds them into a base, a REPLAYED batch_id
+    overwrites its own delta (no double count), and a crashed
+    compaction (no ready marker) is recovered."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from flyq_spark.streaming.sink import aggregate_view_sink, read_aggregate_view
+
+    view = str(tmp_path / "view")
+    sink = aggregate_view_sink(
+        view, ("k",), {"v": F.col("v")}, compact_every=2
+    )
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "k string, v long")
+
+    sink(batch([("a", 1), ("b", 2)]), 0)
+    sink(batch([("a", 3)]), 1)           # triggers compaction (2 deltas)
+    sink(batch([("b", 4), ("c", 5)]), 2)  # delta on top of base
+
+    def snapshot():
+        out = read_aggregate_view(spark, view, ("k",), ("v",))
+        return {
+            r["k"]: (r["n_rows"], r["v_sum"], r["v_min"], r["v_max"])
+            for r in out.collect()
+        }
+
+    want = {"a": (2, 4, 1, 3), "b": (2, 6, 2, 4), "c": (1, 5, 5, 5)}
+    assert snapshot() == want
+    assert any(d.startswith("base_upto_1") for d in os.listdir(view))
+
+    # at-least-once replay of batch 2: overwrites its delta, not additive
+    sink(batch([("b", 4), ("c", 5)]), 2)
+    assert snapshot() == want
+
+    # crash mid-compaction leaves an INCOMPLETE base (parquet partially
+    # written, no ready marker, old base + deltas still on disk — the
+    # marker is created only after the write completes): recovery must
+    # discard it and the refold must still see all history
+    os.makedirs(os.path.join(view, "base_upto_99"))
+    sink(batch([("a", 10)]), 3)  # 2 uncompacted deltas -> compacts to base_upto_3
+    assert not os.path.isdir(os.path.join(view, "base_upto_99"))
+    assert os.path.exists(os.path.join(view, "base_upto_3", "_VIEW_READY"))
+    assert not os.path.isdir(os.path.join(view, "base_upto_1"))
+    want2 = {"a": (3, 14, 1, 10), "b": (2, 6, 2, 4), "c": (1, 5, 5, 5)}
+    assert snapshot() == want2
