@@ -67,6 +67,12 @@ HEADLINE = [
     ("phash_neardup", False),
     # r6: paragraph-granularity dedup (synthetic multi-paragraph corpus)
     ("paragraph_dedup", False),
+    # r6 third session: boilerplate excision, gap-fill/LOCF densify,
+    # SymSpell fuzzy join, incremental view merge
+    ("boilerplate_removal", False),
+    ("gap_fill_locf", False),
+    ("fuzzy_title_pairs", False),
+    ("incremental_agg", True),
 ]
 
 
