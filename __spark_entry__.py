@@ -2105,6 +2105,29 @@ def q_fuzzy_title_pairs(spark, sf_dir):
     )
 
 
+def q_impute_group_stats(spark, sf_dir):
+    """Group-statistic NULL imputation (operators/impute.py): the
+    deterministic NULL lattice (event_id % 13) is filled per event
+    type with the exact lower median and with the mode (ties to the
+    smallest value) — both rank/argmax constructions, never
+    collect_list; the imputed flag keeps provenance. Row-level output
+    so the oracle checks every fill decision."""
+    from flyq_spark.operators.impute import impute_group_stat
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id", "event_type", _cents_nullable().alias("value_c")
+    )
+    med = impute_group_stat(
+        ev, ("event_type",), "value_c", "median", flag_col="med_imputed"
+    ).withColumnRenamed("value_c", "value_c_med")
+    mode = impute_group_stat(
+        ev, ("event_type",), "value_c", "mode"
+    ).select("event_id", F.col("value_c").alias("value_c_mode"))
+    return med.join(mode, "event_id").select(
+        "event_id", "event_type", "value_c_med", "med_imputed", "value_c_mode"
+    )
+
+
 def q_gap_fill_locf(spark, sf_dir):
     """Time-bucket gap-fill with LOCF (operators/timeseries.py:
     resample_locf — the TimescaleDB time_bucket_gapfill + locf shape):
@@ -2981,6 +3004,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_agg": q_incremental_agg,
         "gap_fill_locf": q_gap_fill_locf,
         "fuzzy_title_pairs": q_fuzzy_title_pairs,
+        "impute_group_stats": q_impute_group_stats,
         "incremental_retract": q_incremental_retract,
         "scd2_history": q_scd2_history,
         "session_window_counts": q_session_window_counts,
@@ -4660,6 +4684,33 @@ SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
        CAST(sum(gap) AS BIGINT) AS sum_gap_us
 FROM gaps WHERE gap IS NOT NULL
 GROUP BY user_id
+""",
+        "impute_group_stats": """
+WITH v AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_id % 13 <> 0
+              THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END AS c
+  FROM events
+),
+med AS (
+  SELECT event_type, CAST(quantile_disc(c, 0.5) AS BIGINT) AS m
+  FROM v WHERE c IS NOT NULL GROUP BY 1
+),
+md AS (
+  SELECT event_type, v2 AS mo FROM (
+    SELECT event_type, c AS v2,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY count(*) DESC, c ASC) AS rn
+    FROM v WHERE c IS NOT NULL GROUP BY event_type, c
+  ) WHERE rn = 1
+)
+SELECT v.event_id, v.event_type,
+       coalesce(v.c, med.m) AS value_c_med,
+       (v.c IS NULL AND med.m IS NOT NULL) AS med_imputed,
+       coalesce(v.c, md.mo) AS value_c_mode
+FROM v
+LEFT JOIN med USING (event_type)
+LEFT JOIN md USING (event_type)
 """,
         "fuzzy_title_pairs": """
 WITH p AS (

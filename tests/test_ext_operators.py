@@ -100,6 +100,42 @@ def test_boilerplate_removal_cross_doc_threshold(spark):
         boilerplate_removal(df, min_docs=0)
 
 
+def test_impute_group_stat_strategies(spark):
+    """Median is the exact lower median; mean is truncating integer
+    division; mode breaks ties to the smallest value; an all-NULL group
+    stays NULL with flag False; non-target columns pass through."""
+    import pytest as _pytest
+
+    from flyq_spark.operators.impute import impute_group_stat
+
+    df = spark.createDataFrame(
+        [
+            ("a", 1, "r1"), ("a", 3, "r2"), ("a", None, "r3"), ("a", 3, "r4"),
+            ("b", None, "r5"), ("b", None, "r6"),
+            ("c", 10, "r7"), ("c", None, "r8"), ("c", 20, "r9"),
+        ],
+        "k string, v long, tag string",
+    )
+
+    def got(strategy):
+        return sorted(
+            (r["tag"], r["v"], r["v_imputed"])
+            for r in impute_group_stat(df, ("k",), "v", strategy).collect()
+        )
+
+    assert got("median") == sorted(
+        [("r1", 1, False), ("r2", 3, False), ("r3", 3, True), ("r4", 3, False),
+         ("r5", None, False), ("r6", None, False),
+         ("r7", 10, False), ("r8", 10, True), ("r9", 20, False)]
+    )
+    assert got("mean")[2] == ("r3", 2, True)       # (1+3+3) div 3 = 2
+    assert got("mean")[7] == ("r8", 15, True)
+    assert got("mode")[2] == ("r3", 3, True)
+    assert got("mode")[7] == ("r8", 10, True)      # tie 10/20 -> smallest
+    with _pytest.raises(ValueError):
+        impute_group_stat(df, ("k",), "v", "max")
+
+
 def test_edit_distance_pairs_exact_vs_naive(spark):
     """SymSpell delete-neighborhood blocking must lose NO pair: compare
     against a naive O(n^2) Python Levenshtein at k=1 and k=2 over a
