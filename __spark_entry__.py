@@ -2856,7 +2856,7 @@ _DRIVER_WINDOW = [
     # r5-proven rows kept to re-confirm the broad surface
     "produce_log", "route_keyed", "consume_with_group",
     "partition_health", "watermarks", "asof_last_purchase",
-    "range_join_pairs", "cdc_apply", "minhash_jaccard_pairs",
+    "range_join_pairs", "cdc_apply",
     "simhash_md5_neardup", "corpus_prep_pipeline",
     "session_window_counts",
     # new in r6: paragraph dedup, rows-only→oracle conversions, and the
@@ -2866,7 +2866,7 @@ _DRIVER_WINDOW = [
     # new in r6 third session: boilerplate excision, incremental-view
     # maintenance, gap-fill/LOCF, fuzzy edit-distance join
     "boilerplate_removal", "incremental_agg", "incremental_retract",
-    "gap_fill_locf", "fuzzy_title_pairs",
+    "gap_fill_locf", "fuzzy_title_pairs", "impute_group_stats",
 ]
 
 
