@@ -1825,15 +1825,13 @@ def q_span_removal(spark, sf_dir):
     return remove_duplicate_spans(docs, k=8)
 
 
-def q_paragraph_dedup(spark, sf_dir):
-    """Paragraph-level keep-first dedup (operators/dedup.py:
-    paragraph_dedup) over a SYNTHETIC multi-paragraph corpus: the fixture
-    documents are single-line, so synthetic doc g concatenates documents
-    [3g, 3g+5) with '\\n' — overlapping sliding windows (stride 3,
-    width 5) put each document in ~2 synthetic docs, guaranteeing
-    cross-document duplicate paragraphs. Deterministic and
-    oracle-replayable; rebuilt text is md5-hashed to keep the gate row
-    narrow."""
+def _synthetic_paragraph_corpus(spark, sf_dir):
+    """SYNTHETIC multi-paragraph corpus shared by the paragraph-granular
+    gates: the fixture documents are single-line, so synthetic doc g
+    concatenates documents [3g, 3g+5) with '\\n' — overlapping sliding
+    windows (stride 3, width 5) put each document in ~2 synthetic docs,
+    guaranteeing cross-document duplicate paragraphs. Deterministic and
+    oracle-replayable (SQL mirror: _SYNTH_UNITS_CTE)."""
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
     member = docs.withColumn(
         "g",
@@ -1849,7 +1847,7 @@ def q_paragraph_dedup(spark, sf_dir):
             )
         ),
     )
-    synth = member.groupBy("g").agg(
+    return member.groupBy("g").agg(
         F.concat_ws(
             "\n",
             F.transform(
@@ -1858,6 +1856,14 @@ def q_paragraph_dedup(spark, sf_dir):
             ),
         ).alias("text")
     )
+
+
+def q_paragraph_dedup(spark, sf_dir):
+    """Paragraph-level keep-first dedup (operators/dedup.py:
+    paragraph_dedup) over the shared synthetic multi-paragraph corpus
+    (_synthetic_paragraph_corpus); rebuilt text is md5-hashed to keep
+    the gate row narrow."""
+    synth = _synthetic_paragraph_corpus(spark, sf_dir)
     out = D.paragraph_dedup(synth, id_col="g")
     return out.select(
         "g",
@@ -1870,36 +1876,12 @@ def q_paragraph_dedup(spark, sf_dir):
 def q_boilerplate_removal(spark, sf_dir):
     """Boilerplate-unit removal (operators/dedup.py:
     boilerplate_removal) over the SAME synthetic multi-paragraph corpus
-    as paragraph_dedup (sliding windows stride 3, width 5 over the
-    single-line fixture docs). min_docs=2: any paragraph present in two
-    or more synthetic documents is excised from ALL of them — the
-    C4/RefinedWeb "repeated across pages" rule, vs paragraph_dedup's
-    keep-first. Rebuilt text is md5-hashed to keep the gate row
-    narrow."""
-    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
-    member = docs.withColumn(
-        "g",
-        F.explode(
-            F.sequence(
-                F.greatest(
-                    F.lit(0).cast("long"),
-                    F.call_function(
-                        "div", F.col("doc_id") - F.lit(2), F.lit(3).cast("long")
-                    ),
-                ),
-                F.call_function("div", F.col("doc_id"), F.lit(3).cast("long")),
-            )
-        ),
-    )
-    synth = member.groupBy("g").agg(
-        F.concat_ws(
-            "\n",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
-                lambda s: s["text"],
-            ),
-        ).alias("text")
-    )
+    as paragraph_dedup (_synthetic_paragraph_corpus). min_docs=2: any
+    paragraph present in two or more synthetic documents is excised
+    from ALL of them — the C4/RefinedWeb "repeated across pages" rule,
+    vs paragraph_dedup's keep-first. Rebuilt text is md5-hashed to keep
+    the gate row narrow."""
+    synth = _synthetic_paragraph_corpus(spark, sf_dir)
     out = D.boilerplate_removal(synth, id_col="g", min_docs=2)
     return out.select(
         "g",
@@ -2828,6 +2810,27 @@ def q_pagerank_neardup(spark, sf_dir):
         .select(F.col("node").alias("vec_id"), "rank")
         .orderBy("vec_id")
     )
+
+
+# SQL mirror of _synthetic_paragraph_corpus + unit split, shared by the
+# paragraph-granular oracles so the two gates can never silently test
+# different corpora
+_SYNTH_UNITS_CTE = """
+member AS (
+  SELECT t.g, d.doc_id, d.text
+  FROM documents d,
+       UNNEST(range(greatest(0, (d.doc_id - 2) // 3), (d.doc_id // 3) + 1)) AS t(g)
+),
+synth AS (
+  SELECT g, string_agg(text, chr(10) ORDER BY doc_id) AS text
+  FROM member GROUP BY g
+),
+units AS (
+  SELECT g, CAST(i - 1 AS BIGINT) AS pos, arr[i] AS unit
+  FROM (SELECT g, string_split(text, chr(10)) AS arr FROM synth),
+       UNNEST(range(1, len(arr) + 1)) AS t(i)
+)
+"""
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -4033,21 +4036,7 @@ SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
        CAST(max(pos) + 7 - min(pos) + 1 AS BIGINT) AS span_tokens
 FROM isl GROUP BY doc_id, island
 """,
-        "paragraph_dedup": """
-WITH member AS (
-  SELECT t.g, d.doc_id, d.text
-  FROM documents d,
-       UNNEST(range(greatest(0, (d.doc_id - 2) // 3), (d.doc_id // 3) + 1)) AS t(g)
-),
-synth AS (
-  SELECT g, string_agg(text, chr(10) ORDER BY doc_id) AS text
-  FROM member GROUP BY g
-),
-units AS (
-  SELECT g, CAST(i - 1 AS BIGINT) AS pos, arr[i] AS unit
-  FROM (SELECT g, string_split(text, chr(10)) AS arr FROM synth),
-       UNNEST(range(1, len(arr) + 1)) AS t(i)
-),
+        "paragraph_dedup": "WITH " + _SYNTH_UNITS_CTE + """,
 kept AS (
   SELECT g, pos, unit FROM (
     SELECT g, pos, unit,
@@ -4067,21 +4056,7 @@ SELECT CAST(t.g AS BIGINT) AS g, t.n_units,
 FROM tot t LEFT JOIN reb r USING (g)
 ORDER BY g
 """,
-        "boilerplate_removal": """
-WITH member AS (
-  SELECT t.g, d.doc_id, d.text
-  FROM documents d,
-       UNNEST(range(greatest(0, (d.doc_id - 2) // 3), (d.doc_id // 3) + 1)) AS t(g)
-),
-synth AS (
-  SELECT g, string_agg(text, chr(10) ORDER BY doc_id) AS text
-  FROM member GROUP BY g
-),
-units AS (
-  SELECT g, CAST(i - 1 AS BIGINT) AS pos, arr[i] AS unit
-  FROM (SELECT g, string_split(text, chr(10)) AS arr FROM synth),
-       UNNEST(range(1, len(arr) + 1)) AS t(i)
-),
+        "boilerplate_removal": "WITH " + _SYNTH_UNITS_CTE + """,
 bp AS (
   SELECT md5(unit) AS fp FROM units GROUP BY 1 HAVING count(DISTINCT g) >= 2
 ),

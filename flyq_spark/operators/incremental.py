@@ -95,6 +95,11 @@ def merge_increment(
     for c in hlls:
         if c not in delta_state.columns:
             raise ValueError(f"state has {c} but delta_state does not")
+    # the mismatch must raise in BOTH directions — silently dropping a
+    # delta-side sketch would lose distinct-count state forever
+    for c in delta_state.columns:
+        if c.endswith("_hll") and c not in hlls:
+            raise ValueError(f"delta_state has {c} but state does not")
     cols += hlls
     unioned = state.select(*cols).unionByName(delta_state.select(*cols))
     aggs = [F.sum("n_rows").alias("n_rows")]
@@ -144,7 +149,22 @@ def merge_retractions(
             "retractable (an HLL cannot forget) — keep approx-distinct "
             "state in an insert-only view"
         )
-    sign = F.when(F.col(op_col) == "d", F.lit(-1)).otherwise(F.lit(1))
+    # any op code outside the i/d contract is a row-level error — an
+    # 'u' (Debezium update) silently treated as insert would double-count
+    sign = (
+        F.when(F.col(op_col) == "d", F.lit(-1))
+        .when(F.col(op_col) == "i", F.lit(1))
+        .otherwise(
+            F.raise_error(
+                F.format_string(
+                    "merge_retractions: op must be 'i' or 'd', got '%s' — "
+                    "split updates into a delete of the before-image plus "
+                    "an insert of the after-image",
+                    F.col(op_col),
+                )
+            ).cast("int")
+        )
+    )
     aggs = [F.sum(sign).alias("n_rows")]
     for name, expr in measures.items():
         aggs.extend(
@@ -173,7 +193,18 @@ def merge_retractions(
         .groupBy(*keys)
         .agg(*merged_aggs)
     )
-    return merged.where(F.col("n_rows") > 0)
+    # retracting a key's last non-null value must restore sum to NULL,
+    # not 0 — the invariant is retraction == recompute-without-those-rows,
+    # and summarize() over no values yields a NULL sum
+    fixed = [
+        (
+            F.when(F.col(f"{m}_cnt") > 0, F.col(c)).alias(c)
+            if c.endswith("_sum") and (m := c[: -len("_sum")]) in measures
+            else F.col(c)
+        )
+        for c in cols
+    ]
+    return merged.select(*fixed).where(F.col("n_rows") > 0)
 
 
 def read_view(

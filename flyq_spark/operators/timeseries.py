@@ -26,12 +26,20 @@ from pyspark.sql import functions as F
 
 
 def time_bucket(ts_col: Column, interval_s: int) -> Column:
-    """Tumbling-bucket start in epoch SECONDS (exact integer floor
-    division on microseconds — no IEEE double in the path)."""
+    """Tumbling-bucket start in epoch SECONDS — exact integer FLOOR
+    division on microseconds (no IEEE double in the path). Spark's
+    ``div`` truncates toward zero, which for pre-epoch timestamps
+    would put the bucket start AFTER the event; the remainder
+    correction makes it a true floor at any sign."""
+    step_us = F.lit(int(interval_s) * 1_000_000).cast("long")
     micros = F.unix_micros(ts_col)
-    return F.call_function(
-        "div", micros, F.lit(int(interval_s) * 1_000_000).cast("long")
-    ) * F.lit(int(interval_s)).cast("long")
+    q = F.call_function("div", micros, step_us)
+    # % carries the dividend's sign in Spark: negative with a nonzero
+    # remainder means trunc rounded up — step back one bucket
+    floor_q = F.when(
+        (micros < 0) & (micros % step_us != 0), q - F.lit(1).cast("long")
+    ).otherwise(q)
+    return floor_q * F.lit(int(interval_s)).cast("long")
 
 
 def resample_locf(

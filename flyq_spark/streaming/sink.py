@@ -281,6 +281,53 @@ def _banded_dedup_sink(
     return write
 
 
+def _view_bases(root: str) -> list[tuple[int, str]]:
+    """Numerically-sorted (upto, path) base dirs under a view root;
+    unparseable names (debug copies like base_upto_3.bak) are skipped,
+    never crashed on."""
+    import os
+
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for d in os.listdir(root):
+        if d.startswith("base_upto_"):
+            try:
+                out.append((int(d.rsplit("_", 1)[1]), os.path.join(root, d)))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _view_deltas(root: str) -> list[tuple[int, str]]:
+    """Numerically-sorted (batch_id, path) delta dirs; tolerant like
+    :func:`_view_bases`."""
+    import os
+
+    ddir = os.path.join(root, "delta")
+    if not os.path.isdir(ddir):
+        return []
+    out = []
+    for d in os.listdir(ddir):
+        if d.startswith("batch_id="):
+            try:
+                out.append((int(d.split("=", 1)[1]), os.path.join(ddir, d)))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _view_ready_base(root: str) -> tuple[int, str] | None:
+    """Newest base whose _VIEW_READY marker exists (completed write)."""
+    import os
+
+    ready = None
+    for upto, path in _view_bases(root):
+        if os.path.exists(os.path.join(path, "_VIEW_READY")):
+            ready = (upto, path)
+    return ready
+
+
 def aggregate_view_sink(
     view_path: str,
     keys: tuple[str, ...],
@@ -324,44 +371,16 @@ def aggregate_view_sink(
 
     root = view_path.rstrip("/")
 
-    def _bases() -> list[tuple[int, str]]:
-        if not os.path.isdir(root):
-            return []
-        out = []
-        for d in os.listdir(root):
-            if d.startswith("base_upto_"):
-                try:
-                    out.append((int(d.rsplit("_", 1)[1]), os.path.join(root, d)))
-                except ValueError:
-                    continue
-        return sorted(out)
-
-    def _deltas() -> list[tuple[int, str]]:
-        ddir = os.path.join(root, "delta")
-        if not os.path.isdir(ddir):
-            return []
-        out = []
-        for d in os.listdir(ddir):
-            if d.startswith("batch_id="):
-                try:
-                    out.append((int(d.split("=", 1)[1]), os.path.join(ddir, d)))
-                except ValueError:
-                    continue
-        return sorted(out)
-
     def _recover() -> tuple[int, str] | None:
         """Newest READY base; drop incomplete bases and covered deltas."""
-        ready = None
-        for upto, path in _bases():
-            if os.path.exists(os.path.join(path, "_VIEW_READY")):
-                ready = (upto, path)
+        ready = _view_ready_base(root)
         # every other base is either incomplete (no marker) or an older
         # ready base stranded by a crash between marker and cleanup
-        for upto, path in _bases():
+        for upto, path in _view_bases(root):
             if (upto, path) != ready:
                 shutil.rmtree(path, ignore_errors=True)
         if ready is not None:
-            for bid, path in _deltas():
+            for bid, path in _view_deltas(root):
                 if bid <= ready[0]:
                     shutil.rmtree(path, ignore_errors=True)
         return ready
@@ -372,7 +391,11 @@ def aggregate_view_sink(
         summary = summarize(batch_df, keys, measures, approx_distinct)
         delta_dir = os.path.join(root, "delta", f"batch_id={batch_id}")
         summary.write.mode("overwrite").parquet(delta_dir)
-        deltas = [(b, p) for b, p in _deltas() if ready is None or b > ready[0]]
+        deltas = [
+            (b, p)
+            for b, p in _view_deltas(root)
+            if ready is None or b > ready[0]
+        ]
         if len(deltas) < compact_every:
             return
         merged = spark.read.parquet(*[p for _, p in deltas])
@@ -413,25 +436,15 @@ def read_aggregate_view(
 
     root = view_path.rstrip("/")
     paths = []
-    ready = None
-    if os.path.isdir(root):
-        # numeric order — lexicographic would rank base_upto_9 above
-        # base_upto_10 and read a stale base
-        for d in sorted(
-            (d for d in os.listdir(root) if d.startswith("base_upto_")),
-            key=lambda d: int(d.rsplit("_", 1)[1]),
-        ):
-            if os.path.exists(os.path.join(root, d, "_VIEW_READY")):
-                ready = (int(d.rsplit("_", 1)[1]), os.path.join(root, d))
+    # shared tolerant listing: numeric order (lexicographic would rank
+    # base_upto_9 above base_upto_10) and stray names skipped, matching
+    # the writer's own parsers
+    ready = _view_ready_base(root)
     if ready is not None:
         paths.append(ready[1])
-    ddir = os.path.join(root, "delta")
-    if os.path.isdir(ddir):
-        for d in sorted(os.listdir(ddir)):
-            if d.startswith("batch_id="):
-                bid = int(d.split("=", 1)[1])
-                if ready is None or bid > ready[0]:
-                    paths.append(os.path.join(ddir, d))
+    for bid, path in _view_deltas(root):
+        if ready is None or bid > ready[0]:
+            paths.append(path)
     if not paths:
         raise FileNotFoundError(f"no view state under {view_path!r}")
     state = spark.read.parquet(*paths)

@@ -223,6 +223,15 @@ def test_resample_locf_gapfill_semantics(spark):
             df, ("k",), "ts", 10, aggs, max_buckets_per_key=1
         ).collect()
 
+    # pre-epoch timestamps bucket by FLOOR, not truncation: -15 s
+    # belongs to bucket -900, never to [0, 900)
+    from flyq_spark.operators.timeseries import time_bucket
+
+    neg = spark.createDataFrame([(-15,), (-900,), (15,)], "sec long").select(
+        time_bucket(F.timestamp_seconds(F.col("sec")), 900).alias("b")
+    )
+    assert [r["b"] for r in neg.collect()] == [-900, -900, 0]
+
 
 def test_incremental_view_merge_and_retract(spark):
     """merge(summarize(a), summarize(b)) == summarize(a ∪ b); keys on
@@ -303,6 +312,27 @@ def test_incremental_view_merge_and_retract(spark):
             ("k",),
             {},
         )
+    # HLL mismatch raises in BOTH directions: a delta-side sketch the
+    # state lacks must not be silently dropped
+    with _pytest.raises(ValueError):
+        merge_increment(
+            summarize(big_a, ("k",), {}), sa, ("k",), ()
+        )
+
+    # op codes outside i/d are a row-level error (an 'u' treated as
+    # insert would silently double-count)
+    bad = spark.createDataFrame([("x", 1, "u")], "k string, v long, op string")
+    with _pytest.raises(Exception, match="op must be"):
+        merge_retractions(state, bad, ("k",), measures).collect()
+
+    # retracting a key's last non-null value restores sum to NULL (the
+    # recompute invariant), not 0
+    st2 = spark.createDataFrame(
+        [("k1", 2, 5, 1)], "k string, n_rows long, v_sum long, v_cnt long"
+    )
+    del2 = spark.createDataFrame([("k1", 5, "d")], "k string, v long, op string")
+    r2 = merge_retractions(st2, del2, ("k",), measures).collect()[0]
+    assert (r2["n_rows"], r2["v_sum"], r2["v_cnt"]) == (1, None, 0)
 
 
 def test_profile_drift_detects_changes(spark):

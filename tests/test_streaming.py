@@ -904,3 +904,12 @@ def test_aggregate_view_sink_merge_compact_replay(spark, tmp_path):
     assert not os.path.isdir(os.path.join(view, "base_upto_1"))
     want2 = {"a": (3, 14, 1, 10), "b": (2, 6, 2, 4), "c": (1, 5, 5, 5)}
     assert snapshot() == want2
+
+    # stray directories (debug copies) are tolerated by BOTH the writer
+    # and the reader — shared listing helpers, never an unguarded int()
+    os.makedirs(os.path.join(view, "base_upto_3.bak"))
+    os.makedirs(os.path.join(view, "delta", "batch_id=7.old"))
+    assert snapshot() == want2
+    sink(batch([("c", 1)]), 4)
+    want3 = dict(want2, c=(2, 6, 1, 5))
+    assert snapshot() == want3
