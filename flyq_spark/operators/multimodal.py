@@ -10,8 +10,9 @@ modalities).
 The decode/feature kernels are Arrow-batched ``mapInPandas`` with real
 schemas, partitioning, and batch shapes. Decoding is REAL for formats
 whose specs need nothing beyond stdlib+numpy — binary netpbm (PGM/PPM),
-uncompressed BMP, PCM WAV — sniffed by magic bytes; compressed codecs
-(JPEG/PNG/MP3/H.264) fall back to ``_decode_stub``, a clearly-marked
+uncompressed BMP, PNG (zlib inflate + scanline unfiltering), PCM WAV —
+sniffed by magic bytes; codecs that genuinely need external libraries
+(JPEG/MP3/H.264) fall back to ``_decode_stub``, a clearly-marked
 deterministic fake (this container has no image/audio libraries), so the
 Spark-side plumbing is fully testable either way. Swapping in
 PIL/torchaudio for the compressed formats is a one-function change.
@@ -152,12 +153,14 @@ def _decode_stub(payload: bytes, kind: str, feature_dim: int) -> dict:
 
 
 # -- real decoders for library-free formats ----------------------------- #
-# Formats whose specs need nothing beyond stdlib struct + numpy get REAL
-# decoders: netpbm P5/P6 (binary PGM/PPM), uncompressed BMP (BI_RGB
-# 24/32 bpp), and PCM WAV (8/16-bit RIFF). Payloads are sniffed by magic
-# bytes; anything else (JPEG/PNG/MP3/H.264 — codecs that genuinely need
-# PIL/libav) falls back to the documented stub, so existing stub-pinned
-# tests and gate values are unchanged for non-media payloads.
+# Formats whose specs need nothing beyond stdlib struct/zlib + numpy get
+# REAL decoders: netpbm P5/P6 (binary PGM/PPM), uncompressed BMP (BI_RGB
+# 24/32 bpp), PNG (non-interlaced, 8/16-bit, all five scanline filters,
+# color types 0/2/3/4/6 — zlib inflate + numpy unfiltering), and PCM WAV
+# (8/16-bit RIFF). Payloads are sniffed by magic bytes; anything else
+# (JPEG/MP3/H.264 — codecs that genuinely need PIL/libav) falls back to
+# the documented stub, so existing stub-pinned tests and gate values are
+# unchanged for non-media payloads.
 
 
 def _try_decode_netpbm(payload: bytes):
@@ -242,14 +245,139 @@ def _try_decode_bmp(payload: bytes):
         return None
 
 
+def _try_decode_png(payload: bytes):
+    """PNG (non-interlaced, bit depth 8/16, color types 0/2/3/4/6) —
+    REAL decode with stdlib zlib + numpy scanline unfiltering (the PNG
+    spec's five filters; Sub via per-channel cumsum, Average/Paeth as a
+    per-pixel recurrence vectorized across channels). Adam7 interlace
+    and sub-byte depths are rejected (return None → stub fallback), as
+    is any dimension bomb. Returns a float64 luma matrix or None."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    try:
+        pos, ihdr, idat, plte = 8, None, [], None
+        while pos + 8 <= len(payload):
+            length, ctype = struct.unpack_from(">I4s", payload, pos)
+            pos += 8
+            if length > len(payload) - pos:
+                return None
+            data = payload[pos : pos + length]
+            pos += length + 4  # skip CRC (integrity is the store's job)
+            if ctype == b"IHDR":
+                ihdr = struct.unpack(">IIBBBBB", data)
+            elif ctype == b"PLTE":
+                if len(data) % 3:
+                    return None
+                plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+            elif ctype == b"IDAT":
+                idat.append(data)
+            elif ctype == b"IEND":
+                break
+        if ihdr is None or not idat:
+            return None
+        w, h, depth, color, comp, filt, interlace = ihdr
+        nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+        if (
+            comp != 0
+            or filt != 0
+            or interlace != 0
+            or depth not in (8, 16)
+            or nch is None
+            or (color == 3 and (plte is None or depth != 8))
+            or not (0 < w and 0 < h)
+        ):
+            return None
+        bpp = nch * (depth // 8)
+        stride = w * bpp
+        need = (stride + 1) * h
+        # allocation-bomb guard: a small IDAT can CLAIM huge dims, and
+        # zlib would happily inflate a bomb — bound both the decoded
+        # size and the inflater's output (max_length caps allocation)
+        if need > 268_435_456:  # 256 MiB of scanline bytes
+            return None
+        raw = zlib.decompressobj().decompress(b"".join(idat), need)
+        if len(raw) < need:
+            return None
+        arr = np.frombuffer(
+            raw, dtype=np.uint8, count=(stride + 1) * h
+        ).reshape(h, stride + 1)
+        ftypes = arr[:, 0]
+        out = np.zeros((h, stride), np.uint16)
+        prev = np.zeros(stride, np.uint16)
+        for y in range(h):
+            f = int(ftypes[y])
+            line = arr[y, 1:].astype(np.uint16)
+            if f == 0:
+                rec = line
+            elif f == 1:  # Sub: per-channel prefix sum mod 256
+                rec = (
+                    line.reshape(w, bpp).cumsum(axis=0, dtype=np.uint64) % 256
+                ).astype(np.uint16).reshape(stride)
+            elif f == 2:  # Up
+                rec = (line + prev) & 0xFF
+            elif f in (3, 4):  # Average / Paeth: serial in x, vector in ch
+                rec = line.reshape(w, bpp)
+                pv = prev.reshape(w, bpp).astype(np.int64)
+                left = np.zeros(bpp, np.int64)
+                ul = np.zeros(bpp, np.int64)
+                for x in range(w):
+                    up = pv[x]
+                    if f == 3:
+                        pred = (left + up) >> 1
+                    else:
+                        p = left + up - ul
+                        pa, pb, pc = (
+                            np.abs(p - left),
+                            np.abs(p - up),
+                            np.abs(p - ul),
+                        )
+                        pred = np.where(
+                            (pa <= pb) & (pa <= pc),
+                            left,
+                            np.where(pb <= pc, up, ul),
+                        )
+                    left = (rec[x] + pred) & 0xFF
+                    rec[x] = left
+                    ul = up
+                rec = rec.reshape(stride)
+            else:
+                return None
+            out[y] = rec
+            prev = rec
+        if depth == 16:
+            px = out.reshape(h, w, nch, 2).astype(np.float64)
+            vals = (px[..., 0] * 256 + px[..., 1]) * (255.0 / 65535.0)
+        else:
+            vals = out.reshape(h, w, nch).astype(np.float64)
+        if color == 3:
+            rgb = plte[out.reshape(h, w).astype(np.intp)].astype(np.float64)
+            return (
+                rgb[..., 0] * 0.299 + rgb[..., 1] * 0.587 + rgb[..., 2] * 0.114
+            )
+        if color in (0, 4):  # gray / gray+alpha: luma = gray channel
+            return vals[:, :, 0]
+        return (
+            vals[..., 0] * 0.299 + vals[..., 1] * 0.587 + vals[..., 2] * 0.114
+        )
+    except (ValueError, IndexError, struct.error, zlib.error):
+        return None
+
+
 def _try_decode_image(payload: bytes):
-    """The one image sniff chain (netpbm, then BMP) — shared by feature
-    extraction and the dHash luma grid so 'which payloads decode for
-    real' can never diverge between them. Returns a float64 luma matrix
-    or None."""
+    """The one image sniff chain (netpbm, then BMP, then PNG) — shared
+    by feature extraction and the dHash luma grid so 'which payloads
+    decode for real' can never diverge between them. Returns a float64
+    luma matrix or None."""
     luma = _try_decode_netpbm(payload)
     if luma is None:
         luma = _try_decode_bmp(payload)
+    if luma is None:
+        luma = _try_decode_png(payload)
     return luma
 
 

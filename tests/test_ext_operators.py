@@ -1052,6 +1052,31 @@ def test_media_decoders_never_raise_on_garbage():
         b"BM" + b"\x00" * 8 + struct.pack("<I", 54)
         + struct.pack("<IiiHHI", 40, 2**30, 2**30, 1, 24, 0) + b"\x00" * 20
     )
+    # PNG adversaries: valid-magic garbage, truncations of a valid file,
+    # and a zlib bomb behind giant claimed dims (the decompress cap must
+    # bound allocation, not just the post-inflate length check)
+    sig = b"\x89PNG\r\n\x1a\n"
+    cases += [
+        sig + bytes(rng.randrange(256) for _ in range(rng.randrange(100)))
+        for _ in range(200)
+    ]
+    png = _make_png([[[x, y, 0] for x in range(4)] for y in range(3)])
+    cases += [png[:cut] for cut in range(0, len(png), 3)]
+    import zlib as _zlib
+
+    def _chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", _zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    bomb = (
+        sig
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2**16, 2**15, 8, 2, 0, 0, 0))
+        + _chunk(b"IDAT", _zlib.compress(b"\x00" * 10_000_000, 9))
+        + _chunk(b"IEND", b"")
+    )
+    cases.append(bomb)
     for b in cases:
         d = _decode_payload(b, "image", 8)
         assert len(d["feature"]) == 8
@@ -3243,3 +3268,175 @@ def test_connected_components_string_ids(spark):
     got = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
     assert got == {"a": "a", "b": "a", "c": "a", "d": "a", "e": "a",
                    "x": "x", "y": "x"}
+
+
+def _make_png(pixels, color_type=2, bit_depth=8, filters=None, interlace=0,
+              palette=None):
+    """Reference PNG encoder (struct+zlib) with per-row filter choice —
+    forward-filters scanlines so the decoder must invert all 5 filter
+    types. `pixels`: h x w x nch nested lists of ints."""
+    import struct
+    import zlib
+
+    h = len(pixels)
+    w = len(pixels[0])
+    nch = len(pixels[0][0])
+    bps = bit_depth // 8
+    bpp = nch * bps
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    def sample_bytes(v):
+        return v.to_bytes(bps, "big")
+
+    rows = []
+    for y in range(h):
+        raw = b"".join(
+            sample_bytes(c) for x in range(w) for c in pixels[y][x]
+        )
+        rows.append(raw)
+    filters = filters or [0] * h
+    out = b""
+    prev = bytes(len(rows[0]))
+    for y, raw in enumerate(rows):
+        f = filters[y]
+        line = bytearray(raw)
+        if f == 1:
+            for x in range(len(line) - 1, -1, -1):
+                a = raw[x - bpp] if x >= bpp else 0
+                line[x] = (raw[x] - a) & 0xFF
+        elif f == 2:
+            for x in range(len(line)):
+                line[x] = (raw[x] - prev[x]) & 0xFF
+        elif f == 3:
+            for x in range(len(line)):
+                a = raw[x - bpp] if x >= bpp else 0
+                line[x] = (raw[x] - ((a + prev[x]) >> 1)) & 0xFF
+        elif f == 4:
+            for x in range(len(line)):
+                a = raw[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[x] = (raw[x] - pr) & 0xFF
+        out += bytes([f]) + bytes(line)
+        prev = raw
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0, interlace)
+    png = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        png += chunk(b"PLTE", bytes(c for rgb in palette for c in rgb))
+    png += chunk(b"IDAT", zlib.compress(out)) + chunk(b"IEND", b"")
+    return png
+
+
+def test_png_decoder_all_filters_and_color_types():
+    """The stdlib-zlib PNG decoder inverts all five scanline filters
+    bit-exactly (differential vs a reference encoder over a seeded
+    image), handles gray/RGB/palette/alpha/16-bit, agrees with the
+    netpbm decoder on identical pixels, and rejects Adam7."""
+    import hashlib
+
+    import numpy as np
+
+    from flyq_spark.operators.multimodal import (
+        _try_decode_netpbm,
+        _try_decode_png,
+    )
+
+    rng = [
+        int(hashlib.md5(f"px{i}".encode()).hexdigest()[:2], 16)
+        for i in range(9 * 11 * 3)
+    ]
+    w, h = 11, 9
+    rgb = [
+        [[rng[(y * w + x) * 3 + c] for c in range(3)] for x in range(w)]
+        for y in range(h)
+    ]
+    want = np.array(
+        [[r * 0.299 + g * 0.587 + b * 0.114 for (r, g, b) in row] for row in rgb]
+    )
+    # every filter type exercised, incl. consecutive Paeth rows
+    png = _make_png(rgb, filters=[0, 1, 2, 3, 4, 4, 3, 2, 1])
+    got = _try_decode_png(png)
+    assert got is not None and np.allclose(got, want, atol=1e-9)
+
+    # parity with the netpbm decoder on the same pixels
+    ppm = f"P6\n{w} {h}\n255\n".encode() + bytes(
+        c for row in rgb for px in row for c in px
+    )
+    assert np.allclose(_try_decode_netpbm(ppm), got, atol=1e-9)
+
+    # grayscale, gray+alpha (luma = gray channel), RGBA, palette, 16-bit
+    gray = [[[v[0]] for v in row] for row in rgb]
+    assert np.allclose(
+        _try_decode_png(_make_png(gray, color_type=0, filters=[4] * h)),
+        np.array([[v[0] for v in row] for row in gray]),
+    )
+    ga = [[[v[0], 128] for v in row] for row in rgb]
+    assert np.allclose(
+        _try_decode_png(_make_png(ga, color_type=4, filters=[3] * h)),
+        np.array([[v[0] for v in row] for row in ga]),
+    )
+    rgba = [[px + [200] for px in row] for row in rgb]
+    assert np.allclose(
+        _try_decode_png(_make_png(rgba, color_type=6, filters=[1] * h)), want
+    )
+    pal = [(i, 255 - i, i // 2) for i in range(256)]
+    idx = [[[rng[y * w + x]] for x in range(w)] for y in range(h)]
+    want_pal = np.array(
+        [
+            [
+                pal[i[0]][0] * 0.299 + pal[i[0]][1] * 0.587 + pal[i[0]][2] * 0.114
+                for i in row
+            ]
+            for row in idx
+        ]
+    )
+    assert np.allclose(
+        _try_decode_png(_make_png(idx, color_type=3, palette=pal, filters=[2] * h)),
+        want_pal,
+    )
+    deep = [[[v * 257 for v in px] for px in row] for row in rgb]
+    got16 = _try_decode_png(_make_png(deep, bit_depth=16, filters=[4] * h))
+    assert np.allclose(got16, want, atol=1e-9)  # 257/65535 == 1/255 exactly
+
+    # Adam7 and truncated payloads reject cleanly (stub fallback)
+    assert _try_decode_png(_make_png(rgb, interlace=1)) is None
+    assert _try_decode_png(png[:40]) is None
+    assert _try_decode_png(b"\x89PNG\r\n\x1a\n" + b"\x00" * 20) is None
+
+
+def test_png_through_arrow_and_phash(spark):
+    """A PNG payload flows through the SAME Arrow feature/phash path as
+    netpbm — identical pixels, identical perceptual hash."""
+    from flyq_spark.operators.multimodal import (
+        attach_media,
+        extract_features,
+        perceptual_hash,
+    )
+
+    w, h = 16, 9
+    rgb = [[[x * 15, x * 15, x * 15] for x in range(w)] for y in range(h)]
+    png = _make_png(rgb, filters=[4] * h)
+    ppm = f"P6\n{w} {h}\n255\n".encode() + bytes(
+        c for row in rgb for px in row for c in px
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(ppm))], "id long, blob binary"
+    )
+    media = attach_media(df, "blob", kind="image")
+    feats = {r["id"]: r for r in extract_features(media).join(
+        media.select("id", "content_id"), "content_id").collect()}
+    assert feats[1]["width"] == w and feats[1]["height"] == h
+    assert feats[1]["feature"] == feats[2]["feature"]
+    hashes = [
+        r["phash"]
+        for r in perceptual_hash(media.select("content_id", "payload").distinct()).collect()
+    ]
+    assert len(set(hashes)) == 1  # same pixels -> same dHash
