@@ -2087,6 +2087,28 @@ def q_fuzzy_title_pairs(spark, sf_dir):
     )
 
 
+def q_value_histogram(spark, sf_dir):
+    """Exact fixed-width value histogram per event type (operators/
+    profile.py:value_histogram): integer cents, 2500c bins, one
+    partial-aggregated groupBy — bins-sized output at any row count."""
+    from flyq_spark.operators.profile import value_histogram
+
+    ev = _read(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    return value_histogram(ev, cents, 2500, keys=("event_type",))
+
+
+def q_rfm_segments(spark, sf_dir):
+    """RFM customer segmentation (operators/sessions.py:rfm_segments):
+    recency vs the fixed 2024-02-01 reference, frequency, monetary
+    cents, each NTILE(4)-scored with user-id tie-breaks — fully
+    deterministic, engine-replayable."""
+    from flyq_spark.operators.sessions import rfm_segments
+
+    ev = _read(spark, sf_dir, "events")
+    return rfm_segments(ev, "2024-02-01")
+
+
 def q_impute_group_stats(spark, sf_dir):
     """Group-statistic NULL imputation (operators/impute.py): the
     deterministic NULL lattice (event_id % 13) is filled per event
@@ -2858,9 +2880,9 @@ _DRIVER_WINDOW = [
     "rolling_7day_value", "event_transitions", "neardup_triangles",
     # r5-proven rows kept to re-confirm the broad surface
     "produce_log", "route_keyed", "consume_with_group",
-    "partition_health", "watermarks", "asof_last_purchase",
+    "partition_health", "watermarks",
     "range_join_pairs", "cdc_apply",
-    "simhash_md5_neardup", "corpus_prep_pipeline",
+    "corpus_prep_pipeline",
     "session_window_counts",
     # new in r6: paragraph dedup, rows-only→oracle conversions, and the
     # data-platform additions (quality / funnel / outliers / drift)
@@ -2870,6 +2892,7 @@ _DRIVER_WINDOW = [
     # maintenance, gap-fill/LOCF, fuzzy edit-distance join
     "boilerplate_removal", "incremental_agg", "incremental_retract",
     "gap_fill_locf", "fuzzy_title_pairs", "impute_group_stats",
+    "value_histogram", "rfm_segments",
 ]
 
 
@@ -3008,6 +3031,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_fill_locf": q_gap_fill_locf,
         "fuzzy_title_pairs": q_fuzzy_title_pairs,
         "impute_group_stats": q_impute_group_stats,
+        "value_histogram": q_value_histogram,
+        "rfm_segments": q_rfm_segments,
         "incremental_retract": q_incremental_retract,
         "scd2_history": q_scd2_history,
         "session_window_counts": q_session_window_counts,
@@ -4659,6 +4684,32 @@ SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
        CAST(sum(gap) AS BIGINT) AS sum_gap_us
 FROM gaps WHERE gap IS NOT NULL
 GROUP BY user_id
+""",
+        "value_histogram": """
+SELECT event_type,
+       (CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 2500) * 2500
+         AS bin_start,
+       count(*) AS n
+FROM events
+WHERE value IS NOT NULL
+GROUP BY 1, 2
+""",
+        "rfm_segments": """
+WITH per_user AS (
+  SELECT user_id,
+         datediff('day', CAST(max(ts) AS DATE), DATE '2024-02-01')
+           AS recency_days,
+         count(*) AS frequency,
+         CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+           AS monetary_c
+  FROM events GROUP BY user_id
+)
+SELECT user_id, CAST(recency_days AS INTEGER) AS recency_days,
+       frequency, monetary_c,
+       ntile(4) OVER (ORDER BY recency_days ASC, user_id ASC) AS r_score,
+       ntile(4) OVER (ORDER BY frequency DESC, user_id ASC) AS f_score,
+       ntile(4) OVER (ORDER BY monetary_c DESC, user_id ASC) AS m_score
+FROM per_user
 """,
         "impute_group_stats": """
 WITH v AS (

@@ -200,3 +200,34 @@ def check_constraints(df: DataFrame, rules: list[dict]) -> DataFrame:
         ),
         F.col("_n").alias("n_rows"),
     )
+
+
+def value_histogram(
+    df: DataFrame,
+    col: Column,
+    bin_width: int,
+    keys: tuple[str, ...] = (),
+) -> DataFrame:
+    """Exact fixed-width histogram of an INTEGER expression (scale money
+    to cents upstream): one row per (keys, bin_start) with the exact
+    count — the engine-replayable form of ``width_bucket`` profiling.
+    NULL values are excluded (they have no bin). ``bin_start`` is a
+    true FLOOR multiple of ``bin_width`` at any sign (Spark's ``div``
+    truncates toward zero; the remainder correction keeps negative
+    values in the bucket BELOW them, matching the time_bucket fix).
+
+    One partial-aggregated groupBy — the histogram is bins-sized,
+    independent of row count; at 100 TB this is the cheapest shape a
+    distribution summary can have."""
+    if bin_width <= 0:
+        raise ValueError(f"bin_width must be positive, got {bin_width}")
+    wide = F.lit(int(bin_width)).cast("long")
+    v = col.cast("long")
+    q = F.call_function("div", v, wide)
+    floor_q = F.when((v < 0) & (v % wide != 0), q - F.lit(1).cast("long")).otherwise(q)
+    return (
+        df.where(v.isNotNull())
+        .select(*keys, (floor_q * wide).alias("bin_start"))
+        .groupBy(*keys, "bin_start")
+        .agg(F.count("*").alias("n"))
+    )

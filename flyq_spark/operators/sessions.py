@@ -267,3 +267,50 @@ def cohort_retention(
         )
         .agg(F.count("*").cast("long").alias("n_users"))
     )
+
+
+def rfm_segments(
+    events: DataFrame,
+    ref_ts,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_c: Column | None = None,
+    n_tiles: int = 4,
+) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary), the classic
+    customer-analytics operator: per user — days since last event
+    (relative to the DETERMINISTIC ``ref_ts`` literal, never now()),
+    event count, summed integer value — each scored into ``n_tiles``
+    NTILE buckets where tile 1 is BEST (most recent / most frequent /
+    highest value), ties broken by user id so the segmentation is
+    reproducible on any engine.
+
+    Plan: one groupBy(user) for the three metrics, then three NTILE
+    windows over the user-sized aggregate (not the event table). The
+    windows order the FULL user set — at extreme user cardinality,
+    swap NTILE for a percent_rank bucket if a global sort per metric
+    ever dominates; same output contract."""
+    from pyspark.sql import Column as _Column
+
+    if value_c is None:
+        value_c = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    assert isinstance(value_c, _Column)
+    per_user = events.groupBy(user_col).agg(
+        F.datediff(F.lit(ref_ts).cast("timestamp"), F.max(ts_col)).alias(
+            "recency_days"
+        ),
+        F.count("*").alias("frequency"),
+        F.sum(value_c).alias("monetary_c"),
+    )
+    w_r = Window.orderBy(F.col("recency_days").asc(), F.col(user_col).asc())
+    w_f = Window.orderBy(F.col("frequency").desc(), F.col(user_col).asc())
+    w_m = Window.orderBy(F.col("monetary_c").desc(), F.col(user_col).asc())
+    return per_user.select(
+        user_col,
+        "recency_days",
+        "frequency",
+        "monetary_c",
+        F.ntile(n_tiles).over(w_r).alias("r_score"),
+        F.ntile(n_tiles).over(w_f).alias("f_score"),
+        F.ntile(n_tiles).over(w_m).alias("m_score"),
+    )

@@ -100,6 +100,46 @@ def test_boilerplate_removal_cross_doc_threshold(spark):
         boilerplate_removal(df, min_docs=0)
 
 
+def test_value_histogram_floor_bins_and_rfm(spark):
+    """Histogram bins are FLOOR multiples at any sign (-1 lands in
+    [-10,0), not [0,10)); NULLs have no bin. RFM: tile 1 is best on all
+    three axes and ties break by user id."""
+    import pytest as _pytest
+
+    from flyq_spark.operators.profile import value_histogram
+    from flyq_spark.operators.sessions import rfm_segments
+
+    df = spark.createDataFrame(
+        [(v,) for v in (-11, -10, -1, 0, 9, 10, None)], "v long"
+    )
+    got = {
+        r["bin_start"]: r["n"]
+        for r in value_histogram(df, F.col("v"), 10).collect()
+    }
+    assert got == {-20: 1, -10: 2, 0: 2, 10: 1}
+    with _pytest.raises(ValueError):
+        value_histogram(df, F.col("v"), 0)
+
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-30", 100.0), (1, "2024-01-30", 100.0),  # recent, frequent, rich
+            (2, "2024-01-10", 50.0),
+            (3, "2024-01-01", 1.0),
+            (4, "2024-01-20", 200.0),
+        ],
+        "user_id long, d string, value double",
+    ).select("user_id", F.col("d").cast("timestamp").alias("ts"), "value")
+    rfm = {
+        r["user_id"]: (r["recency_days"], r["frequency"], r["monetary_c"],
+                       r["r_score"], r["f_score"], r["m_score"])
+        for r in rfm_segments(ev, "2024-02-01").collect()
+    }
+    assert rfm[1] == (2, 2, 20000, 1, 1, 1)   # best on all axes
+    assert rfm[3][3] == 4 and rfm[3][5] == 4  # oldest, poorest
+    # frequency ties (users 2,3,4 all freq 1) break by user id ascending
+    assert (rfm[2][4], rfm[3][4], rfm[4][4]) == (2, 3, 4)
+
+
 def test_impute_group_stat_strategies(spark):
     """Median is the exact lower median; mean is truncating integer
     division; mode breaks ties to the smallest value; an all-NULL group
