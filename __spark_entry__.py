@@ -2087,10 +2087,52 @@ def q_fuzzy_title_pairs(spark, sf_dir):
     )
 
 
-def q_value_histogram(spark, sf_dir):
+def q_basket_pairs(spark, sf_dir):
+    """Market-basket co-occurrence (operators/sessions.py:
+    cooccurrence_pairs): users as baskets, event types as items —
+    distinct-first pre-aggregation, basket-key self-join, exact
+    supports. The Σk² pair expansion is the documented cost model;
+    degenerate baskets are excluded by contract (none at this
+    catalog size)."""
+    from flyq_spark.operators.sessions import cooccurrence_pairs
+
+    ev = _read(spark, sf_dir, "events")
+    return cooccurrence_pairs(ev, "user_id", "event_type")
+
+
+def q_seasonal_naive(spark, sf_dir):
+    """Seasonal-naive forecast backtest (operators/timeseries.py:
+    seasonal_naive_backtest over resample_locf): hourly LOCF-densified
+    value series per event type, prediction = value 24 buckets (one
+    day) earlier, exact-integer MAE numerator — the composed
+    gap-fill → forecast-baseline flow a metrics pipeline runs."""
+    from flyq_spark.operators.timeseries import (
+        resample_locf,
+        seasonal_naive_backtest,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    series = resample_locf(
+        ev,
+        ("event_type",),
+        "ts",
+        3600,
+        {"value_c": F.max(cents)},
+        fill=("value_c",),
+    )
+    return seasonal_naive_backtest(
+        series, ("event_type",), "bucket_start_s", "value_c", 24
+    )
+
+
+def q_value_histogram_by_type(spark, sf_dir):
     """Exact fixed-width value histogram per event type (operators/
-    profile.py:value_histogram): integer cents, 2500c bins, one
-    partial-aggregated groupBy — bins-sized output at any row count."""
+    profile.py:value_histogram): integer cents, 2500c bins, true floor
+    bin starts, one partial-aggregated groupBy — bins-sized output at
+    any row count. (Distinct from the older keyless clamped-bucket
+    `value_histogram` gate: this one exercises the reusable operator
+    with group keys and unclamped floor bins.)"""
     from flyq_spark.operators.profile import value_histogram
 
     ev = _read(spark, sf_dir, "events")
@@ -2879,11 +2921,9 @@ _DRIVER_WINDOW = [
     "hashed_doc_vectors", "ann_filtered_topk", "normalize_text",
     "rolling_7day_value", "event_transitions", "neardup_triangles",
     # r5-proven rows kept to re-confirm the broad surface
-    "produce_log", "route_keyed", "consume_with_group",
-    "partition_health", "watermarks",
-    "range_join_pairs", "cdc_apply",
-    "corpus_prep_pipeline",
-    "session_window_counts",
+    "produce_log", "consume_with_group",
+    "partition_health", "watermarks", "cdc_apply",
+    "corpus_prep_pipeline", "session_window_counts",
     # new in r6: paragraph dedup, rows-only→oracle conversions, and the
     # data-platform additions (quality / funnel / outliers / drift)
     "paragraph_dedup", "multimodal_features", "phash_neardup",
@@ -2892,7 +2932,8 @@ _DRIVER_WINDOW = [
     # maintenance, gap-fill/LOCF, fuzzy edit-distance join
     "boilerplate_removal", "incremental_agg", "incremental_retract",
     "gap_fill_locf", "fuzzy_title_pairs", "impute_group_stats",
-    "value_histogram", "rfm_segments",
+    "value_histogram_by_type", "rfm_segments",
+    "basket_pairs", "seasonal_naive",
 ]
 
 
@@ -3031,7 +3072,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_fill_locf": q_gap_fill_locf,
         "fuzzy_title_pairs": q_fuzzy_title_pairs,
         "impute_group_stats": q_impute_group_stats,
-        "value_histogram": q_value_histogram,
+        "value_histogram_by_type": q_value_histogram_by_type,
+        "basket_pairs": q_basket_pairs,
+        "seasonal_naive": q_seasonal_naive,
         "rfm_segments": q_rfm_segments,
         "incremental_retract": q_incremental_retract,
         "scd2_history": q_scd2_history,
@@ -4685,7 +4728,54 @@ SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
 FROM gaps WHERE gap IS NOT NULL
 GROUP BY user_id
 """,
-        "value_histogram": """
+        "basket_pairs": """
+WITH bi AS (SELECT DISTINCT user_id, event_type FROM events),
+sz AS (SELECT user_id FROM bi GROUP BY user_id HAVING count(*) <= 10000),
+b2 AS (SELECT bi.user_id, bi.event_type FROM bi JOIN sz USING (user_id)),
+sup AS (SELECT event_type, count(*) AS sup FROM b2 GROUP BY 1),
+p AS (
+  SELECT a.event_type AS item_a, b.event_type AS item_b,
+         count(*) AS n_baskets
+  FROM b2 a JOIN b2 b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT item_a, item_b, n_baskets,
+       sa.sup AS support_a, sb.sup AS support_b
+FROM p
+JOIN sup sa ON p.item_a = sa.event_type
+JOIN sup sb ON p.item_b = sb.event_type
+""",
+        "seasonal_naive": """
+WITH obs AS (
+  SELECT event_type,
+         (epoch_us(ts) // 3600000000) * 3600 AS b,
+         max(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS v
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT event_type, min(b) AS lo, max(b) AS hi FROM obs GROUP BY 1),
+grid AS (
+  SELECT event_type, CAST(t.g AS BIGINT) AS b
+  FROM span, UNNEST(range(lo, hi + 3600, 3600)) AS t(g)
+),
+filled AS (
+  SELECT g.event_type, g.b,
+         last_value(o.v IGNORE NULLS) OVER (
+           PARTITION BY g.event_type ORDER BY g.b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+  FROM grid g LEFT JOIN obs o ON g.event_type = o.event_type AND g.b = o.b
+),
+scored AS (
+  SELECT event_type, b, v,
+         lag(v, 24) OVER (PARTITION BY event_type ORDER BY b) AS pred
+  FROM filled
+)
+SELECT event_type,
+       count(CASE WHEN v IS NOT NULL AND pred IS NOT NULL THEN 1 END)
+         AS n_scored,
+       CAST(sum(abs(v - pred)) AS BIGINT) AS sum_abs_err
+FROM scored GROUP BY event_type
+""",
+        "value_histogram_by_type": """
 SELECT event_type,
        (CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 2500) * 2500
          AS bin_start,

@@ -314,3 +314,63 @@ def rfm_segments(
         F.ntile(n_tiles).over(w_f).alias("f_score"),
         F.ntile(n_tiles).over(w_m).alias("m_score"),
     )
+
+
+def cooccurrence_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_baskets: int = 1,
+    max_items_per_basket: int = 10_000,
+) -> DataFrame:
+    """Market-basket co-occurrence (the support-counting core of
+    Apriori): for every unordered item pair, in how many DISTINCT
+    baskets they appear together, alongside each item's own basket
+    support. ``min_baskets`` filters the pair output; items compare
+    as strings in the pair ordering (item_a < item_b).
+
+    Scale shape: (basket, item) pairs dedup FIRST (map-side combined
+    distinct — a user clicking the same product 1M times contributes
+    one row), then the pair expansion self-joins on the basket key:
+    cost is Σ k_b² over per-basket distinct-item counts k_b. That sum,
+    not row count, is the operator's true size — so baskets with more
+    than ``max_items_per_basket`` distinct items are EXCLUDED (the
+    standard Apriori practice for degenerate baskets: a crawler
+    touching the whole catalog says nothing about affinity and would
+    quadratically dominate the join). The exclusion is a documented
+    semantic, mirrored in the oracle, not a silent truncation."""
+    if min_baskets < 1:
+        raise ValueError(f"min_baskets must be >= 1, got {min_baskets}")
+    if max_items_per_basket < 2:
+        raise ValueError(
+            f"max_items_per_basket must be >= 2, got {max_items_per_basket}"
+        )
+    bi = df.select(basket_col, item_col).distinct()
+    sizes = bi.groupBy(basket_col).agg(F.count("*").alias("_k"))
+    ok = sizes.where(F.col("_k") <= max_items_per_basket).select(basket_col)
+    bi = bi.join(ok, basket_col, "left_semi")
+    support = bi.groupBy(item_col).agg(F.count("*").alias("_sup"))
+    a = bi.select(F.col(basket_col).alias("_b"), F.col(item_col).alias("item_a"))
+    b = bi.select(F.col(basket_col).alias("_b"), F.col(item_col).alias("item_b"))
+    pairs = (
+        a.join(b, "_b")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("n_baskets"))
+        .where(F.col("n_baskets") >= F.lit(min_baskets))
+    )
+    return (
+        pairs.join(
+            support.select(
+                F.col(item_col).alias("item_a"), F.col("_sup").alias("support_a")
+            ),
+            "item_a",
+        )
+        .join(
+            support.select(
+                F.col(item_col).alias("item_b"), F.col("_sup").alias("support_b")
+            ),
+            "item_b",
+        )
+        .select("item_a", "item_b", "n_baskets", "support_a", "support_b")
+    )

@@ -130,3 +130,37 @@ def resample_locf(
         cols.append(c.alias(name))
     cols.append(F.coalesce(F.col("_obs"), F.lit(False)).alias("is_observed"))
     return out.select(*cols)
+
+
+def seasonal_naive_backtest(
+    series: DataFrame,
+    keys: tuple[str, ...],
+    bucket_col: str,
+    value_col: str,
+    season: int,
+) -> DataFrame:
+    """Seasonal-naive forecast backtest — the baseline every forecasting
+    pipeline scores against: predict each bucket's value as the value
+    ``season`` buckets earlier (same hour yesterday / same day last
+    week), then report per-key exact-integer error aggregates:
+    ``n_scored`` (buckets with both actual and prediction),
+    ``sum_abs_err`` (MAE numerator — divide by n_scored downstream;
+    keeping the ratio out keeps the row hash-exact).
+
+    REQUIRES a DENSE series (compose with :func:`resample_locf`):
+    ``lag(season)`` counts ROWS, so a gap row that was never
+    densified would silently shift the season alignment. One window
+    per key over the bucket-sized series — never the fact table."""
+    if season < 1:
+        raise ValueError(f"season must be >= 1, got {season}")
+    w = Window.partitionBy(*keys).orderBy(bucket_col)
+    scored = series.withColumn(
+        "_pred", F.lag(value_col, season).over(w)
+    ).withColumn(
+        "_abs_err",
+        F.abs(F.col(value_col).cast("long") - F.col("_pred").cast("long")),
+    )
+    return scored.groupBy(*keys).agg(
+        F.count("_abs_err").alias("n_scored"),
+        F.sum("_abs_err").alias("sum_abs_err"),
+    )

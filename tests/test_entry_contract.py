@@ -74,3 +74,24 @@ def test_entry_runs_on_vanilla_session(spark):
     assert len(rows) >= 1
     cols = set(df.columns)
     assert {"part_id", "lag", "severity"} <= cols
+
+
+def test_no_duplicate_keys_in_gate_dict_literals():
+    """A duplicate key in the queries()/oracle_sql() dict LITERALS is
+    silent (later wins), shadowing a gate query — exactly what happened
+    when a second 'value_histogram' was added in r6. Parse the source
+    and reject duplicate string keys inside any dict display."""
+    import ast
+
+    src = open("/root/repo/__spark_entry__.py").read()
+    tree = ast.parse(src)
+    offenders = []
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Dict):
+            seen = {}
+            for k in node.keys:
+                if isinstance(k, ast.Constant) and isinstance(k.value, str):
+                    if k.value in seen:
+                        offenders.append((k.value, seen[k.value], k.lineno))
+                    seen[k.value] = k.lineno
+    assert not offenders, f"duplicate dict keys (name, first, dup): {offenders}"

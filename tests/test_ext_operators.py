@@ -3480,3 +3480,46 @@ def test_png_through_arrow_and_phash(spark):
         for r in perceptual_hash(media.select("content_id", "payload").distinct()).collect()
     ]
     assert len(set(hashes)) == 1  # same pixels -> same dHash
+
+
+def test_cooccurrence_and_seasonal_naive(spark):
+    """Basket pairs: distinct-first (repeats don't inflate), pair
+    ordering, degenerate-basket exclusion. Seasonal naive: lag-season
+    prediction over a dense series, NULL-safe scoring."""
+    import pytest as _pytest
+
+    from flyq_spark.operators.sessions import cooccurrence_pairs
+    from flyq_spark.operators.timeseries import seasonal_naive_backtest
+
+    ev = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (1, "b"), (2, "a"), (2, "b"), (2, "c"), (3, "a")],
+        "u long, item string",
+    )
+    got = {
+        (r["item_a"], r["item_b"]): (r["n_baskets"], r["support_a"], r["support_b"])
+        for r in cooccurrence_pairs(ev, "u", "item").collect()
+    }
+    assert got == {
+        ("a", "b"): (2, 3, 2),
+        ("a", "c"): (1, 3, 1),
+        ("b", "c"): (1, 2, 1),
+    }
+    # basket 2 (3 distinct items) excluded at cap 2: only pair from basket 1
+    capped = {
+        (r["item_a"], r["item_b"]): r["n_baskets"]
+        for r in cooccurrence_pairs(ev, "u", "item", max_items_per_basket=2).collect()
+    }
+    assert capped == {("a", "b"): 1}
+    with _pytest.raises(ValueError):
+        cooccurrence_pairs(ev, "u", "item", min_baskets=0)
+
+    series = spark.createDataFrame(
+        [("k", b, v) for b, v in enumerate([10, 12, 14, 16, 13, None, 20])],
+        "g string, b long, v long",
+    )
+    r = seasonal_naive_backtest(series, ("g",), "b", "v", 2).collect()[0]
+    # preds: rows 2..6 see rows 0..4 -> errs |14-10|,|16-12|,|13-14|,
+    # (None-16 skipped), |20-13| = 4+4+1+7
+    assert (r["n_scored"], r["sum_abs_err"]) == (4, 16)
+    with _pytest.raises(ValueError):
+        seasonal_naive_backtest(series, ("g",), "b", "v", 0)
