@@ -10,9 +10,10 @@ modalities).
 The decode/feature kernels are Arrow-batched ``mapInPandas`` with real
 schemas, partitioning, and batch shapes. Decoding is REAL for formats
 whose specs need nothing beyond stdlib+numpy — binary netpbm (PGM/PPM),
-uncompressed BMP, PNG (zlib inflate + scanline unfiltering), PCM WAV —
-sniffed by magic bytes; codecs that genuinely need external libraries
-(JPEG/MP3/H.264) fall back to ``_decode_stub``, a clearly-marked
+uncompressed BMP, PNG (zlib inflate + scanline unfiltering), GIF (full
+LZW, interlace, first frame), PCM WAV — sniffed by magic bytes; codecs
+that genuinely need external libraries (JPEG/MP3/H.264) fall back to
+``_decode_stub``, a clearly-marked
 deterministic fake (this container has no image/audio libraries), so the
 Spark-side plumbing is fully testable either way. Swapping in
 PIL/torchaudio for the compressed formats is a one-function change.
@@ -368,16 +369,144 @@ def _try_decode_png(payload: bytes):
         return None
 
 
+def _try_decode_gif(payload: bytes):
+    """GIF87a/89a, FIRST image frame only (the still-image contract the
+    feature/phash kernels need): global/local color tables, full LZW
+    decompression (variable-width codes, clear/EOI handling), Adam-less
+    interlace supported via the four-pass row reorder. Animated GIFs
+    decode as their first frame. Returns a float64 luma matrix or
+    None."""
+    import struct
+
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    try:
+        w, h, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+        pos = 13
+        gct = None
+        if flags & 0x80:
+            n = 2 << (flags & 7)
+            gct = np.frombuffer(
+                payload, np.uint8, count=3 * n, offset=pos
+            ).reshape(n, 3)
+            pos += 3 * n
+        while pos < len(payload):
+            block = payload[pos]
+            pos += 1
+            if block == 0x3B:  # trailer
+                return None
+            if block == 0x21:  # extension: label + sub-blocks
+                pos += 1
+                while pos < len(payload) and payload[pos] != 0:
+                    pos += payload[pos] + 1
+                pos += 1
+                continue
+            if block != 0x2C:  # not an image descriptor
+                return None
+            ix, iy, iw, ih, iflags = struct.unpack_from("<HHHHB", payload, pos)
+            pos += 9
+            table = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 7)
+                table = np.frombuffer(
+                    payload, np.uint8, count=3 * n, offset=pos
+                ).reshape(n, 3)
+                pos += 3 * n
+            if table is None or not (0 < iw and 0 < ih) or iw * ih > 64_000_000:
+                return None
+            min_code_size = payload[pos]
+            pos += 1
+            if not 2 <= min_code_size <= 11:
+                return None
+            data = bytearray()
+            while pos < len(payload) and payload[pos] != 0:
+                ln = payload[pos]
+                data += payload[pos + 1 : pos + 1 + ln]
+                pos += ln + 1
+            # LZW decode
+            clear = 1 << min_code_size
+            eoi = clear + 1
+            code_size = min_code_size + 1
+            dictionary = [bytes([i]) for i in range(clear)] + [b"", b""]
+            out = bytearray()
+            prev = None
+            acc = bits = 0
+            done = False
+            for byte in data:
+                if done:
+                    break
+                acc |= byte << bits
+                bits += 8
+                while bits >= code_size:
+                    code = acc & ((1 << code_size) - 1)
+                    acc >>= code_size
+                    bits -= code_size
+                    if code == clear:
+                        dictionary = dictionary[: clear + 2]
+                        code_size = min_code_size + 1
+                        prev = None
+                        continue
+                    if code == eoi:
+                        done = True
+                        break
+                    if code < len(dictionary):
+                        entry = dictionary[code]
+                    elif code == len(dictionary) and prev is not None:
+                        entry = prev + prev[:1]
+                    else:
+                        return None
+                    out += entry
+                    if prev is not None:
+                        dictionary.append(prev + entry[:1])
+                        if (
+                            len(dictionary) == (1 << code_size)
+                            and code_size < 12
+                        ):
+                            code_size += 1
+                    prev = entry
+                    if len(out) >= iw * ih:
+                        done = True
+                        break
+            if len(out) < iw * ih:
+                return None
+            idx = np.frombuffer(bytes(out[: iw * ih]), np.uint8).reshape(ih, iw)
+            if int(idx.max()) >= len(table):
+                return None
+            if iflags & 0x40:  # interlaced: four-pass row order
+                order = np.concatenate(
+                    [
+                        np.arange(0, ih, 8),
+                        np.arange(4, ih, 8),
+                        np.arange(2, ih, 4),
+                        np.arange(1, ih, 2),
+                    ]
+                )
+                deinter = np.empty_like(idx)
+                deinter[order] = idx
+                idx = deinter
+            rgb = table[idx].astype(np.float64)
+            return (
+                rgb[..., 0] * 0.299 + rgb[..., 1] * 0.587 + rgb[..., 2] * 0.114
+            )
+        return None
+    except (ValueError, IndexError, struct.error):
+        return None
+
+
 def _try_decode_image(payload: bytes):
-    """The one image sniff chain (netpbm, then BMP, then PNG) — shared
-    by feature extraction and the dHash luma grid so 'which payloads
-    decode for real' can never diverge between them. Returns a float64
-    luma matrix or None."""
+    """The one image sniff chain (netpbm, then BMP, then PNG, then GIF)
+    — shared by feature extraction and the dHash luma grid so 'which
+    payloads decode for real' can never diverge between them. Returns a
+    float64 luma matrix or None."""
     luma = _try_decode_netpbm(payload)
     if luma is None:
         luma = _try_decode_bmp(payload)
     if luma is None:
         luma = _try_decode_png(payload)
+    if luma is None:
+        luma = _try_decode_gif(payload)
     return luma
 
 
