@@ -3660,3 +3660,107 @@ def test_gif_decoder_lzw_and_interlace():
     for cut in range(0, len(full), 7):
         r = _try_decode_gif(full[:cut])
         assert r is None or r.shape == (h, w)
+
+
+def test_boilerplate_removal_randomized_vs_python_model(spark):
+    """Seeded random corpora (small alphabet → dense cross-doc repeats,
+    empty units, NULL texts) against a pure-Python distinct-doc-count
+    model at several thresholds, plus idempotence: a second pass over
+    the rebuilt output removes nothing (every surviving unit's doc
+    count only shrank)."""
+    import random
+    from collections import defaultdict
+
+    from flyq_spark.operators.dedup import boilerplate_removal
+
+    rng = random.Random(13)
+    words = ["aa", "bb", "cc"]
+    docs = []
+    for doc_id in range(30):
+        if rng.random() < 0.1:
+            docs.append((doc_id, None))
+            continue
+        paras = [
+            " ".join(rng.choices(words, k=rng.randrange(0, 3)))
+            for _ in range(rng.randrange(1, 5))
+        ]
+        docs.append((doc_id, "\n".join(paras)))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for min_docs in (2, 3, 5):
+        ndocs = defaultdict(set)
+        for doc_id, text in docs:
+            if text is None:
+                continue
+            for u in text.split("\n"):
+                ndocs[u].add(doc_id)
+        bp = {u for u, ids in ndocs.items() if len(ids) >= min_docs}
+        model = {}
+        for doc_id, text in docs:
+            if text is None:
+                model[doc_id] = (0, 0, None)
+                continue
+            units = text.split("\n")
+            kept = [u for u in units if u not in bp]
+            model[doc_id] = (
+                len(units), len(kept), "\n".join(kept) if kept else None
+            )
+        out = boilerplate_removal(df, min_docs=min_docs)
+        got = {
+            r["doc_id"]: (r["n_units"], r["n_kept"], r["text"])
+            for r in out.collect()
+        }
+        assert got == model, f"min_docs={min_docs}"
+        # idempotence on the rebuilt survivors
+        again = boilerplate_removal(
+            out.where(F.col("text").isNotNull()).select("doc_id", "text"),
+            min_docs=min_docs,
+        )
+        assert all(
+            r["n_units"] == r["n_kept"] for r in again.collect()
+        ), f"second pass removed units at min_docs={min_docs}"
+
+
+def test_resample_locf_randomized_vs_python_model(spark):
+    """Seeded random sparse series against a pure-Python gap-fill/LOCF
+    model: dense grid per key, zero-filled counts, carry-forward
+    values, is_observed flags."""
+    import random
+    from collections import defaultdict
+
+    from flyq_spark.operators.timeseries import resample_locf
+
+    rng = random.Random(99)
+    rows = []
+    for key in ("a", "b", "c"):
+        for _ in range(rng.randrange(3, 12)):
+            rows.append((key, rng.randrange(0, 50) * 7 + rng.randrange(7),
+                         rng.randrange(-50, 50)))
+    df = spark.createDataFrame(rows, "k string, sec long, v long").select(
+        "k", F.timestamp_seconds(F.col("sec")).alias("ts"), "v"
+    )
+    step = 10
+    by_bucket = defaultdict(lambda: (0, None))
+    for k, sec, v in rows:
+        b = (sec // step) * step
+        n, mx = by_bucket[(k, b)]
+        by_bucket[(k, b)] = (n + 1, v if mx is None else max(mx, v))
+    model = {}
+    for key in ("a", "b", "c"):
+        buckets = [b for (k, b) in by_bucket if k == key]
+        lastv = None
+        for b in range(min(buckets), max(buckets) + step, step):
+            n, mx = by_bucket.get((key, b), (0, None))
+            if mx is not None:
+                lastv = mx
+            model[(key, b)] = (n, lastv, (key, b) in by_bucket)
+    out = resample_locf(
+        df, ("k",), "ts", step,
+        {"n": F.count(F.lit(1)), "v_max": F.max("v")},
+        fill=("v_max",), zero_fill=("n",),
+    )
+    got = {
+        (r["k"], r["bucket_start_s"]): (r["n"], r["v_max"], r["is_observed"])
+        for r in out.collect()
+    }
+    assert got == model
