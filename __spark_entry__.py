@@ -2087,6 +2087,18 @@ def q_fuzzy_title_pairs(spark, sf_dir):
     )
 
 
+def q_compression_quality(spark, sf_dir):
+    """zlib compression-ratio quality signals (operators/text.py:
+    compression_signals — the RefinedWeb/Dolma repetition detector).
+    ROWS-ONLY by necessity: neither Spark SQL nor DuckDB exposes
+    deflate, and deflate bytes are zlib-build-dependent; determinism
+    within one deployment is pinned by pytest instead."""
+    from flyq_spark.operators.text import compression_signals
+
+    docs = _read(spark, sf_dir, "documents")
+    return compression_signals(docs)
+
+
 def q_basket_pairs(spark, sf_dir):
     """Market-basket co-occurrence (operators/sessions.py:
     cooccurrence_pairs): users as baskets, event types as items —
@@ -3095,6 +3107,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram": q_value_histogram,
         # rows-only (non-SQL-expressible: LSH/MinHash/SimHash/Arrow kernels)
         "unigram_surprisal": q_unigram_surprisal,
+        "compression_quality": q_compression_quality,
         "mmr_topk": q_mmr_topk,
         "bpe_merges": q_bpe_merges,
         "bpe_encode_stats": q_bpe_encode_stats,

@@ -775,3 +775,59 @@ def domain_affinity(
             .alias("n_target_hits"),
         )
     )
+
+
+def compression_signals(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    level: int = 6,
+) -> DataFrame:
+    """zlib compression-ratio quality signals (the RefinedWeb/Dolma
+    "too compressible = repetitive boilerplate / too incompressible =
+    random noise" heuristic): per document — raw UTF-8 bytes, deflated
+    bytes, and milli-bits-per-byte (8000·z/n as an exact integer, no
+    IEEE division). NULL text yields NULL signals; empty text has
+    n_bytes=0 and NULL bpc (no ratio exists).
+
+    Python-bound by necessity (Spark SQL has no deflate expression),
+    but Arrow-batched ``mapInPandas`` like the media kernels — the
+    compressor is CPU-local per row, no shuffle at all. Deflate output
+    depends on the zlib build, so this is a rows-only signal: pin
+    thresholds per deployment, don't hash-compare across engines."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("n_bytes", T.LongType(), True),
+            T.StructField("z_bytes", T.LongType(), True),
+            T.StructField("bpb_milli", T.LongType(), True),
+        ]
+    )
+
+    def kernel(batches):
+        import zlib
+
+        for pdf in batches:
+            out = {id_col: pdf[id_col], "n_bytes": [], "z_bytes": [], "bpb_milli": []}
+            for t in pdf[text_col]:
+                if t is None or (isinstance(t, float) and pd.isna(t)):
+                    out["n_bytes"].append(None)
+                    out["z_bytes"].append(None)
+                    out["bpb_milli"].append(None)
+                    continue
+                raw = t.encode("utf-8")
+                z = len(zlib.compress(raw, level))
+                out["n_bytes"].append(len(raw))
+                out["z_bytes"].append(z)
+                out["bpb_milli"].append(
+                    (8000 * z) // len(raw) if raw else None
+                )
+            yield pd.DataFrame(out)
+
+    from flyq_spark.operators.util import fan_out
+
+    return fan_out(df.select(id_col, text_col)).mapInPandas(kernel, schema)

@@ -3764,3 +3764,33 @@ def test_resample_locf_randomized_vs_python_model(spark):
         for r in out.collect()
     }
     assert got == model
+
+
+def test_compression_signals_quality_ordering(spark):
+    """Repetitive text compresses far below natural text (the signal's
+    entire point); NULL text yields NULL signals; empty text has zero
+    bytes and no ratio; determinism across two runs."""
+    from flyq_spark.operators.text import compression_signals
+
+    df = spark.createDataFrame(
+        [
+            (1, "ab" * 500),
+            (2, "the quick brown fox jumps over the lazy dog by the river"),
+            (3, None),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_bytes"], r["z_bytes"], r["bpb_milli"])
+        for r in compression_signals(df).collect()
+    }
+    assert got[1][0] == 1000 and got[1][2] < 1000       # repetitive: < 1 bit/byte
+    assert got[2][2] > 4000                             # natural text
+    assert got[3] == (None, None, None)
+    assert got[4][0] == 0 and got[4][2] is None
+    again = {
+        r["doc_id"]: (r["n_bytes"], r["z_bytes"], r["bpb_milli"])
+        for r in compression_signals(df).collect()
+    }
+    assert got == again
