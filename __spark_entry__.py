@@ -4789,12 +4789,18 @@ SELECT event_type,
 FROM scored GROUP BY event_type
 """,
         "value_histogram_by_type": """
+WITH v AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL
+)
 SELECT event_type,
-       (CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 2500) * 2500
-         AS bin_start,
+       -- true FLOOR bins (DuckDB // truncates toward zero; the Spark
+       -- operator floors, so negative cents need the one-step-back)
+       (CASE WHEN c < 0 AND c % 2500 <> 0 THEN (c // 2500) - 1
+             ELSE c // 2500 END) * 2500 AS bin_start,
        count(*) AS n
-FROM events
-WHERE value IS NOT NULL
+FROM v
 GROUP BY 1, 2
 """,
         "rfm_segments": """
@@ -4809,9 +4815,9 @@ WITH per_user AS (
 )
 SELECT user_id, CAST(recency_days AS INTEGER) AS recency_days,
        frequency, monetary_c,
-       ntile(4) OVER (ORDER BY recency_days ASC, user_id ASC) AS r_score,
-       ntile(4) OVER (ORDER BY frequency DESC, user_id ASC) AS f_score,
-       ntile(4) OVER (ORDER BY monetary_c DESC, user_id ASC) AS m_score
+       ntile(4) OVER (ORDER BY recency_days ASC NULLS LAST, user_id ASC) AS r_score,
+       ntile(4) OVER (ORDER BY frequency DESC NULLS LAST, user_id ASC) AS f_score,
+       ntile(4) OVER (ORDER BY monetary_c DESC NULLS LAST, user_id ASC) AS m_score
 FROM per_user
 """,
         "impute_group_stats": """

@@ -102,8 +102,8 @@ def gap_filled_series(events: DataFrame, interval_s: int = 3600) -> DataFrame:
         ("event_type",),
         "ts",
         interval_s,
-        {"n": F.count(F.lit(1)), "value_c_last": F.max("value_c")},
-        fill=("value_c_last",),
+        {"n": F.count(F.lit(1)), "value_c_max": F.max("value_c")},
+        fill=("value_c_max",),
         zero_fill=("n",),
     )
 

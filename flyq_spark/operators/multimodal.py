@@ -164,6 +164,14 @@ def _decode_stub(payload: bytes, kind: str, feature_dim: int) -> dict:
 # unchanged for non-media payloads.
 
 
+def _luma(r, g, b):
+    """BT.601 luma from float64 channel arrays — ONE definition shared
+    by every decoder so the documented cross-decoder parity invariant
+    ('identical pixels → identical luma') is structural, not five
+    copies of the same three coefficients."""
+    return r * 0.299 + g * 0.587 + b * 0.114
+
+
 def _try_decode_netpbm(payload: bytes):
     """Binary netpbm: P5 (gray) / P6 (RGB). Returns a float64 luma
     matrix (H x W, 0..255) or None if not netpbm / malformed."""
@@ -202,7 +210,7 @@ def _try_decode_netpbm(payload: bytes):
         px = np.frombuffer(raster, dtype=dt).astype(np.float64).reshape(h, w, ch)
         px = px * (255.0 / maxval)
         if ch == 3:
-            luma = px[:, :, 0] * 0.299 + px[:, :, 1] * 0.587 + px[:, :, 2] * 0.114
+            luma = _luma(px[:, :, 0], px[:, :, 1], px[:, :, 2])
         else:
             luma = px[:, :, 0]
         return luma
@@ -241,7 +249,7 @@ def _try_decode_bmp(payload: bytes):
             rows = rows[::-1]
         bgr = rows.astype(np.float64)
         # BMP stores BGR(A)
-        return bgr[:, :, 2] * 0.299 + bgr[:, :, 1] * 0.587 + bgr[:, :, 0] * 0.114
+        return _luma(bgr[:, :, 2], bgr[:, :, 1], bgr[:, :, 0])
     except (ValueError, IndexError, struct.error):
         return None
 
@@ -310,6 +318,7 @@ def _try_decode_png(payload: bytes):
         ftypes = arr[:, 0]
         out = np.zeros((h, stride), np.uint16)
         prev = np.zeros(stride, np.uint16)
+        prev_b = bytes(stride)
         for y in range(h):
             f = int(ftypes[y])
             line = arr[y, 1:].astype(np.uint16)
@@ -321,35 +330,35 @@ def _try_decode_png(payload: bytes):
                 ).astype(np.uint16).reshape(stride)
             elif f == 2:  # Up
                 rec = (line + prev) & 0xFF
-            elif f in (3, 4):  # Average / Paeth: serial in x, vector in ch
-                rec = line.reshape(w, bpp)
-                pv = prev.reshape(w, bpp).astype(np.int64)
-                left = np.zeros(bpp, np.int64)
-                ul = np.zeros(bpp, np.int64)
-                for x in range(w):
-                    up = pv[x]
+            elif f in (3, 4):  # Average / Paeth: serial recurrence —
+                # pure-Python ints over bytearrays (several times faster
+                # than per-pixel numpy scalar indexing; the loop is the
+                # decoder's cost ceiling, see module docstring)
+                cur = bytearray(arr[y, 1:].tobytes())
+                pr = prev_b
+                for x in range(stride):
+                    a = cur[x - bpp] if x >= bpp else 0
+                    up = pr[x]
                     if f == 3:
-                        pred = (left + up) >> 1
+                        pred = (a + up) >> 1
                     else:
-                        p = left + up - ul
-                        pa, pb, pc = (
-                            np.abs(p - left),
-                            np.abs(p - up),
-                            np.abs(p - ul),
+                        c = pr[x - bpp] if x >= bpp else 0
+                        pdiff = a + up - c
+                        pa = abs(pdiff - a)
+                        pb_ = abs(pdiff - up)
+                        pc = abs(pdiff - c)
+                        pred = (
+                            a
+                            if pa <= pb_ and pa <= pc
+                            else (up if pb_ <= pc else c)
                         )
-                        pred = np.where(
-                            (pa <= pb) & (pa <= pc),
-                            left,
-                            np.where(pb <= pc, up, ul),
-                        )
-                    left = (rec[x] + pred) & 0xFF
-                    rec[x] = left
-                    ul = up
-                rec = rec.reshape(stride)
+                    cur[x] = (cur[x] + pred) & 0xFF
+                rec = np.frombuffer(bytes(cur), np.uint8).astype(np.uint16)
             else:
                 return None
             out[y] = rec
             prev = rec
+            prev_b = bytes(rec.astype(np.uint8).tobytes())
         if depth == 16:
             px = out.reshape(h, w, nch, 2).astype(np.float64)
             vals = (px[..., 0] * 256 + px[..., 1]) * (255.0 / 65535.0)
@@ -357,14 +366,10 @@ def _try_decode_png(payload: bytes):
             vals = out.reshape(h, w, nch).astype(np.float64)
         if color == 3:
             rgb = plte[out.reshape(h, w).astype(np.intp)].astype(np.float64)
-            return (
-                rgb[..., 0] * 0.299 + rgb[..., 1] * 0.587 + rgb[..., 2] * 0.114
-            )
+            return _luma(rgb[..., 0], rgb[..., 1], rgb[..., 2])
         if color in (0, 4):  # gray / gray+alpha: luma = gray channel
             return vals[:, :, 0]
-        return (
-            vals[..., 0] * 0.299 + vals[..., 1] * 0.587 + vals[..., 2] * 0.114
-        )
+        return _luma(vals[..., 0], vals[..., 1], vals[..., 2])
     except (ValueError, IndexError, struct.error, zlib.error):
         return None
 
@@ -487,9 +492,7 @@ def _try_decode_gif(payload: bytes):
                 deinter[order] = idx
                 idx = deinter
             rgb = table[idx].astype(np.float64)
-            return (
-                rgb[..., 0] * 0.299 + rgb[..., 1] * 0.587 + rgb[..., 2] * 0.114
-            )
+            return _luma(rgb[..., 0], rgb[..., 1], rgb[..., 2])
         return None
     except (ValueError, IndexError, struct.error):
         return None

@@ -221,10 +221,11 @@ def value_histogram(
     distribution summary can have."""
     if bin_width <= 0:
         raise ValueError(f"bin_width must be positive, got {bin_width}")
+    from flyq_spark.operators.util import floor_div
+
     wide = F.lit(int(bin_width)).cast("long")
     v = col.cast("long")
-    q = F.call_function("div", v, wide)
-    floor_q = F.when((v < 0) & (v % wide != 0), q - F.lit(1).cast("long")).otherwise(q)
+    floor_q = floor_div(v, wide)
     return (
         df.where(v.isNotNull())
         .select(*keys, (floor_q * wide).alias("bin_start"))

@@ -294,7 +294,10 @@ def rfm_segments(
 
     if value_c is None:
         value_c = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
-    assert isinstance(value_c, _Column)
+    if not isinstance(value_c, _Column):
+        raise ValueError(
+            f"value_c must be a Column expression, got {type(value_c).__name__}"
+        )
     per_user = events.groupBy(user_col).agg(
         F.datediff(F.lit(ref_ts).cast("timestamp"), F.max(ts_col)).alias(
             "recency_days"
@@ -302,9 +305,19 @@ def rfm_segments(
         F.count("*").alias("frequency"),
         F.sum(value_c).alias("monetary_c"),
     )
-    w_r = Window.orderBy(F.col("recency_days").asc(), F.col(user_col).asc())
-    w_f = Window.orderBy(F.col("frequency").desc(), F.col(user_col).asc())
-    w_m = Window.orderBy(F.col("monetary_c").desc(), F.col(user_col).asc())
+    # NULL metrics (a user with only NULL timestamps/values) rank WORST
+    # on every axis, explicitly: Spark's bare asc() is NULLS FIRST while
+    # DuckDB's is NULLS LAST — without the explicit variants the two
+    # engines would tile NULL users at opposite ends
+    w_r = Window.orderBy(
+        F.col("recency_days").asc_nulls_last(), F.col(user_col).asc()
+    )
+    w_f = Window.orderBy(
+        F.col("frequency").desc_nulls_last(), F.col(user_col).asc()
+    )
+    w_m = Window.orderBy(
+        F.col("monetary_c").desc_nulls_last(), F.col(user_col).asc()
+    )
     return per_user.select(
         user_col,
         "recency_days",

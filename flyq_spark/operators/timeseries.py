@@ -31,15 +31,11 @@ def time_bucket(ts_col: Column, interval_s: int) -> Column:
     ``div`` truncates toward zero, which for pre-epoch timestamps
     would put the bucket start AFTER the event; the remainder
     correction makes it a true floor at any sign."""
+    from flyq_spark.operators.util import floor_div
+
     step_us = F.lit(int(interval_s) * 1_000_000).cast("long")
     micros = F.unix_micros(ts_col)
-    q = F.call_function("div", micros, step_us)
-    # % carries the dividend's sign in Spark: negative with a nonzero
-    # remainder means trunc rounded up — step back one bucket
-    floor_q = F.when(
-        (micros < 0) & (micros % step_us != 0), q - F.lit(1).cast("long")
-    ).otherwise(q)
-    return floor_q * F.lit(int(interval_s)).cast("long")
+    return floor_div(micros, step_us) * F.lit(int(interval_s)).cast("long")
 
 
 def resample_locf(

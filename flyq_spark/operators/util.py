@@ -52,3 +52,16 @@ def exact_ceil_frac(n, fraction: float, max_den: int = 100_000):
     num, den = fr.numerator, fr.denominator
     x = F.lit(num).cast("long") * n + F.lit(den - 1)
     return F.call_function("div", x, F.lit(den).cast("long"))
+
+
+def floor_div(value, step):
+    """Exact integer FLOOR division of a long Column by a positive long
+    Column/literal — Spark's ``div`` truncates toward zero, so negative
+    dividends with a nonzero remainder need one step back. The shared
+    form of the bucket arithmetic in timeseries.time_bucket and
+    profile.value_histogram (one definition so a fix cannot miss a
+    copy)."""
+    from pyspark.sql import functions as F
+
+    q = F.call_function("div", value, step)
+    return F.when((value < 0) & (value % step != 0), q - F.lit(1).cast("long")).otherwise(q)

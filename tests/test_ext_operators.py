@@ -3568,8 +3568,15 @@ def _make_gif(idx_rows, palette, interlace=False, leading_extension=False):
             cur = nxt
         else:
             codes.append(dict_[cur])
-            dict_[nxt] = next_code
-            next_code += 1
+            if next_code < 4096:
+                dict_[nxt] = next_code
+                next_code += 1
+                if next_code == 4096:
+                    # dict full: emit CLEAR and restart (the standard
+                    # encoder policy; exercises the decoder's reset)
+                    codes.append(clear)
+                    dict_ = {bytes([i]): i for i in range(clear)}
+                    next_code = clear + 2
             cur = bytes([p])
     if cur:
         codes.append(dict_[cur])
@@ -3651,6 +3658,28 @@ def test_gif_decoder_lzw_and_interlace():
         c for row in idx for i in row for c in pal[i]
     )
     assert np.allclose(_try_decode_netpbm(ppm), want, atol=1e-9)
+
+    # large random image: crosses the 4096-code dictionary boundary, so
+    # the encoder emits mid-stream CLEAR codes and the decoder's reset
+    # path (and 12-bit width cap) is exercised for real
+    big = [
+        [
+            int(hashlib.md5(f"big{x},{y}".encode()).hexdigest()[:2], 16)
+            for x in range(150)
+        ]
+        for y in range(150)
+    ]
+    want_big = np.array(
+        [
+            [
+                pal[i][0] * 0.299 + pal[i][1] * 0.587 + pal[i][2] * 0.114
+                for i in row
+            ]
+            for row in big
+        ]
+    )
+    got_big = _try_decode_gif(_make_gif(big, pal))
+    assert got_big is not None and np.allclose(got_big, want_big, atol=1e-9)
 
     # adversarial: garbage after magic; truncations never raise — a cut
     # after the last pixel legitimately still decodes (only the trailer

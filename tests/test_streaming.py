@@ -936,7 +936,10 @@ def test_analytics_pipeline_example_end_to_end(engine, spark, tmp_path):
         {"key": None, "value": f"click,{u},{c}".encode(), "timestamp": t0 + i}
         for i, (u, c) in enumerate([(1, 100), (2, 300), (1, 500)])
     ] + [
-        {"key": None, "value": b"purchase,3,999", "timestamp": t0 + 7_200_000}
+        # a click three hours later leaves an EMPTY middle hour in the
+        # click series — the gap the densification assertions check
+        {"key": None, "value": b"click,5,50", "timestamp": t0 + 10_800_000},
+        {"key": None, "value": b"purchase,3,999", "timestamp": t0 + 7_200_000},
     ]
     engine.produce("an", msgs)
     view = str(tmp_path / "view")
@@ -951,7 +954,7 @@ def test_analytics_pipeline_example_end_to_end(engine, spark, tmp_path):
         for r in current_view(spark, view).collect()
     }
     assert got == {
-        "click": (3, 900, 300, 100, 500, 2),
+        "click": (4, 950, 237, 50, 500, 3),
         "purchase": (1, 999, 999, 999, 999, 1),
     }
 
@@ -965,7 +968,7 @@ def test_analytics_pipeline_example_end_to_end(engine, spark, tmp_path):
         r["event_type"]: (r["n_rows"], r["value_c_sum"], r["users_approx_distinct"])
         for r in current_view(spark, view).collect()
     }
-    assert got2["click"] == (4, 1000, 3)
+    assert got2["click"] == (5, 1050, 4)
 
     # gap-filled hourly series over the raw log: the empty middle hour
     # appears zero-filled with the click value carried forward
@@ -975,9 +978,14 @@ def test_analytics_pipeline_example_end_to_end(engine, spark, tmp_path):
         spark.read.parquet(storage.topic_dir(engine.base_dir, "an"))
     )
     series = {
-        (r["event_type"], r["bucket_start_s"]): (r["n"], r["value_c_last"], r["is_observed"])
+        (r["event_type"], r["bucket_start_s"]): (r["n"], r["value_c_max"], r["is_observed"])
         for r in gap_filled_series(events).collect()
     }
     base = (t0 // 3_600_000) * 3600
     assert series[("click", base)][0] == 4
+    # hours 1 and 2 have no clicks: REAL gap rows, zero-filled with the
+    # max value carried forward from hour 0
+    assert series[("click", base + 3600)] == (0, 500, False)
+    assert series[("click", base + 7200)] == (0, 500, False)
+    assert series[("click", base + 10800)] == (1, 50, True)
     assert ("purchase", base + 7200) in series
