@@ -47,6 +47,29 @@ def make_ppm(w: int, h: int, pixel_fn) -> bytes:
     return f"P6\n{w} {h}\n255\n".encode() + px
 
 
+def make_png(w: int, h: int, pixel_fn) -> bytes:
+    """Minimal RGB PNG (filter 0 scanlines, stdlib zlib) — enough to
+    show the real PNG decode path beside netpbm."""
+    import zlib
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    raw = b"".join(
+        b"\x00" + bytes(c for x in range(w) for c in pixel_fn(x, y))
+        for y in range(h)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
 def make_wav(samples, rate: int = 8000) -> bytes:
     buf = io.BytesIO()
     with wave.open(buf, "wb") as f:
@@ -70,12 +93,17 @@ def main() -> None:
         (root / "img_c.ppm").write_bytes(
             make_ppm(32, 24, lambda x, y: (255 - x * 7, 0, x * 7))
         )
+        # SAME gradient as PNG: different bytes (no content dedup) but
+        # identical pixels — the cross-format perceptual near-dup case
+        (root / "img_a.png").write_bytes(
+            make_png(32, 24, lambda x, y: (x * 7, x * 7, x * 7))
+        )
         (root / "tone.wav").write_bytes(
             make_wav([int(3000 * ((i // 20) % 2 * 2 - 1)) for i in range(400)])
         )
         (root / "README.txt").write_bytes(b"not media")
 
-        media = read_media_dir(spark, str(root), glob="*.{ppm,wav}").withColumn(
+        media = read_media_dir(spark, str(root), glob="*.{ppm,png,wav}").withColumn(
             "file", F.element_at(F.split("path", "/"), -1)
         )
         print(f"ingested {media.count()} files (txt glob-pruned)")
@@ -95,7 +123,8 @@ def main() -> None:
         )
         n_near = pairs.count()
         print(f"perceptual near-dup pairs (hamming<=8): {n_near} "
-              "(the one-subpixel tweak; the inverted gradient is far)")
+              "(the one-subpixel tweak + the PNG/PPM cross-format twin; "
+              "the inverted gradient is far)")
 
         out = str(root / "corpus.parquet")
         unique.join(feats, "content_id").drop("mod_time").write.mode(
