@@ -2087,6 +2087,40 @@ def q_fuzzy_title_pairs(spark, sf_dir):
     )
 
 
+def q_schema_unify(spark, sf_dir):
+    """Schema-evolution ingest (io.py:unify_schemas): two parquet
+    "drops" of the event stream with diverged schemas — one narrow
+    (int ids, int cents, no type column), one wide — union BY NAME
+    with safe widening (int+long→bigint, missing column→NULL). The
+    oracle is the explicit-cast UNION ALL; the hash match proves the
+    widening logic adds/loses nothing."""
+    from flyq_spark.io import unify_schemas
+
+    ev = _read(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    old_drop = ev.where(F.col("event_id") % 2 == 0).select(
+        F.col("event_id").cast("int").alias("event_id"),
+        cents.cast("int").alias("value_c"),
+    )
+    new_drop = ev.where(F.col("event_id") % 2 == 1).select(
+        F.col("event_id").alias("event_id"),
+        cents.alias("value_c"),
+        F.col("event_type"),
+    )
+    return unify_schemas([old_drop, new_drop])
+
+
+def q_k_anonymity(spark, sf_dir):
+    """k-anonymity audit (operators/profile.py:k_anonymity_check):
+    equivalence classes of (event_type, user_id) with fewer than k=5
+    rows — the re-identifiable groups a privacy release must suppress.
+    Class-cardinality output from one partial-aggregated pass."""
+    from flyq_spark.operators.profile import k_anonymity_check
+
+    ev = _read(spark, sf_dir, "events")
+    return k_anonymity_check(ev, ("event_type", "user_id"), k=5)
+
+
 def q_compression_quality(spark, sf_dir):
     """zlib compression-ratio quality signals (operators/text.py:
     compression_signals — the RefinedWeb/Dolma repetition detector).
@@ -3087,6 +3121,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram_by_type": q_value_histogram_by_type,
         "basket_pairs": q_basket_pairs,
         "seasonal_naive": q_seasonal_naive,
+        "schema_unify": q_schema_unify,
+        "k_anonymity": q_k_anonymity,
         "rfm_segments": q_rfm_segments,
         "incremental_retract": q_incremental_retract,
         "scd2_history": q_scd2_history,
@@ -4740,6 +4776,26 @@ SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
        CAST(sum(gap) AS BIGINT) AS sum_gap_us
 FROM gaps WHERE gap IS NOT NULL
 GROUP BY user_id
+""",
+        "schema_unify": """
+WITH c AS (
+  SELECT event_id, event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS value_c
+  FROM events
+)
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(value_c AS BIGINT) AS value_c,
+       CAST(NULL AS VARCHAR) AS event_type
+FROM c WHERE event_id % 2 = 0
+UNION ALL
+SELECT event_id, value_c, event_type
+FROM c WHERE event_id % 2 = 1
+""",
+        "k_anonymity": """
+SELECT event_type, user_id, count(*) AS n
+FROM events
+GROUP BY 1, 2
+HAVING count(*) < 5
 """,
         "basket_pairs": """
 WITH bi AS (SELECT DISTINCT user_id, event_type FROM events),

@@ -73,6 +73,12 @@ HEADLINE = [
     ("gap_fill_locf", False),
     ("fuzzy_title_pairs", False),
     ("incremental_agg", True),
+    # r6 third session, second batch: imputation, analytics, signals
+    ("impute_group_stats", False),
+    ("rfm_segments", False),
+    ("basket_pairs", True),
+    ("seasonal_naive", True),
+    ("compression_quality", False),
 ]
 
 

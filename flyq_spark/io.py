@@ -122,3 +122,68 @@ def write_documents(
         w.orc(path)
     else:
         raise ValueError(f"unsupported format {fmt!r} (parquet|json|jsonl|csv|orc)")
+
+
+#: widening ladder for unify_schemas — a type unifies to the first
+#: entry that both sides reach by PURE widening (no precision loss)
+_WIDENING_ORDER = ("tinyint", "smallint", "int", "bigint", "float", "double")
+
+
+def unify_schemas(dfs: list[DataFrame]) -> DataFrame:
+    """Union heterogeneous frames BY NAME with safe type widening — the
+    schema-evolution ingest step for a directory of parquet drops whose
+    producers added columns / widened ints over time. Columns missing
+    from a frame fill as NULL; integer widths widen along the standard
+    ladder (tinyint→…→bigint) and int+float unify to double; any other
+    type mismatch (string vs int, struct changes) raises with the
+    column and both types named — silent casts are how ingest corrupts
+    a warehouse.
+
+    Pure projection + unionByName: no shuffle, no data pass beyond the
+    union itself; scales as a scan."""
+    if not dfs:
+        raise ValueError("unify_schemas needs at least one frame")
+    target: dict[str, str] = {}
+    order: list[str] = []
+    for df in dfs:
+        for f in df.schema.fields:
+            t = f.dataType.simpleString()
+            if f.name not in target:
+                target[f.name] = t
+                order.append(f.name)
+                continue
+            cur = target[f.name]
+            if cur == t:
+                continue
+            if cur in _WIDENING_ORDER and t in _WIDENING_ORDER:
+                hi = max(_WIDENING_ORDER.index(cur), _WIDENING_ORDER.index(t))
+                # integer + float mixes widen to double (float cannot
+                # hold every bigint; double is the lossless-enough
+                # conventional target and what UNION BY NAME picks)
+                if (cur in _WIDENING_ORDER[4:]) != (t in _WIDENING_ORDER[4:]):
+                    target[f.name] = "double"
+                else:
+                    target[f.name] = _WIDENING_ORDER[hi]
+                continue
+            raise ValueError(
+                f"unify_schemas: column {f.name!r} is {cur} in one frame "
+                f"and {t} in another — not a pure widening; cast "
+                "explicitly upstream"
+            )
+    aligned = [
+        df.select(
+            *[
+                (
+                    F.col(name).cast(target[name])
+                    if name in df.columns
+                    else F.lit(None).cast(target[name])
+                ).alias(name)
+                for name in order
+            ]
+        )
+        for df in dfs
+    ]
+    out = aligned[0]
+    for nxt in aligned[1:]:
+        out = out.unionByName(nxt)
+    return out

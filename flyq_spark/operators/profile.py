@@ -232,3 +232,30 @@ def value_histogram(
         .groupBy(*keys, "bin_start")
         .agg(F.count("*").alias("n"))
     )
+
+
+def k_anonymity_check(
+    df: DataFrame,
+    quasi_cols: tuple[str, ...],
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier combination: every
+    equivalence class with FEWER than ``k`` rows (the re-identifiable
+    groups a release must suppress or generalize). Returns the failing
+    classes with their counts; an empty result certifies the dataset
+    k-anonymous for these columns. NULLs form their own class (a NULL
+    zip code is still a linkable value).
+
+    One partial-aggregated groupBy + a count filter — class-cardinality
+    output, the cheapest possible shape; at 100 TB the risk surface is
+    the number of RARE classes, which is exactly what survives the
+    filter."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2 for a meaningful check, got {k}")
+    if not quasi_cols:
+        raise ValueError("quasi_cols must name at least one column")
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") < F.lit(k))
+    )

@@ -31,6 +31,7 @@ def test_queries_and_oracles_consistent():
         "pagerank_neardup",
         "source_overlap",
         "audio_segments",
+        "compression_quality",
         "lsh_tuning",
         "ivf_tuning",
     }

@@ -3823,3 +3823,41 @@ def test_compression_signals_quality_ordering(spark):
         for r in compression_signals(df).collect()
     }
     assert got == again
+
+
+def test_unify_schemas_and_k_anonymity(spark):
+    """Widening ladder (int+long→bigint, int+double→double), missing
+    columns fill NULL, non-widening mismatch raises with both types
+    named; k-anonymity flags only sub-k classes and counts NULL as a
+    linkable class of its own."""
+    import pytest as _pytest
+
+    from flyq_spark.io import unify_schemas
+    from flyq_spark.operators.profile import k_anonymity_check
+
+    a = spark.createDataFrame([(1, 10)], "id int, v int")
+    b = spark.createDataFrame([(2, 3.5, "x")], "id long, v double, note string")
+    out = unify_schemas([a, b])
+    assert out.schema.simpleString() == "struct<id:bigint,v:double,note:string>"
+    assert sorted(tuple(r) for r in out.collect()) == [
+        (1, 10.0, None),
+        (2, 3.5, "x"),
+    ]
+    with _pytest.raises(ValueError, match="id.*int.*string"):
+        unify_schemas([a, spark.createDataFrame([("s",)], "id string")])
+    with _pytest.raises(ValueError):
+        unify_schemas([])
+
+    df = spark.createDataFrame(
+        [("z1", "m")] * 5 + [("z1", "f")] * 2 + [(None, "m")],
+        "zip string, sex string",
+    )
+    got = {
+        (r["zip"], r["sex"]): r["n"]
+        for r in k_anonymity_check(df, ("zip", "sex"), k=5).collect()
+    }
+    assert got == {("z1", "f"): 2, (None, "m"): 1}
+    with _pytest.raises(ValueError):
+        k_anonymity_check(df, (), k=5)
+    with _pytest.raises(ValueError):
+        k_anonymity_check(df, ("zip",), k=1)
