@@ -2087,6 +2087,41 @@ def q_fuzzy_title_pairs(spark, sf_dir):
     )
 
 
+def q_series_similarity(spark, sf_dir):
+    """Time-series similarity search (operators/timeseries.py:
+    series_similarity_topk): hourly LOCF-densified value series per
+    event type, ranked by exact integer sum-of-squared-differences
+    against the 'click' series — broadcast query join + one key
+    aggregate, nothing pairwise. Composes gap-fill → similarity the
+    way a metrics-correlation pipeline would."""
+    from flyq_spark.operators.timeseries import (
+        resample_locf,
+        series_similarity_topk,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    series = resample_locf(
+        ev,
+        ("event_type",),
+        "ts",
+        3600,
+        {"value_c": F.max(cents)},
+        fill=("value_c",),
+    )
+    query = series.where(F.col("event_type") == "click").select(
+        "bucket_start_s", "value_c"
+    )
+    return series_similarity_topk(
+        series,
+        ("event_type",),
+        "bucket_start_s",
+        "value_c",
+        query,
+        k=5,
+    )
+
+
 def q_schema_unify(spark, sf_dir):
     """Schema-evolution ingest (io.py:unify_schemas): two parquet
     "drops" of the event stream with diverged schemas — one narrow
@@ -3123,6 +3158,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_naive": q_seasonal_naive,
         "schema_unify": q_schema_unify,
         "k_anonymity": q_k_anonymity,
+        "series_similarity": q_series_similarity,
         "rfm_segments": q_rfm_segments,
         "incremental_retract": q_incremental_retract,
         "scd2_history": q_scd2_history,
@@ -4776,6 +4812,35 @@ SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
        CAST(sum(gap) AS BIGINT) AS sum_gap_us
 FROM gaps WHERE gap IS NOT NULL
 GROUP BY user_id
+""",
+        "series_similarity": """
+WITH obs AS (
+  SELECT event_type,
+         (epoch_us(ts) // 3600000000) * 3600 AS b,
+         max(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS v
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT event_type, min(b) AS lo, max(b) AS hi FROM obs GROUP BY 1),
+grid AS (
+  SELECT event_type, CAST(t.g AS BIGINT) AS b
+  FROM span, UNNEST(range(lo, hi + 3600, 3600)) AS t(g)
+),
+filled AS (
+  SELECT g.event_type, g.b,
+         last_value(o.v IGNORE NULLS) OVER (
+           PARTITION BY g.event_type ORDER BY g.b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+  FROM grid g LEFT JOIN obs o ON g.event_type = o.event_type AND g.b = o.b
+),
+qy AS (SELECT b, v AS qv FROM filled WHERE event_type = 'click' AND v IS NOT NULL)
+SELECT event_type, count(*) AS n_overlap,
+       CAST(sum((f.v - qy.qv) * (f.v - qy.qv)) AS BIGINT) AS ssd
+FROM filled f JOIN qy ON f.b = qy.b
+WHERE f.v IS NOT NULL
+GROUP BY event_type
+HAVING count(*) >= 2
+ORDER BY ssd ASC, event_type ASC
+LIMIT 5
 """,
         "schema_unify": """
 WITH c AS (

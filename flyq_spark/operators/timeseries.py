@@ -160,3 +160,59 @@ def seasonal_naive_backtest(
         F.count("_abs_err").alias("n_scored"),
         F.sum("_abs_err").alias("sum_abs_err"),
     )
+
+
+def series_similarity_topk(
+    series: DataFrame,
+    keys: tuple[str, ...],
+    bucket_col: str,
+    value_col: str,
+    query: DataFrame,
+    k: int = 10,
+    min_overlap: int = 2,
+) -> DataFrame:
+    """Whole-series similarity search (the distributed time-series
+    similarity-search shape: EDBT'19's streaming-similarity problem
+    restricted to aligned fixed buckets): rank keys by exact
+    sum-of-squared-differences against a QUERY series over their
+    overlapping buckets. Integer value columns stay integer end-to-end
+    — no float summation order to diverge on, so the ranking replays
+    exactly on any engine. Keys sharing fewer than ``min_overlap``
+    buckets with the query are dropped (distance over near-empty
+    overlap is noise, and 0-overlap "distance 0" would rank first).
+
+    Plan: the query series (one key's buckets — small by construction)
+    broadcast-joins the corpus on the bucket key; one groupBy(keys)
+    computes ssd/overlap; one top-k sort on the key-cardinality
+    aggregate. The fact-scale series crosses the join ONCE; nothing is
+    pairwise across keys. Output: keys + n_overlap + ssd, ascending
+    ssd with the key tuple as the deterministic tie-break, limited to
+    ``k``."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if min_overlap < 1:
+        raise ValueError(f"min_overlap must be >= 1, got {min_overlap}")
+    q = F.broadcast(
+        query.select(
+            F.col(bucket_col).alias("_qb"), F.col(value_col).alias("_qv")
+        ).where(F.col(value_col).isNotNull())
+    )
+    joined = (
+        series.where(F.col(value_col).isNotNull())
+        .join(q, F.col(bucket_col) == F.col("_qb"))
+        .withColumn(
+            "_d2",
+            (F.col(value_col).cast("long") - F.col("_qv").cast("long"))
+            * (F.col(value_col).cast("long") - F.col("_qv").cast("long")),
+        )
+    )
+    agg = (
+        joined.groupBy(*keys)
+        .agg(
+            F.count("*").alias("n_overlap"),
+            F.sum("_d2").alias("ssd"),
+        )
+        .where(F.col("n_overlap") >= F.lit(min_overlap))
+    )
+    order = [F.col("ssd").asc()] + [F.col(c).asc() for c in keys]
+    return agg.orderBy(*order).limit(k)

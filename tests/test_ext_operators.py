@@ -3861,3 +3861,35 @@ def test_unify_schemas_and_k_anonymity(spark):
         k_anonymity_check(df, (), k=5)
     with _pytest.raises(ValueError):
         k_anonymity_check(df, ("zip",), k=1)
+
+
+def test_series_similarity_topk_exact(spark):
+    """SSD over overlapping buckets only; the query key itself ranks
+    first with distance 0; below-min_overlap keys drop; ties break by
+    key; k limits."""
+    import pytest as _pytest
+
+    from flyq_spark.operators.timeseries import series_similarity_topk
+
+    rows = []
+    for key, vals in [
+        ("q", [10, 20, 30, 40]),
+        ("near", [11, 21, 31, 39]),     # ssd 1+1+1+1 = 4
+        ("far", [0, 0, 0, 0]),          # ssd 100+400+900+1600 = 3000
+        ("sparse", [10, None, None, None]),  # overlap 1 < 2: dropped
+        ("tie", [11, 21, 31, 39]),      # same ssd as 'near': key tie-break
+    ]:
+        rows += [(key, b, v) for b, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, b long, v long")
+    query = df.where(F.col("k") == "q").select("b", "v")
+    got = [
+        (r["k"], r["n_overlap"], r["ssd"])
+        for r in series_similarity_topk(
+            df, ("k",), "b", "v", query, k=3
+        ).collect()
+    ]
+    assert got == [("q", 4, 0), ("near", 4, 4), ("tie", 4, 4)]
+    all4 = series_similarity_topk(df, ("k",), "b", "v", query, k=10).collect()
+    assert [r["k"] for r in all4] == ["q", "near", "tie", "far"]  # sparse dropped
+    with _pytest.raises(ValueError):
+        series_similarity_topk(df, ("k",), "b", "v", query, k=0)
