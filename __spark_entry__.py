@@ -3003,8 +3003,7 @@ _DRIVER_WINDOW = [
     "rolling_7day_value", "event_transitions", "neardup_triangles",
     # r5-proven rows kept to re-confirm the broad surface
     "produce_log", "consume_with_group",
-    "partition_health", "corpus_prep_pipeline",
-    "session_window_counts",
+    "partition_health", "session_window_counts",
     # new in r6: paragraph dedup, rows-only→oracle conversions, and the
     # data-platform additions (quality / funnel / outliers / drift)
     "paragraph_dedup", "multimodal_features", "phash_neardup",
@@ -3015,6 +3014,7 @@ _DRIVER_WINDOW = [
     "gap_fill_locf", "fuzzy_title_pairs", "impute_group_stats",
     "value_histogram_by_type", "rfm_segments",
     "basket_pairs", "seasonal_naive", "schema_unify", "k_anonymity",
+    "series_similarity",
 ]
 
 
