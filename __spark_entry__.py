@@ -2122,6 +2122,32 @@ def q_series_similarity(spark, sf_dir):
     )
 
 
+def q_series_dtw(spark, sf_dir):
+    """DTW similarity search (operators/timeseries.py:series_dtw_topk)
+    over the hourly gap-filled value series, Sakoe-Chiba band 24.
+    ROWS-ONLY by documented necessity: the DP recurrence is not
+    SQL-expressible; distances are exact integers and pinned against a
+    Python model in pytest."""
+    from flyq_spark.operators.timeseries import resample_locf, series_dtw_topk
+
+    ev = _read(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    series = resample_locf(
+        ev,
+        ("event_type",),
+        "ts",
+        3600,
+        {"value_c": F.max(cents)},
+        fill=("value_c",),
+    )
+    query = series.where(F.col("event_type") == "click").select(
+        "bucket_start_s", "value_c"
+    )
+    return series_dtw_topk(
+        series, ("event_type",), "bucket_start_s", "value_c", query, k=5, band=24
+    )
+
+
 def q_schema_unify(spark, sf_dir):
     """Schema-evolution ingest (io.py:unify_schemas): two parquet
     "drops" of the event stream with diverged schemas — one narrow
@@ -3180,6 +3206,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (non-SQL-expressible: LSH/MinHash/SimHash/Arrow kernels)
         "unigram_surprisal": q_unigram_surprisal,
         "compression_quality": q_compression_quality,
+        "series_dtw": q_series_dtw,
         "mmr_topk": q_mmr_topk,
         "bpe_merges": q_bpe_merges,
         "bpe_encode_stats": q_bpe_encode_stats,

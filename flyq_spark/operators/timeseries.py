@@ -216,3 +216,90 @@ def series_similarity_topk(
     )
     order = [F.col("ssd").asc()] + [F.col(c).asc() for c in keys]
     return agg.orderBy(*order).limit(k)
+
+
+def series_dtw_topk(
+    series: DataFrame,
+    keys: tuple[str, ...],
+    bucket_col: str,
+    value_col: str,
+    query: DataFrame,
+    k: int = 10,
+    band: int | None = None,
+) -> DataFrame:
+    """Dynamic-time-warping similarity search — the alignment-tolerant
+    counterpart of :func:`series_similarity_topk` (a lagged-but-similar
+    series scores near under DTW where bucket-aligned SSD punishes
+    every shifted bucket). Classic O(n·m) DP per key against ONE
+    broadcast query series, with an optional Sakoe-Chiba ``band``
+    (|i-j| <= band) that both bounds cost and forbids pathological
+    warps. Integer inputs give exact integer distances (squared local
+    cost) — deterministic on any engine, though the DP itself is not
+    SQL-expressible (rows-only gate by documented necessity).
+
+    Plan: per-key series gather is one groupBy(collect_list) — valid
+    for BUCKET series (key × span rows, the resample_locf output
+    shape), not raw events; the DP runs in an Arrow-batched
+    applyInPandas kernel per key, embarrassingly parallel. The query
+    series is collected driver-side (one key's buckets — model-sized,
+    the same contract as the ANN codebooks)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if band is not None and band < 0:
+        raise ValueError(f"band must be >= 0, got {band}")
+    qrows = (
+        query.where(F.col(value_col).isNotNull())
+        .orderBy(bucket_col)
+        .select(value_col)
+        .collect()
+    )
+    qv = np.array([r[value_col] for r in qrows], dtype=np.int64)
+    if qv.size == 0:
+        raise ValueError("query series has no non-null values")
+
+    key_fields = [series.schema[c] for c in keys]
+    schema = T.StructType(
+        key_fields
+        + [
+            T.StructField("n_points", T.LongType(), False),
+            T.StructField("dtw", T.LongType(), False),
+        ]
+    )
+    m = qv.size
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        sv = pdf.sort_values("_b")["_v"].to_numpy(dtype=np.int64)
+        n = sv.size
+        big = np.iinfo(np.int64).max // 4
+        dp = np.full((n + 1, m + 1), big, dtype=np.int64)
+        dp[0, 0] = 0
+        w = band if band is not None else max(n, m)
+        for i in range(1, n + 1):
+            lo = max(1, i - w)
+            hi = min(m, i + w)
+            for j in range(lo, hi + 1):
+                c = (sv[i - 1] - qv[j - 1]) ** 2
+                dp[i, j] = c + min(dp[i - 1, j], dp[i, j - 1], dp[i - 1, j - 1])
+        out = {c: [pdf[c].iloc[0]] for c in keys}
+        out["n_points"] = [int(n)]
+        out["dtw"] = [int(dp[n, m])]
+        return pd.DataFrame(out)
+
+    gathered = (
+        series.where(F.col(value_col).isNotNull())
+        .select(
+            *keys,
+            F.col(bucket_col).alias("_b"),
+            F.col(value_col).cast("long").alias("_v"),
+        )
+        .groupBy(*keys)
+        .applyInPandas(kernel, schema)
+        .where(F.col("dtw") < F.lit(np.iinfo(np.int64).max // 4))
+    )
+    order = [F.col("dtw").asc()] + [F.col(c).asc() for c in keys]
+    return gathered.orderBy(*order).limit(k)

@@ -32,6 +32,7 @@ def test_queries_and_oracles_consistent():
         "source_overlap",
         "audio_segments",
         "compression_quality",
+        "series_dtw",
         "lsh_tuning",
         "ivf_tuning",
     }

@@ -3893,3 +3893,60 @@ def test_series_similarity_topk_exact(spark):
     assert [r["k"] for r in all4] == ["q", "near", "tie", "far"]  # sparse dropped
     with _pytest.raises(ValueError):
         series_similarity_topk(df, ("k",), "b", "v", query, k=0)
+
+
+def test_series_dtw_topk_vs_python_model(spark):
+    """DTW distances match a pure-Python DP model exactly (integer
+    local costs); a time-SHIFTED copy of the query ranks closer under
+    DTW than an unrelated series even though aligned SSD would punish
+    it; the Sakoe-Chiba band tightens monotonically; a band-infeasible
+    or empty series never crashes."""
+    import pytest as _pytest
+
+    from flyq_spark.operators.timeseries import series_dtw_topk
+
+    def dtw(a, b, band=None):
+        n, m = len(a), len(b)
+        big = float("inf")
+        w = band if band is not None else max(n, m)
+        dp = [[big] * (m + 1) for _ in range(n + 1)]
+        dp[0][0] = 0
+        for i in range(1, n + 1):
+            for j in range(max(1, i - w), min(m, i + w) + 1):
+                c = (a[i - 1] - b[j - 1]) ** 2
+                dp[i][j] = c + min(dp[i - 1][j], dp[i][j - 1], dp[i - 1][j - 1])
+        return dp[n][m]
+
+    q = [0, 0, 10, 40, 10, 0, 0, 0]
+    shifted = [0, 0, 0, 0, 10, 40, 10, 0]   # same pulse, 2 buckets late
+    unrelated = [25, 25, 25, 25, 25, 25, 25, 25]
+    rows = []
+    for key, vals in [("q", q), ("shifted", shifted), ("unrelated", unrelated)]:
+        rows += [(key, b, v) for b, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, b long, v long")
+    qdf = df.where(F.col("k") == "q").select("b", "v")
+    got = {
+        r["k"]: r["dtw"]
+        for r in series_dtw_topk(df, ("k",), "b", "v", qdf, k=10).collect()
+    }
+    assert got == {
+        "q": dtw(q, q),
+        "shifted": dtw(shifted, q),
+        "unrelated": dtw(unrelated, q),
+    }
+    assert got["q"] == 0
+    assert got["shifted"] < got["unrelated"]
+    # aligned SSD would rank the shifted pulse FAR (pulse misses pulse)
+    ssd_shifted = sum((a - b) ** 2 for a, b in zip(shifted, q))
+    assert got["shifted"] < ssd_shifted
+
+    banded = {
+        r["k"]: r["dtw"]
+        for r in series_dtw_topk(df, ("k",), "b", "v", qdf, k=10, band=1).collect()
+    }
+    assert banded["shifted"] == dtw(shifted, q, band=1)
+    assert banded["shifted"] >= got["shifted"]  # tighter band never helps
+    with _pytest.raises(ValueError):
+        series_dtw_topk(df, ("k",), "b", "v", qdf, k=0)
+    with _pytest.raises(ValueError):
+        series_dtw_topk(df, ("k",), "b", "v", df.where(F.lit(False)).select("b", "v"))
