@@ -2122,6 +2122,21 @@ def q_series_similarity(spark, sf_dir):
     )
 
 
+def q_histogram_quantiles(spark, sf_dir):
+    """Mergeable-state quantiles (operators/profile.py:
+    histogram_quantiles over value_histogram): p50/p95/p99 per event
+    type at 2500-cent bin resolution — integer-exact target ranks
+    (ceil via div), cumulative window over the BIN-sized frame. The
+    pattern a 100 TB pipeline uses when exact rank state is too big:
+    histograms add across batches, quantiles read off the sum."""
+    from flyq_spark.operators.profile import histogram_quantiles, value_histogram
+
+    ev = _read(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    hist = value_histogram(ev, cents, 2500, keys=("event_type",))
+    return histogram_quantiles(hist, (500, 950, 990), keys=("event_type",))
+
+
 def q_series_dtw(spark, sf_dir):
     """DTW similarity search (operators/timeseries.py:series_dtw_topk)
     over the hourly gap-filled value series, Sakoe-Chiba band 24.
@@ -3029,7 +3044,7 @@ _DRIVER_WINDOW = [
     "rolling_7day_value", "event_transitions", "neardup_triangles",
     # r5-proven rows kept to re-confirm the broad surface
     "produce_log", "consume_with_group",
-    "partition_health", "session_window_counts",
+    "partition_health",
     # new in r6: paragraph dedup, rows-only→oracle conversions, and the
     # data-platform additions (quality / funnel / outliers / drift)
     "paragraph_dedup", "multimodal_features", "phash_neardup",
@@ -3040,7 +3055,7 @@ _DRIVER_WINDOW = [
     "gap_fill_locf", "fuzzy_title_pairs", "impute_group_stats",
     "value_histogram_by_type", "rfm_segments",
     "basket_pairs", "seasonal_naive", "schema_unify", "k_anonymity",
-    "series_similarity",
+    "series_similarity", "histogram_quantiles",
 ]
 
 
@@ -3185,6 +3200,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_unify": q_schema_unify,
         "k_anonymity": q_k_anonymity,
         "series_similarity": q_series_similarity,
+        "histogram_quantiles": q_histogram_quantiles,
         "rfm_segments": q_rfm_segments,
         "incremental_retract": q_incremental_retract,
         "scd2_history": q_scd2_history,
@@ -4839,6 +4855,32 @@ SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
        CAST(sum(gap) AS BIGINT) AS sum_gap_us
 FROM gaps WHERE gap IS NOT NULL
 GROUP BY user_id
+""",
+        "histogram_quantiles": """
+WITH v AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL
+),
+hist AS (
+  SELECT event_type,
+         (CASE WHEN c < 0 AND c % 2500 <> 0 THEN (c // 2500) - 1
+               ELSE c // 2500 END) * 2500 AS bin_start,
+         count(*) AS n
+  FROM v GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, bin_start, n,
+         sum(n) OVER (PARTITION BY event_type ORDER BY bin_start
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumn,
+         sum(n) OVER (PARTITION BY event_type) AS tot
+  FROM hist
+)
+SELECT event_type,
+       min(CASE WHEN cumn >= (500 * tot + 999) // 1000 THEN bin_start END) AS p500_bin,
+       min(CASE WHEN cumn >= (950 * tot + 999) // 1000 THEN bin_start END) AS p950_bin,
+       min(CASE WHEN cumn >= (990 * tot + 999) // 1000 THEN bin_start END) AS p990_bin
+FROM cum GROUP BY event_type
 """,
         "series_similarity": """
 WITH obs AS (

@@ -17,7 +17,7 @@ upstream so min/max stringify identically on every engine.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -259,3 +259,47 @@ def k_anonymity_check(
         .agg(F.count("*").alias("n"))
         .where(F.col("n") < F.lit(k))
     )
+
+
+def histogram_quantiles(
+    hist: DataFrame,
+    quantiles: tuple[int, ...] = (500, 950, 990),
+    keys: tuple[str, ...] = (),
+) -> DataFrame:
+    """Quantiles from a :func:`value_histogram` frame — the mergeable-
+    state quantile pattern: histograms add across batches/partitions
+    (unlike exact rank state), and any quantile then reads off the
+    cumulative counts at bin resolution. ``quantiles`` are per-mille
+    (500 = median) to keep the whole computation integer-exact; the
+    answer is the ``bin_start`` of the first bin whose cumulative count
+    reaches ceil(q‰ · total) — exact for the binned distribution,
+    approximate for the raw values by at most one bin width (the
+    documented trade of the histogram representation).
+
+    One cumulative window + one aggregate over the BIN-sized frame —
+    the fact table was already reduced by value_histogram."""
+    if not quantiles or any(not 0 < q < 1000 for q in quantiles):
+        raise ValueError(f"quantiles must be per-mille in (0,1000): {quantiles}")
+    part = list(keys) if keys else [F.lit(1)]
+    w = Window.partitionBy(*part).orderBy("bin_start").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy(*part)
+    cum = hist.withColumn("_cum", F.sum("n").over(w)).withColumn(
+        "_tot", F.sum("n").over(wt)
+    )
+    aggs = []
+    for q in quantiles:
+        # target rank = ceil(q * total / 1000), integer-exact:
+        # div(q*total + 999, 1000)
+        target = F.call_function(
+            "div",
+            F.lit(int(q)).cast("long") * F.col("_tot") + F.lit(999),
+            F.lit(1000).cast("long"),
+        )
+        aggs.append(
+            F.min(
+                F.when(F.col("_cum") >= target, F.col("bin_start"))
+            ).alias(f"p{q}_bin")
+        )
+    return cum.groupBy(*keys).agg(*aggs)

@@ -3950,3 +3950,28 @@ def test_series_dtw_topk_vs_python_model(spark):
         series_dtw_topk(df, ("k",), "b", "v", qdf, k=0)
     with _pytest.raises(ValueError):
         series_dtw_topk(df, ("k",), "b", "v", df.where(F.lit(False)).select("b", "v"))
+
+
+def test_histogram_quantiles_exact_bins(spark):
+    """Quantile bins equal the bin containing ceil(q‰·total): median of
+    10 uniform values across two bins; p-millle edge cases; per-key
+    partitioning; validation."""
+    import pytest as _pytest
+
+    from flyq_spark.operators.profile import histogram_quantiles, value_histogram
+
+    df = spark.createDataFrame(
+        [("a", v) for v in range(10)] + [("b", 100)], "k string, v long"
+    )
+    hist = value_histogram(df, F.col("v"), 5, keys=("k",))
+    got = {
+        r["k"]: (r["p500_bin"], r["p900_bin"])
+        for r in histogram_quantiles(hist, (500, 900), keys=("k",)).collect()
+    }
+    # a: bins 0 (v 0-4, n=5) and 5 (v 5-9, n=5); rank(p50)=5 -> bin 0,
+    # rank(p90)=9 -> bin 5. b: single value -> both in its bin.
+    assert got == {"a": (0, 5), "b": (100, 100)}
+    with _pytest.raises(ValueError):
+        histogram_quantiles(hist, (0,))
+    with _pytest.raises(ValueError):
+        histogram_quantiles(hist, (1000,))
