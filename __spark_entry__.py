@@ -2155,6 +2155,11 @@ def q_series_dtw(spark, sf_dir):
         {"value_c": F.max(cents)},
         fill=("value_c",),
     )
+    # NOT persisted: the cache manager matches identical plan fragments
+    # GLOBALLY, so a persist here would silently rewrite the plans of
+    # every other gate query built on the same resample_locf lineage
+    # (order-dependent plan shapes broke the audit). The query-side
+    # collect recomputes a bin-sized frame — the cheaper trade.
     query = series.where(F.col("event_type") == "click").select(
         "bucket_start_s", "value_c"
     )
@@ -2174,9 +2179,16 @@ def q_schema_unify(spark, sf_dir):
 
     ev = _read(spark, sf_dir, "events")
     cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    fits_int = lambda c: F.when(
+        c > F.lit(2**31 - 1),
+        F.raise_error(
+            F.lit("q_schema_unify: fixture value exceeds int32 — the "
+                  "narrow drop cannot be modeled losslessly")
+        ).cast("long"),
+    ).otherwise(c)
     old_drop = ev.where(F.col("event_id") % 2 == 0).select(
-        F.col("event_id").cast("int").alias("event_id"),
-        cents.cast("int").alias("value_c"),
+        fits_int(F.col("event_id")).cast("int").alias("event_id"),
+        fits_int(cents).cast("int").alias("value_c"),
     )
     new_drop = ev.where(F.col("event_id") % 2 == 1).select(
         F.col("event_id").alias("event_id"),
@@ -2190,11 +2202,14 @@ def q_k_anonymity(spark, sf_dir):
     """k-anonymity audit (operators/profile.py:k_anonymity_check):
     equivalence classes of (event_type, user_id) with fewer than k=5
     rows — the re-identifiable groups a privacy release must suppress.
-    Class-cardinality output from one partial-aggregated pass."""
+    Class-cardinality output from one partial-aggregated pass. k=7:
+    the fixture's smallest classes sit just below it, so the failing
+    set is NON-empty (a vacuous empty-vs-empty gate would stay green
+    under any under-reporting bug)."""
     from flyq_spark.operators.profile import k_anonymity_check
 
     ev = _read(spark, sf_dir, "events")
-    return k_anonymity_check(ev, ("event_type", "user_id"), k=5)
+    return k_anonymity_check(ev, ("event_type", "user_id"), k=7)
 
 
 def q_compression_quality(spark, sf_dir):
@@ -4929,7 +4944,7 @@ FROM c WHERE event_id % 2 = 1
 SELECT event_type, user_id, count(*) AS n
 FROM events
 GROUP BY 1, 2
-HAVING count(*) < 5
+HAVING count(*) < 7
 """,
         "basket_pairs": """
 WITH bi AS (SELECT DISTINCT user_id, event_type FROM events),

@@ -157,10 +157,18 @@ def unify_schemas(dfs: list[DataFrame]) -> DataFrame:
                 continue
             if cur in _WIDENING_ORDER and t in _WIDENING_ORDER:
                 hi = max(_WIDENING_ORDER.index(cur), _WIDENING_ORDER.index(t))
-                # integer + float mixes widen to double (float cannot
-                # hold every bigint; double is the lossless-enough
-                # conventional target and what UNION BY NAME picks)
                 if (cur in _WIDENING_ORDER[4:]) != (t in _WIDENING_ORDER[4:]):
+                    # int/float mix: double holds every int up to 2^53,
+                    # so int32-and-below widen losslessly — but a BIGINT
+                    # side can exceed 2^53 and would round SILENTLY,
+                    # exactly the corruption this function refuses
+                    if "bigint" in (cur, t):
+                        raise ValueError(
+                            f"unify_schemas: column {f.name!r} mixes "
+                            f"{cur} and {t} — bigint does not fit a "
+                            "double losslessly (2^53); cast explicitly "
+                            "upstream"
+                        )
                     target[f.name] = "double"
                 else:
                     target[f.name] = _WIDENING_ORDER[hi]

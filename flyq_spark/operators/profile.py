@@ -288,15 +288,12 @@ def histogram_quantiles(
     cum = hist.withColumn("_cum", F.sum("n").over(w)).withColumn(
         "_tot", F.sum("n").over(wt)
     )
+    from flyq_spark.operators.util import exact_ceil_frac
+
     aggs = []
     for q in quantiles:
-        # target rank = ceil(q * total / 1000), integer-exact:
-        # div(q*total + 999, 1000)
-        target = F.call_function(
-            "div",
-            F.lit(int(q)).cast("long") * F.col("_tot") + F.lit(999),
-            F.lit(1000).cast("long"),
-        )
+        # target rank = ceil(q‰ · total), via the shared exact helper
+        target = exact_ceil_frac(F.col("_tot"), q / 1000)
         aggs.append(
             F.min(
                 F.when(F.col("_cum") >= target, F.col("bin_start"))

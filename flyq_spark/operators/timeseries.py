@@ -197,20 +197,34 @@ def series_similarity_topk(
             F.col(bucket_col).alias("_qb"), F.col(value_col).alias("_qv")
         ).where(F.col(value_col).isNotNull())
     )
+    # squared diffs and their sum run in DECIMAL(38,0): exact for any
+    # long inputs (a bare long product wraps silently at |diff| >~ 3e9),
+    # with a LOUD error if the final ssd exceeds int64 instead of a
+    # wrapped-negative "best match"
+    diff = (
+        F.col(value_col).cast("decimal(19,0)")
+        - F.col("_qv").cast("decimal(19,0)")
+    )
     joined = (
         series.where(F.col(value_col).isNotNull())
         .join(q, F.col(bucket_col) == F.col("_qb"))
-        .withColumn(
-            "_d2",
-            (F.col(value_col).cast("long") - F.col("_qv").cast("long"))
-            * (F.col(value_col).cast("long") - F.col("_qv").cast("long")),
-        )
+        .withColumn("_d2", (diff * diff).cast("decimal(38,0)"))
     )
+    ssd_dec = F.sum("_d2")
+    ssd = F.when(
+        ssd_dec > F.lit(2**63 - 1).cast("decimal(38,0)"),
+        F.raise_error(
+            F.lit(
+                "series_similarity_topk: ssd exceeds int64 — rescale the "
+                "value column upstream"
+            )
+        ).cast("long"),
+    ).otherwise(ssd_dec.cast("long"))
     agg = (
         joined.groupBy(*keys)
         .agg(
             F.count("*").alias("n_overlap"),
-            F.sum("_d2").alias("ssd"),
+            ssd.alias("ssd"),
         )
         .where(F.col("n_overlap") >= F.lit(min_overlap))
     )
@@ -275,6 +289,16 @@ def series_dtw_topk(
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         sv = pdf.sort_values("_b")["_v"].to_numpy(dtype=np.int64)
         n = sv.size
+        # int64-exactness guard (Python ints, no wrap): the worst path
+        # accumulates (n+m) steps of at most (max|sv|+max|qv|)² each —
+        # numpy would wrap SILENTLY past int64 and a wrapped-negative
+        # distance would rank first
+        worst = (int(np.abs(sv).max(initial=0)) + int(np.abs(qv).max())) ** 2
+        if worst * (n + m) >= 2**62:
+            raise ValueError(
+                "series_dtw_topk: value magnitudes too large for exact "
+                "int64 DTW — rescale the value column upstream"
+            )
         big = np.iinfo(np.int64).max // 4
         dp = np.full((n + 1, m + 1), big, dtype=np.int64)
         dp[0, 0] = 0

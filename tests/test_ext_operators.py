@@ -3845,6 +3845,14 @@ def test_unify_schemas_and_k_anonymity(spark):
     ]
     with _pytest.raises(ValueError, match="id.*int.*string"):
         unify_schemas([a, spark.createDataFrame([("s",)], "id string")])
+    # bigint+double is NOT a lossless widening (2^53): must raise
+    with _pytest.raises(ValueError, match="bigint.*double|does not fit"):
+        unify_schemas(
+            [
+                spark.createDataFrame([(1,)], "x long"),
+                spark.createDataFrame([(1.5,)], "x double"),
+            ]
+        )
     with _pytest.raises(ValueError):
         unify_schemas([])
 
