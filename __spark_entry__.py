@@ -2311,6 +2311,44 @@ def q_impute_group_stats(spark, sf_dir):
     )
 
 
+def q_entity_resolution(spark, sf_dir):
+    """Blocked entity resolution (operators/fuzzy.py + equi-blocking):
+    customer-name pairs within edit distance 1 that ALSO share the
+    nation attribute — the classic record-linkage shape (cheap exact
+    block key × fuzzy field match). The SymSpell candidates come from
+    the variant equi-join; the nation block is a post-filter on the
+    verified pairs (never an all-pairs scan). Oracle = the naive
+    all-pairs levenshtein join; the hash match proves zero lost
+    matches."""
+    from flyq_spark.operators.fuzzy import edit_distance_pairs
+
+    cust = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("doc_id"),
+        F.col("c_name").alias("title"),
+        F.col("c_nationkey"),
+    )
+    pairs = edit_distance_pairs(
+        cust, max_dist=1, id_col="doc_id", text_col="title", max_len=25
+    )
+    a = cust.select(
+        F.col("doc_id").alias("id_a"), F.col("c_nationkey").alias("_na")
+    )
+    b = cust.select(
+        F.col("doc_id").alias("id_b"), F.col("c_nationkey").alias("_nb")
+    )
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .where(F.col("_na") == F.col("_nb"))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("dist").cast("long").alias("dist"),
+            F.col("_na").cast("long").alias("nationkey"),
+        )
+    )
+
+
 def q_gap_fill_locf(spark, sf_dir):
     """Time-bucket gap-fill with LOCF (operators/timeseries.py:
     resample_locf — the TimescaleDB time_bucket_gapfill + locf shape):
@@ -3059,7 +3097,6 @@ _DRIVER_WINDOW = [
     "rolling_7day_value", "event_transitions", "neardup_triangles",
     # r5-proven rows kept to re-confirm the broad surface
     "produce_log", "consume_with_group",
-    "partition_health",
     # new in r6: paragraph dedup, rows-only→oracle conversions, and the
     # data-platform additions (quality / funnel / outliers / drift)
     "paragraph_dedup", "multimodal_features", "phash_neardup",
@@ -3070,7 +3107,7 @@ _DRIVER_WINDOW = [
     "gap_fill_locf", "fuzzy_title_pairs", "impute_group_stats",
     "value_histogram_by_type", "rfm_segments",
     "basket_pairs", "seasonal_naive", "schema_unify", "k_anonymity",
-    "series_similarity", "histogram_quantiles",
+    "series_similarity", "histogram_quantiles", "entity_resolution",
 ]
 
 
@@ -3208,6 +3245,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_agg": q_incremental_agg,
         "gap_fill_locf": q_gap_fill_locf,
         "fuzzy_title_pairs": q_fuzzy_title_pairs,
+        "entity_resolution": q_entity_resolution,
         "impute_group_stats": q_impute_group_stats,
         "value_histogram_by_type": q_value_histogram_by_type,
         "basket_pairs": q_basket_pairs,
@@ -5051,6 +5089,15 @@ SELECT v.event_id, v.event_type,
 FROM v
 LEFT JOIN med USING (event_type)
 LEFT JOIN md USING (event_type)
+""",
+        "entity_resolution": """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist,
+       CAST(a.c_nationkey AS BIGINT) AS nationkey
+FROM customer a JOIN customer b
+  ON a.c_custkey < b.c_custkey
+ AND a.c_nationkey = b.c_nationkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
 """,
         "fuzzy_title_pairs": """
 WITH p AS (

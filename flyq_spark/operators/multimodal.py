@@ -11,7 +11,8 @@ The decode/feature kernels are Arrow-batched ``mapInPandas`` with real
 schemas, partitioning, and batch shapes. Decoding is REAL for formats
 whose specs need nothing beyond stdlib+numpy — binary netpbm (PGM/PPM),
 uncompressed BMP, PNG (zlib inflate + scanline unfiltering), GIF (full
-LZW, interlace, first frame), PCM WAV — sniffed by magic bytes; codecs
+LZW, interlace, first frame), baseline TIFF (strips, both byte orders),
+PCM WAV — sniffed by magic bytes; codecs
 that genuinely need external libraries (JPEG/MP3/H.264) fall back to
 ``_decode_stub``, a clearly-marked
 deterministic fake (this container has no image/audio libraries), so the
@@ -498,19 +499,105 @@ def _try_decode_gif(payload: bytes):
         return None
 
 
+def _try_decode_tiff(payload: bytes):
+    """Baseline TIFF, FIRST IFD: uncompressed (Compression=1) strips,
+    8 bits per sample, photometric 0/1 (gray, either polarity), 2
+    (RGB, extra samples like alpha ignored), 3 (palette, 16-bit
+    ColorMap entries); both byte orders (II/MM). Anything else —
+    LZW/JPEG-in-TIFF, tiles, 16-bit, planar — returns None (stub
+    fallback). Returns a float64 luma matrix or None."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] not in (b"II*\x00", b"MM\x00*"):
+        return None
+    try:
+        e = "<" if payload[:2] == b"II" else ">"
+        (ifd_off,) = struct.unpack_from(e + "I", payload, 4)
+        if ifd_off + 2 > len(payload):
+            return None
+        (n_entries,) = struct.unpack_from(e + "H", payload, ifd_off)
+        type_size = {1: 1, 3: 2, 4: 4}
+        tags: dict[int, list[int]] = {}
+        for i in range(n_entries):
+            base = ifd_off + 2 + 12 * i
+            tag, typ, cnt = struct.unpack_from(e + "HHI", payload, base)
+            if typ not in type_size:
+                continue
+            sz = type_size[typ] * cnt
+            off = base + 8 if sz <= 4 else struct.unpack_from(
+                e + "I", payload, base + 8
+            )[0]
+            if off + sz > len(payload):
+                return None
+            fmt = {1: "B", 3: "H", 4: "I"}[typ]
+            tags[tag] = list(struct.unpack_from(e + fmt * cnt, payload, off))
+        w = tags.get(256, [0])[0]
+        h = tags.get(257, [0])[0]
+        bits = tags.get(258, [8])
+        comp = tags.get(259, [1])[0]
+        photo = tags.get(262, [1])[0]
+        offsets = tags.get(273)
+        spp = tags.get(277, [1])[0]
+        counts = tags.get(279)
+        if (
+            comp != 1
+            or offsets is None
+            or counts is None
+            or len(offsets) != len(counts)
+            or any(b != 8 for b in bits)
+            or photo not in (0, 1, 2, 3)
+            or not (0 < w and 0 < h)
+            or w * h > 64_000_000
+            or spp < 1
+        ):
+            return None
+        data = bytearray()
+        for off, cnt in zip(offsets, counts):
+            if off + cnt > len(payload):
+                return None
+            data += payload[off : off + cnt]
+        need = w * h * spp
+        if len(data) < need:
+            return None
+        px = np.frombuffer(bytes(data[:need]), np.uint8).reshape(h, w, spp)
+        if photo == 2:
+            if spp < 3:
+                return None
+            rgb = px[:, :, :3].astype(np.float64)
+            return _luma(rgb[..., 0], rgb[..., 1], rgb[..., 2])
+        if photo == 3:
+            cmap = tags.get(320)
+            if cmap is None or len(cmap) < 3 * 256 or spp != 1:
+                return None
+            # ColorMap entries are 16-bit; scale to 0..255
+            cm = np.array(cmap[: 3 * 256], dtype=np.float64).reshape(3, 256)
+            idx = px[:, :, 0]
+            r, g, b = cm[0][idx], cm[1][idx], cm[2][idx]
+            return _luma(r, g, b) * (255.0 / 65535.0)
+        gray = px[:, :, 0].astype(np.float64)
+        return 255.0 - gray if photo == 0 else gray
+    except (ValueError, IndexError, struct.error):
+        return None
+
+
 def _try_decode_image(payload: bytes):
-    """The one image sniff chain (netpbm, then BMP, then PNG, then GIF)
-    — shared by feature extraction and the dHash luma grid so 'which
+    """The one image sniff chain (netpbm → BMP → PNG → GIF → TIFF) —
+    shared by feature extraction and the dHash luma grid so 'which
     payloads decode for real' can never diverge between them. Returns a
     float64 luma matrix or None."""
-    luma = _try_decode_netpbm(payload)
-    if luma is None:
-        luma = _try_decode_bmp(payload)
-    if luma is None:
-        luma = _try_decode_png(payload)
-    if luma is None:
-        luma = _try_decode_gif(payload)
-    return luma
+    for dec in (
+        _try_decode_netpbm,
+        _try_decode_bmp,
+        _try_decode_png,
+        _try_decode_gif,
+        _try_decode_tiff,
+    ):
+        luma = dec(payload)
+        if luma is not None:
+            return luma
+    return None
 
 
 def _try_decode_wav(payload: bytes):

@@ -1092,6 +1092,12 @@ def test_media_decoders_never_raise_on_garbage():
         b"BM" + b"\x00" * 8 + struct.pack("<I", 54)
         + struct.pack("<IiiHHI", 40, 2**30, 2**30, 1, 24, 0) + b"\x00" * 20
     )
+    # TIFF adversaries: valid-magic garbage, both byte orders
+    for m2 in (b"II*\x00", b"MM\x00*"):
+        cases += [
+            m2 + bytes(rng.randrange(256) for _ in range(rng.randrange(100)))
+            for _ in range(100)
+        ]
     # GIF adversaries: valid-magic garbage through the full kernel path
     cases += [
         b"GIF89a" + bytes(rng.randrange(256) for _ in range(rng.randrange(100)))
@@ -3983,3 +3989,167 @@ def test_histogram_quantiles_exact_bins(spark):
         histogram_quantiles(hist, (0,))
     with _pytest.raises(ValueError):
         histogram_quantiles(hist, (1000,))
+
+
+def _make_tiff(pixels, endian="<", photometric=2, rows_per_strip=None,
+               palette=None):
+    """Reference baseline-TIFF writer: multi-strip, either byte order,
+    gray (1)/inverted-gray (0)/RGB (2)/palette (3)."""
+    import struct
+
+    h, w = len(pixels), len(pixels[0])
+    spp = 1 if photometric in (0, 1, 3) else len(pixels[0][0])
+    rps = rows_per_strip or max(1, h // 3)
+    flat = bytearray()
+    for row in pixels:
+        for pxv in row:
+            flat += bytes(pxv if isinstance(pxv, (list, tuple)) else [pxv])
+    strips = []
+    for y0 in range(0, h, rps):
+        rows = min(rps, h - y0)
+        start = y0 * w * spp
+        strips.append(bytes(flat[start : start + rows * w * spp]))
+
+    entries = []  # (tag, type, count, values)
+    def E(tag, typ, vals):
+        entries.append((tag, typ, vals))
+
+    E(256, 4, [w]); E(257, 4, [h]); E(258, 3, [8] * spp)
+    E(259, 3, [1]); E(262, 3, [photometric]); E(277, 3, [spp])
+    E(278, 4, [rps])
+    # layout: header(8) + IFD + external data after
+    n = len(entries) + 2 + (1 if palette else 0)  # + offsets + counts (+cmap)
+    ifd_off = 8
+    ifd_size = 2 + 12 * n + 4
+    ext = bytearray()
+    ext_base = ifd_off + ifd_size
+
+    def value_or_offset(typ, vals):
+        size = {1: 1, 3: 2, 4: 4}[typ] * len(vals)
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        packed = struct.pack(endian + fmt * len(vals), *vals)
+        if size <= 4:
+            return packed + b"\x00" * (4 - size)
+        off = ext_base + len(ext)
+        ext.extend(packed)
+        return struct.pack(endian + "I", off)
+
+    # strip placement: after ifd + ext; two passes (sizes first)
+    # reserve ext for large entries in deterministic order
+    strip_counts = [len(s) for s in strips]
+    # build all entries including strip offsets (resolved later)
+    all_tags = entries + [(273, 4, None), (279, 4, strip_counts)]
+    if palette:
+        cmap = (
+            [c[0] * 257 for c in palette]
+            + [c[1] * 257 for c in palette]
+            + [c[2] * 257 for c in palette]
+        )
+        all_tags.append((320, 3, cmap))
+    all_tags.sort(key=lambda t: t[0])
+
+    # first pass to size ext (use dummy strip offsets)
+    body = {}
+    for tag, typ, vals in all_tags:
+        if vals is None:
+            vals = [0] * len(strips)
+        body[tag] = value_or_offset(typ, vals)
+    data_base = ext_base + len(ext)
+    offs = []
+    acc = data_base
+    for c in strip_counts:
+        offs.append(acc); acc += c
+    # re-encode strip offsets with real values (same size => same layout)
+    size = 4 * len(offs)
+    if size <= 4:
+        body[273] = struct.pack(endian + "I" * len(offs), *offs) + b"\x00" * (4 - size)
+    else:
+        # find where the dummy was placed: rebuild ext deterministically
+        ext2 = bytearray(); body2 = {}
+        for tag, typ, vals in all_tags:
+            if tag == 273:
+                vals = offs
+            if vals is None:
+                vals = offs
+            sz = {1: 1, 3: 2, 4: 4}[typ] * len(vals)
+            fmt = {1: "B", 3: "H", 4: "I"}[typ]
+            packed = struct.pack(endian + fmt * len(vals), *vals)
+            if sz <= 4:
+                body2[tag] = packed + b"\x00" * (4 - sz)
+            else:
+                off = ext_base + len(ext2)
+                ext2.extend(packed)
+                body2[tag] = struct.pack(endian + "I", off)
+        ext, body = ext2, body2
+    out = (b"II*\x00" if endian == "<" else b"MM\x00*") + struct.pack(
+        endian + "I", ifd_off
+    )
+    out += struct.pack(endian + "H", len(all_tags))
+    for tag, typ, vals in all_tags:
+        cnt = len(vals) if vals is not None else len(strips)
+        out += struct.pack(endian + "HHI", tag, typ, cnt) + body[tag]
+    out += struct.pack(endian + "I", 0)  # next IFD
+    out += bytes(ext)
+    for st in strips:
+        out += st
+    return bytes(out)
+
+
+def test_tiff_decoder_strips_orders_photometrics():
+    """Baseline TIFF: multi-strip reassembly, little- and big-endian,
+    RGB/gray/inverted-gray/palette, netpbm luma parity, and garbage
+    rejection."""
+    import hashlib
+
+    import numpy as np
+
+    from flyq_spark.operators.multimodal import (
+        _try_decode_netpbm,
+        _try_decode_tiff,
+    )
+
+    w, h = 13, 9
+    rng = [
+        int(hashlib.md5(f"tf{i}".encode()).hexdigest()[:2], 16)
+        for i in range(w * h * 3)
+    ]
+    rgb = [
+        [[rng[(y * w + x) * 3 + c] for c in range(3)] for x in range(w)]
+        for y in range(h)
+    ]
+    want = np.array(
+        [[r * 0.299 + g * 0.587 + b * 0.114 for (r, g, b) in row] for row in rgb]
+    )
+    for endian in ("<", ">"):
+        got = _try_decode_tiff(_make_tiff(rgb, endian=endian, rows_per_strip=2))
+        assert got is not None and np.allclose(got, want, atol=1e-9), endian
+    ppm = f"P6\n{w} {h}\n255\n".encode() + bytes(
+        c for row in rgb for px in row for c in px
+    )
+    assert np.allclose(_try_decode_netpbm(ppm), want, atol=1e-9)
+
+    gray = [[v[0] for v in row] for row in rgb]
+    got_g = _try_decode_tiff(_make_tiff(gray, photometric=1))
+    assert np.allclose(got_g, np.array(gray, dtype=float))
+    got_inv = _try_decode_tiff(_make_tiff(gray, photometric=0))
+    assert np.allclose(got_inv, 255.0 - np.array(gray, dtype=float))
+
+    pal = [(i, 255 - i, (i * 5) % 256) for i in range(256)]
+    idx = [[rng[y * w + x] for x in range(w)] for y in range(h)]
+    want_pal = np.array(
+        [
+            [
+                pal[i][0] * 0.299 + pal[i][1] * 0.587 + pal[i][2] * 0.114
+                for i in row
+            ]
+            for row in idx
+        ]
+    )
+    got_pal = _try_decode_tiff(_make_tiff(idx, photometric=3, palette=pal))
+    assert got_pal is not None and np.allclose(got_pal, want_pal, atol=1e-6)
+
+    assert _try_decode_tiff(b"II*\x00" + b"\x01" * 30) is None
+    full = _make_tiff(rgb)
+    for cut in range(0, len(full), 11):
+        r = _try_decode_tiff(full[:cut])
+        assert r is None or r.shape == (h, w)
