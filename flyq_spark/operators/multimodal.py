@@ -133,7 +133,8 @@ def dedup_by_content(df: DataFrame, id_col: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------- #
-# decode / feature extraction (Arrow-batched; decode kernel stubbed)
+# decode / feature extraction (Arrow-batched; real decoders below,
+# stub fallback for library-bound codecs)
 # ----------------------------------------------------------------------- #
 
 
@@ -158,11 +159,13 @@ def _decode_stub(payload: bytes, kind: str, feature_dim: int) -> dict:
 # Formats whose specs need nothing beyond stdlib struct/zlib + numpy get
 # REAL decoders: netpbm P5/P6 (binary PGM/PPM), uncompressed BMP (BI_RGB
 # 24/32 bpp), PNG (non-interlaced, 8/16-bit, all five scanline filters,
-# color types 0/2/3/4/6 — zlib inflate + numpy unfiltering), and PCM WAV
-# (8/16-bit RIFF). Payloads are sniffed by magic bytes; anything else
-# (JPEG/MP3/H.264 — codecs that genuinely need PIL/libav) falls back to
-# the documented stub, so existing stub-pinned tests and gate values are
-# unchanged for non-media payloads.
+# color types 0/2/3/4/6 — zlib inflate + numpy unfiltering), GIF (full
+# LZW with width growth and clear/EOI, interlace, first frame), baseline
+# TIFF (uncompressed strips, II/MM byte orders, gray/RGB/palette), and
+# PCM WAV (8/16-bit RIFF). Payloads are sniffed by magic bytes; anything
+# else (JPEG/MP3/H.264 — codecs that genuinely need PIL/libav) falls
+# back to the documented stub, so existing stub-pinned tests and gate
+# values are unchanged for non-media payloads.
 
 
 def _luma(r, g, b):
