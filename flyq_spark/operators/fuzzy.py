@@ -85,8 +85,11 @@ def edit_distance_pairs(
     Plan: one narrow variant explode per row (variants carried as md5
     keys), an equi-self-join on the variant key, distinct candidate
     pairs, then the verify on candidates only. The variant frame is
-    persisted across the self-join's two sides. Output:
-    (id_a, id_b, dist) with id_a < id_b."""
+    NOT persisted: Spark's cache manager substitutes cached fragments
+    into ANY matching plan globally, which made unrelated gate queries'
+    plan shapes order-dependent — recomputing the narrow variant
+    projection on each join side is the cheaper, deterministic trade.
+    Output: (id_a, id_b, dist) with id_a < id_b."""
     if max_dist < 1:
         raise ValueError(f"max_dist must be >= 1, got {max_dist}")
     guarded = F.when(
@@ -108,7 +111,6 @@ def edit_distance_pairs(
             F.explode(delete_variants(F.col("_s"), max_dist)).alias("_v"),
         )
         .select(id_col, "_s", F.md5(F.col("_v")).alias("_vh"))
-        .persist()
     )
     a = variants.select(
         F.col(id_col).alias("id_a"), F.col("_s").alias("_sa"), "_vh"

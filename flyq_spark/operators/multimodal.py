@@ -544,8 +544,11 @@ def _try_decode_tiff(payload: bytes):
         offsets = tags.get(273)
         spp = tags.get(277, [1])[0]
         counts = tags.get(279)
+        planar = tags.get(284, [1])[0]
         if (
             comp != 1
+            or planar != 1  # planar (RRR..GGG..BBB) would reshape to
+            # WRONG interleaved luma silently — reject, don't guess
             or offsets is None
             or counts is None
             or len(offsets) != len(counts)
@@ -556,12 +559,18 @@ def _try_decode_tiff(payload: bytes):
             or spp < 1
         ):
             return None
+        need = w * h * spp
         data = bytearray()
+        # stop at `need`: per-strip bounds alone allow a crafted IFD
+        # whose N strips each claim the whole payload — O(N·payload)
+        # amplification before any size check (the TIFF analog of the
+        # PNG decompress cap)
         for off, cnt in zip(offsets, counts):
             if off + cnt > len(payload):
                 return None
-            data += payload[off : off + cnt]
-        need = w * h * spp
+            data += payload[off : off + min(cnt, need - len(data))]
+            if len(data) >= need:
+                break
         if len(data) < need:
             return None
         px = np.frombuffer(bytes(data[:need]), np.uint8).reshape(h, w, spp)

@@ -3992,9 +3992,11 @@ def test_histogram_quantiles_exact_bins(spark):
 
 
 def _make_tiff(pixels, endian="<", photometric=2, rows_per_strip=None,
-               palette=None):
+               palette=None, planar=None):
     """Reference baseline-TIFF writer: multi-strip, either byte order,
-    gray (1)/inverted-gray (0)/RGB (2)/palette (3)."""
+    gray (1)/inverted-gray (0)/RGB (2)/palette (3). Single-pass IFD:
+    every external size is known up front, so strip offsets are
+    computed before any packing (no rebuild branch to keep in sync)."""
     import struct
 
     h, w = len(pixels), len(pixels[0])
@@ -4004,91 +4006,65 @@ def _make_tiff(pixels, endian="<", photometric=2, rows_per_strip=None,
     for row in pixels:
         for pxv in row:
             flat += bytes(pxv if isinstance(pxv, (list, tuple)) else [pxv])
-    strips = []
-    for y0 in range(0, h, rps):
-        rows = min(rps, h - y0)
-        start = y0 * w * spp
-        strips.append(bytes(flat[start : start + rows * w * spp]))
+    strips = [
+        bytes(flat[y0 * w * spp : (y0 + min(rps, h - y0)) * w * spp])
+        for y0 in range(0, h, rps)
+    ]
+    strip_counts = [len(st) for st in strips]
 
-    entries = []  # (tag, type, count, values)
-    def E(tag, typ, vals):
-        entries.append((tag, typ, vals))
-
-    E(256, 4, [w]); E(257, 4, [h]); E(258, 3, [8] * spp)
-    E(259, 3, [1]); E(262, 3, [photometric]); E(277, 3, [spp])
-    E(278, 4, [rps])
-    # layout: header(8) + IFD + external data after
-    n = len(entries) + 2 + (1 if palette else 0)  # + offsets + counts (+cmap)
-    ifd_off = 8
-    ifd_size = 2 + 12 * n + 4
-    ext = bytearray()
-    ext_base = ifd_off + ifd_size
-
-    def value_or_offset(typ, vals):
-        size = {1: 1, 3: 2, 4: 4}[typ] * len(vals)
-        fmt = {1: "B", 3: "H", 4: "I"}[typ]
-        packed = struct.pack(endian + fmt * len(vals), *vals)
-        if size <= 4:
-            return packed + b"\x00" * (4 - size)
-        off = ext_base + len(ext)
-        ext.extend(packed)
-        return struct.pack(endian + "I", off)
-
-    # strip placement: after ifd + ext; two passes (sizes first)
-    # reserve ext for large entries in deterministic order
-    strip_counts = [len(s) for s in strips]
-    # build all entries including strip offsets (resolved later)
-    all_tags = entries + [(273, 4, None), (279, 4, strip_counts)]
+    tags = [
+        (256, 4, [w]), (257, 4, [h]), (258, 3, [8] * spp),
+        (259, 3, [1]), (262, 3, [photometric]), (277, 3, [spp]),
+        (278, 4, [rps]),
+        (273, 4, None),            # strip offsets, resolved below
+        (279, 4, strip_counts),
+    ]
+    if planar is not None:
+        tags.append((284, 3, [planar]))
     if palette:
         cmap = (
             [c[0] * 257 for c in palette]
             + [c[1] * 257 for c in palette]
             + [c[2] * 257 for c in palette]
         )
-        all_tags.append((320, 3, cmap))
-    all_tags.sort(key=lambda t: t[0])
+        tags.append((320, 3, cmap))
+    tags.sort(key=lambda t: t[0])
 
-    # first pass to size ext (use dummy strip offsets)
-    body = {}
-    for tag, typ, vals in all_tags:
-        if vals is None:
-            vals = [0] * len(strips)
-        body[tag] = value_or_offset(typ, vals)
-    data_base = ext_base + len(ext)
+    tsize = {1: 1, 3: 2, 4: 4}
+    ifd_off = 8
+    ext_base = ifd_off + 2 + 12 * len(tags) + 4
+    # lay out external area deterministically BEFORE packing
+    ext_off = {}
+    acc = ext_base
+    for tag, typ, vals in tags:
+        cnt = len(strips) if vals is None else len(vals)
+        sz = tsize[typ] * cnt
+        if sz > 4:
+            ext_off[tag] = acc
+            acc += sz
+    data_base = acc
     offs = []
-    acc = data_base
     for c in strip_counts:
-        offs.append(acc); acc += c
-    # re-encode strip offsets with real values (same size => same layout)
-    size = 4 * len(offs)
-    if size <= 4:
-        body[273] = struct.pack(endian + "I" * len(offs), *offs) + b"\x00" * (4 - size)
-    else:
-        # find where the dummy was placed: rebuild ext deterministically
-        ext2 = bytearray(); body2 = {}
-        for tag, typ, vals in all_tags:
-            if tag == 273:
-                vals = offs
-            if vals is None:
-                vals = offs
-            sz = {1: 1, 3: 2, 4: 4}[typ] * len(vals)
-            fmt = {1: "B", 3: "H", 4: "I"}[typ]
-            packed = struct.pack(endian + fmt * len(vals), *vals)
-            if sz <= 4:
-                body2[tag] = packed + b"\x00" * (4 - sz)
-            else:
-                off = ext_base + len(ext2)
-                ext2.extend(packed)
-                body2[tag] = struct.pack(endian + "I", off)
-        ext, body = ext2, body2
+        offs.append(data_base)
+        data_base += c
+
     out = (b"II*\x00" if endian == "<" else b"MM\x00*") + struct.pack(
         endian + "I", ifd_off
     )
-    out += struct.pack(endian + "H", len(all_tags))
-    for tag, typ, vals in all_tags:
-        cnt = len(vals) if vals is not None else len(strips)
-        out += struct.pack(endian + "HHI", tag, typ, cnt) + body[tag]
-    out += struct.pack(endian + "I", 0)  # next IFD
+    out += struct.pack(endian + "H", len(tags))
+    ext = bytearray()
+    for tag, typ, vals in tags:
+        if vals is None:
+            vals = offs
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        packed = struct.pack(endian + fmt * len(vals), *vals)
+        out += struct.pack(endian + "HHI", tag, typ, len(vals))
+        if len(packed) <= 4:
+            out += packed + b"\x00" * (4 - len(packed))
+        else:
+            out += struct.pack(endian + "I", ext_off[tag])
+            ext.extend(packed)
+    out += struct.pack(endian + "I", 0)
     out += bytes(ext)
     for st in strips:
         out += st
@@ -4147,6 +4123,43 @@ def test_tiff_decoder_strips_orders_photometrics():
     )
     got_pal = _try_decode_tiff(_make_tiff(idx, photometric=3, palette=pal))
     assert got_pal is not None and np.allclose(got_pal, want_pal, atol=1e-6)
+
+    # planar RGB (RRR..GGG..BBB) must be REJECTED, not decoded as
+    # interleaved garbage luma
+    assert _try_decode_tiff(_make_tiff(rgb, planar=2)) is None
+    assert _try_decode_tiff(_make_tiff(rgb, planar=1)) is not None
+
+    # strip-amplification bomb: many strips each claiming the whole
+    # payload must not allocate O(N·payload) — decode stays bounded
+    # (and returns SOMETHING without OOM; the cap stops at `need`)
+    import struct as _struct
+    import time as _time
+
+    bomb_strips = 2000
+    hdr = b"II*\x00" + _struct.pack("<I", 8)
+    n = 6
+    entries = [
+        (256, 4, 1, 8), (257, 4, 1, 8), (259, 3, 1, 1), (262, 3, 1, 1),
+        (273, 4, bomb_strips, None), (279, 4, bomb_strips, None),
+    ]
+    ifd = _struct.pack("<H", n)
+    ext_base = 8 + 2 + 12 * n + 4
+    offs_off = ext_base
+    cnts_off = ext_base + 4 * bomb_strips
+    payload_len = cnts_off + 4 * bomb_strips + 64
+    for tag, typ, cnt, val in entries:
+        if val is None:
+            off = offs_off if tag == 273 else cnts_off
+            ifd += _struct.pack("<HHII", tag, typ, cnt, off)
+        else:
+            ifd += _struct.pack("<HHI", tag, typ, cnt) + _struct.pack("<I", val)
+    ifd += _struct.pack("<I", 0)
+    body = _struct.pack("<" + "I" * bomb_strips, *([0] * bomb_strips))
+    body += _struct.pack("<" + "I" * bomb_strips, *([payload_len - 1] * bomb_strips))
+    bomb = hdr + ifd + body + b"\x00" * 64
+    t0 = _time.time()
+    _try_decode_tiff(bomb)  # must return quickly, bounded allocation
+    assert _time.time() - t0 < 2.0
 
     assert _try_decode_tiff(b"II*\x00" + b"\x01" * 30) is None
     full = _make_tiff(rgb)
