@@ -2137,6 +2137,30 @@ def q_histogram_quantiles(spark, sf_dir):
     return histogram_quantiles(hist, (500, 950, 990), keys=("event_type",))
 
 
+def q_cusum_alarms(spark, sf_dir):
+    """CUSUM changepoint detection (operators/timeseries.py:
+    cusum_alarms) over the hourly LOCF series: Page's control chart in
+    closed form — prefix sum minus running extreme, ALL integer, so the
+    sequential-looking recurrence hash-checks against SQL. ref/threshold
+    chosen so both alarm sides fire (548 high / 633 low at sf0.01)."""
+    from flyq_spark.operators.timeseries import cusum_alarms, resample_locf
+
+    ev = _read(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    series = resample_locf(
+        ev,
+        ("event_type",),
+        "ts",
+        3600,
+        {"value_c": F.max(cents)},
+        fill=("value_c",),
+    )
+    return cusum_alarms(
+        series, ("event_type",), "bucket_start_s", "value_c",
+        ref=8600, threshold=200000,
+    )
+
+
 def q_series_dtw(spark, sf_dir):
     """DTW similarity search (operators/timeseries.py:series_dtw_topk)
     over the hourly gap-filled value series, Sakoe-Chiba band 24.
@@ -3096,7 +3120,7 @@ _DRIVER_WINDOW = [
     "hashed_doc_vectors", "ann_filtered_topk", "normalize_text",
     "rolling_7day_value", "event_transitions", "neardup_triangles",
     # r5-proven rows kept to re-confirm the broad surface
-    "produce_log", "consume_with_group",
+    "produce_log",
     # new in r6: paragraph dedup, rows-only→oracle conversions, and the
     # data-platform additions (quality / funnel / outliers / drift)
     "paragraph_dedup", "multimodal_features", "phash_neardup",
@@ -3108,6 +3132,7 @@ _DRIVER_WINDOW = [
     "value_histogram_by_type", "rfm_segments",
     "basket_pairs", "seasonal_naive", "schema_unify", "k_anonymity",
     "series_similarity", "histogram_quantiles", "entity_resolution",
+    "cusum_alarms",
 ]
 
 
@@ -3254,6 +3279,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity": q_k_anonymity,
         "series_similarity": q_series_similarity,
         "histogram_quantiles": q_histogram_quantiles,
+        "cusum_alarms": q_cusum_alarms,
         "rfm_segments": q_rfm_segments,
         "incremental_retract": q_incremental_retract,
         "scd2_history": q_scd2_history,
@@ -4908,6 +4934,44 @@ SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
        CAST(sum(gap) AS BIGINT) AS sum_gap_us
 FROM gaps WHERE gap IS NOT NULL
 GROUP BY user_id
+""",
+        "cusum_alarms": """
+WITH obs AS (
+  SELECT event_type, (epoch_us(ts) // 3600000000) * 3600 AS b,
+         max(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS v
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT event_type, min(b) AS lo, max(b) AS hi FROM obs GROUP BY 1),
+grid AS (
+  SELECT event_type, CAST(t.g AS BIGINT) AS b
+  FROM span, UNNEST(range(lo, hi + 3600, 3600)) AS t(g)
+),
+filled AS (
+  SELECT g.event_type, g.b,
+         last_value(o.v IGNORE NULLS) OVER (
+           PARTITION BY g.event_type ORDER BY g.b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+  FROM grid g LEFT JOIN obs o ON g.event_type = o.event_type AND g.b = o.b
+),
+c AS (
+  SELECT event_type, b, v,
+         sum(v - 8600) OVER (PARTITION BY event_type ORDER BY b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM filled WHERE v IS NOT NULL
+),
+s AS (
+  SELECT event_type, b, v,
+         cum - min(least(cum, 0)) OVER (PARTITION BY event_type ORDER BY b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_pos,
+         max(greatest(cum, 0)) OVER (PARTITION BY event_type ORDER BY b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cum AS s_neg
+  FROM c
+)
+SELECT event_type, b AS bucket_start_s, v AS value_c,
+       CAST(s_pos AS BIGINT) AS s_pos, CAST(s_neg AS BIGINT) AS s_neg,
+       CASE WHEN s_pos > 200000 THEN 'high' ELSE 'low' END AS alarm
+FROM s
+WHERE s_pos > 200000 OR s_neg > 200000
 """,
         "histogram_quantiles": """
 WITH v AS (

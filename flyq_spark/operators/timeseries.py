@@ -327,3 +327,55 @@ def series_dtw_topk(
     )
     order = [F.col("dtw").asc()] + [F.col(c).asc() for c in keys]
     return gathered.orderBy(*order).limit(k)
+
+
+def cusum_alarms(
+    series: DataFrame,
+    keys: tuple[str, ...],
+    bucket_col: str,
+    value_col: str,
+    ref: int,
+    threshold: int,
+    two_sided: bool = True,
+) -> DataFrame:
+    """CUSUM changepoint detection (Page's cumulative-sum control
+    chart) over a bucket series — the sequential drift detector a
+    metrics pipeline runs on gap-filled counters: the upper statistic
+    S⁺ᵢ = max(0, S⁺ᵢ₋₁ + (xᵢ − ref)) alarms when sustained drift above
+    ``ref`` accumulates past ``threshold`` (and S⁻ symmetrically below
+    when ``two_sided``).
+
+    The max(0,·) recurrence looks sequential but solves in closed form:
+    S⁺ᵢ = cumᵢ − min(cum₀..ᵢ) where cum is the plain prefix sum of
+    (x − ref) — two window passes, ALL integer arithmetic, so the whole
+    detector is oracle-replayable (unlike iterative formulations).
+    NULL values break the accumulation (documented: a gap with no LOCF
+    fill contributes nothing and resets nothing — filter or fill
+    upstream; here NULL rows are excluded before the windows so the
+    statistic skips them).
+
+    Output: one row per ALARMED bucket — (keys, bucket, value, s_pos,
+    s_neg, alarm ∈ {'high','low'}) — plus none for in-control buckets;
+    key-partitioned windows over the bucket-sized series."""
+    if threshold <= 0:
+        raise ValueError(f"threshold must be positive, got {threshold}")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = series.where(F.col(value_col).isNotNull()).withColumn(
+        "_cum",
+        F.sum(F.col(value_col).cast("long") - F.lit(int(ref)).cast("long")).over(w),
+    )
+    s_pos = F.col("_cum") - F.min(F.least(F.col("_cum"), F.lit(0).cast("long"))).over(w)
+    s_neg = F.max(F.greatest(F.col("_cum"), F.lit(0).cast("long"))).over(w) - F.col("_cum")
+    out = base.withColumn("s_pos", s_pos).withColumn("s_neg", s_neg)
+    alarm = F.when(F.col("s_pos") > F.lit(int(threshold)), F.lit("high"))
+    if two_sided:
+        alarm = alarm.when(F.col("s_neg") > F.lit(int(threshold)), F.lit("low"))
+    return (
+        out.withColumn("alarm", alarm)
+        .where(F.col("alarm").isNotNull())
+        .select(*keys, bucket_col, value_col, "s_pos", "s_neg", "alarm")
+    )

@@ -4166,3 +4166,51 @@ def test_tiff_decoder_strips_orders_photometrics():
     for cut in range(0, len(full), 11):
         r = _try_decode_tiff(full[:cut])
         assert r is None or r.shape == (h, w)
+
+
+def test_cusum_alarms_matches_recurrence_model(spark):
+    """The closed-form (prefix-sum minus running-min) equals the
+    textbook max(0, S+d) recurrence on a seeded series; alarms fire
+    exactly where the model's statistic crosses; NULLs are skipped;
+    one-sided mode suppresses 'low'."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from flyq_spark.operators.timeseries import cusum_alarms
+
+    vals = [
+        (int(hashlib.md5(f"cs{i}".encode()).hexdigest()[:2], 16) % 21) - 10
+        for i in range(60)
+    ]
+    vals[20:30] = [v + 15 for v in vals[20:30]]   # upward drift burst
+    vals[45:55] = [v - 15 for v in vals[45:55]]   # downward burst
+    vals[33] = None
+    rows = [("k", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g string, b long, v long")
+
+    ref, thr = 0, 40
+    sp = sn = 0
+    model = {}
+    for i, v in enumerate(vals):
+        if v is None:
+            continue
+        sp = max(0, sp + (v - ref))
+        sn = max(0, sn - (v - ref))
+        a = "high" if sp > thr else ("low" if sn > thr else None)
+        model[i] = (sp, sn, a)
+    want = {
+        b: (s1, s2, a) for b, (s1, s2, a) in model.items() if a is not None
+    }
+    got = {
+        r["b"]: (r["s_pos"], r["s_neg"], r["alarm"])
+        for r in cusum_alarms(df, ("g",), "b", "v", ref, thr).collect()
+    }
+    assert got == want and len(want) > 3
+
+    one_sided = cusum_alarms(
+        df, ("g",), "b", "v", ref, thr, two_sided=False
+    ).collect()
+    assert all(r["alarm"] == "high" for r in one_sided)
+    with _pytest.raises(ValueError):
+        cusum_alarms(df, ("g",), "b", "v", 0, 0)
