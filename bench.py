@@ -79,6 +79,11 @@ HEADLINE = [
     ("basket_pairs", True),
     ("seasonal_naive", True),
     ("compression_quality", False),
+    # r6 third session, final batch: linkage, series analytics
+    ("entity_resolution", False),
+    ("series_similarity", True),
+    ("histogram_quantiles", True),
+    ("cusum_alarms", False),
 ]
 
 
