@@ -2142,7 +2142,7 @@ def q_cusum_alarms(spark, sf_dir):
     cusum_alarms) over the hourly LOCF series: Page's control chart in
     closed form — prefix sum minus running extreme, ALL integer, so the
     sequential-looking recurrence hash-checks against SQL. ref/threshold
-    chosen so both alarm sides fire (548 high / 633 low at sf0.01)."""
+    chosen so both alarm sides fire (548 high / 623 low at sf0.01)."""
     from flyq_spark.operators.timeseries import cusum_alarms, resample_locf
 
     ev = _read(spark, sf_dir, "events")

@@ -354,6 +354,11 @@ def cusum_alarms(
     upstream; here NULL rows are excluded before the windows so the
     statistic skips them).
 
+    REQUIRES unique (keys, bucket) rows (the resample_locf output
+    shape): the running windows order by the bucket alone, so duplicate
+    buckets would make the statistic order-nondeterministic — feed a
+    densified/aggregated series, not raw events.
+
     Output: one row per ALARMED bucket — (keys, bucket, value, s_pos,
     s_neg, alarm ∈ {'high','low'}) — plus none for in-control buckets;
     key-partitioned windows over the bucket-sized series."""
