@@ -1488,6 +1488,25 @@ def q_neardup_components(spark, sf_dir):
     )
 
 
+def q_neardup_blast_radius(spark, sf_dir):
+    """Multi-source BFS hop distances (operators/graph.py:bfs_levels)
+    over the exact near-dup embedding graph: seeds = every 50th vector
+    (the "known-bad set"), output = how many near-dup hops away each
+    reachable vector sits — the contamination blast-radius primitive.
+    Oracle: DuckDB recursive CTE BFS (depth-capped, min-hop collapse);
+    the hash match verifies a distributed frontier iteration against a
+    declarative fixpoint."""
+    from flyq_spark.operators.graph import bfs_levels
+
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pairs = V.neardup_pairs_exact(emb, min_cosine=0.4)
+    sources = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("node")
+    )
+    out = bfs_levels(pairs, sources)
+    return out.select(F.col("node").alias("vec_id"), "dist")
+
+
 def q_simhash_md5_neardup(spark, sf_dir):
     """[EXT] Oracle-replayable SimHash near-dup: md5 token hash,
     occurrence-weighted 32-bit majority vote, banded candidate join,
@@ -3120,7 +3139,7 @@ _DRIVER_WINDOW = [
     "hashed_doc_vectors", "ann_filtered_topk", "normalize_text",
     "rolling_7day_value", "event_transitions", "neardup_triangles",
     # r5-proven rows kept to re-confirm the broad surface
-    "produce_log",
+    "neardup_blast_radius",
     # new in r6: paragraph dedup, rows-only→oracle conversions, and the
     # data-platform additions (quality / funnel / outliers / drift)
     "paragraph_dedup", "multimodal_features", "phash_neardup",
@@ -3280,6 +3299,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "series_similarity": q_series_similarity,
         "histogram_quantiles": q_histogram_quantiles,
         "cusum_alarms": q_cusum_alarms,
+        "neardup_blast_radius": q_neardup_blast_radius,
         "rfm_segments": q_rfm_segments,
         "incremental_retract": q_incremental_retract,
         "scd2_history": q_scd2_history,
@@ -4696,6 +4716,25 @@ FROM documents
 WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
       < CASE lang WHEN 'en' THEN 32768 WHEN 'de' THEN 16384 ELSE 6554 END
 GROUP BY lang
+""",
+        "neardup_blast_radius": """
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) >= 0.4
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM pairs
+), walk(node, dist) AS (
+  SELECT vec_id, 0 FROM embeddings WHERE vec_id % 50 = 0
+  UNION
+  SELECT e.v, w.dist + 1 FROM walk w JOIN edges e ON e.u = w.node
+  WHERE w.dist < 50
+)
+SELECT node AS vec_id, CAST(min(dist) AS BIGINT) AS dist
+FROM walk GROUP BY node
 """,
         "neardup_components": """
 WITH RECURSIVE pairs AS (

@@ -282,3 +282,61 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks
+
+
+def bfs_levels(
+    pairs: DataFrame,
+    sources: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    node_col: str = "node",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Single-source-set shortest HOP distances over the undirected
+    graph of ``pairs`` (multi-source BFS — the "how far is every record
+    from a seed set" primitive: contamination blast radius from known-bad
+    documents, curation distance from a gold set). Returns
+    (node, dist) for every node REACHABLE from ``sources``; unreachable
+    nodes are absent (their distance is not 0 or ∞-as-a-number —
+    emitting a sentinel would poison downstream aggregates silently).
+
+    Frontier iteration with min-distance dedup: round k expands the
+    frontier one hop, keeps NEW nodes only (left-anti vs. settled), so
+    each edge is traversed at most once per endpoint settlement —
+    O(diameter) rounds of equi-joins, lineage truncated per round
+    (localCheckpoint, same discipline as connected_components). The
+    fixpoint is exact: the loop stops the first round the frontier
+    empties, and raises past ``max_iter`` rather than returning a
+    silently-truncated distance map."""
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+    fwd = pairs.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+    edges = (
+        fwd.union(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    settled = (
+        sources.select(F.col(node_col).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint()
+    )
+    frontier = settled
+    for it in range(1, max_iter + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["u"])
+            .select(F.col("v").alias("node"), (F.col("dist") + 1).alias("dist"))
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .join(settled.select("node"), "node", "left_anti")
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            return settled
+        settled = settled.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    raise RuntimeError(
+        f"bfs_levels did not converge in {max_iter} rounds — graph "
+        "diameter exceeds max_iter; raise it"
+    )

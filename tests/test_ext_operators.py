@@ -4214,3 +4214,34 @@ def test_cusum_alarms_matches_recurrence_model(spark):
     assert all(r["alarm"] == "high" for r in one_sided)
     with _pytest.raises(ValueError):
         cusum_alarms(df, ("g",), "b", "v", 0, 0)
+
+
+def test_bfs_levels_multi_source_exact(spark):
+    """Hop distances on a chain + islands: multi-source min distance,
+    unreachable nodes absent, direction invariance, non-convergence
+    raises."""
+    import pytest as _pytest
+
+    from flyq_spark.operators.graph import bfs_levels
+
+    # chain 1-2-3-4-5, island 8-9, isolated-by-absence node 7 via 6-7
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (8, 9), (6, 7)],
+        "id_a long, id_b long",
+    )
+    src = spark.createDataFrame([(1,), (5,)], "node long")
+    got = {
+        r["node"]: r["dist"] for r in bfs_levels(pairs, src).collect()
+    }
+    assert got == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}  # islands absent
+    # direction invariance: reversed edge list gives identical distances
+    rev = pairs.select(
+        F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
+    )
+    assert {
+        r["node"]: r["dist"] for r in bfs_levels(rev, src).collect()
+    } == got
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        bfs_levels(pairs, spark.createDataFrame([(1,)], "node long"), max_iter=2)
+    with _pytest.raises(ValueError):
+        bfs_levels(pairs, src, max_iter=0)
