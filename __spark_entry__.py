@@ -3097,6 +3097,127 @@ def q_pagerank_neardup(spark, sf_dir):
 # SQL mirror of _synthetic_paragraph_corpus + unit split, shared by the
 # paragraph-granular oracles so the two gates can never silently test
 # different corpora
+def q_join_preflight(spark, sf_dir):
+    """Join-size/skew pre-flight (operators/joinaudit.py:
+    join_preflight): the exact per-key cardinality of events ⋈
+    purchases on user_id computed WITHOUT running the join — two
+    key-column count aggregates and a |keys|-sized equi-join. The
+    `pairs` column is the skew report a 100 TB pipeline reads before
+    committing to a join whose output may dwarf its inputs."""
+    from flyq_spark.operators.joinaudit import join_preflight
+
+    ev = _read(spark, sf_dir, "events")
+    rep = join_preflight(
+        ev, ev.where(F.col("event_type") == "purchase"), "user_id"
+    )
+    return rep.select(
+        F.col("key").alias("user_id"), "n_left", "n_right", "pairs"
+    )
+
+
+def q_bloom_semi_prune(spark, sf_dir):
+    """Broadcast Bloom runtime-filter semi-join (operators/joinaudit.py:
+    bloom_semi_join): lineitem pruned to high-value orders' line items.
+    The bitmap membership test is a zero-shuffle codegen projection that
+    drops non-matching rows BEFORE the shuffle; the closing exact
+    semi-join removes false positives, so the hash match proves the
+    result identical to the plain semi-join."""
+    from flyq_spark.operators.joinaudit import bloom_semi_join
+
+    li = _read(spark, sf_dir, "lineitem")
+    hi = _read(spark, sf_dir, "orders").where(
+        F.col("o_totalprice") > 400000
+    )
+    kept = bloom_semi_join(li, hi, "l_orderkey", "o_orderkey")
+    qty_c = (F.col("l_quantity").cast("decimal(18,2)") * 100).cast("long")
+    return kept.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(qty_c).alias("sum_qty_c"),
+    )
+
+
+def q_fk_integrity(spark, sf_dir):
+    """Cross-table referential-integrity audit (operators/profile.py:
+    referential_check): three FK relations in one labelled report. The
+    middle relation checks orders against a DETERMINISTICALLY sampled
+    customer subset (c_custkey % 10 != 0) so the orphan counters are
+    provably non-vacuous on this fixture."""
+    from flyq_spark.operators.profile import referential_check
+
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    ev = _read(spark, sf_dir, "events")
+    r1 = referential_check(li, "l_orderkey", orders, "o_orderkey", "lineitem->orders")
+    r2 = referential_check(
+        orders,
+        "o_custkey",
+        cust.where(F.col("c_custkey") % 10 != 0),
+        "c_custkey",
+        "orders->customer_sampled",
+    )
+    r3 = referential_check(ev, "user_id", cust, "c_custkey", "events->customer")
+    return r1.unionByName(r2).unionByName(r3)
+
+
+def q_l_diversity(spark, sf_dir):
+    """l-diversity privacy audit (operators/profile.py:
+    l_diversity_check): (event_type, day) classes whose user set has
+    fewer than 50 distinct members — the k-anonymity refinement that
+    catches large-but-uniform classes. l=50 sits between the fixture's
+    per-class min (42) and max (67) so the failing set is non-empty and
+    non-total."""
+    from flyq_spark.operators.profile import l_diversity_check
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("ts").cast("date").cast("string").alias("day"),
+        "user_id",
+    )
+    return l_diversity_check(ev, ("event_type", "day"), "user_id", l=50)
+
+
+def q_winsorize_values(spark, sf_dir):
+    """Per-group winsorization (operators/impute.py:winsorize): event
+    values in integer cents clamped to the exact per-type [1%, 99%]
+    inverted-CDF percentile bounds — every clamp decision row-level
+    hash-checked. One group-key shuffle serves ranks, counts, and the
+    bound attach."""
+    from flyq_spark.operators.impute import winsorize
+
+    ev = _read(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    base = ev.select("event_id", "event_type", cents.alias("value_c"))
+    out = winsorize(base, ("event_type",), "value_c", 10, 990)
+    return out.select(
+        "event_id", "event_type", "value_c", "lo_bound", "hi_bound",
+        "value_c_w", "was_clamped",
+    )
+
+
+def q_attribution(spark, sf_dir):
+    """Last-touch attribution (operators/sessions.py:
+    attribute_conversions over the tolerance-bounded as-of join):
+    purchases credited to the most recent click/view by the same user
+    within 6 hours. 374 of 1981 purchases attribute at sf0.01, so both
+    branches are exercised. Single user-key shuffle — the as-of window
+    composition, not a per-conversion history scan."""
+    from flyq_spark.operators.sessions import attribute_conversions
+
+    ev = _read(spark, sf_dir, "events")
+    out = attribute_conversions(
+        ev, ("purchase",), ("click", "view"), lookback_s=21600
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "touch_type_asof",
+        F.unix_micros("touch_ts_asof").alias("touch_ts_us"),
+        "attributed",
+    )
+
+
 _SYNTH_UNITS_CTE = """
 member AS (
   SELECT t.g, d.doc_id, d.text
@@ -3133,11 +3254,18 @@ _DRIVER_WINDOW = [
     # oracle-backed queries never in any driver window before r6
     "bpe_token_stats", "repetition_signals", "source_composition",
     "chunk_docs", "interval_overlap", "incremental_dedup",
-    "snapshot_diff", "eval_sample", "rank_metrics", "grouping_sets",
-    "domain_affinity", "syndication_audit", "log_compaction",
-    "upsample_mix", "dedup_agreement", "interarrival_stats",
-    "hashed_doc_vectors", "ann_filtered_topk", "normalize_text",
-    "rolling_7day_value", "event_transitions", "neardup_triangles",
+    "snapshot_diff", "eval_sample", "rank_metrics",
+    "domain_affinity", "syndication_audit",
+    "dedup_agreement", "interarrival_stats",
+    "hashed_doc_vectors", "ann_filtered_topk",
+    "neardup_triangles",
+    # new in r7: join planning/pruning, integrity audits, attribution
+    # (displacing six never-checked PLAIN relational shapes —
+    # grouping_sets/normalize_text/rolling_7day_value/event_transitions/
+    # log_compaction/upsample_mix — the lowest-divergence-risk rows,
+    # all green on the driver's exact hash path in the local sweep)
+    "join_preflight", "bloom_semi_prune", "fk_integrity",
+    "l_diversity", "winsorize_values", "attribution",
     # r5-proven rows kept to re-confirm the broad surface
     "neardup_blast_radius",
     # new in r6: paragraph dedup, rows-only→oracle conversions, and the
@@ -3300,6 +3428,13 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_quantiles": q_histogram_quantiles,
         "cusum_alarms": q_cusum_alarms,
         "neardup_blast_radius": q_neardup_blast_radius,
+        # r7: join planning/pruning, integrity audits, attribution
+        "join_preflight": q_join_preflight,
+        "bloom_semi_prune": q_bloom_semi_prune,
+        "fk_integrity": q_fk_integrity,
+        "l_diversity": q_l_diversity,
+        "winsorize_values": q_winsorize_values,
+        "attribution": q_attribution,
         "rfm_segments": q_rfm_segments,
         "incremental_retract": q_incremental_retract,
         "scd2_history": q_scd2_history,
@@ -5201,6 +5336,132 @@ FROM customer a JOIN customer b
   ON a.c_custkey < b.c_custkey
  AND a.c_nationkey = b.c_nationkey
 WHERE levenshtein(a.c_name, b.c_name) <= 1
+""",
+        "join_preflight": """
+WITH l AS (
+  SELECT user_id, count(*) AS n_left FROM events
+  WHERE user_id IS NOT NULL GROUP BY 1
+),
+r AS (
+  SELECT user_id, count(*) AS n_right FROM events
+  WHERE event_type = 'purchase' AND user_id IS NOT NULL GROUP BY 1
+)
+SELECT l.user_id, l.n_left, r.n_right,
+       l.n_left * r.n_right AS pairs
+FROM l JOIN r USING (user_id)
+""",
+        "bloom_semi_prune": """
+SELECT l_returnflag, count(*) AS n_items,
+       CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))
+            AS BIGINT) AS sum_qty_c
+FROM lineitem
+WHERE l_orderkey IN (
+  SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
+GROUP BY 1
+""",
+        "fk_integrity": """
+SELECT 'lineitem->orders' AS relation,
+       (SELECT count(*) FROM lineitem) AS n_rows,
+       (SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL) AS n_null_fk,
+       (SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL
+          AND l_orderkey NOT IN (SELECT o_orderkey FROM orders
+                                 WHERE o_orderkey IS NOT NULL)) AS n_orphans,
+       (SELECT count(DISTINCT l_orderkey) FROM lineitem
+        WHERE l_orderkey IS NOT NULL
+          AND l_orderkey NOT IN (SELECT o_orderkey FROM orders
+                                 WHERE o_orderkey IS NOT NULL)) AS n_orphan_keys
+UNION ALL
+SELECT 'orders->customer_sampled',
+       (SELECT count(*) FROM orders),
+       (SELECT count(*) FROM orders WHERE o_custkey IS NULL),
+       (SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL
+          AND o_custkey NOT IN (SELECT c_custkey FROM customer
+                                WHERE c_custkey % 10 <> 0)),
+       (SELECT count(DISTINCT o_custkey) FROM orders
+        WHERE o_custkey IS NOT NULL
+          AND o_custkey NOT IN (SELECT c_custkey FROM customer
+                                WHERE c_custkey % 10 <> 0))
+UNION ALL
+SELECT 'events->customer',
+       (SELECT count(*) FROM events),
+       (SELECT count(*) FROM events WHERE user_id IS NULL),
+       (SELECT count(*) FROM events WHERE user_id IS NOT NULL
+          AND user_id NOT IN (SELECT c_custkey FROM customer
+                              WHERE c_custkey IS NOT NULL)),
+       (SELECT count(DISTINCT user_id) FROM events
+        WHERE user_id IS NOT NULL
+          AND user_id NOT IN (SELECT c_custkey FROM customer
+                              WHERE c_custkey IS NOT NULL))
+""",
+        "l_diversity": """
+SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+       count(*) AS n_rows,
+       (count(DISTINCT user_id)
+        + max(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)) AS n_sensitive
+FROM events
+GROUP BY 1, 2
+HAVING (count(DISTINCT user_id)
+        + max(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)) < 50
+""",
+        "winsorize_values": """
+WITH v AS (
+  SELECT event_id, event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+  FROM events
+),
+nn AS (
+  SELECT event_type, c,
+         row_number() OVER (PARTITION BY event_type ORDER BY c) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM v WHERE c IS NOT NULL
+),
+b AS (
+  -- exact integer ceil(p*n) ranks, mirroring exact_ceil_frac:
+  -- 10permille -> 1/100, 990permille -> 99/100
+  SELECT event_type,
+         CAST(max(CASE WHEN rn = (1 * n + 99) // 100 THEN c END) AS BIGINT)
+           AS lo_bound,
+         CAST(max(CASE WHEN rn = (99 * n + 99) // 100 THEN c END) AS BIGINT)
+           AS hi_bound
+  FROM nn GROUP BY 1
+)
+SELECT v.event_id, v.event_type, v.c AS value_c, b.lo_bound, b.hi_bound,
+       CASE WHEN v.c IS NULL THEN NULL
+            ELSE greatest(least(v.c, b.hi_bound), b.lo_bound) END AS value_c_w,
+       (v.c IS NOT NULL
+        AND greatest(least(v.c, b.hi_bound), b.lo_bound) <> v.c) AS was_clamped
+FROM v LEFT JOIN b USING (event_type)
+""",
+        "attribution": """
+WITH t AS (
+  SELECT user_id, ts, event_type, CAST(NULL AS BIGINT) AS event_id,
+         0 AS is_conv
+  FROM events WHERE event_type IN ('click', 'view')
+  UNION ALL
+  SELECT user_id, ts, event_type, event_id, 1
+  FROM events WHERE event_type = 'purchase'
+),
+carried AS (
+  SELECT user_id, ts, event_id, is_conv,
+         last_value(CASE WHEN is_conv = 0 THEN ts END IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, is_conv
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tts,
+         last_value(CASE WHEN is_conv = 0 THEN event_type END IGNORE NULLS)
+           OVER (
+           PARTITION BY user_id ORDER BY ts, is_conv
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ttype
+  FROM t
+)
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       CASE WHEN tts IS NOT NULL
+             AND epoch_us(ts) - epoch_us(tts) <= 21600000000
+            THEN ttype END AS touch_type_asof,
+       CASE WHEN tts IS NOT NULL
+             AND epoch_us(ts) - epoch_us(tts) <= 21600000000
+            THEN epoch_us(tts) END AS touch_ts_us,
+       (tts IS NOT NULL
+        AND epoch_us(ts) - epoch_us(tts) <= 21600000000) AS attributed
+FROM carried WHERE is_conv = 1
 """,
         "fuzzy_title_pairs": """
 WITH p AS (

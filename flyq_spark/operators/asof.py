@@ -35,11 +35,30 @@ def asof_join(
     ts_col: str,
     value_cols: list[str],
     suffix: str = "_asof",
+    tolerance_s: int | None = None,
 ) -> DataFrame:
     """Backward-inclusive as-of join; left columns preserved, matched
     right ``value_cols`` appended as ``<col><suffix>`` (NULL when no
-    right row precedes)."""
-    payload = F.struct(*[F.col(c) for c in value_cols])
+    right row precedes).
+
+    ``tolerance_s`` bounds the lookback (pandas ``merge_asof``
+    tolerance): a match older than ``tolerance_s`` seconds before the
+    left row is nulled out — the attribution-window semantics. Exact to
+    the microsecond for timestamp columns (compared in ``unix_micros``,
+    never truncated seconds). Ties: among right rows at one (key, ts)
+    the carried row is unspecified — give the right side unique
+    timestamps per key (true in any event log with a monotonic source)
+    or pre-aggregate first."""
+    ts_is_timestamp = dict(left.dtypes)[ts_col].startswith("timestamp")
+    payload_cols = [F.col(c) for c in value_cols]
+    if tolerance_s is not None:
+        ats = (
+            F.unix_micros(F.col(ts_col))
+            if ts_is_timestamp
+            else F.col(ts_col).cast("long")
+        )
+        payload_cols = [ats.alias("_ats")] + payload_cols
+    payload = F.struct(*payload_cols)
     l_tag = left.withColumn("_is_left", F.lit(1)).withColumn(
         "_payload", F.lit(None).cast(
             right.select(payload.alias("p")).schema["p"].dataType
@@ -68,6 +87,18 @@ def asof_join(
         "_match", F.last("_payload", ignorenulls=True).over(w)
     )
     out = carried.where(F.col("_is_left") == 1).drop("_is_left", "_payload")
+    if tolerance_s is not None:
+        lts = (
+            F.unix_micros(F.col(ts_col))
+            if ts_is_timestamp
+            else F.col(ts_col).cast("long")
+        )
+        in_window = (lts - F.col("_match._ats")) <= F.lit(
+            tolerance_s * 1_000_000 if ts_is_timestamp else tolerance_s
+        ).cast("long")
+        out = out.withColumn(
+            "_match", F.when(in_window, F.col("_match"))
+        )
     for c in value_cols:
         out = out.withColumn(f"{c}{suffix}", F.col(f"_match.{c}"))
     return out.drop("_match")

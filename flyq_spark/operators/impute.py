@@ -112,3 +112,58 @@ def impute_group_stat(
         filled.alias(col),
         was.alias(flag),
     )
+
+
+def winsorize(
+    df: DataFrame,
+    keys: tuple[str, ...],
+    value_col: str,
+    lo_permille: int = 10,
+    hi_permille: int = 990,
+) -> DataFrame:
+    """Per-group winsorization — clamp an integer metric to its exact
+    per-group [lo‰, hi‰] percentile bounds (the robust-preprocessing
+    counterpart of ``robust_outliers``: instead of reporting the tails,
+    cap them, the standard treatment before training on heavy-tailed
+    quality/engagement signals).
+
+    Percentiles use the same inverted-CDF integer-rank definition as
+    ``length_percentiles``: the value at 1-based rank ceil(p·n)
+    ascending — a pure rank selection both engines compute identically
+    (no interpolation, no floats). NULL values pass through unclamped
+    (nothing to cap) and are excluded from rank computation.
+
+    Plan: ONE shuffle on the group key serves the rank window, the
+    group-count window, and the bound-attach (the bounds aggregate and
+    the row frame share partitioning, and AQE plans the |groups|-sized
+    bounds side as a broadcast). Appends ``lo_bound``, ``hi_bound``,
+    ``<value_col>_w`` (clamped), and ``was_clamped``."""
+    from flyq_spark.operators.util import exact_ceil_frac
+
+    if not (0 < lo_permille <= hi_permille < 1000):
+        raise ValueError(
+            f"need 0 < lo <= hi < 1000 permille, got {lo_permille}, {hi_permille}"
+        )
+    v = F.col(value_col)
+    w = Window.partitionBy(*keys)
+    ranked = (
+        df.where(v.isNotNull())
+        .select(*keys, v.alias("_v"))
+        .withColumn("_rn", F.row_number().over(w.orderBy(F.col("_v").asc())))
+        .withColumn("_n", F.count(F.lit(1)).over(w))
+    )
+    bounds = ranked.groupBy(*keys).agg(
+        F.max(
+            F.when(F.col("_rn") == exact_ceil_frac(F.col("_n"), lo_permille / 1000), F.col("_v"))
+        ).cast("long").alias("lo_bound"),
+        F.max(
+            F.when(F.col("_rn") == exact_ceil_frac(F.col("_n"), hi_permille / 1000), F.col("_v"))
+        ).cast("long").alias("hi_bound"),
+    )
+    out = df.join(bounds, on=list(keys), how="left")
+    clamped = F.when(v.isNull(), F.lit(None).cast("long")).otherwise(
+        F.greatest(F.least(v, F.col("hi_bound")), F.col("lo_bound"))
+    )
+    return out.withColumn(f"{value_col}_w", clamped).withColumn(
+        "was_clamped", v.isNotNull() & (F.col(f"{value_col}_w") != v)
+    )

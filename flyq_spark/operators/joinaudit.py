@@ -1,0 +1,141 @@
+"""Join pre-flight auditing and runtime-filter pruning [EXT].
+
+Two tools for the moment BEFORE a 100 TB join runs:
+
+``join_preflight`` answers "how big is this join, and which keys are
+hot?" WITHOUT materializing the join. |A ⋈ B| on an equi-key is exactly
+``Σ_k cnt_A(k) · cnt_B(k)`` — two map-side-combined per-key counts and
+one equi-join of the (tiny) count tables. At 100 TB this costs two
+aggregation passes over key columns only (column-pruned scans), versus
+an output that might be quadratically larger than either input. The
+per-key `pairs` column is the skew report: a key contributing 10^9
+pairs is the straggler AQE's skew split will have to carve up — or the
+key you pre-aggregate/salt before joining at all.
+
+``bloom_semi_join`` is the runtime-filter pattern (Spark's own
+``spark.sql.optimizer.runtimeFilter.bloomFilter`` applies it inside
+joins; here it is an explicit operator for semi-join pipelines): build
+a Bloom bitmap from the small side's keys, broadcast it as a literal
+array, and drop big-side rows whose key provably isn't present BEFORE
+the shuffle. False positives are removed by an exact left-semi join on
+the survivors, so the result is bit-identical to the plain semi-join —
+the bitmap only moves work off the wire. With the default 2^17 bits the
+broadcast is 16 KiB; membership is a zero-shuffle JVM projection
+(xxhash64 + bit tests, whole-stage codegen).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def join_preflight(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str | None = None,
+    min_pairs: int = 1,
+) -> DataFrame:
+    """Exact per-key equi-join cardinality without running the join.
+
+    Output: one row per join key present on BOTH sides with
+    ``(key, n_left, n_right, pairs)`` where ``pairs = n_left * n_right``
+    is that key's contribution to |left ⋈ right|. ``min_pairs`` bounds
+    the report to keys at or above the threshold (1 = every matching
+    key). NULL keys never match an equi-join and are excluded.
+
+    Total join size = ``sum(pairs)``; the ``pairs`` ordering is the
+    skew profile. Both inputs are scanned once over the key column
+    only (column pruning), aggregated map-side; the final join is
+    |distinct keys|-sized.
+    """
+    right_on = right_on or left_on
+    lc = (
+        left.where(F.col(left_on).isNotNull())
+        .groupBy(F.col(left_on).alias("key"))
+        .agg(F.count(F.lit(1)).alias("n_left"))
+    )
+    rc = (
+        right.where(F.col(right_on).isNotNull())
+        .groupBy(F.col(right_on).alias("key"))
+        .agg(F.count(F.lit(1)).alias("n_right"))
+    )
+    out = lc.join(rc, on="key").withColumn(
+        "pairs", F.col("n_left") * F.col("n_right")
+    )
+    if min_pairs > 1:
+        out = out.where(F.col("pairs") >= min_pairs)
+    return out
+
+
+def _bloom_positions(key: Column, num_bits: int, num_hashes: int) -> list[Column]:
+    """k independent bit positions for a key: xxhash64 seeded by the
+    probe index (JVM-side, codegen'd)."""
+    return [
+        F.pmod(F.xxhash64(F.lit(i), key), F.lit(num_bits))
+        for i in range(num_hashes)
+    ]
+
+
+def bloom_semi_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_on: str,
+    small_on: str | None = None,
+    num_bits: int = 1 << 17,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """``big LEFT SEMI JOIN small`` with a broadcast Bloom pre-filter.
+
+    Result is EXACTLY the plain left-semi join (the bitmap admits false
+    positives; the closing semi-join removes them) — the bitmap's job
+    is to drop non-matching big-side rows before they are shuffled.
+    With |small keys| = n, the false-positive rate is roughly
+    ``(1 - e^(-kn/m))^k``; the 2^17-bit / 5-hash default is <1% up to
+    ~10k distinct keys. Size ``num_bits`` to the small side — the
+    bitmap is m/64 longs broadcast as a literal (16 KiB at 2^17).
+
+    The small side's distinct keys are aggregated to bitmap words
+    distributively (bit-OR partial aggregation), and only the
+    word-indexed bitmap — never the keys — is collected to the driver
+    (model-sized state, like a centroid matrix).
+    """
+    small_on = small_on or big_on
+    n_words = (num_bits + 63) // 64
+    key = F.col(small_on)
+    pos = F.explode(F.array(*_bloom_positions(key, num_bits, num_hashes)))
+    words = (
+        small.where(key.isNotNull())
+        .select(pos.alias("_pos"))
+        .select(
+            (F.col("_pos") / 64).cast("int").alias("_w"),
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), (F.col("_pos") % 64).cast("int")
+            ).alias("_m"),
+        )
+        .groupBy("_w")
+        .agg(F.bit_or("_m").alias("_bits"))
+        .collect()
+    )
+    bitmap = [0] * n_words
+    for r in words:
+        bitmap[r["_w"]] = r["_bits"]
+    bitmap_lit = F.array(*[F.lit(w).cast("long") for w in bitmap])
+    checks = [
+        F.element_at(bitmap_lit, (p / 64).cast("int") + 1).bitwiseAND(
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), (p % 64).cast("int")
+            )
+        )
+        != 0
+        for p in _bloom_positions(F.col(big_on), num_bits, num_hashes)
+    ]
+    prefiltered = big.where(reduce(lambda a, b: a & b, checks))
+    return prefiltered.join(
+        small.select(F.col(small_on).alias(big_on)).distinct(),
+        on=big_on,
+        how="left_semi",
+    )

@@ -300,3 +300,84 @@ def histogram_quantiles(
             ).alias(f"p{q}_bin")
         )
     return cum.groupBy(*keys).agg(*aggs)
+
+
+def referential_check(
+    child: DataFrame,
+    child_col: str,
+    parent: DataFrame,
+    parent_col: str,
+    relation: str,
+) -> DataFrame:
+    """Cross-table referential-integrity audit (the FK side Deequ calls
+    ``isContainedIn`` against another table): counts of child rows whose
+    key has no parent. Output is ONE labelled row —
+    ``(relation, n_rows, n_null_fk, n_orphans, n_orphan_keys)`` — so
+    audits over many relations union into one report.
+
+    Plan: a full-count aggregate on the child key column only, plus a
+    left-anti equi-join of the child's DISTINCT keys against the
+    parent's distinct keys joined back for row counts — both sides are
+    key-column scans, map-side combined to distinct-key size before any
+    shuffle; the parent side broadcasts when dimension-sized. NULL FKs
+    are reported separately (SQL FK semantics: NULL participates in no
+    relationship, it is not an orphan)."""
+    ck = F.col(child_col)
+    totals = child.select(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(ck.isNull(), 1)).alias("n_null_fk"),
+    )
+    child_keys = (
+        child.where(ck.isNotNull())
+        .groupBy(ck.alias("_k"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    parent_keys = parent.where(F.col(parent_col).isNotNull()).select(
+        F.col(parent_col).alias("_k")
+    ).distinct()
+    orphans = child_keys.join(parent_keys, on="_k", how="left_anti").select(
+        F.coalesce(F.sum("_n"), F.lit(0)).alias("n_orphans"),
+        F.count(F.lit(1)).alias("n_orphan_keys"),
+    )
+    return totals.crossJoin(orphans).select(
+        F.lit(relation).alias("relation"),
+        "n_rows",
+        "n_null_fk",
+        "n_orphans",
+        "n_orphan_keys",
+    )
+
+
+def l_diversity_check(
+    df: DataFrame,
+    quasi_cols: tuple[str, ...],
+    sensitive_col: str,
+    l: int = 2,
+) -> DataFrame:
+    """l-diversity audit — the refinement of k-anonymity: a class can
+    be large (k-anonymous) yet still leak if every member shares the
+    same SENSITIVE value. Returns quasi-identifier classes whose
+    sensitive attribute takes fewer than ``l`` distinct values,
+    with ``(quasi..., n_rows, n_sensitive)``; empty result certifies
+    distinct-l-diversity. NULL sensitive values count as one value
+    (a class of all-NULL diagnoses is exactly as disclosive as a
+    uniform one).
+
+    One groupBy with count + count(DISTINCT) — Catalyst plans the
+    distinct as a two-stage Expand aggregate, still a single scan,
+    partial-aggregated on the class key."""
+    if l < 2:
+        raise ValueError(f"l must be >= 2 for a meaningful check, got {l}")
+    if not quasi_cols:
+        raise ValueError("quasi_cols must name at least one column")
+    s = F.col(sensitive_col)
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.countDistinct(s) + F.max(s.isNull()).cast("long")).alias(
+                "n_sensitive"
+            ),
+        )
+        .where(F.col("n_sensitive") < F.lit(l))
+    )

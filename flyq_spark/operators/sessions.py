@@ -387,3 +387,44 @@ def cooccurrence_pairs(
         )
         .select("item_a", "item_b", "n_baskets", "support_a", "support_b")
     )
+
+
+def attribute_conversions(
+    events: DataFrame,
+    conversion_types: tuple[str, ...],
+    touch_types: tuple[str, ...],
+    lookback_s: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Last-touch marketing attribution: each conversion event is
+    credited to the most recent touch event by the same user within a
+    ``lookback_s``-second window (the standard last-click model; a
+    conversion with no in-window touch stays unattributed, NULL touch).
+
+    This is exactly a backward as-of join with tolerance, so it reuses
+    ``asof_join``'s single-shuffle window composition: one shuffle on
+    the user key, no per-conversion scan of the touch history, no range
+    explosion — the shape that holds when both streams are 100 TB.
+
+    Output: conversion rows plus ``touch_type_asof``/``touch_ts_asof``
+    and an ``attributed`` flag."""
+    from flyq_spark.operators.asof import asof_join
+
+    conv = events.where(F.col(type_col).isin(*conversion_types))
+    touch = events.where(F.col(type_col).isin(*touch_types)).select(
+        F.col(user_col),
+        F.col(ts_col),
+        F.col(type_col).alias("touch_type"),
+        F.col(ts_col).alias("touch_ts"),
+    )
+    out = asof_join(
+        conv,
+        touch,
+        key_col=user_col,
+        ts_col=ts_col,
+        value_cols=["touch_type", "touch_ts"],
+        tolerance_s=lookback_s,
+    )
+    return out.withColumn("attributed", F.col("touch_ts_asof").isNotNull())

@@ -27,6 +27,7 @@ SCALAR_BROADCAST_OK = {
     "unigram_surprisal",  # ln(total tokens) corpus normalizer, 1 row
     "heavy_hitter_tokens",  # total-token threshold scalar, 1 row
     "source_overlap",  # |sources|-row HLL sketch table, inequality self-pair
+    "fk_integrity",  # per-relation 1-row totals x 1-row orphan counters
 }
 
 
