@@ -3218,6 +3218,54 @@ def q_attribution(spark, sf_dir):
     )
 
 
+def q_phrase_search(spark, sf_dir):
+    """Exact phrase search (operators/text.py:phrase_search) for
+    'table hash' over the positional token relation: one posexplode
+    filtered to the query terms BEFORE any shuffle, hits re-keyed to
+    their implied anchor, one groupBy counting distinct offsets — no
+    k-way self-join, no posting arrays. 48 occurrences at sf0.01."""
+    docs = _read(spark, sf_dir, "documents")
+    return X.phrase_search(docs, "table hash")
+
+
+def q_lang_heavy_hitters(spark, sf_dir):
+    """Per-group exact heavy hitters (operators/sketch.py:
+    heavy_hitters_by_group): per-language tokens above 3% of that
+    language's token mass — keyed Misra-Gries candidate pass (bounded
+    k-per-group state, mergeable across partitions) + exact verify on
+    candidates only. The hash match against a plain per-group GROUP BY
+    HAVING proves the sketch pruned nothing it shouldn't."""
+    from flyq_spark.operators.sketch import heavy_hitters_by_group
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("tok"),
+    ).where(F.col("tok") != "")
+    return heavy_hitters_by_group(toks, "lang", "tok", min_fraction=0.03)
+
+
+def q_multi_signal_components(spark, sf_dir):
+    """Multi-signal dedup clustering: connected components over the
+    UNION of the lexical (token-Jaccard >= 0.5) and semantic
+    (embedding-cosine >= 0.4) near-dup pair relations — the cluster
+    step a pipeline runs when either signal alone is allowed to merge
+    documents (dedup_agreement showed the two sets overlap only
+    partially, so the union genuinely changes the partition). Both
+    edge generators are candidate-bounded; components via pointer-
+    jumped min-label propagation vs a recursive-CTE oracle."""
+    from flyq_spark.operators.graph import connected_components
+
+    docs = _read(spark, sf_dir, "documents")
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    lex = D.ngram_jaccard_pairs(docs, min_jaccard=0.5).select("id_a", "id_b")
+    sem = V.neardup_pairs_exact(emb, min_cosine=0.4).select("id_a", "id_b")
+    edges = lex.unionByName(sem).distinct()
+    return connected_components(edges).select(
+        F.col("node").alias("doc_id"), "component"
+    )
+
+
 _SYNTH_UNITS_CTE = """
 member AS (
   SELECT t.g, d.doc_id, d.text
@@ -3255,8 +3303,7 @@ _DRIVER_WINDOW = [
     "bpe_token_stats", "repetition_signals", "source_composition",
     "chunk_docs", "interval_overlap", "incremental_dedup",
     "snapshot_diff", "eval_sample", "rank_metrics",
-    "domain_affinity", "syndication_audit",
-    "dedup_agreement", "interarrival_stats",
+    "domain_affinity",
     "hashed_doc_vectors", "ann_filtered_topk",
     "neardup_triangles",
     # new in r7: join planning/pruning, integrity audits, attribution
@@ -3266,6 +3313,7 @@ _DRIVER_WINDOW = [
     # all green on the driver's exact hash path in the local sweep)
     "join_preflight", "bloom_semi_prune", "fk_integrity",
     "l_diversity", "winsorize_values", "attribution",
+    "phrase_search", "lang_heavy_hitters", "multi_signal_components",
     # r5-proven rows kept to re-confirm the broad surface
     "neardup_blast_radius",
     # new in r6: paragraph dedup, rows-only→oracle conversions, and the
@@ -3435,6 +3483,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l_diversity": q_l_diversity,
         "winsorize_values": q_winsorize_values,
         "attribution": q_attribution,
+        "phrase_search": q_phrase_search,
+        "lang_heavy_hitters": q_lang_heavy_hitters,
+        "multi_signal_components": q_multi_signal_components,
         "rfm_segments": q_rfm_segments,
         "incremental_retract": q_incremental_retract,
         "scd2_history": q_scd2_history,
@@ -5462,6 +5513,75 @@ SELECT event_id, user_id, epoch_us(ts) AS ts_us,
        (tts IS NOT NULL
         AND epoch_us(ts) - epoch_us(tts) <= 21600000000) AS attributed
 FROM carried WHERE is_conv = 1
+""",
+        "phrase_search": """
+WITH toks AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, arr[i] AS term
+  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS arr
+        FROM documents),
+       UNNEST(range(1, len(arr) + 1)) AS s(i)
+),
+q(off, term) AS (VALUES (CAST(0 AS BIGINT), 'table'),
+                        (CAST(1 AS BIGINT), 'hash')),
+hits AS (
+  SELECT t.doc_id, t.pos - q.off AS anchor, q.off
+  FROM toks t JOIN q ON t.term = q.term
+)
+SELECT doc_id, CAST(anchor AS BIGINT) AS anchor
+FROM hits
+WHERE anchor >= 0
+GROUP BY doc_id, anchor
+HAVING count(DISTINCT off) = 2
+""",
+        "lang_heavy_hitters": """
+WITH toks AS (
+  SELECT lang, t.tok
+  FROM (SELECT lang, string_split(lower(trim(text)), ' ') AS arr
+        FROM documents),
+       UNNEST(arr) AS t(tok)
+  WHERE t.tok <> ''
+),
+tot AS (SELECT lang, count(*) AS n FROM toks GROUP BY 1),
+cnt AS (SELECT lang, tok AS item, count(*) AS n_occurrences
+        FROM toks GROUP BY 1, 2)
+SELECT c.lang, c.item, CAST(c.n_occurrences AS BIGINT) AS n_occurrences
+FROM cnt c JOIN tot USING (lang)
+-- exact integer ceil(0.03 * n_g) = (3n + 99) // 100, mirroring
+-- exact_ceil_frac
+WHERE c.n_occurrences >= (3 * tot.n + 99) // 100
+""",
+        "multi_signal_components": """
+WITH RECURSIVE base AS (
+  SELECT doc_id, list_distinct(string_split_regex(lower(text), '\\s+')) AS toks
+  FROM documents
+  WHERE len(list_distinct(string_split_regex(lower(text), '\\s+'))) > 0
+),
+lex AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM base a JOIN base b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+          / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+        >= 0.5
+),
+sem AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) >= 0.4
+),
+pairs AS (SELECT id_a, id_b FROM lex UNION SELECT id_a, id_b FROM sem),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(node, label) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT e.u, r.label FROM reach r JOIN edges e ON e.v = r.node
+)
+SELECT node AS doc_id, min(label) AS component
+FROM reach GROUP BY node
 """,
         "fuzzy_title_pairs": """
 WITH p AS (

@@ -84,6 +84,11 @@ HEADLINE = [
     ("series_similarity", True),
     ("histogram_quantiles", True),
     ("cusum_alarms", False),
+    # r7: join planning/pruning, robust preprocessing, attribution
+    ("join_preflight", True),
+    ("bloom_semi_prune", True),
+    ("winsorize_values", False),
+    ("attribution", False),
 ]
 
 

@@ -72,10 +72,20 @@ def join_preflight(
 
 
 def _bloom_positions(key: Column, num_bits: int, num_hashes: int) -> list[Column]:
-    """k independent bit positions for a key: xxhash64 seeded by the
-    probe index (JVM-side, codegen'd)."""
+    """k bit positions for a key by double hashing (Kirsch–Mitzenmacher:
+    ``h1 + i·h2 mod m`` preserves the Bloom false-positive bound with
+    TWO hash evaluations instead of k) — xxhash64 JVM-side, codegen'd.
+    h2 is forced odd so it is a unit mod the power-of-two ``num_bits``
+    (an even h2 would cycle positions through a subgroup)."""
+    # reduce mod m BEFORE combining: ANSI mode (on by default) makes a
+    # raw h1 + i*h2 long overflow a runtime error, and the reduced sum
+    # h1' + i*h2' < (k+1)*m never overflows
+    h1 = F.pmod(F.xxhash64(F.lit(0), key), F.lit(num_bits))
+    h2 = F.pmod(F.xxhash64(F.lit(1), key), F.lit(num_bits)).bitwiseOR(
+        F.lit(1).cast("long")
+    )
     return [
-        F.pmod(F.xxhash64(F.lit(i), key), F.lit(num_bits))
+        F.pmod(h1 + F.lit(i).cast("long") * h2, F.lit(num_bits))
         for i in range(num_hashes)
     ]
 
@@ -123,7 +133,9 @@ def bloom_semi_join(
     bitmap = [0] * n_words
     for r in words:
         bitmap[r["_w"]] = r["_bits"]
-    bitmap_lit = F.array(*[F.lit(w).cast("long") for w in bitmap])
+    # ONE array Literal (constant in codegen) — F.array(*lits) would be
+    # a per-row CreateArray over n_words children
+    bitmap_lit = F.lit(bitmap)
     checks = [
         F.element_at(bitmap_lit, (p / 64).cast("int") + 1).bitwiseAND(
             F.call_function(

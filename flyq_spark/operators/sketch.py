@@ -194,3 +194,104 @@ def source_overlap_matrix(
             .alias("est_overlap"),
         )
     )
+
+
+def heavy_hitters_by_group(
+    df: DataFrame,
+    group_col: str,
+    item_col: Column | str,
+    min_fraction: float = 0.005,
+    k: int | None = None,
+) -> DataFrame:
+    """Per-group EXACT heavy hitters — the keyed form of
+    ``heavy_hitters``: for every group, all items with frequency
+    >= ceil(min_fraction · n_group), with exact counts.
+
+    Same two-pass shape, with the Misra-Gries state keyed by group
+    inside each partition (bounded at k counters PER GROUP SEEN — the
+    memory budget is k · |groups-per-partition|, fine when groups are
+    languages/sources, the intended granularity). The per-(partition,
+    group) candidate union provably contains every item above each
+    group's own threshold; the exact pass aggregates only candidate
+    (group, item) keys, so the vocabulary-sized long tail never crosses
+    the wire — the win over a plain GROUP BY at 100 TB.
+
+    Output: (group, item, n_occurrences), BIGINT-exact."""
+    if not 0.0 < min_fraction <= 1.0:
+        raise ValueError(f"min_fraction must be in (0, 1] (got {min_fraction})")
+    if k is None:
+        k = int(2.0 / min_fraction) + 1
+    items = df.select(
+        F.col(group_col).alias("grp"),
+        (F.col(item_col) if isinstance(item_col, str) else item_col).alias("item"),
+    )
+
+    def partials(iterator):
+        import pandas as pd
+
+        counters: dict = {}
+        totals: dict = {}
+        for pdf in iterator:
+            if len(pdf) == 0:
+                continue
+            for grp, sub in pdf.groupby("grp", dropna=False, sort=False):
+                g = None if pd.isna(grp) else grp
+                counter = counters.setdefault(g, {})
+                totals[g] = totals.get(g, 0) + len(sub)
+                for item, cnt in sub["item"].value_counts(dropna=False).items():
+                    key = None if pd.isna(item) else item
+                    counter[key] = counter.get(key, 0) + int(cnt)
+                _mg_compress(counter, k)
+        rows_g, rows_i, rows_c = [], [], []
+        for g, counter in counters.items():
+            for it in counter:
+                rows_g.append(g)
+                rows_i.append(it)
+                rows_c.append(None)
+        for g, n in totals.items():
+            rows_g.append(g)
+            rows_i.append(None)
+            rows_c.append(n)
+        yield pd.DataFrame({"grp": rows_g, "item": rows_i, "_pcount": rows_c})
+
+    grp_type = items.schema["grp"].dataType.simpleString()
+    item_type = items.schema["item"].dataType.simpleString()
+    sketch = items.mapInPandas(
+        partials, schema=f"grp {grp_type}, item {item_type}, _pcount long"
+    ).persist()
+    candidates = (
+        sketch.where(F.col("_pcount").isNull())
+        .select("grp", "item")
+        .distinct()
+        .withColumnRenamed("grp", "_cgrp")
+        .withColumnRenamed("item", "_citem")
+    )
+    totals = (
+        sketch.where(F.col("_pcount").isNotNull())
+        .groupBy("grp")
+        .agg(F.sum("_pcount").cast("long").alias("_n"))
+        .withColumnRenamed("grp", "_tgrp")
+    )
+    exact = (
+        items.join(
+            F.broadcast(candidates),
+            items["grp"].eqNullSafe(F.col("_cgrp"))
+            & items["item"].eqNullSafe(F.col("_citem")),
+            "left_semi",
+        )
+        .groupBy("grp", "item")
+        .agg(F.count("*").cast("long").alias("n_occurrences"))
+    )
+    return (
+        exact.join(
+            F.broadcast(totals), exact["grp"].eqNullSafe(F.col("_tgrp"))
+        )
+        .where(
+            F.col("n_occurrences") >= exact_ceil_frac(F.col("_n"), min_fraction)
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "item",
+            "n_occurrences",
+        )
+    )

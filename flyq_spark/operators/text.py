@@ -831,3 +831,62 @@ def compression_signals(
     from flyq_spark.operators.util import fan_out
 
     return fan_out(df.select(id_col, text_col)).mapInPandas(kernel, schema)
+
+
+def phrase_search(
+    df: DataFrame,
+    phrase: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact phrase search over the positional token relation — the
+    positional-index counterpart of ``search_all_terms`` (which is
+    bag-of-words AND). A phrase of k terms matches at anchor position p
+    when term i sits at position p+i for every i.
+
+    Plan: ONE posexplode filtered to the query's terms (the filter
+    prunes before anything shuffles — shuffle volume is query-term
+    postings only, not the corpus), each hit re-keyed to its implied
+    anchor ``pos - i``, then a single groupBy((doc, anchor)) counting
+    DISTINCT offsets — no k-way self-join, no posting arrays. Repeated
+    terms in the phrase are handled naturally: one token instance can
+    satisfy only the offset its position implies.
+
+    Output: (id_col, anchor) for every occurrence, anchor 0-based in
+    whitespace-token coordinates."""
+    terms = [t for t in phrase.lower().split() if t]
+    if not terms:
+        raise ValueError("phrase must contain at least one term")
+    offsets = [(i, t) for i, t in enumerate(terms)]
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(F.split(F.lower(F.trim(F.col(text_col))), " ")).alias(
+            "pos", "term"
+        ),
+    ).where(F.col("term").isin(sorted({t for _, t in offsets})))
+    # map each hit to every offset its term occupies in the phrase
+    # (a term appearing twice in the phrase contributes two offsets)
+    qmap = [
+        (t, [i for i, qt in offsets if qt == t])
+        for t in sorted({t for _, t in offsets})
+    ]
+    when_expr = None
+    for t, offs in qmap:
+        arr = F.array(*[F.lit(i) for i in offs])
+        when_expr = (
+            F.when(F.col("term") == t, arr)
+            if when_expr is None
+            else when_expr.when(F.col("term") == t, arr)
+        )
+    hits = toks.select(
+        "doc",
+        "pos",
+        F.explode(when_expr).alias("off"),
+    ).select("doc", (F.col("pos") - F.col("off")).alias("anchor"), "off")
+    return (
+        hits.where(F.col("anchor") >= 0)
+        .groupBy("doc", "anchor")
+        .agg(F.countDistinct("off").alias("_k"))
+        .where(F.col("_k") == len(terms))
+        .select(F.col("doc").alias(id_col), F.col("anchor").cast("long"))
+    )

@@ -4367,3 +4367,62 @@ def test_asof_tolerance_and_attribution(spark):
     assert got[(1, 2.0)] == (None, False)
     assert got[(2, 3.0)] == (None, False)
     assert got[(3, 4.0)] == ("view", True)
+
+
+def test_phrase_search_positions_and_repeats(spark):
+    from flyq_spark.operators.text import phrase_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "cat sat cat sat cat"),
+            (3, "the dog"),
+            (4, "sat the cat"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r["doc_id"], r["anchor"])
+           for r in phrase_search(docs, "the cat").collect()}
+    assert got == {(1, 0), (4, 1)}
+    # repeated term in the phrase: "cat sat cat" needs cat at p and p+2
+    got2 = {(r["doc_id"], r["anchor"])
+            for r in phrase_search(docs, "cat sat cat").collect()}
+    assert got2 == {(2, 0), (2, 2)}
+    # single-term phrase = positional postings
+    got3 = {(r["doc_id"], r["anchor"])
+            for r in phrase_search(docs, "sat").collect()}
+    assert got3 == {(1, 2), (2, 1), (2, 3), (4, 0)}
+
+
+def test_heavy_hitters_by_group_matches_plain_groupby(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from flyq_spark.operators.sketch import heavy_hitters_by_group
+
+    rng = random.Random(7)
+    rows = []
+    for grp, vocab, n in (("a", 40, 3000), ("b", 25, 1500)):
+        for _ in range(n):
+            # Zipf-ish: low ids much more frequent
+            item = min(int(rng.paretovariate(1.2)), vocab)
+            rows.append((grp, f"t{item}"))
+    df = spark.createDataFrame(rows, "lang string, tok string").repartition(8)
+    got = {
+        (r["lang"], r["item"]): r["n_occurrences"]
+        for r in heavy_hitters_by_group(df, "lang", "tok", min_fraction=0.05).collect()
+    }
+    # oracle: plain per-group count + per-group exact ceil threshold
+    counts = (
+        df.groupBy("lang", "tok").agg(F.count("*").alias("n")).collect()
+    )
+    tot = {}
+    for r in counts:
+        tot[r["lang"]] = tot.get(r["lang"], 0) + r["n"]
+    want = {
+        (r["lang"], r["tok"]): r["n"]
+        for r in counts
+        if r["n"] >= -(-tot[r["lang"]] * 5 // 100)  # ceil(0.05 * n_g)
+    }
+    assert got == want and len(want) > 0
