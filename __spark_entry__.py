@@ -3266,6 +3266,52 @@ def q_multi_signal_components(spark, sf_dir):
     )
 
 
+def q_containment_pairs(spark, sf_dir):
+    """Asymmetric containment dedup (operators/dedup.py:
+    containment_pairs): directional pairs with >= 80% of the contained
+    side's 5-gram shingles inside the other document — the
+    quote-inclusion/subsumption case Jaccard misses. One-sided prefix
+    filter (rarity-ordered, exact integer ceil) + full postings on the
+    containing side, 100% recall by pigeonhole; the oracle is the NAIVE
+    all-ordered-pairs containment join, so the hash match proves the
+    blocked plan loses no pair. 50 directional pairs at sf0.01."""
+    docs = _read(spark, sf_dir, "documents")
+    return D.containment_pairs(docs, min_containment=0.8, shingle_n=5)
+
+
+def q_skew_split_join(spark, sf_dir):
+    """Explicit hot-key split join (operators/joinaudit.py:
+    skew_split_join): lineitem ⋈ orders with keys at >= 5 lineitems
+    routed through a broadcast of their dim rows (no shuffle of the hot
+    mass) and the rest through the normal shuffle join. The oracle is
+    the PLAIN inner join — the hash match proves the physical split is
+    semantics-free, exactly like skew_salted_event_stats proves the
+    salted aggregation."""
+    from flyq_spark.operators.joinaudit import skew_split_join
+
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    joined = skew_split_join(li, orders, "l_orderkey", "o_orderkey", hot_threshold=5)
+    qty_c = (F.col("l_quantity").cast("decimal(18,2)") * 100).cast("long")
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(qty_c).alias("sum_qty_c"),
+    )
+
+
+def q_negative_samples(spark, sf_dir):
+    """Deterministic contrastive negative sampling (operators/corpus.py:
+    negative_samples): 3 pseudo-uniform never-self negatives per
+    document off a reproducible md5 ring — shard-parallel ring rank,
+    1-row corpus-size broadcast, one uniform-key equi-join. Identical
+    under any partitioning (pinned in pytest) and replayed rank-for-
+    rank by the oracle."""
+    from flyq_spark.operators.corpus import negative_samples
+
+    docs = _read(spark, sf_dir, "documents")
+    return negative_samples(docs.select("doc_id"), k=3)
+
+
 _SYNTH_UNITS_CTE = """
 member AS (
   SELECT t.g, d.doc_id, d.text
@@ -3300,12 +3346,11 @@ _DRIVER_WINDOW = [
     "train_test_split", "pack_documents", "skew_salted_event_stats",
     "table_profile",
     # oracle-backed queries never in any driver window before r6
-    "bpe_token_stats", "repetition_signals", "source_composition",
-    "chunk_docs", "interval_overlap", "incremental_dedup",
+    "bpe_token_stats", "repetition_signals",
+    "interval_overlap", "incremental_dedup",
     "snapshot_diff", "eval_sample", "rank_metrics",
     "domain_affinity",
     "hashed_doc_vectors", "ann_filtered_topk",
-    "neardup_triangles",
     # new in r7: join planning/pruning, integrity audits, attribution
     # (displacing six never-checked PLAIN relational shapes —
     # grouping_sets/normalize_text/rolling_7day_value/event_transitions/
@@ -3314,6 +3359,7 @@ _DRIVER_WINDOW = [
     "join_preflight", "bloom_semi_prune", "fk_integrity",
     "l_diversity", "winsorize_values", "attribution",
     "phrase_search", "lang_heavy_hitters", "multi_signal_components",
+    "containment_pairs", "skew_split_join", "negative_samples",
     # r5-proven rows kept to re-confirm the broad surface
     "neardup_blast_radius",
     # new in r6: paragraph dedup, rows-only→oracle conversions, and the
@@ -3486,6 +3532,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": q_phrase_search,
         "lang_heavy_hitters": q_lang_heavy_hitters,
         "multi_signal_components": q_multi_signal_components,
+        "containment_pairs": q_containment_pairs,
+        "skew_split_join": q_skew_split_join,
+        "negative_samples": q_negative_samples,
         "rfm_segments": q_rfm_segments,
         "incremental_retract": q_incremental_retract,
         "scd2_history": q_scd2_history,
@@ -5582,6 +5631,54 @@ reach(node, label) AS (
 )
 SELECT node AS doc_id, min(label) AS component
 FROM reach GROUP BY node
+""",
+        "containment_pairs": """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(
+             w[CAST(i AS BIGINT):CAST(i AS BIGINT) + 4], ' ')
+           FOR i IN range(1, len(w) - 3)]) AS g
+  FROM t WHERE len(w) >= 5
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / len(a.g)
+         AS containment
+FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / len(a.g) >= 0.8
+""",
+        "skew_split_join": """
+SELECT o.o_orderpriority, count(*) AS n_items,
+       CAST(sum(CAST(CAST(l.l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))
+            AS BIGINT) AS sum_qty_c
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1
+""",
+        "negative_samples": """
+WITH ranked AS (
+  SELECT doc_id,
+         row_number() OVER (
+           ORDER BY md5('negring:' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS r
+  FROM documents
+),
+n AS (SELECT count(*) AS n FROM ranked),
+probes AS (
+  SELECT doc_id, r, CAST(t.i AS BIGINT) AS slot
+  FROM ranked, UNNEST(range(0, 3)) AS t(i)
+),
+o AS (
+  SELECT p.doc_id, p.slot,
+         ((p.r - 1
+           + 1 + (CAST(concat('0x', substr(md5(
+                 'neg:' || CAST(p.doc_id AS VARCHAR) || ':'
+                         || CAST(p.slot AS VARCHAR)), 1, 15)) AS BIGINT)
+               % (n.n - 1))
+          ) % n.n) + 1 AS nr
+  FROM probes p, n
+)
+SELECT o.doc_id, o.slot, r2.doc_id AS neg_doc_id
+FROM o JOIN ranked r2 ON r2.r = o.nr
 """,
         "fuzzy_title_pairs": """
 WITH p AS (

@@ -558,3 +558,65 @@ def sample_k_per_group(
         df.withColumn("sample_rank", F.row_number().over(w).cast("long"))
         .where(F.col("sample_rank") <= k)
     )
+
+
+def negative_samples(
+    df: DataFrame, k: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    document draws ``k`` pseudo-uniform OTHER documents, reproducible
+    forever and identical on every engine/partitioning (the property
+    RNG-based samplers lack — a resumed or re-sharded job must pair the
+    same negatives or contrastive batches silently change).
+
+    Construction: rank every id on a reproducible md5 ring
+    (``corpus_shuffle``'s shard-parallel rank — no single-partition
+    window), then negative i of document d is the document at ring
+    position ``(rank(d) - 1 + o) mod N + 1`` where
+    ``o = 1 + (md5_60("neg:d:i") mod (N-1))`` ∈ [1, N-1] — never 0 mod
+    N, so a document can never draw itself, with no rejection loop.
+
+    Plan: the ring ranking's bounded shuffles + ONE equi-join on the
+    uniform rank key (|corpus|·k probe rows against |corpus| ring rows,
+    no skew by construction). The corpus size N is a 1-row broadcast
+    scalar. Output: (id, slot, neg_<id>) — requires N >= 2."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    ring = corpus_shuffle(df.select(id_col), id_col=id_col, seed="negring")
+    n = ring.agg(F.count(F.lit(1)).cast("long").alias("_N"))
+    h60 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.lit("neg"),
+                    F.col(id_col).cast("string"),
+                    F.col("slot").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    probes = (
+        ring.crossJoin(F.broadcast(n))
+        .select(
+            F.col(id_col),
+            F.col("shuffle_rank").alias("_r"),
+            F.col("_N"),
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("slot"),
+        )
+        .withColumn("_off", F.lit(1) + F.pmod(h60, F.col("_N") - 1))
+        .withColumn(
+            "_nr", F.pmod(F.col("_r") - 1 + F.col("_off"), F.col("_N")) + 1
+        )
+    )
+    lookup = ring.select(
+        F.col("shuffle_rank").alias("_nr"),
+        F.col(id_col).alias(f"neg_{id_col}"),
+    )
+    return probes.join(lookup, on="_nr").select(
+        id_col, F.col("slot").cast("long").alias("slot"), f"neg_{id_col}"
+    )

@@ -1230,3 +1230,76 @@ def lsh_parameter_sweep(
         "k long, bands long, rows_per_band long, n_true_pairs long, "
         "n_candidates long, n_found long, recall double",
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    min_containment: float = 0.8,
+    shingle_n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ASYMMETRIC containment similarity join: directional pairs
+    (a, b) with C(a→b) = |Sa ∩ Sb| / |Sa| >= t over distinct word
+    ``shingle_n``-gram sets — the subsumption detector Jaccard misses
+    (a short document quoted wholesale inside a long one has high
+    containment but low Jaccard because the union is dominated by the
+    long side). This is the dedup decision for quote inclusion /
+    expanded-rewrite pairs: drop or link the CONTAINED side.
+
+    Candidates by one-sided prefix filtering: order each document's
+    shingles by global rarity (df asc, gram asc); the contained side
+    emits only its first ``n - ceil(t·n) + 1`` shingles, the containing
+    side posts ALL shingles. Pigeonhole: a qualifying pair shares
+    >= ceil(t·|Sa|) shingles — more than Sa's non-prefix suffix holds —
+    so some shared shingle is in a's prefix and recall is 100%.
+    Cost = Σ_{prefix grams} df(g): the full posting side is the scale
+    cost; shingle grams are near-unique in real corpora (df ~ dup
+    count), so hot postings mean true mass duplication. Verification is
+    one array_intersect on the candidate join — never corpus × corpus.
+
+    Output: (id_a, id_b, containment) with id_a != id_b, BOTH
+    directions possible (containment is directional)."""
+    from flyq_spark.operators.util import exact_ceil_frac, fan_out
+
+    if not 0.0 < min_containment <= 1.0:
+        raise ValueError(f"min_containment must be in (0, 1]: {min_containment}")
+    base = (
+        fan_out(df)
+        .select(
+            F.col(id_col).alias("_id"),
+            shingle_set(F.col(text_col), shingle_n).alias("_g"),
+        )
+        .where(F.size("_g") > 0)
+    )
+    tok = base.select("_id", F.explode("_g").alias("_gram"))
+    doc_freq = tok.groupBy("_gram").agg(F.count(F.lit(1)).alias("_df"))
+    wdoc = Window.partitionBy("_id")
+    ranked = (
+        tok.join(doc_freq, on="_gram")
+        .withColumn("_rn", F.row_number().over(wdoc.orderBy("_df", "_gram")))
+        .withColumn("_n", F.count(F.lit(1)).over(wdoc))
+    )
+    prefix = ranked.where(
+        F.col("_rn")
+        <= F.col("_n") - exact_ceil_frac(F.col("_n"), min_containment) + 1
+    ).select(F.col("_id").alias("id_a"), "_gram")
+    postings = tok.select(F.col("_id").alias("id_b"), "_gram")
+    cand = (
+        prefix.join(postings, on="_gram")
+        .where(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    a = base.select(F.col("_id").alias("id_a"), F.col("_g").alias("_ga"))
+    b = base.select(F.col("_id").alias("id_b"), F.col("_g").alias("_gb"))
+    inter = F.size(F.array_intersect(F.col("_ga"), F.col("_gb")))
+    containment = (inter.cast("double") / F.size("_ga").cast("double")).alias(
+        "containment"
+    )
+    return (
+        cand.join(a, on="id_a")
+        .join(b, on="id_b")
+        .select("id_a", "id_b", containment)
+        .where(F.col("containment") >= min_containment)
+    )

@@ -151,3 +151,41 @@ def bloom_semi_join(
         on=big_on,
         how="left_semi",
     )
+
+
+def skew_split_join(
+    big: DataFrame,
+    dim: DataFrame,
+    big_on: str,
+    dim_on: str | None = None,
+    hot_threshold: int = 100_000,
+) -> DataFrame:
+    """Inner equi-join with explicit hot-key splitting — the manual form
+    of AQE's skew-join handling, for when the skew is known up front
+    (``join_preflight`` tells you): keys whose big-side count reaches
+    ``hot_threshold`` take the BROADCAST path (their dim rows replicate
+    to wherever the big rows already sit — no shuffle of the hot mass),
+    everything else takes the normal shuffle join. The union is
+    row-for-row the plain inner join — the split is purely physical, so
+    the oracle hash match against the plain join proves it
+    semantics-free.
+
+    Requires |hot keys| × dim-rows-per-key to be broadcast-sized — true
+    by construction when hot keys are few (that is what makes them
+    hot). NULL keys match nothing, as in any inner equi-join.
+    """
+    dim_on = dim_on or big_on
+    counts = (
+        big.where(F.col(big_on).isNotNull())
+        .groupBy(F.col(big_on).alias("_k"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    hot = counts.where(F.col("_n") >= hot_threshold).select("_k")
+    dim_keyed = dim.withColumnRenamed(dim_on, big_on) if dim_on != big_on else dim
+    hot_b = F.broadcast(hot.withColumnRenamed("_k", big_on))
+    big_hot = big.join(hot_b, on=big_on, how="left_semi")
+    big_cold = big.join(hot_b, on=big_on, how="left_anti")
+    dim_hot = dim_keyed.join(hot_b, on=big_on, how="left_semi")
+    hot_path = big_hot.join(F.broadcast(dim_hot), on=big_on)
+    cold_path = big_cold.join(dim_keyed, on=big_on)
+    return hot_path.unionByName(cold_path)

@@ -4426,3 +4426,83 @@ def test_heavy_hitters_by_group_matches_plain_groupby(spark):
         if r["n"] >= -(-tot[r["lang"]] * 5 // 100)  # ceil(0.05 * n_g)
     }
     assert got == want and len(want) > 0
+
+
+def test_containment_pairs_matches_naive(spark):
+    """Prefix-filtered containment join must equal the naive all-pairs
+    containment join (100% recall), including the asymmetric direction."""
+    from pyspark.sql import functions as F
+
+    from flyq_spark.operators.dedup import containment_pairs, shingle_set
+
+    docs = [
+        (1, "a b c d e f g h i j"),             # contained in 2
+        (2, "a b c d e f g h i j k l m n o"),   # superset of 1
+        (3, "z y x w v u t s r q"),             # unrelated
+        (4, "a b c d e f g h i j"),             # exact dup of 1
+        (5, "p p p p p"),                        # single shingle
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): round(r["containment"], 9)
+        for r in containment_pairs(df, min_containment=0.8, shingle_n=5).collect()
+    }
+    base = df.select(
+        "doc_id", shingle_set(F.col("text"), 5).alias("g")
+    ).where(F.size("g") > 0)
+    naive = (
+        base.alias("a")
+        .join(base.alias("b"), F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            (
+                F.size(F.array_intersect(F.col("a.g"), F.col("b.g"))).cast("double")
+                / F.size(F.col("a.g")).cast("double")
+            ).alias("c"),
+        )
+        .where(F.col("c") >= 0.8)
+    )
+    want = {(r["id_a"], r["id_b"]): round(r["c"], 9) for r in naive.collect()}
+    assert got == want
+    # direction matters: 1 -> 2 qualifies, 2 -> 1 does not
+    assert (1, 2) in got and (2, 1) not in got
+    assert (1, 4) in got and (4, 1) in got
+
+
+def test_skew_split_join_equals_plain_join(spark):
+    from pyspark.sql import functions as F
+
+    from flyq_spark.operators.joinaudit import skew_split_join
+
+    # key 7 is hot (60 rows), others cold; dim has multiple rows per key
+    big = spark.createDataFrame(
+        [(7, i) for i in range(60)] + [(i % 5, i) for i in range(25)],
+        "k long, payload long",
+    )
+    dim = spark.createDataFrame(
+        [(7, "a"), (7, "b"), (0, "c"), (1, "d"), (9, "e")],
+        "k long, tag string",
+    )
+    got = skew_split_join(big, dim, "k", hot_threshold=50)
+    want = big.join(dim, on="k")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # the hot path really is a broadcast (two broadcast joins in plan)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_negative_samples_deterministic_and_never_self(spark):
+    from flyq_spark.operators.corpus import negative_samples
+
+    df = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+    out1 = sorted(map(tuple, negative_samples(df, k=4).collect()))
+    out2 = sorted(map(tuple, negative_samples(df.repartition(7), k=4).collect()))
+    assert out1 == out2                      # partitioning-independent
+    assert len(out1) == 40 * 4
+    for doc, slot, neg in out1:
+        assert neg != doc                    # never self
+        assert 0 <= slot < 4
+    # roughly uniform: every doc appears as a negative at least once
+    negs = {neg for _, _, neg in out1}
+    assert len(negs) >= 35
