@@ -3312,6 +3312,58 @@ def q_negative_samples(spark, sf_dir):
     return negative_samples(docs.select("doc_id"), k=3)
 
 
+def q_rollup_share(spark, sf_dir):
+    """Share-of-parent analytics: per-nation order revenue as integer
+    cents plus its parts-per-million share of the region total —
+    integer division end-to-end (no float ratios to diverge). One
+    aggregation + one |nations|-sized window sharing the region key."""
+    region = _read(spark, sf_dir, "region")
+    nation = _read(spark, sf_dir, "nation")
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    price_c = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    per_nation = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(nation, cust["c_nationkey"] == nation["n_nationkey"])
+        .join(region, nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(price_c).alias("revenue_c"))
+    )
+    w = Window.partitionBy("r_name")
+    share = F.call_function(
+        "div", F.col("revenue_c") * F.lit(1000000), F.sum("revenue_c").over(w)
+    )
+    return per_nation.select(
+        "r_name", "n_name", "revenue_c", share.alias("share_ppm")
+    )
+
+
+def q_rolling_distinct_users(spark, sf_dir):
+    """Rolling 7-day EXACT distinct actives per day — the sliding
+    distinct aggregate (distinct does not decompose over overlapping
+    windows, so no frame trick applies). Scale shape: dedup to
+    (day, user) FIRST (the map-side-combined groupBy bounds everything
+    downstream), then replicate each pair to the <= 7 window ends it
+    serves and count distinct per end — shuffle volume is
+    7 x |day-user pairs|, never 7 x |events|."""
+    ev = _read(spark, sf_dir, "events")
+    day = F.to_date("ts").alias("day")
+    du = ev.select(day, "user_id").distinct()
+    ends = du.select(
+        F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 6))).alias(
+            "day"
+        ),
+        "user_id",
+    )
+    days = du.select("day").distinct()
+    return (
+        ends.join(days, on="day", how="left_semi")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("n_active_7d"))
+        .select(F.col("day").cast("string").alias("day"), "n_active_7d")
+    )
+
+
 _SYNTH_UNITS_CTE = """
 member AS (
   SELECT t.g, d.doc_id, d.text
@@ -3349,8 +3401,7 @@ _DRIVER_WINDOW = [
     "bpe_token_stats", "repetition_signals",
     "interval_overlap", "incremental_dedup",
     "snapshot_diff", "eval_sample", "rank_metrics",
-    "domain_affinity",
-    "hashed_doc_vectors", "ann_filtered_topk",
+    "ann_filtered_topk",
     # new in r7: join planning/pruning, integrity audits, attribution
     # (displacing six never-checked PLAIN relational shapes —
     # grouping_sets/normalize_text/rolling_7day_value/event_transitions/
@@ -3360,6 +3411,7 @@ _DRIVER_WINDOW = [
     "l_diversity", "winsorize_values", "attribution",
     "phrase_search", "lang_heavy_hitters", "multi_signal_components",
     "containment_pairs", "skew_split_join", "negative_samples",
+    "rollup_share", "rolling_distinct_users",
     # r5-proven rows kept to re-confirm the broad surface
     "neardup_blast_radius",
     # new in r6: paragraph dedup, rows-only→oracle conversions, and the
@@ -3535,6 +3587,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": q_containment_pairs,
         "skew_split_join": q_skew_split_join,
         "negative_samples": q_negative_samples,
+        "rollup_share": q_rollup_share,
+        "rolling_distinct_users": q_rolling_distinct_users,
         "rfm_segments": q_rfm_segments,
         "incremental_retract": q_incremental_retract,
         "scd2_history": q_scd2_history,
@@ -5679,6 +5733,34 @@ o AS (
 )
 SELECT o.doc_id, o.slot, r2.doc_id AS neg_doc_id
 FROM o JOIN ranked r2 ON r2.r = o.nr
+""",
+        "rollup_share": """
+WITH per_nation AS (
+  SELECT r.r_name, n.n_name,
+         CAST(sum(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS revenue_c
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2
+)
+SELECT r_name, n_name, revenue_c,
+       (revenue_c * 1000000)
+         // CAST(sum(revenue_c) OVER (PARTITION BY r_name) AS BIGINT)
+         AS share_ppm
+FROM per_nation
+""",
+        "rolling_distinct_users": """
+WITH du AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+),
+days AS (SELECT DISTINCT day FROM du)
+SELECT CAST(d.day AS VARCHAR) AS day,
+       count(DISTINCT du.user_id) AS n_active_7d
+FROM days d
+JOIN du ON du.day BETWEEN d.day - 6 AND d.day
+GROUP BY 1
 """,
         "fuzzy_title_pairs": """
 WITH p AS (

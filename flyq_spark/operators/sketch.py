@@ -295,3 +295,67 @@ def heavy_hitters_by_group(
             "n_occurrences",
         )
     )
+
+
+def mg_summary(df: DataFrame, item_col: Column | str, k: int) -> tuple[dict, int]:
+    """Driver-side Misra-Gries summary of a (batch-sized) frame: at most
+    ``k`` (item, lower-bound-count) counters plus the exact row count.
+    Distributed: per-partition MG partials via the same Arrow pass as
+    ``heavy_hitters``, folded and re-compressed on the driver — the
+    driver sees ≤ k · partitions candidate rows, never the data.
+
+    MG summaries are mergeable (fold = add counters, compress to k), so
+    this is the batch-level building block for BOUNDED-STATE streaming
+    frequency tracking: any item with true total frequency > n/k over
+    the merged stream survives the fold, and every count is a lower
+    bound of the true count (within n/k of it)."""
+    items = df.select(
+        (F.col(item_col) if isinstance(item_col, str) else item_col).alias("item")
+    )
+
+    def partials(iterator):
+        import pandas as pd
+
+        counter: dict = {}
+        total_rows = 0
+        for pdf in iterator:
+            if len(pdf) == 0:
+                continue
+            total_rows += len(pdf)
+            for item, cnt in pdf["item"].value_counts(dropna=False).items():
+                key = None if pd.isna(item) else item
+                counter[key] = counter.get(key, 0) + int(cnt)
+            _mg_compress(counter, k)
+        # candidate rows carry their partial lower-bound count in _c;
+        # one _t row per partition carries the partition's row count
+        yield pd.DataFrame(
+            {
+                "item": list(counter.keys()) + [None],
+                "_c": list(counter.values()) + [None],
+                "_t": [None] * len(counter) + [total_rows],
+            }
+        )
+
+    item_type = items.schema["item"].dataType.simpleString()
+    rows = items.mapInPandas(
+        partials, schema=f"item {item_type}, _c long, _t long"
+    ).collect()
+    counter: dict = {}
+    total = 0
+    for r in rows:
+        if r["_t"] is not None:
+            total += r["_t"]
+        else:
+            counter[r["item"]] = counter.get(r["item"], 0) + r["_c"]
+    _mg_compress(counter, k)
+    return counter, total
+
+
+def mg_merge(state: dict, other: dict, k: int) -> dict:
+    """Merge two MG counter dicts and re-compress to ``k`` counters —
+    the associative fold for streaming/batched frequency state."""
+    merged = dict(state)
+    for item, cnt in other.items():
+        merged[item] = merged.get(item, 0) + cnt
+    _mg_compress(merged, k)
+    return merged

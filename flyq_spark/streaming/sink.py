@@ -449,3 +449,134 @@ def read_aggregate_view(
         raise FileNotFoundError(f"no view state under {view_path!r}")
     state = spark.read.parquet(*paths)
     return merge_increment(state.limit(0), state, keys, tuple(measures))
+
+
+def heavy_hitter_sink(
+    view_path: str,
+    item_col: str,
+    k: int = 64,
+    compact_every: int = 16,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch callback maintaining BOUNDED-STATE streaming
+    frequency counters (trending items) with Misra-Gries semantics:
+    whatever the stream's cardinality, the view holds at most ``k``
+    (item, lower-bound-count) counters plus the exact row total, and
+    any item whose true frequency exceeds total/k is guaranteed
+    present (MG mergeability) — the bounded-memory alternative to an
+    exact per-item aggregate view when the item space is unbounded
+    (URLs, queries, tokens).
+
+    Layout and replay discipline mirror ``aggregate_view_sink``: each
+    micro-batch's OWN summary lands as ``delta/batch_id=N`` (replay
+    overwrites it — same batch, same summary), and compaction folds
+    base + deltas in strict batch_id order every ``compact_every``
+    batches (MG folding is order-sensitive, so the fold order is
+    pinned). Counts are lower bounds within total/k of truth — the
+    documented MG trade; exact re-verification requires a batch pass
+    over retained history (``sketch.heavy_hitters``).
+
+    Read with :func:`read_heavy_hitter_view`."""
+    import shutil
+
+    from flyq_spark.operators.sketch import mg_summary
+
+    if "://" in view_path:
+        raise ValueError(
+            f"heavy_hitter_sink needs a driver-local view_path; got "
+            f"scheme-qualified {view_path!r}"
+        )
+    if k < 1 or compact_every < 1:
+        raise ValueError(f"need k >= 1 and compact_every >= 1; got {k}, {compact_every}")
+    root = view_path.rstrip("/")
+
+    def _recover() -> tuple[int, str] | None:
+        ready = _view_ready_base(root)
+        for upto, path in _view_bases(root):
+            if (upto, path) != ready:
+                shutil.rmtree(path, ignore_errors=True)
+        if ready is not None:
+            for bid, path in _view_deltas(root):
+                if bid <= ready[0]:
+                    shutil.rmtree(path, ignore_errors=True)
+        return ready
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        ready = _recover()
+        counter, total = mg_summary(batch_df, item_col, k)
+        item_type = batch_df.select(item_col).schema[0].dataType.simpleString()
+        _write_hh_state(
+            spark, f"{root}/delta/batch_id={batch_id}", item_type, counter, total
+        )
+        deltas = [
+            d
+            for d in _view_deltas(root)
+            if d[0] <= batch_id and (ready is None or d[0] > ready[0])
+        ]
+        if len(deltas) >= compact_every:
+            state, n = _fold_hh_state(
+                spark, ([ready[1]] if ready else []) + [p for _, p in sorted(deltas)], k
+            )
+            import os
+
+            new_base = os.path.join(root, f"base_upto_{batch_id}")
+            _write_hh_state(spark, new_base, item_type, state, n)
+            open(os.path.join(new_base, "_VIEW_READY"), "w").close()
+            for bid, path in deltas:
+                shutil.rmtree(path, ignore_errors=True)
+            if ready:
+                shutil.rmtree(ready[1], ignore_errors=True)
+
+    return write
+
+
+def _write_hh_state(spark, path: str, item_type: str, counter: dict, total: int) -> None:
+    from pyspark.sql import types as T
+
+    rows = [(item, int(cnt), None) for item, cnt in counter.items()]
+    rows.append((None, None, int(total)))
+    spark.createDataFrame(
+        rows, schema=f"item {item_type}, cnt long, total long"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def _fold_hh_state(spark, paths: list[str], k: int) -> tuple[dict, int]:
+    from flyq_spark.operators.sketch import mg_merge
+
+    state: dict = {}
+    total = 0
+    for p in paths:
+        counter = {}
+        for r in spark.read.parquet(p).collect():
+            if r["total"] is not None:
+                total += r["total"]
+            else:
+                counter[r["item"]] = r["cnt"]
+        state = mg_merge(state, counter, k)
+    return state, total
+
+
+def read_heavy_hitter_view(spark, view_path: str, k: int) -> DataFrame:
+    """Current bounded-state frequency view as (item, count_lb, total):
+    newest ready base + uncompacted deltas folded in strict batch_id
+    order (recovery already guarantees remaining deltas postdate the
+    base). The item column keeps the type the sink wrote."""
+    root = view_path.rstrip("/")
+    ready = _view_ready_base(root)
+    # skip deltas the base already covers (a stale replayed delta of an
+    # already-compacted batch must not double-fold)
+    paths = ([ready[1]] if ready else []) + [
+        p
+        for bid, p in sorted(_view_deltas(root))
+        if ready is None or bid > ready[0]
+    ]
+    if not paths:
+        raise FileNotFoundError(f"no heavy-hitter state under {root}")
+    item_type = (
+        spark.read.parquet(paths[0]).schema["item"].dataType.simpleString()
+    )
+    state, total = _fold_hh_state(spark, paths, k)
+    rows = [(item, int(cnt), int(total)) for item, cnt in state.items()]
+    return spark.createDataFrame(
+        rows, schema=f"item {item_type}, count_lb long, total long"
+    )

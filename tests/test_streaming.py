@@ -989,3 +989,81 @@ def test_analytics_pipeline_example_end_to_end(engine, spark, tmp_path):
     assert series[("click", base + 7200)] == (0, 500, False)
     assert series[("click", base + 10800)] == (1, 50, True)
     assert ("purchase", base + 7200) in series
+
+
+def test_heavy_hitter_sink_bounded_state_guarantee(spark, tmp_path):
+    """Bounded-state streaming frequency view: every item with true
+    frequency > total/k survives the fold, counts are lower bounds,
+    replaying a batch is idempotent, and compaction preserves the
+    folded state exactly."""
+    import random
+
+    from flyq_spark.streaming.sink import (
+        heavy_hitter_sink,
+        read_heavy_hitter_view,
+    )
+
+    root = str(tmp_path / "hh")
+    k = 8
+    sink = heavy_hitter_sink(root, "item", k=k, compact_every=3)
+    rng = random.Random(3)
+    truth: dict = {}
+    batches = []
+    for bid in range(5):
+        rows = []
+        for _ in range(400):
+            # heavy items 0/1, long tail 2..40
+            item = rng.choice([0, 0, 0, 0, 1, 1, 1, rng.randint(2, 40)])
+            rows.append((f"i{item}",))
+            truth[f"i{item}"] = truth.get(f"i{item}", 0) + 1
+        batches.append(spark.createDataFrame(rows, "item string"))
+    for bid, b in enumerate(batches):
+        sink(b, bid)
+
+    view = {
+        r["item"]: (r["count_lb"], r["total"])
+        for r in read_heavy_hitter_view(spark, root, k).collect()
+    }
+    total = sum(truth.values())
+    assert next(iter(view.values()))[1] == total
+    assert len(view) <= k
+    for item, cnt in truth.items():
+        if cnt > total / k:
+            assert item in view            # MG guarantee
+    for item, (lb, _) in view.items():
+        assert lb <= truth[item]           # lower bounds
+        assert truth[item] - lb <= total / k
+
+    # replay idempotence: re-deliver the last batch
+    sink(batches[4], 4)
+    view2 = {
+        r["item"]: (r["count_lb"], r["total"])
+        for r in read_heavy_hitter_view(spark, root, k).collect()
+    }
+    assert view2 == view
+
+
+def test_heavy_hitter_sink_stale_replayed_delta_ignored(spark, tmp_path):
+    """A replayed batch that was ALREADY compacted into the base writes
+    its delta back; reader and compactor must skip it (bid <= base
+    upto), or its rows would double-fold."""
+    from flyq_spark.streaming.sink import (
+        heavy_hitter_sink,
+        read_heavy_hitter_view,
+    )
+
+    root = str(tmp_path / "hh2")
+    sink = heavy_hitter_sink(root, "item", k=4, compact_every=2)
+    b = lambda rows: spark.createDataFrame([(r,) for r in rows], "item string")  # noqa: E731
+    sink(b(["a", "a", "b"]), 0)
+    sink(b(["a", "c"]), 1)          # compacts 0..1 into base_upto_1
+    before = {
+        (r["item"], r["count_lb"], r["total"])
+        for r in read_heavy_hitter_view(spark, root, 4).collect()
+    }
+    sink(b(["a", "c"]), 1)          # stale redelivery of batch 1
+    after = {
+        (r["item"], r["count_lb"], r["total"])
+        for r in read_heavy_hitter_view(spark, root, 4).collect()
+    }
+    assert after == before
