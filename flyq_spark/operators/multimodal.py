@@ -163,9 +163,10 @@ def _decode_stub(payload: bytes, kind: str, feature_dim: int) -> dict:
 # LZW with width growth and clear/EOI, interlace, first frame), baseline
 # TIFF (uncompressed strips, II/MM byte orders, gray/RGB/palette), and
 # PCM WAV (8/16-bit RIFF). Payloads are sniffed by magic bytes; anything
-# else (JPEG/MP3/H.264 — codecs that genuinely need PIL/libav) falls
-# back to the documented stub, so existing stub-pinned tests and gate
-# values are unchanged for non-media payloads.
+# else (MP3/H.264 — codecs that genuinely need libav) falls back to the
+# documented stub, so existing stub-pinned tests and gate values are
+# unchanged for non-media payloads. Baseline Huffman JPEG decodes for
+# real since r7 (_try_decode_jpeg); progressive JPEG still stubs.
 
 
 def _luma(r, g, b):
@@ -605,6 +606,7 @@ def _try_decode_image(payload: bytes):
         _try_decode_png,
         _try_decode_gif,
         _try_decode_tiff,
+        _try_decode_jpeg,
     ):
         luma = dec(payload)
         if luma is not None:
@@ -989,3 +991,265 @@ def phash_neardup_pairs(
         .where(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def _jpeg_build_huff(bits: list, vals: bytes) -> dict:
+    """Canonical JPEG Huffman table → {(length, code): symbol}."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+class _JpegBits:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    byte-unstuffing; RSTn markers end the current run (the caller
+    resets DC predictors and continues past them)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        d = self.data
+        while True:
+            if self.pos >= len(d):
+                raise EOFError
+            byte = d[self.pos]
+            if byte == 0xFF:
+                nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
+                if nxt == 0x00:
+                    pass  # stuffed 0xFF data byte
+                else:
+                    raise EOFError  # a real marker terminates entropy data
+            b = (byte >> (7 - self.bit)) & 1
+            self.bit += 1
+            if self.bit == 8:
+                self.bit = 0
+                self.pos += 1 + (1 if byte == 0xFF else 0)  # skip stuffing
+            return b
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_and_expect_rst(self) -> bool:
+        """Skip to the next byte boundary and consume one RSTn marker;
+        False if it is not there (corrupt stream)."""
+        d = self.data
+        if self.bit:
+            # advance past the partially-read byte (its padding bits);
+            # a stuffed 0xFF data byte occupies two stream bytes
+            self.pos += 2 if d[self.pos] == 0xFF else 1
+            self.bit = 0
+        if self.pos + 1 < len(d) and d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+            self.pos += 2
+            return True
+        return False
+
+
+def _jpeg_decode_huff(bits: "_JpegBits", table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | bits.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+def _try_decode_jpeg(payload: bytes):
+    """Baseline JPEG (SOF0/SOF1 Huffman, 8-bit) decoded to the LUMA
+    plane — REAL decode with stdlib struct + numpy: marker parse, DQT /
+    DHT / DRI / SOS, canonical Huffman entropy decode (0xFF00
+    unstuffing, restart-marker DC resets), dequantization, and a
+    vectorized separable float64 IDCT over all Y blocks at once.
+    Chroma blocks are Huffman-decoded (the bitstream interleaves them)
+    but never dequantized/transformed — luma is all the feature/dHash
+    pipeline consumes, and Y carries the full spatial resolution.
+
+    Rejected (return None → stub fallback): progressive (SOF2),
+    arithmetic coding, 12-bit precision, hierarchical modes, Y planes
+    subsampled below full resolution (reported dims would lie), and
+    dimension bombs. Layout per ITU T.81; cites the reference only for
+    scope — the reference has no media decode at all."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        return None
+    try:
+        pos = 2
+        qt: dict = {}
+        huff: dict = {}
+        sof = None
+        restart_interval = 0
+        n = len(payload)
+        while pos + 4 <= n:
+            if payload[pos] != 0xFF:
+                return None
+            marker = payload[pos + 1]
+            pos += 2
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                continue
+            if marker == 0xD9:  # EOI before SOS data
+                return None
+            (seglen,) = struct.unpack_from(">H", payload, pos)
+            seg = payload[pos + 2 : pos + seglen]
+            if marker == 0xDB:  # DQT
+                p = 0
+                while p < len(seg):
+                    pq, tq = seg[p] >> 4, seg[p] & 15
+                    p += 1
+                    if pq == 0:
+                        vals = list(seg[p : p + 64])
+                        p += 64
+                    else:
+                        vals = list(struct.unpack_from(">64H", seg, p))
+                        p += 128
+                    qt[tq] = vals
+            elif marker == 0xC4:  # DHT
+                p = 0
+                while p < len(seg):
+                    tc, th = seg[p] >> 4, seg[p] & 15
+                    bits = list(seg[p + 1 : p + 17])
+                    nv = sum(bits)
+                    vals = seg[p + 17 : p + 17 + nv]
+                    huff[(tc, th)] = _jpeg_build_huff(bits, vals)
+                    p += 17 + nv
+            elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
+                prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+                if prec != 8 or not (0 < w and 0 < h) or w * h > 67_108_864:
+                    return None
+                comps = []
+                for i in range(nc):
+                    # component triples start after prec(1)+H(2)+W(2)+N(1)
+                    cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * i)
+                    comps.append((cid, hv >> 4, hv & 15, tq))
+                sof = (h, w, comps)
+            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                            0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # progressive/arithmetic/hierarchical
+            elif marker == 0xDD:  # DRI
+                (restart_interval,) = struct.unpack_from(">H", seg, 0)
+            elif marker == 0xDA:  # SOS
+                if sof is None:
+                    return None
+                ns = seg[0]
+                if ns != len(sof[2]):
+                    # only fully-interleaved single-scan baseline files:
+                    # per-component sequential scans would need a second
+                    # MCU geometry
+                    return None
+                scan = []
+                for i in range(ns):
+                    cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+                    scan.append((cs, tt >> 4, tt & 15))
+                return _jpeg_scan(
+                    payload, pos + seglen, sof, scan, qt, huff,
+                    restart_interval, np
+                )
+            pos += seglen
+        return None
+    except (IndexError, ValueError, EOFError, struct.error):
+        return None
+
+
+def _jpeg_scan(payload, pos, sof, scan, qt, huff, restart_interval, np):
+    h, w, comps = sof
+    by_id = {cid: (ch, cv, tq) for cid, ch, cv, tq in comps}
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    y_cid, y_h, y_v, y_tq = comps[0]
+    if (y_h, y_v) != (hmax, vmax):
+        return None  # subsampled luma would misreport dimensions
+    if y_tq not in qt:
+        return None
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    bits = _JpegBits(payload, pos)
+    zz = _JPEG_ZIGZAG
+    y_blocks = []
+    dc_pred = {cid: 0 for cid, *_ in comps}
+    mcu_index = 0
+    for _my in range(mcus_y):
+        for _mx in range(mcus_x):
+            if restart_interval and mcu_index and mcu_index % restart_interval == 0:
+                if not bits.align_and_expect_rst():
+                    return None
+                dc_pred = {cid: 0 for cid, *_ in comps}
+            for cs, td, ta in scan:
+                ch, cv, _tq = by_id[cs]
+                dct = huff.get((0, td))
+                act = huff.get((1, ta))
+                if dct is None or act is None:
+                    return None
+                for _b in range(ch * cv):
+                    coef = [0] * 64
+                    s = _jpeg_decode_huff(bits, dct)
+                    diff = _jpeg_extend(bits.receive(s), s) if s else 0
+                    dc_pred[cs] += diff
+                    coef[0] = dc_pred[cs]
+                    k = 1
+                    while k < 64:
+                        rs = _jpeg_decode_huff(bits, act)
+                        r, size = rs >> 4, rs & 15
+                        if size == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            return None
+                        coef[k] = _jpeg_extend(bits.receive(size), size)
+                        k += 1
+                    if cs == y_cid:
+                        y_blocks.append(coef)
+            mcu_index += 1
+    # dequantize + de-zigzag all Y blocks, then one vectorized IDCT
+    q = np.array(qt[y_tq], dtype=np.float64)
+    cz = np.array(y_blocks, dtype=np.float64) * q  # [n, 64] zigzag order
+    blocks = np.zeros_like(cz)
+    blocks[:, zz] = cz
+    blocks = blocks.reshape(-1, 8, 8)
+    k = np.arange(8)
+    c = np.where(k == 0, 1.0 / np.sqrt(2.0), 1.0)
+    D = (c[:, None] / 2.0) * np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16)
+    spatial = np.einsum("ur,nuv,vs->nrs", D, blocks, D) + 128.0
+    spatial = np.clip(spatial, 0.0, 255.0)
+    # assemble the Y plane: blocks emitted per MCU, y_v x y_h raster
+    plane = np.zeros((mcus_y * 8 * vmax, mcus_x * 8 * hmax), np.float64)
+    i = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for by in range(y_v):
+                for bx in range(y_h):
+                    plane[
+                        (my * vmax + by) * 8 : (my * vmax + by) * 8 + 8,
+                        (mx * hmax + bx) * 8 : (mx * hmax + bx) * 8 + 8,
+                    ] = spatial[i]
+                    i += 1
+    return plane[:h, :w]

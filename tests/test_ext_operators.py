@@ -4506,3 +4506,289 @@ def test_negative_samples_deterministic_and_never_self(spark):
     # roughly uniform: every doc appears as a negative at least once
     negs = {neg for _, _, neg in out1}
     assert len(negs) >= 35
+
+
+# ------------------------------------------------------------------ #
+# baseline JPEG decoder differentials (reference encoder lives here,
+# mirroring the PNG/GIF/TIFF test strategy: encode known pixels, then
+# the decoder must reproduce the mathematically expected reconstruction)
+# ------------------------------------------------------------------ #
+
+
+def _jpeg_dct_matrix():
+    import numpy as np
+
+    k = np.arange(8)
+    c = np.where(k == 0, 1.0 / np.sqrt(2.0), 1.0)
+    return (c[:, None] / 2.0) * np.cos(
+        (2 * k[None, :] + 1) * k[:, None] * np.pi / 16
+    )
+
+
+_JPEG_TEST_ZZ = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _jpeg_canonical_enc(bits, vals):
+    """symbol -> (code, length), same canonical assignment the decoder
+    uses (T.81 Annex C)."""
+    enc = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            enc[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return enc
+
+
+_JPEG_DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = bytes(range(12))
+# a DHT count byte caps at 255, so 256 AC symbols split 255@9 + 1@10
+_JPEG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0]
+_JPEG_AC_VALS = bytes(range(256))
+
+
+class _JpegBW:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, val, nbits):
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((val >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def align(self):
+        if self.n:
+            self.put((1 << (8 - self.n)) - 1, 8 - self.n)
+
+
+def _jpeg_quantize_plane(plane, q):
+    """Plane (padded to 8-multiples) -> list of zigzag quantized coef
+    blocks in raster order, plus the per-block reconstruction."""
+    import numpy as np
+
+    D = _jpeg_dct_matrix()
+    h8, w8 = plane.shape[0] // 8, plane.shape[1] // 8
+    qn = np.zeros(64)
+    qn[_JPEG_TEST_ZZ] = q  # q is zigzag-ordered like the DQT segment
+    blocks, recon = [], {}
+    for by in range(h8):
+        for bx in range(w8):
+            x = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            f = D @ x @ D.T
+            cq = np.round(f.flatten() / qn).astype(int)
+            blocks.append([int(cq[z]) for z in _JPEG_TEST_ZZ])
+            deq = (cq * qn).reshape(8, 8)
+            recon[(by, bx)] = np.clip(D.T @ deq @ D + 128.0, 0.0, 255.0)
+    return blocks, recon
+
+
+def _jpeg_emit_block(bw, zz_coefs, dc_pred, dc_enc, ac_enc):
+    def mag(v):
+        s = 0
+        a = abs(v)
+        while a:
+            s += 1
+            a >>= 1
+        return s
+
+    diff = zz_coefs[0] - dc_pred
+    s = mag(diff)
+    code, ln = dc_enc[s]
+    bw.put(code, ln)
+    if s:
+        bw.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    run = 0
+    last_nz = max((i for i in range(1, 64) if zz_coefs[i]), default=0)
+    for k in range(1, 64):
+        v = zz_coefs[k]
+        if k > last_nz:
+            code, ln = ac_enc[0x00]  # EOB
+            bw.put(code, ln)
+            break
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_enc[0xF0]  # ZRL
+            bw.put(code, ln)
+            run -= 16
+        s = mag(v)
+        code, ln = ac_enc[(run << 4) | s]
+        bw.put(code, ln)
+        bw.put(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    return zz_coefs[0]
+
+
+def _jpeg_encode(y, q, chroma=None, restart_interval=0):
+    """Reference baseline JPEG: grayscale (chroma=None) or 4:2:0 YCbCr.
+    ``q`` is the zigzag-ordered 64-entry quant table (table 0, used by
+    every component). Returns (payload, expected_luma)."""
+    import struct
+
+    import numpy as np
+
+    h, w = y.shape
+    hmax, vmax = (2, 2) if chroma is not None else (1, 1)
+    ph = -(-h // (8 * vmax)) * 8 * vmax
+    pw = -(-w // (8 * hmax)) * 8 * hmax
+    ypad = np.zeros((ph, pw))
+    ypad[:h, :w] = y
+    ypad[h:, :w] = y[-1:, :]
+    ypad[:, w:] = ypad[:, w - 1 : w]
+    yblocks, yrecon = _jpeg_quantize_plane(ypad, q)
+    dc_enc = _jpeg_canonical_enc(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_enc = _jpeg_canonical_enc(_JPEG_AC_BITS, _JPEG_AC_VALS)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">HB", 2 + 1 + 64, 0x00) + bytes(q)
+    comps = [(1, (hmax << 4) | vmax, 0)]
+    if chroma is not None:
+        comps += [(2, 0x11, 0), (3, 0x11, 0)]
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * len(comps), 8, h, w, len(comps))
+    for cid, hv, tq in comps:
+        out += struct.pack(">BBB", cid, hv, tq)
+    for tc, bits, vals in ((0, _JPEG_DC_BITS, _JPEG_DC_VALS), (1, _JPEG_AC_BITS, _JPEG_AC_VALS)):
+        out += b"\xff\xc4" + struct.pack(">HB", 2 + 1 + 16 + len(vals), tc << 4) + bytes(bits) + vals
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">HB", 2 + 1 + 2 * len(comps) + 3, len(comps))
+    for cid, _, _ in comps:
+        out += struct.pack(">BB", cid, 0x00)
+    out += b"\x00\x3f\x00"
+
+    if chroma is not None:
+        cb, cr = chroma
+        cpads = []
+        for p in (cb, cr):
+            cp = np.zeros((ph // 2, pw // 2))
+            cp[: p.shape[0], : p.shape[1]] = p
+            cpads.append(cp)
+        cbb, _ = _jpeg_quantize_plane(cpads[0], q)
+        crb, _ = _jpeg_quantize_plane(cpads[1], q)
+
+    bw = _JpegBW()
+    mcus_y, mcus_x = ph // (8 * vmax), pw // (8 * hmax)
+    dc = {1: 0, 2: 0, 3: 0}
+    w8 = pw // 8
+    mcu_index = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_index and mcu_index % restart_interval == 0:
+                bw.align()
+                bw.out += bytes([0xFF, 0xD0 + ((mcu_index // restart_interval - 1) % 8)])
+                dc = {1: 0, 2: 0, 3: 0}
+            for by in range(vmax):
+                for bx in range(hmax):
+                    blk = yblocks[(my * vmax + by) * w8 + (mx * hmax + bx)]
+                    dc[1] = _jpeg_emit_block(bw, blk, dc[1], dc_enc, ac_enc)
+            if chroma is not None:
+                cw8 = (pw // 2) // 8
+                dc[2] = _jpeg_emit_block(bw, cbb[my * cw8 + mx], dc[2], dc_enc, ac_enc)
+                dc[3] = _jpeg_emit_block(bw, crb[my * cw8 + mx], dc[3], dc_enc, ac_enc)
+            mcu_index += 1
+    bw.align()
+    out += bw.out + b"\xff\xd9"
+
+    expected = np.zeros((ph, pw))
+    for (by, bx), rec in yrecon.items():
+        expected[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = rec
+    return bytes(out), expected[:h, :w]
+
+
+def test_jpeg_decoder_gray_color_restarts():
+    import hashlib
+
+    import numpy as np
+
+    from flyq_spark.operators.multimodal import _try_decode_jpeg
+
+    def det_plane(h, w, tag):
+        return np.array(
+            [
+                [
+                    int(hashlib.md5(f"{tag}{x},{y}".encode()).hexdigest()[:2], 16)
+                    for x in range(w)
+                ]
+                for y in range(h)
+            ],
+            dtype=np.float64,
+        )
+
+    q1 = [1] * 64                      # near-lossless
+    qk = [(1 + (i % 7)) for i in range(64)]   # non-trivial table
+
+    # grayscale, non-multiple-of-8 dims
+    y = det_plane(17, 24, "g")
+    payload, expected = _jpeg_encode(y, q1)
+    got = _try_decode_jpeg(payload)
+    assert got is not None and got.shape == (17, 24)
+    assert np.allclose(got, expected, atol=1e-8)
+    assert np.abs(got - y).max() <= 8.0   # near-lossless at q=1
+
+    # 4:2:0 color: luma must come back at full resolution, chroma
+    # blocks are parsed (bitstream advances) but ignored
+    y2 = det_plane(13, 21, "c")
+    cb = det_plane(7, 11, "cb")
+    cr = det_plane(7, 11, "cr")
+    payload2, expected2 = _jpeg_encode(y2, qk, chroma=(cb, cr))
+    got2 = _try_decode_jpeg(payload2)
+    assert got2 is not None and got2.shape == (13, 21)
+    assert np.allclose(got2, expected2, atol=1e-8)
+
+    # restart markers: DC predictors reset at every interval
+    y3 = det_plane(16, 40, "r")
+    payload3, expected3 = _jpeg_encode(y3, q1, restart_interval=2)
+    got3 = _try_decode_jpeg(payload3)
+    assert got3 is not None and np.allclose(got3, expected3, atol=1e-8)
+
+    # progressive (SOF2) must fall back to the stub path
+    prog = payload.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    assert _try_decode_jpeg(prog) is None
+
+    # truncation fuzz: never raises; either rejection or a full frame
+    for cut in range(0, len(payload2), 11):
+        r = _try_decode_jpeg(payload2[:cut])
+        assert r is None or r.shape == (13, 21)
+    # garbage after magic
+    assert _try_decode_jpeg(b"\xff\xd8" + b"\x42" * 64) is None
+
+
+def test_jpeg_through_image_chain_and_phash():
+    """The sniff chain picks up JPEG payloads, and identical pixels
+    produce identical luma through JPEG (q=1, exact-representable
+    pixels) and netpbm."""
+    import numpy as np
+
+    from flyq_spark.operators.multimodal import (
+        _try_decode_image,
+        _try_decode_netpbm,
+    )
+
+    # constant-ish blocks survive q=1 quantization exactly (DC multiple
+    # of 8 after level shift, no AC energy): use flat 8x8 tiles
+    tile = np.repeat(np.repeat(np.array([[40.0, 168.0], [88.0, 216.0]]), 8, 0), 8, 1)
+    payload, expected = _jpeg_encode(tile, [1] * 64)
+    via_chain = _try_decode_image(payload)
+    assert via_chain is not None and np.allclose(via_chain, expected, atol=1e-8)
+    assert np.allclose(via_chain, tile, atol=1e-9)  # flat blocks: lossless
+    ppm = f"P5\n16 16\n255\n".encode() + bytes(
+        int(v) for row in tile for v in row
+    )
+    assert np.allclose(_try_decode_netpbm(ppm), via_chain, atol=1e-9)
