@@ -160,7 +160,13 @@ def winsorize(
             F.when(F.col("_rn") == exact_ceil_frac(F.col("_n"), hi_permille / 1000), F.col("_v"))
         ).cast("long").alias("hi_bound"),
     )
-    out = df.join(bounds, on=list(keys), how="left")
+    # null-safe equality: a NULL group key is a real group (its rows
+    # ranked together above); a plain ON-clause would never match it and
+    # silently null out every v_w in that group
+    cond = [df[c].eqNullSafe(bounds[c]) for c in keys]
+    out = df.join(bounds, on=cond, how="left")
+    for c in keys:
+        out = out.drop(bounds[c])
     clamped = F.when(v.isNull(), F.lit(None).cast("long")).otherwise(
         F.greatest(F.least(v, F.col("hi_bound")), F.col("lo_bound"))
     )

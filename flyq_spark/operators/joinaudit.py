@@ -114,6 +114,12 @@ def bloom_semi_join(
     (model-sized state, like a centroid matrix).
     """
     small_on = small_on or big_on
+    if num_bits < 64 or num_bits & (num_bits - 1):
+        # power-of-two m keeps the odd h2 a unit mod m (every key walks
+        # all m positions) and makes the word math exact
+        raise ValueError(f"num_bits must be a power of two >= 64: {num_bits}")
+    if num_hashes < 1:
+        raise ValueError(f"num_hashes must be >= 1: {num_hashes}")
     n_words = (num_bits + 63) // 64
     key = F.col(small_on)
     pos = F.explode(F.array(*_bloom_positions(key, num_bits, num_hashes)))

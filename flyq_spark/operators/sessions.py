@@ -412,6 +412,11 @@ def attribute_conversions(
     and an ``attributed`` flag."""
     from flyq_spark.operators.asof import asof_join
 
+    overlap = set(conversion_types) & set(touch_types)
+    if overlap:
+        # a type in both sets would let a conversion attribute to ITSELF
+        # (same-ts inclusive match) — surface the modeling error loudly
+        raise ValueError(f"types cannot be both conversion and touch: {sorted(overlap)}")
     conv = events.where(F.col(type_col).isin(*conversion_types))
     touch = events.where(F.col(type_col).isin(*touch_types)).select(
         F.col(user_col),

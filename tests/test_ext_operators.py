@@ -4792,3 +4792,25 @@ def test_jpeg_through_image_chain_and_phash():
         int(v) for row in tile for v in row
     )
     assert np.allclose(_try_decode_netpbm(ppm), via_chain, atol=1e-9)
+
+
+def test_winsorize_null_group_key_and_attribution_overlap_guard(spark):
+    import pytest
+
+    from flyq_spark.operators.impute import winsorize
+    from flyq_spark.operators.sessions import attribute_conversions
+
+    # NULL group key is a real group: its values must clamp, not null out
+    rows = [(None, i) for i in range(1, 101)] + [("g", 5)]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    out = {(r["grp"], r["v"]): r["v_w"]
+           for r in winsorize(df, ("grp",), "v", 100, 900).collect()}
+    assert out[(None, 1)] == 10 and out[(None, 100)] == 90
+    assert out[("g", 5)] == 5
+
+    ev = spark.createDataFrame(
+        [(1, __import__("datetime").datetime(2024, 1, 1), "x", 0.0)],
+        "user_id long, ts timestamp, event_type string, value double",
+    )
+    with pytest.raises(ValueError, match="both conversion and touch"):
+        attribute_conversions(ev, ("x", "y"), ("y",), 10)
