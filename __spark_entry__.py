@@ -3302,8 +3302,8 @@ def q_skew_split_join(spark, sf_dir):
 def q_negative_samples(spark, sf_dir):
     """Deterministic contrastive negative sampling (operators/corpus.py:
     negative_samples): 3 pseudo-uniform never-self negatives per
-    document off a reproducible md5 ring — shard-parallel ring rank,
-    1-row corpus-size broadcast, one uniform-key equi-join. Identical
+    document off a reproducible md5 ring — shard-parallel ring rank
+    (persisted; N read off the cache), one uniform-key equi-join. Identical
     under any partitioning (pinned in pytest) and replayed rank-for-
     rank by the oracle."""
     from flyq_spark.operators.corpus import negative_samples
@@ -3402,11 +3402,15 @@ _DRIVER_WINDOW = [
     "interval_overlap", "incremental_dedup",
     "snapshot_diff", "eval_sample", "rank_metrics",
     "ann_filtered_topk",
-    # new in r7: join planning/pruning, integrity audits, attribution
-    # (displacing six never-checked PLAIN relational shapes —
-    # grouping_sets/normalize_text/rolling_7day_value/event_transitions/
-    # log_compaction/upsample_mix — the lowest-divergence-risk rows,
-    # all green on the driver's exact hash path in the local sweep)
+    # new in r7: 14 slots for the round's new queries, displacing 14
+    # never-driver-checked rows judged lowest divergence risk (plain
+    # relational/window/equi-join shapes or md5-integer lattices whose
+    # siblings are driver-proven): grouping_sets, normalize_text,
+    # rolling_7day_value, event_transitions, log_compaction,
+    # upsample_mix, syndication_audit, dedup_agreement,
+    # interarrival_stats, source_composition, chunk_docs,
+    # domain_affinity, hashed_doc_vectors, neardup_triangles — all
+    # green on the driver's exact hash path in the full local sweep
     "join_preflight", "bloom_semi_prune", "fk_integrity",
     "l_diversity", "winsorize_values", "attribution",
     "phrase_search", "lang_heavy_hitters", "multi_signal_components",
@@ -5620,7 +5624,7 @@ FROM carried WHERE is_conv = 1
         "phrase_search": """
 WITH toks AS (
   SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, arr[i] AS term
-  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS arr
+  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS arr
         FROM documents),
        UNNEST(range(1, len(arr) + 1)) AS s(i)
 ),

@@ -576,14 +576,22 @@ def negative_samples(
     ``o = 1 + (md5_60("neg:d:i") mod (N-1))`` ∈ [1, N-1] — never 0 mod
     N, so a document can never draw itself, with no rejection loop.
 
-    Plan: the ring ranking's bounded shuffles + ONE equi-join on the
+    Plan: the ring ranking's bounded shuffles (persisted — count,
+    probes, and rank lookup all consume it) + ONE equi-join on the
     uniform rank key (|corpus|·k probe rows against |corpus| ring rows,
-    no skew by construction). The corpus size N is a 1-row broadcast
-    scalar. Output: (id, slot, neg_<id>) — requires N >= 2."""
+    no skew by construction). The corpus size N is a driver-side scalar
+    off the cached ring (model-sized, like a Bloom bitmap).
+    Output: (id, slot, neg_<id>) — raises on N < 2."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    ring = corpus_shuffle(df.select(id_col), id_col=id_col, seed="negring")
-    n = ring.agg(F.count(F.lit(1)).cast("long").alias("_N"))
+    # three consumers (count, probes, rank lookup) — persist or the
+    # 2-shuffle shard-ranked permutation recomputes per branch
+    ring = corpus_shuffle(df.select(id_col), id_col=id_col, seed="negring").persist()
+    n_total = ring.count()  # materializes the cache; model-sized scalar
+    if n_total < 2:
+        raise ValueError(
+            f"negative sampling needs >= 2 documents, got {n_total}"
+        )
     h60 = F.conv(
         F.substring(
             F.md5(
@@ -600,18 +608,15 @@ def negative_samples(
         16,
         10,
     ).cast("long")
+    N = F.lit(n_total).cast("long")
     probes = (
-        ring.crossJoin(F.broadcast(n))
-        .select(
+        ring.select(
             F.col(id_col),
             F.col("shuffle_rank").alias("_r"),
-            F.col("_N"),
             F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("slot"),
         )
-        .withColumn("_off", F.lit(1) + F.pmod(h60, F.col("_N") - 1))
-        .withColumn(
-            "_nr", F.pmod(F.col("_r") - 1 + F.col("_off"), F.col("_N")) + 1
-        )
+        .withColumn("_off", F.lit(1) + F.pmod(h60, N - 1))
+        .withColumn("_nr", F.pmod(F.col("_r") - 1 + F.col("_off"), N) + 1)
     )
     lookup = ring.select(
         F.col("shuffle_rank").alias("_nr"),

@@ -1271,6 +1271,7 @@ def containment_pairs(
             shingle_set(F.col(text_col), shingle_n).alias("_g"),
         )
         .where(F.size("_g") > 0)
+        .persist()  # four consumers (df counts, rank, both verify sides)
     )
     tok = base.select("_id", F.explode("_g").alias("_gram"))
     doc_freq = tok.groupBy("_gram").agg(F.count(F.lit(1)).alias("_df"))

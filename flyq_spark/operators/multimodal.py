@@ -1173,7 +1173,9 @@ def _try_decode_jpeg(payload: bytes):
                 )
             pos += seglen
         return None
-    except (IndexError, ValueError, EOFError, struct.error):
+    except (IndexError, KeyError, ValueError, EOFError, struct.error):
+        # KeyError: an SOS naming a component the SOF never declared
+        # must reject like any other malformed stream, not crash a task
         return None
 
 

@@ -858,9 +858,13 @@ def phrase_search(
     if not terms:
         raise ValueError("phrase must contain at least one term")
     offsets = [(i, t) for i, t in enumerate(terms)]
+    # \s+ split (not " "): consecutive spaces/tabs must not occupy
+    # positions, or a phrase spanning them silently never matches —
+    # positions index the non-empty token sequence, matching the
+    # query-side str.split()
     toks = df.select(
         F.col(id_col).alias("doc"),
-        F.posexplode(F.split(F.lower(F.trim(F.col(text_col))), " ")).alias(
+        F.posexplode(F.split(F.lower(F.trim(F.col(text_col))), "\\s+")).alias(
             "pos", "term"
         ),
     ).where(F.col("term").isin(sorted({t for _, t in offsets})))

@@ -531,8 +531,6 @@ def heavy_hitter_sink(
 
 
 def _write_hh_state(spark, path: str, item_type: str, counter: dict, total: int) -> None:
-    from pyspark.sql import types as T
-
     rows = [(item, int(cnt), None) for item, cnt in counter.items()]
     rows.append((None, None, int(total)))
     spark.createDataFrame(

@@ -4316,9 +4316,8 @@ def test_l_diversity_null_is_one_value(spark):
            for r in l_diversity_check(df, ("qi",), "s", l=3).collect()}
     # a: {1, NULL} -> 2 values; b: {1,2} -> 2; c: {NULL} -> 1
     assert out == {"a": (3, 2), "b": (2, 2), "c": (1, 1)}
-    assert l_diversity_check(df, ("qi",), "s", l=2).where(
-        "qi = 'a'").count() == 0 or True  # a has 2 >= 2 -> absent
     keys2 = [r["qi"] for r in l_diversity_check(df, ("qi",), "s", l=2).collect()]
+    assert "a" not in keys2  # a has 2 >= 2 -> absent
     assert keys2 == ["c"]
 
 

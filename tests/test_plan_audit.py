@@ -28,7 +28,6 @@ SCALAR_BROADCAST_OK = {
     "heavy_hitter_tokens",  # total-token threshold scalar, 1 row
     "source_overlap",  # |sources|-row HLL sketch table, inequality self-pair
     "fk_integrity",  # per-relation 1-row totals x 1-row orphan counters
-    "negative_samples",  # 1-row corpus-size N broadcast scalar
 }
 
 
