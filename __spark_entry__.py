@@ -3364,6 +3364,25 @@ def q_rolling_distinct_users(spark, sf_dir):
     )
 
 
+def q_exact_global_quantiles(spark, sf_dir):
+    """Exact GLOBAL quantiles by distributed iterative selection
+    (operators/profile.py:exact_global_quantiles): p50/p95/p99 of event
+    value cents with no global sort anywhere — each pass narrows the
+    candidate range ~1024x via a bounded strip histogram (the only
+    thing the driver ever sees), exact inverted-CDF ranks. The scale
+    path where a single-group rank window would funnel the table
+    through one partition; complementary to histogram_quantiles
+    (which trades exactness for mergeable state)."""
+    from flyq_spark.operators.profile import exact_global_quantiles
+
+    ev = _read(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    res = exact_global_quantiles(ev.select(cents.alias("c")), "c", (500, 950, 990))
+    return spark.createDataFrame(
+        [(int(q), int(v)) for q, v in res], "q_permille long, value long"
+    )
+
+
 _SYNTH_UNITS_CTE = """
 member AS (
   SELECT t.g, d.doc_id, d.text
@@ -3399,7 +3418,7 @@ _DRIVER_WINDOW = [
     "table_profile",
     # oracle-backed queries never in any driver window before r6
     "bpe_token_stats", "repetition_signals",
-    "interval_overlap", "incremental_dedup",
+    "incremental_dedup",
     "snapshot_diff", "eval_sample", "rank_metrics",
     "ann_filtered_topk",
     # new in r7: 14 slots for the round's new queries, displacing 14
@@ -3409,13 +3428,14 @@ _DRIVER_WINDOW = [
     # rolling_7day_value, event_transitions, log_compaction,
     # upsample_mix, syndication_audit, dedup_agreement,
     # interarrival_stats, source_composition, chunk_docs,
-    # domain_affinity, hashed_doc_vectors, neardup_triangles — all
-    # green on the driver's exact hash path in the full local sweep
+    # domain_affinity, hashed_doc_vectors, neardup_triangles,
+    # interval_overlap — all green on the driver's exact hash path in
+    # the full local sweep
     "join_preflight", "bloom_semi_prune", "fk_integrity",
     "l_diversity", "winsorize_values", "attribution",
     "phrase_search", "lang_heavy_hitters", "multi_signal_components",
     "containment_pairs", "skew_split_join", "negative_samples",
-    "rollup_share", "rolling_distinct_users",
+    "rollup_share", "rolling_distinct_users", "exact_global_quantiles",
     # r5-proven rows kept to re-confirm the broad surface
     "neardup_blast_radius",
     # new in r6: paragraph dedup, rows-only→oracle conversions, and the
@@ -3593,6 +3613,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "negative_samples": q_negative_samples,
         "rollup_share": q_rollup_share,
         "rolling_distinct_users": q_rolling_distinct_users,
+        "exact_global_quantiles": q_exact_global_quantiles,
         "rfm_segments": q_rfm_segments,
         "incremental_retract": q_incremental_retract,
         "scd2_history": q_scd2_history,
@@ -5737,6 +5758,29 @@ o AS (
 )
 SELECT o.doc_id, o.slot, r2.doc_id AS neg_doc_id
 FROM o JOIN ranked r2 ON r2.r = o.nr
+""",
+        "exact_global_quantiles": """
+WITH v AS (
+  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL
+),
+r AS (
+  SELECT c, row_number() OVER (ORDER BY c) AS rn, count(*) OVER () AS n
+  FROM v
+)
+-- value at exact integer ceil(q*n) rank, inverted-CDF definition
+SELECT CAST(500 AS BIGINT) AS q_permille,
+       CAST(max(CASE WHEN rn = (1 * n + 1) // 2 THEN c END) AS BIGINT)
+         AS value
+FROM r
+UNION ALL
+SELECT CAST(950 AS BIGINT),
+       CAST(max(CASE WHEN rn = (19 * n + 19) // 20 THEN c END) AS BIGINT)
+FROM r
+UNION ALL
+SELECT CAST(990 AS BIGINT),
+       CAST(max(CASE WHEN rn = (99 * n + 99) // 100 THEN c END) AS BIGINT)
+FROM r
 """,
         "rollup_share": """
 WITH per_nation AS (

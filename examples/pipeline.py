@@ -84,6 +84,14 @@ def build_training_corpus(
 
     cls_scores = hashed_linear_score(kept)
 
+    # 2c. containment audit — directional subsumption (quote inclusion)
+    #     the symmetric near-dup pass cannot see; returned for review
+    #     rather than auto-dropped (excising the contained side is a
+    #     policy call)
+    from flyq_spark.operators.dedup import containment_pairs
+
+    subsumed = containment_pairs(deduped, min_containment=0.8, shingle_n=5)
+
     # 3. deterministic split + decontamination audit (8-gram leakage) +
     #    domain-affinity audit (how much of each doc falls in the
     #    en-subset's characteristic hashed buckets — DSIR's integer core)
@@ -123,10 +131,19 @@ def build_training_corpus(
     merges = train_bpe(weighted, n_merges=50)
     token_audit = bpe_token_counts(weighted, merges)
 
+    # 6. contrastive negatives for the train side — reproducible
+    #    never-self pairs off the md5 ring (a retrieval/embedding
+    #    training consumer reads (doc, slot, neg_doc) directly)
+    from flyq_spark.operators.corpus import negative_samples
+
+    negatives = negative_samples(train.select("doc_id"), k=2)
+
     return {
         "verdicts": verdicts,
         "cls_scores": cls_scores,
         "deduped": deduped,
+        "subsumed": subsumed,
+        "negatives": negatives,
         "contamination": contamination,
         "affinity": affinity,
         "corpus": corpus,

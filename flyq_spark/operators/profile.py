@@ -381,3 +381,99 @@ def l_diversity_check(
         )
         .where(F.col("n_sensitive") < F.lit(l))
     )
+
+
+def exact_global_quantiles(
+    df: DataFrame,
+    value_col: Column | str,
+    quantiles_permille: tuple[int, ...] = (500, 950, 990),
+    branch: int = 1024,
+    max_passes: int = 12,
+) -> list[tuple[int, int]]:
+    """EXACT global quantiles of an integer column by distributed
+    iterative selection — the scale path where ``length_percentiles``'s
+    per-group rank window cannot go: a GLOBAL exact rank would funnel
+    the whole table through one sort partition, while this narrows the
+    candidate range by ~``branch``× per pass with only a bounded
+    histogram (``branch`` counters) ever reaching the driver.
+
+    Definition matches the repo's inverted-CDF convention: the value at
+    1-based rank ceil(q‰ · n) ascending. Each pass: bucket the current
+    [lo, hi] range into ``branch`` equal integer strips (exact integer
+    width arithmetic — no float bucketing), count per strip
+    (map-side-combined groupBy), walk the cumulative to the strip
+    holding the target rank, recurse into it. Terminates when the strip
+    is a single value; an int64 range needs at most
+    ceil(64 / log2(branch)) = 7 passes at the default branch.
+
+    Returns driver-side ``[(q_permille, value), ...]`` (model-sized
+    scalars, like k-means centroids); callers wanting a DataFrame wrap
+    it with ``spark.createDataFrame``. NULLs are excluded (rank over
+    present values, the SQL percentile convention). Raises on an empty
+    input or if ``max_passes`` is exhausted (cannot happen with sane
+    branch; the guard surfaces a logic error rather than looping)."""
+    from flyq_spark.operators.util import exact_ceil_frac, floor_div
+
+    if not quantiles_permille or any(
+        not 0 < q < 1000 for q in quantiles_permille
+    ):
+        raise ValueError(
+            f"quantiles must be per-mille in (0,1000): {quantiles_permille}"
+        )
+    if branch < 2:
+        raise ValueError(f"branch must be >= 2: {branch}")
+    v = (F.col(value_col) if isinstance(value_col, str) else value_col).alias("_v")
+    vals = df.select(v).where(F.col("_v").isNotNull()).persist()
+    stats = vals.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("_v").alias("lo"),
+        F.max("_v").alias("hi"),
+    ).collect()[0]
+    n, glo, ghi = stats["n"], stats["lo"], stats["hi"]
+    if n == 0:
+        vals.unpersist()
+        raise ValueError("exact_global_quantiles: no non-null values")
+    out = []
+    for q in quantiles_permille:
+        # exact integer ceil(q/1000 * n), mirroring exact_ceil_frac
+        from fractions import Fraction
+
+        fr = Fraction(q, 1000)
+        rank = (fr.numerator * n + fr.denominator - 1) // fr.denominator
+        lo, hi = glo, ghi
+        for _ in range(max_passes):
+            if lo == hi:
+                break
+            span = hi - lo + 1
+            width = -(-span // branch)  # ceil: strips cover the range
+            strip = floor_div(F.col("_v") - F.lit(lo).cast("long"), F.lit(width).cast("long"))
+            counts = dict(
+                (r["_s"], r["_c"])
+                for r in vals.where(
+                    (F.col("_v") >= lo) & (F.col("_v") <= hi)
+                )
+                .groupBy(strip.alias("_s"))
+                .agg(F.count(F.lit(1)).alias("_c"))
+                .collect()
+            )
+            cum = 0
+            found = None
+            for s in sorted(counts):
+                if cum + counts[s] >= rank:
+                    found = s
+                    rank -= cum
+                    break
+                cum += counts[s]
+            if found is None:  # pragma: no cover - rank <= total by invariant
+                raise RuntimeError("rank exceeded strip totals")
+            lo2 = lo + found * width
+            hi2 = min(hi, lo2 + width - 1)
+            lo, hi = lo2, hi2
+        else:
+            vals.unpersist()
+            raise RuntimeError(
+                f"exact_global_quantiles did not converge in {max_passes} passes"
+            )
+        out.append((q, int(lo)))
+    vals.unpersist()
+    return out

@@ -4813,3 +4813,30 @@ def test_winsorize_null_group_key_and_attribution_overlap_guard(spark):
     )
     with pytest.raises(ValueError, match="both conversion and touch"):
         attribute_conversions(ev, ("x", "y"), ("y",), 10)
+
+
+def test_exact_global_quantiles_matches_sorted_rank(spark):
+    import random
+
+    from flyq_spark.operators.profile import exact_global_quantiles
+
+    rng = random.Random(11)
+    vals = [rng.randint(-10**12, 10**12) for _ in range(5000)] + [
+        None, 7, 7, 7, -(10**12)
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "v long").repartition(9)
+    got = dict(exact_global_quantiles(df, "v", (10, 250, 500, 750, 990), branch=64))
+    present = sorted(x for x in vals if x is not None)
+    n = len(present)
+    for q, val in got.items():
+        want = present[-(-q * n // 1000) - 1]  # 1-based ceil rank
+        assert val == want, (q, val, want)
+    # tiny input + all-null rejection
+    one = spark.createDataFrame([(5,)], "v long")
+    assert exact_global_quantiles(one, "v", (500,)) == [(500, 5)]
+    import pytest
+
+    with pytest.raises(ValueError, match="no non-null"):
+        exact_global_quantiles(
+            spark.createDataFrame([(None,)], "v long"), "v", (500,)
+        )
