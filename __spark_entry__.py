@@ -3383,6 +3383,84 @@ def q_exact_global_quantiles(spark, sf_dir):
     )
 
 
+def q_funnel_latency(spark, sf_dir):
+    """Per-user funnel completion detail (operators/sessions.py:
+    funnel_user_times): how far each user got through
+    view→click→purchase, entry/exit times as exact micros, and the
+    entry-to-exit latency — the row-level companion of the `funnel`
+    counts gate (same greedy-fold plan; the oracle replays it as
+    chained min-after aggregations, the equivalence funnel_steps
+    documents)."""
+    from flyq_spark.operators.sessions import funnel_user_times
+
+    ev = _read(spark, sf_dir, "events")
+    return funnel_user_times(ev, ("view", "click", "purchase"))
+
+
+def q_ab_test_counts(spark, sf_dir):
+    """Deterministic experiment assignment + outcome counts: users
+    split 50/50 into arms by an md5 coin on (experiment, user) — the
+    reproducible bucketing an experimentation platform needs (a user
+    keeps their arm across sessions/engines) — then exact per-arm
+    users / converters / conversion events. Pure projection + two
+    aggregations; the statistics stay exact integers (rates divide
+    wherever they land)."""
+    ev = _read(spark, sf_dir, "events")
+    arm = F.when(
+        F.substring(
+            F.md5(F.concat(F.lit("exp1:"), F.col("user_id").cast("string"))),
+            1,
+            1,
+        )
+        < "8",
+        "A",
+    ).otherwise("B")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("_purchases")
+    )
+    return (
+        per_user.withColumn("arm", arm)
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.count(F.when(F.col("_purchases") > 0, 1)).alias("n_converters"),
+            F.sum("_purchases").cast("long").alias("n_purchases"),
+        )
+    )
+
+
+def q_feature_time_travel(spark, sf_dir):
+    """Point-in-time feature join (operators/cdc.py:
+    point_in_time_join over scd2_history): for each purchase, the
+    user's state interval containing ts−1µs — the value as of JUST
+    BEFORE the purchase, never a later version (the label-leakage
+    guard a feature store must provide). Purchases that are a user's
+    first event have no prior state and come back unmatched — the
+    no-leak branch is exercised, not vacuous."""
+    from flyq_spark.operators.cdc import point_in_time_join, scd2_history
+
+    ev = _read(spark, sf_dir, "events")
+    hist = scd2_history(ev, "user_id", "event_type", "ts", "event_id").select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        "valid_from",
+        "valid_to",
+    )
+    q = ev.where(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.timestamp_micros(F.unix_micros("ts") - 1).alias("ts"),
+    )
+    out = point_in_time_join(q, hist, "user_id", "ts", ["state"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("state_pit").alias("prev_state"),
+        "pit_matched",
+    )
+
+
 _SYNTH_UNITS_CTE = """
 member AS (
   SELECT t.g, d.doc_id, d.text
@@ -3418,8 +3496,7 @@ _DRIVER_WINDOW = [
     "table_profile",
     # oracle-backed queries never in any driver window before r6
     "bpe_token_stats", "repetition_signals",
-    "incremental_dedup",
-    "snapshot_diff", "eval_sample", "rank_metrics",
+    "rank_metrics",
     "ann_filtered_topk",
     # new in r7: 14 slots for the round's new queries, displacing 14
     # never-driver-checked rows judged lowest divergence risk (plain
@@ -3429,13 +3506,14 @@ _DRIVER_WINDOW = [
     # upsample_mix, syndication_audit, dedup_agreement,
     # interarrival_stats, source_composition, chunk_docs,
     # domain_affinity, hashed_doc_vectors, neardup_triangles,
-    # interval_overlap — all green on the driver's exact hash path in
-    # the full local sweep
+    # interval_overlap, incremental_dedup, snapshot_diff, eval_sample —
+    # all green on the driver's exact hash path in the full local sweep
     "join_preflight", "bloom_semi_prune", "fk_integrity",
     "l_diversity", "winsorize_values", "attribution",
     "phrase_search", "lang_heavy_hitters", "multi_signal_components",
     "containment_pairs", "skew_split_join", "negative_samples",
     "rollup_share", "rolling_distinct_users", "exact_global_quantiles",
+    "funnel_latency", "ab_test_counts", "feature_time_travel",
     # r5-proven rows kept to re-confirm the broad surface
     "neardup_blast_radius",
     # new in r6: paragraph dedup, rows-only→oracle conversions, and the
@@ -3614,6 +3692,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_share": q_rollup_share,
         "rolling_distinct_users": q_rolling_distinct_users,
         "exact_global_quantiles": q_exact_global_quantiles,
+        "funnel_latency": q_funnel_latency,
+        "ab_test_counts": q_ab_test_counts,
+        "feature_time_travel": q_feature_time_travel,
         "rfm_segments": q_rfm_segments,
         "incremental_retract": q_incremental_retract,
         "scd2_history": q_scd2_history,
@@ -5781,6 +5862,75 @@ UNION ALL
 SELECT CAST(990 AS BIGINT),
        CAST(max(CASE WHEN rn = (99 * n + 99) // 100 THEN c END) AS BIGINT)
 FROM r
+""",
+        "funnel_latency": """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1
+)
+SELECT s1.user_id,
+       CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3
+                 WHEN s2.t2 IS NOT NULL THEN 2
+                 ELSE 1 END AS BIGINT) AS steps_completed,
+       epoch_us(s1.t1) AS t_first_us,
+       epoch_us(coalesce(s3.t3, s2.t2, s1.t1)) AS t_last_us,
+       CASE WHEN s2.t2 IS NOT NULL
+            THEN epoch_us(coalesce(s3.t3, s2.t2)) - epoch_us(s1.t1)
+       END AS latency_us
+FROM s1
+LEFT JOIN s2 USING (user_id)
+LEFT JOIN s3 USING (user_id)
+""",
+        "ab_test_counts": """
+WITH per_user AS (
+  SELECT user_id,
+         count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchases,
+         CASE WHEN substr(md5('exp1:' || CAST(user_id AS VARCHAR)), 1, 1)
+                   < '8'
+              THEN 'A' ELSE 'B' END AS arm
+  FROM events GROUP BY user_id
+)
+SELECT arm, count(*) AS n_users,
+       count(CASE WHEN purchases > 0 THEN 1 END) AS n_converters,
+       CAST(sum(purchases) AS BIGINT) AS n_purchases
+FROM per_user GROUP BY arm
+""",
+        "feature_time_travel": """
+WITH pts AS (
+  SELECT user_id, event_type, ts, event_id,
+         coalesce(event_type <> lag(event_type)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id), TRUE) AS chg
+  FROM events
+),
+hist AS (
+  SELECT user_id, event_type AS state,
+         epoch_us(ts) AS vfrom,
+         epoch_us(lead(ts) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id)) AS vto
+  FROM pts WHERE chg
+),
+q AS (
+  SELECT event_id, user_id, epoch_us(ts) - 1 AS qus
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT q.event_id, q.user_id, q.qus AS ts_us,
+       h.state AS prev_state,
+       h.state IS NOT NULL AS pit_matched
+FROM q
+LEFT JOIN hist h
+  ON h.user_id = q.user_id
+ AND h.vfrom <= q.qus
+ AND (h.vto IS NULL OR q.qus < h.vto)
 """,
         "rollup_share": """
 WITH per_nation AS (

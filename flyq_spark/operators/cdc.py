@@ -164,3 +164,70 @@ def diff_snapshots(
         .where(F.col(op_col).isNotNull())
         .select(*[side(c).alias(c) for c in data_cols], op_col)
     )
+
+
+def point_in_time_join(
+    queries: DataFrame,
+    history: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_cols: list[str],
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    suffix: str = "_pit",
+) -> DataFrame:
+    """Point-in-time (feature-store) join: each query row picks the
+    history version whose validity interval contains its timestamp —
+    ``valid_from <= ts < valid_to`` with an open-ended current version
+    (NULL valid_to). The correctness property that prevents label
+    leakage when generating training features against an SCD2 table:
+    a query must see the value as of ITS time, never a later one.
+
+    Composition: a backward as-of join on ``valid_from`` (SCD2
+    intervals are disjoint per key, so the latest version starting at
+    or before ts IS the candidate containing interval) + a validity
+    check that nulls the match when the candidate's ``valid_to`` had
+    already passed — which happens exactly when history before a
+    retention cutoff was truncated. One user-key shuffle (the as-of
+    window composition), no range explosion.
+
+    Output: query rows + ``<col><suffix>`` for each value col, plus
+    ``pit_matched``."""
+    hist = history.select(
+        F.col(key_col),
+        F.col(valid_from).alias(ts_col),
+        F.col(valid_to).alias("_vto"),
+        F.lit(True).alias("_hit"),  # marker: NULL value cols are data
+        *[F.col(c) for c in value_cols],
+    )
+    from flyq_spark.operators.asof import asof_join
+
+    out = asof_join(
+        queries,
+        hist,
+        key_col=key_col,
+        ts_col=ts_col,
+        value_cols=value_cols + ["_vto", "_hit"],
+        suffix=suffix,
+    )
+    ts_is_timestamp = dict(queries.dtypes)[ts_col].startswith("timestamp")
+    q_ts = (
+        F.unix_micros(F.col(ts_col))
+        if ts_is_timestamp
+        else F.col(ts_col).cast("long")
+    )
+    vto = F.col(f"_vto{suffix}")
+    vto_us = (
+        F.unix_micros(vto) if dict(out.dtypes)[f"_vto{suffix}"].startswith("timestamp") else vto.cast("long")
+    )
+    # matched iff a version was found AND (open-ended OR ts < valid_to)
+    found = F.coalesce(F.col(f"_hit{suffix}"), F.lit(False))
+    in_interval = vto.isNull() | (q_ts < vto_us)
+    matched = found & in_interval
+    for c in value_cols:
+        out = out.withColumn(
+            f"{c}{suffix}", F.when(matched, F.col(f"{c}{suffix}"))
+        )
+    return out.withColumn("pit_matched", matched.cast("boolean")).drop(
+        f"_vto{suffix}", f"_hit{suffix}"
+    )

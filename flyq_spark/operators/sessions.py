@@ -433,3 +433,72 @@ def attribute_conversions(
         tolerance_s=lookback_s,
     )
     return out.withColumn("attributed", F.col("touch_ts_asof").isNotNull())
+
+
+def funnel_user_times(
+    events: DataFrame,
+    steps: tuple[str, ...],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-user funnel completion detail — the row-level companion of
+    ``funnel_steps`` (which returns only prefix counts): for each user
+    who performed step 1, how far they got, when they entered, when
+    their last matched step happened, and the entry-to-exit latency.
+    Unbounded greedy first-occurrence semantics, identical to
+    funnel_steps (greedy == iterated earliest-next-step, so the oracle
+    replays it as chained min-after aggregations).
+
+    Same plan shape: one type-filtered scan + one user-key shuffle +
+    a JVM-side higher-order fold carrying (step pointer, first ts,
+    last ts). Output: (user, steps_completed, t_first_us, t_last_us,
+    latency_us) — timestamps as exact epoch micros, latency NULL until
+    the user completes at least two steps."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    n = len(steps)
+    steps_arr = F.array(*[F.lit(s) for s in steps])
+    init = F.struct(
+        F.lit(0).alias("k"),
+        F.lit(None).cast("timestamp").alias("t1"),
+        F.lit(None).cast("timestamp").alias("t"),
+    )
+
+    def advance(st, ev):
+        ok = (
+            (st["k"] < F.lit(n))
+            & (ev["tp"] == F.element_at(steps_arr, st["k"] + 1))
+            & (st["t"].isNull() | (ev["ts"] > st["t"]))
+        )
+        return F.when(
+            ok,
+            F.struct(
+                (st["k"] + 1).alias("k"),
+                F.coalesce(st["t1"], ev["ts"]).alias("t1"),
+                ev["ts"].alias("t"),
+            ),
+        ).otherwise(st)
+
+    folded = (
+        events.where(F.col(type_col).isin(*steps) & F.col(ts_col).isNotNull())
+        .groupBy(user_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col(ts_col).alias("ts"), F.col(type_col).alias("tp"))
+                )
+            ).alias("_seq")
+        )
+        .select(user_col, F.aggregate("_seq", init, advance).alias("_st"))
+        .where(F.col("_st.k") >= 1)
+    )
+    t1 = F.unix_micros(F.col("_st.t1"))
+    tl = F.unix_micros(F.col("_st.t"))
+    return folded.select(
+        user_col,
+        F.col("_st.k").cast("long").alias("steps_completed"),
+        t1.alias("t_first_us"),
+        tl.alias("t_last_us"),
+        F.when(F.col("_st.k") >= 2, tl - t1).alias("latency_us"),
+    )

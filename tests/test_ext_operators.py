@@ -4840,3 +4840,74 @@ def test_exact_global_quantiles_matches_sorted_rank(spark):
         exact_global_quantiles(
             spark.createDataFrame([(None,)], "v long"), "v", (500,)
         )
+
+
+def test_point_in_time_join_validity(spark):
+    import datetime as dt
+
+    from flyq_spark.operators.cdc import point_in_time_join
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    hist = spark.createDataFrame(
+        [
+            (1, t(0), t(10), "bronze"),
+            (1, t(10), t(20), "silver"),
+            (1, t(20), None, "gold"),     # open-ended current
+            (2, t(30), t(40), "trial"),   # truncated: nothing after 40
+        ],
+        "user_id long, valid_from timestamp, valid_to timestamp, tier string",
+    )
+    q = spark.createDataFrame(
+        [
+            (1, t(5)),    # inside bronze
+            (1, t(10)),   # boundary: valid_from inclusive -> silver
+            (1, t(25)),   # open-ended gold
+            (2, t(45)),   # after truncation -> NO match (leak guard)
+            (2, t(29)),   # before first version -> no match
+            (3, t(5)),    # unknown key
+        ],
+        "user_id long, ts timestamp",
+    )
+    out = {
+        (r["user_id"], r["ts"].second): (r["tier_pit"], r["pit_matched"])
+        for r in point_in_time_join(q, hist, "user_id", "ts", ["tier"]).collect()
+    }
+    assert out[(1, 5)] == ("bronze", True)
+    assert out[(1, 10)] == ("silver", True)
+    assert out[(1, 25)] == ("gold", True)
+    assert out[(2, 45)] == (None, False)   # never the stale 'trial'
+    assert out[(2, 29)] == (None, False)
+    assert out[(3, 5)] == (None, False)
+
+
+def test_funnel_user_times_matches_chained_mins(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from flyq_spark.operators.sessions import funnel_steps, funnel_user_times
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        (1, t(0), "view"), (1, t(5), "click"), (1, t(9), "purchase"),
+        (2, t(0), "click"), (2, t(1), "view"), (2, t(2), "click"),
+        (3, t(0), "view"),
+        (4, t(0), "purchase"),             # never does step 1
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {
+        r["user_id"]: (r["steps_completed"], r["t_first_us"], r["latency_us"])
+        for r in funnel_user_times(ev, ("view", "click", "purchase")).collect()
+    }
+    us = lambda s: int(t(s).replace(tzinfo=dt.timezone.utc).timestamp() * 1e6)  # noqa: E731
+    assert got[1] == (3, us(0), 9_000_000)
+    assert got[2] == (2, us(1), 1_000_000)   # click@2 after view@1
+    assert got[3] == (1, us(0), None)
+    assert 4 not in got
+    # prefix counts must agree with funnel_steps
+    steps = {r["step_idx"]: r["n_users"]
+             for r in funnel_steps(ev, ("view", "click", "purchase")).collect()}
+    comp = [v[0] for v in got.values()]
+    assert steps == {1: sum(1 for c in comp if c >= 1),
+                     2: sum(1 for c in comp if c >= 2),
+                     3: sum(1 for c in comp if c >= 3)}
