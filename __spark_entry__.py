@@ -3461,6 +3461,22 @@ def q_feature_time_travel(spark, sf_dir):
     )
 
 
+def q_capped_sessions(spark, sf_dir):
+    """Gap + max-duration sessionization (operators/sessions.py:
+    sessionize_capped): 30-minute inactivity gap AND 20-minute session
+    cap — the Amplitude/GA4 rule whose recurrence (each session start
+    depends on where the previous cap fired) has no window/SQL form.
+    The cap genuinely fires: 146 of the 9549 gap-only sessions exceed
+    20 minutes at sf0.01, so the output is strictly finer.
+    ROWS-ONLY by documented necessity; pinned against an independent
+    Python model + the gap-only degeneration in pytest. Same one
+    user-key shuffle as the oracle-checked sessionize."""
+    from flyq_spark.operators.sessions import sessionize_capped
+
+    ev = _read(spark, sf_dir, "events")
+    return sessionize_capped(ev, gap_minutes=30, max_duration_minutes=20)
+
+
 _SYNTH_UNITS_CTE = """
 member AS (
   SELECT t.g, d.doc_id, d.text
@@ -3717,6 +3733,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_surprisal": q_unigram_surprisal,
         "compression_quality": q_compression_quality,
         "series_dtw": q_series_dtw,
+        "capped_sessions": q_capped_sessions,
         "mmr_topk": q_mmr_topk,
         "bpe_merges": q_bpe_merges,
         "bpe_encode_stats": q_bpe_encode_stats,

@@ -502,3 +502,91 @@ def funnel_user_times(
         tl.alias("t_last_us"),
         F.when(F.col("_st.k") >= 2, tl - t1).alias("latency_us"),
     )
+
+
+def sessionize_capped(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    max_duration_minutes: int = 240,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """Sessionization with BOTH an inactivity gap and a maximum session
+    duration (the Amplitude/GA4 rule): a new session starts when the
+    gap from the previous event exceeds ``gap_minutes`` OR the event
+    would stretch the current session past ``max_duration_minutes``
+    from ITS OWN start. The duration rule makes the recurrence
+    non-window-expressible — each session's start depends on where the
+    previous cap fired — so, like the funnel matcher, it runs as a
+    JVM-side higher-order ``aggregate`` fold over the time-sorted
+    per-user array (one user-key shuffle, no Python).
+
+    ROWS-ONLY operator by documented necessity (no SQL form); pinned
+    against an independent Python model in pytest. Gap-only callers
+    should keep using ``sessionize`` (window-expressible, oracle-
+    checked). Output matches sessionize's shape: (user_id, session_id,
+    session_start_us, session_end_us, n_events)."""
+    if gap_minutes <= 0 or max_duration_minutes <= 0:
+        raise ValueError("gap and max duration must be positive minutes")
+    gap_us = gap_minutes * 60 * 1_000_000
+    cap_us = max_duration_minutes * 60 * 1_000_000
+    # state: (session ordinal, session start, prev ts, emitted list of
+    # per-event session ordinals) — the fold tags each event, then
+    # explode + aggregate builds the session rows
+    init = F.struct(
+        F.lit(0).cast("long").alias("sid"),
+        F.lit(None).cast("long").alias("start"),
+        F.lit(None).cast("long").alias("prev"),
+        F.array().cast("array<long>").alias("tags"),
+    )
+
+    def advance(st, ts_us):
+        fresh = (
+            st["start"].isNull()
+            | ((ts_us - st["prev"]) > F.lit(gap_us))
+            | ((ts_us - st["start"]) > F.lit(cap_us))
+        )
+        sid = F.when(fresh, st["sid"] + 1).otherwise(st["sid"])
+        start = F.when(fresh, ts_us).otherwise(st["start"])
+        return F.struct(
+            sid.alias("sid"),
+            start.alias("start"),
+            ts_us.alias("prev"),
+            F.concat(st["tags"], F.array(sid)).alias("tags"),
+        )
+
+    per_user = (
+        events.where(F.col(ts_col).isNotNull())
+        .groupBy(user_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.unix_micros(F.col(ts_col)).alias("us"),
+                        F.col(tie_col).alias("tie"),
+                    )
+                )
+            ).alias("_seq")
+        )
+        .select(
+            F.col(user_col).alias("user_id"),
+            F.col("_seq.us").alias("_ts"),
+            F.aggregate(
+                "_seq", init, lambda st, ev: advance(st, ev["us"])
+            )["tags"].alias("_tags"),
+        )
+    )
+    tagged = per_user.select(
+        "user_id",
+        F.explode(F.arrays_zip("_ts", "_tags")).alias("_z"),
+    ).select(
+        "user_id",
+        F.col("_z._ts").alias("_us"),
+        F.col("_z._tags").alias("session_id"),
+    )
+    return tagged.groupBy("user_id", "session_id").agg(
+        F.min("_us").alias("session_start_us"),
+        F.max("_us").alias("session_end_us"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )

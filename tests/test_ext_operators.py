@@ -4911,3 +4911,68 @@ def test_funnel_user_times_matches_chained_mins(spark):
     assert steps == {1: sum(1 for c in comp if c >= 1),
                      2: sum(1 for c in comp if c >= 2),
                      3: sum(1 for c in comp if c >= 3)}
+
+
+def test_sessionize_capped_vs_python_model(spark):
+    import random
+
+    from flyq_spark.operators.sessions import sessionize, sessionize_capped
+
+    rng = random.Random(5)
+    rows = []
+    for u in range(12):
+        t = 0
+        for i in range(rng.randint(1, 60)):
+            t += rng.choice([1, 30, 600, 2400, 60 * 60 * 3])  # seconds
+            rows.append((u, t * 1_000_000, u * 1000 + i))
+    import datetime as dt
+
+    ev = spark.createDataFrame(
+        [
+            (u, dt.datetime.fromtimestamp(us / 1e6, dt.timezone.utc).replace(tzinfo=None), i)
+            for u, us, i in rows
+        ],
+        "user_id long, ts timestamp, event_id long",
+    )
+    gap_m, cap_m = 30, 120
+    got = {
+        (r["user_id"], r["session_id"]): (
+            r["session_start_us"], r["session_end_us"], r["n_events"]
+        )
+        for r in sessionize_capped(ev, gap_m, cap_m).collect()
+    }
+    # independent Python model
+    want = {}
+    by_user: dict = {}
+    for u, us, i in rows:
+        by_user.setdefault(u, []).append((us, i))
+    for u, seq in by_user.items():
+        seq.sort()
+        sid, start, prev = 0, None, None
+        for us, _ in seq:
+            if (
+                start is None
+                or us - prev > gap_m * 60_000_000
+                or us - start > cap_m * 60_000_000
+            ):
+                sid += 1
+                start = us
+            prev = us
+            key = (u, sid)
+            s = want.get(key)
+            want[key] = (
+                us if s is None else s[0],
+                us,
+                1 if s is None else s[2] + 1,
+            )
+    assert got == want
+    # with an effectively infinite cap it degenerates to plain sessionize
+    plain = {
+        (r["user_id"], r["session_id"]): (r["session_start_us"], r["n_events"])
+        for r in sessionize(ev, gap_m).collect()
+    }
+    capped_inf = {
+        (r["user_id"], r["session_id"]): (r["session_start_us"], r["n_events"])
+        for r in sessionize_capped(ev, gap_m, 10**7).collect()
+    }
+    assert plain == capped_inf

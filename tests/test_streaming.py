@@ -1067,3 +1067,53 @@ def test_heavy_hitter_sink_stale_replayed_delta_ignored(spark, tmp_path):
         for r in read_heavy_hitter_view(spark, root, 4).collect()
     }
     assert after == before
+
+
+def test_streaming_quantiles_composition(spark, tmp_path):
+    """Mergeable-state quantiles END TO END through the streaming
+    materialized view: per-batch value histograms land as deltas,
+    the view's merged histogram must ADD exactly, and
+    histogram_quantiles over the view equals the quantiles of the
+    union of all batches computed in one shot — the bounded-state
+    streaming-quantile pattern with no new operator code."""
+    from flyq_spark.operators.profile import histogram_quantiles, value_histogram
+    from flyq_spark.streaming.sink import (
+        aggregate_view_sink,
+        read_aggregate_view,
+    )
+    from pyspark.sql import functions as F
+
+    from flyq_spark.operators.util import floor_div
+
+    root = str(tmp_path / "qview")
+    # keys = the histogram bin; the sink's built-in n_rows count IS the
+    # bin count, so no measures are needed
+    sink = aggregate_view_sink(root, keys=("bin_start",), measures={})
+    import random
+
+    rng = random.Random(9)
+    all_rows = []
+    bin_of = floor_div(F.col("c"), F.lit(1000).cast("long")) * 1000
+    for bid in range(4):
+        rows = [(rng.randint(-5000, 20000),) for _ in range(700)]
+        all_rows += rows
+        batch = spark.createDataFrame(rows, "c long")
+        sink(batch.select(bin_of.alias("bin_start")), bid)
+
+    view = read_aggregate_view(
+        spark, root, keys=("bin_start",), measures=()
+    ).select("bin_start", F.col("n_rows").alias("n"))
+    hist_all = value_histogram(
+        spark.createDataFrame(all_rows, "c long"), F.col("c"), 1000
+    )
+    merged = {r["bin_start"]: r["n"] for r in view.collect()}
+    direct = {r["bin_start"]: r["n"] for r in hist_all.collect()}
+    assert merged == direct
+    q_view = histogram_quantiles(
+        view.select("bin_start", "n"), (500, 950), keys=()
+    ).collect()[0]
+    q_direct = histogram_quantiles(hist_all, (500, 950), keys=()).collect()[0]
+    assert (q_view["p500_bin"], q_view["p950_bin"]) == (
+        q_direct["p500_bin"],
+        q_direct["p950_bin"],
+    )
