@@ -3477,6 +3477,24 @@ def q_capped_sessions(spark, sf_dir):
     return sessionize_capped(ev, gap_minutes=30, max_duration_minutes=20)
 
 
+def q_kmv_overlap(spark, sf_dir):
+    """Cross-source content overlap from KMV (bottom-k) distinct
+    sketches (operators/sketch.py:kmv_overlap_matrix) — the
+    HASH-CHECKED member of the distinct-sketch family: bottom-k of a
+    fixed md5 hash is pure SQL on both engines, so unlike the HLL
+    source_overlap (rows-only — register state is engine-internal)
+    every estimate here is replayed exactly by the oracle. 5-gram
+    shingle sets per source, k=64; sample-counting intersection
+    estimator, exact when a union sketch is complete."""
+    from flyq_spark.operators.sketch import kmv_overlap_matrix
+
+    docs = _read(spark, sf_dir, "documents")
+    grams = docs.select(
+        "source", F.explode(D.shingle_set(F.col("text"), 5)).alias("g")
+    )
+    return kmv_overlap_matrix(grams, "source", F.col("g"), k=64)
+
+
 _SYNTH_UNITS_CTE = """
 member AS (
   SELECT t.g, d.doc_id, d.text
@@ -3513,7 +3531,6 @@ _DRIVER_WINDOW = [
     # oracle-backed queries never in any driver window before r6
     "bpe_token_stats", "repetition_signals",
     "rank_metrics",
-    "ann_filtered_topk",
     # new in r7: 14 slots for the round's new queries, displacing 14
     # never-driver-checked rows judged lowest divergence risk (plain
     # relational/window/equi-join shapes or md5-integer lattices whose
@@ -3522,14 +3539,16 @@ _DRIVER_WINDOW = [
     # upsample_mix, syndication_audit, dedup_agreement,
     # interarrival_stats, source_composition, chunk_docs,
     # domain_affinity, hashed_doc_vectors, neardup_triangles,
-    # interval_overlap, incremental_dedup, snapshot_diff, eval_sample —
-    # all green on the driver's exact hash path in the full local sweep
+    # interval_overlap, incremental_dedup, snapshot_diff, eval_sample,
+    # ann_filtered_topk — all green on the driver's exact hash path in
+    # the full local sweep
     "join_preflight", "bloom_semi_prune", "fk_integrity",
     "l_diversity", "winsorize_values", "attribution",
     "phrase_search", "lang_heavy_hitters", "multi_signal_components",
     "containment_pairs", "skew_split_join", "negative_samples",
     "rollup_share", "rolling_distinct_users", "exact_global_quantiles",
     "funnel_latency", "ab_test_counts", "feature_time_travel",
+    "kmv_overlap",
     # r5-proven rows kept to re-confirm the broad surface
     "neardup_blast_radius",
     # new in r6: paragraph dedup, rows-only→oracle conversions, and the
@@ -3711,6 +3730,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_latency": q_funnel_latency,
         "ab_test_counts": q_ab_test_counts,
         "feature_time_travel": q_feature_time_travel,
+        "kmv_overlap": q_kmv_overlap,
         "rfm_segments": q_rfm_segments,
         "incremental_retract": q_incremental_retract,
         "scd2_history": q_scd2_history,
@@ -5879,6 +5899,69 @@ UNION ALL
 SELECT CAST(990 AS BIGINT),
        CAST(max(CASE WHEN rn = (99 * n + 99) // 100 THEN c END) AS BIGINT)
 FROM r
+""",
+        "kmv_overlap": """
+WITH t AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+grams AS (
+  SELECT DISTINCT source,
+         CAST(concat('0x', substr(md5(
+             array_to_string(w[CAST(i AS BIGINT):CAST(i AS BIGINT) + 4], ' ')
+           ), 1, 15)) AS BIGINT) AS h
+  FROM t, UNNEST(range(1, len(w) - 3)) AS s(i)
+  WHERE len(w) >= 5
+),
+sk AS (
+  SELECT source, h FROM (
+    SELECT source, h,
+           row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+    FROM grams
+  ) WHERE rn <= 64
+),
+pg AS (
+  SELECT source, count(*) AS cnt, max(h) AS hk FROM sk GROUP BY 1
+),
+pairs AS (
+  SELECT a.source AS sa, b.source AS sb,
+         a.cnt AS ca, a.hk AS hka, b.cnt AS cb, b.hk AS hkb
+  FROM pg a JOIN pg b ON a.source < b.source
+),
+mu AS (
+  SELECT p.sa, p.sb, s.h FROM pairs p JOIN sk s ON s.source = p.sa
+  UNION ALL
+  SELECT p.sa, p.sb, s.h FROM pairs p JOIN sk s ON s.source = p.sb
+),
+m AS (SELECT sa, sb, h, count(*) AS sides FROM mu GROUP BY 1, 2, 3),
+r AS (
+  SELECT sa, sb, h, sides,
+         row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
+  FROM m
+),
+u AS (
+  SELECT sa, sb, count(*) AS ucnt, max(h) AS uhk,
+         CAST(sum(CASE WHEN sides = 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS inter_sample
+  FROM r WHERE rn <= 64 GROUP BY 1, 2
+),
+fin AS (
+  SELECT p.sa, p.sb,
+         CASE WHEN p.ca < 64 THEN p.ca
+              ELSE CAST(CAST(63 AS HUGEINT) * 1152921504606846976 // p.hka
+                        AS BIGINT) END AS est_a,
+         CASE WHEN p.cb < 64 THEN p.cb
+              ELSE CAST(CAST(63 AS HUGEINT) * 1152921504606846976 // p.hkb
+                        AS BIGINT) END AS est_b,
+         CASE WHEN u.ucnt < 64 THEN u.ucnt
+              ELSE CAST(CAST(63 AS HUGEINT) * 1152921504606846976 // u.uhk
+                        AS BIGINT) END AS est_union,
+         u.ucnt, u.inter_sample
+  FROM pairs p JOIN u ON u.sa = p.sa AND u.sb = p.sb
+)
+SELECT sa AS group_a, sb AS group_b, est_a, est_b, est_union,
+       inter_sample,
+       CASE WHEN ucnt < 64 THEN inter_sample
+            ELSE CAST(CAST(inter_sample AS HUGEINT) * est_union // 64
+                      AS BIGINT) END AS est_intersection
+FROM fin
 """,
         "funnel_latency": """
 WITH s1 AS (

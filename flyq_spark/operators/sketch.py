@@ -26,7 +26,7 @@ entire vocabulary.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from flyq_spark.operators.util import exact_ceil_frac
@@ -359,3 +359,134 @@ def mg_merge(state: dict, other: dict, k: int) -> dict:
         merged[item] = merged.get(item, 0) + cnt
     _mg_compress(merged, k)
     return merged
+
+
+_KMV_M = 1 << 60  # md5-60bit hash space size
+
+
+def kmv_sketch(
+    df: DataFrame,
+    group_col: str,
+    item: Column,
+    k: int = 128,
+) -> DataFrame:
+    """K-minimum-values distinct sketch per group: the ``k`` SMALLEST
+    md5-60bit hashes of the group's distinct items — the
+    DETERMINISTIC, ORACLE-REPLAYABLE member of the distinct-sketch
+    family (HLL's register randomization is engine-internal; bottom-k
+    of a fixed hash is pure SQL on any engine). Mergeable: the sketch
+    of a union is the bottom-k of the concatenated sketches.
+
+    Plan: one distinct on (group, hash) — map-side combined — then a
+    rank window per group; sketch size is k rows per group.
+    Output: (group, h) with h ascending rank <= k."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2: {k}")
+    h = F.conv(F.substring(F.md5(item.cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    hashes = df.select(F.col(group_col).alias("_g"), h.alias("_h")).distinct()
+    w = Window.partitionBy("_g").orderBy("_h")
+    return (
+        hashes.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select(F.col("_g").alias(group_col), F.col("_h").alias("h"))
+    )
+
+
+def kmv_overlap_matrix(
+    df: DataFrame,
+    group_col: str,
+    item: Column,
+    k: int = 128,
+) -> DataFrame:
+    """Pairwise distinct-cardinality and overlap estimates between
+    groups from their KMV sketches — the hash-checkable counterpart of
+    the HLL ``source_overlap_matrix`` (whose sketch bytes are
+    engine-internal, forcing a rows-only gate; every number here is
+    exact integer arithmetic both engines replay).
+
+    Estimators (M = 2^60 hash space): a group with fewer than k
+    distinct hashes is counted EXACTLY; otherwise
+    ``est = (k-1)·M div h_k`` (the classic KMV estimate). The
+    intersection uses the SAMPLE-COUNTING estimator — within the
+    union's bottom-k, count hashes present in both sides, scale by
+    est_union div k — which degrades gracefully to the exact
+    intersection when the union is complete (< k hashes). Inclusion-
+    exclusion is deliberately NOT used (its error explodes for small
+    intersections).
+
+    The pair expansion is |groups|² sketch-row work — groups are
+    sources/slices (tens), never data rows. Output per (a < b) pair:
+    (group_a, group_b, est_a, est_b, est_union, inter_sample,
+    est_intersection)."""
+    sk = kmv_sketch(df, group_col, item, k).persist()
+    per_group = sk.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("_cnt"), F.max("h").alias("_hk")
+    )
+    # (k-1)·2^60 exceeds int64 — the product runs in DECIMAL(38,0)
+    # (div on decimals is exact integer division, probed against
+    # Python/DuckDB; the oracle mirrors with HUGEINT // cast to BIGINT)
+    num = F.lit(k - 1).cast("decimal(38,0)") * F.lit(_KMV_M).cast(
+        "decimal(38,0)"
+    )
+    est = lambda cnt, hk: F.when(  # noqa: E731
+        cnt < k, cnt.cast("long")
+    ).otherwise(
+        F.call_function("div", num, hk.cast("decimal(38,0)")).cast("long")
+    )
+    ga = per_group.select(
+        F.col(group_col).alias("group_a"),
+        est(F.col("_cnt"), F.col("_hk")).alias("est_a"),
+    )
+    gb = per_group.select(
+        F.col(group_col).alias("group_b"),
+        est(F.col("_cnt"), F.col("_hk")).alias("est_b"),
+    )
+    pairs = ga.crossJoin(gb).where(F.col("group_a") < F.col("group_b"))
+    a_rows = sk.select(F.col(group_col).alias("group_a"), "h")
+    b_rows = sk.select(F.col(group_col).alias("group_b"), "h")
+    # full outer union of the two hash sets per pair, tagged by side
+    ha = pairs.join(a_rows, on="group_a").select(
+        "group_a", "group_b", "est_a", "est_b", "h", F.lit(1).alias("side_a")
+    )
+    hb = pairs.join(b_rows, on="group_b").select(
+        "group_a", "group_b", "est_a", "est_b", "h", F.lit(2).alias("side_a")
+    )
+    merged = (
+        ha.unionByName(hb)
+        .groupBy("group_a", "group_b", "est_a", "est_b", "h")
+        .agg(F.count(F.lit(1)).alias("_sides"))
+    )
+    wp = Window.partitionBy("group_a", "group_b").orderBy("h")
+    ranked = merged.withColumn("_rn", F.row_number().over(wp)).where(
+        F.col("_rn") <= k
+    )
+    agg = ranked.groupBy("group_a", "group_b", "est_a", "est_b").agg(
+        F.count(F.lit(1)).alias("_ucnt"),
+        F.max("h").alias("_uhk"),
+        F.sum(F.when(F.col("_sides") == 2, 1).otherwise(0)).alias(
+            "inter_sample"
+        ),
+    )
+    est_union = est(F.col("_ucnt"), F.col("_uhk"))
+    est_inter = F.when(
+        F.col("_ucnt") < k, F.col("inter_sample").cast("long")
+    ).otherwise(
+        F.call_function(
+            "div",
+            F.col("inter_sample").cast("decimal(38,0)")
+            * est_union.cast("decimal(38,0)"),
+            F.lit(k).cast("decimal(38,0)"),
+        ).cast("long")
+    )
+    out = agg.select(
+        "group_a",
+        "group_b",
+        "est_a",
+        "est_b",
+        est_union.alias("est_union"),
+        F.col("inter_sample").cast("long").alias("inter_sample"),
+        est_inter.alias("est_intersection"),
+    )
+    return out

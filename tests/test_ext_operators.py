@@ -4976,3 +4976,44 @@ def test_sessionize_capped_vs_python_model(spark):
         for r in sessionize_capped(ev, gap_m, 10**7).collect()
     }
     assert plain == capped_inf
+
+
+def test_kmv_overlap_exact_when_complete_and_accurate_when_not(spark):
+    from pyspark.sql import functions as F
+
+    from flyq_spark.operators.sketch import kmv_overlap_matrix
+
+    # three groups with known overlap structure over integer items
+    rows = (
+        [("a", i) for i in range(0, 600)]
+        + [("b", i) for i in range(300, 900)]      # |a∩b| = 300
+        + [("c", i) for i in range(10_000, 10_040)]  # disjoint, small
+    )
+    df = spark.createDataFrame(rows, "g string, item long")
+
+    # k large enough that every sketch is complete -> everything EXACT
+    out = {
+        (r["group_a"], r["group_b"]): r
+        for r in kmv_overlap_matrix(df, "g", F.col("item"), k=2048).collect()
+    }
+    ab = out[("a", "b")]
+    assert (ab["est_a"], ab["est_b"], ab["est_union"]) == (600, 600, 900)
+    assert ab["est_intersection"] == 300 and ab["inter_sample"] == 300
+    ac = out[("a", "c")]
+    assert (ac["est_union"], ac["est_intersection"]) == (640, 0)
+
+    # k small -> estimates; within a loose multiplicative band
+    est = {
+        (r["group_a"], r["group_b"]): r
+        for r in kmv_overlap_matrix(df, "g", F.col("item"), k=128).collect()
+    }
+    ab = est[("a", "b")]
+    for got, want in (
+        (ab["est_a"], 600),
+        (ab["est_b"], 600),
+        (ab["est_union"], 900),
+        (ab["est_intersection"], 300),
+    ):
+        assert want * 0.6 <= got <= want * 1.5, (got, want)
+    # the small disjoint group stays exact (complete sketch)
+    assert est[("a", "c")]["est_intersection"] == 0

@@ -28,6 +28,7 @@ SCALAR_BROADCAST_OK = {
     "heavy_hitter_tokens",  # total-token threshold scalar, 1 row
     "source_overlap",  # |sources|-row HLL sketch table, inequality self-pair
     "fk_integrity",  # per-relation 1-row totals x 1-row orphan counters
+    "kmv_overlap",  # |sources|-row sketch-stat self-pair, like source_overlap
 }
 
 
