@@ -3495,6 +3495,22 @@ def q_kmv_overlap(spark, sf_dir):
     return kmv_overlap_matrix(grams, "source", F.col("g"), k=64)
 
 
+def q_attribution_multi_touch(spark, sf_dir):
+    """Position-based multi-touch attribution (operators/sessions.py:
+    attribute_multi_touch): every click/view in the 6-hour window
+    shares each purchase's credit 40/20/40, remainders deterministic
+    to the last touch, all sums exactly 1,000,000 ppm — the U-shaped
+    model completing the attribution family (last-touch = the
+    `attribution` gate). One user-key equi-join + one conversion-key
+    window."""
+    from flyq_spark.operators.sessions import attribute_multi_touch
+
+    ev = _read(spark, sf_dir, "events")
+    return attribute_multi_touch(
+        ev, ("purchase",), ("click", "view"), lookback_s=21600
+    )
+
+
 _SYNTH_UNITS_CTE = """
 member AS (
   SELECT t.g, d.doc_id, d.text
@@ -3530,7 +3546,6 @@ _DRIVER_WINDOW = [
     "table_profile",
     # oracle-backed queries never in any driver window before r6
     "bpe_token_stats", "repetition_signals",
-    "rank_metrics",
     # new in r7: 14 slots for the round's new queries, displacing 14
     # never-driver-checked rows judged lowest divergence risk (plain
     # relational/window/equi-join shapes or md5-integer lattices whose
@@ -3540,15 +3555,17 @@ _DRIVER_WINDOW = [
     # interarrival_stats, source_composition, chunk_docs,
     # domain_affinity, hashed_doc_vectors, neardup_triangles,
     # interval_overlap, incremental_dedup, snapshot_diff, eval_sample,
-    # ann_filtered_topk — all green on the driver's exact hash path in
-    # the full local sweep
+    # ann_filtered_topk, rank_metrics (its float percent_rank/cume_dist
+    # columns were explicitly pre-checked through the pandas hash path
+    # in r6, MATCH) — all green on the driver's exact hash path in the
+    # full local sweep
     "join_preflight", "bloom_semi_prune", "fk_integrity",
     "l_diversity", "winsorize_values", "attribution",
     "phrase_search", "lang_heavy_hitters", "multi_signal_components",
     "containment_pairs", "skew_split_join", "negative_samples",
     "rollup_share", "rolling_distinct_users", "exact_global_quantiles",
     "funnel_latency", "ab_test_counts", "feature_time_travel",
-    "kmv_overlap",
+    "kmv_overlap", "attribution_multi_touch",
     # r5-proven rows kept to re-confirm the broad surface
     "neardup_blast_radius",
     # new in r6: paragraph dedup, rows-only→oracle conversions, and the
@@ -3731,6 +3748,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_test_counts": q_ab_test_counts,
         "feature_time_travel": q_feature_time_travel,
         "kmv_overlap": q_kmv_overlap,
+        "attribution_multi_touch": q_attribution_multi_touch,
         "rfm_segments": q_rfm_segments,
         "incremental_retract": q_incremental_retract,
         "scd2_history": q_scd2_history,
@@ -5898,6 +5916,45 @@ FROM r
 UNION ALL
 SELECT CAST(990 AS BIGINT),
        CAST(max(CASE WHEN rn = (99 * n + 99) // 100 THEN c END) AS BIGINT)
+FROM r
+""",
+        "attribution_multi_touch": """
+WITH conv AS (
+  SELECT user_id, event_id AS conv_event_id, epoch_us(ts) AS cts
+  FROM events WHERE event_type = 'purchase'
+),
+touch AS (
+  SELECT user_id, event_id AS touch_event_id, event_type AS touch_type,
+         epoch_us(ts) AS tts
+  FROM events WHERE event_type IN ('click', 'view')
+),
+j AS (
+  SELECT c.conv_event_id, c.user_id, t.touch_event_id, t.touch_type,
+         t.tts
+  FROM conv c JOIN touch t
+    ON c.user_id = t.user_id
+   AND t.tts <= c.cts AND c.cts - t.tts <= 21600000000
+),
+r AS (
+  SELECT conv_event_id, user_id, touch_event_id, touch_type,
+         CAST(row_number() OVER (
+           PARTITION BY conv_event_id ORDER BY tts, touch_event_id
+         ) AS BIGINT) AS touch_rank,
+         CAST(count(*) OVER (PARTITION BY conv_event_id) AS BIGINT)
+           AS n_touches
+  FROM j
+)
+SELECT conv_event_id, user_id, touch_event_id, touch_type,
+       n_touches, touch_rank,
+       CAST(CASE
+         WHEN n_touches = 1 THEN 1000000
+         WHEN n_touches = 2 THEN 500000
+         WHEN touch_rank = 1 THEN 400000
+         WHEN touch_rank = n_touches
+           THEN 400000 + (200000 - (200000 // (n_touches - 2))
+                                    * (n_touches - 2))
+         ELSE 200000 // (n_touches - 2)
+       END AS BIGINT) AS credit_ppm
 FROM r
 """,
         "kmv_overlap": """

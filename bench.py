@@ -89,6 +89,9 @@ HEADLINE = [
     ("bloom_semi_prune", True),
     ("winsorize_values", False),
     ("attribution", False),
+    # r7 second half: fold sessionization, point-in-time feature join
+    ("capped_sessions", False),
+    ("feature_time_travel", False),
 ]
 
 

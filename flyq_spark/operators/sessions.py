@@ -590,3 +590,80 @@ def sessionize_capped(
         F.max("_us").alias("session_end_us"),
         F.count(F.lit(1)).cast("long").alias("n_events"),
     )
+
+
+def attribute_multi_touch(
+    events: DataFrame,
+    conversion_types: tuple[str, ...],
+    touch_types: tuple[str, ...],
+    lookback_s: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: every touch
+    in the lookback window shares a conversion's credit — 40% to the
+    first touch, 40% to the last, the middle 20% split across the rest
+    (100% / 50-50 for one/two touches). Credit is EXACT integer ppm:
+    the middle share uses integer division with the remainder assigned
+    to the LAST touch, so every conversion's credits sum to exactly
+    1,000,000 — deterministic on any engine, no float leakage.
+
+    Plan: one user-key equi-join (conversions × touches of the same
+    user, filtered to the window — candidate volume is bounded by
+    per-user event counts, never a time cross join) + one window over
+    the conversion key ordering touches (ts, id). Conversions with no
+    in-window touch produce no rows (the single-touch ``attribution``
+    operator reports those as unattributed).
+
+    Output: (conv_<id>, user, touch_<id>, touch_type, n_touches,
+    touch_rank, credit_ppm)."""
+    overlap = set(conversion_types) & set(touch_types)
+    if overlap:
+        raise ValueError(f"types cannot be both conversion and touch: {sorted(overlap)}")
+    if lookback_s <= 0:
+        raise ValueError(f"lookback_s must be positive: {lookback_s}")
+    conv = events.where(F.col(type_col).isin(*conversion_types)).select(
+        F.col(user_col).alias("_u"),
+        F.col(id_col).alias(f"conv_{id_col}"),
+        F.unix_micros(F.col(ts_col)).alias("_cts"),
+    )
+    touch = events.where(F.col(type_col).isin(*touch_types)).select(
+        F.col(user_col).alias("_u"),
+        F.col(id_col).alias(f"touch_{id_col}"),
+        F.col(type_col).alias("touch_type"),
+        F.unix_micros(F.col(ts_col)).alias("_tts"),
+    )
+    j = conv.join(touch, on="_u").where(
+        (F.col("_tts") <= F.col("_cts"))
+        & (
+            F.col("_cts") - F.col("_tts")
+            <= F.lit(lookback_s).cast("long") * F.lit(1_000_000).cast("long")
+        )
+    )
+    w = Window.partitionBy(f"conv_{id_col}")
+    ordered = w.orderBy(F.col("_tts").asc(), F.col(f"touch_{id_col}").asc())
+    ranked = j.withColumn(
+        "touch_rank", F.row_number().over(ordered).cast("long")
+    ).withColumn("n_touches", F.count(F.lit(1)).over(w).cast("long"))
+    n = F.col("n_touches")
+    rk = F.col("touch_rank")
+    mid_each = F.call_function("div", F.lit(200_000).cast("long"), n - 2)
+    mid_rem = F.lit(200_000).cast("long") - mid_each * (n - 2)
+    credit = (
+        F.when(n == 1, F.lit(1_000_000).cast("long"))
+        .when(n == 2, F.lit(500_000).cast("long"))
+        .when(rk == 1, F.lit(400_000).cast("long"))
+        .when(rk == n, F.lit(400_000).cast("long") + mid_rem)
+        .otherwise(mid_each)
+    )
+    return ranked.select(
+        f"conv_{id_col}",
+        F.col("_u").alias(user_col),
+        f"touch_{id_col}",
+        "touch_type",
+        "n_touches",
+        "touch_rank",
+        credit.alias("credit_ppm"),
+    )

@@ -5017,3 +5017,54 @@ def test_kmv_overlap_exact_when_complete_and_accurate_when_not(spark):
         assert want * 0.6 <= got <= want * 1.5, (got, want)
     # the small disjoint group stays exact (complete sketch)
     assert est[("a", "c")]["est_intersection"] == 0
+
+
+def test_attribute_multi_touch_credit_sums_exact(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from flyq_spark.operators.sessions import attribute_multi_touch
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        # user 1: 4 touches then purchase -> 40/then split/40
+        (1, t(0), "click", 100), (1, t(1), "view", 101),
+        (1, t(2), "click", 102), (1, t(3), "view", 103),
+        (1, t(4), "purchase", 104),
+        # user 2: 1 touch -> 100%
+        (2, t(0), "view", 200), (2, t(5), "purchase", 201),
+        # user 3: 2 touches -> 50/50
+        (3, t(0), "view", 300), (3, t(1), "click", 301),
+        (3, t(2), "purchase", 302),
+        # user 4: touch outside window -> no rows
+        (4, t(0), "click", 400), (4, t(50), "purchase", 401),
+    ]
+    ev = spark.createDataFrame(
+        [(u, ts, tp, i) for u, ts, tp, i in rows],
+        "user_id long, ts timestamp, event_type string, event_id long",
+    )
+    out = attribute_multi_touch(ev, ("purchase",), ("click", "view"), 10)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["conv_event_id"], []).append(
+            (r["touch_rank"], r["touch_event_id"], r["credit_ppm"], r["n_touches"])
+        )
+    c1 = sorted(got[104])
+    assert [x[2] for x in c1] == [400_000, 100_000, 100_000, 400_000]
+    assert sum(x[2] for x in c1) == 1_000_000
+    assert got[201] == [(1, 200, 1_000_000, 1)]
+    assert sorted(x[2] for x in got[302]) == [500_000, 500_000]
+    assert 401 not in got
+    # with n-2 not dividing 200000 the remainder lands on the LAST touch
+    rows5 = [(9, t(i), "click", 900 + i) for i in range(5)] + [
+        (9, t(5), "purchase", 999)
+    ]
+    ev5 = spark.createDataFrame(
+        rows5, "user_id long, ts timestamp, event_type string, event_id long"
+    )
+    out5 = {r["touch_rank"]: r["credit_ppm"]
+            for r in attribute_multi_touch(ev5, ("purchase",), ("click",), 10).collect()}
+    assert out5 == {1: 400_000, 2: 66_666, 3: 66_666, 4: 66_666,
+                    5: 400_000 + 200_000 - 3 * 66_666}
+    assert sum(out5.values()) == 1_000_000
