@@ -193,7 +193,16 @@ def point_in_time_join(
 
     Output: query rows + ``<col><suffix>`` for each value col, plus
     ``pit_matched``."""
-    hist = history.select(
+    # zero-length intervals ([t, t): same-timestamp version churn, which
+    # scd2_history emits for same-ts events) cover NO query instant and
+    # MUST be dropped before the as-of: they tie with the real version
+    # on valid_from, and the as-of carry among tied timestamps is
+    # unspecified — the stale row could shadow the covering one
+    # (order-dependent wrong results, caught by review repro)
+    live = history.where(
+        F.col(valid_to).isNull() | (F.col(valid_to) > F.col(valid_from))
+    )
+    hist = live.select(
         F.col(key_col),
         F.col(valid_from).alias(ts_col),
         F.col(valid_to).alias("_vto"),

@@ -388,7 +388,7 @@ def exact_global_quantiles(
     value_col: Column | str,
     quantiles_permille: tuple[int, ...] = (500, 950, 990),
     branch: int = 1024,
-    max_passes: int = 12,
+    max_passes: int | None = None,
 ) -> list[tuple[int, int]]:
     """EXACT global quantiles of an integer column by distributed
     iterative selection — the scale path where ``length_percentiles``'s
@@ -399,8 +399,10 @@ def exact_global_quantiles(
 
     Definition matches the repo's inverted-CDF convention: the value at
     1-based rank ceil(q‰ · n) ascending. Each pass: bucket the current
-    [lo, hi] range into ``branch`` equal integer strips (exact integer
-    width arithmetic — no float bucketing), count per strip
+    [lo, hi] range into ``branch`` equal integer strips — the offset
+    and division run in DECIMAL(38,0) because ``v − lo`` over a range
+    wider than 2^63 overflows int64 (ANSI would raise; non-ANSI would
+    silently bucket into wrong strips) — count per strip
     (map-side-combined groupBy), walk the cumulative to the strip
     holding the target rank, recurse into it. Terminates when the strip
     is a single value; an int64 range needs at most
@@ -412,8 +414,6 @@ def exact_global_quantiles(
     present values, the SQL percentile convention). Raises on an empty
     input or if ``max_passes`` is exhausted (cannot happen with sane
     branch; the guard surfaces a logic error rather than looping)."""
-    from flyq_spark.operators.util import exact_ceil_frac, floor_div
-
     if not quantiles_permille or any(
         not 0 < q < 1000 for q in quantiles_permille
     ):
@@ -422,6 +422,12 @@ def exact_global_quantiles(
         )
     if branch < 2:
         raise ValueError(f"branch must be >= 2: {branch}")
+    if max_passes is None:
+        # worst case: full int64 range narrowed ~branch-fold per pass
+        # (ceil width loses at most one doubling — +2 slack covers it)
+        import math
+
+        max_passes = math.ceil(64 / math.log2(branch)) + 2
     v = (F.col(value_col) if isinstance(value_col, str) else value_col).alias("_v")
     vals = df.select(v).where(F.col("_v").isNotNull()).persist()
     stats = vals.agg(
@@ -430,50 +436,56 @@ def exact_global_quantiles(
         F.max("_v").alias("hi"),
     ).collect()[0]
     n, glo, ghi = stats["n"], stats["lo"], stats["hi"]
-    if n == 0:
-        vals.unpersist()
-        raise ValueError("exact_global_quantiles: no non-null values")
-    out = []
-    for q in quantiles_permille:
-        # exact integer ceil(q/1000 * n), mirroring exact_ceil_frac
-        from fractions import Fraction
-
-        fr = Fraction(q, 1000)
-        rank = (fr.numerator * n + fr.denominator - 1) // fr.denominator
-        lo, hi = glo, ghi
-        for _ in range(max_passes):
-            if lo == hi:
-                break
-            span = hi - lo + 1
-            width = -(-span // branch)  # ceil: strips cover the range
-            strip = floor_div(F.col("_v") - F.lit(lo).cast("long"), F.lit(width).cast("long"))
-            counts = dict(
-                (r["_s"], r["_c"])
-                for r in vals.where(
-                    (F.col("_v") >= lo) & (F.col("_v") <= hi)
-                )
-                .groupBy(strip.alias("_s"))
-                .agg(F.count(F.lit(1)).alias("_c"))
-                .collect()
-            )
-            cum = 0
-            found = None
-            for s in sorted(counts):
-                if cum + counts[s] >= rank:
-                    found = s
-                    rank -= cum
+    try:
+        if n == 0:
+            raise ValueError("exact_global_quantiles: no non-null values")
+        out = []
+        for q in quantiles_permille:
+            # exact integer ceil(q·n/1000)
+            rank = (q * n + 999) // 1000
+            lo, hi = glo, ghi
+            for _ in range(max_passes):
+                if lo == hi:
                     break
-                cum += counts[s]
-            if found is None:  # pragma: no cover - rank <= total by invariant
-                raise RuntimeError("rank exceeded strip totals")
-            lo2 = lo + found * width
-            hi2 = min(hi, lo2 + width - 1)
-            lo, hi = lo2, hi2
-        else:
-            vals.unpersist()
-            raise RuntimeError(
-                f"exact_global_quantiles did not converge in {max_passes} passes"
-            )
-        out.append((q, int(lo)))
-    vals.unpersist()
-    return out
+                span = hi - lo + 1  # Python int: never overflows
+                width = -(-span // branch)  # ceil: strips cover the range
+                # offset + division in DECIMAL(38,0): `v - lo` over a
+                # range wider than 2^63 overflows int64 (v >= lo after
+                # the range filter, so the plain div IS the floor)
+                dec = "decimal(38,0)"
+                strip = F.call_function(
+                    "div",
+                    F.col("_v").cast(dec) - F.lit(lo).cast(dec),
+                    F.lit(width).cast(dec),
+                ).cast("long")
+                counts = dict(
+                    (r["_s"], r["_c"])
+                    for r in vals.where(
+                        (F.col("_v") >= lo) & (F.col("_v") <= hi)
+                    )
+                    .groupBy(strip.alias("_s"))
+                    .agg(F.count(F.lit(1)).alias("_c"))
+                    .collect()
+                )
+                cum = 0
+                found = None
+                for s in sorted(counts):
+                    if cum + counts[s] >= rank:
+                        found = s
+                        rank -= cum
+                        break
+                    cum += counts[s]
+                if found is None:  # pragma: no cover - rank <= total invariant
+                    raise RuntimeError("rank exceeded strip totals")
+                lo2 = lo + found * width
+                hi2 = min(hi, lo2 + width - 1)
+                lo, hi = lo2, hi2
+            else:
+                raise RuntimeError(
+                    f"exact_global_quantiles did not converge in {max_passes} passes"
+                )
+            out.append((q, int(lo)))
+        return out
+    finally:
+        # exception-safe: a failed pass must not pin the cache forever
+        vals.unpersist()

@@ -118,6 +118,29 @@ def dedup_events(
     )
 
 
+def _funnel_match_ok(st, ev, n, steps_arr, max_gap_seconds):
+    """THE greedy-matcher eligibility condition, shared by funnel_steps
+    and funnel_user_times so the counts gate and the latency gate can
+    never diverge semantically: next expected step type, strictly later
+    than the previous match, optionally within the first-touch-anchored
+    gap window (see funnel_steps' inline note on why a blown window
+    does NOT re-anchor)."""
+    ok = (
+        (st["k"] < F.lit(n))
+        & (ev["tp"] == F.element_at(steps_arr, st["k"] + 1))
+        & (st["t"].isNull() | (ev["ts"] > st["t"]))
+    )
+    if max_gap_seconds is not None:
+        ok = ok & (
+            st["t"].isNull()
+            | (
+                ev["ts"].cast("long")
+                <= st["t"].cast("long") + F.lit(max_gap_seconds)
+            )
+        )
+    return ok
+
+
 def funnel_steps(
     events: DataFrame,
     steps: tuple[str, ...],
@@ -161,28 +184,15 @@ def funnel_steps(
     )
 
     def advance(st, ev):
-        ok = (
-            (st["k"] < F.lit(n))
-            & (ev["tp"] == F.element_at(steps_arr, st["k"] + 1))
-            & (st["t"].isNull() | (ev["ts"] > st["t"]))
-        )
-        if max_gap_seconds is not None:
-            # bounded conversion window: step k must land within the gap
-            # of step k-1. SEMANTICS: first-touch anchored, no
-            # backtracking — each step matches at its earliest eligible
-            # time given prior matches, and a blown window does NOT
-            # re-anchor on a later step-1 (greedy is NOT exists-any-
-            # completion under windows: for A@0, A@50, B@55, gap 10 the
-            # first-touch funnel fails at B while re-anchoring would
-            # succeed; first-touch is the deterministic, attribution-
-            # friendly convention and is what replays in SQL).
-            ok = ok & (
-                st["t"].isNull()
-                | (
-                    ev["ts"].cast("long")
-                    <= st["t"].cast("long") + F.lit(max_gap_seconds)
-                )
-            )
+        # SEMANTICS of the bounded window (applied in _funnel_match_ok):
+        # first-touch anchored, no backtracking — each step matches at
+        # its earliest eligible time given prior matches, and a blown
+        # window does NOT re-anchor on a later step-1 (greedy is NOT
+        # exists-any-completion under windows: for A@0, A@50, B@55,
+        # gap 10 the first-touch funnel fails at B while re-anchoring
+        # would succeed; first-touch is the deterministic, attribution-
+        # friendly convention and is what replays in SQL).
+        ok = _funnel_match_ok(st, ev, n, steps_arr, max_gap_seconds)
         return F.when(
             ok, F.struct((st["k"] + 1).alias("k"), ev["ts"].alias("t"))
         ).otherwise(st)
@@ -441,14 +451,17 @@ def funnel_user_times(
     user_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
+    max_gap_seconds: int | None = None,
 ) -> DataFrame:
     """Per-user funnel completion detail — the row-level companion of
     ``funnel_steps`` (which returns only prefix counts): for each user
     who performed step 1, how far they got, when they entered, when
     their last matched step happened, and the entry-to-exit latency.
-    Unbounded greedy first-occurrence semantics, identical to
-    funnel_steps (greedy == iterated earliest-next-step, so the oracle
-    replays it as chained min-after aggregations).
+    Greedy first-occurrence semantics IDENTICAL to funnel_steps by
+    construction — both folds share ``_funnel_match_ok`` (including the
+    optional first-touch-anchored ``max_gap_seconds`` window); in the
+    unbounded form greedy == iterated earliest-next-step, so the oracle
+    replays it as chained min-after aggregations.
 
     Same plan shape: one type-filtered scan + one user-key shuffle +
     a JVM-side higher-order fold carrying (step pointer, first ts,
@@ -466,11 +479,7 @@ def funnel_user_times(
     )
 
     def advance(st, ev):
-        ok = (
-            (st["k"] < F.lit(n))
-            & (ev["tp"] == F.element_at(steps_arr, st["k"] + 1))
-            & (st["t"].isNull() | (ev["ts"] > st["t"]))
-        )
+        ok = _funnel_match_ok(st, ev, n, steps_arr, max_gap_seconds)
         return F.when(
             ok,
             F.struct(
@@ -510,7 +519,6 @@ def sessionize_capped(
     max_duration_minutes: int = 240,
     user_col: str = "user_id",
     ts_col: str = "ts",
-    tie_col: str = "event_id",
 ) -> DataFrame:
     """Sessionization with BOTH an inactivity gap and a maximum session
     duration (the Amplitude/GA4 rule): a new session starts when the
@@ -556,24 +564,22 @@ def sessionize_capped(
             F.concat(st["tags"], F.array(sid)).alias("tags"),
         )
 
+    # only the timestamp feeds the fold — equal-ts events get identical
+    # session assignment whatever their order, so no tie column rides
+    # along (it would double the per-user collect payload for nothing)
     per_user = (
         events.where(F.col(ts_col).isNotNull())
         .groupBy(user_col)
         .agg(
             F.array_sort(
-                F.collect_list(
-                    F.struct(
-                        F.unix_micros(F.col(ts_col)).alias("us"),
-                        F.col(tie_col).alias("tie"),
-                    )
-                )
+                F.collect_list(F.unix_micros(F.col(ts_col)))
             ).alias("_seq")
         )
         .select(
             F.col(user_col).alias("user_id"),
-            F.col("_seq.us").alias("_ts"),
+            F.col("_seq").alias("_ts"),
             F.aggregate(
-                "_seq", init, lambda st, ev: advance(st, ev["us"])
+                "_seq", init, lambda st, us: advance(st, us)
             )["tags"].alias("_tags"),
         )
     )

@@ -5068,3 +5068,44 @@ def test_attribute_multi_touch_credit_sums_exact(spark):
     assert out5 == {1: 400_000, 2: 66_666, 3: 66_666, 4: 66_666,
                     5: 400_000 + 200_000 - 3 * 66_666}
     assert sum(out5.values()) == 1_000_000
+
+
+def test_point_in_time_join_zero_length_interval_dropped(spark):
+    """Same-valid_from version churn (zero-length [t,t) intervals, the
+    scd2 shape for same-ts events) must not shadow the covering
+    version — review-confirmed repro: with the stale row first, the
+    asof tie previously carried it and reported unmatched."""
+    import datetime as dt
+
+    from flyq_spark.operators.cdc import point_in_time_join
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    for order in (0, 1):
+        rows = [
+            (1, t(10), t(10), "A"),       # zero-length stale churn
+            (1, t(10), None, "B"),        # covering current version
+        ]
+        if order:
+            rows = rows[::-1]
+        hist = spark.createDataFrame(
+            rows,
+            "user_id long, valid_from timestamp, valid_to timestamp, tier string",
+        )
+        q = spark.createDataFrame([(1, t(30))], "user_id long, ts timestamp")
+        r = point_in_time_join(q, hist, "user_id", "ts", ["tier"]).collect()[0]
+        assert (r["tier_pit"], r["pit_matched"]) == ("B", True), order
+
+
+def test_exact_global_quantiles_full_int64_range(spark):
+    """Values spanning more than half the int64 range: the strip
+    arithmetic must not overflow (review-confirmed ANSI crash before
+    the DECIMAL offset fix)."""
+    from flyq_spark.operators.profile import exact_global_quantiles
+
+    vals = [-(2**63), 2**63 - 1, 5, -7, 123456789]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = dict(exact_global_quantiles(df, "v", (200, 500, 990), branch=16))
+    present = sorted(vals)
+    n = len(present)
+    for q, val in got.items():
+        assert val == present[-(-q * n // 1000) - 1], (q, val)
