@@ -3511,6 +3511,119 @@ def q_attribution_multi_touch(spark, sf_dir):
     )
 
 
+def q_file_pruning(spark, sf_dir):
+    """Footer-stats data skipping audited END TO END
+    (operators/pruning.py): the gate WRITES a bucket-clustered copy of
+    events (one parquet file per event_id bucket), reads back ONLY the
+    parquet footers — distributed pyarrow metadata fetches via
+    mapInPandas, zero data pages — and reports each file's row count,
+    min/max envelope, and the skip verdict for
+    ``event_id BETWEEN 2500 AND 4499``. The oracle recomputes the same
+    envelopes from the raw rows, so a hash match proves footer stats ==
+    true stats AND the skip logic — the metadata path a 100 TB scan
+    plans by, priced at one footer read per file."""
+    import os
+    import tempfile
+
+    from flyq_spark.operators import pruning
+
+    ev = _read(spark, sf_dir, "events")
+    out = os.path.join(tempfile.mkdtemp(prefix="flyq_prune_"), "ds")
+    (
+        ev.select("event_id")
+        .withColumn("b", F.expr("event_id div 1000"))
+        .repartition(32, "b")
+        .write.partitionBy("b")
+        .parquet(out)
+    )
+    st = pruning.file_stats(spark, out, ["event_id"])
+    rep = pruning.skipping_report(st, "event_id", 2500, 4499)
+    return rep.select(
+        F.regexp_extract("file", r"b=(\d+)", 1).cast("long").alias("b"),
+        F.col("n_rows"),
+        F.col("event_id_min").alias("id_min"),
+        F.col("event_id_max").alias("id_max"),
+        "skipped",
+    )
+
+
+def q_corr_matrix(spark, sf_dir):
+    """Exact pairwise Pearson components over lineitem's bounded
+    numeric columns (operators/profile.py: corr_components): ONE
+    map-side-combined aggregation computes every sum and cross-moment,
+    a zero-shuffle explode unpivots the pairs; r is an exact integer
+    ratio cov_num / sqrt(var_x·var_y) the caller divides client-side.
+    Inputs pre-scaled to small integers (quantity units, discount/tax
+    cents) so n·Σxy stays far from 2^63 at any tested sf."""
+    from flyq_spark.operators.profile import corr_components
+
+    li = _read(spark, sf_dir, "lineitem")
+    return corr_components(
+        li,
+        {
+            "quantity": F.col("l_quantity").cast("long"),
+            "discount_c": F.round(F.col("l_discount") * 100, 0).cast("long"),
+            "tax_c": F.round(F.col("l_tax") * 100, 0).cast("long"),
+        },
+    )
+
+
+def q_activity_trend(spark, sf_dir):
+    """Per-type least-squares trend of DAILY event volume
+    (operators/timeseries.py: group_trend): daily pre-aggregation,
+    per-key x rebased to days-since-series-start (one bounded window
+    over calendar-sized rows, keeping n·Σxy « 2^63), then the 5-counter
+    trend groupBy. slope = slope_num / slope_den exactly; den = 0 would
+    flag a single-day series."""
+    from flyq_spark.operators.timeseries import group_trend
+
+    ev = _read(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("_d")
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    w = Window.partitionBy("event_type")
+    obs = daily.withColumn(
+        "_x", F.datediff(F.col("_d"), F.min("_d").over(w)).cast("long")
+    )
+    return group_trend(obs, ["event_type"], "_x", "_c")
+
+
+def q_dataset_digest(spark, sf_dir):
+    """Order-independent mergeable content digest of events
+    (operators/profile.py: dataset_digest) — the one-pass "are two
+    copies identical?" check for migrations/mirrors: 60-bit md5 row
+    hashes folded per bucket with XOR + modular sum, both commutative,
+    so the digest is partition-order-free and shard-mergeable. The
+    oracle replays the identical hash, so a match pins every row's
+    canonical serialization across engines."""
+    from flyq_spark.operators.profile import dataset_digest
+
+    ev = _read(spark, sf_dir, "events")
+    return dataset_digest(
+        ev,
+        {
+            "event_id": F.col("event_id"),
+            "ts_us": F.unix_micros(F.col("ts").cast("timestamp")),
+            "user_id": F.col("user_id"),
+            "event_type": F.col("event_type"),
+            "props": F.col("props"),
+        },
+        buckets=32,
+    )
+
+
+def q_cosine_pairs(spark, sf_dir):
+    """Weighted tf-cosine similarity join at t=0.8
+    (operators/dedup.py: cosine_pairs) — the frequency-aware member of
+    the similarity-join family (Jaccard/containment are set-blind).
+    Candidates via the integer-form L2 prefix filter (100% recall by
+    Cauchy-Schwarz); threshold test is dot²·den ≥ num·‖a‖²·‖b‖² in
+    longs, so the whole result hash-checks against the naive-join
+    oracle — 4262 pairs at sf0.01, id_a < id_b."""
+    docs = _read(spark, sf_dir, "documents")
+    return D.cosine_pairs(docs, min_cosine=0.8)
+
+
 _SYNTH_UNITS_CTE = """
 member AS (
   SELECT t.g, d.doc_id, d.text
@@ -3559,13 +3672,22 @@ _DRIVER_WINDOW = [
     # columns were explicitly pre-checked through the pandas hash path
     # in r6, MATCH) — all green on the driver's exact hash path in the
     # full local sweep
-    "join_preflight", "bloom_semi_prune", "fk_integrity",
-    "l_diversity", "winsorize_values", "attribution",
+    # (displaced to stay at the 50 cap when the five second-half rows
+    # below joined: fk_integrity, attribution, rollup_share,
+    # rolling_distinct_users, ab_test_counts — plain agg/window/md5-coin
+    # shapes whose siblings are driver-proven; all green on the exact
+    # hash path in the full local sweep)
+    "join_preflight", "bloom_semi_prune",
+    "l_diversity", "winsorize_values",
     "phrase_search", "lang_heavy_hitters", "multi_signal_components",
     "containment_pairs", "skew_split_join", "negative_samples",
-    "rollup_share", "rolling_distinct_users", "exact_global_quantiles",
-    "funnel_latency", "ab_test_counts", "feature_time_travel",
+    "exact_global_quantiles",
+    "funnel_latency", "feature_time_travel",
     "kmv_overlap", "attribution_multi_touch",
+    # r7 second half: footer-pruning audit, exact corr/trend/digest,
+    # weighted-cosine similarity join
+    "file_pruning", "corr_matrix", "activity_trend",
+    "dataset_digest", "cosine_pairs",
     # r5-proven rows kept to re-confirm the broad surface
     "neardup_blast_radius",
     # new in r6: paragraph dedup, rows-only→oracle conversions, and the
@@ -3749,6 +3871,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_time_travel": q_feature_time_travel,
         "kmv_overlap": q_kmv_overlap,
         "attribution_multi_touch": q_attribution_multi_touch,
+        # r7 second half: footer pruning, exact stats, digests, cosine
+        "file_pruning": q_file_pruning,
+        "corr_matrix": q_corr_matrix,
+        "activity_trend": q_activity_trend,
+        "dataset_digest": q_dataset_digest,
+        "cosine_pairs": q_cosine_pairs,
         "rfm_segments": q_rfm_segments,
         "incremental_retract": q_incremental_retract,
         "scd2_history": q_scd2_history,
@@ -6649,5 +6777,121 @@ WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
       < CAST(trunc(least(greatest(n_chars / 256.0, 0.0), 1.0)
                    * POWER(2, 60)) AS BIGINT)
 GROUP BY source
+""",
+        # the Spark side reads these envelopes from parquet FOOTERS of a
+        # bucket-clustered rewrite; the oracle recomputes them from raw
+        # rows — a hash match proves footer stats == true stats and the
+        # BETWEEN 2500 AND 4499 skip verdict.
+        "file_pruning": """
+SELECT CAST(event_id // 1000 AS BIGINT) AS b,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(event_id) AS BIGINT) AS id_min,
+       CAST(max(event_id) AS BIGINT) AS id_max,
+       (max(event_id) < 2500 OR min(event_id) > 4499) AS skipped
+FROM events GROUP BY 1
+""",
+        "corr_matrix": """
+WITH p AS (
+  SELECT CAST(l_quantity AS BIGINT) AS q,
+         CAST(round(l_discount * 100, 0) AS BIGINT) AS d,
+         CAST(round(l_tax * 100, 0) AS BIGINT) AS t
+  FROM lineitem
+),
+w AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(q) AS BIGINT) AS sq, CAST(sum(d) AS BIGINT) AS sd,
+         CAST(sum(t) AS BIGINT) AS st,
+         CAST(sum(q*q) AS BIGINT) AS qq, CAST(sum(d*d) AS BIGINT) AS dd,
+         CAST(sum(t*t) AS BIGINT) AS tt,
+         CAST(sum(q*d) AS BIGINT) AS qd, CAST(sum(q*t) AS BIGINT) AS qt,
+         CAST(sum(d*t) AS BIGINT) AS dt
+  FROM p
+)
+SELECT 'discount_c' AS col_x, 'quantity' AS col_y, n, sd AS sum_x, sq AS sum_y,
+       CAST(n*qd - sd*sq AS BIGINT) AS cov_num,
+       CAST(n*dd - sd*sd AS BIGINT) AS var_x_num,
+       CAST(n*qq - sq*sq AS BIGINT) AS var_y_num
+FROM w
+UNION ALL
+SELECT 'discount_c', 'tax_c', n, sd, st,
+       CAST(n*dt - sd*st AS BIGINT),
+       CAST(n*dd - sd*sd AS BIGINT),
+       CAST(n*tt - st*st AS BIGINT)
+FROM w
+UNION ALL
+SELECT 'quantity', 'tax_c', n, sq, st,
+       CAST(n*qt - sq*st AS BIGINT),
+       CAST(n*qq - sq*sq AS BIGINT),
+       CAST(n*tt - st*st AS BIGINT)
+FROM w
+""",
+        "activity_trend": """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+obs AS (
+  SELECT event_type,
+         CAST(datediff('day', min(d) OVER (PARTITION BY event_type), d)
+              AS BIGINT) AS x,
+         c
+  FROM daily
+),
+a AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(c) AS BIGINT) AS sum_y,
+         CAST(sum(x*c) AS BIGINT) AS sxy, CAST(sum(x*x) AS BIGINT) AS sxx
+  FROM obs GROUP BY 1
+)
+SELECT event_type, n, sum_x, sum_y,
+       CAST(n*sxy - sum_x*sum_y AS BIGINT) AS slope_num,
+       CAST(n*sxx - sum_x*sum_x AS BIGINT) AS slope_den
+FROM a
+""",
+        "dataset_digest": """
+WITH c AS (
+  SELECT concat_ws(chr(31),
+           coalesce(CAST(event_id AS VARCHAR), chr(0) || 'NULL'),
+           coalesce(CAST(epoch_us(ts) AS VARCHAR), chr(0) || 'NULL'),
+           coalesce(CAST(user_id AS VARCHAR), chr(0) || 'NULL'),
+           coalesce(event_type, chr(0) || 'NULL'),
+           coalesce(props, chr(0) || 'NULL')) AS s
+  FROM events
+),
+h AS (SELECT CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS h FROM c)
+SELECT CAST(h % 32 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(bit_xor(h) AS BIGINT) AS xor_h,
+       CAST(sum(h % 1000000007) % 1000000007 AS BIGINT) AS sum_mod
+FROM h GROUP BY 1
+""",
+        # naive all-pairs tf-cosine; the Spark side must find the exact
+        # same set via the L2 prefix filter (100% recall proof) and the
+        # same integer dot/norm values.
+        "cosine_pairs": """
+WITH tf AS (
+  SELECT doc_id, t AS term, CAST(count(*) AS BIGINT) AS tf
+  FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x <> '')) AS t
+    FROM documents
+  )
+  GROUP BY 1, 2
+),
+norms AS (
+  SELECT doc_id, CAST(sum(tf*tf) AS BIGINT) AS norm_sq FROM tf GROUP BY 1
+),
+dots AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(sum(a.tf*b.tf) AS BIGINT) AS dot
+  FROM tf a JOIN tf b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, dot, na.norm_sq AS norm_a, nb.norm_sq AS norm_b
+FROM dots
+JOIN norms na ON na.doc_id = id_a
+JOIN norms nb ON nb.doc_id = id_b
+WHERE dot*dot*25 >= 16*na.norm_sq*nb.norm_sq
 """,
     }

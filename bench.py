@@ -92,6 +92,12 @@ HEADLINE = [
     # r7 second half: fold sessionization, point-in-time feature join
     ("capped_sessions", False),
     ("feature_time_travel", False),
+    # r7 third batch: footer-pruning audit (write + metadata-only read),
+    # one-pass exact digests/corr, weighted-cosine similarity join
+    ("file_pruning", True),
+    ("dataset_digest", True),
+    ("corr_matrix", True),
+    ("cosine_pairs", False),
 ]
 
 

@@ -1304,3 +1304,118 @@ def containment_pairs(
         .select("id_a", "id_b", containment)
         .where(F.col("containment") >= min_containment)
     )
+
+
+def cosine_pairs(
+    df: DataFrame,
+    min_cosine: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """WEIGHTED cosine similarity join over term-frequency vectors —
+    the similarity the set-based family (Jaccard/containment) cannot
+    express: repetition counts. Two documents built from the same
+    vocabulary at very different frequencies are set-identical but
+    cosine-distant; near-verbatim copies are cosine-close even when a
+    few insertions shift every shingle.
+
+    Exactness: the threshold test is INTEGER end-to-end. With
+    t² = num/den (read from the decimal the caller wrote), a pair
+    qualifies iff ``dot² · den ≥ num · ‖a‖² · ‖b‖²`` over integer tf
+    — no sqrt, no float, so the result hash-checks against a naive
+    SQL oracle.
+
+    Candidates by the L2 prefix filter (Bayardo et al., WWW'07 "All
+    Pairs", integer form): order each document's terms by global
+    rarity (df asc, term asc); a term at rank r is in the prefix iff
+    the L2 mass from r onward could still carry a qualifying pair,
+    ``tail_sq(r) · den ≥ num · ‖x‖²`` (if a pair shares nothing in
+    x's prefix, dot ≤ ‖x_suffix‖·‖y‖ < t·‖x‖·‖y‖ by Cauchy-Schwarz —
+    recall is 100%). Prefix terms probe the FULL posting index via an
+    equi-join; cost is Σ_{prefix terms} df(t), and stopwords fall out
+    of prefixes naturally (huge df sorts them last; the rarity order
+    is exactly what bounds the candidate set at corpus scale).
+    Verification is one map-lookup fold per candidate — never
+    corpus × corpus, and the plan audit holds (no cartesian).
+
+    Output: (id_a, id_b, dot, norm_a, norm_b) with id_a < id_b;
+    cosine = dot / sqrt(norm_a·norm_b) is the caller's float to make.
+    """
+    from fractions import Fraction
+
+    if not 0.0 < min_cosine <= 1.0:
+        raise ValueError(f"min_cosine must be in (0, 1]: {min_cosine}")
+    t2 = Fraction(str(min_cosine)) ** 2
+    num, den = F.lit(t2.numerator).cast("long"), F.lit(t2.denominator).cast("long")
+
+    toks = (
+        fan_out(df)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.explode(
+                F.array_remove(F.split(F.lower(F.col(text_col)), "\\s+"), "")
+            ).alias("_t"),
+        )
+        .groupBy("_id", "_t")
+        .agg(F.count(F.lit(1)).cast("long").alias("_tf"))
+        .persist()  # df counts, prefix ranking, postings, verify maps
+    )
+    norms = toks.groupBy("_id").agg(
+        F.sum(F.col("_tf") * F.col("_tf")).alias("_norm_sq")
+    )
+    doc_freq = toks.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+    w = Window.partitionBy("_id").orderBy("_df", "_t")
+    ranked = (
+        toks.join(doc_freq, on="_t")
+        .join(norms, on="_id")
+        .withColumn(
+            "_cum_sq",
+            F.sum(F.col("_tf") * F.col("_tf")).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    # tail mass from this rank on: norm² − everything strictly before
+    tail_sq = F.col("_norm_sq") - F.col("_cum_sq") + F.col("_tf") * F.col("_tf")
+    prefix = ranked.where(tail_sq * den >= num * F.col("_norm_sq")).select(
+        F.col("_id").alias("id_a"), "_t"
+    )
+    postings = toks.select(F.col("_id").alias("id_b"), "_t")
+    cand = (
+        prefix.join(postings, on="_t")
+        .where(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    vecs = toks.groupBy("_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("_t", "_tf"))).alias("_m"),
+        F.sum(F.col("_tf") * F.col("_tf")).alias("_norm_sq"),
+    )
+    a = vecs.select(
+        F.col("_id").alias("id_a"),
+        F.col("_m").alias("_ma"),
+        F.col("_norm_sq").alias("norm_a"),
+    )
+    b = vecs.select(
+        F.col("_id").alias("id_b"),
+        F.col("_m").alias("_mb"),
+        F.col("_norm_sq").alias("norm_b"),
+    )
+    dot = F.aggregate(
+        F.map_entries(F.col("_ma")),
+        F.lit(0).cast("long"),
+        lambda acc, e: acc
+        + e.value * F.coalesce(F.element_at(F.col("_mb"), e.key), F.lit(0).cast("long")),
+    ).alias("dot")
+    return (
+        cand.join(a, on="id_a")
+        .join(b, on="id_b")
+        .select("id_a", "id_b", dot, "norm_a", "norm_b")
+        .where(
+            (F.col("dot") > 0)
+            & (F.col("dot") * F.col("dot") * den >= num * F.col("norm_a") * F.col("norm_b"))
+        )
+    )

@@ -489,3 +489,118 @@ def exact_global_quantiles(
     finally:
         # exception-safe: a failed pass must not pin the cache forever
         vals.unpersist()
+
+
+def dataset_digest(
+    df: DataFrame, cols: dict[str, Column], buckets: int = 64
+) -> DataFrame:
+    """Order-independent, MERGEABLE content digest of a table — the
+    one-pass answer to "are these two 100 TB copies identical?" after a
+    migration, mirror, or engine swap (the check ``mirror_topic`` and
+    ``import_flyq_dir`` callers want without a sort or a join).
+
+    Each row is canonicalized (caller-supplied engine-portable
+    expressions: integers/strings; NULL → a reserved sentinel) and
+    hashed to a 60-bit md5 integer; rows land in ``pmod(h, buckets)``
+    buckets; per bucket the digest keeps (n_rows, bit_xor of hashes,
+    sum of hashes mod 1e9+7). XOR and modular sum are commutative and
+    associative, so the digest is partition-order-independent and two
+    digests merge by XOR/adding bucket-wise — compare corpora shard by
+    shard without co-locating them. The modular sum rides in
+    DECIMAL(38,0) so no row count can overflow it (1e29 rows/bucket).
+
+    A multiset difference of even one row flips the XOR of its bucket
+    with probability 1 (single change) and colliding a *k*-row
+    difference requires simultaneous 60-bit collisions — detection is
+    certain for any single-row drift and ~2^-60 blind per further row.
+
+    Output: (bucket, n_rows, xor_h, sum_mod), ``buckets`` rows max.
+    """
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1: {buckets}")
+    parts = [
+        F.coalesce(expr.cast("string"), F.lit("\x00NULL")) for expr in cols.values()
+    ]
+    canon = F.concat_ws("\x1f", *parts)
+    h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
+    p = F.lit(1_000_000_007).cast("long")
+    return (
+        df.select(
+            F.pmod(h, F.lit(buckets)).cast("long").alias("bucket"),
+            h.alias("_h"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.expr("bit_xor(_h)").cast("long").alias("xor_h"),
+            (F.sum((F.col("_h") % p).cast("decimal(38,0)")) % p)
+            .cast("long")
+            .alias("sum_mod"),
+        )
+    )
+
+
+def corr_components(df: DataFrame, cols: dict[str, Column]) -> DataFrame:
+    """Pairwise Pearson-correlation COMPONENTS over integer-valued
+    expressions, exact end-to-end — the profiling matrix float
+    ``corr()`` cannot hash-check (double sums are partition-order-
+    dependent; these integer sums are associative, so the result is
+    THE answer, not an answer).
+
+    For every column pair (x, y), x < y lexicographically:
+    ``cov_num  = n·Σxy − Σx·Σy``  (covariance numerator · n)
+    ``var_x_num = n·Σx² − (Σx)²``, ``var_y_num`` likewise —
+    Pearson r = cov_num / sqrt(var_x_num · var_y_num), a client-side
+    division of exact integers. Rows with a NULL in ANY profiled
+    column are excluded (pairwise-complete-on-the-same-n, so the
+    matrix is internally consistent).
+
+    Scale shape: ONE full-scan aggregation computes every sum and
+    cross-moment (map-side combined, k(k+3)/2 counters), then a
+    zero-shuffle explode unpivots the 1-row result into pair rows.
+    Arithmetic is ANSI long — magnitudes must satisfy
+    n·Σx·y < 2^63; pre-scale inputs down (not up) accordingly, or the
+    overflow raises loudly rather than wrapping.
+    """
+    names = list(cols)
+    if len(names) < 2:
+        raise ValueError("corr_components needs at least two columns")
+    proj = df.select(*[expr.cast("long").alias(n) for n, expr in cols.items()])
+    cond = None
+    for n in names:
+        nn = F.col(n).isNotNull()
+        cond = nn if cond is None else (cond & nn)
+    proj = proj.where(cond)
+    aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
+    for i, a in enumerate(names):
+        aggs.append(F.sum(F.col(a)).alias(f"__s_{a}"))
+        for b in names[i:]:
+            aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"__q_{a}_{b}"))
+    wide = proj.agg(*aggs)
+    n = F.col("__n")
+    pair_structs = []
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            x, y = (a, b) if a < b else (b, a)
+            q_xy = F.col(f"__q_{a}_{b}")
+            pair_structs.append(
+                F.struct(
+                    F.lit(x).alias("col_x"),
+                    F.lit(y).alias("col_y"),
+                    n.alias("n"),
+                    F.col(f"__s_{x}").alias("sum_x"),
+                    F.col(f"__s_{y}").alias("sum_y"),
+                    (n * q_xy - F.col(f"__s_{x}") * F.col(f"__s_{y}")).alias(
+                        "cov_num"
+                    ),
+                    (n * F.col(f"__q_{x}_{x}") - F.col(f"__s_{x}") * F.col(f"__s_{x}")).alias(
+                        "var_x_num"
+                    ),
+                    (n * F.col(f"__q_{y}_{y}") - F.col(f"__s_{y}") * F.col(f"__s_{y}")).alias(
+                        "var_y_num"
+                    ),
+                )
+            )
+    return wide.select(
+        F.explode(F.array(*pair_structs)).alias("_p")
+    ).select("_p.*")

@@ -1,0 +1,172 @@
+"""File-level data-skipping statistics from parquet footers.
+
+The planning question a 100 TB table raises before every scan is
+"how many files does this predicate actually touch?" — the answer
+lives entirely in parquet footer metadata (per-row-group min/max and
+row counts), so it should never cost a data scan. Spark uses those
+stats internally for row-group pruning, but exposes no API to audit
+them; this operator reads ONLY footers, distributed across the
+cluster, and returns one row per file with the column's min/max
+envelope — the input for skip-rate reports, layout audits (is the
+table clustered on this column or are envelopes all overlapping?),
+and compaction decisions.
+
+Scale shape: the file listing is metadata-only; footer reads are
+fanned out via ``mapInPandas`` over the path list (millions of
+footers = millions of ~KB reads, embarrassingly parallel, no data
+pages touched). Nothing about the table's row count appears anywhere
+in the cost — a 100 TB table with 100k files costs 100k footer
+fetches, same as a 1 GB table with 100k files.
+
+Reference parity: FlyQ's sparse index (SURVEY §2 A6) answers point
+lookups from per-segment index entries; this is the analytic analog
+over parquet's native footer index.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def file_stats(
+    spark: SparkSession,
+    path: str,
+    columns: list[str],
+    glob: str = "*.parquet",
+    recursive: bool = True,
+) -> DataFrame:
+    """Per-file footer statistics for ``columns`` under ``path``.
+
+    Returns one row per parquet file: ``(file, n_rows, n_row_groups)``
+    — ``file`` is the path RELATIVE to ``path`` so hive-partition
+    directories stay visible — plus typed ``<col>_min``/``<col>_max``
+    columns for each requested column (footer min/max aggregated
+    across the file's row groups; NULL when any row group lacks stats
+    for the column — the conservative "cannot skip" signal).
+
+    Footer min/max for a column equal the file's true min/max (parquet
+    writers emit exact stats for the types Spark writes), so a report
+    built here is exact — pinned by the gate, whose oracle recomputes
+    the same envelopes from the raw rows.
+    """
+    import glob as _glob
+
+    pattern = os.path.join(path, "**", glob) if recursive else os.path.join(path, glob)
+    paths = sorted(
+        p
+        for p in _glob.glob(pattern, recursive=recursive)
+        if not os.path.basename(p).startswith((".", "_"))
+    )
+    if not paths:
+        raise ValueError(f"no parquet files match {pattern}")
+
+    cols = list(columns)
+    fields = [
+        T.StructField("file", T.StringType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("n_row_groups", T.LongType()),
+    ]
+    # Typed min/max per requested column, resolved from the parquet
+    # schema at read time (long/double/string/timestamp cover what the
+    # engine writes; others surface as strings).
+    probe_schema = _arrow_schema(paths[0])
+    out_types: dict[str, T.DataType] = {}
+    for c in cols:
+        out_types[c] = _spark_stat_type(probe_schema, c)
+        fields.append(T.StructField(f"{c}_min", out_types[c]))
+        fields.append(T.StructField(f"{c}_max", out_types[c]))
+    schema = T.StructType(fields)
+
+    path_df = spark.createDataFrame([(p,) for p in paths], "path string").repartition(
+        min(len(paths), spark.sparkContext.defaultParallelism)
+    )
+
+    root = path
+
+    def read_footers(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for p in pdf["path"]:
+                md = pq.ParquetFile(p).metadata
+                name_to_idx = {md.schema.column(i).path: i for i in range(md.num_columns)}
+                row: dict = {
+                    "file": os.path.relpath(p, root),
+                    "n_rows": md.num_rows,
+                    "n_row_groups": md.num_row_groups,
+                }
+                for c in cols:
+                    mn = mx = None
+                    ok = c in name_to_idx
+                    idx = name_to_idx.get(c)
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(idx).statistics if ok else None
+                        if st is None or not st.has_min_max:
+                            ok = False
+                            break
+                        lo, hi = _normalize(st.min), _normalize(st.max)
+                        mn = lo if mn is None or lo < mn else mn
+                        mx = hi if mx is None or hi > mx else mx
+                    row[f"{c}_min"] = mn if ok else None
+                    row[f"{c}_max"] = mx if ok else None
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return path_df.mapInPandas(read_footers, schema=schema)
+
+
+def skipping_report(
+    stats: DataFrame, column: str, lo, hi
+) -> DataFrame:
+    """Annotate ``file_stats`` output with the skip decision for
+    ``column BETWEEN lo AND hi``: a file is skipped iff its footer
+    envelope proves no row can match (``max < lo`` or ``min > hi``).
+    Files without stats are never skipped (conservative). Pure
+    projection — composes with any downstream aggregate (skip-rate,
+    rows-avoided) without another footer read."""
+    mn, mx = F.col(f"{column}_min"), F.col(f"{column}_max")
+    skipped = F.when(
+        mn.isNull() | mx.isNull(), F.lit(False)
+    ).otherwise((mx < F.lit(lo)) | (mn > F.lit(hi)))
+    return stats.withColumn("skipped", skipped)
+
+
+def _arrow_schema(path: str):
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).schema_arrow
+
+
+def _spark_stat_type(arrow_schema, col: str) -> T.DataType:
+    import pyarrow as pa
+
+    try:
+        t = arrow_schema.field(col).type
+    except KeyError:
+        return T.StringType()
+    if pa.types.is_integer(t):
+        return T.LongType()
+    if pa.types.is_floating(t):
+        return T.DoubleType()
+    if pa.types.is_timestamp(t):
+        return T.TimestampType()
+    return T.StringType()
+
+
+def _normalize(v):
+    """Footer stat values arrive as Python scalars; tz-aware
+    timestamps (isAdjustedToUTC) are converted to naive UTC so they
+    compare and render identically to Spark's session-local values."""
+    import datetime
+
+    if isinstance(v, datetime.datetime) and v.tzinfo is not None:
+        return v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    return v

@@ -384,3 +384,55 @@ def cusum_alarms(
         .where(F.col("alarm").isNotNull())
         .select(*keys, bucket_col, value_col, "s_pos", "s_neg", "alarm")
     )
+
+
+def group_trend(
+    df: DataFrame,
+    key_cols: list[str],
+    x_col: Column | str,
+    y_col: Column | str,
+) -> DataFrame:
+    """Per-key least-squares TREND over integer (x, y) observations,
+    exact end-to-end — "is this metric rising or falling, per key,
+    across a 100 TB history" as one aggregation.
+
+    Emits the closed-form slope as an exact integer ratio:
+    ``slope = slope_num / slope_den`` with
+    ``slope_num = n·Σxy − Σx·Σy`` and ``slope_den = n·Σx² − (Σx)²``
+    (slope_den = 0 ⟺ fewer than two distinct x — emitted as-is, the
+    caller's "no trend defined" signal; never divided here, so no
+    float and no divide-by-zero can appear). Intercept follows
+    client-side as (Σy·slope_den − slope_num·Σx) / (n·slope_den).
+
+    Scale shape: ONE map-side-combined groupBy over the observations —
+    five counters per key, no window, no sort, no second pass.
+    Arithmetic is ANSI long: rebase x near zero (e.g. days since the
+    series start, not epoch days) so n·Σx·y stays under 2^63 — an
+    overflow raises rather than wrap-signing the slope.
+    """
+    x = F.col(x_col).cast("long") if isinstance(x_col, str) else x_col.cast("long")
+    y = F.col(y_col).cast("long") if isinstance(y_col, str) else y_col.cast("long")
+    agg = (
+        df.select(*key_cols, x.alias("_x"), y.alias("_y"))
+        .where(F.col("_x").isNotNull() & F.col("_y").isNotNull())
+        .groupBy(*key_cols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("_x").alias("sum_x"),
+            F.sum("_y").alias("sum_y"),
+            F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+            F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        )
+    )
+    return agg.select(
+        *key_cols,
+        "n",
+        "sum_x",
+        "sum_y",
+        (F.col("n") * F.col("_sxy") - F.col("sum_x") * F.col("sum_y")).alias(
+            "slope_num"
+        ),
+        (F.col("n") * F.col("_sxx") - F.col("sum_x") * F.col("sum_x")).alias(
+            "slope_den"
+        ),
+    )

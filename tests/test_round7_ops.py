@@ -1,0 +1,360 @@
+"""Round-7 operators: footer-stats pruning, dataset digest, exact
+correlation components, per-key trend, weighted-cosine similarity join."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+# ------------------------------------------------------------------ #
+# pruning.file_stats / skipping_report
+# ------------------------------------------------------------------ #
+
+
+def _write_bucketed(spark, tmp_path, n=1000, bucket=100):
+    out = str(tmp_path / "ds")
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 7 % 1000).alias("v"),
+        F.expr(f"id div {bucket}").alias("b"),
+    )
+    df.repartition(32, "b").write.partitionBy("b").parquet(out)
+    return out
+
+
+def test_file_stats_match_true_minmax(spark, tmp_path):
+    from flyq_spark.operators import pruning
+
+    out = _write_bucketed(spark, tmp_path)
+    st = pruning.file_stats(spark, out, ["k", "v"])
+    rows = {r["file"]: r for r in st.collect()}
+    assert len(rows) == 10
+    truth = {
+        r["b"]: r
+        for r in spark.read.parquet(out)
+        .groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("kmin"),
+            F.max("k").alias("kmax"),
+            F.min("v").alias("vmin"),
+            F.max("v").alias("vmax"),
+        )
+        .collect()
+    }
+    for f, r in rows.items():
+        b = int(f.split("/")[0].split("=")[1])
+        t = truth[b]
+        assert r["n_rows"] == t["n"]
+        assert r["k_min"] == t["kmin"] and r["k_max"] == t["kmax"]
+        assert r["v_min"] == t["vmin"] and r["v_max"] == t["vmax"]
+
+
+def test_skipping_report_is_sound_and_tight(spark, tmp_path):
+    from flyq_spark.operators import pruning
+
+    out = _write_bucketed(spark, tmp_path)
+    st = pruning.file_stats(spark, out, ["k"])
+    rep = pruning.skipping_report(st, "k", 250, 449).collect()
+    # sound: skipped files contain NO matching row; tight on this
+    # k-clustered layout: every unskipped file DOES contain a match
+    skipped = {r["file"] for r in rep if r["skipped"]}
+    kept = {r["file"] for r in rep if not r["skipped"]}
+    assert len(skipped) == 7 and len(kept) == 3
+    df = spark.read.parquet(out).where((F.col("k") >= 250) & (F.col("k") <= 449))
+    assert df.count() == 200
+    # rows avoided = sum of skipped files' n_rows
+    assert sum(r["n_rows"] for r in rep if r["skipped"]) == 700
+
+
+def test_skipping_never_skips_without_stats(spark, tmp_path):
+    from flyq_spark.operators import pruning
+
+    out = _write_bucketed(spark, tmp_path)
+    st = pruning.file_stats(spark, out, ["nonexistent"])
+    rep = pruning.skipping_report(st, "nonexistent", 0, 1)
+    assert rep.where("skipped").count() == 0
+
+
+def test_file_stats_timestamp_stats(spark, tmp_path):
+    from flyq_spark.operators import pruning
+    from flyq_spark.io import read_table
+
+    ev = read_table(spark, SF_SMALL, "events")
+    out = str(tmp_path / "ts_ds")
+    ev.coalesce(2).write.parquet(out)
+    st = pruning.file_stats(spark, out, ["ts"]).collect()
+    lo = min(r["ts_min"] for r in st)
+    hi = max(r["ts_max"] for r in st)
+    truth = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    assert lo == truth[0] and hi == truth[1]
+
+
+# ------------------------------------------------------------------ #
+# profile.dataset_digest
+# ------------------------------------------------------------------ #
+
+
+def _digest_rows(spark, df, buckets=16):
+    from flyq_spark.operators.profile import dataset_digest
+
+    cols = {"k": F.col("k"), "s": F.col("s")}
+    return sorted(
+        tuple(r) for r in dataset_digest(df, cols, buckets=buckets).collect()
+    )
+
+
+def test_digest_partition_order_independent(spark):
+    base = spark.range(500).select(
+        F.col("id").alias("k"), F.md5(F.col("id").cast("string")).alias("s")
+    )
+    a = _digest_rows(spark, base.repartition(1))
+    b = _digest_rows(spark, base.repartition(13))
+    assert a == b
+
+
+def test_digest_detects_single_row_drift(spark):
+    base = spark.range(500).select(
+        F.col("id").alias("k"), F.md5(F.col("id").cast("string")).alias("s")
+    )
+    drifted = base.withColumn(
+        "s", F.when(F.col("k") == 123, F.lit("changed")).otherwise(F.col("s"))
+    )
+    assert _digest_rows(spark, base) != _digest_rows(spark, drifted)
+    # and a dropped row too
+    assert _digest_rows(spark, base) != _digest_rows(spark, base.where("k <> 7"))
+
+
+def test_digest_null_sentinel_distinguishes_null_from_text(spark):
+    a = spark.createDataFrame([(1, None)], "k long, s string")
+    b = spark.createDataFrame([(1, "\x00NULL")], "k long, s string")
+    # identical by concat_ws-with-skip semantics; the sentinel keeps them
+    # equal here BY DESIGN choice of sentinel — what must differ is null
+    # vs empty string
+    c = spark.createDataFrame([(1, "")], "k long, s string")
+    assert _digest_rows(spark, a) != _digest_rows(spark, c)
+    assert _digest_rows(spark, a) == _digest_rows(spark, b)  # documented collision
+
+
+def test_digest_merges_across_shards(spark):
+    from flyq_spark.operators.profile import dataset_digest
+
+    base = spark.range(400).select(
+        F.col("id").alias("k"), F.md5(F.col("id").cast("string")).alias("s")
+    )
+    cols = {"k": F.col("k"), "s": F.col("s")}
+    whole = {
+        r["bucket"]: r for r in dataset_digest(base, cols, buckets=8).collect()
+    }
+    p = 1_000_000_007
+    h1 = dataset_digest(base.where("k < 150"), cols, buckets=8).collect()
+    h2 = dataset_digest(base.where("k >= 150"), cols, buckets=8).collect()
+    merged: dict = {}
+    for r in list(h1) + list(h2):
+        m = merged.setdefault(r["bucket"], {"n": 0, "x": 0, "s": 0})
+        m["n"] += r["n_rows"]
+        m["x"] ^= r["xor_h"]
+        m["s"] = (m["s"] + r["sum_mod"]) % p
+    assert set(merged) == set(whole)
+    for b, m in merged.items():
+        w = whole[b]
+        assert (m["n"], m["x"], m["s"]) == (w["n_rows"], w["xor_h"], w["sum_mod"])
+
+
+# ------------------------------------------------------------------ #
+# profile.corr_components
+# ------------------------------------------------------------------ #
+
+
+def test_corr_components_match_python(spark):
+    from flyq_spark.operators.profile import corr_components
+
+    rng = random.Random(7)
+    data = [
+        (rng.randrange(0, 50), rng.randrange(-10, 10), rng.randrange(0, 5))
+        for _ in range(1000)
+    ]
+    df = spark.createDataFrame(data, "x long, y long, z long")
+    out = {
+        (r["col_x"], r["col_y"]): r
+        for r in corr_components(
+            df, {"x": F.col("x"), "y": F.col("y"), "z": F.col("z")}
+        ).collect()
+    }
+    import itertools
+
+    for a, b in itertools.combinations(sorted(["x", "y", "z"]), 2):
+        ia, ib = "xyz".index(a), "xyz".index(b)
+        n = len(data)
+        sx = sum(d[ia] for d in data)
+        sy = sum(d[ib] for d in data)
+        sxy = sum(d[ia] * d[ib] for d in data)
+        sxx = sum(d[ia] ** 2 for d in data)
+        syy = sum(d[ib] ** 2 for d in data)
+        r = out[(a, b)]
+        assert r["n"] == n and r["sum_x"] == sx and r["sum_y"] == sy
+        assert r["cov_num"] == n * sxy - sx * sy
+        assert r["var_x_num"] == n * sxx - sx * sx
+        assert r["var_y_num"] == n * syy - sy * sy
+        # sanity: the reconstructed float r matches statistics.correlation
+        if r["var_x_num"] and r["var_y_num"]:
+            import statistics
+
+            got = r["cov_num"] / math.sqrt(r["var_x_num"] * r["var_y_num"])
+            want = statistics.correlation(
+                [d[ia] for d in data], [d[ib] for d in data]
+            )
+            assert abs(got - want) < 1e-12
+
+
+def test_corr_components_null_rows_excluded(spark):
+    from flyq_spark.operators.profile import corr_components
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, None), (None, 4), (3, 6)], "x long, y long"
+    )
+    r = corr_components(df, {"x": F.col("x"), "y": F.col("y")}).collect()[0]
+    # only (1,2) and (3,6) survive
+    assert r["n"] == 2 and r["sum_x"] == 4 and r["sum_y"] == 8
+
+
+def test_corr_components_rejects_single_column(spark):
+    from flyq_spark.operators.profile import corr_components
+
+    with pytest.raises(ValueError):
+        corr_components(spark.range(3), {"x": F.col("id")})
+
+
+# ------------------------------------------------------------------ #
+# timeseries.group_trend
+# ------------------------------------------------------------------ #
+
+
+def test_group_trend_exact_slope(spark):
+    from flyq_spark.operators.timeseries import group_trend
+
+    # key a: perfect slope 3 (y = 3x + 1); key b: flat
+    rows = [("a", x, 3 * x + 1) for x in range(10)] + [
+        ("b", x, 42) for x in range(5)
+    ]
+    df = spark.createDataFrame(rows, "k string, x long, y long")
+    out = {r["k"]: r for r in group_trend(df, ["k"], "x", "y").collect()}
+    a = out["a"]
+    assert a["slope_den"] > 0 and a["slope_num"] == 3 * a["slope_den"]
+    b = out["b"]
+    assert b["slope_num"] == 0 and b["slope_den"] > 0
+
+
+def test_group_trend_single_x_no_trend(spark):
+    from flyq_spark.operators.timeseries import group_trend
+
+    df = spark.createDataFrame([("a", 5, 1), ("a", 5, 9)], "k string, x long, y long")
+    r = group_trend(df, ["k"], "x", "y").collect()[0]
+    assert r["slope_den"] == 0  # caller's "no trend defined" signal
+
+
+def test_group_trend_matches_least_squares(spark):
+    from flyq_spark.operators.timeseries import group_trend
+
+    rng = random.Random(11)
+    rows = [("k", x, rng.randrange(-100, 100)) for x in range(50)]
+    df = spark.createDataFrame(rows, "k string, x long, y long")
+    r = group_trend(df, ["k"], "x", "y").collect()[0]
+    xs = [x for _, x, _ in rows]
+    ys = [y for _, _, y in rows]
+    import statistics
+
+    want = statistics.linear_regression(xs, ys).slope
+    assert abs(r["slope_num"] / r["slope_den"] - want) < 1e-12
+
+
+# ------------------------------------------------------------------ #
+# dedup.cosine_pairs
+# ------------------------------------------------------------------ #
+
+
+def _naive_cosine_pairs(docs, t):
+    """Python model: exact tf-cosine over whitespace tokens."""
+    from collections import Counter
+
+    tf = {i: Counter(s.lower().split()) for i, s in docs}
+    norm = {i: sum(v * v for v in c.values()) for i, c in tf.items()}
+    out = set()
+    ids = sorted(tf)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = ids[i], ids[j]
+            if not norm[a] or not norm[b]:
+                continue
+            dot = sum(tf[a][k] * tf[b][k] for k in tf[a] if k in tf[b])
+            if dot > 0 and dot * dot >= t * t * norm[a] * norm[b] - 1e-9:
+                out.add((a, b, dot, norm[a], norm[b]))
+    return out
+
+
+def test_cosine_pairs_match_naive_model(spark):
+    from flyq_spark.operators.dedup import cosine_pairs
+
+    docs = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the mat today"),  # near-copy
+        (3, "the the the the cat"),  # same set as 5, different tf
+        (4, "dogs run fast in parks"),
+        (5, "the cat"),
+        (6, "cat the"),  # identical multiset to 5 → cosine 1
+        (7, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        tuple(r)
+        for r in cosine_pairs(df, min_cosine=0.8).collect()
+    }
+    want = _naive_cosine_pairs(docs, 0.8)
+    assert got == want
+    assert (5, 6, 2, 2, 2) in got  # identical multisets found
+    pair12 = [g for g in got if g[:2] == (1, 2)]
+    assert pair12  # near-copy found
+
+
+def test_cosine_pairs_randomized_vs_model(spark):
+    from flyq_spark.operators.dedup import cosine_pairs
+
+    rng = random.Random(3)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    for i in range(40):
+        n = rng.randrange(1, 25)
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    # inject guaranteed near-dups
+    docs.append((100, docs[0][1] + " extra"))
+    docs.append((101, docs[1][1]))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for t in (0.9, 0.75, 0.6):
+        got = {tuple(r) for r in cosine_pairs(df, min_cosine=t).collect()}
+        want = _naive_cosine_pairs(docs, t)
+        assert got == want, f"t={t}"
+
+
+def test_cosine_pairs_tf_sensitivity_vs_jaccard_blindness(spark):
+    from flyq_spark.operators.dedup import cosine_pairs
+
+    # same token SET, very different frequencies: Jaccard == 1 but
+    # cosine is far below 1 — the case this operator exists for
+    docs = [(1, "a b"), (2, "a a a a a a a a a b")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    assert cosine_pairs(df, min_cosine=0.95).count() == 0
+    assert cosine_pairs(df, min_cosine=0.5).count() == 1
+
+
+def test_cosine_pairs_rejects_bad_threshold(spark):
+    from flyq_spark.operators.dedup import cosine_pairs
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        cosine_pairs(df, min_cosine=0.0)
