@@ -3624,6 +3624,36 @@ def q_cosine_pairs(spark, sf_dir):
     return D.cosine_pairs(docs, min_cosine=0.8)
 
 
+def q_golden_record(spark, sf_dir):
+    """Field-level survivorship merge (operators/cdc.py:
+    golden_record) — the MDM golden record: per user, each field
+    independently keeps the value from the most recent row where it
+    was non-null (value only exists on purchases, props only on
+    clicks, so the survivors come from DIFFERENT rows — row-level
+    latest-wins would null them out). ONE map-side-combined groupBy:
+    per field, max(struct(ts_us, event_id, value)) over non-null
+    rows; no window, no sort, no join."""
+    from flyq_spark.operators.cdc import golden_record
+
+    ev = _read(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return golden_record(
+        ev.withColumn("_o", us),
+        ("user_id",),
+        ("_o", "event_id"),
+        {
+            "last_action": F.col("event_type"),
+            "last_purchase_milli": F.when(
+                F.col("event_type") == "purchase",
+                F.floor(F.col("value") * 1000).cast("long"),
+            ),
+            "last_click_props": F.when(
+                F.col("event_type") == "click", F.col("props")
+            ),
+        },
+    )
+
+
 _SYNTH_UNITS_CTE = """
 member AS (
   SELECT t.g, d.doc_id, d.text
@@ -3672,22 +3702,23 @@ _DRIVER_WINDOW = [
     # columns were explicitly pre-checked through the pandas hash path
     # in r6, MATCH) — all green on the driver's exact hash path in the
     # full local sweep
-    # (displaced to stay at the 50 cap when the five second-half rows
+    # (displaced to stay at the 50 cap when the six second-half rows
     # below joined: fk_integrity, attribution, rollup_share,
-    # rolling_distinct_users, ab_test_counts — plain agg/window/md5-coin
-    # shapes whose siblings are driver-proven; all green on the exact
-    # hash path in the full local sweep)
+    # rolling_distinct_users, ab_test_counts, l_diversity — plain
+    # agg/window/md5-coin shapes whose siblings are driver-proven
+    # (l_diversity's sibling k_anonymity stays in); all green on the
+    # exact hash path in the full local sweep)
     "join_preflight", "bloom_semi_prune",
-    "l_diversity", "winsorize_values",
+    "winsorize_values",
     "phrase_search", "lang_heavy_hitters", "multi_signal_components",
     "containment_pairs", "skew_split_join", "negative_samples",
     "exact_global_quantiles",
     "funnel_latency", "feature_time_travel",
     "kmv_overlap", "attribution_multi_touch",
     # r7 second half: footer-pruning audit, exact corr/trend/digest,
-    # weighted-cosine similarity join
+    # weighted-cosine similarity join, survivorship merge
     "file_pruning", "corr_matrix", "activity_trend",
-    "dataset_digest", "cosine_pairs",
+    "dataset_digest", "cosine_pairs", "golden_record",
     # r5-proven rows kept to re-confirm the broad surface
     "neardup_blast_radius",
     # new in r6: paragraph dedup, rows-only→oracle conversions, and the
@@ -3877,6 +3908,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "activity_trend": q_activity_trend,
         "dataset_digest": q_dataset_digest,
         "cosine_pairs": q_cosine_pairs,
+        "golden_record": q_golden_record,
         "rfm_segments": q_rfm_segments,
         "incremental_retract": q_incremental_retract,
         "scd2_history": q_scd2_history,
@@ -6893,5 +6925,23 @@ FROM dots
 JOIN norms na ON na.doc_id = id_a
 JOIN norms nb ON nb.doc_id = id_b
 WHERE dot*dot*25 >= 16*na.norm_sq*nb.norm_sq
+""",
+        # field-level survivorship: per field, max over (ts, event_id,
+        # value) structs of non-null rows — lexicographic struct
+        # comparison is identical on both engines, so the survivors
+        # hash-match exactly.
+        "golden_record": """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows,
+  (max(CASE WHEN event_type IS NOT NULL THEN
+     struct_pack(o := epoch_us(ts), t := event_id, v := event_type)
+   END)).v AS last_action,
+  (max(CASE WHEN event_type = 'purchase' THEN
+     struct_pack(o := epoch_us(ts), t := event_id,
+                 v := CAST(floor(value*1000) AS BIGINT))
+   END)).v AS last_purchase_milli,
+  (max(CASE WHEN event_type = 'click' THEN
+     struct_pack(o := epoch_us(ts), t := event_id, v := props)
+   END)).v AS last_click_props
+FROM events GROUP BY user_id
 """,
     }

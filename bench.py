@@ -93,11 +93,15 @@ HEADLINE = [
     ("capped_sessions", False),
     ("feature_time_travel", False),
     # r7 third batch: footer-pruning audit (write + metadata-only read),
-    # one-pass exact digests/corr, weighted-cosine similarity join
+    # one-pass exact digests/corr/survivorship. cosine_pairs is gated
+    # for correctness but NOT benched: the fixture corpus is templated
+    # at every n-gram granularity (unigram prefix df ≈ 3800/5000 docs),
+    # so a 100%-recall similarity join is inherently candidate-heavy
+    # there — see the operator docstring's rarity analysis.
     ("file_pruning", True),
     ("dataset_digest", True),
     ("corr_matrix", True),
-    ("cosine_pairs", False),
+    ("golden_record", False),
 ]
 
 

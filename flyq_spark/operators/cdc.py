@@ -240,3 +240,43 @@ def point_in_time_join(
     return out.withColumn("pit_matched", matched.cast("boolean")).drop(
         f"_vto{suffix}", f"_hit{suffix}"
     )
+
+
+def golden_record(
+    df: DataFrame,
+    key_cols: tuple[str, ...],
+    order_cols: tuple[str, ...],
+    fields: dict[str, "F.Column"],
+) -> DataFrame:
+    """FIELD-LEVEL survivorship merge — the MDM "golden record": one
+    row per key where EACH field independently carries the value from
+    the most recent row (by ``order_cols``, lexicographic) in which
+    that field was non-null. ``apply_changes`` is row-level
+    latest-wins; this is its column-level refinement — a sparse update
+    feed (every source system fills only its own columns) still
+    converges to a complete record instead of the latest row's nulls
+    clobbering older facts.
+
+    Scale shape: ONE map-side-combined groupBy — per field,
+    ``max(struct(order..., value))`` over rows where the field is
+    non-null (struct comparison is lexicographic, so the order columns
+    decide and the value rides along). No window, no sort, no join;
+    partial aggregation means each executor ships one candidate struct
+    per (key, field), not its rows. Order columns must be non-null and
+    totally ordering (add a unique tiebreaker like the event id —
+    otherwise ties resolve by the VALUE bytes, which is deterministic
+    but surprising).
+
+    Output: key_cols + one survivor column per field (NULL iff the
+    field was null in every row of the key) + ``n_rows``.
+    """
+    if not fields:
+        raise ValueError("golden_record needs at least one field")
+    ords = [F.col(c) for c in order_cols]
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for name, expr in fields.items():
+        tagged = F.when(
+            expr.isNotNull(), F.struct(*ords, expr.alias("_v"))
+        )
+        aggs.append(F.max(tagged).getField("_v").alias(name))
+    return df.groupBy(*key_cols).agg(*aggs)

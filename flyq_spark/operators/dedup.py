@@ -1311,6 +1311,7 @@ def cosine_pairs(
     min_cosine: float = 0.8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    ngram: int = 1,
 ) -> DataFrame:
     """WEIGHTED cosine similarity join over term-frequency vectors —
     the similarity the set-based family (Jaccard/containment) cannot
@@ -1338,6 +1339,17 @@ def cosine_pairs(
     Verification is one map-lookup fold per candidate — never
     corpus × corpus, and the plan audit holds (no cartesian).
 
+    ``ngram`` builds the tf vectors over word n-grams instead of
+    unigrams. The prefix filter's power is exactly the corpus's term
+    RARITY: over a small shared vocabulary (every unigram a de-facto
+    stopword) the candidate set degenerates toward all-pairs-sharing-
+    anything — measured on the fixture corpus at sf0.1, unigram
+    prefixes average df ≈ 3800 of 5000 docs and the candidate join
+    emits 10⁸ rows. Bigrams restore a Zipfian tail (order carries
+    information), so prefixes are genuinely rare and candidates
+    collapse by orders of magnitude; use ngram ≥ 2 whenever the
+    domain's unigram vocabulary is small.
+
     Output: (id_a, id_b, dot, norm_a, norm_b) with id_a < id_b;
     cosine = dot / sqrt(norm_a·norm_b) is the caller's float to make.
     """
@@ -1345,17 +1357,25 @@ def cosine_pairs(
 
     if not 0.0 < min_cosine <= 1.0:
         raise ValueError(f"min_cosine must be in (0, 1]: {min_cosine}")
+    if ngram < 1:
+        raise ValueError(f"ngram must be >= 1: {ngram}")
     t2 = Fraction(str(min_cosine)) ** 2
     num, den = F.lit(t2.numerator).cast("long"), F.lit(t2.denominator).cast("long")
 
+    arr = F.array_remove(F.split(F.lower(F.col(text_col)), "\\s+"), "")
+    if ngram > 1:
+        terms = F.when(
+            F.size(arr) >= ngram,
+            F.transform(
+                F.sequence(F.lit(1), F.size(arr) - (ngram - 1)),
+                lambda i: F.concat_ws(" ", F.slice(arr, i, ngram)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    else:
+        terms = arr
     toks = (
         fan_out(df)
-        .select(
-            F.col(id_col).alias("_id"),
-            F.explode(
-                F.array_remove(F.split(F.lower(F.col(text_col)), "\\s+"), "")
-            ).alias("_t"),
-        )
+        .select(F.col(id_col).alias("_id"), F.explode(terms).alias("_t"))
         .groupBy("_id", "_t")
         .agg(F.count(F.lit(1)).cast("long").alias("_tf"))
         .persist()  # df counts, prefix ranking, postings, verify maps

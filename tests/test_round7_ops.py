@@ -358,3 +358,130 @@ def test_cosine_pairs_rejects_bad_threshold(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         cosine_pairs(df, min_cosine=0.0)
+
+
+# ------------------------------------------------------------------ #
+# cdc.golden_record
+# ------------------------------------------------------------------ #
+
+
+def test_golden_record_field_level_survivorship(spark):
+    from flyq_spark.operators.cdc import golden_record
+
+    rows = [
+        # key, ord, tie, a, b
+        (1, 10, 1, "a1", None),
+        (1, 20, 2, None, "b1"),   # latest row: a is null — must NOT clobber
+        (2, 10, 3, None, None),
+        (3, 10, 4, "x", "y"),
+        (3, 10, 5, "x2", None),   # same ord: tie decides, a=x2 survives
+    ]
+    df = spark.createDataFrame(rows, "k long, o long, t long, a string, b string")
+    out = {
+        r["k"]: r
+        for r in golden_record(
+            df, ("k",), ("o", "t"), {"a": F.col("a"), "b": F.col("b")}
+        ).collect()
+    }
+    assert out[1]["a"] == "a1" and out[1]["b"] == "b1"
+    assert out[2]["a"] is None and out[2]["b"] is None and out[2]["n_rows"] == 1
+    assert out[3]["a"] == "x2" and out[3]["b"] == "y"
+
+
+def test_golden_record_matches_python_model(spark):
+    from flyq_spark.operators.cdc import golden_record
+
+    rng = random.Random(5)
+    rows = []
+    for i in range(2000):
+        rows.append(
+            (
+                rng.randrange(0, 50),
+                rng.randrange(0, 100),
+                i,
+                rng.choice([None, f"a{rng.randrange(5)}"]),
+                rng.choice([None, None, rng.randrange(1000)]),
+            )
+        )
+    df = spark.createDataFrame(rows, "k long, o long, t long, a string, b long")
+    got = {
+        r["k"]: (r["n_rows"], r["a"], r["b"])
+        for r in golden_record(
+            df, ("k",), ("o", "t"), {"a": F.col("a"), "b": F.col("b")}
+        ).collect()
+    }
+    model: dict = {}
+    for k, o, t, a, b in rows:
+        m = model.setdefault(k, {"n": 0, "a": None, "b": None})
+        m["n"] += 1
+        if a is not None and (m["a"] is None or (o, t) >= m["a"][0]):
+            m["a"] = ((o, t), a)
+        if b is not None and (m["b"] is None or (o, t) >= m["b"][0]):
+            m["b"] = ((o, t), b)
+    for k, m in model.items():
+        want = (m["n"], m["a"][1] if m["a"] else None, m["b"][1] if m["b"] else None)
+        assert got[k] == want, k
+
+
+def test_golden_record_idempotent_on_own_output(spark):
+    from flyq_spark.operators.cdc import golden_record
+
+    df = spark.createDataFrame(
+        [(1, 10, 1, "x"), (1, 20, 2, None)], "k long, o long, t long, a string"
+    )
+    first = golden_record(df, ("k",), ("o", "t"), {"a": F.col("a")})
+    # feed survivors back with a constant order: unchanged
+    again = golden_record(
+        first.select("k", F.lit(0).alias("o"), F.lit(0).alias("t"), "a"),
+        ("k",),
+        ("o", "t"),
+        {"a": F.col("a")},
+    )
+    assert [tuple(r) for r in first.select("k", "a").collect()] == [
+        tuple(r) for r in again.select("k", "a").collect()
+    ]
+
+
+def test_golden_record_rejects_no_fields(spark):
+    from flyq_spark.operators.cdc import golden_record
+
+    with pytest.raises(ValueError):
+        golden_record(spark.range(1), ("id",), ("id",), {})
+
+
+def test_cosine_pairs_ngram_matches_model(spark):
+    from collections import Counter
+
+    from flyq_spark.operators.dedup import cosine_pairs
+
+    docs = [
+        (1, "a b c d e f"),
+        (2, "a b c d e f g"),
+        (3, "f e d c b a"),  # same unigrams, DIFFERENT bigrams
+        (4, "x"),            # shorter than the gram: empty vector
+        (5, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {tuple(r) for r in cosine_pairs(df, min_cosine=0.6, ngram=2).collect()}
+
+    def grams(s):
+        w = s.lower().split()
+        return Counter(" ".join(w[i : i + 2]) for i in range(len(w) - 1))
+
+    tf = {i: grams(s) for i, s in docs}
+    norm = {i: sum(v * v for v in c.values()) for i, c in tf.items()}
+    want = set()
+    ids = sorted(tf)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = ids[i], ids[j]
+            if not norm[a] or not norm[b]:
+                continue
+            dot = sum(tf[a][k] * tf[b][k] for k in tf[a] if k in tf[b])
+            if dot > 0 and dot * dot * 25 >= 9 * norm[a] * norm[b]:
+                want.add((a, b, dot, norm[a], norm[b]))
+    assert got == want
+    # reversed doc shares unigrams with 1 but NO bigram: must be absent
+    assert not any(g[:2] == (1, 3) for g in got)
+    with pytest.raises(ValueError):
+        cosine_pairs(df, ngram=0)
