@@ -3654,6 +3654,33 @@ def q_golden_record(spark, sf_dir):
     )
 
 
+def q_digest_repair(spark, sf_dir):
+    """Anti-entropy drill-down (operators/profile.py:
+    digest_divergent_rows): a deterministically damaged copy of events
+    (10 rows dropped at event_id%1000==7, 13 rows corrupted at
+    event_id%777==13 at sf0.01) is compared to the original — digests
+    find the divergent buckets, then ONLY rows hashing into those
+    buckets are shuffled and multiset-diffed (healthy buckets never
+    cross the wire). Output: exactly the damage, with per-side
+    multiplicities."""
+    from flyq_spark.operators.profile import digest_divergent_rows
+
+    ev = _read(spark, sf_dir, "events")
+    cols = {
+        "event_id": F.col("event_id"),
+        "ts_us": F.unix_micros(F.col("ts").cast("timestamp")),
+        "user_id": F.col("user_id"),
+        "event_type": F.col("event_type"),
+    }
+    damaged = ev.where(F.col("event_id") % 1000 != 7).withColumn(
+        "event_type",
+        F.when(F.col("event_id") % 777 == 13, F.lit("corrupted")).otherwise(
+            F.col("event_type")
+        ),
+    )
+    return digest_divergent_rows(ev, damaged, cols, buckets=256)
+
+
 _SYNTH_UNITS_CTE = """
 member AS (
   SELECT t.g, d.doc_id, d.text
@@ -3702,23 +3729,25 @@ _DRIVER_WINDOW = [
     # columns were explicitly pre-checked through the pandas hash path
     # in r6, MATCH) — all green on the driver's exact hash path in the
     # full local sweep
-    # (displaced to stay at the 50 cap when the six second-half rows
+    # (displaced to stay at the 50 cap when the seven second-half rows
     # below joined: fk_integrity, attribution, rollup_share,
-    # rolling_distinct_users, ab_test_counts, l_diversity — plain
-    # agg/window/md5-coin shapes whose siblings are driver-proven
-    # (l_diversity's sibling k_anonymity stays in); all green on the
-    # exact hash path in the full local sweep)
+    # rolling_distinct_users, ab_test_counts, l_diversity,
+    # winsorize_values — plain agg/window/md5-coin/rank-clamp shapes
+    # whose siblings are driver-proven (k_anonymity and
+    # impute_group_stats stay in); all green on the exact hash path in
+    # the full local sweep)
     "join_preflight", "bloom_semi_prune",
-    "winsorize_values",
     "phrase_search", "lang_heavy_hitters", "multi_signal_components",
     "containment_pairs", "skew_split_join", "negative_samples",
     "exact_global_quantiles",
     "funnel_latency", "feature_time_travel",
     "kmv_overlap", "attribution_multi_touch",
     # r7 second half: footer-pruning audit, exact corr/trend/digest,
-    # weighted-cosine similarity join, survivorship merge
+    # weighted-cosine similarity join, survivorship merge, anti-entropy
+    # drill-down
     "file_pruning", "corr_matrix", "activity_trend",
     "dataset_digest", "cosine_pairs", "golden_record",
+    "digest_repair",
     # r5-proven rows kept to re-confirm the broad surface
     "neardup_blast_radius",
     # new in r6: paragraph dedup, rows-only→oracle conversions, and the
@@ -3909,6 +3938,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_digest": q_dataset_digest,
         "cosine_pairs": q_cosine_pairs,
         "golden_record": q_golden_record,
+        "digest_repair": q_digest_repair,
         "rfm_segments": q_rfm_segments,
         "incremental_retract": q_incremental_retract,
         "scd2_history": q_scd2_history,
@@ -6943,5 +6973,50 @@ SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows,
      struct_pack(o := epoch_us(ts), t := event_id, v := props)
    END)).v AS last_click_props
 FROM events GROUP BY user_id
+""",
+        # the bucket restriction is a COST optimization on the Spark
+        # side (only divergent buckets shuffle); the oracle computes the
+        # same semantic result — the multiset difference — directly,
+        # plus each row's md5 bucket for column parity.
+        "digest_repair": """
+WITH a AS (
+  SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type FROM events
+),
+b AS (
+  SELECT event_id, ts_us, user_id,
+         CASE WHEN event_id % 777 = 13 THEN 'corrupted'
+              ELSE event_type END AS event_type
+  FROM a WHERE event_id % 1000 <> 7
+),
+ga AS (
+  SELECT event_id, ts_us, user_id, event_type,
+         CAST(count(*) AS BIGINT) AS n_a
+  FROM a GROUP BY ALL
+),
+gb AS (
+  SELECT event_id, ts_us, user_id, event_type,
+         CAST(count(*) AS BIGINT) AS n_b
+  FROM b GROUP BY ALL
+),
+j AS (
+  SELECT coalesce(ga.event_id, gb.event_id) AS event_id,
+         coalesce(ga.ts_us, gb.ts_us) AS ts_us,
+         coalesce(ga.user_id, gb.user_id) AS user_id,
+         coalesce(ga.event_type, gb.event_type) AS event_type,
+         coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+  FROM ga FULL OUTER JOIN gb
+    ON ga.event_id IS NOT DISTINCT FROM gb.event_id
+   AND ga.ts_us IS NOT DISTINCT FROM gb.ts_us
+   AND ga.user_id IS NOT DISTINCT FROM gb.user_id
+   AND ga.event_type IS NOT DISTINCT FROM gb.event_type
+)
+SELECT CAST(CAST(concat('0x', substr(md5(concat_ws(chr(31),
+         coalesce(CAST(event_id AS VARCHAR), chr(0) || 'NULL'),
+         coalesce(CAST(ts_us AS VARCHAR), chr(0) || 'NULL'),
+         coalesce(CAST(user_id AS VARCHAR), chr(0) || 'NULL'),
+         coalesce(event_type, chr(0) || 'NULL'))), 1, 15)) AS BIGINT)
+       % 256 AS BIGINT) AS bucket,
+       event_id, ts_us, user_id, event_type, n_a, n_b
+FROM j WHERE n_a <> n_b
 """,
     }

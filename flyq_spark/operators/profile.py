@@ -604,3 +604,89 @@ def corr_components(df: DataFrame, cols: dict[str, Column]) -> DataFrame:
     return wide.select(
         F.explode(F.array(*pair_structs)).alias("_p")
     ).select("_p.*")
+
+
+def digest_divergent_rows(
+    a: DataFrame,
+    b: DataFrame,
+    cols: dict[str, Column],
+    buckets: int = 1024,
+) -> DataFrame:
+    """Anti-entropy DRILL-DOWN: given two copies of a table, return
+    the exact rows (as multisets) on which they differ — the repair
+    step after ``dataset_digest`` says two copies diverge.
+
+    Three stages, each honest about what it touches:
+    1. digest both sides (one full scan each, ``buckets`` rows out);
+    2. full-outer-compare the digests → the DIVERGENT bucket set
+       (bounded by ``buckets`` — model-sized, broadcastable);
+    3. re-scan both sides but SHUFFLE ONLY rows hashing into divergent
+       buckets (the semi-join filter runs map-side before any
+       exchange), group each side to (row-values → count), and
+       null-safe full-outer the two count tables. Healthy data never
+       crosses the wire: with b divergent buckets of B total, the
+       exchanged volume is ≈ (b/B)·|table|, the multiset-diff cost of
+       just the damage.
+
+    Output: one row per distinct differing row-value — the profiled
+    columns plus ``n_a``/``n_b`` multiplicities (0 = absent on that
+    side) and the bucket. Equal copies → empty result.
+    """
+    names = list(cols)
+
+    def side(df: DataFrame) -> DataFrame:
+        parts = [
+            F.coalesce(expr.cast("string"), F.lit("\x00NULL"))
+            for expr in cols.values()
+        ]
+        h = F.conv(
+            F.substring(F.md5(F.concat_ws("\x1f", *parts)), 1, 15), 16, 10
+        ).cast("long")
+        return df.select(
+            *[expr.alias(n) for n, expr in cols.items()],
+            F.pmod(h, F.lit(buckets)).cast("long").alias("bucket"),
+        )
+
+    dig_a = dataset_digest(a, cols, buckets=buckets).alias("da")
+    dig_b = dataset_digest(b, cols, buckets=buckets).alias("db")
+    joined = dig_a.join(
+        dig_b, F.col("da.bucket") == F.col("db.bucket"), "full_outer"
+    )
+    diverged = (
+        F.col("da.bucket").isNull()
+        | F.col("db.bucket").isNull()
+        | (F.col("da.n_rows") != F.col("db.n_rows"))
+        | (F.col("da.xor_h") != F.col("db.xor_h"))
+        | (F.col("da.sum_mod") != F.col("db.sum_mod"))
+    )
+    bad = joined.where(diverged).select(
+        F.coalesce(F.col("da.bucket"), F.col("db.bucket")).alias("bucket")
+    )
+
+    ga = (
+        side(a)
+        .join(F.broadcast(bad), on="bucket", how="left_semi")
+        .groupBy("bucket", *names)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_a"))
+        .alias("ra")
+    )
+    gb = (
+        side(b)
+        .join(F.broadcast(bad), on="bucket", how="left_semi")
+        .groupBy("bucket", *names)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_b"))
+        .alias("rb")
+    )
+    cond = F.col("ra.bucket") == F.col("rb.bucket")
+    for n in names:
+        cond = cond & F.col(f"ra.{n}").eqNullSafe(F.col(f"rb.{n}"))
+    out = ga.join(gb, cond, "full_outer").select(
+        F.coalesce(F.col("ra.bucket"), F.col("rb.bucket")).alias("bucket"),
+        *[
+            F.coalesce(F.col(f"ra.{n}"), F.col(f"rb.{n}")).alias(n)
+            for n in names
+        ],
+        F.coalesce(F.col("ra.n_a"), F.lit(0).cast("long")).alias("n_a"),
+        F.coalesce(F.col("rb.n_b"), F.lit(0).cast("long")).alias("n_b"),
+    )
+    return out.where(F.col("n_a") != F.col("n_b"))

@@ -485,3 +485,56 @@ def test_cosine_pairs_ngram_matches_model(spark):
     assert not any(g[:2] == (1, 3) for g in got)
     with pytest.raises(ValueError):
         cosine_pairs(df, ngram=0)
+
+
+# ------------------------------------------------------------------ #
+# profile.digest_divergent_rows
+# ------------------------------------------------------------------ #
+
+
+def _ddr(spark, a, b, buckets=32):
+    from flyq_spark.operators.profile import digest_divergent_rows
+
+    cols = {"k": F.col("k"), "s": F.col("s")}
+    return digest_divergent_rows(a, b, cols, buckets=buckets)
+
+
+def test_divergent_rows_equal_copies_empty(spark):
+    base = spark.range(300).select(
+        F.col("id").alias("k"), F.md5(F.col("id").cast("string")).alias("s")
+    )
+    assert _ddr(spark, base, base.repartition(7)).count() == 0
+
+
+def test_divergent_rows_finds_exact_damage(spark):
+    base = spark.range(300).select(
+        F.col("id").alias("k"), F.md5(F.col("id").cast("string")).alias("s")
+    )
+    b = base.where("k <> 17").withColumn(
+        "s", F.when(F.col("k") == 42, F.lit("corrupt")).otherwise(F.col("s"))
+    )
+    got = {(r["k"], r["s"]): (r["n_a"], r["n_b"]) for r in _ddr(spark, base, b).collect()}
+    import hashlib
+
+    s17 = hashlib.md5(b"17").hexdigest()
+    s42 = hashlib.md5(b"42").hexdigest()
+    assert got == {
+        (17, s17): (1, 0),       # dropped row
+        (42, s42): (1, 0),       # original of the corrupted row
+        (42, "corrupt"): (0, 1),  # its replacement
+    }
+
+
+def test_divergent_rows_multiset_counts(spark):
+    a = spark.createDataFrame([(1, "x"), (1, "x"), (2, "y")], "k long, s string")
+    b = spark.createDataFrame([(1, "x"), (2, "y"), (2, "y")], "k long, s string")
+    got = {(r["k"], r["s"]): (r["n_a"], r["n_b"]) for r in _ddr(spark, a, b).collect()}
+    assert got == {(1, "x"): (2, 1), (2, "y"): (1, 2)}
+
+
+def test_divergent_rows_null_values_match_null_safe(spark):
+    a = spark.createDataFrame([(1, None), (2, "v")], "k long, s string")
+    b = spark.createDataFrame([(1, None), (2, None)], "k long, s string")
+    got = {(r["k"], r["s"]): (r["n_a"], r["n_b"]) for r in _ddr(spark, a, b).collect()}
+    # (1, NULL) matches itself (null-safe) and does NOT appear
+    assert got == {(2, "v"): (1, 0), (2, None): (0, 1)}
