@@ -3681,6 +3681,28 @@ def q_digest_repair(spark, sf_dir):
     return digest_divergent_rows(ev, damaged, cols, buckets=256)
 
 
+def q_compaction_plan(spark, sf_dir):
+    """Small-file compaction planning (operators/pruning.py:
+    file_sizes + compaction_plan): events rewritten as 16 same-dir
+    files, then the deterministic FFD bin-packing plan at a 256 KiB
+    target — which files merge into which output file, decided from
+    metadata only (one stat() per file, per-directory parallel).
+    ROWS-ONLY by documented necessity: FFD is sequential per
+    directory (each placement depends on every earlier one), so it
+    has no SQL form; the packing is pinned against an independent
+    Python FFD model in pytest, and physical file sizes vary with
+    parquet encoder details, so values are not engine-portable."""
+    import os
+    import tempfile
+
+    from flyq_spark.operators.pruning import compaction_plan, file_sizes
+
+    ev = _read(spark, sf_dir, "events")
+    out = os.path.join(tempfile.mkdtemp(prefix="flyq_compact_"), "ds")
+    ev.repartition(16).write.parquet(out)
+    return compaction_plan(file_sizes(spark, out), target_bytes=256 * 1024)
+
+
 _SYNTH_UNITS_CTE = """
 member AS (
   SELECT t.g, d.doc_id, d.text
@@ -3977,6 +3999,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_prep_pipeline": q_corpus_prep_pipeline,
         "neardup_keep_best": q_neardup_keep_best,
         "simhash_md5_neardup": q_simhash_md5_neardup,
+        "compaction_plan": q_compaction_plan,
     }
 
 

@@ -170,3 +170,106 @@ def _normalize(v):
     if isinstance(v, bytes):
         return v.decode("utf-8", "replace")
     return v
+
+
+def file_sizes(
+    spark: SparkSession,
+    path: str,
+    glob: str = "*.parquet",
+    recursive: bool = True,
+) -> DataFrame:
+    """Per-file byte sizes under ``path``: (dir, file, bytes) with
+    ``dir`` relative to ``path`` ('' at the root) — the metadata input
+    for ``compaction_plan``. Distributed like ``file_stats``: the
+    listing is driver-side, the stat() calls fan out."""
+    import glob as _glob
+
+    pattern = os.path.join(path, "**", glob) if recursive else os.path.join(path, glob)
+    paths = sorted(
+        p
+        for p in _glob.glob(pattern, recursive=recursive)
+        if not os.path.basename(p).startswith((".", "_"))
+    )
+    if not paths:
+        raise ValueError(f"no parquet files match {pattern}")
+    root = path
+
+    path_df = spark.createDataFrame([(p,) for p in paths], "path string").repartition(
+        min(len(paths), spark.sparkContext.defaultParallelism)
+    )
+
+    def stat(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for p in pdf["path"]:
+                rel = os.path.relpath(p, root)
+                d = os.path.dirname(rel)
+                rows.append(
+                    {"dir": d, "file": os.path.basename(rel), "bytes": os.path.getsize(p)}
+                )
+            yield pd.DataFrame(rows, columns=["dir", "file", "bytes"])
+
+    return path_df.mapInPandas(stat, schema="dir string, file string, bytes long")
+
+
+def compaction_plan(sizes: DataFrame, target_bytes: int) -> DataFrame:
+    """Deterministic small-file compaction PLAN: first-fit-decreasing
+    bin packing of each directory's files into ~``target_bytes`` bins
+    — the "which small files merge into which output file" decision a
+    100 TB table's maintenance job makes before rewriting anything.
+
+    Per directory (hive partition), files sort by (bytes DESC, file
+    ASC) and each goes into the first bin it fits; a file at or above
+    the target keeps its own bin (never split). FFD is the classic
+    11/9·OPT + 1 guarantee, and the (size, name) sort makes the plan a
+    pure function of the listing — two runs over the same table
+    produce the identical plan, so the planner can be re-run
+    idempotently after a partial rewrite.
+
+    Scale shape: planning is metadata-only and per-directory parallel
+    (``applyInPandas`` keyed on dir); a directory's file LIST is the
+    only in-memory state, bounded by per-partition file counts, never
+    by data volume. Execution is the caller's (one read+write per bin;
+    the engine's ``compact_partition`` is the broker-log form).
+
+    Output: (dir, file, bytes, bin_id, bin_bytes, bin_files) — bin_id
+    dense per dir in packing order; bins with bin_files > 1 are the
+    merge work list, and n_files − n_bins is the file-count saving.
+    """
+    if target_bytes < 1:
+        raise ValueError(f"target_bytes must be >= 1: {target_bytes}")
+
+    def pack(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(
+            ["bytes", "file"], ascending=[False, True]
+        ).reset_index(drop=True)
+        bins: list = []  # (total, idx)
+        assign = []
+        for _, row in pdf.iterrows():
+            size = int(row["bytes"])
+            placed = None
+            if size < target_bytes:
+                for i, (tot, _idx) in enumerate(bins):
+                    if tot + size <= target_bytes:
+                        placed = i
+                        break
+            if placed is None:
+                bins.append([0, len(bins)])
+                placed = len(bins) - 1
+            bins[placed][0] += size
+            assign.append(placed)
+        pdf["bin_id"] = pd.Series(assign, dtype="int64")
+        totals = pdf.groupby("bin_id")["bytes"].agg(["sum", "count"])
+        pdf["bin_bytes"] = pdf["bin_id"].map(totals["sum"]).astype("int64")
+        pdf["bin_files"] = pdf["bin_id"].map(totals["count"]).astype("int64")
+        return pdf[["dir", "file", "bytes", "bin_id", "bin_bytes", "bin_files"]]
+
+    return sizes.groupBy("dir").applyInPandas(
+        pack,
+        schema="dir string, file string, bytes long, bin_id long, "
+        "bin_bytes long, bin_files long",
+    )

@@ -37,6 +37,9 @@ def test_queries_and_oracles_consistent():
         "ivf_tuning",
         # r7: the gap+max-duration session recurrence has no SQL form
         "capped_sessions",
+        # r7: FFD bin packing is sequential per directory (no SQL
+        # form) and physical file sizes are encoder-specific
+        "compaction_plan",
     }
 
 

@@ -538,3 +538,87 @@ def test_divergent_rows_null_values_match_null_safe(spark):
     got = {(r["k"], r["s"]): (r["n_a"], r["n_b"]) for r in _ddr(spark, a, b).collect()}
     # (1, NULL) matches itself (null-safe) and does NOT appear
     assert got == {(2, "v"): (1, 0), (2, None): (0, 1)}
+
+
+# ------------------------------------------------------------------ #
+# pruning.file_sizes / compaction_plan
+# ------------------------------------------------------------------ #
+
+
+def _ffd_model(files, target):
+    """Python reference: first-fit-decreasing, >=target files solo."""
+    order = sorted(files, key=lambda fs: (-fs[1], fs[0]))
+    bins, out = [], {}
+    for f, size in order:
+        placed = None
+        if size < target:
+            for i, tot in enumerate(bins):
+                if tot + size <= target:
+                    placed = i
+                    break
+        if placed is None:
+            bins.append(0)
+            placed = len(bins) - 1
+        bins[placed] += size
+        out[f] = placed
+    return out
+
+
+def test_compaction_plan_matches_ffd_model(spark):
+    from flyq_spark.operators.pruning import compaction_plan
+
+    rng = random.Random(9)
+    rows = [("d1", f"f{i:03d}", rng.randrange(1, 150)) for i in range(40)] + [
+        ("d2", f"g{i:03d}", rng.randrange(50, 400)) for i in range(20)
+    ]
+    sizes = spark.createDataFrame(rows, "dir string, file string, bytes long")
+    plan = compaction_plan(sizes, target_bytes=256).collect()
+    for d in ("d1", "d2"):
+        model = _ffd_model([(f, s) for dd, f, s in rows if dd == d], 256)
+        got = {r["file"]: r["bin_id"] for r in plan if r["dir"] == d}
+        assert got == model, d
+    # bin_bytes/bin_files are consistent
+    for r in plan:
+        same_bin = [
+            x for x in plan if x["dir"] == r["dir"] and x["bin_id"] == r["bin_id"]
+        ]
+        assert r["bin_bytes"] == sum(x["bytes"] for x in same_bin)
+        assert r["bin_files"] == len(same_bin)
+
+
+def test_compaction_plan_oversize_files_stay_solo(spark):
+    from flyq_spark.operators.pruning import compaction_plan
+
+    sizes = spark.createDataFrame(
+        [("", "big", 1000), ("", "a", 10), ("", "b", 10)],
+        "dir string, file string, bytes long",
+    )
+    plan = {r["file"]: r for r in compaction_plan(sizes, 100).collect()}
+    assert plan["big"]["bin_files"] == 1
+    assert plan["a"]["bin_id"] == plan["b"]["bin_id"]
+
+
+def test_compaction_plan_deterministic_and_dir_scoped(spark):
+    from flyq_spark.operators.pruning import compaction_plan
+
+    rows = [(f"d{i%3}", f"f{i:02d}", (i * 37) % 90 + 1) for i in range(30)]
+    sizes = spark.createDataFrame(rows, "dir string, file string, bytes long")
+    a = sorted(tuple(r) for r in compaction_plan(sizes, 128).collect())
+    b = sorted(
+        tuple(r) for r in compaction_plan(sizes.repartition(11), 128).collect()
+    )
+    assert a == b
+    with pytest.raises(ValueError):
+        compaction_plan(sizes, 0)
+
+
+def test_file_sizes_match_os_stat(spark, tmp_path):
+    import os
+
+    from flyq_spark.operators.pruning import file_sizes
+
+    out = _write_bucketed(spark, tmp_path)
+    got = {(r["dir"], r["file"]): r["bytes"] for r in file_sizes(spark, out).collect()}
+    assert len(got) == 10
+    for (d, f), size in got.items():
+        assert size == os.path.getsize(os.path.join(out, d, f))
