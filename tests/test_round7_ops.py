@@ -622,3 +622,54 @@ def test_file_sizes_match_os_stat(spark, tmp_path):
     assert len(got) == 10
     for (d, f), size in got.items():
         assert size == os.path.getsize(os.path.join(out, d, f))
+
+
+def test_digest_maintained_incrementally_over_stream(engine, spark, tmp_path):
+    """A running dataset digest is STREAM-maintainable: fold each
+    micro-batch's digest into the base with the (add, xor, modular
+    add) merge rule and the result equals the one-shot digest of the
+    whole topic — the streaming form of the migration-equality check
+    (per-batch cost is one summarize of the batch, never a rescan)."""
+    from flyq_spark.operators.profile import dataset_digest
+    from flyq_spark.streaming.source import read_stream
+    from tests.conftest import make_messages
+
+    engine.produce("dg", make_messages(40, key=b"k"))
+    cols = lambda: {  # noqa: E731
+        "offset": F.col("offset"),
+        "value": F.col("value").cast("string"),
+    }
+    p = 1_000_000_007
+    state: dict = {}
+
+    def fold(batch_df, batch_id):
+        for r in dataset_digest(batch_df, cols(), buckets=8).collect():
+            m = state.setdefault(r["bucket"], [0, 0, 0])
+            m[0] += r["n_rows"]
+            m[1] ^= r["xor_h"]
+            m[2] = (m[2] + r["sum_mod"]) % p
+
+    stream = read_stream(spark, engine.base_dir, "dg")
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # second tranche arrives; resume from the checkpoint
+    engine.produce("dg", make_messages(25, key=b"k2", ts0=1_700_000_100_000))
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    log = engine.log("dg")
+    whole = {
+        r["bucket"]: (r["n_rows"], r["xor_h"], r["sum_mod"])
+        for r in dataset_digest(log, cols(), buckets=8).collect()
+    }
+    assert {b: tuple(m) for b, m in state.items()} == whole
