@@ -3703,6 +3703,67 @@ def q_compaction_plan(spark, sf_dir):
     return compaction_plan(file_sizes(spark, out), target_bytes=256 * 1024)
 
 
+def q_weighted_percentiles(spark, sf_dir):
+    """Exact weighted quantiles (operators/profile.py:
+    weighted_quantiles): price-cents percentiles per returnflag where
+    each line item counts quantity-many times — the weighted inverted
+    CDF with the 1000·cum ≥ p·W integer reach test (no float, no
+    rounding mode). One key shuffle over distinct (flag, price) rows;
+    both windows share it."""
+    from flyq_spark.operators.profile import weighted_quantiles
+
+    li = _read(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("_pc"),
+        F.col("l_quantity").cast("long").alias("_q"),
+    )
+    return weighted_quantiles(
+        base, ("l_returnflag",), "_pc", "_q", [500, 900, 990]
+    )
+
+
+def q_zorder3_codes(spark, sf_dir):
+    """Three-dimensional Morton interleave (operators/layout.py:
+    morton_code_n) — the N-dim generalization of the r4 zorder_codes
+    gate: bit i of column j lands at position 3i+j, closed-form
+    shifted-bit-test sum, pure codegen'd projection. The companion
+    pruning proof (a filter on ANY of the three dims skips files of a
+    zorder_repartition_n layout, measured via pruning.file_stats) is
+    pinned in pytest."""
+    from flyq_spark.operators.layout import morton_code_n
+
+    ev = _read(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return ev.select(
+        "event_id",
+        morton_code_n(
+            [
+                F.col("user_id") % 64,
+                F.col("event_id") % 64,
+                F.call_function("div", us, F.lit(86_400_000_000)) % 64,
+            ],
+            bits=6,
+        ).alias("zcode3"),
+    )
+
+
+def _zorder3_oracle() -> str:
+    terms = []
+    exprs = [
+        "(user_id % 64)",
+        "(event_id % 64)",
+        "((epoch_us(ts) // 86400000000) % 64)",
+    ]
+    for i in range(6):
+        for j, e in enumerate(exprs):
+            terms.append(f"((({e} >> {i}) & 1) << {i * 3 + j})")
+    return (
+        "SELECT event_id, CAST(" + " + ".join(terms) + " AS BIGINT) AS zcode3\n"
+        "FROM events"
+    )
+
+
 _SYNTH_UNITS_CTE = """
 member AS (
   SELECT t.g, d.doc_id, d.text
@@ -3961,6 +4022,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_pairs": q_cosine_pairs,
         "golden_record": q_golden_record,
         "digest_repair": q_digest_repair,
+        "weighted_percentiles": q_weighted_percentiles,
+        "zorder3_codes": q_zorder3_codes,
         "rfm_segments": q_rfm_segments,
         "incremental_retract": q_incremental_retract,
         "scd2_history": q_scd2_history,
@@ -7042,4 +7105,25 @@ SELECT CAST(CAST(concat('0x', substr(md5(concat_ws(chr(31),
        event_id, ts_us, user_id, event_type, n_a, n_b
 FROM j WHERE n_a <> n_b
 """,
+        "weighted_percentiles": """
+WITH g AS (
+  SELECT l_returnflag, CAST(round(l_extendedprice*100, 0) AS BIGINT) AS v,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+  FROM lineitem GROUP BY 1, 2
+),
+c AS (
+  SELECT l_returnflag, v, w,
+         CAST(sum(w) OVER (PARTITION BY l_returnflag ORDER BY v)
+              AS BIGINT) AS cum,
+         CAST(sum(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tot
+  FROM g
+)
+SELECT l_returnflag,
+       CAST(min(CASE WHEN 1000*cum >= 500*tot THEN v END) AS BIGINT) AS p500,
+       CAST(min(CASE WHEN 1000*cum >= 900*tot THEN v END) AS BIGINT) AS p900,
+       CAST(min(CASE WHEN 1000*cum >= 990*tot THEN v END) AS BIGINT) AS p990,
+       CAST(max(tot) AS BIGINT) AS total_weight
+FROM c GROUP BY l_returnflag
+""",
+        "zorder3_codes": _zorder3_oracle(),
     }

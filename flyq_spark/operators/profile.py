@@ -690,3 +690,60 @@ def digest_divergent_rows(
         F.coalesce(F.col("rb.n_b"), F.lit(0).cast("long")).alias("n_b"),
     )
     return out.where(F.col("n_a") != F.col("n_b"))
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    key_cols: tuple[str, ...],
+    value_col: Column | str,
+    weight_col: Column | str,
+    probs_permille: list[int],
+) -> DataFrame:
+    """Exact WEIGHTED quantiles per key over integer values and
+    non-negative integer weights — "the median document length, where
+    each document counts its token weight" (mixture design over
+    weighted corpora; the unweighted form is corpus.length_percentiles).
+
+    Definition (weighted inverted CDF): the p‰ quantile is the
+    smallest value whose cumulative weight reaches ceil(p·W/1000) of
+    the key's total weight W. The reach test is pure integer cross-
+    multiplication — ``1000·cum ≥ p·W`` ⟺ cum ≥ ceil(p·W/1000) —
+    so no float and no rounding-mode trap anywhere, and the oracle
+    replays it verbatim.
+
+    Scale shape: weights pre-aggregate to one row per (key, DISTINCT
+    value) map-side; the cumulative and total windows share the one
+    key shuffle and its sort; a final per-key aggregation extracts
+    every requested quantile at once via min(value WHERE reached).
+    Cost is one shuffle over |distinct (key, value)| rows — bounded by
+    value cardinality, not row count.
+    """
+    if not probs_permille:
+        raise ValueError("probs_permille must be non-empty")
+    for p in probs_permille:
+        if not 0 < p <= 1000:
+            raise ValueError(f"probs_permille entries must be in (0, 1000]: {p}")
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    wt = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    keys = list(key_cols)
+    g = (
+        df.select(*keys, v.cast("long").alias("_v"), wt.cast("long").alias("_w"))
+        .where(F.col("_v").isNotNull() & (F.col("_w") > 0))
+        .groupBy(*keys, "_v")
+        .agg(F.sum("_w").alias("_w"))
+    )
+    wk = Window.partitionBy(*keys)
+    cum = (
+        g.withColumn("_cum", F.sum("_w").over(wk.orderBy("_v")))
+        .withColumn("_tot", F.sum("_w").over(wk))
+    )
+    aggs = []
+    for p in probs_permille:
+        reached = F.lit(1000).cast("long") * F.col("_cum") >= F.lit(p).cast(
+            "long"
+        ) * F.col("_tot")
+        aggs.append(
+            F.min(F.when(reached, F.col("_v"))).alias(f"p{p}")
+        )
+    aggs.append(F.max("_tot").alias("total_weight"))
+    return cum.groupBy(*keys).agg(*aggs)

@@ -673,3 +673,163 @@ def test_digest_maintained_incrementally_over_stream(engine, spark, tmp_path):
         for r in dataset_digest(log, cols(), buckets=8).collect()
     }
     assert {b: tuple(m) for b, m in state.items()} == whole
+
+
+# ------------------------------------------------------------------ #
+# layout.morton_code_n / zorder_repartition_n
+# ------------------------------------------------------------------ #
+
+
+def test_morton_n_reproduces_2d(spark):
+    from flyq_spark.operators.layout import morton_code, morton_code_n
+
+    df = spark.range(200).select(
+        (F.col("id") % 13).alias("x"), (F.col("id") % 7).alias("y")
+    )
+    got = df.select(
+        morton_code(F.col("x"), F.col("y"), 16).alias("a"),
+        morton_code_n([F.col("x"), F.col("y")], 16).alias("b"),
+    )
+    assert got.where("a <> b").count() == 0
+
+
+def test_morton_n_matches_python_reference(spark):
+    from flyq_spark.operators.layout import morton_code_n
+
+    def ref(vals, bits):
+        code = 0
+        k = len(vals)
+        for i in range(bits):
+            for j, v in enumerate(vals):
+                code |= ((v >> i) & 1) << (i * k + j)
+        return code
+
+    rows = [(i, (i * 7) % 32, (i * 13) % 32, (i * 29) % 32) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, x long, y long, z long")
+    got = {
+        r["id"]: r["c"]
+        for r in df.select(
+            "id", morton_code_n([F.col("x"), F.col("y"), F.col("z")], 5).alias("c")
+        ).collect()
+    }
+    for i, x, y, z in rows:
+        assert got[i] == ref([x, y, z], 5)
+
+
+def test_morton_n_validation(spark):
+    from flyq_spark.operators.layout import morton_code_n
+
+    with pytest.raises(ValueError):
+        morton_code_n([F.col("x")])
+    with pytest.raises(ValueError):
+        morton_code_n([F.col("x"), F.col("y"), F.col("z")], bits=22)  # 66 bits
+
+
+def test_zorder_n_prunes_on_all_three_dims(spark, tmp_path):
+    from flyq_spark.operators import pruning
+    from flyq_spark.operators.layout import zorder_repartition_n
+
+    n = 8192
+    df = spark.range(n).select(
+        (F.col("id") % 64).alias("x"),
+        (F.expr("id div 64") % 64).alias("y"),
+        (((F.col("id") * 2654435761) % 4294967296) % 64).alias("z"),
+    )
+    zdir = str(tmp_path / "z3")
+    zorder_repartition_n(df, ["x", "y", "z"], n_files=16, bits=6).write.parquet(zdir)
+    xdir = str(tmp_path / "xsort")
+    df.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(xdir)
+
+    def pruned(path, col):
+        st = pruning.file_stats(spark, path, [col])
+        rep = pruning.skipping_report(st, col, 0, 15)  # lowest quarter
+        rows = rep.collect()
+        return sum(r["skipped"] for r in rows), len(rows)
+
+    for c in ("x", "y", "z"):
+        skipped, total = pruned(zdir, c)
+        assert skipped > 0, f"z-ordered layout should prune on {c}"
+    # the single-column sort prunes on x but NOT on y
+    sx, _ = pruned(xdir, "x")
+    sy, _ = pruned(xdir, "y")
+    assert sx > 0 and sy == 0
+
+
+# ------------------------------------------------------------------ #
+# profile.weighted_quantiles
+# ------------------------------------------------------------------ #
+
+
+def _wq_model(rows, probs):
+    """Python reference: weighted inverted CDF per key."""
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: defaultdict(int))
+    for k, v, w in rows:
+        if w > 0:
+            agg[k][v] += w
+    out = {}
+    for k, vw in agg.items():
+        tot = sum(vw.values())
+        res = {}
+        for p in probs:
+            target = -(-p * tot // 1000)  # ceil
+            cum = 0
+            for v in sorted(vw):
+                cum += vw[v]
+                if cum >= target:
+                    res[p] = v
+                    break
+        out[k] = (res, tot)
+    return out
+
+
+def test_weighted_quantiles_match_model(spark):
+    from flyq_spark.operators.profile import weighted_quantiles
+
+    rng = random.Random(13)
+    rows = [
+        (f"k{i%4}", rng.randrange(-50, 50), rng.randrange(0, 9))
+        for i in range(3000)
+    ]
+    df = spark.createDataFrame(rows, "k string, v long, w long")
+    probs = [250, 500, 900, 1000]
+    got = {
+        r["k"]: r
+        for r in weighted_quantiles(df, ("k",), "v", "w", probs).collect()
+    }
+    model = _wq_model(rows, probs)
+    for k, (res, tot) in model.items():
+        r = got[k]
+        assert r["total_weight"] == tot
+        for p in probs:
+            assert r[f"p{p}"] == res[p], (k, p)
+
+
+def test_weighted_quantiles_unit_weights_are_plain_percentiles(spark):
+    from flyq_spark.operators.profile import weighted_quantiles
+
+    vals = list(range(1, 101))  # 1..100, uniform weight
+    df = spark.createDataFrame([("a", v, 1) for v in vals], "k string, v long, w long")
+    r = weighted_quantiles(df, ("k",), "v", "w", [500, 990]).collect()[0]
+    assert r["p500"] == 50 and r["p990"] == 99
+
+
+def test_weighted_quantiles_weight_shifts_the_median(spark):
+    from flyq_spark.operators.profile import weighted_quantiles
+
+    # values 1..10 but value 10 carries 90% of the weight
+    rows = [("a", v, 1) for v in range(1, 10)] + [("a", 10, 81)]
+    df = spark.createDataFrame(rows, "k string, v long, w long")
+    r = weighted_quantiles(df, ("k",), "v", "w", [500]).collect()[0]
+    assert r["p500"] == 10
+
+
+def test_weighted_quantiles_validation(spark):
+    from flyq_spark.operators.profile import weighted_quantiles
+
+    df = spark.createDataFrame([("a", 1, 1)], "k string, v long, w long")
+    with pytest.raises(ValueError):
+        weighted_quantiles(df, ("k",), "v", "w", [])
+    with pytest.raises(ValueError):
+        weighted_quantiles(df, ("k",), "v", "w", [0])
