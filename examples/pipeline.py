@@ -10,6 +10,7 @@ runs them:
            → mixture upweighting → context chunking
            → reproducible shuffle → sequence packing
            → tokenizer training (BPE on the final corpus) + token audit
+           → ship-integrity digest (mergeable corpus fingerprint)
 
 Every stage is one of the library operators (no logic lives here), so
 the pipeline inherits their scale shapes: projections stay zero-shuffle,
@@ -138,6 +139,24 @@ def build_training_corpus(
 
     negatives = negative_samples(train.select("doc_id"), k=2)
 
+    # 7. ship-integrity digest of the final packed corpus — the
+    #    order-independent mergeable fingerprint a consumer re-computes
+    #    after copying the corpus anywhere (bucket-wise equality ==
+    #    byte-level multiset equality of the rows; see
+    #    profile.digest_divergent_rows for the repair drill-down)
+    from flyq_spark.operators.profile import dataset_digest
+
+    corpus_digest = dataset_digest(
+        corpus,
+        {
+            "shard": F.col("shard"),
+            "pack_id": F.col("pack_id"),
+            "doc_id": F.col("doc_id"),
+            "text": F.col("text"),
+        },
+        buckets=64,
+    )
+
     return {
         "verdicts": verdicts,
         "cls_scores": cls_scores,
@@ -147,6 +166,7 @@ def build_training_corpus(
         "contamination": contamination,
         "affinity": affinity,
         "corpus": corpus,
+        "corpus_digest": corpus_digest,
         "bpe_merges": merges,
         "token_audit": token_audit,
     }
@@ -175,7 +195,11 @@ def main() -> None:
     aff = stages["affinity"].agg(
         F.sum("n_target_hits").alias("h"), F.sum("n_tokens").alias("t")
     ).first()
+    dg = stages["corpus_digest"].agg(
+        F.count(F.lit(1)).alias("b"), F.sum("n_rows").alias("n")
+    ).first()
     print(f"corpus: {n_docs} packed train docs")
+    print(f"digest: {dg['b']} buckets over {dg['n']} rows (mergeable fingerprint)")
     print(f"quality verdicts: {dropped}")
     print(f"en-domain affinity: {aff['h']}/{aff['t']} token hits")
     print(f"contamination: {leak['c']}/{leak['t']} test 8-grams seen in train")

@@ -131,6 +131,24 @@ def build_parser() -> argparse.ArgumentParser:
         "--limit", type=int, default=100, help="max rows printed (default 100)"
     )
     p = sub.add_parser(
+        "files",
+        help="per-file parquet footer stats under a path (metadata-only); "
+        "optionally a skip report for --column between --lo and --hi",
+    )
+    p.add_argument("path")
+    p.add_argument("--column", default=None)
+    p.add_argument("--lo", type=int, default=None)
+    p.add_argument("--hi", type=int, default=None)
+
+    p = sub.add_parser(
+        "compact-plan",
+        help="deterministic FFD small-file merge plan per directory "
+        "(metadata-only; execution is `maintain`/compact_partition)",
+    )
+    p.add_argument("path")
+    p.add_argument("--target-bytes", type=int, default=128 * 1024 * 1024)
+
+    p = sub.add_parser(
         "serve",
         help="run the FlyQ wire-protocol TCP server (A27) over this "
         "engine so stock-protocol clients can connect",
@@ -218,6 +236,27 @@ def run(args, engine) -> dict:
         return {"rows": [r.asDict(recursive=True) for r in rows]}
     if args.cmd == "repair":
         return {"meta": engine.repair_topic(args.topic)}
+    if args.cmd == "files":
+        from flyq_spark.operators import pruning
+
+        cols = [args.column] if args.column else []
+        st = pruning.file_stats(engine.spark, args.path, cols)
+        if args.column and args.lo is not None and args.hi is not None:
+            st = pruning.skipping_report(st, args.column, args.lo, args.hi)
+        return {"files": [r.asDict() for r in st.orderBy("file").collect()]}
+    if args.cmd == "compact-plan":
+        from flyq_spark.operators import pruning
+
+        plan = pruning.compaction_plan(
+            pruning.file_sizes(engine.spark, args.path), args.target_bytes
+        )
+        rows = plan.orderBy("dir", "bin_id", "file").collect()
+        n_bins = len({(r["dir"], r["bin_id"]) for r in rows})
+        return {
+            "n_files": len(rows),
+            "n_bins": n_bins,
+            "plan": [r.asDict() for r in rows],
+        }
     if args.cmd == "serve":
         from flyq_spark.server import FlyQServer
 

@@ -3118,6 +3118,13 @@ def test_pipeline_example_end_to_end(spark):
         for r in again["corpus"].select("doc_id", "shard", "pack_id").collect()
     )
     assert a == b
+    # the ship-integrity digest covers every corpus row and is itself
+    # deterministic (the stronger form of the assignment check above:
+    # it also pins the packed text bytes)
+    dg = sorted(tuple(r) for r in stages["corpus_digest"].collect())
+    assert sum(r[1] for r in dg) == len(corpus)
+    dg2 = sorted(tuple(r) for r in again["corpus_digest"].collect())
+    assert dg == dg2
 
 
 def test_source_overlap_matrix_accuracy_and_stability(spark):

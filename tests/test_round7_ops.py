@@ -833,3 +833,33 @@ def test_weighted_quantiles_validation(spark):
         weighted_quantiles(df, ("k",), "v", "w", [])
     with pytest.raises(ValueError):
         weighted_quantiles(df, ("k",), "v", "w", [0])
+
+
+def test_cli_files_and_compact_plan(engine, spark, tmp_path):
+    """`flyq files` prints footer envelopes (+skip verdicts) and
+    `flyq compact-plan` prints the FFD merge plan, both metadata-only."""
+    from flyq_spark.cli import build_parser, run
+
+    out = _write_bucketed(spark, tmp_path)
+    ap = build_parser()
+    base = ["--base-dir", engine.base_dir]
+    rep = run(
+        ap.parse_args(
+            base + ["files", out, "--column", "k", "--lo", "250", "--hi", "449"]
+        ),
+        engine,
+    )
+    assert len(rep["files"]) == 10
+    assert sum(1 for r in rep["files"] if r["skipped"]) == 7
+    assert all("k_min" in r and "n_rows" in r for r in rep["files"])
+
+    # packing is per DIRECTORY: the hive layout above has one file per
+    # dir (10 singleton bins); a flat dir of small files actually merges
+    flat = str(tmp_path / "flat")
+    spark.range(1000).repartition(10).write.parquet(flat)
+    plan = run(
+        ap.parse_args(base + ["compact-plan", flat, "--target-bytes", "1000000"]),
+        engine,
+    )
+    assert plan["n_files"] == 10
+    assert plan["n_bins"] < plan["n_files"]
