@@ -571,34 +571,39 @@ def corr_components(df: DataFrame, cols: dict[str, Column]) -> DataFrame:
         nn = F.col(n).isNotNull()
         cond = nn if cond is None else (cond & nn)
     proj = proj.where(cond)
+    # internal state aliases are INDEX-based: name-based composites like
+    # "__q_{a}_{b}" collide for underscore-bearing names (("x","y_z")
+    # and ("x_y","z") both yield __q_x_y_z)
+    idx = {a: i for i, a in enumerate(names)}
     aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
     for i, a in enumerate(names):
-        aggs.append(F.sum(F.col(a)).alias(f"__s_{a}"))
-        for b in names[i:]:
-            aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"__q_{a}_{b}"))
+        aggs.append(F.sum(F.col(a)).alias(f"__s_{i}"))
+        for j in range(i, len(names)):
+            aggs.append(
+                F.sum(F.col(a) * F.col(names[j])).alias(f"__q_{i}_{j}")
+            )
     wide = proj.agg(*aggs)
     n = F.col("__n")
+
+    def q(i: int, j: int):
+        return F.col(f"__q_{min(i, j)}_{max(i, j)}")
+
     pair_structs = []
-    for i, a in enumerate(names):
-        for b in names[i + 1 :]:
+    for a in names:
+        for b in names[idx[a] + 1 :]:
             x, y = (a, b) if a < b else (b, a)
-            q_xy = F.col(f"__q_{a}_{b}")
+            ix, iy = idx[x], idx[y]
+            sx, sy = F.col(f"__s_{ix}"), F.col(f"__s_{iy}")
             pair_structs.append(
                 F.struct(
                     F.lit(x).alias("col_x"),
                     F.lit(y).alias("col_y"),
                     n.alias("n"),
-                    F.col(f"__s_{x}").alias("sum_x"),
-                    F.col(f"__s_{y}").alias("sum_y"),
-                    (n * q_xy - F.col(f"__s_{x}") * F.col(f"__s_{y}")).alias(
-                        "cov_num"
-                    ),
-                    (n * F.col(f"__q_{x}_{x}") - F.col(f"__s_{x}") * F.col(f"__s_{x}")).alias(
-                        "var_x_num"
-                    ),
-                    (n * F.col(f"__q_{y}_{y}") - F.col(f"__s_{y}") * F.col(f"__s_{y}")).alias(
-                        "var_y_num"
-                    ),
+                    sx.alias("sum_x"),
+                    sy.alias("sum_y"),
+                    (n * q(ix, iy) - sx * sy).alias("cov_num"),
+                    (n * q(ix, ix) - sx * sx).alias("var_x_num"),
+                    (n * q(iy, iy) - sy * sy).alias("var_y_num"),
                 )
             )
     return wide.select(
@@ -661,7 +666,8 @@ def digest_divergent_rows(
     )
     bad = joined.where(diverged).select(
         F.coalesce(F.col("da.bucket"), F.col("db.bucket")).alias("bucket")
-    )
+    ).persist()  # two consumers (the a/b semi-joins); without this each
+    # join re-derives the bucket set and the digests run TWICE per side
 
     ga = (
         side(a)
@@ -726,8 +732,15 @@ def weighted_quantiles(
     v = F.col(value_col) if isinstance(value_col, str) else value_col
     wt = F.col(weight_col) if isinstance(weight_col, str) else weight_col
     keys = list(key_cols)
+    # a NEGATIVE weight silently corrupting a quantile is the classic
+    # quiet failure — raise per-row instead of filtering it away
+    # (zero weights legitimately drop: they cannot be reached)
+    w_checked = F.when(
+        wt.cast("long") < 0,
+        F.raise_error(F.lit("weighted_quantiles: negative weight")),
+    ).otherwise(wt.cast("long"))
     g = (
-        df.select(*keys, v.cast("long").alias("_v"), wt.cast("long").alias("_w"))
+        df.select(*keys, v.cast("long").alias("_v"), w_checked.alias("_w"))
         .where(F.col("_v").isNotNull() & (F.col("_w") > 0))
         .groupBy(*keys, "_v")
         .agg(F.sum("_w").alias("_w"))

@@ -863,3 +863,29 @@ def test_cli_files_and_compact_plan(engine, spark, tmp_path):
     )
     assert plan["n_files"] == 10
     assert plan["n_bins"] < plan["n_files"]
+
+
+def test_weighted_quantiles_negative_weight_raises(spark):
+    from flyq_spark.operators.profile import weighted_quantiles
+
+    df = spark.createDataFrame([("a", 1, 1), ("a", 2, -3)], "k string, v long, w long")
+    with pytest.raises(Exception, match="negative weight"):
+        weighted_quantiles(df, ("k",), "v", "w", [500]).collect()
+
+
+def test_corr_components_underscore_names_do_not_collide(spark):
+    from flyq_spark.operators.profile import corr_components
+
+    df = spark.createDataFrame(
+        [(1, 2, 3, 4)], "x long, y_z long, x_y long, z long"
+    )
+    out = corr_components(
+        df,
+        {
+            "x": F.col("x"),
+            "y_z": F.col("y_z"),
+            "x_y": F.col("x_y"),
+            "z": F.col("z"),
+        },
+    ).collect()
+    assert len(out) == 6  # 4 choose 2 — would crash/misbind on collision
