@@ -3764,6 +3764,59 @@ def _zorder3_oracle() -> str:
     )
 
 
+def q_join_size_est(spark, sf_dir):
+    """Sampled join-cardinality estimate (operators/joinaudit.py:
+    join_size_estimate): orders ⋈ customer preflighted on a
+    deterministic 1/16 md5 key sample — the residue filter drops
+    15/16 of BOTH inputs before any aggregation, and the scaled
+    estimate is exact integer arithmetic the oracle replays (even the
+    estimate hash-checks). The at-scale form of join_preflight."""
+    from flyq_spark.operators.joinaudit import join_size_estimate
+
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    return join_size_estimate(orders, cust, "o_custkey", "c_custkey", 16)
+
+
+def q_rank_normalize(spark, sf_dir):
+    """Percentile-rank normalization (operators/impute.py:
+    rank_normalize): per event type, each value's exact integer ppm
+    percent-rank ((rank−1)·1e6 div (n−1), RANK ties shared, NULLS
+    LAST so null rows never shift ranks) — the scale-free transform
+    for mixing scores from different cohorts. One key window."""
+    from flyq_spark.operators.impute import rank_normalize
+
+    ev = _read(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 1000).cast("long").alias("value_milli"),
+    )
+    return rank_normalize(base, ("event_type",), "value_milli")
+
+
+def q_debounce_events(spark, sf_dir):
+    """Telemetry debounce (operators/sessions.py: debounce_events):
+    per (user, event_type), drop events within 24 h of the previous
+    event in (ts, event_id) order — duplicate clicks and retry storms
+    collapse to their first beacon (3560 of 10000 fixture events drop
+    at sf0.01, so both branches carry real weight). Window-form gap (to the previous
+    event, kept or not — the kept-anchored variant is the
+    sessionize_capped fold); one key shuffle, exact micros."""
+    from flyq_spark.operators.sessions import debounce_events
+
+    ev = _read(spark, sf_dir, "events")
+    out = debounce_events(
+        ev, ("user_id", "event_type"), "ts", "event_id", 86400
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+    )
+
+
 _SYNTH_UNITS_CTE = """
 member AS (
   SELECT t.g, d.doc_id, d.text
@@ -4024,6 +4077,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "digest_repair": q_digest_repair,
         "weighted_percentiles": q_weighted_percentiles,
         "zorder3_codes": q_zorder3_codes,
+        "join_size_est": q_join_size_est,
+        "rank_normalize": q_rank_normalize,
+        "debounce_events": q_debounce_events,
         "rfm_segments": q_rfm_segments,
         "incremental_retract": q_incremental_retract,
         "scd2_history": q_scd2_history,
@@ -7126,4 +7182,53 @@ SELECT l_returnflag,
 FROM c GROUP BY l_returnflag
 """,
         "zorder3_codes": _zorder3_oracle(),
+        "join_size_est": """
+WITH lc AS (
+  SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS c FROM orders
+  WHERE CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))
+             AS BIGINT) % 16 = 0
+  GROUP BY 1
+),
+rc AS (
+  SELECT c_custkey AS k, CAST(count(*) AS BIGINT) AS c FROM customer
+  WHERE CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))
+             AS BIGINT) % 16 = 0
+  GROUP BY 1
+),
+p AS (SELECT lc.c * rc.c AS pr FROM lc JOIN rc USING (k))
+SELECT CAST(16 AS BIGINT) AS sample_den,
+       CAST(count(*) AS BIGINT) AS n_sampled_keys,
+       CAST(coalesce(sum(pr), 0) AS BIGINT) AS sampled_pairs,
+       CAST(16 * coalesce(sum(pr), 0) AS BIGINT) AS est_pairs
+FROM p
+""",
+        "rank_normalize": """
+WITH b AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * 1000) AS BIGINT) AS value_milli
+  FROM events
+)
+SELECT event_id, event_type, value_milli,
+       CASE
+         WHEN value_milli IS NULL THEN NULL
+         WHEN count(value_milli) OVER (PARTITION BY event_type) <= 1 THEN 0
+         ELSE CAST(((rank() OVER (PARTITION BY event_type
+                                  ORDER BY value_milli) - 1) * 1000000)
+                   // (count(value_milli) OVER (PARTITION BY event_type) - 1)
+                   AS BIGINT)
+       END AS rank_ppm
+FROM b
+""",
+        "debounce_events": """
+WITH b AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events
+),
+l AS (
+  SELECT *, lag(us) OVER (PARTITION BY user_id, event_type
+                          ORDER BY us, event_id) AS prev
+  FROM b
+)
+SELECT event_id, user_id, event_type, us AS ts_us
+FROM l WHERE prev IS NULL OR us - prev >= CAST(86400 AS BIGINT) * 1000000
+""",
     }

@@ -173,3 +173,45 @@ def winsorize(
     return out.withColumn(f"{value_col}_w", clamped).withColumn(
         "was_clamped", v.isNotNull() & (F.col(f"{value_col}_w") != v)
     )
+
+
+def rank_normalize(
+    df: DataFrame,
+    group_cols: tuple[str, ...],
+    value_col: str,
+    out_col: str = "rank_ppm",
+) -> DataFrame:
+    """Percentile-rank (quantile) normalization per group, exact
+    integer ppm — the scale-free transform that makes quality scores
+    from different sources comparable before mixing (a score of 7.3
+    from model A and 0.61 from model B both become "better than X ppm
+    of their own cohort").
+
+    Definition: SQL percent_rank as exact integers —
+    ``rank_ppm = (rank − 1) · 1,000,000 div (n − 1)`` with RANK ties
+    sharing a value (and a single-row group pinned to 0). No float
+    percent_rank appears, so results hash-check across engines.
+
+    Scale shape: one group-key window (rank) sharing its shuffle+sort
+    with the group-count window; NULL values pass through with NULL
+    rank. Group cardinality bounds the sort, the classic hot-key
+    caveat: for a single global group prefer
+    ``profile.exact_global_quantiles`` + a bucket join.
+    """
+    w = Window.partitionBy(*group_cols)
+    # NULLS LAST so null rows never shift non-null ranks (and DuckDB's
+    # default ORDER BY agrees, keeping the oracle replay verbatim)
+    rk = F.rank().over(w.orderBy(F.col(value_col).asc_nulls_last()))
+    n = F.count(F.when(F.col(value_col).isNotNull(), 1)).over(w)
+    ppm = F.when(
+        F.col(value_col).isNull(), F.lit(None).cast("long")
+    ).otherwise(
+        F.when(n <= 1, F.lit(0).cast("long")).otherwise(
+            F.call_function(
+                "div",
+                (rk.cast("long") - 1) * F.lit(1_000_000).cast("long"),
+                n.cast("long") - 1,
+            )
+        )
+    )
+    return df.withColumn(out_col, ppm)

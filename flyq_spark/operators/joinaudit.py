@@ -195,3 +195,63 @@ def skew_split_join(
     hot_path = big_hot.join(F.broadcast(dim_hot), on=big_on)
     cold_path = big_cold.join(dim_keyed, on=big_on)
     return hot_path.unionByName(cold_path)
+
+
+def join_size_estimate(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str | None = None,
+    sample_den: int = 64,
+) -> DataFrame:
+    """SAMPLED join-cardinality estimate — ``join_preflight`` priced
+    for 100 TB inputs: instead of counting every key on both sides,
+    keep only keys whose 60-bit md5 lands in residue 0 mod
+    ``sample_den`` (a deterministic 1/den COORDINATED key sample —
+    the same keys survive on both sides, so the sampled join is a
+    true sub-join) and scale the exact sampled pair count back up.
+
+    The estimator is unbiased over the key-hash draw
+    (E[den·X] = true size) and EXACT integer arithmetic end to end:
+    est_pairs = den · Σ_{sampled k} cnt_l(k)·cnt_r(k). Every number
+    is replayable by an engine that computes the same md5, so even
+    the "estimate" hash-checks. Accuracy is the usual key-sampling
+    trade: heavy keys are either in the sample (fully counted) or
+    not, so variance is driven by the largest keys — when the
+    preflight's job is skew DETECTION, run it at den=1 on the
+    suspect keys (that is exactly ``join_preflight``).
+
+    Scale shape: the residue filter is a zero-shuffle projection
+    that drops (den−1)/den of both inputs BEFORE the per-key count
+    aggregations; everything downstream costs 1/den of the exact
+    preflight. Output: one row (sample_den, n_sampled_keys,
+    sampled_pairs, est_pairs).
+    """
+    if sample_den < 1:
+        raise ValueError(f"sample_den must be >= 1: {sample_den}")
+    right_on = right_on or left_on
+
+    def sampled_counts(df: DataFrame, col: str) -> DataFrame:
+        h = F.conv(
+            F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        return (
+            df.select(F.col(col).alias("_k"), h.alias("_h"))
+            .where(F.col("_h") % F.lit(sample_den) == 0)
+            .groupBy("_k")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+
+    lc = sampled_counts(left, left_on)
+    rc = sampled_counts(right, right_on)
+    pairs = lc.join(rc.withColumnRenamed("_c", "_c2"), on="_k").select(
+        (F.col("_c") * F.col("_c2")).alias("_p")
+    )
+    return pairs.agg(
+        F.lit(sample_den).cast("long").alias("sample_den"),
+        F.count(F.lit(1)).cast("long").alias("n_sampled_keys"),
+        F.coalesce(F.sum("_p"), F.lit(0)).cast("long").alias("sampled_pairs"),
+        (F.lit(sample_den) * F.coalesce(F.sum("_p"), F.lit(0)))
+        .cast("long")
+        .alias("est_pairs"),
+    )

@@ -673,3 +673,34 @@ def attribute_multi_touch(
         "touch_rank",
         credit.alias("credit_ppm"),
     )
+
+
+def debounce_events(
+    df: DataFrame,
+    key_cols: tuple[str, ...],
+    ts_col: str,
+    tie_col: str,
+    min_gap_s: int,
+) -> DataFrame:
+    """Telemetry debounce: per key, drop an event arriving within
+    ``min_gap_s`` seconds of the PREVIOUS event (duplicate clicks,
+    retry storms, double-fired beacons). The gap is measured to the
+    immediately preceding event in (ts, tie) order — a bursty run
+    collapses to its first event plus any event that follows a
+    quiet gap, the standard lag-window debounce.
+
+    (The stricter variant — measure the gap to the previous KEPT
+    event — is a fold recurrence like ``sessionize_capped`` and has
+    no window form; use that operator's pattern when re-anchoring on
+    survivors matters. This window form is exactly SQL-replayable.)
+
+    One key-shuffle window; exact integer microsecond arithmetic.
+    Output: the surviving rows (all original columns).
+    """
+    if min_gap_s <= 0:
+        raise ValueError(f"min_gap_s must be positive: {min_gap_s}")
+    w = Window.partitionBy(*key_cols).orderBy(ts_col, tie_col)
+    us = F.unix_micros(F.col(ts_col))
+    prev = F.lag(us).over(w)
+    keep = prev.isNull() | (us - prev >= F.lit(min_gap_s).cast("long") * 1_000_000)
+    return df.withColumn("_keep", keep).where(F.col("_keep")).drop("_keep")

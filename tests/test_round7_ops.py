@@ -889,3 +889,131 @@ def test_corr_components_underscore_names_do_not_collide(spark):
         },
     ).collect()
     assert len(out) == 6  # 4 choose 2 — would crash/misbind on collision
+
+
+# ------------------------------------------------------------------ #
+# joinaudit.join_size_estimate
+# ------------------------------------------------------------------ #
+
+
+def test_join_size_estimate_den1_is_exact(spark):
+    from flyq_spark.operators.joinaudit import join_size_estimate
+
+    rng = random.Random(21)
+    left = spark.createDataFrame(
+        [(rng.randrange(0, 40),) for _ in range(500)], "k long"
+    )
+    right = spark.createDataFrame(
+        [(rng.randrange(0, 40),) for _ in range(300)], "k long"
+    )
+    est = join_size_estimate(left, right, "k", sample_den=1).collect()[0]
+    exact = left.join(right, on="k").count()
+    assert est["est_pairs"] == est["sampled_pairs"] == exact
+
+
+def test_join_size_estimate_sampled_is_scaled_subjoin(spark):
+    from flyq_spark.operators.joinaudit import join_size_estimate
+
+    left = spark.createDataFrame([(i % 200,) for i in range(2000)], "k long")
+    right = spark.createDataFrame([(i % 200,) for i in range(1000)], "k long")
+    est = join_size_estimate(left, right, "k", sample_den=8).collect()[0]
+    # uniform 200 keys at 1/8 inclusion: the estimate must be in the
+    # right ballpark of the exact 2000*1000/200*... = 10 * 1000 pairs
+    exact = left.join(right, on="k").count()
+    assert est["sample_den"] == 8
+    assert 0 < est["n_sampled_keys"] < 200
+    assert est["est_pairs"] == 8 * est["sampled_pairs"]
+    assert exact / 4 <= est["est_pairs"] <= exact * 4
+    with pytest.raises(ValueError):
+        join_size_estimate(left, right, "k", sample_den=0)
+
+
+def test_join_size_estimate_empty_sample_is_zero(spark):
+    from flyq_spark.operators.joinaudit import join_size_estimate
+
+    left = spark.createDataFrame([(1,)], "k long")
+    right = spark.createDataFrame([(2,)], "k long")
+    est = join_size_estimate(left, right, "k", sample_den=1).collect()[0]
+    assert est["sampled_pairs"] == 0 and est["est_pairs"] == 0
+
+
+# ------------------------------------------------------------------ #
+# impute.rank_normalize
+# ------------------------------------------------------------------ #
+
+
+def test_rank_normalize_model(spark):
+    from flyq_spark.operators.impute import rank_normalize
+
+    rows = [("a", 10), ("a", 20), ("a", 20), ("a", 40), ("b", 5), ("c", None)]
+    df = spark.createDataFrame(rows, "g string, v int")
+    got = {
+        (r["g"], r["v"], i): r["rank_ppm"]
+        for i, r in enumerate(
+            rank_normalize(df, ("g",), "v").orderBy("g", "v").collect()
+        )
+    }
+    vals = sorted(v for (g, v, _), _ in got.items() if g == "a")
+    out = rank_normalize(df, ("g",), "v").collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["g"], []).append((r["v"], r["rank_ppm"]))
+    a = dict((v, p) for v, p in by["a"])
+    # n=4: ranks 1,2,2,4 -> ppm 0, 333333, 333333, 1000000
+    assert a[10] == 0 and a[20] == 333333 and a[40] == 1000000
+    assert by["b"] == [(5, 0)]  # single-row group pins to 0
+    assert by["c"] == [(None, None)]  # NULL passes through
+
+
+def test_rank_normalize_nulls_do_not_shift_ranks(spark):
+    from flyq_spark.operators.impute import rank_normalize
+
+    df = spark.createDataFrame(
+        [("a", None), ("a", 1), ("a", 2)], "g string, v int"
+    )
+    out = {r["v"]: r["rank_ppm"] for r in rank_normalize(df, ("g",), "v").collect()}
+    assert out[1] == 0 and out[2] == 1_000_000 and out[None] is None
+
+
+# ------------------------------------------------------------------ #
+# sessions.debounce_events
+# ------------------------------------------------------------------ #
+
+
+def test_debounce_collapses_bursts(spark):
+    import datetime
+
+    from flyq_spark.operators.sessions import debounce_events
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def at(s):
+        return t0 + datetime.timedelta(seconds=s)
+
+    rows = [
+        (1, at(0), 1),    # kept (first)
+        (1, at(2), 2),    # dropped (<5s after previous)
+        (1, at(4), 3),    # dropped (<5s after #2 — window form measures
+                          # to the previous EVENT, kept or not)
+        (1, at(9), 4),    # kept (5s after #3)
+        (1, at(9), 5),    # dropped (same ts, tie order)
+        (2, at(0), 6),    # kept (other key)
+    ]
+    df = spark.createDataFrame(rows, "u long, ts timestamp, id long")
+    kept = sorted(
+        r["id"] for r in debounce_events(df, ("u",), "ts", "id", 5).collect()
+    )
+    assert kept == [1, 4, 6]
+    with pytest.raises(ValueError):
+        debounce_events(df, ("u",), "ts", "id", 0)
+
+
+def test_debounce_boundary_gap_is_kept(spark):
+    import datetime
+
+    from flyq_spark.operators.sessions import debounce_events
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [(1, t0, 1), (1, t0 + datetime.timedelta(seconds=5), 2)]
+    df = spark.createDataFrame(rows, "u long, ts timestamp, id long")
+    assert debounce_events(df, ("u",), "ts", "id", 5).count() == 2
