@@ -270,13 +270,55 @@ def golden_record(
     Output: key_cols + one survivor column per field (NULL iff the
     field was null in every row of the key) + ``n_rows``.
     """
+    return golden_record_finalize(
+        golden_record_state(df, key_cols, order_cols, fields), list(fields)
+    )
+
+
+def golden_record_state(
+    df: DataFrame,
+    key_cols: tuple[str, ...],
+    order_cols: tuple[str, ...],
+    fields: dict[str, "F.Column"],
+) -> DataFrame:
+    """The MERGEABLE state behind :func:`golden_record`: per key,
+    ``n_rows`` plus one ``{name}__st`` struct per field — the
+    max(struct(order..., value)) candidate with its order columns
+    still attached, so two states merge losslessly (max of maxes;
+    the finalized form cannot merge because it has forgotten WHEN
+    each survivor was observed). This is what the streaming view
+    persists; :func:`golden_record_merge` folds states and
+    :func:`golden_record_finalize` projects the survivor values."""
     if not fields:
         raise ValueError("golden_record needs at least one field")
     ords = [F.col(c) for c in order_cols]
     aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
     for name, expr in fields.items():
-        tagged = F.when(
-            expr.isNotNull(), F.struct(*ords, expr.alias("_v"))
-        )
-        aggs.append(F.max(tagged).getField("_v").alias(name))
+        tagged = F.when(expr.isNotNull(), F.struct(*ords, expr.alias("_v")))
+        aggs.append(F.max(tagged).alias(f"{name}__st"))
     return df.groupBy(*key_cols).agg(*aggs)
+
+
+def golden_record_merge(
+    states: DataFrame, key_cols: tuple[str, ...], field_names: list[str]
+) -> DataFrame:
+    """Fold a union of state frames into one: n_rows add, survivor
+    structs take the max (same lexicographic (order..., value)
+    comparison the per-batch aggregation used — merge order cannot
+    matter). One key-cardinality shuffle over state rows only."""
+    aggs = [F.sum("n_rows").cast("long").alias("n_rows")]
+    for name in field_names:
+        aggs.append(F.max(f"{name}__st").alias(f"{name}__st"))
+    return states.groupBy(*key_cols).agg(*aggs)
+
+
+def golden_record_finalize(
+    state: DataFrame, field_names: list[str]
+) -> DataFrame:
+    """Project the survivor VALUES out of a state frame (NULL where a
+    field was never observed non-null)."""
+    keep = [c for c in state.columns if not c.endswith("__st")]
+    return state.select(
+        *keep,
+        *[F.col(f"{n}__st").getField("_v").alias(n) for n in field_names],
+    )

@@ -578,3 +578,107 @@ def read_heavy_hitter_view(spark, view_path: str, k: int) -> DataFrame:
     return spark.createDataFrame(
         rows, schema=f"item {item_type}, count_lb long, total long"
     )
+
+
+def golden_record_sink(
+    view_path: str,
+    key_cols: tuple[str, ...],
+    order_cols: tuple[str, ...],
+    fields: dict,
+    compact_every: int = 16,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch callback maintaining a streaming GOLDEN-RECORD
+    view — field-level survivorship (cdc.golden_record) kept current
+    over a change stream, with the same delta/base/marker discipline
+    as :func:`aggregate_view_sink`: each batch lands as ONE
+    key-cardinality state summary under ``delta/batch_id=N`` (replay
+    OVERWRITES, so at-least-once redelivery cannot double-count
+    n_rows or resurrect older survivors), and every ``compact_every``
+    batches fold into a marker-gated base.
+
+    The state merges losslessly because it keeps each survivor's
+    order columns (max-of-structs is associative and commutative —
+    see cdc.golden_record_state); the finalized projection happens
+    only at read time (:func:`read_golden_record_view`).
+
+    Per-batch cost: one map-side-combined aggregation of the batch.
+    The view never rescans history."""
+    import os
+    import shutil
+
+    from flyq_spark.operators.cdc import golden_record_merge, golden_record_state
+
+    if "://" in view_path:
+        raise ValueError(
+            f"golden_record_sink needs a driver-local view_path; got "
+            f"scheme-qualified {view_path!r}"
+        )
+    if compact_every < 1:
+        raise ValueError(f"compact_every must be >= 1, got {compact_every}")
+    if not fields:
+        raise ValueError("golden_record_sink needs at least one field")
+
+    root = view_path.rstrip("/")
+    names = list(fields)
+
+    def _recover():
+        ready = _view_ready_base(root)
+        for upto, path in _view_bases(root):
+            if (upto, path) != ready:
+                shutil.rmtree(path, ignore_errors=True)
+        if ready is not None:
+            for bid, path in _view_deltas(root):
+                if bid <= ready[0]:
+                    shutil.rmtree(path, ignore_errors=True)
+        return ready
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        ready = _recover()
+        state = golden_record_state(batch_df, key_cols, order_cols, fields)
+        delta_dir = os.path.join(root, "delta", f"batch_id={batch_id}")
+        state.write.mode("overwrite").parquet(delta_dir)
+        deltas = [
+            (b, p)
+            for b, p in _view_deltas(root)
+            if ready is None or b > ready[0]
+        ]
+        if len(deltas) < compact_every:
+            return
+        merged = spark.read.parquet(*[p for _, p in deltas])
+        if ready is not None:
+            merged = spark.read.parquet(ready[1]).unionByName(merged)
+        folded = golden_record_merge(merged, key_cols, names)
+        upto = deltas[-1][0]
+        new_base = os.path.join(root, f"base_upto_{upto}")
+        folded.write.mode("overwrite").parquet(new_base)
+        open(os.path.join(new_base, "_VIEW_READY"), "w").close()
+        if ready is not None:
+            shutil.rmtree(ready[1], ignore_errors=True)
+        for bid, path in deltas:
+            shutil.rmtree(path, ignore_errors=True)
+
+    return write
+
+
+def read_golden_record_view(
+    spark, view_path: str, key_cols: tuple[str, ...], field_names: list[str]
+) -> DataFrame:
+    """Current golden records from a :func:`golden_record_sink` view:
+    fold the ready base plus any uncompacted deltas (skipping deltas
+    the base already covers) and finalize the survivor values."""
+    from flyq_spark.operators.cdc import golden_record_finalize, golden_record_merge
+
+    root = view_path.rstrip("/")
+    ready = _view_ready_base(root)
+    paths = ([ready[1]] if ready else []) + [
+        p
+        for bid, p in sorted(_view_deltas(root))
+        if ready is None or bid > ready[0]
+    ]
+    if not paths:
+        raise FileNotFoundError(f"no golden-record state under {root}")
+    state = spark.read.parquet(*paths)
+    return golden_record_finalize(
+        golden_record_merge(state, key_cols, field_names), field_names
+    )

@@ -1017,3 +1017,73 @@ def test_debounce_boundary_gap_is_kept(spark):
     rows = [(1, t0, 1), (1, t0 + datetime.timedelta(seconds=5), 2)]
     df = spark.createDataFrame(rows, "u long, ts timestamp, id long")
     assert debounce_events(df, ("u",), "ts", "id", 5).count() == 2
+
+
+# ------------------------------------------------------------------ #
+# streaming golden-record view
+# ------------------------------------------------------------------ #
+
+
+def test_golden_record_sink_view(spark, tmp_path):
+    """Streaming field-level survivorship: per-batch state deltas fold
+    to the same answer as batch golden_record over the whole history;
+    replays overwrite (no double-count); compaction into a marker-
+    gated base changes nothing."""
+    from flyq_spark.operators.cdc import golden_record
+    from flyq_spark.streaming.sink import (
+        golden_record_sink,
+        read_golden_record_view,
+    )
+
+    fields = {"a": F.col("a"), "b": F.col("b")}
+    view = str(tmp_path / "gr_view")
+    sink = golden_record_sink(view, ("k",), ("o", "t"), fields, compact_every=2)
+
+    b0 = spark.createDataFrame(
+        [(1, 10, 1, "a0", None), (2, 10, 2, None, 20)],
+        "k long, o long, t long, a string, b long",
+    )
+    b1 = spark.createDataFrame(
+        [(1, 20, 3, None, 99), (3, 5, 4, "x", None)],
+        "k long, o long, t long, a string, b long",
+    )
+    b2 = spark.createDataFrame(
+        [(1, 30, 5, "a2", None), (2, 5, 6, "late", 7)],  # late row for 2
+        "k long, o long, t long, a string, b long",
+    )
+
+    def snapshot():
+        return {
+            r["k"]: (r["n_rows"], r["a"], r["b"])
+            for r in read_golden_record_view(
+                spark, view, ("k",), ["a", "b"]
+            ).collect()
+        }
+
+    def expected(frames):
+        whole = frames[0]
+        for f in frames[1:]:
+            whole = whole.unionByName(f)
+        return {
+            r["k"]: (r["n_rows"], r["a"], r["b"])
+            for r in golden_record(whole, ("k",), ("o", "t"), fields).collect()
+        }
+
+    sink(b0, 0)
+    sink(b1, 1)  # triggers compaction (compact_every=2)
+    import os
+
+    assert any(d.startswith("base_upto_") for d in os.listdir(view))
+    assert snapshot() == expected([b0, b1])
+
+    sink(b1, 1)  # at-least-once replay of an already-compacted batch
+    assert snapshot() == expected([b0, b1])
+
+    sink(b2, 2)
+    got = snapshot()
+    assert got == expected([b0, b1, b2])
+    # field-level semantics across batches: key 1's newest 'b' came
+    # from batch 1 even though batch 2 delivered a newer row (b NULL)
+    assert got[1] == (3, "a2", 99)
+    # the late row for key 2 (older order) must NOT clobber
+    assert got[2][1] == "late" and got[2][2] == 20
