@@ -3817,6 +3817,44 @@ def q_debounce_events(spark, sf_dir):
     )
 
 
+def q_ohlc_daily(spark, sf_dir):
+    """Daily OHLC bars per event type (operators/timeseries.py:
+    ohlc_bars): open/close = the value at the bucket's first/last
+    observation in (ts, event_id) order via min/max over
+    (us, id, value) structs, high/low/n_obs on the SAME single
+    map-side-combined groupBy — no window, no sort, no self-join;
+    integer-milli values so both engines agree exactly."""
+    from flyq_spark.operators.timeseries import ohlc_bars
+
+    ev = _read(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 1000).cast("long").alias("vm"),
+    )
+    return ohlc_bars(base, ("event_type",), "ts", "event_id", "vm", 86400)
+
+
+def q_lpa_communities(spark, sf_dir):
+    """Synchronous label-propagation communities (operators/graph.py:
+    label_propagation, 5 rounds) over the exact near-dup embedding
+    graph — the finer-than-components structure needed when hub
+    documents chain unrelated clusters into one giant component.
+    ROWS-ONLY by documented necessity: LPA is a heuristic with no
+    declarative fixpoint for an oracle to certify (synchronous rounds
+    ARE the definition); pinned against an independent Python model
+    in pytest, deterministic by construction (no RNG, no visit
+    order)."""
+    from flyq_spark.operators.graph import label_propagation
+
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pairs = V.neardup_pairs_exact(emb, min_cosine=0.4)
+    return label_propagation(pairs, n_iter=5).select(
+        F.col("node").alias("vec_id"), "community"
+    )
+
+
 _SYNTH_UNITS_CTE = """
 member AS (
   SELECT t.g, d.doc_id, d.text
@@ -4080,6 +4118,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_size_est": q_join_size_est,
         "rank_normalize": q_rank_normalize,
         "debounce_events": q_debounce_events,
+        "ohlc_daily": q_ohlc_daily,
         "rfm_segments": q_rfm_segments,
         "incremental_retract": q_incremental_retract,
         "scd2_history": q_scd2_history,
@@ -4119,6 +4158,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_keep_best": q_neardup_keep_best,
         "simhash_md5_neardup": q_simhash_md5_neardup,
         "compaction_plan": q_compaction_plan,
+        "lpa_communities": q_lpa_communities,
     }
 
 
@@ -7230,5 +7270,25 @@ l AS (
 )
 SELECT event_id, user_id, event_type, us AS ts_us
 FROM l WHERE prev IS NULL OR us - prev >= CAST(86400 AS BIGINT) * 1000000
+""",
+        "ohlc_daily": """
+WITH b AS (
+  SELECT event_type, epoch_us(ts) AS us, event_id,
+         CAST(floor(value * 1000) AS BIGINT) AS v
+  FROM events
+),
+g AS (
+  SELECT event_type,
+         (us // 86400000000) * 86400000000 AS bucket_start_us,
+         us, event_id, v
+  FROM b WHERE v IS NOT NULL
+)
+SELECT event_type, CAST(bucket_start_us AS BIGINT) AS bucket_start_us,
+       (min(struct_pack(a := us, b := event_id, c := v))).c AS open,
+       CAST(max(v) AS BIGINT) AS high,
+       CAST(min(v) AS BIGINT) AS low,
+       (max(struct_pack(a := us, b := event_id, c := v))).c AS close,
+       CAST(count(*) AS BIGINT) AS n_obs
+FROM g GROUP BY 1, 2
 """,
     }

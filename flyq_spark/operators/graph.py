@@ -340,3 +340,68 @@ def bfs_levels(
         f"bfs_levels did not converge in {max_iter} rounds — graph "
         "diameter exceeds max_iter; raise it"
     )
+
+
+def label_propagation(
+    pairs: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    n_iter: int = 10,
+) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation (LPA,
+    Raghavan et al. 2007) over the undirected graph given by
+    ``pairs`` — the finer-than-components structure the dedup graph
+    needs when giant connected components (hub documents chaining
+    unrelated clusters) must not collapse into one dedup decision.
+
+    Each round, every node adopts the most frequent label among its
+    neighbors, ties to the SMALLEST label; updates are synchronous
+    (all nodes from the same previous labeling), so the result is a
+    pure function of the edge set — no asynchronous visit order, no
+    RNG. A fixed ``n_iter`` rounds bound the cost AND the known
+    oscillation modes of synchronous LPA (bipartite flip-flop): the
+    output is whatever labeling round n produces, deterministic by
+    construction. LPA is a heuristic — unlike connected_components
+    there is no exact fixpoint to certify, which is why the gate is
+    rows-only and the pytest pins an independent Python model.
+
+    Scale shape per round: one (neighbor-label) count aggregation +
+    one per-node argmax — two key shuffles over the edge list;
+    lineage truncated per round via localCheckpoint exactly like
+    connected_components. Output: (node, community) with community =
+    the final label (a node id).
+    """
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1: {n_iter}")
+    fwd = pairs.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+    edges = (
+        fwd.union(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("community"))
+        .localCheckpoint()
+    )
+    for _ in range(n_iter):
+        neigh = edges.join(
+            labels.withColumnRenamed("node", "v"), on="v"
+        ).select(F.col("u").alias("node"), "community")
+        counted = neigh.groupBy("node", "community").agg(
+            F.count(F.lit(1)).alias("_c")
+        )
+        # argmax by (count DESC, community ASC): min over the struct
+        # (-count, community) — ties resolve to the smallest label
+        best = (
+            counted.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct((-F.col("_c")).alias("_nc"), F.col("community"))
+                ).getField("community").alias("community")
+            )
+        )
+        labels = best.localCheckpoint()
+    return labels

@@ -436,3 +436,51 @@ def group_trend(
             "slope_den"
         ),
     )
+
+
+def ohlc_bars(
+    df: DataFrame,
+    key_cols: tuple[str, ...],
+    ts_col: str,
+    tie_col: str,
+    value_col: Column | str,
+    bucket_s: int,
+) -> DataFrame:
+    """Open/High/Low/Close bars per key per time bucket — the
+    canonical downsample for any metric stream (finance bars, sensor
+    rollups, rate dashboards), exact end-to-end.
+
+    open/close are the value at the bucket's first/last observation
+    in (ts, tie) order — min/max over (ts_us, tie, value) structs, so
+    ONE map-side-combined groupBy computes everything (no window, no
+    sort, no self-join; the same mergeable-struct trick as
+    cdc.golden_record). high/low/n_obs ride the same aggregation.
+    Pass an integer-scaled value for engine-portable exactness.
+
+    Output: key_cols + (bucket_start_us, open, high, low, close,
+    n_obs)."""
+    from flyq_spark.operators.util import floor_div
+
+    if bucket_s < 1:
+        raise ValueError(f"bucket_s must be >= 1: {bucket_s}")
+    v = (F.col(value_col) if isinstance(value_col, str) else value_col).alias(
+        "_v"
+    )
+    us = F.unix_micros(F.col(ts_col))
+    step = F.lit(int(bucket_s) * 1_000_000).cast("long")
+    base = df.select(
+        *key_cols,
+        (floor_div(us, step) * step).alias("bucket_start_us"),
+        us.alias("_us"),
+        F.col(tie_col).alias("_tie"),
+        v,
+    ).where(F.col("_v").isNotNull())
+    first = F.min(F.struct(F.col("_us"), F.col("_tie"), F.col("_v")))
+    last = F.max(F.struct(F.col("_us"), F.col("_tie"), F.col("_v")))
+    return base.groupBy(*key_cols, "bucket_start_us").agg(
+        first.getField("_v").alias("open"),
+        F.max("_v").alias("high"),
+        F.min("_v").alias("low"),
+        last.getField("_v").alias("close"),
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+    )

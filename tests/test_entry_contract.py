@@ -40,6 +40,9 @@ def test_queries_and_oracles_consistent():
         # r7: FFD bin packing is sequential per directory (no SQL
         # form) and physical file sizes are encoder-specific
         "compaction_plan",
+        # r7: synchronous LPA is a heuristic — its rounds ARE the
+        # definition; no declarative fixpoint exists for an oracle
+        "lpa_communities",
     }
 
 

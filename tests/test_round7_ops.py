@@ -1087,3 +1087,110 @@ def test_golden_record_sink_view(spark, tmp_path):
     assert got[1] == (3, "a2", 99)
     # the late row for key 2 (older order) must NOT clobber
     assert got[2][1] == "late" and got[2][2] == 20
+
+
+# ------------------------------------------------------------------ #
+# graph.label_propagation / timeseries.ohlc_bars
+# ------------------------------------------------------------------ #
+
+
+def _lpa_model(edges, n_iter):
+    """Synchronous LPA: most frequent neighbor label, ties smallest."""
+    from collections import Counter, defaultdict
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    lab = {n: n for n in adj}
+    for _ in range(n_iter):
+        nxt = {}
+        for n in adj:
+            c = Counter(lab[m] for m in adj[n])
+            best = min(((-cnt, l) for l, cnt in c.items()))
+            nxt[n] = best[1]
+        lab = nxt
+    return lab
+
+
+def test_label_propagation_matches_model_and_splits_cliques(spark):
+    from flyq_spark.operators.graph import label_propagation
+
+    # two 4-cliques + one bridge: components would merge them; LPA
+    # must keep two communities
+    cl = lambda ns: [(a, b) for a in ns for b in ns if a < b]  # noqa: E731
+    edges = cl([1, 2, 3, 4]) + cl([10, 11, 12, 13]) + [(4, 10)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["node"]: r["community"]
+        for r in label_propagation(df, n_iter=10).collect()
+    }
+    assert got == _lpa_model(edges, 10)
+    comm_a = {got[n] for n in (1, 2, 3)}
+    comm_b = {got[n] for n in (11, 12, 13)}
+    assert len(comm_a) == 1 and len(comm_b) == 1 and comm_a != comm_b
+
+
+def test_label_propagation_random_graph_matches_model(spark):
+    from flyq_spark.operators.graph import label_propagation
+
+    rng = random.Random(31)
+    edges = list({(rng.randrange(0, 30), rng.randrange(0, 30)) for _ in range(80)})
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    for it in (1, 3, 7):
+        got = {
+            r["node"]: r["community"]
+            for r in label_propagation(df, n_iter=it).collect()
+        }
+        assert got == _lpa_model(edges, it), it
+    got_repart = {
+        r["node"]: r["community"]
+        for r in label_propagation(df.repartition(7), n_iter=3).collect()
+    }
+    assert got_repart == _lpa_model(edges, 3)
+    with pytest.raises(ValueError):
+        label_propagation(df, n_iter=0)
+
+
+def test_ohlc_bars_model(spark):
+    import datetime
+
+    from flyq_spark.operators.timeseries import ohlc_bars
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def at(s):
+        return t0 + datetime.timedelta(seconds=s)
+
+    rows = [
+        ("k", at(0), 1, 100),
+        ("k", at(30), 2, 50),   # low of bucket 0
+        ("k", at(59), 3, 120),  # close of bucket 0, also high
+        ("k", at(60), 4, 10),   # bucket 1 alone
+        ("k", at(0), 5, 999),   # same ts as id 1 — tie: open stays id 1
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, id long, v long")
+    got = {
+        r["bucket_start_us"]: r
+        for r in ohlc_bars(df, ("k",), "ts", "id", "v", 60).collect()
+    }
+    b0 = got[int(t0.timestamp()) * 1_000_000]
+    assert (b0["open"], b0["high"], b0["low"], b0["close"], b0["n_obs"]) == (
+        100,
+        999,
+        50,
+        120,
+        4,
+    )
+    b1 = got[(int(t0.timestamp()) + 60) * 1_000_000]
+    assert (b1["open"], b1["high"], b1["low"], b1["close"], b1["n_obs"]) == (
+        10,
+        10,
+        10,
+        10,
+        1,
+    )
+    with pytest.raises(ValueError):
+        ohlc_bars(df, ("k",), "ts", "id", "v", 0)
