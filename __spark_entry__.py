@@ -1685,6 +1685,24 @@ def q_pq_topk(spark, sf_dir):
     )
 
 
+def q_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ two-level ANN (operators/similarity.py: topk_ivfpq — the
+    FAISS IndexIVFPQ composition): coarse cells restrict each query to
+    nprobe buckets, PQ codes answer distances inside them via
+    asymmetric lookup tables; the corpus travels as (cell, m bytes).
+    ROWS-ONLY (float ADC distances); full-probe ≡ topk_pq equality,
+    cell-containment, recall-above-chance, and determinism pinned in
+    pytest."""
+    emb = _read(spark, sf_dir, "embeddings")
+    books, _dim = V.train_pq(emb, n_subspaces=4, n_codes=16)
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return V.topk_ivfpq(
+        emb, queries, books, k=5, n_pivots=16, nprobe=4
+    ).select("query_id", "neighbor_id", "rank")
+
+
 def q_kmeans_centroids(spark, sf_dir):
     """Trained IVF coarse quantizer (rows-only: iterative algorithm, no
     SQL oracle form; semantics pinned in test_ext_operators.py — blob
@@ -4159,6 +4177,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_md5_neardup": q_simhash_md5_neardup,
         "compaction_plan": q_compaction_plan,
         "lpa_communities": q_lpa_communities,
+        "ivfpq_topk": q_ivfpq_topk,
     }
 
 

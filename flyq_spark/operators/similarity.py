@@ -1159,3 +1159,110 @@ def ivf_parameter_sweep(
         "nprobe long, n_queries long, n_truth long, n_found long, "
         "recall double",
     )
+
+
+def topk_ivfpq(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    codebooks,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_pivots: int = 256,
+    nprobe: int = 2,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ: the two-level ANN composition (the FAISS
+    ``IndexIVFPQ`` shape) — a coarse quantizer restricts each query
+    to its ``nprobe`` nearest cells, and within those cells distances
+    come from PRODUCT-QUANTIZED codes via asymmetric lookup tables,
+    so the full vectors are touched exactly once (at encode time).
+
+    Scale shape: corpus side is (id, cell, m-byte codes) — the index
+    a 100 TB embedding table actually fits in; the probe is a
+    bucket-equality join on ``cell`` (shuffle ∝ probed candidates,
+    never n × m), and ADC scoring is m table lookups per candidate in
+    one Arrow pass (tables: queries × m × n_codes, broadcast —
+    model-sized). Probing EVERY cell degenerates to exactly
+    ``topk_pq`` (pinned in pytest); recall then improves with nprobe
+    like IVF and costs like PQ.
+
+    Output: (query_id, neighbor_id, adist, rank) — rank ascending by
+    ADC distance, ties to smaller id."""
+    import numpy as np
+
+    spark = embeddings.sparkSession
+    embeddings = fan_out(embeddings)
+    if centroids is None:
+        centroids = _deterministic_pivots(
+            embeddings.select(id_col, vec_col), n_pivots, id_col, (id_col, vec_col)
+        )
+    cells = assign_cells(embeddings, centroids, id_col, vec_col, nprobe=1)
+    encoded = pq_encode(embeddings, codebooks, id_col, vec_col).join(
+        cells.select(id_col, "cell"), on=id_col
+    )
+    qprobes = assign_cells(
+        queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col)),
+        centroids,
+        id_col="query_id",
+        vec_col=vec_col,
+        nprobe=nprobe,
+    )
+    cand = (
+        encoded.join(F.broadcast(qprobes.select("query_id", "cell")), on="cell")
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "codes")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+
+    qrows = queries.select(query_id_col, vec_col).collect()
+    id_type = [
+        f.dataType.simpleString() for f in embeddings.schema.fields if f.name == id_col
+    ][0]
+    qid_type = [
+        f.dataType.simpleString()
+        for f in queries.schema.fields
+        if f.name == query_id_col
+    ][0]
+    out_schema = f"query_id {qid_type}, neighbor_id {id_type}, adist double"
+    if not qrows:
+        return spark.createDataFrame([], out_schema + ", rank long")
+    m, ncodes, sub = codebooks.shape
+    Q = np.array([r[1] for r in qrows], dtype=np.float64)
+    tables = np.empty((len(qrows), m, ncodes), dtype=np.float64)
+    for i in range(m):
+        B = Q[:, i * sub : (i + 1) * sub]
+        tables[:, i, :] = ((B[:, None, :] - codebooks[i][None, :, :]) ** 2).sum(
+            axis=2
+        )
+    qindex = {r[0]: i for i, r in enumerate(qrows)}
+    bc = spark.sparkContext.broadcast((qindex, tables))
+
+    def adc(iterator):
+        import pandas as pd
+
+        qidx_map, T = bc.value
+        mm = T.shape[1]
+        cols = np.arange(mm)[None, :]
+        for pdf in iterator:
+            if len(pdf) == 0:
+                continue
+            codes = np.vstack(pdf["codes"].to_numpy())
+            qidx = pdf["query_id"].map(qidx_map).to_numpy(dtype=np.int64)
+            d = T[qidx[:, None], cols, codes].sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                    "adist": d,
+                }
+            )
+
+    scored = cand.mapInPandas(adc, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )

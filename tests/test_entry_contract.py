@@ -43,6 +43,8 @@ def test_queries_and_oracles_consistent():
         # r7: synchronous LPA is a heuristic — its rounds ARE the
         # definition; no declarative fixpoint exists for an oracle
         "lpa_communities",
+        # r7: IVF-PQ shares pq_topk's blocker (float ADC distances)
+        "ivfpq_topk",
     }
 
 

@@ -1194,3 +1194,106 @@ def test_ohlc_bars_model(spark):
     )
     with pytest.raises(ValueError):
         ohlc_bars(df, ("k",), "ts", "id", "v", 0)
+
+
+# ------------------------------------------------------------------ #
+# similarity.topk_ivfpq
+# ------------------------------------------------------------------ #
+
+
+@pytest.fixture(scope="module")
+def emb7(spark):
+    from flyq_spark.io import read_table
+
+    return read_table(spark, SF_SMALL, "embeddings").select(
+        "vec_id", "embedding"
+    )
+
+
+def test_ivfpq_full_probe_equals_plain_pq(spark, emb7):
+    """Probing EVERY cell degenerates IVF-PQ to exactly topk_pq — the
+    composition adds cell restriction and nothing else."""
+    from flyq_spark.operators.similarity import (
+        pq_encode,
+        topk_ivfpq,
+        topk_pq,
+        train_pq,
+    )
+
+    books, _ = train_pq(emb7, n_subspaces=4, n_codes=16)
+    queries = emb7.where(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    n_pivots = 8
+    full = topk_ivfpq(
+        emb7, queries, books, k=5, n_pivots=n_pivots, nprobe=n_pivots
+    )
+    plain = topk_pq(pq_encode(emb7, books), queries, books, k=5)
+    a = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"]) for r in full.collect()
+    )
+    b = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"]) for r in plain.collect()
+    )
+    assert a == b
+
+
+def test_ivfpq_candidates_stay_in_probed_cells(spark, emb7):
+    from flyq_spark.operators.similarity import (
+        _deterministic_pivots,
+        assign_cells,
+        topk_ivfpq,
+        train_pq,
+    )
+
+    books, _ = train_pq(emb7, n_subspaces=4, n_codes=16)
+    queries = emb7.where(F.col("vec_id") % 60 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = topk_ivfpq(emb7, queries, books, k=5, n_pivots=16, nprobe=2)
+    cents = _deterministic_pivots(
+        emb7.select("vec_id", "embedding"), 16, "vec_id", ("vec_id", "embedding")
+    )
+    cell_of = {
+        r["vec_id"]: r["cell"]
+        for r in assign_cells(emb7, cents, "vec_id", "embedding", nprobe=1).collect()
+    }
+    probes = {}
+    for r in assign_cells(
+        queries, cents, id_col="query_id", vec_col="embedding", nprobe=2
+    ).collect():
+        probes.setdefault(r["query_id"], set()).add(r["cell"])
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        assert cell_of[r["neighbor_id"]] in probes[r["query_id"]], r
+
+
+def test_ivfpq_recall_above_chance_and_deterministic(spark, emb7):
+    from flyq_spark.operators.similarity import (
+        topk_bruteforce,
+        topk_ivfpq,
+        train_pq,
+    )
+
+    books, _ = train_pq(emb7, n_subspaces=4, n_codes=16)
+    queries = emb7.where(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    approx = topk_ivfpq(emb7, queries, books, k=5, n_pivots=16, nprobe=4)
+    exact = topk_bruteforce(emb7, queries, k=5)
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    recall = len(a & e) / len(e)
+    chance = 5 / emb7.count()
+    assert recall > 10 * chance, (recall, chance)
+    again = {
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in topk_ivfpq(
+            emb7, queries, books, k=5, n_pivots=16, nprobe=4
+        ).collect()
+    }
+    first = {
+        (r["query_id"], r["rank"], r["neighbor_id"]) for r in approx.collect()
+    }
+    assert first == again
