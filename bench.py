@@ -102,6 +102,13 @@ HEADLINE = [
     ("dataset_digest", True),
     ("corr_matrix", True),
     ("golden_record", False),
+    # r7 fourth batch: planning estimate, normalization, debounce,
+    # bars, two-level ANN
+    ("join_size_est", True),
+    ("rank_normalize", False),
+    ("debounce_events", False),
+    ("ohlc_daily", False),
+    ("ivfpq_topk", True),
 ]
 
 

@@ -224,8 +224,11 @@ def join_size_estimate(
     Scale shape: the residue filter is a zero-shuffle projection
     that drops (den−1)/den of both inputs BEFORE the per-key count
     aggregations; everything downstream costs 1/den of the exact
-    preflight. Output: one row (sample_den, n_sampled_keys,
-    sampled_pairs, est_pairs).
+    preflight. NULL keys hash to NULL and fall out of the sample —
+    correct, because an inner join never matches them either.
+    Output: one row (sample_den, n_sampled_keys, sampled_pairs,
+    est_pairs); n_sampled_keys counts sampled keys present on BOTH
+    sides.
     """
     if sample_den < 1:
         raise ValueError(f"sample_den must be >= 1: {sample_den}")
