@@ -3873,6 +3873,55 @@ def q_lpa_communities(spark, sf_dir):
     )
 
 
+def q_bloom_index_prune(spark, sf_dir):
+    """Per-file Bloom index probe (operators/pruning.py:
+    bloom_file_index + bloom_index_lookup): events rewritten as one
+    file per event_id bucket, a 1024-bit md5 Bloom built per file
+    over the user:event_type composite (files resolved via
+    input_file_name), then two metadata-only point lookups:
+    42:purchase is present in 8 of 10 files (mixed verdicts — the
+    skipping min/max envelopes cannot provide, since the key is
+    uniform across files) and 9999:purchase is absent everywhere.
+    exists_actual comes from the data, so the hash match proves BOTH
+    the bit-for-bit bitmap replay AND soundness (may_contain is true
+    wherever exists_actual is); false positives appear honestly as
+    (true, false) rows."""
+    import os
+    import tempfile
+
+    from flyq_spark.operators.pruning import bloom_file_index, bloom_index_lookup
+
+    ev = _read(spark, sf_dir, "events")
+    out = os.path.join(tempfile.mkdtemp(prefix="flyq_bloomidx_"), "ds")
+    (
+        ev.select("event_id", "user_id", "event_type")
+        .withColumn("b", F.expr("event_id div 1000"))
+        .repartition(32, "b")
+        .write.partitionBy("b")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).withColumn(
+        "file", F.regexp_extract(F.input_file_name(), r"b=(\d+)", 1).cast("long")
+    )
+    key = F.concat_ws(":", F.col("user_id"), F.col("event_type"))
+    idx = bloom_file_index(back, "file", key, 1024, 3)
+    outs = []
+    for probe in ("42:purchase", "9999:purchase"):
+        look = bloom_index_lookup(idx, probe, 1024, 3)
+        exists = back.groupBy("file").agg(
+            (F.count(F.when(key == probe, 1)) > 0).alias("exists_actual")
+        )
+        outs.append(
+            look.join(exists, on="file").select(
+                F.lit(probe).alias("probe"),
+                F.col("file").alias("b"),
+                "may_contain",
+                "exists_actual",
+            )
+        )
+    return outs[0].unionByName(outs[1])
+
+
 _SYNTH_UNITS_CTE = """
 member AS (
   SELECT t.g, d.doc_id, d.text
@@ -4137,6 +4186,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_normalize": q_rank_normalize,
         "debounce_events": q_debounce_events,
         "ohlc_daily": q_ohlc_daily,
+        "bloom_index_prune": q_bloom_index_prune,
         "rfm_segments": q_rfm_segments,
         "incremental_retract": q_incremental_retract,
         "scd2_history": q_scd2_history,
@@ -7309,5 +7359,72 @@ SELECT event_type, CAST(bucket_start_us AS BIGINT) AS bucket_start_us,
        (max(struct_pack(a := us, b := event_id, c := v))).c AS close,
        CAST(count(*) AS BIGINT) AS n_obs
 FROM g GROUP BY 1, 2
+""",
+        # bit-for-bit replay of the per-file md5 Bloom bitmaps + the
+        # point probe; exists_actual recomputed exactly.
+        "bloom_index_prune": """
+WITH d AS (
+  SELECT event_id // 1000 AS b,
+         CAST(user_id AS VARCHAR) || ':' || event_type AS key
+  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+),
+h AS (
+  SELECT b,
+         CAST(concat('0x', substr(md5('bloomA:' || key), 1, 15))
+              AS BIGINT) % 1024 AS h1,
+         (CAST(concat('0x', substr(md5('bloomB:' || key), 1, 15))
+              AS BIGINT) % 1024) | 1 AS h2
+  FROM d
+),
+p AS (
+  SELECT b, (h1 + i * h2) % 1024 AS p
+  FROM h, UNNEST([CAST(0 AS BIGINT), 1, 2]) AS t(i)
+),
+w AS (
+  SELECT b, p // 62 AS word_idx,
+         CAST(bit_or(CAST(1 AS BIGINT) << CAST(p % 62 AS INT)) AS BIGINT)
+           AS word
+  FROM p GROUP BY 1, 2
+),
+q AS (
+  SELECT probe,
+         CAST(concat('0x', substr(md5('bloomA:' || probe), 1, 15))
+              AS BIGINT) % 1024 AS h1,
+         (CAST(concat('0x', substr(md5('bloomB:' || probe), 1, 15))
+              AS BIGINT) % 1024) | 1 AS h2
+  FROM (SELECT unnest(['42:purchase', '9999:purchase']) AS probe)
+),
+qp AS (
+  SELECT probe, (h1 + i * h2) % 1024 AS p
+  FROM q, UNNEST([CAST(0 AS BIGINT), 1, 2]) AS t(i)
+),
+qw AS (
+  SELECT probe, p // 62 AS word_idx,
+         CAST(bit_or(CAST(1 AS BIGINT) << CAST(p % 62 AS INT)) AS BIGINT)
+           AS need
+  FROM qp GROUP BY 1, 2
+),
+qn AS (SELECT probe, count(*) AS n_words FROM qw GROUP BY 1),
+chk AS (
+  SELECT bs.b, qw.probe, qw.word_idx,
+         ((coalesce(w.word, 0) & qw.need) = qw.need) AS hit
+  FROM (SELECT DISTINCT b FROM d) bs
+  CROSS JOIN qw
+  LEFT JOIN w ON w.b = bs.b AND w.word_idx = qw.word_idx
+),
+may AS (
+  SELECT chk.probe, b,
+         (count(*) FILTER (WHERE hit) = max(qn.n_words)) AS may_contain
+  FROM chk JOIN qn ON qn.probe = chk.probe
+  GROUP BY 1, 2
+),
+ex AS (
+  SELECT p.probe, d.b,
+         count(*) FILTER (WHERE d.key = p.probe) > 0 AS exists_actual
+  FROM d CROSS JOIN (SELECT unnest(['42:purchase', '9999:purchase']) AS probe) p
+  GROUP BY 1, 2
+)
+SELECT may.probe, CAST(may.b AS BIGINT) AS b, may_contain, exists_actual
+FROM may JOIN ex ON may.b = ex.b AND may.probe = ex.probe
 """,
     }

@@ -273,3 +273,129 @@ def compaction_plan(sizes: DataFrame, target_bytes: int) -> DataFrame:
         schema="dir string, file string, bytes long, bin_id long, "
         "bin_bytes long, bin_files long",
     )
+
+
+def _bloom_positions_md5(key, num_bits: int, num_hashes: int) -> list:
+    """Kirsch–Mitzenmacher double hashing on the md5-60bit family —
+    the PORTABLE twin of joinaudit's xxhash64 positions: any engine
+    with md5 can rebuild or probe a persisted index (the same reason
+    the dedup/digest families hash with md5). h2 forced odd so it is
+    a unit mod the power-of-two num_bits."""
+
+    def h60(prefix: str):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(prefix), key.cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    h1 = F.pmod(h60("bloomA:"), F.lit(num_bits))
+    h2 = F.pmod(h60("bloomB:"), F.lit(num_bits)).bitwiseOR(F.lit(1).cast("long"))
+    return [
+        F.pmod(h1 + F.lit(i).cast("long") * h2, F.lit(num_bits))
+        for i in range(num_hashes)
+    ]
+
+
+def bloom_positions_py(value, num_bits: int, num_hashes: int) -> list[int]:
+    """Driver-side replica of :func:`_bloom_positions_md5` for probing
+    an index with a literal value — bit-identical to the executor
+    expression (same md5 prefixes, same reduction)."""
+    import hashlib
+
+    def h60(prefix: str) -> int:
+        return int(
+            hashlib.md5(f"{prefix}{value}".encode()).hexdigest()[:15], 16
+        )
+
+    h1 = h60("bloomA:") % num_bits
+    h2 = (h60("bloomB:") % num_bits) | 1
+    return [(h1 + i * h2) % num_bits for i in range(num_hashes)]
+
+
+def bloom_file_index(
+    df: DataFrame,
+    file_col: str,
+    key,
+    num_bits: int = 4096,
+    num_hashes: int = 3,
+) -> DataFrame:
+    """Per-file BLOOM index over ``key`` — the point-lookup skipping
+    min/max envelopes cannot provide (a uniformly-spread id column
+    has every file's envelope covering every value; its Bloom words
+    still prune precisely).
+
+    Output: sparse bitmap words ``(file, word_idx, word_bits)`` —
+    62 bits per long word (no sign-bit games on any engine), only
+    nonzero words stored, so an index row count is bounded by
+    files × min(num_bits/62, distinct keys per file). Build cost is
+    one pass over (file, key) with a map-side-combined bit_or — the
+    same shape as any aggregation, and the index persists as a plain
+    parquet table any md5-capable engine can rebuild bit-for-bit
+    (oracle-checked in the gate).
+
+    Probe with :func:`bloom_index_lookup`; false-positive rate
+    follows the standard (1 − e^{−kn/m})^k bound per file."""
+    if num_bits < 62 or num_hashes < 1:
+        raise ValueError(
+            f"need num_bits >= 62 and num_hashes >= 1: {num_bits}, {num_hashes}"
+        )
+    pos = _bloom_positions_md5(key, num_bits, num_hashes)
+    return (
+        df.where(key.isNotNull())
+        .select(F.col(file_col).alias("file"), F.explode(F.array(*pos)).alias("_p"))
+        .select(
+            "file",
+            F.call_function("div", F.col("_p"), F.lit(62).cast("long")).alias(
+                "word_idx"
+            ),
+            # the Python shiftleft wrapper takes only a literal amount;
+            # the SQL form accepts a column
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_p % 62 AS INT))").alias(
+                "_mask"
+            ),
+        )
+        .groupBy("file", "word_idx")
+        .agg(F.expr("bit_or(_mask)").alias("word_bits"))
+    )
+
+
+def bloom_index_lookup(
+    index: DataFrame, value, num_bits: int = 4096, num_hashes: int = 3
+) -> DataFrame:
+    """Which files MAY contain ``value``, per the index: a file
+    qualifies iff every one of the value's bit positions is set
+    (missing word rows count as zero words). Sound — a false
+    negative is impossible because the build set every position of
+    every present key; false positives shrink with num_bits.
+
+    The probe is metadata-only: the value's ≤ num_hashes words are
+    computed driver-side (:func:`bloom_positions_py`) and checked
+    with one aggregation over the index rows — the data files are
+    never touched. Output: (file, may_contain)."""
+    need: dict[int, int] = {}
+    for p in bloom_positions_py(value, num_bits, num_hashes):
+        w, b = divmod(p, 62)
+        need[w] = need.get(w, 0) | (1 << b)
+    # count how many of the needed (word, full-mask) checks pass per
+    # file; may_contain iff ALL pass
+    conds = [
+        F.count(
+            F.when(
+                (F.col("word_idx") == w)
+                & (
+                    F.col("word_bits").bitwiseAND(F.lit(mask)) == F.lit(mask)
+                ),
+                1,
+            )
+        ).alias(f"_w{w}")
+        for w, mask in need.items()
+    ]
+    agg = index.groupBy("file").agg(*conds)
+    ok = None
+    for w in need:
+        c = F.col(f"_w{w}") > 0
+        ok = c if ok is None else (ok & c)
+    return agg.select("file", ok.alias("may_contain"))

@@ -1297,3 +1297,57 @@ def test_ivfpq_recall_above_chance_and_deterministic(spark, emb7):
         (r["query_id"], r["rank"], r["neighbor_id"]) for r in approx.collect()
     }
     assert first == again
+
+
+# ------------------------------------------------------------------ #
+# pruning.bloom_file_index / bloom_index_lookup
+# ------------------------------------------------------------------ #
+
+
+def test_bloom_index_no_false_negatives_and_prunes(spark):
+    from flyq_spark.operators.pruning import bloom_file_index, bloom_index_lookup
+
+    # 8 "files" of 50 disjoint keys each
+    rows = [(f"f{i//50}", i) for i in range(400)]
+    df = spark.createDataFrame(rows, "file string, k long")
+    idx = bloom_file_index(df, "file", F.col("k"), num_bits=1024, num_hashes=3)
+    idx = idx.persist()
+    truth = {f: {k for ff, k in rows if ff == f} for f in {r[0] for r in rows}}
+    fp = 0
+    for probe in (0, 137, 399, 555):
+        got = {
+            r["file"]: r["may_contain"]
+            for r in bloom_index_lookup(idx, probe, 1024, 3).collect()
+        }
+        for f, keys in truth.items():
+            if probe in keys:
+                assert got[f], (probe, f)  # soundness: never a false negative
+            elif got[f]:
+                fp += 1
+    # 1024 bits / 50 keys: false positives must be rare across 32 checks
+    assert fp <= 4, fp
+    idx.unpersist()
+
+
+def test_bloom_positions_py_matches_column_expr(spark):
+    from flyq_spark.operators.pruning import (
+        _bloom_positions_md5,
+        bloom_positions_py,
+    )
+
+    df = spark.createDataFrame([(v,) for v in (0, 7, 123456789)], "k long")
+    pos = _bloom_positions_md5(F.col("k"), 512, 4)
+    got = {
+        r["k"]: list(r["p"])
+        for r in df.select("k", F.array(*pos).alias("p")).collect()
+    }
+    for v, ps in got.items():
+        assert ps == bloom_positions_py(v, 512, 4), v
+
+
+def test_bloom_index_validation(spark):
+    from flyq_spark.operators.pruning import bloom_file_index
+
+    df = spark.createDataFrame([("f", 1)], "file string, k long")
+    with pytest.raises(ValueError):
+        bloom_file_index(df, "file", F.col("k"), num_bits=10)
