@@ -3922,6 +3922,32 @@ def q_bloom_index_prune(spark, sf_dir):
     return outs[0].unionByName(outs[1])
 
 
+def q_top_paths(spark, sf_dir):
+    """Three-step journey mining: the most common (a → b → c) event
+    sequences per user timeline — the order-aware pattern summary
+    `event_transitions` (first-order) cannot see. Two lag windows
+    sharing ONE user-key shuffle+sort, then a plain count; top 50 by
+    (count desc, path asc) so the cut is deterministic."""
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("s1"),
+            F.lead("event_type", 1).over(w).alias("s2"),
+            F.lead("event_type", 2).over(w).alias("s3"),
+        )
+        .where(F.col("s3").isNotNull())
+        .groupBy("s1", "s2", "s3")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wr = Window.orderBy(F.col("n").desc(), "s1", "s2", "s3")
+    return (
+        paths.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .where(F.col("rank") <= 50)
+    )
+
+
 _SYNTH_UNITS_CTE = """
 member AS (
   SELECT t.g, d.doc_id, d.text
@@ -4187,6 +4213,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "debounce_events": q_debounce_events,
         "ohlc_daily": q_ohlc_daily,
         "bloom_index_prune": q_bloom_index_prune,
+        "top_paths": q_top_paths,
         "rfm_segments": q_rfm_segments,
         "incremental_retract": q_incremental_retract,
         "scd2_history": q_scd2_history,
@@ -7426,5 +7453,24 @@ ex AS (
 )
 SELECT may.probe, CAST(may.b AS BIGINT) AS b, may_contain, exists_actual
 FROM may JOIN ex ON may.b = ex.b AND may.probe = ex.probe
+""",
+        "top_paths": """
+WITH l AS (
+  SELECT user_id, event_type AS s1,
+         lead(event_type, 1) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS s2,
+         lead(event_type, 2) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS s3
+  FROM events
+),
+c AS (
+  SELECT s1, s2, s3, CAST(count(*) AS BIGINT) AS n
+  FROM l WHERE s3 IS NOT NULL GROUP BY 1, 2, 3
+)
+SELECT s1, s2, s3, n,
+       CAST(row_number() OVER (ORDER BY n DESC, s1, s2, s3) AS BIGINT)
+         AS rank
+FROM c
+QUALIFY rank <= 50
 """,
     }
