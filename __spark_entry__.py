@@ -4011,22 +4011,32 @@ _DRIVER_WINDOW = [
     "kmv_overlap", "attribution_multi_touch",
     # r7 second half: footer-pruning audit, exact corr/trend/digest,
     # weighted-cosine similarity join, survivorship merge, anti-entropy
-    # drill-down
+    # drill-down — plus the batch-4 novel hash surfaces (weighted CDF
+    # windows, struct-replay bars, bit-for-bit Bloom bitmaps, N-dim
+    # Morton bit expressions, sampled-estimate arithmetic, rank-div
+    # ppm, lag-micros debounce, 3-step paths). Displaced to make room
+    # (all green on the exact hash path in the full local sweep; plain
+    # shapes with in-window or driver-proven siblings): data_quality,
+    # funnel (funnel_latency shares the fold and stays), value_outliers
+    # (integer-rank sibling of in-window impute_group_stats),
+    # profile_drift, value_histogram_by_type (histogram_quantiles
+    # stays), rfm_segments (NTILE proven r5), basket_pairs,
+    # seasonal_naive (gap_fill_locf stays)
     "file_pruning", "corr_matrix", "activity_trend",
     "dataset_digest", "cosine_pairs", "golden_record",
     "digest_repair",
+    "weighted_percentiles", "zorder3_codes", "join_size_est",
+    "rank_normalize", "debounce_events", "ohlc_daily",
+    "bloom_index_prune", "top_paths",
     # r5-proven rows kept to re-confirm the broad surface
     "neardup_blast_radius",
-    # new in r6: paragraph dedup, rows-only→oracle conversions, and the
-    # data-platform additions (quality / funnel / outliers / drift)
+    # new in r6: paragraph dedup, rows-only→oracle conversions
     "paragraph_dedup", "multimodal_features", "phash_neardup",
-    "data_quality", "funnel", "value_outliers", "profile_drift",
     # new in r6 third session: boilerplate excision, incremental-view
     # maintenance, gap-fill/LOCF, fuzzy edit-distance join
     "boilerplate_removal", "incremental_agg", "incremental_retract",
     "gap_fill_locf", "fuzzy_title_pairs", "impute_group_stats",
-    "value_histogram_by_type", "rfm_segments",
-    "basket_pairs", "seasonal_naive", "schema_unify", "k_anonymity",
+    "schema_unify", "k_anonymity",
     "series_similarity", "histogram_quantiles", "entity_resolution",
     "cusum_alarms",
 ]
