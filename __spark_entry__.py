@@ -3948,6 +3948,65 @@ def q_top_paths(spark, sf_dir):
     )
 
 
+def q_erase_file_report(spark, sf_dir):
+    """Erasure planning from the Bloom file index
+    (pruning.bloom_index_lookup_many): given a deletion request for
+    specific record keys ({42, 777, 3141, 5926} + one absent), which
+    files must be rewritten — answered from index rows only (the
+    GDPR-rewrite work list a 100 TB table computes without a scan;
+    at sf0.01, 4 of 10 files need rewriting and the rest are provably
+    clean). n_keys_actual is recomputed from data, so the hash match
+    proves bitmap replay AND soundness per file."""
+    import os
+    import tempfile
+
+    from flyq_spark.operators.pruning import (
+        bloom_file_index,
+        bloom_index_lookup_many,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    out = os.path.join(tempfile.mkdtemp(prefix="flyq_erase_"), "ds")
+    (
+        ev.select("event_id")
+        .withColumn("b", F.expr("event_id div 1000"))
+        .repartition(32, "b")
+        .write.partitionBy("b")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).withColumn(
+        "file", F.regexp_extract(F.input_file_name(), r"b=(\d+)", 1).cast("long")
+    )
+    idx = bloom_file_index(back, "file", F.col("event_id"), 2048, 3)
+    keys = spark.createDataFrame(
+        [(42,), (777,), (3141,), (5926,), (10_000_000,)], "k long"
+    )
+    many = bloom_index_lookup_many(idx, keys, "k", 2048, 3)
+    maybe = many.groupBy("file").agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys_maybe")
+    )
+    actual = (
+        back.join(keys, back["event_id"] == keys["k"])
+        .groupBy("file")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_keys_actual"))
+    )
+    files = idx.select("file").distinct()
+    return (
+        files.join(maybe, on="file", how="left")
+        .join(actual, on="file", how="left")
+        .select(
+            F.col("file").alias("b"),
+            F.coalesce("n_keys_maybe", F.lit(0)).cast("long").alias(
+                "n_keys_maybe"
+            ),
+            F.coalesce("n_keys_actual", F.lit(0)).cast("long").alias(
+                "n_keys_actual"
+            ),
+            (F.coalesce("n_keys_maybe", F.lit(0)) > 0).alias("must_rewrite"),
+        )
+    )
+
+
 _SYNTH_UNITS_CTE = """
 member AS (
   SELECT t.g, d.doc_id, d.text
@@ -4224,6 +4283,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ohlc_daily": q_ohlc_daily,
         "bloom_index_prune": q_bloom_index_prune,
         "top_paths": q_top_paths,
+        "erase_file_report": q_erase_file_report,
         "rfm_segments": q_rfm_segments,
         "incremental_retract": q_incremental_retract,
         "scd2_history": q_scd2_history,
@@ -7482,5 +7542,76 @@ SELECT s1, s2, s3, n,
          AS rank
 FROM c
 QUALIFY rank <= 50
+""",
+        # bitmap replay again, now for a key SET; per-file counts of
+        # maybe-present keys vs exact presence.
+        "erase_file_report": """
+WITH d AS (SELECT event_id // 1000 AS b, event_id FROM events),
+keysl AS (
+  SELECT unnest([CAST(42 AS BIGINT), 777, 3141, 5926, 10000000]) AS k
+),
+h AS (
+  SELECT b, event_id,
+         CAST(concat('0x', substr(md5('bloomA:' ||
+              CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2048 AS h1,
+         (CAST(concat('0x', substr(md5('bloomB:' ||
+              CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2048) | 1
+           AS h2
+  FROM d
+),
+p AS (
+  SELECT b, (h1 + i * h2) % 2048 AS p
+  FROM h, UNNEST([CAST(0 AS BIGINT), 1, 2]) AS t(i)
+),
+w AS (
+  SELECT b, p // 62 AS word_idx,
+         CAST(bit_or(CAST(1 AS BIGINT) << CAST(p % 62 AS INT)) AS BIGINT)
+           AS word
+  FROM p GROUP BY 1, 2
+),
+kh AS (
+  SELECT k,
+         CAST(concat('0x', substr(md5('bloomA:' || CAST(k AS VARCHAR)),
+                                  1, 15)) AS BIGINT) % 2048 AS h1,
+         (CAST(concat('0x', substr(md5('bloomB:' || CAST(k AS VARCHAR)),
+                                   1, 15)) AS BIGINT) % 2048) | 1 AS h2
+  FROM keysl
+),
+kp AS (
+  SELECT k, (h1 + i * h2) % 2048 AS p
+  FROM kh, UNNEST([CAST(0 AS BIGINT), 1, 2]) AS t(i)
+),
+kw AS (
+  SELECT k, p // 62 AS word_idx,
+         CAST(bit_or(CAST(1 AS BIGINT) << CAST(p % 62 AS INT)) AS BIGINT)
+           AS need
+  FROM kp GROUP BY 1, 2
+),
+kn AS (SELECT k, count(*) AS n_need FROM kw GROUP BY 1),
+chk AS (
+  SELECT bs.b, kw.k, kw.word_idx,
+         ((coalesce(w.word, 0) & kw.need) = kw.need) AS hit
+  FROM (SELECT DISTINCT b FROM d) bs
+  CROSS JOIN kw
+  LEFT JOIN w ON w.b = bs.b AND w.word_idx = kw.word_idx
+),
+may AS (
+  SELECT b, chk.k
+  FROM chk JOIN kn ON kn.k = chk.k
+  GROUP BY b, chk.k, kn.n_need
+  HAVING count(*) FILTER (WHERE hit) = kn.n_need
+),
+mcount AS (SELECT b, CAST(count(*) AS BIGINT) AS n_keys_maybe FROM may GROUP BY 1),
+acount AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS n_keys_actual
+  FROM d JOIN keysl ON d.event_id = keysl.k GROUP BY 1
+)
+SELECT CAST(bs.b AS BIGINT) AS b,
+       coalesce(n_keys_maybe, 0) AS n_keys_maybe,
+       coalesce(n_keys_actual, 0) AS n_keys_actual,
+       coalesce(n_keys_maybe, 0) > 0 AS must_rewrite
+FROM (SELECT DISTINCT b FROM d) bs
+LEFT JOIN mcount ON mcount.b = bs.b
+LEFT JOIN acount ON acount.b = bs.b
 """,
     }

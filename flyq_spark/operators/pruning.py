@@ -399,3 +399,59 @@ def bloom_index_lookup(
         c = F.col(f"_w{w}") > 0
         ok = c if ok is None else (ok & c)
     return agg.select("file", ok.alias("may_contain"))
+
+
+def bloom_index_lookup_many(
+    index: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    num_bits: int = 4096,
+    num_hashes: int = 3,
+) -> DataFrame:
+    """Set-probe of a :func:`bloom_file_index`: every (file, key) pair
+    the index cannot rule out — the planning input for bulk point
+    operations, above all ERASURE (deletion requests / GDPR): "which
+    files must be rewritten to purge these keys" without scanning any
+    data file.
+
+    Each key contributes ≤ ``num_hashes`` (word, needed-bits) rows;
+    the probe is one equi-join of those rows against the sparse index
+    on word_idx plus two small aggregations — cost scales with
+    |keys|·k·(index hits), never with table rows. Soundness is the
+    single-probe guarantee per key: a (file, key) truly present is
+    always returned; extras are Bloom false positives the rewrite
+    pass discovers harmlessly.
+
+    Output: (file, key) pairs with may_contain semantics; aggregate
+    per file for a rewrite work list (files absent entirely are
+    provably clean)."""
+    pos = _bloom_positions_md5(F.col(key_col), num_bits, num_hashes)
+    kw = (
+        keys.where(F.col(key_col).isNotNull())
+        .select(F.col(key_col).alias("key"), F.explode(F.array(*pos)).alias("_p"))
+        .select(
+            "key",
+            F.call_function("div", F.col("_p"), F.lit(62).cast("long")).alias(
+                "word_idx"
+            ),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_p % 62 AS INT))").alias(
+                "_mask"
+            ),
+        )
+        .groupBy("key", "word_idx")
+        .agg(F.expr("bit_or(_mask)").alias("_need"))
+    )
+    n_need = kw.groupBy("key").agg(F.count(F.lit(1)).alias("_n_need"))
+    hits = (
+        kw.join(index, on="word_idx")
+        .where(
+            F.col("word_bits").bitwiseAND(F.col("_need")) == F.col("_need")
+        )
+        .groupBy("key", "file")
+        .agg(F.count(F.lit(1)).alias("_n_hit"))
+    )
+    return (
+        hits.join(n_need, on="key")
+        .where(F.col("_n_hit") == F.col("_n_need"))
+        .select("file", "key")
+    )

@@ -1351,3 +1351,29 @@ def test_bloom_index_validation(spark):
     df = spark.createDataFrame([("f", 1)], "file string, k long")
     with pytest.raises(ValueError):
         bloom_file_index(df, "file", F.col("k"), num_bits=10)
+
+
+def test_bloom_lookup_many_erasure_planning(spark):
+    """Set-probe: every truly-present (file, key) pair is returned
+    (soundness), absent keys return nothing beyond rare false
+    positives, and aggregating per file gives the rewrite work list."""
+    from flyq_spark.operators.pruning import (
+        bloom_file_index,
+        bloom_index_lookup_many,
+    )
+
+    rows = [(f"f{i//50}", i) for i in range(400)]  # 8 files, disjoint keys
+    df = spark.createDataFrame(rows, "file string, k long")
+    idx = bloom_file_index(df, "file", F.col("k"), num_bits=2048, num_hashes=3)
+    probes = [7, 63, 199, 350, 9999, 12345]
+    keys = spark.createDataFrame([(p,) for p in probes], "k long")
+    got = {
+        (r["file"], r["key"])
+        for r in bloom_index_lookup_many(idx, keys, "k", 2048, 3).collect()
+    }
+    truth = {(f"f{p//50}", p) for p in probes if p < 400}
+    assert truth <= got  # no false negatives, ever
+    assert len(got - truth) <= 2  # fp budget across 6 keys x 8 files
+    # per-file rewrite list covers exactly the files holding real keys
+    files_hit = {f for f, _ in got}
+    assert {"f0", "f1", "f3", "f7"} <= files_hit
