@@ -109,6 +109,7 @@ HEADLINE = [
     ("debounce_events", False),
     ("ohlc_daily", False),
     ("ivfpq_topk", True),
+    ("top_paths", True),
 ]
 
 
