@@ -1427,17 +1427,25 @@ def q_skew_salted_event_stats(spark, sf_dir):
 
 def q_ntile_user_value(spark, sf_dir):
     """NTILE quartiles of users by total event value — the bucketed
-    ranking window shape. Quartile boundaries follow the (total desc,
-    user asc) total order, so bucket membership is deterministic."""
+    ranking shape. Quartile boundaries follow the (total desc, user
+    asc) total order, so bucket membership is deterministic. Tiled via
+    the range-partitioned exact NTILE (operators/ranking.py): no
+    single-partition global sort over the per-user aggregate."""
+    from flyq_spark.operators.ranking import ntile_exact
+
     ev = _read(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
         (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
         .cast("long")
         .alias("total_value_c")
     )
-    w = Window.orderBy(F.col("total_value_c").desc(), F.col("user_id").asc())
-    return per_user.select(
-        "user_id", "total_value_c", F.ntile(4).over(w).cast("long").alias("quartile")
+    return ntile_exact(
+        per_user,
+        [F.col("total_value_c").desc(), F.col("user_id").asc()],
+        4,
+        "quartile",
+    ).select(
+        "user_id", "total_value_c", F.col("quartile").cast("long").alias("quartile")
     )
 
 
@@ -3903,7 +3911,13 @@ def q_bloom_index_prune(spark, sf_dir):
     back = spark.read.parquet(out).withColumn(
         "file", F.regexp_extract(F.input_file_name(), r"b=(\d+)", 1).cast("long")
     )
-    key = F.concat_ws(":", F.col("user_id"), F.col("event_type"))
+    # null-propagating concat (NOT concat_ws, which skips NULL args and
+    # never returns NULL): a NULL user_id/event_type yields a NULL key
+    # that the index's key.isNotNull() guard actually drops, instead of
+    # a truncated string colliding with real keys
+    key = F.concat(
+        F.col("user_id").cast("string"), F.lit(":"), F.col("event_type")
+    )
     idx = bloom_file_index(back, "file", key, 1024, 3)
     outs = []
     for probe in ("42:purchase", "9999:purchase"):
@@ -3941,10 +3955,17 @@ def q_top_paths(spark, sf_dir):
         .groupBy("s1", "s2", "s3")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    wr = Window.orderBy(F.col("n").desc(), "s1", "s2", "s3")
+    # top-50 via orderBy().limit() (TakeOrderedAndProject): the triple
+    # census is |event_types|^3-bounded, but the heap cut avoids even
+    # that single-partition sort; the rank window then sees ≤50 rows
+    # (constant partition key = one explicitly bounded task)
+    wr = Window.partitionBy(F.lit(0)).orderBy(
+        F.col("n").desc(), "s1", "s2", "s3"
+    )
     return (
-        paths.withColumn("rank", F.row_number().over(wr).cast("long"))
-        .where(F.col("rank") <= 50)
+        paths.orderBy(F.col("n").desc(), "s1", "s2", "s3")
+        .limit(50)
+        .withColumn("rank", F.row_number().over(wr).cast("long"))
     )
 
 
@@ -7307,17 +7328,21 @@ WHERE dot*dot*25 >= 16*na.norm_sq*nb.norm_sq
         # field-level survivorship: per field, max over (ts, event_id,
         # value) structs of non-null rows — lexicographic struct
         # comparison is identical on both engines, so the survivors
-        # hash-match exactly.
+        # hash-match exactly. The `value IS NOT NULL` / `props IS NOT
+        # NULL` arms mirror the Spark side's most-recent-NON-NULL
+        # candidate filter: without them a purchase/click row with a
+        # NULL payload would build a non-NULL struct with v=NULL that
+        # can win max() and null out the survivor.
         "golden_record": """
 SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows,
   (max(CASE WHEN event_type IS NOT NULL THEN
      struct_pack(o := epoch_us(ts), t := event_id, v := event_type)
    END)).v AS last_action,
-  (max(CASE WHEN event_type = 'purchase' THEN
+  (max(CASE WHEN event_type = 'purchase' AND value IS NOT NULL THEN
      struct_pack(o := epoch_us(ts), t := event_id,
                  v := CAST(floor(value*1000) AS BIGINT))
    END)).v AS last_purchase_milli,
-  (max(CASE WHEN event_type = 'click' THEN
+  (max(CASE WHEN event_type = 'click' AND props IS NOT NULL THEN
      struct_pack(o := epoch_us(ts), t := event_id, v := props)
    END)).v AS last_click_props
 FROM events GROUP BY user_id

@@ -48,10 +48,16 @@ def file_stats(
     across the file's row groups; NULL when any row group lacks stats
     for the column — the conservative "cannot skip" signal).
 
-    Footer min/max for a column equal the file's true min/max (parquet
-    writers emit exact stats for the types Spark writes), so a report
-    built here is exact — pinned by the gate, whose oracle recomputes
-    the same envelopes from the raw rows.
+    Exactness caveat: footer min/max equal the file's true min/max for
+    numeric and short-string columns (the types the gate pins —
+    event_id is numeric), but parquet writers MAY truncate statistics
+    for long binary/string values, rounding max UP to a valid bound —
+    still sound for skipping (``skipping_report`` never prunes a file
+    it shouldn't), but a long-string column's reported envelope can be
+    wider than the data, and pyarrow's ``has_min_max`` cannot detect
+    that truncation — treat string envelopes as bounds, not exact
+    extremes. Missing stats DO surface as NULL (the conservative
+    "cannot skip" signal).
     """
     import glob as _glob
 

@@ -295,11 +295,14 @@ def rfm_segments(
     highest value), ties broken by user id so the segmentation is
     reproducible on any engine.
 
-    Plan: one groupBy(user) for the three metrics, then three NTILE
-    windows over the user-sized aggregate (not the event table). The
-    windows order the FULL user set — at extreme user cardinality,
-    swap NTILE for a percent_rank bucket if a global sort per metric
-    ever dominates; same output contract."""
+    Plan: one groupBy(user) for the three metrics, then three
+    range-partitioned exact-NTILE passes (operators/ranking.py) over
+    the user-sized aggregate. No global sort anywhere: each score is a
+    repartitionByRange + P parallel in-range sorts + a broadcast
+    offset table, so a billion-user aggregate tiles in P-way parallel
+    tasks instead of one single-partition window per metric. The
+    integer NTILE formula is bucket-for-bucket identical to the SQL
+    window function, so results are unchanged."""
     from pyspark.sql import Column as _Column
 
     if value_c is None:
@@ -319,23 +322,34 @@ def rfm_segments(
     # on every axis, explicitly: Spark's bare asc() is NULLS FIRST while
     # DuckDB's is NULLS LAST — without the explicit variants the two
     # engines would tile NULL users at opposite ends
-    w_r = Window.orderBy(
-        F.col("recency_days").asc_nulls_last(), F.col(user_col).asc()
+    from flyq_spark.operators.ranking import ntile_exact
+
+    out = ntile_exact(
+        per_user,
+        [F.col("recency_days").asc_nulls_last(), F.col(user_col).asc()],
+        n_tiles,
+        "r_score",
     )
-    w_f = Window.orderBy(
-        F.col("frequency").desc_nulls_last(), F.col(user_col).asc()
+    out = ntile_exact(
+        out,
+        [F.col("frequency").desc_nulls_last(), F.col(user_col).asc()],
+        n_tiles,
+        "f_score",
     )
-    w_m = Window.orderBy(
-        F.col("monetary_c").desc_nulls_last(), F.col(user_col).asc()
+    out = ntile_exact(
+        out,
+        [F.col("monetary_c").desc_nulls_last(), F.col(user_col).asc()],
+        n_tiles,
+        "m_score",
     )
-    return per_user.select(
+    return out.select(
         user_col,
         "recency_days",
         "frequency",
         "monetary_c",
-        F.ntile(n_tiles).over(w_r).alias("r_score"),
-        F.ntile(n_tiles).over(w_f).alias("f_score"),
-        F.ntile(n_tiles).over(w_m).alias("m_score"),
+        "r_score",
+        "f_score",
+        "m_score",
     )
 
 

@@ -412,11 +412,21 @@ def bm25_topk(
         .groupBy("doc")
         .agg(F.sum("_s").alias("score"))
     )
-    w = Window.orderBy(F.col("score").desc(), F.col("doc").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
-        .select(F.col("doc").alias(id_col), "score", "rank")
+    # top-k via orderBy().limit(): TakeOrderedAndProject — every
+    # partition keeps a k-row heap, only P·k rows cross the wire. A
+    # partition-less row_number window here would instead sort the
+    # WHOLE scored set (corpus-sized for a stop-word query) in one
+    # task. The rank stamp runs after the limit, so its window input
+    # is ≤k rows; the constant partition key keeps it an explicitly
+    # bounded single task rather than a data-sized global window.
+    top = scored.orderBy(F.col("score").desc(), F.col("doc").asc()).limit(k)
+    w = Window.partitionBy(F.lit(0)).orderBy(
+        F.col("score").desc(), F.col("doc").asc()
+    )
+    return top.select(
+        F.col("doc").alias(id_col),
+        "score",
+        F.row_number().over(w).cast("long").alias("rank"),
     )
 
 

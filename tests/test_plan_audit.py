@@ -32,6 +32,21 @@ SCALAR_BROADCAST_OK = {
 }
 
 
+# Queries whose plans legitimately contain a partition-less window —
+# each one's window input is BOUNDED by configuration or a literal,
+# never by data volume. Windows whose only ordering key is a
+# shard/range-partition marker (_gpid, _shard) are the offset-table
+# class (≤ num_partitions rows by construction, operators/ranking.py)
+# and are auto-allowed without listing.
+GLOBAL_WINDOW_OK = {
+    "bm25_top10",  # rank stamp AFTER orderBy().limit(k): window input ≤ k rows
+    "top_paths",  # same: rank over the 50 rows TakeOrderedAndProject kept
+    "domain_affinity",  # target-profile rank over ≤ dim (4096) hashed buckets
+}
+# ordering-marker columns whose windows run over ≤P-row offset tables
+_OFFSET_MARKERS = ("_gpid#", "_shard#")
+
+
 @pytest.fixture(scope="module")
 def entry():
     spec = importlib.util.spec_from_file_location(
@@ -64,6 +79,46 @@ def test_allowlist_entries_still_use_scalar_broadcast(spark, entry):
     for name in SCALAR_BROADCAST_OK:
         plan = qs[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan, name
+
+
+def _unbounded_globals(plan: str) -> list[str]:
+    from tools.plan_snapshot import partitionless_specs
+
+    # first ordering column like `_gpid#123 ASC NULLS FIRST` → marker
+    # prefix `_gpid#` → offset-table class, auto-allowed
+    return [
+        fa
+        for fa in partitionless_specs(plan)
+        if not fa.startswith(_OFFSET_MARKERS)
+    ]
+
+
+def test_no_gate_query_has_unbounded_global_window(spark, entry):
+    """No gate plan may rank/tile through a partition-less window over
+    data-sized input — that is Exchange SinglePartition + ONE sort task
+    holding everything (the r7-flagged bm25/rfm/ntile family). Bounded
+    exceptions are the explicit allowlist (post-limit top-k stamps,
+    literal-dim profiles) plus the auto-allowed _gpid/_shard
+    offset-table class from operators/ranking.py."""
+    flagged = {}
+    for name, fn in entry.queries().items():
+        plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        hits = _unbounded_globals(plan)
+        if hits and name not in GLOBAL_WINDOW_OK:
+            flagged[name] = sorted({h[:80] for h in hits})
+    assert flagged == {}, f"unbounded partition-less windows: {flagged}"
+
+
+def test_global_window_allowlist_stays_honest(spark, entry):
+    """Each GLOBAL_WINDOW_OK entry must still contain a partition-less
+    window — when one is refactored away, prune the allowlist so it
+    cannot silently shelter a future regression."""
+    from tools.plan_snapshot import partitionless_specs
+
+    qs = entry.queries()
+    for name in GLOBAL_WINDOW_OK:
+        plan = qs[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        assert partitionless_specs(plan), f"{name}: prune from GLOBAL_WINDOW_OK"
 
 
 def test_plan_shapes_match_baseline(spark, entry):

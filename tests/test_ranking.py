@@ -1,0 +1,86 @@
+"""Distributed ranking (operators/ranking.py): the range-partitioned
+global row_number / exact NTILE must be value-identical to the naive
+single-partition window functions for ANY row count, tile count, and
+partition count — including N < tiles, N smaller than the partition
+count (empty ranges), ties broken by the caller's tiebreak column, and
+NULL ordering keys."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from flyq_spark.operators.ranking import global_row_number, ntile_exact
+
+
+def _frame(spark, n, with_nulls=False):
+    rows = []
+    for i in range(n):
+        v = None if (with_nulls and i % 7 == 3) else (i * 37) % 11
+        rows.append((i, v))
+    return spark.createDataFrame(rows, "id long, v int")
+
+
+@pytest.mark.parametrize("n,parts", [(0, 4), (1, 4), (3, 8), (97, 4), (200, 3)])
+def test_global_row_number_matches_window(spark, n, parts):
+    df = _frame(spark, n)
+    order = [F.col("v").asc_nulls_last(), F.col("id").asc()]
+    got = {
+        r["id"]: (r["rank"], r["tot"])
+        for r in global_row_number(
+            df, order, rank_col="rank", total_col="tot", num_partitions=parts
+        ).collect()
+    }
+    w = Window.orderBy(*order)
+    want = {
+        r["id"]: (r["rank"], n)
+        for r in df.select(
+            "id", F.row_number().over(w).cast("long").alias("rank")
+        ).collect()
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize(
+    "n,tiles,parts",
+    [(0, 4, 4), (1, 4, 4), (3, 5, 4), (4, 4, 2), (97, 4, 8), (100, 7, 3), (23, 1, 4)],
+)
+def test_ntile_exact_matches_window_ntile(spark, n, tiles, parts):
+    df = _frame(spark, n, with_nulls=True)
+    order = [F.col("v").desc_nulls_last(), F.col("id").asc()]
+    got = {
+        r["id"]: r["q"]
+        for r in ntile_exact(df, order, tiles, "q", num_partitions=parts).collect()
+    }
+    w = Window.orderBy(*order)
+    want = {
+        r["id"]: r["q"]
+        for r in df.select("id", F.ntile(tiles).over(w).alias("q")).collect()
+    }
+    assert got == want
+
+
+def test_ntile_exact_rejects_bad_tiles(spark):
+    with pytest.raises(ValueError):
+        ntile_exact(_frame(spark, 5), [F.col("id").asc()], 0, "q")
+
+
+def test_ranking_plan_has_no_data_sized_global_window(spark):
+    """The ONLY partition-less window in the plan must order by the
+    _gpid offset-table marker (≤ num_partitions rows); every other
+    window must carry a partition spec."""
+    from tools.plan_snapshot import partitionless_specs
+
+    df = ntile_exact(
+        _frame(spark, 50),
+        [F.col("v").asc_nulls_last(), F.col("id").asc()],
+        4,
+        "q",
+        num_partitions=4,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    bad = [
+        fa for fa in partitionless_specs(plan) if not fa.startswith("_gpid#")
+    ]
+    assert bad == [], bad

@@ -49,6 +49,58 @@ def plan_shape(plan: str) -> dict:
     return shape
 
 
+def window_specs(plan: str) -> list[str]:
+    """Each windowspecdefinition(...) argument list in an executed-plan
+    string, paren-balanced (specs nest function calls in their keys)."""
+    out = []
+    needle = "windowspecdefinition("
+    i = 0
+    while True:
+        j = plan.find(needle, i)
+        if j < 0:
+            break
+        k = j + len(needle)
+        depth = 1
+        start = k
+        while k < len(plan) and depth:
+            if plan[k] == "(":
+                depth += 1
+            elif plan[k] == ")":
+                depth -= 1
+            k += 1
+        out.append(plan[start : k - 1])
+        i = k
+    return out
+
+
+def _first_arg(spec: str) -> str:
+    depth = 0
+    for i, c in enumerate(spec):
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "," and depth == 0:
+            return spec[:i].strip()
+    return spec.strip()
+
+
+def partitionless_specs(plan: str) -> list[str]:
+    """Window specs with NO partition columns — the first spec argument
+    is already an ORDER column (carries an ASC/DESC marker) or directly
+    the frame. These compile to Exchange SinglePartition + one sort
+    task holding the window's whole input: fatal when that input is
+    data-sized, fine when it is bounded by configuration (a ≤P
+    shard-offset table, a post-limit top-k). Returns the first ordering
+    column of each offending spec."""
+    bad = []
+    for spec in window_specs(plan):
+        fa = _first_arg(spec)
+        if " ASC" in fa or " DESC" in fa or fa.startswith("specifiedwindowframe"):
+            bad.append(fa)
+    return bad
+
+
 def snapshot(entry_mod, spark) -> dict[str, dict]:
     out = {}
     for name, fn in sorted(entry_mod.queries().items()):
