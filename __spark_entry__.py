@@ -4058,67 +4058,43 @@ def entry(spark: SparkSession) -> DataFrame:
 # prior round's record. Every entry still runs in the full local sweep
 # (tools/verify_local.py) regardless of position.
 _DRIVER_WINDOW = [
-    # the four r5 red rows (oracle HUGEINT casts fixed r6) — prove green
-    "train_test_split", "pack_documents", "skew_salted_event_stats",
-    "table_profile",
-    # oracle-backed queries never in any driver window before r6
-    "bpe_token_stats", "repetition_signals",
-    # new in r7: 14 slots for the round's new queries, displacing 14
-    # never-driver-checked rows judged lowest divergence risk (plain
-    # relational/window/equi-join shapes or md5-integer lattices whose
-    # siblings are driver-proven): grouping_sets, normalize_text,
-    # rolling_7day_value, event_transitions, log_compaction,
-    # upsample_mix, syndication_audit, dedup_agreement,
-    # interarrival_stats, source_composition, chunk_docs,
-    # domain_affinity, hashed_doc_vectors, neardup_triangles,
-    # interval_overlap, incremental_dedup, snapshot_diff, eval_sample,
-    # ann_filtered_topk, rank_metrics (its float percent_rank/cume_dist
-    # columns were explicitly pre-checked through the pandas hash path
-    # in r6, MATCH) — all green on the driver's exact hash path in the
-    # full local sweep
-    # (displaced to stay at the 50 cap when the seven second-half rows
-    # below joined: fk_integrity, attribution, rollup_share,
-    # rolling_distinct_users, ab_test_counts, l_diversity,
-    # winsorize_values — plain agg/window/md5-coin/rank-clamp shapes
-    # whose siblings are driver-proven (k_anonymity and
-    # impute_group_stats stay in); all green on the exact hash path in
-    # the full local sweep)
-    "join_preflight", "bloom_semi_prune",
-    "phrase_search", "lang_heavy_hitters", "multi_signal_components",
-    "containment_pairs", "skew_split_join", "negative_samples",
-    "exact_global_quantiles",
-    "funnel_latency", "feature_time_travel",
-    "kmv_overlap", "attribution_multi_touch",
-    # r7 second half: footer-pruning audit, exact corr/trend/digest,
-    # weighted-cosine similarity join, survivorship merge, anti-entropy
-    # drill-down — plus the batch-4 novel hash surfaces (weighted CDF
-    # windows, struct-replay bars, bit-for-bit Bloom bitmaps, N-dim
-    # Morton bit expressions, sampled-estimate arithmetic, rank-div
-    # ppm, lag-micros debounce, 3-step paths). Displaced to make room
-    # (all green on the exact hash path in the full local sweep; plain
-    # shapes with in-window or driver-proven siblings): data_quality,
-    # funnel (funnel_latency shares the fold and stays), value_outliers
-    # (integer-rank sibling of in-window impute_group_stats),
-    # profile_drift, value_histogram_by_type (histogram_quantiles
-    # stays), rfm_segments (NTILE proven r5), basket_pairs,
-    # seasonal_naive (gap_fill_locf stays)
-    "file_pruning", "corr_matrix", "activity_trend",
-    "dataset_digest", "cosine_pairs", "golden_record",
-    "digest_repair",
-    "weighted_percentiles", "zorder3_codes", "join_size_est",
-    "rank_normalize", "debounce_events", "ohlc_daily",
-    "bloom_index_prune", "top_paths",
-    # r5-proven rows kept to re-confirm the broad surface
-    "neardup_blast_radius",
-    # new in r6: paragraph dedup, rows-only→oracle conversions
-    "paragraph_dedup", "multimodal_features", "phash_neardup",
-    # new in r6 third session: boilerplate excision, incremental-view
-    # maintenance, gap-fill/LOCF, fuzzy edit-distance join
-    "boilerplate_removal", "incremental_agg", "incremental_retract",
-    "gap_fill_locf", "fuzzy_title_pairs", "impute_group_stats",
-    "schema_unify", "k_anonymity",
-    "series_similarity", "histogram_quantiles", "entity_resolution",
-    "cusum_alarms",
+    # r8: retire the driver-proof backlog. 50 slots = the 36
+    # oracle-backed entries NEVER in any driver window through r7
+    # (all green on the driver-identical pandas hash path in the r7
+    # and r8 full local sweeps), + the 4 r7-green entries whose
+    # implementations were REWRITTEN this round and need fresh proof
+    # (ntile_user_value / top_paths: global-window → scalable ranking;
+    # golden_record: oracle NULL-survivorship arms; bloom_index_prune:
+    # null-propagating key), + 10 never-driver-run rows-only entries
+    # (the driver records a rows-only check for no-oracle queries —
+    # weaker, but converts "never driver-ran" into driver currency),
+    # led by the rewritten bm25_top10. The r7-green rows this displaces
+    # are all recorded in CORRECTNESS_r07.json; the 9 rows-only entries
+    # still never driver-run (audio_segments, bpe_encode_stats,
+    # compaction_plan, compression_quality, ivf_tuning, lpa_communities,
+    # lsh_tuning, mmr_topk, unigram_surprisal) rotate in next round
+    # with the stalest r02/r03 greens (minhash_pairs et al.).
+    #
+    # -- never-driver-checked, oracle-backed (36) --
+    "ab_test_counts", "ann_filtered_topk", "attribution",
+    "basket_pairs", "chunk_docs", "data_quality", "dedup_agreement",
+    "domain_affinity", "erase_file_report", "eval_sample",
+    "event_transitions", "fk_integrity", "funnel", "grouping_sets",
+    "hashed_doc_vectors", "incremental_dedup", "interarrival_stats",
+    "interval_overlap", "l_diversity", "log_compaction",
+    "neardup_triangles", "normalize_text", "profile_drift",
+    "rank_metrics", "rfm_segments", "rolling_7day_value",
+    "rolling_distinct_users", "rollup_share", "seasonal_naive",
+    "snapshot_diff", "source_composition", "syndication_audit",
+    "upsample_mix", "value_histogram_by_type", "value_outliers",
+    "winsorize_values",
+    # -- rewritten this round, re-prove (4) --
+    "ntile_user_value", "top_paths", "golden_record",
+    "bloom_index_prune",
+    # -- never-driver-run rows-only (10) --
+    "bm25_top10", "ivfpq_topk", "pq_topk", "semdedup",
+    "pagerank_neardup", "kmeans_centroids", "source_overlap",
+    "series_dtw", "capped_sessions", "bpe_merges",
 ]
 
 

@@ -110,6 +110,14 @@ HEADLINE = [
     ("ohlc_daily", False),
     ("ivfpq_topk", True),
     ("top_paths", True),
+    # r8: the de-globalized ranking family (post-fix shapes: heap top-k
+    # + range-partitioned exact NTILE) and the newest r7 gates the
+    # judge asked to see at sf0.1
+    ("bm25_top10", True),
+    ("ntile_user_value", False),
+    ("exact_global_quantiles", True),
+    ("kmv_overlap", True),
+    ("multimodal_features", False),
 ]
 
 

@@ -595,11 +595,38 @@ def _try_decode_tiff(payload: bytes):
         return None
 
 
+def _try_decode_image_lib(payload: bytes):
+    """Library decode fallback (PIL, when the container has it — see
+    flyq_spark/envprobe.py): handles the formats the pure-Python chain
+    rejects (progressive JPEG, interlaced PNG, WebP, …). Runs AFTER
+    the stdlib decoders so payloads they already decode keep their
+    pinned pixel values regardless of environment. Same bomb guard and
+    luma contract as the stdlib chain."""
+    from flyq_spark.envprobe import have
+
+    if not have("PIL.Image"):
+        return None
+    import io
+
+    import numpy as np
+
+    try:
+        from PIL import Image
+
+        with Image.open(io.BytesIO(payload)) as im:
+            if im.width * im.height > 67_108_864:  # same bomb guard
+                return None
+            return np.asarray(im.convert("L"), dtype=np.float64)
+    except Exception:
+        return None
+
+
 def _try_decode_image(payload: bytes):
-    """The one image sniff chain (netpbm → BMP → PNG → GIF → TIFF) —
-    shared by feature extraction and the dHash luma grid so 'which
-    payloads decode for real' can never diverge between them. Returns a
-    float64 luma matrix or None."""
+    """The one image sniff chain (netpbm → BMP → PNG → GIF → TIFF →
+    baseline JPEG → optional library fallback) — shared by feature
+    extraction and the dHash luma grid so 'which payloads decode for
+    real' can never diverge between them. Returns a float64 luma
+    matrix or None."""
     for dec in (
         _try_decode_netpbm,
         _try_decode_bmp,
@@ -607,6 +634,7 @@ def _try_decode_image(payload: bytes):
         _try_decode_gif,
         _try_decode_tiff,
         _try_decode_jpeg,
+        _try_decode_image_lib,
     ):
         luma = dec(payload)
         if luma is not None:
@@ -650,6 +678,59 @@ def _try_decode_wav(payload: bytes):
         return None
 
 
+def _try_decode_audio_lib(payload: bytes):
+    """Library decode fallback for compressed audio (soundfile →
+    FLAC/OGG; PyAV → MP3/AAC/anything libav knows), active only when
+    the container has the library (flyq_spark/envprobe.py). Returns
+    the same (sample_rate, n_channels, samples float64) contract as
+    ``_try_decode_wav`` so every audio kernel upgrades at once."""
+    from flyq_spark.envprobe import have
+
+    import numpy as np
+
+    if have("soundfile"):
+        import io
+
+        try:
+            import soundfile as sf
+
+            samples, rate = sf.read(io.BytesIO(payload), dtype="float64")
+            nch = 1 if samples.ndim == 1 else samples.shape[1]
+            return int(rate), int(nch), samples.reshape(-1)
+        except Exception:
+            pass
+    if have("av"):
+        import io
+
+        try:
+            import av
+
+            with av.open(io.BytesIO(payload)) as container:
+                stream = next(
+                    s for s in container.streams if s.type == "audio"
+                )
+                chunks = []
+                for frame in container.decode(stream):
+                    chunks.append(frame.to_ndarray().astype(np.float64))
+                if not chunks:
+                    return None
+                samples = np.concatenate(chunks, axis=-1)
+                nch = samples.shape[0] if samples.ndim > 1 else 1
+                return int(stream.rate), int(nch), samples.reshape(-1)
+        except Exception:
+            pass
+    return None
+
+
+def _try_decode_audio(payload: bytes):
+    """Audio sniff chain: PCM WAV (pure Python, always available) →
+    optional library fallback for compressed codecs."""
+    wav = _try_decode_wav(payload)
+    if wav is not None:
+        return wav
+    return _try_decode_audio_lib(payload)
+
+
 def _pool_1d(arr, k: int):
     """Mean-pool a 1-D array into exactly k buckets (tiles short input)."""
     import numpy as np
@@ -674,7 +755,7 @@ def _decode_payload(payload: bytes, kind: str, feature_dim: int) -> dict:
         h, w = luma.shape
         feature = [float(x) / 255.0 for x in _pool_1d(luma.flatten(), feature_dim)]
         return {"width": w, "height": h, "n_frames": 1, "feature": feature}
-    wav = _try_decode_wav(payload)
+    wav = _try_decode_audio(payload)
     if wav is not None:
         sample_rate, n_channels, samples = wav
         import numpy as np
@@ -776,7 +857,7 @@ def segment_audio(
         for pdf in batches:
             out = []
             for cid, payload in zip(pdf[id_col], pdf["payload"]):
-                wav = _try_decode_wav(bytes(payload))
+                wav = _try_decode_audio(bytes(payload))
                 if wav is None:
                     continue
                 rate, nch, samples = wav
