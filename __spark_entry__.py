@@ -4028,6 +4028,96 @@ def q_erase_file_report(spark, sf_dir):
     )
 
 
+def q_erase_execute(spark, sf_dir):
+    """[EXT] Erasure EXECUTION — the completing half of the GDPR
+    delete path (planning half: q_erase_file_report). Plans the
+    rewrite work list from the Bloom file index, EXECUTES it
+    (pruning.erase_partition_keys: staged rewrite of exactly the
+    flagged partitions, swap commit, empty partitions removed), then
+    verifies with the digest drill-down: per 32-bucket dataset_digest,
+    Spark declares ``diverged`` from the PRE vs POST digest comparison
+    (count + xor) over the actual on-disk dataset, while the oracle
+    declares it from pure relational semantics (bucket holds an erased
+    key). The hash match is therefore the theorem: digest divergence
+    localizes to exactly the erased keys' buckets, and
+    post_n = pre_n − n_erased everywhere. The constant
+    (files_rewritten, partitions_deleted) columns pin the executed
+    work list to the Bloom plan the oracle replays bit-for-bit."""
+    import os
+    import tempfile
+
+    from flyq_spark.operators.profile import dataset_digest
+    from flyq_spark.operators.pruning import (
+        bloom_file_index,
+        bloom_index_lookup_many,
+        erase_partition_keys,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    out = os.path.join(tempfile.mkdtemp(prefix="flyq_erasex_"), "ds")
+    (
+        ev.select("event_id")
+        .withColumn("b", F.expr("event_id div 1000"))
+        .repartition(32, "b")
+        .write.partitionBy("b")
+        .parquet(out)
+    )
+    digest_cols = {"event_id": F.col("event_id")}
+    # PRE digest, materialized before the rewrite mutates the dataset
+    pre_rows = dataset_digest(
+        spark.read.parquet(out), digest_cols, buckets=32
+    ).collect()
+    idx = bloom_file_index(
+        spark.read.parquet(out).withColumn("file", F.col("b").cast("long")),
+        "file",
+        F.col("event_id"),
+        2048,
+        3,
+    )
+    keys = spark.createDataFrame(
+        [(42,), (777,), (3141,), (5926,), (10_000_000,)], "k long"
+    )
+    flagged = sorted(
+        r[0]
+        for r in bloom_index_lookup_many(idx, keys, "k", 2048, 3)
+        .select("file")
+        .distinct()
+        .collect()
+    )
+    stats = erase_partition_keys(spark, out, "b", flagged, keys, "k", "event_id")
+    pre = spark.createDataFrame(
+        pre_rows, "bucket long, pre_n long, pre_x long, pre_s long"
+    ).select("bucket", "pre_n", "pre_x")
+    post = dataset_digest(spark.read.parquet(out), digest_cols, buckets=32).select(
+        F.col("bucket"), F.col("n_rows").alias("post_n0"), F.col("xor_h").alias("post_x")
+    )
+    erased = dataset_digest(
+        ev.join(keys, ev["event_id"] == keys["k"], "left_semi"),
+        digest_cols,
+        buckets=32,
+    ).select(F.col("bucket"), F.col("n_rows").alias("er_n"))
+    return (
+        pre.join(post, on="bucket", how="left")
+        .join(erased, on="bucket", how="left")
+        .select(
+            "bucket",
+            "pre_n",
+            F.coalesce("post_n0", F.lit(0)).cast("long").alias("post_n"),
+            F.coalesce("er_n", F.lit(0)).cast("long").alias("n_erased"),
+            # digest-based divergence: count OR xor differs (a missing
+            # post bucket fails the null-safe xor compare)
+            (
+                ~(F.coalesce("post_n0", F.lit(0)) == F.col("pre_n"))
+                | ~F.col("post_x").eqNullSafe(F.col("pre_x"))
+            ).alias("diverged"),
+            F.lit(stats["files_rewritten"]).cast("long").alias("files_rewritten"),
+            F.lit(stats["partitions_deleted"]).cast("long").alias(
+                "partitions_deleted"
+            ),
+        )
+    )
+
+
 _SYNTH_UNITS_CTE = """
 member AS (
   SELECT t.g, d.doc_id, d.text
@@ -4091,10 +4181,13 @@ _DRIVER_WINDOW = [
     # -- rewritten this round, re-prove (4) --
     "ntile_user_value", "top_paths", "golden_record",
     "bloom_index_prune",
-    # -- never-driver-run rows-only (10) --
+    # -- never-driver-run rows-only (9) --
     "bm25_top10", "ivfpq_topk", "pq_topk", "semdedup",
     "pagerank_neardup", "kmeans_centroids", "source_overlap",
-    "series_dtw", "capped_sessions", "bpe_merges",
+    "series_dtw", "capped_sessions",
+    # -- new this round: erasure execution (oracle-backed; the digest
+    # theorem — see q_erase_execute) --
+    "erase_execute",
 ]
 
 
@@ -4281,6 +4374,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_index_prune": q_bloom_index_prune,
         "top_paths": q_top_paths,
         "erase_file_report": q_erase_file_report,
+        "erase_execute": q_erase_execute,
         "rfm_segments": q_rfm_segments,
         "incremental_retract": q_incremental_retract,
         "scd2_history": q_scd2_history,
@@ -7614,5 +7708,114 @@ SELECT CAST(bs.b AS BIGINT) AS b,
 FROM (SELECT DISTINCT b FROM d) bs
 LEFT JOIN mcount ON mcount.b = bs.b
 LEFT JOIN acount ON acount.b = bs.b
+""",
+        # erase_execute: the oracle never sees the rewritten files — it
+        # derives post-state and divergence from pure relational
+        # semantics (events minus the key set; diverged == bucket holds
+        # an erased key), while Spark reports the digest comparison of
+        # the ACTUAL on-disk dataset before/after the staged rewrite.
+        # The hash match is the end-to-end proof the rewrite erased
+        # exactly the keys and nothing else. The Bloom CTEs replay the
+        # same md5 double-hash bitmap as erase_file_report; a flagged
+        # partition with survivors counts as rewritten, one erased to
+        # empty counts as deleted.
+        "erase_execute": """
+WITH d AS (SELECT event_id // 1000 AS b, event_id FROM events),
+keysl AS (
+  SELECT unnest([CAST(42 AS BIGINT), 777, 3141, 5926, 10000000]) AS k
+),
+hh AS (
+  SELECT event_id, event_id // 1000 AS b,
+         CAST(concat('0x', substr(md5(coalesce(
+              CAST(event_id AS VARCHAR), chr(0) || 'NULL')), 1, 15))
+           AS BIGINT) AS h
+  FROM events
+),
+pre AS (
+  SELECT h % 32 AS bucket, count(*) AS n, bit_xor(h) AS x
+  FROM hh GROUP BY 1
+),
+post AS (
+  SELECT h % 32 AS bucket, count(*) AS n
+  FROM hh WHERE event_id NOT IN (SELECT k FROM keysl) GROUP BY 1
+),
+er AS (
+  SELECT h % 32 AS bucket, count(*) AS n
+  FROM hh WHERE event_id IN (SELECT k FROM keysl) GROUP BY 1
+),
+bh AS (
+  SELECT b, event_id,
+         CAST(concat('0x', substr(md5('bloomA:' ||
+              CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2048 AS h1,
+         (CAST(concat('0x', substr(md5('bloomB:' ||
+              CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2048) | 1
+           AS h2
+  FROM d
+),
+bp AS (
+  SELECT b, (h1 + i * h2) % 2048 AS p
+  FROM bh, UNNEST([CAST(0 AS BIGINT), 1, 2]) AS t(i)
+),
+bw AS (
+  SELECT b, p // 62 AS word_idx,
+         CAST(bit_or(CAST(1 AS BIGINT) << CAST(p % 62 AS INT)) AS BIGINT)
+           AS word
+  FROM bp GROUP BY 1, 2
+),
+kh AS (
+  SELECT k,
+         CAST(concat('0x', substr(md5('bloomA:' || CAST(k AS VARCHAR)),
+                                  1, 15)) AS BIGINT) % 2048 AS h1,
+         (CAST(concat('0x', substr(md5('bloomB:' || CAST(k AS VARCHAR)),
+                                   1, 15)) AS BIGINT) % 2048) | 1 AS h2
+  FROM keysl
+),
+kp AS (
+  SELECT k, (h1 + i * h2) % 2048 AS p
+  FROM kh, UNNEST([CAST(0 AS BIGINT), 1, 2]) AS t(i)
+),
+kw AS (
+  SELECT k, p // 62 AS word_idx,
+         CAST(bit_or(CAST(1 AS BIGINT) << CAST(p % 62 AS INT)) AS BIGINT)
+           AS need
+  FROM kp GROUP BY 1, 2
+),
+kn AS (SELECT k, count(*) AS n_need FROM kw GROUP BY 1),
+chk AS (
+  SELECT bs.b, kw.k, kw.word_idx,
+         ((coalesce(bw.word, 0) & kw.need) = kw.need) AS hit
+  FROM (SELECT DISTINCT b FROM d) bs
+  CROSS JOIN kw
+  LEFT JOIN bw ON bw.b = bs.b AND bw.word_idx = kw.word_idx
+),
+may AS (
+  SELECT b, chk.k
+  FROM chk JOIN kn ON kn.k = chk.k
+  GROUP BY b, chk.k, kn.n_need
+  HAVING count(*) FILTER (WHERE hit) = kn.n_need
+),
+flagged AS (SELECT DISTINCT b FROM may),
+surv AS (
+  SELECT DISTINCT event_id // 1000 AS b FROM events
+  WHERE event_id NOT IN (SELECT k FROM keysl)
+),
+stats AS (
+  SELECT
+    CAST(count(*) FILTER (WHERE b IN (SELECT b FROM surv)) AS BIGINT)
+      AS files_rewritten,
+    CAST(count(*) FILTER (WHERE b NOT IN (SELECT b FROM surv)) AS BIGINT)
+      AS partitions_deleted
+  FROM flagged
+)
+SELECT CAST(pre.bucket AS BIGINT) AS bucket,
+       CAST(pre.n AS BIGINT) AS pre_n,
+       CAST(coalesce(post.n, 0) AS BIGINT) AS post_n,
+       CAST(coalesce(er.n, 0) AS BIGINT) AS n_erased,
+       coalesce(er.n, 0) > 0 AS diverged,
+       stats.files_rewritten, stats.partitions_deleted
+FROM pre
+LEFT JOIN post ON post.bucket = pre.bucket
+LEFT JOIN er ON er.bucket = pre.bucket
+CROSS JOIN stats
 """,
     }

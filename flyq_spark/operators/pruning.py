@@ -461,3 +461,88 @@ def bloom_index_lookup_many(
         .where(F.col("_n_hit") == F.col("_n_need"))
         .select("file", "key")
     )
+
+
+def erase_partition_keys(
+    spark: SparkSession,
+    path: str,
+    part_col: str,
+    flagged: list,
+    keys: DataFrame,
+    key_col: str,
+    match_col: str,
+) -> dict:
+    """EXECUTE an erasure plan: rewrite exactly the flagged partitions
+    of a ``partitionBy(part_col)`` parquet dataset, dropping every row
+    whose ``match_col`` appears in ``keys[key_col]`` — the completing
+    half of the GDPR delete path whose planning half is
+    :func:`bloom_index_lookup_many` ("which files MIGHT hold these
+    keys"). Reference scope: FlyQ deletes whole segments by retention
+    only (log_engine.rs cleanup); keyed erasure is the [EXT] analytics
+    counterpart every lakehouse needs.
+
+    Scale shape — the whole point is work-list-bounded I/O:
+
+    - READ: only flagged partitions are opened. The ``isin`` filter is
+      a partition-pruning predicate, so unflagged partitions (the
+      overwhelming majority at 100 TB after Bloom planning) are never
+      listed past the directory level, never read, never written.
+    - WRITE: dynamic partition overwrite (``partitionOverwriteMode=
+      dynamic``) replaces ONLY the partitions present in the rewritten
+      frame; everything else on disk is untouched — no global rewrite,
+      no table lock beyond the flagged directories.
+    - Bloom false positives cost one wasted partition rewrite each
+      (the anti-join then drops nothing) — sound, just suboptimal, and
+      bounded by the index's false-positive rate.
+    - A partition whose every row is erased produces NO output rows,
+      which dynamic overwrite would silently leave stale; those
+      directories are removed explicitly. That pass is driver-side but
+      bounded by |flagged| (the work list), never by table size.
+    - The erase key set ships via broadcast anti-join: deletion
+      requests are human-scale (thousands), never table-scale.
+
+    Commit protocol: surviving rows are written to a STAGING directory
+    first, then each flagged partition directory is swapped (delete
+    old, move staged in) — never read-and-overwrite the same path (a
+    failure mid-write must not lose un-erased rows), and a partition
+    whose staged output is empty (every row erased) is simply removed.
+    The swap pass is driver-side directory renames, bounded by
+    |flagged| — at real scale the same protocol runs against the
+    object store's rename/delete API.
+
+    Returns {"files_rewritten", "partitions_deleted"} actually acted
+    on. Callers verify the rewrite with ``dataset_digest`` pre/post —
+    divergence must localize to the erased keys' digest buckets.
+    """
+    import shutil
+    import tempfile
+
+    if not flagged:
+        return {"files_rewritten": 0, "partitions_deleted": 0}
+    flagged = list(flagged)
+    kept = (
+        spark.read.parquet(path)
+        .where(F.col(part_col).isin(flagged))
+        .join(
+            F.broadcast(keys.select(F.col(key_col).alias(match_col))),
+            on=match_col,
+            how="left_anti",
+        )
+    )
+    staging = tempfile.mkdtemp(prefix="flyq_erase_staging_")
+    try:
+        kept.write.mode("overwrite").partitionBy(part_col).parquet(staging)
+        rewritten = deleted = 0
+        for v in flagged:
+            part_dir = f"{part_col}={v}"
+            src = os.path.join(staging, part_dir)
+            dst = os.path.join(path, part_dir)
+            shutil.rmtree(dst, ignore_errors=True)
+            if os.path.isdir(src):
+                shutil.move(src, dst)
+                rewritten += 1
+            else:
+                deleted += 1
+        return {"files_rewritten": rewritten, "partitions_deleted": deleted}
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
