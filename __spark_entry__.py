@@ -2599,6 +2599,103 @@ def q_normalize_text(spark, sf_dir):
     )
 
 
+def _pii_augmented_docs(spark, sf_dir):
+    """Documents with deterministic PII-bearing suffixes (the fixture
+    corpus has none): emails / phones / IPv4s / SSN-format strings
+    derived arithmetically from doc_id, so the oracle rebuilds the
+    identical corpus with plain SQL concatenation — same pattern as
+    q_audio_segments' WAV synthesis."""
+    did = F.col("doc_id")
+
+    def when_mod(m, *parts):
+        return F.when(did % m == 0, F.concat(*parts)).otherwise(F.lit(""))
+
+    aug = F.concat(
+        F.col("text"),
+        when_mod(
+            3, F.lit(" contact u"), did.cast("string"), F.lit("@example.com")
+        ),
+        when_mod(
+            5,
+            F.lit(" call 555-"),
+            (did % 900 + 100).cast("string"),
+            F.lit("-"),
+            (did % 9000 + 1000).cast("string"),
+        ),
+        when_mod(
+            7,
+            F.lit(" host 10."),
+            (did % 256).cast("string"),
+            F.lit("."),
+            F.expr("(doc_id div 256) % 256").cast("string"),
+            F.lit("."),
+            (did % 100).cast("string"),
+        ),
+        when_mod(
+            11,
+            F.lit(" ssn "),
+            (did % 900 + 100).cast("string"),
+            F.lit("-"),
+            (did % 90 + 10).cast("string"),
+            F.lit("-"),
+            (did % 9000 + 1000).cast("string"),
+        ),
+    )
+    return _read(spark, sf_dir, "documents").select("doc_id", aug.alias("text"))
+
+
+def q_pii_scan(spark, sf_dir):
+    """[EXT] PII census (operators/text.py redact_pii): per-document
+    match counts for email / SSN-format / phone / IPv4 patterns plus
+    the has_pii routing flag — pure codegen'd regexp projections, zero
+    shuffle. Patterns live in the Java∩RE2 dialect subset so the
+    DuckDB oracle replays them verbatim."""
+    from flyq_spark.operators.text import redact_pii
+
+    return redact_pii(_pii_augmented_docs(spark, sf_dir)).select(
+        "doc_id",
+        "n_email",
+        "n_ssn",
+        "n_phone",
+        "n_ipv4",
+        (
+            F.col("n_email") + F.col("n_ssn") + F.col("n_phone") + F.col("n_ipv4")
+            > 0
+        ).alias("has_pii"),
+    )
+
+
+def q_pii_redact(spark, sf_dir):
+    """[EXT] PII redaction (operators/text.py redact_pii): mask every
+    match with [CATEGORY] placeholders and count redactions. The gate
+    compares md5(redacted_text) across engines — a one-character
+    divergence in any replacement anywhere in the corpus flips the
+    hash, so the redaction semantics are pinned exactly."""
+    from flyq_spark.operators.text import redact_pii
+
+    red = redact_pii(_pii_augmented_docs(spark, sf_dir))
+    return red.select(
+        "doc_id",
+        (
+            F.col("n_email") + F.col("n_ssn") + F.col("n_phone") + F.col("n_ipv4")
+        ).alias("n_redactions"),
+        F.md5(F.col("text")).alias("redacted_md5"),
+        F.length("text").cast("long").alias("n_chars_redacted"),
+    )
+
+
+def q_collocations(spark, sf_dir):
+    """[EXT] Collocation mining (operators/text.py collocations):
+    top-100 adjacent word pairs with pair_n >= 25 and every integer
+    PMI component (pair/unigram/corpus counts) — hash-exact where a
+    float PMI could not be; heap top-k + scalar-broadcast totals."""
+    from flyq_spark.operators.text import collocations
+
+    return collocations(
+        _read(spark, sf_dir, "documents"), min_count=25, k=100
+    )
+
+
 def q_mmr_topk(spark, sf_dir):
     """Diversity-aware retrieval (operators/similarity.py:topk_mmr):
     exact top-50 candidate pool per query, then greedy MMR selection
@@ -4118,6 +4215,122 @@ def q_erase_execute(spark, sf_dir):
     )
 
 
+def q_compaction_execute(spark, sf_dir):
+    """[EXT] Compaction EXECUTION (operators/pruning.py
+    compaction_execute) — the executing half of compaction_plan and
+    the losslessness twin of erase_execute: a deliberately fragmented
+    dataset (maxRecordsPerFile=300 under repartition(1), so the file
+    census is a pure function of row counts and the oracle can derive
+    it relationally) is planned (512 MB target → every multi-file dir
+    packs into ONE bin) and merged in one distributed job. Verified by
+    32-bucket dataset_digest pre/post: the oracle asserts diverged =
+    FALSE and post_n = pre_n everywhere from first principles; Spark
+    reports the digest comparison of the ACTUAL rewritten files — a
+    single lost or duplicated row anywhere flips a bucket and the
+    hash. Constant columns pin the executed file census:
+    files_before = Σ ceil(n_b/300), files_after = |dirs|,
+    bins_merged = |dirs with n_b > 300|."""
+    import os
+    import tempfile
+
+    from flyq_spark.operators.profile import dataset_digest
+    from flyq_spark.operators.pruning import (
+        compaction_execute,
+        compaction_plan,
+        file_sizes,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    out = os.path.join(tempfile.mkdtemp(prefix="flyq_compactx_"), "ds")
+    (
+        ev.select("event_id")
+        .withColumn("b", F.expr("event_id div 1000"))
+        .repartition(1)
+        .write.option("maxRecordsPerFile", 300)
+        .partitionBy("b")
+        .parquet(out)
+    )
+    digest_cols = {"event_id": F.col("event_id")}
+    pre_rows = dataset_digest(
+        spark.read.parquet(out), digest_cols, buckets=32
+    ).collect()
+    sizes = file_sizes(spark, out)
+    files_before = sizes.count()
+    plan = compaction_plan(sizes, 512 * 1024 * 1024)
+    stats = compaction_execute(spark, out, plan)
+    files_after = files_before - stats["files_removed"] + stats["files_written"]
+    pre = spark.createDataFrame(
+        pre_rows, "bucket long, pre_n long, pre_x long, pre_s long"
+    ).select("bucket", "pre_n", "pre_x")
+    post = dataset_digest(spark.read.parquet(out), digest_cols, buckets=32).select(
+        F.col("bucket"),
+        F.col("n_rows").alias("post_n0"),
+        F.col("xor_h").alias("post_x"),
+    )
+    return (
+        pre.join(post, on="bucket", how="left")
+        .select(
+            "bucket",
+            "pre_n",
+            F.coalesce("post_n0", F.lit(0)).cast("long").alias("post_n"),
+            (
+                ~(F.coalesce("post_n0", F.lit(0)) == F.col("pre_n"))
+                | ~F.col("post_x").eqNullSafe(F.col("pre_x"))
+            ).alias("diverged"),
+            F.lit(files_before).cast("long").alias("files_before"),
+            F.lit(files_after).cast("long").alias("files_after"),
+            F.lit(stats["bins_merged"]).cast("long").alias("bins_merged"),
+        )
+    )
+
+
+def q_subject_access(spark, sf_dir):
+    """[EXT] Data-subject access report (operators/profile.py
+    subject_access_report): per requested subject key × table, the
+    subject's row count and content digest across events (user_id),
+    orders (o_custkey), customer (c_custkey) — including explicit
+    zero-row rows for an absent subject. Broadcast key join + map-side
+    digest partials per table; the same digest triple as
+    dataset_digest, so a post-erasure re-run proves deletion."""
+    from flyq_spark.operators.profile import subject_access_report
+
+    keys = spark.createDataFrame(
+        [(7,), (42,), (99,), (150,), (424242,)], "k long"
+    )
+    money_c = (
+        F.col("o_totalprice").cast("decimal(18,2)") * 100
+    ).cast("long")
+    tables = {
+        "events": (
+            _read(spark, sf_dir, "events"),
+            F.col("user_id"),
+            {
+                "event_id": F.col("event_id"),
+                "ts_us": F.unix_micros(F.col("ts")),
+                "event_type": F.col("event_type"),
+            },
+        ),
+        "orders": (
+            _read(spark, sf_dir, "orders"),
+            F.col("o_custkey"),
+            {
+                "o_orderkey": F.col("o_orderkey"),
+                "total_c": money_c,
+                "o_orderstatus": F.col("o_orderstatus"),
+            },
+        ),
+        "customer": (
+            _read(spark, sf_dir, "customer"),
+            F.col("c_custkey"),
+            {
+                "c_name": F.col("c_name"),
+                "c_nationkey": F.col("c_nationkey"),
+            },
+        ),
+    }
+    return subject_access_report(tables, keys)
+
+
 _SYNTH_UNITS_CTE = """
 member AS (
   SELECT t.g, d.doc_id, d.text
@@ -4375,6 +4588,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_paths": q_top_paths,
         "erase_file_report": q_erase_file_report,
         "erase_execute": q_erase_execute,
+        "compaction_execute": q_compaction_execute,
+        "subject_access": q_subject_access,
         "rfm_segments": q_rfm_segments,
         "incremental_retract": q_incremental_retract,
         "scd2_history": q_scd2_history,
@@ -4382,6 +4597,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hashed_doc_vectors": q_hashed_doc_vectors,
         "ann_filtered_topk": q_ann_filtered_topk,
         "normalize_text": q_normalize_text,
+        "pii_scan": q_pii_scan,
+        "pii_redact": q_pii_redact,
+        "collocations": q_collocations,
         "rolling_7day_value": q_rolling_7day_value,
         "event_transitions": q_event_transitions,
         "neardup_triangles": q_neardup_triangles,
@@ -6925,6 +7143,133 @@ SELECT doc_id, norm_text, md5(norm_text) AS norm_fp,
        CAST(strlen(norm_text) AS BIGINT) AS n_chars_norm
 FROM n
 """,
+        # pii_scan / pii_redact: the augmented corpus is rebuilt with
+        # plain concatenation (same doc_id arithmetic as the Spark
+        # side); patterns are text.py's PII_PATTERNS verbatim (Java∩RE2
+        # subset: classes, bounded repetition, non-capturing groups,
+        # \b — no lookaround, no backreferences).
+        # Backslashes are doubled HERE because this is a non-raw Python
+        # string — DuckDB must receive single ones ('\\b' would be a
+        # backspace character otherwise, silently killing every match).
+        "pii_scan": """
+WITH aug AS (
+  SELECT doc_id,
+    text ||
+    CASE WHEN doc_id % 3 = 0 THEN ' contact u' || CAST(doc_id AS VARCHAR)
+         || '@example.com' ELSE '' END ||
+    CASE WHEN doc_id % 5 = 0 THEN ' call 555-'
+         || CAST(doc_id % 900 + 100 AS VARCHAR) || '-'
+         || CAST(doc_id % 9000 + 1000 AS VARCHAR) ELSE '' END ||
+    CASE WHEN doc_id % 7 = 0 THEN ' host 10.'
+         || CAST(doc_id % 256 AS VARCHAR) || '.'
+         || CAST((doc_id // 256) % 256 AS VARCHAR) || '.'
+         || CAST(doc_id % 100 AS VARCHAR) ELSE '' END ||
+    CASE WHEN doc_id % 11 = 0 THEN ' ssn '
+         || CAST(doc_id % 900 + 100 AS VARCHAR) || '-'
+         || CAST(doc_id % 90 + 10 AS VARCHAR) || '-'
+         || CAST(doc_id % 9000 + 1000 AS VARCHAR) ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+    AS n_email,
+  CAST(len(regexp_extract_all(t, '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b')) AS BIGINT)
+    AS n_ssn,
+  CAST(len(regexp_extract_all(t, '(?:\\+?1[-. ])?(?:\\([0-9]{3}\\) ?|\\b[0-9]{3}[-. ])[0-9]{3}[-. ][0-9]{4}\\b')) AS BIGINT)
+    AS n_phone,
+  CAST(len(regexp_extract_all(t,
+    '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS BIGINT) AS n_ipv4,
+  (len(regexp_extract_all(t,
+     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+   + len(regexp_extract_all(t, '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b'))
+   + len(regexp_extract_all(t, '(?:\\+?1[-. ])?(?:\\([0-9]{3}\\) ?|\\b[0-9]{3}[-. ])[0-9]{3}[-. ][0-9]{4}\\b'))
+   + len(regexp_extract_all(t,
+     '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b'))) > 0 AS has_pii
+FROM aug
+""",
+        "pii_redact": """
+WITH aug AS (
+  SELECT doc_id,
+    text ||
+    CASE WHEN doc_id % 3 = 0 THEN ' contact u' || CAST(doc_id AS VARCHAR)
+         || '@example.com' ELSE '' END ||
+    CASE WHEN doc_id % 5 = 0 THEN ' call 555-'
+         || CAST(doc_id % 900 + 100 AS VARCHAR) || '-'
+         || CAST(doc_id % 9000 + 1000 AS VARCHAR) ELSE '' END ||
+    CASE WHEN doc_id % 7 = 0 THEN ' host 10.'
+         || CAST(doc_id % 256 AS VARCHAR) || '.'
+         || CAST((doc_id // 256) % 256 AS VARCHAR) || '.'
+         || CAST(doc_id % 100 AS VARCHAR) ELSE '' END ||
+    CASE WHEN doc_id % 11 = 0 THEN ' ssn '
+         || CAST(doc_id % 900 + 100 AS VARCHAR) || '-'
+         || CAST(doc_id % 90 + 10 AS VARCHAR) || '-'
+         || CAST(doc_id % 9000 + 1000 AS VARCHAR) ELSE '' END AS t
+  FROM documents
+),
+red AS (
+  SELECT doc_id, t,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+            '[EMAIL]', 'g'),
+          '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '[SSN]', 'g'),
+        '(?:\\+?1[-. ])?(?:\\([0-9]{3}\\) ?|\\b[0-9]{3}[-. ])[0-9]{3}[-. ][0-9]{4}\\b', '[PHONE]', 'g'),
+      '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '[IPV4]', 'g') AS r
+  FROM aug
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t,
+     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+   + len(regexp_extract_all(t, '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b'))
+   + len(regexp_extract_all(t, '(?:\\+?1[-. ])?(?:\\([0-9]{3}\\) ?|\\b[0-9]{3}[-. ])[0-9]{3}[-. ][0-9]{4}\\b'))
+   + len(regexp_extract_all(t,
+     '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS BIGINT)
+    AS n_redactions,
+  md5(r) AS redacted_md5,
+  CAST(strlen(r) AS BIGINT) AS n_chars_redacted
+FROM red
+""",
+        "collocations": """
+WITH arr AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS a FROM documents
+),
+bg AS (
+  SELECT doc_id, a[i] AS w1, a[i + 1] AS w2
+  FROM arr, UNNEST(range(1, len(a))) AS t(i)
+  WHERE a[i] <> '' AND a[i + 1] <> ''
+),
+pc AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS pair_n,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM bg GROUP BY 1, 2
+),
+uni AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS w_n
+  FROM (SELECT unnest(a) AS w FROM arr) WHERE w <> '' GROUP BY 1
+),
+tot AS (
+  SELECT (SELECT CAST(sum(pair_n) AS BIGINT) FROM pc) AS total_pairs,
+         (SELECT CAST(sum(w_n) AS BIGINT) FROM uni) AS total_tokens
+),
+ranked AS (
+  SELECT row_number() OVER (ORDER BY pc.pair_n DESC, pc.w1, pc.w2)
+           AS rank,
+         pc.w1, pc.w2, pc.pair_n, pc.n_docs,
+         u1.w_n AS w1_n, u2.w_n AS w2_n,
+         tot.total_pairs, tot.total_tokens
+  FROM pc
+  JOIN uni u1 ON u1.w = pc.w1
+  JOIN uni u2 ON u2.w = pc.w2
+  CROSS JOIN tot
+  WHERE pc.pair_n >= 25
+)
+SELECT CAST(rank AS BIGINT) AS rank, w1, w2, pair_n, n_docs, w1_n, w2_n,
+       total_pairs, total_tokens
+FROM ranked WHERE rank <= 100
+""",
         "rolling_7day_value": """
 SELECT event_id, user_id, epoch_us(ts) AS ts_us,
        CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) OVER (
@@ -7817,5 +8162,89 @@ FROM pre
 LEFT JOIN post ON post.bucket = pre.bucket
 LEFT JOIN er ON er.bucket = pre.bucket
 CROSS JOIN stats
+""",
+        # compaction_execute: lossless by definition on the oracle side
+        # (diverged FALSE, post = pre from the same relation); Spark's
+        # columns come from digesting the ACTUAL rewritten files. The
+        # file census is relational because the fragmented write used
+        # repartition(1) + maxRecordsPerFile=300: ceil(n_b/300) files
+        # per b-dir before, one per dir after (512 MB target packs any
+        # multi-file fixture dir into one bin).
+        "compaction_execute": """
+WITH d AS (SELECT event_id // 1000 AS b, event_id FROM events),
+hh AS (
+  SELECT CAST(concat('0x', substr(md5(coalesce(
+              CAST(event_id AS VARCHAR), chr(0) || 'NULL')), 1, 15))
+           AS BIGINT) AS h
+  FROM events
+),
+pre AS (
+  SELECT h % 32 AS bucket, CAST(count(*) AS BIGINT) AS n
+  FROM hh GROUP BY 1
+),
+fc AS (SELECT b, count(*) AS n_b FROM d GROUP BY 1),
+stats AS (
+  SELECT CAST(sum((n_b + 299) // 300) AS BIGINT) AS files_before,
+         CAST(count(*) AS BIGINT) AS files_after,
+         CAST(count(*) FILTER (WHERE n_b > 300) AS BIGINT) AS bins_merged
+  FROM fc
+)
+SELECT CAST(pre.bucket AS BIGINT) AS bucket,
+       pre.n AS pre_n, pre.n AS post_n, FALSE AS diverged,
+       stats.files_before, stats.files_after, stats.bins_merged
+FROM pre CROSS JOIN stats
+""",
+        "subject_access": """
+WITH keysl AS (
+  SELECT unnest([CAST(7 AS BIGINT), 42, 99, 150, 424242]) AS k
+),
+ev AS (
+  SELECT user_id AS subj,
+         CAST(concat('0x', substr(md5(
+           concat_ws(chr(31),
+             coalesce(CAST(event_id AS VARCHAR), chr(0) || 'NULL'),
+             coalesce(CAST(epoch_us(ts) AS VARCHAR), chr(0) || 'NULL'),
+             coalesce(event_type, chr(0) || 'NULL'))), 1, 15)) AS BIGINT) AS h
+  FROM events
+),
+od AS (
+  SELECT o_custkey AS subj,
+         CAST(concat('0x', substr(md5(
+           concat_ws(chr(31),
+             coalesce(CAST(o_orderkey AS VARCHAR), chr(0) || 'NULL'),
+             coalesce(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                            AS BIGINT) AS VARCHAR), chr(0) || 'NULL'),
+             coalesce(o_orderstatus, chr(0) || 'NULL'))), 1, 15))
+           AS BIGINT) AS h
+  FROM orders
+),
+cu AS (
+  SELECT c_custkey AS subj,
+         CAST(concat('0x', substr(md5(
+           concat_ws(chr(31),
+             coalesce(c_name, chr(0) || 'NULL'),
+             coalesce(CAST(c_nationkey AS VARCHAR), chr(0) || 'NULL'))),
+           1, 15)) AS BIGINT) AS h
+  FROM customer
+),
+agg AS (
+  SELECT 'events' AS table_name, k.k AS subject_key,
+         CAST(count(t.h) AS BIGINT) AS n_rows,
+         CAST(coalesce(bit_xor(t.h), 0) AS BIGINT) AS xor_h,
+         CAST(coalesce(sum(t.h % 1000000007) % 1000000007, 0) AS BIGINT)
+           AS sum_mod
+  FROM keysl k LEFT JOIN ev t ON t.subj = k.k GROUP BY 1, 2
+  UNION ALL
+  SELECT 'orders', k.k, CAST(count(t.h) AS BIGINT),
+         CAST(coalesce(bit_xor(t.h), 0) AS BIGINT),
+         CAST(coalesce(sum(t.h % 1000000007) % 1000000007, 0) AS BIGINT)
+  FROM keysl k LEFT JOIN od t ON t.subj = k.k GROUP BY 1, 2
+  UNION ALL
+  SELECT 'customer', k.k, CAST(count(t.h) AS BIGINT),
+         CAST(coalesce(bit_xor(t.h), 0) AS BIGINT),
+         CAST(coalesce(sum(t.h % 1000000007) % 1000000007, 0) AS BIGINT)
+  FROM keysl k LEFT JOIN cu t ON t.subj = k.k GROUP BY 1, 2
+)
+SELECT table_name, subject_key, n_rows, xor_h, sum_mod FROM agg
 """,
     }

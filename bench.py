@@ -118,6 +118,8 @@ HEADLINE = [
     ("exact_global_quantiles", True),
     ("kmv_overlap", True),
     ("multimodal_features", False),
+    # r8: privacy pass (regex-throughput projection)
+    ("pii_redact", False),
 ]
 
 

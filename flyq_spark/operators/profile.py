@@ -760,3 +760,75 @@ def weighted_quantiles(
         )
     aggs.append(F.max("_tot").alias("total_weight"))
     return cum.groupBy(*keys).agg(*aggs)
+
+
+def subject_access_report(
+    tables: dict[str, tuple[DataFrame, Column, dict[str, Column]]],
+    keys: DataFrame,
+    key_col: str = "k",
+) -> DataFrame:
+    """Data-subject access report (the GDPR/CCPA EXPORT complement of
+    the erasure path): for every requested subject key and every
+    registered table, the subject's row count and an order-independent
+    content digest of exactly their rows — the auditable "what do we
+    hold about this person" answer, one row per (table, key) including
+    explicit zero rows for keys a table does not contain (absence is
+    part of the report).
+
+    ``tables`` maps name → (df, subject_key_expr, canon_cols) where
+    canon_cols are engine-portable column expressions (the
+    ``dataset_digest`` contract: integers/strings, NULL → sentinel).
+
+    Scale shape: deletion/export requests are human-scale, so the key
+    set BROADCASTS to every table — each table costs one scan with the
+    join filter applied (at real scale, compose with
+    ``bloom_index_lookup_many`` file pruning so the scan opens only
+    files that might hold a subject, exactly like the erasure
+    planner). Per-key digests aggregate with map-side combine; the
+    union is |tables| × |keys| rows. No shuffle carries subject data
+    — only (key, partial-digest) rows.
+
+    The digest is the same (n_rows, bit_xor, modular sum) triple as
+    ``dataset_digest``, so a post-erasure re-run proves deletion:
+    every erased subject's row collapses to (0, 0, 0).
+    """
+    p = F.lit(1_000_000_007).cast("long")
+    outs = []
+    for name, (df, subj, cols) in tables.items():
+        parts = [
+            F.coalesce(expr.cast("string"), F.lit("\x00NULL"))
+            for expr in cols.values()
+        ]
+        h = F.conv(
+            F.substring(F.md5(F.concat_ws("\x1f", *parts)), 1, 15), 16, 10
+        ).cast("long")
+        matched = (
+            df.select(subj.cast("long").alias("_subj"), h.alias("_h"))
+            .join(
+                F.broadcast(keys.select(F.col(key_col).cast("long").alias("_subj"))),
+                on="_subj",
+            )
+            .groupBy("_subj")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.expr("bit_xor(_h)").cast("long").alias("xor_h"),
+                (F.sum((F.col("_h") % p).cast("decimal(38,0)")) % p)
+                .cast("long")
+                .alias("sum_mod"),
+            )
+        )
+        outs.append(
+            keys.select(F.col(key_col).cast("long").alias("_subj"))
+            .join(matched, on="_subj", how="left")
+            .select(
+                F.lit(name).alias("table_name"),
+                F.col("_subj").alias("subject_key"),
+                F.coalesce("n_rows", F.lit(0)).cast("long").alias("n_rows"),
+                F.coalesce("xor_h", F.lit(0)).cast("long").alias("xor_h"),
+                F.coalesce("sum_mod", F.lit(0)).cast("long").alias("sum_mod"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

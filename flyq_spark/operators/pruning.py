@@ -546,3 +546,96 @@ def erase_partition_keys(
         return {"files_rewritten": rewritten, "partitions_deleted": deleted}
     finally:
         shutil.rmtree(staging, ignore_errors=True)
+
+
+def compaction_execute(spark: SparkSession, path: str, plan: DataFrame) -> dict:
+    """EXECUTE a :func:`compaction_plan`: merge every multi-file bin
+    into one parquet file, in ONE distributed job — the maintenance
+    pass that turns a small-file-fragmented table back into
+    scan-efficient files (the analytic analog of the broker's segment
+    compaction, engine.py compact_partition).
+
+    Shape: single-file bins are never touched (their bytes stay
+    byte-identical on disk). All files of all merge bins are read in
+    one scan; each row is tagged with its bin via a BROADCAST join of
+    the (file → bin) mapping against ``input_file_name()``;
+    ``repartition(n_bins, bin_key)`` + ``partitionBy(bin_key)`` land
+    each bin's rows in exactly one task and therefore exactly ONE
+    staged output file per bin — no per-bin job loop, wall-clock is
+    one job regardless of bin count. The swap pass (delete originals,
+    move staged file in) is driver-side file-listing work, the same
+    order of metadata the planner already holds; at real scale those
+    are object-store rename/delete calls.
+
+    Files are read DIRECTLY (not through the table root), so rows
+    carry exactly the stored columns — hive partition values stay
+    encoded in the directory the merged file is moved back into, and
+    the table's content is bit-for-bit unchanged (callers verify with
+    ``dataset_digest`` pre/post: zero buckets may diverge).
+
+    A bin whose files hold zero rows stages no output; its originals
+    are still removed (compacting empties == deleting them).
+
+    Returns {"bins_merged", "files_removed", "files_written"}.
+    """
+    import collections
+    import glob as _glob
+    import hashlib
+    import shutil
+    import tempfile
+
+    work = plan.where(F.col("bin_files") > 1).select(
+        "dir", "file", "bin_id"
+    ).collect()
+    if not work:
+        return {"bins_merged": 0, "files_removed": 0, "files_written": 0}
+    bins: dict = collections.defaultdict(list)
+    for r in work:
+        bins[(r["dir"], r["bin_id"])].append(
+            os.path.join(path, r["dir"], r["file"])
+        )
+    bk_of = {
+        key: hashlib.md5(f"{key[0]}\x1f{key[1]}".encode()).hexdigest()
+        for key in bins
+    }
+    map_rows = [
+        (f, bk_of[key]) for key, files in bins.items() for f in files
+    ]
+    map_df = spark.createDataFrame(map_rows, "file string, _bk string")
+    src = spark.read.parquet(*[f for f, _ in map_rows]).withColumn(
+        "file", F.regexp_replace(F.input_file_name(), "^file:/{2}", "")
+    )
+    staging_root = tempfile.mkdtemp(prefix="flyq_compact_staging_")
+    staging = os.path.join(staging_root, "out")
+    try:
+        (
+            src.join(F.broadcast(map_df), on="file")
+            .drop("file")
+            .repartition(len(bins), "_bk")
+            .write.partitionBy("_bk")
+            .parquet(staging)
+        )
+        removed = written = 0
+        for key, files in bins.items():
+            staged = _glob.glob(
+                os.path.join(staging, f"_bk={bk_of[key]}", "*.parquet")
+            )
+            assert len(staged) <= 1, f"bin {key} staged {len(staged)} files"
+            for f in files:
+                os.remove(f)
+                removed += 1
+            if staged:
+                shutil.move(
+                    staged[0],
+                    os.path.join(
+                        path, key[0], f"compacted-{key[1]}.parquet"
+                    ),
+                )
+                written += 1
+        return {
+            "bins_merged": len(bins),
+            "files_removed": removed,
+            "files_written": written,
+        }
+    finally:
+        shutil.rmtree(staging_root, ignore_errors=True)

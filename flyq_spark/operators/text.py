@@ -904,3 +904,82 @@ def phrase_search(
         .where(F.col("_k") == len(terms))
         .select(F.col("doc").alias(id_col), F.col("anchor").cast("long"))
     )
+
+
+def collocations(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 100,
+) -> DataFrame:
+    """Collocation mining: the top-``k`` adjacent word pairs with every
+    integer PMI COMPONENT attached — the vocab-induction / multi-word-
+    expression primitive (tokenizer merge candidates, quality-analysis
+    phrase tables). PMI = ln(pair_n·total_pairs / (w1_n·w2_n)) ·
+    (total_tokens normalization variant of choice) is a client-side
+    log over the exact integers emitted here; shipping components
+    instead of floats keeps the result hash-exact on any engine.
+
+    Scale shape: pairs come straight off the token array (transform
+    over an index sequence → explode — no self-join, no window, no
+    per-token shuffle); ONE pair-key groupBy with map-side combine,
+    ONE word-key groupBy for unigram counts. The ``min_count`` filter
+    runs BEFORE the two unigram joins, so the joins see only the
+    surviving candidate pairs, never the Zipf tail. Corpus totals ride
+    a 1-row broadcast (scalar-subquery pattern, plan-audit
+    allowlisted); final selection is orderBy().limit(k) — a
+    TakeOrderedAndProject heap, with the rank window over the ≤k
+    survivors only."""
+    arr = F.split(F.lower(F.trim(F.col(text_col))), " ")
+    idx = F.when(
+        F.size(arr) >= 2, F.sequence(F.lit(1), F.size(arr) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    pair_structs = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(arr, i).alias("w1"),
+            F.element_at(arr, i + 1).alias("w2"),
+        ),
+    )
+    pairs_raw = (
+        df.select(F.col(id_col).alias("_doc"), F.explode(pair_structs).alias("_p"))
+        .select("_doc", "_p.w1", "_p.w2")
+        .where((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    pair_counts = pairs_raw.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("pair_n"),
+        F.countDistinct("_doc").cast("long").alias("n_docs"),
+    )
+    uni = (
+        df.select(F.explode(arr).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("w_n"))
+    )
+    totals = pair_counts.agg(
+        F.sum("pair_n").cast("long").alias("total_pairs")
+    ).crossJoin(uni.agg(F.sum("w_n").cast("long").alias("total_tokens")))
+    survivors = (
+        pair_counts.where(F.col("pair_n") >= min_count)
+        .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("w_n", "w1_n"), "w1")
+        .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("w_n", "w2_n"), "w2")
+        .crossJoin(F.broadcast(totals))
+    )
+    top = survivors.orderBy(
+        F.col("pair_n").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(k)
+    w = Window.partitionBy(F.lit(0)).orderBy(
+        F.col("pair_n").desc(), F.col("w1").asc(), F.col("w2").asc()
+    )
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "w1",
+        "w2",
+        "pair_n",
+        "n_docs",
+        "w1_n",
+        "w2_n",
+        "total_pairs",
+        "total_tokens",
+    )

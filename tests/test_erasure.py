@@ -110,3 +110,116 @@ def test_erase_end_to_end_with_bloom_plan(spark, tmp_path):
         r[0] for r in spark.read.parquet(path).select("event_id").collect()
     )
     assert got == [i for i in range(50) if i not in (5, 23, 44)]
+
+
+def test_compaction_execute_merges_and_preserves_content(spark, tmp_path):
+    """Multi-file dirs merge to ONE file each, single-file bins stay
+    byte-identical on disk, content multiset unchanged."""
+    from flyq_spark.operators.pruning import (
+        compaction_execute,
+        compaction_plan,
+        file_sizes,
+    )
+
+    path = str(tmp_path / "ds")
+    rows = [(i, i // 20) for i in range(50)]  # b=0,1: 20 rows; b=2: 10
+    (
+        spark.createDataFrame(rows, "event_id long, b long")
+        .repartition(1)
+        .write.option("maxRecordsPerFile", 8)
+        .partitionBy("b")
+        .parquet(path)
+    )
+    sizes = file_sizes(spark, path)
+    n_before = sizes.count()
+    assert n_before == 3 + 3 + 2  # ceil(20/8)*2 + ceil(10/8)
+    plan = compaction_plan(sizes, 512 * 1024 * 1024)
+    stats = compaction_execute(spark, path, plan)
+    assert stats == {"bins_merged": 3, "files_removed": 8, "files_written": 3}
+    after = file_sizes(spark, path).collect()
+    assert len(after) == 3
+    assert all(r["file"].startswith("compacted-") for r in after)
+    got = sorted(r[0] for r in spark.read.parquet(path).select("event_id").collect())
+    assert got == list(range(50))
+    # partition column survives via directory structure
+    got_b = dict(
+        (r["b"], r["n"])
+        for r in spark.read.parquet(path)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert got_b == {0: 20, 1: 20, 2: 10}
+
+
+def test_compaction_execute_noop_when_no_multifile_bins(spark, tmp_path):
+    from flyq_spark.operators.pruning import (
+        compaction_execute,
+        compaction_plan,
+        file_sizes,
+    )
+
+    path = str(tmp_path / "ds")
+    spark.createDataFrame(
+        [(1, 0), (2, 1)], "event_id long, b long"
+    ).repartition(1).write.partitionBy("b").parquet(path)
+    sizes = file_sizes(spark, path)
+    before = sorted(
+        (r["dir"], r["file"], os.path.getmtime(os.path.join(path, r["dir"], r["file"])))
+        for r in sizes.collect()
+    )
+    stats = compaction_execute(spark, path, compaction_plan(sizes, 10**9))
+    assert stats == {"bins_merged": 0, "files_removed": 0, "files_written": 0}
+    after = sorted(
+        (r["dir"], r["file"], os.path.getmtime(os.path.join(path, r["dir"], r["file"])))
+        for r in file_sizes(spark, path).collect()
+    )
+    assert after == before  # bytes AND mtimes untouched
+
+
+def test_subject_access_collapses_after_erasure(spark, tmp_path):
+    """The full GDPR loop: subject report shows the subject's rows,
+    erasure executes, the re-run report collapses to (0, 0, 0) for the
+    erased subject while other subjects' digests are unchanged."""
+    from flyq_spark.operators.profile import subject_access_report
+    from flyq_spark.operators.pruning import erase_partition_keys
+
+    path = str(tmp_path / "ds")
+    rows = [(i, i % 7, i // 10) for i in range(50)]  # (event_id, user, b)
+    (
+        spark.createDataFrame(rows, "event_id long, user_id long, b long")
+        .repartition(5, "b")
+        .write.partitionBy("b")
+        .parquet(path)
+    )
+
+    def report():
+        return {
+            (r["table_name"], r["subject_key"]): (
+                r["n_rows"], r["xor_h"], r["sum_mod"]
+            )
+            for r in subject_access_report(
+                {
+                    "ds": (
+                        spark.read.parquet(path),
+                        F.col("user_id"),
+                        {"event_id": F.col("event_id")},
+                    )
+                },
+                spark.createDataFrame([(3,), (5,), (999,)], "k long"),
+            ).collect()
+        }
+
+    before = report()
+    assert before[("ds", 3)][0] == 7  # ids 3,10,17,24,31,38,45
+    assert before[("ds", 999)] == (0, 0, 0)  # absent subject: explicit zeros
+    # erase subject 3's EVENT ids? — erasure is by event_id key here:
+    # drop all of subject 3's events (ids where i % 7 == 3)
+    subj3_ids = [i for i in range(50) if i % 7 == 3]
+    keys = spark.createDataFrame([(i,) for i in subj3_ids], "k long")
+    erase_partition_keys(
+        spark, path, "b", [0, 1, 2, 3, 4], keys, "k", "event_id"
+    )
+    after = report()
+    assert after[("ds", 3)] == (0, 0, 0)  # proof of deletion
+    assert after[("ds", 5)] == before[("ds", 5)]  # bystander unchanged

@@ -29,6 +29,7 @@ SCALAR_BROADCAST_OK = {
     "source_overlap",  # |sources|-row HLL sketch table, inequality self-pair
     "fk_integrity",  # per-relation 1-row totals x 1-row orphan counters
     "kmv_overlap",  # |sources|-row sketch-stat self-pair, like source_overlap
+    "collocations",  # (total_pairs, total_tokens) corpus stats, 1 row
 }
 
 
@@ -42,6 +43,7 @@ GLOBAL_WINDOW_OK = {
     "bm25_top10",  # rank stamp AFTER orderBy().limit(k): window input ≤ k rows
     "top_paths",  # same: rank over the 50 rows TakeOrderedAndProject kept
     "domain_affinity",  # target-profile rank over ≤ dim (4096) hashed buckets
+    "collocations",  # rank stamp AFTER orderBy().limit(k): window input ≤ k rows
 }
 # ordering-marker columns whose windows run over ≤P-row offset tables
 _OFFSET_MARKERS = ("_gpid#", "_shard#")
