@@ -1740,8 +1740,11 @@ def q_audio_segments(spark, sf_dir):
     deterministically per document (8 kHz PCM16; alternating tone/
     silence runs whose lengths derive from doc_id bits, amplitude from
     n_chars) inside an Arrow kernel, then segmented keyed directly on
-    doc_id. Rows-only (RMS floats cross the Python boundary); synthesis
-    is RNG-free so the row count and bounds are stable."""
+    doc_id. ORACLE-CHECKED since r8: the gate's columns are all
+    integers, and the synthetic amplitudes (5000..24999) are always
+    above threshold·32768, so frame activity is a pure bit function of
+    doc_id and the merge/split logic replays as integer run-length SQL
+    (validated against an independent Python model first)."""
     import pandas as pd  # noqa: F401
 
     from pyspark.sql import types as T
@@ -3588,12 +3591,15 @@ def q_capped_sessions(spark, sf_dir):
     """Gap + max-duration sessionization (operators/sessions.py:
     sessionize_capped): 30-minute inactivity gap AND 20-minute session
     cap — the Amplitude/GA4 rule whose recurrence (each session start
-    depends on where the previous cap fired) has no window/SQL form.
+    depends on where the previous cap fired) has no WINDOW form.
     The cap genuinely fires: 146 of the 9549 gap-only sessions exceed
     20 minutes at sf0.01, so the output is strictly finer.
-    ROWS-ONLY by documented necessity; pinned against an independent
-    Python model + the gap-only degeneration in pytest. Same one
-    user-key shuffle as the oracle-checked sessionize."""
+    ORACLE-CHECKED since r8: the recurrence is linear, so a recursive
+    CTE walks each user's event chain — fine for an oracle at fixture
+    scale, while the JVM fold remains the execution path (recursion
+    depth = events/user would be the wrong cluster plan). Also pinned
+    against an independent Python model + the gap-only degeneration
+    in pytest. Same one user-key shuffle as sessionize."""
     from flyq_spark.operators.sessions import sessionize_capped
 
     ev = _read(spark, sf_dir, "events")
@@ -3964,11 +3970,11 @@ def q_lpa_communities(spark, sf_dir):
     label_propagation, 5 rounds) over the exact near-dup embedding
     graph — the finer-than-components structure needed when hub
     documents chain unrelated clusters into one giant component.
-    ROWS-ONLY by documented necessity: LPA is a heuristic with no
-    declarative fixpoint for an oracle to certify (synchronous rounds
-    ARE the definition); pinned against an independent Python model
-    in pytest, deterministic by construction (no RNG, no visit
-    order)."""
+    ORACLE-CHECKED since r8: LPA-the-heuristic has no declarative
+    fixpoint, but a FIXED 5-round synchronous schedule unrolls into 5
+    chained count+argmin CTEs — the oracle replays every round
+    exactly. Deterministic by construction (no RNG, no visit order);
+    also pinned against an independent Python model in pytest."""
     from flyq_spark.operators.graph import label_propagation
 
     emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -8246,5 +8252,156 @@ agg AS (
   FROM keysl k LEFT JOIN cu t ON t.subj = k.k GROUP BY 1, 2
 )
 SELECT table_name, subject_key, n_rows, xor_h, sum_mod FROM agg
+""",
+        # Three former rows-only entries converted to oracle-backed in
+        # r8 — each SQL form was validated against an INDEPENDENT Python
+        # model before wiring (790 segments / 99 labels / 9696 sessions
+        # at sf0.01, exact match):
+        # - audio_segments: the synthesized WAVs make activity a pure
+        #   bit function of doc_id (tone amp 5000..24999 is always over
+        #   threshold*32768=655), so frames/merge/split replay as
+        #   integer run-length SQL; the gate's selected columns were
+        #   already all-integer.
+        # - lpa_communities: 5 SYNCHRONOUS rounds unroll into 5 chained
+        #   count+argmin CTEs — "no declarative fixpoint" was true of
+        #   LPA-the-heuristic, not of a FIXED-round schedule.
+        # - capped_sessions: the cap recurrence has no WINDOW form, but
+        #   it is a linear recurrence — a recursive CTE walks each
+        #   user's rn chain (fine for an oracle at fixture scale; the
+        #   JVM fold remains the execution path, recursion depth =
+        #   events/user would be the wrong cluster plan).
+        "audio_segments": """
+WITH r AS (
+  SELECT doc_id, i AS r,
+         CAST(2 + (doc_id >> i) % 3 AS BIGINT) AS len,
+         CAST((doc_id >> i) % 2 AS BIGINT) AS act
+  FROM documents, UNNEST(range(0, 6)) AS t(i)
+),
+r2 AS (
+  SELECT *, coalesce(sum(len) OVER (PARTITION BY doc_id ORDER BY r
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start0
+  FROM r
+),
+r3 AS (
+  SELECT *, CASE WHEN lag(act) OVER (PARTITION BY doc_id ORDER BY r)
+                      IS DISTINCT FROM act THEN 1 ELSE 0 END AS brk
+  FROM r2
+),
+r4 AS (
+  SELECT *, sum(brk) OVER (PARTITION BY doc_id ORDER BY r) AS grp FROM r3
+),
+blocks AS (
+  SELECT doc_id, grp, max(act) AS act, min(start0) AS bstart,
+         sum(len) AS blen
+  FROM r4 GROUP BY 1, 2
+),
+b2 AS (
+  SELECT *, sum(CASE WHEN act = 0 AND blen >= 3 THEN 1 ELSE 0 END)
+         OVER (PARTITION BY doc_id ORDER BY grp) AS s
+  FROM blocks
+),
+segs AS (
+  SELECT doc_id, s, min(bstart) AS fstart, max(bstart + blen) AS fend
+  FROM b2 WHERE act = 1 GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS BIGINT)
+         AS seg_idx,
+       CAST(fstart * 20 AS BIGINT) AS start_ms,
+       CAST(fend * 20 AS BIGINT) AS end_ms
+FROM segs
+""",
+        "lpa_communities": """
+WITH sem AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) >= 0.4
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM sem
+  UNION
+  SELECT id_b AS u, id_a AS v FROM sem
+),
+l0 AS (SELECT DISTINCT u AS node, u AS community FROM edges),
+n1 AS (
+  SELECT e.u AS node, l.community, count(*) AS c
+  FROM edges e JOIN l0 l ON l.node = e.v GROUP BY 1, 2
+),
+l1 AS (
+  SELECT node, community FROM (
+    SELECT node, community,
+           row_number() OVER (PARTITION BY node ORDER BY c DESC, community)
+             AS rn
+    FROM n1) WHERE rn = 1
+),
+n2 AS (
+  SELECT e.u AS node, l.community, count(*) AS c
+  FROM edges e JOIN l1 l ON l.node = e.v GROUP BY 1, 2
+),
+l2 AS (
+  SELECT node, community FROM (
+    SELECT node, community,
+           row_number() OVER (PARTITION BY node ORDER BY c DESC, community)
+             AS rn
+    FROM n2) WHERE rn = 1
+),
+n3 AS (
+  SELECT e.u AS node, l.community, count(*) AS c
+  FROM edges e JOIN l2 l ON l.node = e.v GROUP BY 1, 2
+),
+l3 AS (
+  SELECT node, community FROM (
+    SELECT node, community,
+           row_number() OVER (PARTITION BY node ORDER BY c DESC, community)
+             AS rn
+    FROM n3) WHERE rn = 1
+),
+n4 AS (
+  SELECT e.u AS node, l.community, count(*) AS c
+  FROM edges e JOIN l3 l ON l.node = e.v GROUP BY 1, 2
+),
+l4 AS (
+  SELECT node, community FROM (
+    SELECT node, community,
+           row_number() OVER (PARTITION BY node ORDER BY c DESC, community)
+             AS rn
+    FROM n4) WHERE rn = 1
+),
+n5 AS (
+  SELECT e.u AS node, l.community, count(*) AS c
+  FROM edges e JOIN l4 l ON l.node = e.v GROUP BY 1, 2
+),
+l5 AS (
+  SELECT node, community FROM (
+    SELECT node, community,
+           row_number() OVER (PARTITION BY node ORDER BY c DESC, community)
+             AS rn
+    FROM n5) WHERE rn = 1
+)
+SELECT CAST(node AS BIGINT) AS vec_id, CAST(community AS BIGINT) AS community
+FROM l5
+""",
+        "capped_sessions": """
+WITH RECURSIVE ev AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS rn
+  FROM events WHERE ts IS NOT NULL
+),
+s(user_id, rn, ts_us, sid, sstart) AS (
+  SELECT user_id, rn, ts_us, CAST(1 AS BIGINT), ts_us FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.rn, e.ts_us,
+         CASE WHEN e.ts_us - s.ts_us > 1800000000 OR e.ts_us - s.sstart > 1200000000
+              THEN s.sid + 1 ELSE s.sid END,
+         CASE WHEN e.ts_us - s.ts_us > 1800000000 OR e.ts_us - s.sstart > 1200000000
+              THEN e.ts_us ELSE s.sstart END
+  FROM s JOIN ev e ON e.user_id = s.user_id AND e.rn = s.rn + 1
+)
+SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+       CAST(min(ts_us) AS BIGINT) AS session_start_us,
+       CAST(max(ts_us) AS BIGINT) AS session_end_us,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY 1, 2
 """,
     }

@@ -539,16 +539,19 @@ def sessionize_capped(
     gap from the previous event exceeds ``gap_minutes`` OR the event
     would stretch the current session past ``max_duration_minutes``
     from ITS OWN start. The duration rule makes the recurrence
-    non-window-expressible — each session's start depends on where the
+    non-WINDOW-expressible — each session's start depends on where the
     previous cap fired — so, like the funnel matcher, it runs as a
     JVM-side higher-order ``aggregate`` fold over the time-sorted
     per-user array (one user-key shuffle, no Python).
 
-    ROWS-ONLY operator by documented necessity (no SQL form); pinned
-    against an independent Python model in pytest. Gap-only callers
-    should keep using ``sessionize`` (window-expressible, oracle-
-    checked). Output matches sessionize's shape: (user_id, session_id,
-    session_start_us, session_end_us, n_events)."""
+    The recurrence IS linear, so a recursive CTE can replay it — the
+    r8 gate oracle does exactly that (recursion depth = events/user:
+    right for a fixture-scale oracle, wrong as a cluster plan, which
+    is why the fold stays the execution path). Also pinned against an
+    independent Python model in pytest. Gap-only callers should keep
+    using ``sessionize`` (window-expressible). Output matches
+    sessionize's shape: (user_id, session_id, session_start_us,
+    session_end_us, n_events)."""
     if gap_minutes <= 0 or max_duration_minutes <= 0:
         raise ValueError("gap and max duration must be positive minutes")
     gap_us = gap_minutes * 60 * 1_000_000
