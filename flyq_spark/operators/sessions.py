@@ -295,14 +295,18 @@ def rfm_segments(
     highest value), ties broken by user id so the segmentation is
     reproducible on any engine.
 
-    Plan: one groupBy(user) for the three metrics, then three
-    range-partitioned exact-NTILE passes (operators/ranking.py) over
-    the user-sized aggregate. No global sort anywhere: each score is a
-    repartitionByRange + P parallel in-range sorts + a broadcast
-    offset table, so a billion-user aggregate tiles in P-way parallel
-    tasks instead of one single-partition window per metric. The
-    integer NTILE formula is bucket-for-bucket identical to the SQL
-    window function, so results are unchanged."""
+    Plan: one groupBy(user) for the three metrics, checkpointed ONCE,
+    then three INDEPENDENT range-partitioned exact-NTILE branches
+    (operators/ranking.py, materialize=False — they share the one
+    materialization) joined back on the user key. No global sort
+    anywhere: each score is a repartitionByRange + P parallel in-range
+    sorts + a broadcast offset table, so a billion-user aggregate
+    tiles in P-way parallel tasks instead of one single-partition
+    window per metric; branching instead of chaining keeps it at one
+    materialization + three range exchanges + three user-key join
+    shuffles of the slim (user, score) outputs. The integer NTILE
+    formula is bucket-for-bucket identical to the SQL window function,
+    so results are unchanged."""
     from pyspark.sql import Column as _Column
 
     if value_c is None:
@@ -324,24 +328,16 @@ def rfm_segments(
     # engines would tile NULL users at opposite ends
     from flyq_spark.operators.ranking import ntile_exact
 
-    out = ntile_exact(
-        per_user,
-        [F.col("recency_days").asc_nulls_last(), F.col(user_col).asc()],
-        n_tiles,
-        "r_score",
-    )
-    out = ntile_exact(
-        out,
-        [F.col("frequency").desc_nulls_last(), F.col(user_col).asc()],
-        n_tiles,
-        "f_score",
-    )
-    out = ntile_exact(
-        out,
-        [F.col("monetary_c").desc_nulls_last(), F.col(user_col).asc()],
-        n_tiles,
-        "m_score",
-    )
+    base = per_user.localCheckpoint(eager=False)
+    orders = {
+        "r_score": [F.col("recency_days").asc_nulls_last(), F.col(user_col).asc()],
+        "f_score": [F.col("frequency").desc_nulls_last(), F.col(user_col).asc()],
+        "m_score": [F.col("monetary_c").desc_nulls_last(), F.col(user_col).asc()],
+    }
+    out = base
+    for score, order in orders.items():
+        branch = ntile_exact(base, order, n_tiles, score, materialize=False)
+        out = out.join(branch.select(user_col, score), on=user_col)
     return out.select(
         user_col,
         "recency_days",
