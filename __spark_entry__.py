@@ -4337,6 +4337,53 @@ def q_subject_access(spark, sf_dir):
     return subject_access_report(tables, keys)
 
 
+def q_ks_value_drift(spark, sf_dir):
+    """[EXT] Exact two-sample KS distance (operators/profile.py
+    ks_drift) between purchase and click value distributions — the
+    distributional drift test moment profiles cannot see, as an exact
+    integer rational (ks_num / ks_den). CDFs walk through the
+    distributed prefix-sum primitive (operators/ranking.py
+    global_prefix_sums), NOT a partition-less SUM() OVER (ORDER BY)
+    window."""
+    from flyq_spark.operators.profile import ks_drift
+
+    ev = _read(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    a = ev.where(F.col("event_type") == "purchase").select(cents.alias("c"))
+    b = ev.where(F.col("event_type") == "click").select(cents.alias("c"))
+    return ks_drift(a, b, F.col("c"))
+
+
+def q_feature_bins(spark, sf_dir):
+    """[EXT] Equal-frequency feature discretization (operators/
+    impute.py quantile_bins): every event's value and timestamp land
+    in their decile bucket — exact NTILE semantics per column via
+    independent range-partitioned branches off one checkpointed
+    input, joined on event_id; no single-partition sort."""
+    from flyq_spark.operators.impute import quantile_bins
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("value_c"),
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+    )
+    out = quantile_bins(
+        ev,
+        "event_id",
+        {"value": F.col("value_c"), "ts": F.col("ts_us")},
+        n_bins=10,
+    )
+    return out.select(
+        "event_id",
+        "value_c",
+        "ts_us",
+        F.col("value_bin").cast("long").alias("value_bin"),
+        F.col("ts_bin").cast("long").alias("ts_bin"),
+    )
+
+
 _SYNTH_UNITS_CTE = """
 member AS (
   SELECT t.g, d.doc_id, d.text
@@ -4596,6 +4643,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "erase_execute": q_erase_execute,
         "compaction_execute": q_compaction_execute,
         "subject_access": q_subject_access,
+        "ks_value_drift": q_ks_value_drift,
+        "feature_bins": q_feature_bins,
         "rfm_segments": q_rfm_segments,
         "incremental_retract": q_incremental_retract,
         "scd2_history": q_scd2_history,
@@ -8381,6 +8430,56 @@ l5 AS (
 )
 SELECT CAST(node AS BIGINT) AS vec_id, CAST(community AS BIGINT) AS community
 FROM l5
+""",
+        # ks_value_drift: the oracle uses the textbook window CDF —
+        # fine on DuckDB at fixture scale; the Spark side's prefix-sum
+        # machinery must reproduce it exactly. at_value = smallest
+        # value attaining the max gap.
+        "ks_value_drift": """
+WITH tagged AS (
+  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS s
+  FROM events
+  WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
+),
+deltas AS (
+  SELECT v, CAST(sum(s) AS BIGINT) AS d_a,
+         CAST(sum(1 - s) AS BIGINT) AS d_b
+  FROM tagged GROUP BY 1
+),
+cums AS (
+  SELECT v,
+         sum(d_a) OVER (ORDER BY v) AS cum_a,
+         sum(d_b) OVER (ORDER BY v) AS cum_b
+  FROM deltas
+),
+tot AS (
+  SELECT CAST(sum(d_a) AS BIGINT) AS n_a, CAST(sum(d_b) AS BIGINT) AS n_b
+  FROM deltas
+),
+gap AS (
+  SELECT n_a, n_b, v, abs(cum_a * n_b - cum_b * n_a) AS g
+  FROM cums CROSS JOIN tot
+)
+SELECT n_a, n_b, CAST(max(g) AS BIGINT) AS ks_num,
+       CAST(n_a * n_b AS BIGINT) AS ks_den,
+       CAST((min(CASE WHEN g = (SELECT max(g) FROM gap) THEN v END))
+         AS BIGINT) AS at_value
+FROM gap GROUP BY n_a, n_b
+""",
+        "feature_bins": """
+WITH ev AS (
+  SELECT event_id,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS value_c,
+         epoch_us(ts) AS ts_us
+  FROM events
+)
+SELECT event_id, value_c, ts_us,
+       CAST(ntile(10) OVER (
+         ORDER BY value_c NULLS LAST, event_id) AS BIGINT) AS value_bin,
+       CAST(ntile(10) OVER (
+         ORDER BY ts_us NULLS LAST, event_id) AS BIGINT) AS ts_bin
+FROM ev
 """,
         "capped_sessions": """
 WITH RECURSIVE ev AS (

@@ -120,6 +120,11 @@ HEADLINE = [
     ("multimodal_features", False),
     # r8: privacy pass (regex-throughput projection)
     ("pii_redact", False),
+    # r8 second batch: prefix-sum-backed drift stat + multi-column
+    # quantile binning (both fixed-overhead-dominated at sf0.1 — the
+    # scalable-ranking family's constant, not a data-sized cost)
+    ("ks_value_drift", True),
+    ("feature_bins", False),
 ]
 
 

@@ -28,7 +28,7 @@ this is [EXT] data-platform surface.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _STRATEGIES = ("median", "mean", "mode")
@@ -215,3 +215,40 @@ def rank_normalize(
         )
     )
     return df.withColumn(out_col, ppm)
+
+def quantile_bins(
+    df: DataFrame,
+    id_col: str,
+    cols: dict[str, Column],
+    n_bins: int = 10,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Equal-frequency discretization (sklearn KBinsDiscretizer
+    strategy='quantile', the feature-engineering staple): per listed
+    column, every row gets its ``<name>_bin`` ∈ 1..n_bins with bucket
+    populations differing by at most one — exact NTILE semantics over
+    (value, id), so bucketing is reproducible on any engine and NULLs
+    land in the LAST bucket (explicit asc_nulls_last).
+
+    Scale shape: the input is checkpointed ONCE; each column is an
+    INDEPENDENT range-partitioned exact-NTILE branch over a slim
+    (id, value) projection (operators/ranking.py — no single-partition
+    sort, no data-sized global window), joined back on the id. Cost is
+    one materialization + per column: one range exchange of the slim
+    pair + one id-key join shuffle."""
+    from flyq_spark.operators.ranking import ntile_exact
+
+    base = df.localCheckpoint(eager=False)
+    out = base
+    for name, expr in cols.items():
+        slim = base.select(F.col(id_col), expr.cast("long").alias("_qv"))
+        binned = ntile_exact(
+            slim,
+            [F.col("_qv").asc_nulls_last(), F.col(id_col).asc()],
+            n_bins,
+            f"{name}_bin",
+            num_partitions=num_partitions,
+            materialize=False,
+        )
+        out = out.join(binned.select(id_col, f"{name}_bin"), on=id_col)
+    return out

@@ -832,3 +832,78 @@ def subject_access_report(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+def ks_drift(
+    a: DataFrame,
+    b: DataFrame,
+    value: Column,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov distance between integer
+    value distributions — the DISTRIBUTIONAL drift test that
+    mean/null-rate profiles (profile_drift) cannot see (a variance
+    doubling with the same mean sails through a moment check).
+
+    All-integer: KS = max_v |cdf_a(v) - cdf_b(v)| is computed as the
+    exact rational ks_num / (n_a * n_b) with
+    ks_num = max_v |cum_a(v) * n_b - cum_b(v) * n_a| — no floats, so
+    the statistic is hash-exact on any engine; callers compare
+    ks_num * threshold_den vs threshold_num * n_a * n_b in integers.
+
+    Scale shape: tag + union the two sides, ONE value-key groupBy to
+    per-value (d_a, d_b) deltas, then the distributed prefix-sum
+    primitive (operators/ranking.py global_prefix_sums: range
+    exchange + P local cumsums + broadcast ≤P-row offset table) walks
+    the CDFs in value order, and one final max aggregation. No
+    partition-less window over data-sized input anywhere; contrast
+    with the textbook SUM() OVER (ORDER BY v) formulation, which is
+    exactly the single-partition sort the plan audit bans.
+
+    Output: 1 row — (n_a, n_b, ks_num, ks_den, at_value) where
+    at_value is the SMALLEST value attaining the max (deterministic).
+    """
+    from flyq_spark.operators.ranking import global_prefix_sums
+
+    tagged = a.select(value.cast("long").alias("v"), F.lit(1).alias("_s")).unionByName(
+        b.select(value.cast("long").alias("v"), F.lit(0).alias("_s"))
+    ).where(F.col("v").isNotNull())
+    deltas = tagged.groupBy("v").agg(
+        F.sum("_s").cast("long").alias("d_a"),
+        F.sum(1 - F.col("_s")).cast("long").alias("d_b"),
+    )
+    cums = global_prefix_sums(
+        deltas,
+        [F.col("v").asc()],
+        {"cum_a": F.col("d_a"), "cum_b": F.col("d_b")},
+        num_partitions=num_partitions,
+    )
+    # n_a/n_b are the final cumulative values = scalar totals; take them
+    # from a 1-row aggregate of the deltas (cheap, reuses nothing big)
+    totals = deltas.agg(
+        F.sum("d_a").cast("long").alias("n_a"),
+        F.sum("d_b").cast("long").alias("n_b"),
+    )
+    gap = cums.crossJoin(F.broadcast(totals)).select(
+        "n_a",
+        "n_b",
+        "v",
+        F.abs(
+            F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")
+        ).alias("_gap"),
+    )
+    return (
+        gap.groupBy("n_a", "n_b")
+        .agg(
+            F.max("_gap").cast("long").alias("ks_num"),
+            F.min(F.struct((-F.col("_gap")).alias("_ng"), F.col("v")))
+            .getField("v")
+            .alias("at_value"),
+        )
+        .select(
+            "n_a",
+            "n_b",
+            "ks_num",
+            (F.col("n_a") * F.col("n_b")).cast("long").alias("ks_den"),
+            F.col("at_value").cast("long"),
+        )
+    )

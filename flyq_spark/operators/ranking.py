@@ -162,3 +162,61 @@ def ntile_exact(
         ranked.withColumn(out_col, bucket.cast("int"))
         .drop("_flyq_nr", "_flyq_nt")
     )
+
+def global_prefix_sums(
+    df: DataFrame,
+    order: list[Column],
+    sums: dict[str, Column],
+    num_partitions: int | None = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """Running (inclusive) prefix sums over a TOTAL order without a
+    single-partition window — the distributed cumulative-sum primitive
+    (CDFs, running totals, exact KS statistics). For each name→expr in
+    ``sums``, adds a ``name`` column holding sum(expr) over all rows
+    at-or-before this row in ``order``.
+
+    Same shape as :func:`global_row_number`: one range exchange, P
+    parallel in-partition sorts + local cumsums (a window PARTITIONED
+    by the range id), and a broadcast ≤P-row offset table of
+    per-partition totals cumulated in range order — the only
+    partition-less window in the plan runs over that offset table
+    (the plan audit's ``_gpid`` class)."""
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if materialize:
+        df = df.localCheckpoint(eager=False)
+    names = list(sums)
+    exprs = [sums[n].cast("long").alias(f"_gx_{n}") for n in names]
+    ranged = (
+        df.select("*", *exprs)
+        .repartitionByRange(num_partitions, *order)
+        .withColumn("_gpid", F.spark_partition_id())
+    )
+    w_local = (
+        Window.partitionBy("_gpid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged
+    for n in names:
+        local = local.withColumn(f"_gl_{n}", F.sum(f"_gx_{n}").over(w_local))
+    totals = ranged.groupBy("_gpid").agg(
+        *[F.sum(f"_gx_{n}").alias(f"_gt_{n}") for n in names]
+    )
+    w_cum = Window.orderBy("_gpid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = totals.select(
+        "_gpid",
+        *[
+            F.coalesce(F.sum(f"_gt_{n}").over(w_cum), F.lit(0)).alias(f"_go_{n}")
+            for n in names
+        ],
+    )
+    out = local.join(F.broadcast(offs), on="_gpid")
+    for n in names:
+        out = out.withColumn(n, (F.col(f"_go_{n}") + F.col(f"_gl_{n}")).cast("long"))
+    return out.drop(
+        "_gpid", *[f"_gx_{n}" for n in names],
+        *[f"_gl_{n}" for n in names], *[f"_go_{n}" for n in names]
+    )

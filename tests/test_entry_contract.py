@@ -30,21 +30,19 @@ def test_queries_and_oracles_consistent():
         "semdedup",
         "pagerank_neardup",
         "source_overlap",
-        "audio_segments",
         "compression_quality",
         "series_dtw",
         "lsh_tuning",
         "ivf_tuning",
-        # r7: the gap+max-duration session recurrence has no SQL form
-        "capped_sessions",
         # r7: FFD bin packing is sequential per directory (no SQL
         # form) and physical file sizes are encoder-specific
         "compaction_plan",
-        # r7: synchronous LPA is a heuristic — its rounds ARE the
-        # definition; no declarative fixpoint exists for an oracle
-        "lpa_communities",
         # r7: IVF-PQ shares pq_topk's blocker (float ADC distances)
         "ivfpq_topk",
+        # (r8 removed audio_segments, capped_sessions, lpa_communities
+        # from this set: their "no SQL form" claims fell to integer
+        # run-length SQL, a recursive CTE, and a 5-round unroll —
+        # each validated against an independent model first)
     }
 
 

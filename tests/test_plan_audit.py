@@ -30,6 +30,7 @@ SCALAR_BROADCAST_OK = {
     "fk_integrity",  # per-relation 1-row totals x 1-row orphan counters
     "kmv_overlap",  # |sources|-row sketch-stat self-pair, like source_overlap
     "collocations",  # (total_pairs, total_tokens) corpus stats, 1 row
+    "ks_value_drift",  # (n_a, n_b) cohort totals, 1 row
 }
 
 

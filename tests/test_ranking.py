@@ -84,3 +84,49 @@ def test_ranking_plan_has_no_data_sized_global_window(spark):
         fa for fa in partitionless_specs(plan) if not fa.startswith("_gpid#")
     ]
     assert bad == [], bad
+
+
+def test_global_prefix_sums_matches_window(spark):
+    """Prefix sums over a total order must equal the naive running
+    window, including negative deltas and multiple sum columns."""
+    from flyq_spark.operators.ranking import global_prefix_sums
+
+    rows = [(i, (i * 37) % 11 - 5, (i * 13) % 7) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    got = {
+        r["id"]: (r["cx"], r["cy"])
+        for r in global_prefix_sums(
+            df,
+            [F.col("id").asc()],
+            {"cx": F.col("x"), "cy": F.col("y")},
+            num_partitions=7,
+        ).collect()
+    }
+    w = (
+        Window.orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        r["id"]: (r["cx"], r["cy"])
+        for r in df.select(
+            "id",
+            F.sum("x").over(w).alias("cx"),
+            F.sum("y").over(w).alias("cy"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_prefix_sums_plan_has_no_data_sized_global_window(spark):
+    from flyq_spark.operators.ranking import global_prefix_sums
+    from tools.plan_snapshot import partitionless_specs
+
+    df = spark.createDataFrame(
+        [(i, i % 5) for i in range(50)], "id long, x long"
+    )
+    out = global_prefix_sums(
+        df, [F.col("id").asc()], {"cx": F.col("x")}, num_partitions=4
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    bad = [fa for fa in partitionless_specs(plan) if not fa.startswith("_gpid#")]
+    assert bad == [], bad
