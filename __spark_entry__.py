@@ -4384,6 +4384,26 @@ def q_feature_bins(spark, sf_dir):
     )
 
 
+def q_quantile_normalize(spark, sf_dir):
+    """[EXT] Group-wise quantile normalization (operators/impute.py
+    quantile_normalize): every event value mapped onto the POOLED
+    value distribution at its within-event-type centile — the
+    batch-effect correction / cross-source score calibration classic,
+    in exact integer rank arithmetic. Pooled reference = 100-row
+    broadcast built by one linear pass over the distributed global
+    rank (no single-partition sort)."""
+    from flyq_spark.operators.impute import quantile_normalize
+
+    ev = _read(spark, sf_dir, "events")
+    return quantile_normalize(
+        ev,
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long"),
+        "event_id",
+        n_quantiles=100,
+    )
+
+
 _SYNTH_UNITS_CTE = """
 member AS (
   SELECT t.g, d.doc_id, d.text
@@ -4645,6 +4665,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subject_access": q_subject_access,
         "ks_value_drift": q_ks_value_drift,
         "feature_bins": q_feature_bins,
+        "quantile_normalize": q_quantile_normalize,
         "rfm_segments": q_rfm_segments,
         "incremental_retract": q_incremental_retract,
         "scd2_history": q_scd2_history,
@@ -8430,6 +8451,38 @@ l5 AS (
 )
 SELECT CAST(node AS BIGINT) AS vec_id, CAST(community AS BIGINT) AS community
 FROM l5
+""",
+        # quantile_normalize: within-group centile by NTILE window;
+        # pooled reference = value at rank ceil(q*N/100) via the
+        # textbook row_number window (fixture-scale oracle; Spark uses
+        # the distributed rank). Ranks among equal values are
+        # arbitrary on both engines but the VALUE at any rank inside a
+        # tie run is identical, so the reference is deterministic.
+        "quantile_normalize": """
+WITH src AS (
+  SELECT event_type AS g, event_id AS id,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL
+),
+ing AS (
+  SELECT g, id, v, ntile(100) OVER (PARTITION BY g ORDER BY v, id) AS q
+  FROM src
+),
+pooled AS (
+  SELECT v, row_number() OVER (ORDER BY v) AS r,
+         count(*) OVER () AS n
+  FROM src
+),
+ref AS (
+  SELECT t.i AS q, p.v AS ref_v
+  FROM UNNEST(range(1, 101)) AS t(i)
+  JOIN pooled p ON p.r = (t.i * p.n + 99) // 100
+)
+SELECT ing.g AS event_type, ing.id AS event_id,
+       ing.v AS value_raw,
+       CAST(ing.q AS BIGINT) AS quantile,
+       ref.ref_v AS value_normalized
+FROM ing JOIN ref ON ref.q = ing.q
 """,
         # ks_value_drift: the oracle uses the textbook window CDF —
         # fine on DuckDB at fixture scale; the Spark side's prefix-sum

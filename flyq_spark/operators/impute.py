@@ -252,3 +252,74 @@ def quantile_bins(
         )
         out = out.join(binned.select(id_col, f"{name}_bin"), on=id_col)
     return out
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    value: Column,
+    id_col: str,
+    n_quantiles: int = 100,
+) -> DataFrame:
+    """Group-wise quantile normalization (the batch-effect correction
+    classic — microarray normalization, cross-source score calibration
+    for corpus quality signals): every row's value is replaced by the
+    POOLED distribution's value at the row's within-group quantile, so
+    all groups end up with (approximately) the pooled distribution and
+    cross-group comparisons stop rewarding the group with the easy
+    grader.
+
+    Integer-exact formulation: within-group quantile = exact NTILE
+    rank q ∈ 1..n_quantiles over (value, id); the pooled reference for
+    q is the LOWER exact quantile of the pooled values at fraction
+    q/n_quantiles (inverted-CDF, rank ceil(q·N/n_quantiles)) — both
+    sides pure integer rank arithmetic, reproducible on any engine.
+
+    Scale shape: within-group ranks are ordinary windows PARTITIONED
+    by group (data-distributed; group skew is the usual caveat); the
+    pooled reference comes from the range-partitioned global rank
+    (operators/ranking.py — no single-partition sort), reduced to an
+    n_quantiles-row broadcast table. One group-key shuffle + one
+    broadcast join."""
+    from flyq_spark.operators.ranking import global_row_number
+
+    t = int(n_quantiles)
+    if t < 1:
+        raise ValueError(f"n_quantiles must be >= 1: {n_quantiles}")
+    src = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(id_col).alias("_id"),
+        value.cast("long").alias("_v"),
+    ).where(F.col("_v").isNotNull())
+    wg = Window.partitionBy("_g").orderBy(F.col("_v").asc(), F.col("_id").asc())
+    ranked_in_group = src.withColumn("_q", F.ntile(t).over(wg))
+    pooled = global_row_number(
+        src.select("_v"),
+        [F.col("_v").asc()],
+        rank_col="_r",
+        total_col="_n",
+    )
+    # lower exact quantile at fraction q/t = value at rank
+    # ceil(q*N/t). Row r is that target exactly for the q in
+    # (floor((r-1)t/N), floor(rt/N)] — disjoint intervals that
+    # partition 1..t as r walks the order, so each q appears ONCE and
+    # the filter+explode emits exactly t rows (never N*t): the
+    # reference table is built in one linear pass over the ranks.
+    qhi = F.expr(f"(_r * {t}) DIV _n")
+    qlo = F.expr(f"((_r - 1) * {t}) DIV _n")
+    ref = (
+        pooled.where(qhi > qlo)
+        .select(
+            F.explode(F.sequence(qlo + 1, qhi)).alias("_q"),
+            F.col("_v").alias("_ref_v"),
+        )
+    )
+    return (
+        ranked_in_group.join(F.broadcast(ref), on="_q")
+        .select(
+            F.col("_g").alias(group_col),
+            F.col("_id").alias(id_col),
+            F.col("_v").alias("value_raw"),
+            F.col("_q").cast("long").alias("quantile"),
+            F.col("_ref_v").cast("long").alias("value_normalized"),
+        )
+    )

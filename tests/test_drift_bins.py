@@ -67,3 +67,37 @@ def test_quantile_bins_match_window_ntile(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_quantile_normalize_properties(spark):
+    """After normalization every group draws its values from the SAME
+    pooled reference set, the map is monotone within a group, and the
+    reference at centile 100 is the pooled maximum."""
+    from flyq_spark.operators.impute import quantile_normalize
+
+    rows = (
+        [(i, "a", i * 2) for i in range(100)]  # evens 0..198
+        + [(1000 + i, "b", 500 + i * 3) for i in range(50)]  # shifted
+    )
+    df = spark.createDataFrame(rows, "id long, g string, v long")
+    out = quantile_normalize(df, "g", F.col("v"), "id", n_quantiles=10).collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r["g"], []).append(r)
+    pooled_sorted = sorted(v for _, _, v in rows)
+    ref_values = {r["value_normalized"] for r in out}
+    # references come from the pooled distribution
+    assert ref_values <= set(pooled_sorted)
+    assert max(ref_values) == max(pooled_sorted)  # centile 10/10 = max
+    for g, rs in by_group.items():
+        rs.sort(key=lambda r: (r["value_raw"], r["id"]))
+        norm = [r["value_normalized"] for r in rs]
+        assert norm == sorted(norm), f"non-monotone map in group {g}"
+        # both groups use the same 10-row reference table
+        assert {r["quantile"] for r in rs} == set(range(1, 11))
+    # cross-group calibration: group b's raw values all exceed group
+    # a's median, but its normalized LOW centiles now sit at pooled-low
+    # values shared with group a
+    a_norm = {r["quantile"]: r["value_normalized"] for r in by_group["a"]}
+    b_norm = {r["quantile"]: r["value_normalized"] for r in by_group["b"]}
+    assert a_norm == b_norm  # identical reference per centile
