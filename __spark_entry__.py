@@ -4404,6 +4404,22 @@ def q_quantile_normalize(spark, sf_dir):
     )
 
 
+def q_ks_drift_matrix(spark, sf_dir):
+    """[EXT] Per-cohort KS drift matrix (operators/profile.py
+    ks_by_group): every event_type's value distribution vs its
+    complement, exact integer rationals — "which segment drifted" in
+    one pass. Group CDFs are group-partitioned windows; the pooled
+    CDF rides the distributed prefix-sum primitive."""
+    from flyq_spark.operators.profile import ks_by_group
+
+    ev = _read(spark, sf_dir, "events")
+    return ks_by_group(
+        ev,
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long"),
+    )
+
+
 _SYNTH_UNITS_CTE = """
 member AS (
   SELECT t.g, d.doc_id, d.text
@@ -4666,6 +4682,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_value_drift": q_ks_value_drift,
         "feature_bins": q_feature_bins,
         "quantile_normalize": q_quantile_normalize,
+        "ks_drift_matrix": q_ks_drift_matrix,
         "rfm_segments": q_rfm_segments,
         "incremental_retract": q_incremental_retract,
         "scd2_history": q_scd2_history,
@@ -8483,6 +8500,47 @@ SELECT ing.g AS event_type, ing.id AS event_id,
        CAST(ing.q AS BIGINT) AS quantile,
        ref.ref_v AS value_normalized
 FROM ing JOIN ref ON ref.q = ing.q
+""",
+        # ks_drift_matrix: per group, KS vs complement over the POOLED
+        # value grid (group CDF is flat between its own points while
+        # the complement's rises, so the grid replication is what
+        # makes the max exact).
+        "ks_drift_matrix": """
+WITH src AS (
+  SELECT event_type AS g,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+),
+gv AS (
+  SELECT g, v, CAST(count(*) AS BIGINT) AS d FROM src GROUP BY 1, 2
+),
+dv AS (SELECT v, CAST(sum(d) AS BIGINT) AS dt FROM gv GROUP BY 1),
+groups AS (SELECT g, CAST(sum(d) AS BIGINT) AS ng FROM gv GROUP BY 1),
+tot AS (SELECT CAST(sum(d) AS BIGINT) AS nt FROM gv),
+grid AS (
+  SELECT groups.g, dv.v, groups.ng, coalesce(gv.d, 0) AS d
+  FROM dv CROSS JOIN groups
+  LEFT JOIN gv ON gv.g = groups.g AND gv.v = dv.v
+),
+cums AS (
+  SELECT grid.g, grid.v, grid.ng,
+         sum(grid.d) OVER (PARTITION BY grid.g ORDER BY grid.v) AS cg,
+         ct.ct
+  FROM grid
+  JOIN (SELECT v, sum(dt) OVER (ORDER BY v) AS ct FROM dv) ct
+    ON ct.v = grid.v
+),
+gap AS (
+  SELECT g, v, ng, (tot.nt - ng) AS nr,
+         abs(cg * (tot.nt - ng) - (ct - cg) * ng) AS gp
+  FROM cums CROSS JOIN tot
+)
+SELECT g AS event_type, ng AS n_g, nr AS n_rest,
+       CAST(max(gp) AS BIGINT) AS ks_num,
+       CAST(ng * nr AS BIGINT) AS ks_den,
+       CAST(min(CASE WHEN gp = mgp THEN v END) AS BIGINT) AS at_value
+FROM (SELECT *, max(gp) OVER (PARTITION BY g) AS mgp FROM gap)
+GROUP BY g, ng, nr
 """,
         # ks_value_drift: the oracle uses the textbook window CDF —
         # fine on DuckDB at fixture scale; the Spark side's prefix-sum

@@ -907,3 +907,93 @@ def ks_drift(
             F.col("at_value").cast("long"),
         )
     )
+
+
+def ks_by_group(
+    df: DataFrame,
+    group_col: str,
+    value: Column,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-cohort drift matrix: for EVERY group, the exact integer KS
+    distance between the group's value distribution and its COMPLEMENT
+    (everything else) — the one-pass answer to "which source/segment
+    drifted", where :func:`ks_drift` answers a single A/B question.
+
+    Exact semantics: KS must be evaluated at every POOLED value (a
+    group's CDF is flat between its own points while the complement's
+    rises), so each distinct value is replicated to every group (a
+    broadcast of the ≤|groups|-row group list), the group CDF runs as
+    an ordinary value-ordered window PARTITIONED by group (distributed
+    across groups; the audit-banned partition-less shape never
+    appears), and the pooled CDF rides the distributed prefix-sum
+    primitive once, broadcast-joined back. Complement CDF = pooled −
+    group. All-integer outputs: ks_num = max_v |cum_g·n_rest −
+    cum_rest·n_g|, ks_den = n_g·n_rest.
+
+    Cost: one (v,g) groupBy + one v groupBy + |distinct v| × |groups|
+    grid through one per-group window — linear in distinct values,
+    NEVER in row count, with |groups| expected human-scale (sources,
+    event types, cohorts). Output: one row per group
+    (group, n_g, n_rest, ks_num, ks_den, at_value)."""
+    from flyq_spark.operators.ranking import global_prefix_sums
+
+    src = df.select(
+        F.col(group_col).alias("_g"), value.cast("long").alias("_v")
+    ).where(F.col("_v").isNotNull() & F.col("_g").isNotNull())
+    gv = src.groupBy("_g", "_v").agg(F.count(F.lit(1)).cast("long").alias("_d"))
+    dv = gv.groupBy("_v").agg(F.sum("_d").cast("long").alias("_dt"))
+    cum_tot = global_prefix_sums(
+        dv,
+        [F.col("_v").asc()],
+        {"_ct": F.col("_dt")},
+        num_partitions=num_partitions,
+    ).select("_v", "_ct")
+    groups = gv.groupBy("_g").agg(F.sum("_d").cast("long").alias("_ng"))
+    n_tot = F.broadcast(
+        gv.agg(F.sum("_d").cast("long").alias("_nt"))
+    )
+    grid = (
+        dv.select("_v")
+        .crossJoin(F.broadcast(groups))
+        .join(gv, on=["_g", "_v"], how="left")
+        .withColumn("_d", F.coalesce("_d", F.lit(0)))
+    )
+    w = (
+        Window.partitionBy("_g")
+        .orderBy(F.col("_v").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cums = (
+        grid.withColumn("_cg", F.sum("_d").over(w))
+        .join(cum_tot, on="_v")
+        .crossJoin(n_tot)
+    )
+    gap = cums.select(
+        "_g",
+        "_v",
+        "_ng",
+        (F.col("_nt") - F.col("_ng")).alias("_nr"),
+        F.abs(
+            F.col("_cg") * (F.col("_nt") - F.col("_ng"))
+            - (F.col("_ct") - F.col("_cg")) * F.col("_ng")
+        ).alias("_gap"),
+    )
+    return (
+        gap.groupBy("_g", "_ng", "_nr")
+        .agg(
+            F.max("_gap").cast("long").alias("ks_num"),
+            F.min(F.struct((-F.col("_gap")).alias("_n"), F.col("_v")))
+            .getField("_v")
+            .cast("long")
+            .alias("at_value"),
+        )
+        .select(
+            F.col("_g").alias(group_col),
+            F.col("_ng").alias("n_g"),
+            F.col("_nr").alias("n_rest"),
+            "ks_num",
+            (F.col("_ng") * F.col("_nr")).cast("long").alias("ks_den"),
+            "at_value",
+        )
+    )

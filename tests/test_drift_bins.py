@@ -101,3 +101,38 @@ def test_quantile_normalize_properties(spark):
     a_norm = {r["quantile"]: r["value_normalized"] for r in by_group["a"]}
     b_norm = {r["quantile"]: r["value_normalized"] for r in by_group["b"]}
     assert a_norm == b_norm  # identical reference per centile
+
+
+def test_ks_by_group_consistent_with_pairwise(spark):
+    """On a 2-group input, each group's KS-vs-complement must equal
+    the pairwise ks_drift of the two groups (symmetric statistic)."""
+    from flyq_spark.operators.profile import ks_by_group, ks_drift
+
+    a_vals = [1, 2, 2, 3, 7]
+    b_vals = [3, 4, 5, 5, 6, 9]
+    df = spark.createDataFrame(
+        [("a", v) for v in a_vals] + [("b", v) for v in b_vals],
+        "g string, v long",
+    )
+    pair = ks_drift(
+        spark.createDataFrame([(v,) for v in a_vals], "c long"),
+        spark.createDataFrame([(v,) for v in b_vals], "c long"),
+        F.col("c"),
+    ).collect()[0]
+    rows = {r["g"]: r for r in ks_by_group(df, "g", F.col("v")).collect()}
+    for g in ("a", "b"):
+        assert rows[g]["ks_num"] == pair["ks_num"], g
+        assert rows[g]["ks_den"] == pair["ks_den"], g
+    assert (rows["a"]["n_g"], rows["a"]["n_rest"]) == (5, 6)
+
+
+def test_ks_by_group_zero_for_identical_groups(spark):
+    from flyq_spark.operators.profile import ks_by_group
+
+    vals = [1, 2, 3, 4] * 3
+    df = spark.createDataFrame(
+        [("x", v) for v in vals] + [("y", v) for v in vals],
+        "g string, v long",
+    )
+    for r in ks_by_group(df, "g", F.col("v")).collect():
+        assert r["ks_num"] == 0, r

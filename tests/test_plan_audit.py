@@ -31,6 +31,7 @@ SCALAR_BROADCAST_OK = {
     "kmv_overlap",  # |sources|-row sketch-stat self-pair, like source_overlap
     "collocations",  # (total_pairs, total_tokens) corpus stats, 1 row
     "ks_value_drift",  # (n_a, n_b) cohort totals, 1 row
+    "ks_drift_matrix",  # pooled row-count total, 1 row
 }
 
 
