@@ -125,6 +125,8 @@ HEADLINE = [
     # scalable-ranking family's constant, not a data-sized cost)
     ("ks_value_drift", True),
     ("feature_bins", False),
+    ("quantile_normalize", False),
+    ("ks_drift_matrix", True),
 ]
 
 
