@@ -361,9 +361,11 @@ def label_propagation(
     RNG. A fixed ``n_iter`` rounds bound the cost AND the known
     oscillation modes of synchronous LPA (bipartite flip-flop): the
     output is whatever labeling round n produces, deterministic by
-    construction. LPA is a heuristic — unlike connected_components
-    there is no exact fixpoint to certify, which is why the gate is
-    rows-only and the pytest pins an independent Python model.
+    construction. LPA is a heuristic with no exact fixpoint to
+    certify, but the fixed-round synchronous schedule IS
+    oracle-replayable — the gate's SQL unrolls the same n rounds
+    verbatim (see q_lpa_communities), and the pytest additionally
+    pins an independent Python model.
 
     Scale shape per round: one (neighbor-label) count aggregation +
     one per-node argmax — two key shuffles over the edge list;

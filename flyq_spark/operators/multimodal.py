@@ -709,14 +709,30 @@ def _try_decode_audio_lib(payload: bytes):
                 stream = next(
                     s for s in container.streams if s.type == "audio"
                 )
+                # channel count from the codec context, NOT the frame
+                # array shape: packed/interleaved frames decode to
+                # (1, n*ch) (shape would report mono), planar frames to
+                # (ch, n) plane-per-row. The contract downstream
+                # (_try_decode_wav, segment_audio's reshape(n, nch)
+                # downmix) is FLAT INTERLEAVED samples, so planar
+                # planes are transposed before flattening.
+                nch = int(getattr(stream.codec_context, "channels", 0) or 0)
                 chunks = []
                 for frame in container.decode(stream):
-                    chunks.append(frame.to_ndarray().astype(np.float64))
+                    arr = frame.to_ndarray().astype(np.float64)
+                    if not nch:
+                        nch = len(frame.layout.channels)
+                    if arr.ndim > 1 and arr.shape[0] > 1:
+                        # planar (ch, n): interleave L R L R ...
+                        arr = arr.T.reshape(-1)
+                    else:
+                        # packed (1, n*ch): already interleaved
+                        arr = arr.reshape(-1)
+                    chunks.append(arr)
                 if not chunks:
                     return None
-                samples = np.concatenate(chunks, axis=-1)
-                nch = samples.shape[0] if samples.ndim > 1 else 1
-                return int(stream.rate), int(nch), samples.reshape(-1)
+                samples = np.concatenate(chunks)
+                return int(stream.rate), max(int(nch), 1), samples
         except Exception:
             pass
     return None

@@ -487,17 +487,17 @@ def erase_partition_keys(
       a partition-pruning predicate, so unflagged partitions (the
       overwhelming majority at 100 TB after Bloom planning) are never
       listed past the directory level, never read, never written.
-    - WRITE: dynamic partition overwrite (``partitionOverwriteMode=
-      dynamic``) replaces ONLY the partitions present in the rewritten
-      frame; everything else on disk is untouched — no global rewrite,
-      no table lock beyond the flagged directories.
+    - WRITE: surviving rows land in a staging directory partitioned by
+      ``part_col``; only the flagged partition directories are then
+      swapped — everything else on disk is untouched: no global
+      rewrite, no table lock beyond the flagged directories.
     - Bloom false positives cost one wasted partition rewrite each
       (the anti-join then drops nothing) — sound, just suboptimal, and
       bounded by the index's false-positive rate.
-    - A partition whose every row is erased produces NO output rows,
-      which dynamic overwrite would silently leave stale; those
-      directories are removed explicitly. That pass is driver-side but
-      bounded by |flagged| (the work list), never by table size.
+    - A partition whose every row is erased stages NO output
+      directory; the swap pass removes the on-disk directory without a
+      replacement. That pass is driver-side but bounded by |flagged|
+      (the work list), never by table size.
     - The erase key set ships via broadcast anti-join: deletion
       requests are human-scale (thousands), never table-scale.
 
@@ -508,7 +508,12 @@ def erase_partition_keys(
     whose staged output is empty (every row erased) is simply removed.
     The swap pass is driver-side directory renames, bounded by
     |flagged| — at real scale the same protocol runs against the
-    object store's rename/delete API.
+    object store's rename/delete API. Staging is cleaned up ONLY on
+    the success path: if the swap loop fails midway (after a target
+    directory was removed but before its staged replacement moved in),
+    the staged rows are the only surviving copy, so the error message
+    carries the staging path for manual recovery instead of deleting
+    it.
 
     Returns {"files_rewritten", "partitions_deleted"} actually acted
     on. Callers verify the rewrite with ``dataset_digest`` pre/post —
@@ -532,7 +537,12 @@ def erase_partition_keys(
     staging = tempfile.mkdtemp(prefix="flyq_erase_staging_")
     try:
         kept.write.mode("overwrite").partitionBy(part_col).parquet(staging)
-        rewritten = deleted = 0
+    except Exception:
+        # nothing on disk was touched yet — staging is disposable
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    rewritten = deleted = 0
+    try:
         for v in flagged:
             part_dir = f"{part_col}={v}"
             src = os.path.join(staging, part_dir)
@@ -543,9 +553,17 @@ def erase_partition_keys(
                 rewritten += 1
             else:
                 deleted += 1
-        return {"files_rewritten": rewritten, "partitions_deleted": deleted}
-    finally:
-        shutil.rmtree(staging, ignore_errors=True)
+    except Exception as exc:
+        # a target partition may already be gone with its replacement
+        # still staged — staging now holds the only copy of those
+        # survivors; leave it for manual recovery
+        raise RuntimeError(
+            f"erase swap failed mid-loop; staged survivors preserved at "
+            f"{staging} — recover by moving its {part_col}=* dirs into "
+            f"{path}"
+        ) from exc
+    shutil.rmtree(staging, ignore_errors=True)
+    return {"files_rewritten": rewritten, "partitions_deleted": deleted}
 
 
 def compaction_execute(spark: SparkSession, path: str, plan: DataFrame) -> dict:
@@ -574,7 +592,13 @@ def compaction_execute(spark: SparkSession, path: str, plan: DataFrame) -> dict:
     ``dataset_digest`` pre/post: zero buckets may diverge).
 
     A bin whose files hold zero rows stages no output; its originals
-    are still removed (compacting empties == deleting them).
+    are still removed (compacting empties == deleting them). That case
+    is distinguishable from silent row loss because the commit is
+    gated on a staged-rows == source-rows count check (both
+    footer-metadata reads) BEFORE any original is removed — a
+    path-form mismatch in the ``input_file_name()`` join (relative
+    paths, ``file:/`` vs ``file://``, URL-encoding) aborts with the
+    table untouched instead of deleting data that was never staged.
 
     Returns {"bins_merged", "files_removed", "files_written"}.
     """
@@ -615,6 +639,24 @@ def compaction_execute(spark: SparkSession, path: str, plan: DataFrame) -> dict:
             .write.partitionBy("_bk")
             .parquet(staging)
         )
+        # LOSS GUARD before any original is removed: if the
+        # input_file_name() join silently matched zero (or fewer) rows
+        # — path-form mismatch (relative path, file:/ vs file:// URI,
+        # URL-encoded chars) — every bin would stage short output yet
+        # the removal loop would still delete all originals: silent
+        # data loss indistinguishable from "compacted empties". Both
+        # counts are parquet-footer metadata reads, no data scan.
+        n_src = spark.read.parquet(*[f for f, _ in map_rows]).count()
+        staged_all = _glob.glob(os.path.join(staging, "_bk=*", "*.parquet"))
+        n_staged = (
+            spark.read.parquet(*staged_all).count() if staged_all else 0
+        )
+        if n_staged != n_src:
+            raise RuntimeError(
+                f"compaction staged {n_staged} rows but sources hold "
+                f"{n_src}; refusing to remove originals (input_file_name "
+                f"join mismatch?) — table on disk is untouched"
+            )
         removed = written = 0
         for key, files in bins.items():
             staged = _glob.glob(
