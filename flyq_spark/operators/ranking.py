@@ -1,43 +1,183 @@
-"""Distributed total-order ranking — global row_number and exact NTILE
-without a single-partition sort.
+"""Distributed total-order ranking — global AND grouped row_number,
+exact NTILE, and prefix sums without a data-sized single-key sort.
 
-The naive shape (``row_number()/ntile() OVER (ORDER BY ...)`` with no
-PARTITION BY) compiles to one Exchange SinglePartition + one sort task
-holding the entire input: fine at sf0.01, a straggler/OOM on a
-billion-row per-user aggregate at 100 TB. The scalable shape used here
-is the classic range-partitioned rank:
+The naive shapes this module replaces:
 
-1. ``repartitionByRange(P, *order)`` — each output partition owns a
-   contiguous slice of the total order (one full-data shuffle, the
-   same volume a global sort would move, but into P parallel tasks).
-2. ``sortWithinPartitions(*order)`` — P parallel sorts of ~N/P rows;
-   then ``monotonically_increasing_id()`` stamps each row. Within a
-   task the id is the per-partition row counter (partition id in the
-   high bits), so ``id - min(id over the partition)`` IS the 0-based
-   local rank in sort order — no second data-sized exchange, where a
-   window PARTITIONED BY the range id would hash-shuffle the full
-   data a second time just to regroup what the range exchange already
-   co-located.
-3. per-range (min_id, count) — a ≤P-row aggregate with map-side
-   combine — is cumulated into rank offsets; global rank =
-   offset + local rank, attached by a broadcast join.
+- ``row_number()/ntile()/sum() OVER (ORDER BY ...)`` with no PARTITION
+  BY compiles to one Exchange SinglePartition + one sort task holding
+  the entire input — fine at sf0.01, a straggler/OOM at 100 TB.
+- the same window ``PARTITION BY group`` where ``group`` has
+  constant cardinality (event_type ≈ 5 values, source, lang) is the
+  identical disease divided by a small constant: 5 tasks each sorting
+  N/5 rows. Low-cardinality-group ranking needs the grouped variants
+  here, not a group-keyed window.
 
-The ONLY partition-less window in the resulting plan runs over that
-≤P-row offset table — bounded by cluster configuration, never by data
-(this is the "shard-offset table" class in the plan audit's
-allowlist). Total data motion: ONE full-data shuffle (the range
-exchange), full stop.
+The scalable shape is the classic range-partitioned rank:
+
+1. ``repartitionByRange(P, *group, *order)`` — each output partition
+   owns a contiguous slice of the (group, order) total order (one
+   full-data shuffle, the same volume a global sort would move, but
+   into P parallel tasks; a group's rows are contiguous WITHIN each
+   partition, and a group larger than one range spans consecutive
+   partitions — no single task ever holds a whole hot group).
+2. ``sortWithinPartitions`` — P parallel sorts of ~N/P rows, then a
+   per-row local position: ``monotonically_increasing_id()`` for
+   row_number (id − min(id) over the (partition, group) cell IS the
+   0-based local rank — ids are consecutive within a task), or an
+   Arrow ``mapInPandas`` streaming cumulative-sum kernel for prefix
+   sums (zero extra shuffle — a window PARTITIONED BY the range id
+   would hash-exchange the full data a second time just to regroup
+   what the range exchange already co-located).
+3. a per-(range-partition, group) offset table — a ≤(P + G)-row
+   aggregate with map-side combine — is cumulated in range order and
+   broadcast back; global value = group offset + local value.
+
+The stamped/cumsum'd rows are lazily ``localCheckpoint``-ed before
+fan-out: the offset aggregate and the final join are TWO consumers of
+the same partitioning, and without materialization their subtrees can
+compile to independently-sampled RangePartitioners whose boundaries
+disagree — offsets from exchange A applied to rows of exchange B
+would corrupt ranks silently. The checkpoint makes the single-exchange
+claim structural instead of an exchange-reuse accident: exactly one
+data-sized exchange runs, its result is written once to executor-local
+storage, and every consumer reads those exact rows.
+
+Offset-table windows order by ``_gpid`` and partition by ``_gg_*``
+group-key copies — both marker prefixes are auto-allowed by the plan
+audit because those tables are bounded by cluster configuration +
+group count, never by data volume.
+
+Group-cardinality regime: the grouped variants broadcast a
+≤(P + G)-row offset table, so they are built for HUMAN-SCALE group
+counts (sources, event types, cohorts — the low-cardinality keys that
+make plain group-keyed windows straggle). For millions of small
+groups the plain ``Window.partitionBy(group)`` is already
+well-distributed and is the right tool.
 
 Determinism: output values depend only on the TOTAL order (callers
-must pass a tie-broken order — e.g. append the primary key), never on
-where the range boundaries land, so the sampled boundaries cannot
-change results.
+must pass a tie-broken order — e.g. append the primary key — unless
+the downstream use is tie-insensitive, like min-rank-per-value), so
+the sampled range boundaries cannot change results.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# marker prefix for group-key copies in offset tables; windows whose
+# partition keys all carry this prefix are the bounded offset-table
+# class in the plan audit (tests/test_plan_audit.py), like _gpid
+GROUP_MARKER = "_gg_"
+
+
+def _resolve_partitions(df: DataFrame, num_partitions: int | None) -> int:
+    if num_partitions is not None:
+        return int(num_partitions)
+    return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+
+
+def _marks(group_cols: list[str]) -> list[str]:
+    return [f"{GROUP_MARKER}{i}" for i in range(len(group_cols))]
+
+
+def _attach_offsets(local: DataFrame, offs: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Broadcast-join the ≤(P+G)-row offset table back onto the stamped
+    rows: equality on the range-partition id plus NULL-SAFE equality on
+    each group key (a NULL group key is a real group — a plain ON
+    clause would silently drop its rows)."""
+    offs = offs.withColumnRenamed("_gpid", "_ogpid")
+    cond = local["_gpid"] == offs["_ogpid"]
+    for c, m in zip(group_cols, _marks(group_cols)):
+        cond = cond & local[c].eqNullSafe(offs[m])
+    return local.join(F.broadcast(offs), on=cond).drop(
+        "_ogpid", *_marks(group_cols)
+    )
+
+
+def grouped_row_number(
+    df: DataFrame,
+    group_cols: list[str],
+    order: list[Column],
+    rank_col: str = "rank",
+    total_col: str | None = None,
+    num_partitions: int | None = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """Dense 1-based row_number over ``order`` WITHIN each group of
+    ``group_cols`` (pass ``[]`` for a single global group) without a
+    group-keyed sort task: the scalable replacement for
+    ``row_number() OVER (PARTITION BY low_card_group ORDER BY ...)``.
+    ``order`` must be a total order within each group (include a
+    unique tiebreak column). Adds ``rank_col`` (long); with
+    ``total_col`` set, also each row's group row count.
+
+    ``materialize`` (default on) lazily localCheckpoints the INPUT
+    first: ``repartitionByRange`` runs a sampling job over its child
+    to pick boundaries — without materialization an expensive upstream
+    (often a full-table aggregate) computes once for the sampler and
+    once for the exchange. Pass ``materialize=False`` only when the
+    input is itself a trivially-rescannable scan. The stamped rows are
+    ALWAYS lazily checkpointed (see module docstring: that is what
+    makes offset/row consistency structural), so the data moves
+    through exactly one exchange either way.
+    """
+    num_partitions = _resolve_partitions(df, num_partitions)
+    if materialize:
+        df = df.localCheckpoint(eager=False)
+    gcols = [F.col(c) for c in group_cols]
+    # monotonically_increasing_id = (partition id << 33) | per-task row
+    # counter: consecutive within a task in row order, so after the
+    # in-partition sort (group first, then order), a (partition, group)
+    # cell's rows are contiguous and (_gmid - min(_gmid)) is the
+    # 0-based local rank. Ranks depend only on row POSITION, so neither
+    # boundary sampling nor the id's cross-partition gaps can change
+    # results.
+    local = (
+        df.repartitionByRange(num_partitions, *gcols, *order)
+        .sortWithinPartitions(*gcols, *order)
+        .withColumn("_gpid", F.spark_partition_id())
+        .withColumn("_gmid", F.monotonically_increasing_id())
+        .localCheckpoint(eager=False)
+    )
+    marks = _marks(group_cols)
+    counts = local.groupBy(
+        F.col("_gpid"), *[F.col(c).alias(m) for c, m in zip(group_cols, marks)]
+    ).agg(F.count(F.lit(1)).alias("_gn"), F.min("_gmid").alias("_gmin"))
+    # range partition ids are ordered by the range boundaries, so
+    # cumulating counts in _gpid order within each group walks that
+    # group's total order; these windows' input is the ≤(P+G)-row
+    # offset table — bounded by cluster configuration + group count,
+    # never by data (the plan audit's _gpid/_gg_* marker class)
+    w_cum = (
+        Window.partitionBy(*marks)
+        .orderBy("_gpid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_tot = (
+        Window.partitionBy(*marks)
+        .orderBy("_gpid")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    offs = counts.select(
+        "_gpid",
+        *marks,
+        "_gmin",
+        F.coalesce(F.sum("_gn").over(w_cum), F.lit(0)).alias("_goff"),
+        F.sum("_gn").over(w_tot).alias("_gtot"),
+    )
+    out = (
+        _attach_offsets(local, offs, group_cols)
+        .withColumn(
+            rank_col,
+            (F.col("_goff") + F.col("_gmid") - F.col("_gmin") + 1).cast("long"),
+        )
+        .drop("_gpid", "_gmid", "_gmin", "_goff")
+    )
+    if total_col is not None:
+        return out.withColumnRenamed("_gtot", total_col)
+    return out.drop("_gtot")
 
 
 def global_row_number(
@@ -48,106 +188,31 @@ def global_row_number(
     num_partitions: int | None = None,
     materialize: bool = True,
 ) -> DataFrame:
-    """Dense 1-based global row_number over ``order`` (which must be a
-    TOTAL order — include a unique tiebreak column) without a
-    single-partition sort. Adds ``rank_col`` (long); with
-    ``total_col`` set, also the total row count on every row.
-
-    ``materialize`` (default on) lazily localCheckpoints the input
-    first: ``repartitionByRange`` runs a SAMPLING job over its child to
-    pick boundaries, and the rank needs the data in two branches (rows
-    + per-range counts) — without materialization the upstream plan
-    (often a full-table aggregate) recomputes up to three times per
-    call, and CHAINED calls (multi-metric NTILE) compound that. The
-    checkpoint costs one executor-local write of the input — the same
-    order as the range shuffle itself — and truncates lineage so every
-    branch reads the materialized rows. Pass ``materialize=False``
-    only when the input is itself a trivially-rescannable scan."""
-    spark = df.sparkSession
-    if num_partitions is None:
-        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    if materialize:
-        df = df.localCheckpoint(eager=False)
-    # monotonically_increasing_id = (partition id << 33) | per-task row
-    # counter: consecutive within a task in row order, so after the
-    # in-range sort, (_gmid - min(_gmid)) is the 0-based local rank.
-    # Ranks depend only on row POSITION within the range (not on the
-    # raw id values), and the final rank only on the total order, so
-    # neither boundary sampling nor the id's cross-partition gaps can
-    # change results.
-    local = (
-        df.repartitionByRange(num_partitions, *order)
-        .sortWithinPartitions(*order)
-        .withColumn("_gpid", F.spark_partition_id())
-        .withColumn("_gmid", F.monotonically_increasing_id())
-    )
-    # ≤ num_partitions rows, map-side combined before the tiny shuffle
-    counts = local.groupBy("_gpid").agg(
-        F.count(F.lit(1)).alias("_gn"), F.min("_gmid").alias("_gmin")
-    )
-    # range partition ids are ordered by the range boundaries, so
-    # cumulating counts in _gpid order walks the total order; this
-    # window's input is the ≤P-row side table — bounded by cluster
-    # configuration, never by data
-    w_cum = Window.orderBy("_gpid").rowsBetween(Window.unboundedPreceding, -1)
-    w_tot = Window.orderBy("_gpid").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    offs = counts.select(
-        "_gpid",
-        "_gmin",
-        F.coalesce(F.sum("_gn").over(w_cum), F.lit(0)).alias("_goff"),
-        F.sum("_gn").over(w_tot).alias("_gtot"),
-    )
-    out = (
-        local.join(F.broadcast(offs), on="_gpid")
-        .withColumn(
-            rank_col,
-            (F.col("_goff") + F.col("_gmid") - F.col("_gmin") + 1).cast("long"),
-        )
-        .drop("_gpid", "_gmid", "_gmin", "_goff")
-    )
-    if total_col is not None:
-        out = out.withColumnRenamed("_gtot", total_col)
-    else:
-        out = out.drop("_gtot")
-    return out
-
-
-def ntile_exact(
-    df: DataFrame,
-    order: list[Column],
-    n_tiles: int,
-    out_col: str,
-    num_partitions: int | None = None,
-    materialize: bool = True,
-) -> DataFrame:
-    """Exact ``NTILE(n_tiles) OVER (ORDER BY *order)`` semantics from
-    the distributed rank: with N rows and q, rem = divmod(N, t), the
-    first ``rem`` buckets hold q+1 rows and the rest hold q — bucket
-    sizes differ by at most one, larger buckets first, identical to
-    the SQL window function for any N (including N < t, where q=0 and
-    bucket = rank). All-integer arithmetic, so the result is
-    hash-identical to ``F.ntile`` on every engine.
-
-    ``order`` must be a total order (unique tiebreak) for the
-    segmentation to be reproducible."""
-    t = int(n_tiles)
-    if t < 1:
-        raise ValueError(f"n_tiles must be >= 1, got {n_tiles}")
-    ranked = global_row_number(
+    """Dense 1-based GLOBAL row_number over ``order`` (a total order —
+    include a unique tiebreak column) without a single-partition sort:
+    :func:`grouped_row_number` with no group columns."""
+    return grouped_row_number(
         df,
+        [],
         order,
-        rank_col="_flyq_nr",
-        total_col="_flyq_nt",
+        rank_col=rank_col,
+        total_col=total_col,
         num_partitions=num_partitions,
         materialize=materialize,
     )
-    # q = N DIV t, rem = N % t; head = rem*(q+1) rows fill the big
-    # buckets. ceil(a/b) = (a+b-1) DIV b on non-negatives; the
-    # greatest(...,1) guards ANSI div-by-zero on the q=0 branch, which
-    # is unreachable (rank <= N = head when q=0) but still evaluated.
-    bucket = F.when(
+
+
+def _ntile_bucket(t: int) -> Column:
+    """Exact NTILE(t) bucket from a 1-based rank ``_flyq_nr`` and a
+    total ``_flyq_nt``: with q, rem = divmod(N, t), the first ``rem``
+    buckets hold q+1 rows and the rest hold q — bucket sizes differ by
+    at most one, larger buckets first, identical to the SQL window
+    function for any N (including N < t, where q=0 and bucket = rank).
+    All-integer arithmetic, so the result is hash-identical to
+    ``F.ntile`` on every engine. The greatest(...,1) guards ANSI
+    div-by-zero on the q=0 branch, which is unreachable (rank <= N =
+    head when q=0) but still evaluated."""
+    return F.when(
         F.expr(f"_flyq_nr <= (_flyq_nt % {t}) * ((_flyq_nt DIV {t}) + 1)"),
         F.expr(f"(_flyq_nr + (_flyq_nt DIV {t})) DIV ((_flyq_nt DIV {t}) + 1)"),
     ).otherwise(
@@ -158,10 +223,211 @@ def ntile_exact(
             f"DIV greatest(_flyq_nt DIV {t}, 1)"
         )
     )
-    return (
-        ranked.withColumn(out_col, bucket.cast("int"))
-        .drop("_flyq_nr", "_flyq_nt")
+
+
+def grouped_ntile(
+    df: DataFrame,
+    group_cols: list[str],
+    order: list[Column],
+    n_tiles: int,
+    out_col: str,
+    num_partitions: int | None = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """Exact ``NTILE(n) OVER (PARTITION BY *group_cols ORDER BY
+    *order)`` semantics from the distributed grouped rank — the
+    scalable replacement for NTILE windows keyed by a
+    constant-cardinality column. ``order`` must be a total order
+    within each group (unique tiebreak) for the segmentation to be
+    reproducible."""
+    t = int(n_tiles)
+    if t < 1:
+        raise ValueError(f"n_tiles must be >= 1, got {n_tiles}")
+    ranked = grouped_row_number(
+        df,
+        group_cols,
+        order,
+        rank_col="_flyq_nr",
+        total_col="_flyq_nt",
+        num_partitions=num_partitions,
+        materialize=materialize,
     )
+    return ranked.withColumn(out_col, _ntile_bucket(t).cast("int")).drop(
+        "_flyq_nr", "_flyq_nt"
+    )
+
+
+def ntile_exact(
+    df: DataFrame,
+    order: list[Column],
+    n_tiles: int,
+    out_col: str,
+    num_partitions: int | None = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """Exact GLOBAL ``NTILE(n_tiles) OVER (ORDER BY *order)``:
+    :func:`grouped_ntile` with no group columns."""
+    return grouped_ntile(
+        df,
+        [],
+        order,
+        n_tiles,
+        out_col,
+        num_partitions=num_partitions,
+        materialize=materialize,
+    )
+
+
+def _cumsum_kernel(group_cols: list[str], names: list[str]):
+    """Arrow mapInPandas kernel: streaming per-partition cumulative
+    sums of the ``_gx_{name}`` columns into ``_gl_{name}``, resetting
+    at group boundaries. Input partitions are sorted by (group, order),
+    so a group change is monotone within a partition and only the LAST
+    group of a batch can continue into the next batch — one carry
+    vector + one carry key is the entire cross-batch state. Runs
+    inside the range-exchange output partitions: zero extra shuffle."""
+    gx = [f"_gx_{n}" for n in names]
+
+    def key_at(pdf, i):
+        import pandas as pd
+
+        return tuple(
+            None if pd.isna(v) else v
+            for v in (pdf.iloc[i][c] for c in group_cols)
+        )
+
+    def fn(batches):
+        carry = None  # running totals of the open (trailing) group
+        carry_key = None
+        for pdf in batches:
+            n_rows = len(pdf)
+            if n_rows == 0:
+                continue
+            vals = pdf[gx].astype("int64")
+            if group_cols:
+                keys = pdf[list(group_cols)]
+                prev = keys.shift()
+                changed = (
+                    keys.ne(prev) & ~(keys.isna() & prev.isna())
+                ).any(axis=1)
+                changed.iloc[0] = True
+                seg = changed.cumsum()
+                cums = vals.groupby(seg).cumsum()
+                first_key = key_at(pdf, 0)
+            else:
+                seg = None
+                cums = vals.cumsum()
+                first_key = ()
+            if carry is not None and first_key == carry_key:
+                if group_cols:
+                    mask = (seg == 1).to_numpy()
+                    for j, c in enumerate(gx):
+                        cums.loc[mask, c] += carry[j]
+                else:
+                    for j, c in enumerate(gx):
+                        cums[c] += carry[j]
+            carry = [int(cums[c].iloc[-1]) for c in gx]
+            carry_key = key_at(pdf, n_rows - 1) if group_cols else ()
+            for n, c in zip(names, gx):
+                pdf[f"_gl_{n}"] = cums[c].to_numpy()
+            yield pdf
+
+    return fn
+
+
+def grouped_prefix_sums(
+    df: DataFrame,
+    group_cols: list[str],
+    order: list[Column],
+    sums: dict[str, Column],
+    totals: dict[str, str] | None = None,
+    num_partitions: int | None = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """Running (inclusive) prefix sums over a TOTAL order within each
+    group (``[]`` = one global group) — the distributed
+    cumulative-sum primitive (CDFs, running totals, exact KS
+    statistics, rank-from-counted-distinct). For each name→expr in
+    ``sums``, adds a ``name`` column holding sum(expr) over the rows
+    of the same group at-or-before this row in ``order``. NULL expr
+    values count as 0 (window SUM would skip them identically except
+    for an all-NULL prefix, where it yields NULL — callers feeding
+    counts never see the difference).
+
+    ``totals`` optionally maps a sum name → an output column carrying
+    that sum's whole-group total on every row — free to attach here
+    (the offset table already aggregates per-group), where a separate
+    groupBy + join-back would cost another pass.
+
+    Plan shape: ONE data-sized exchange (the range exchange), P
+    parallel in-partition sorts, an Arrow ``mapInPandas`` streaming
+    cumsum (no second exchange — a window PARTITIONED BY the range id
+    would re-shuffle the co-located rows), a ≤(P+G)-row offset
+    aggregate off the lazily checkpointed cumsum rows, broadcast back.
+    """
+    num_partitions = _resolve_partitions(df, num_partitions)
+    if materialize:
+        df = df.localCheckpoint(eager=False)
+    names = list(sums)
+    exprs = [
+        F.coalesce(sums[n].cast("long"), F.lit(0)).alias(f"_gx_{n}")
+        for n in names
+    ]
+    gcols = [F.col(c) for c in group_cols]
+    ranged = (
+        df.select("*", *exprs)
+        .repartitionByRange(num_partitions, *gcols, *order)
+        .sortWithinPartitions(*gcols, *order)
+        .withColumn("_gpid", F.spark_partition_id())
+    )
+    out_schema = T.StructType(
+        list(ranged.schema.fields)
+        + [T.StructField(f"_gl_{n}", T.LongType()) for n in names]
+    )
+    local = ranged.mapInPandas(
+        _cumsum_kernel(list(group_cols), names), schema=out_schema
+    ).localCheckpoint(eager=False)
+    marks = _marks(group_cols)
+    grp_totals = local.groupBy(
+        F.col("_gpid"), *[F.col(c).alias(m) for c, m in zip(group_cols, marks)]
+    ).agg(*[F.sum(f"_gx_{n}").alias(f"_gt_{n}") for n in names])
+    w_cum = (
+        Window.partitionBy(*marks)
+        .orderBy("_gpid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_tot = (
+        Window.partitionBy(*marks)
+        .orderBy("_gpid")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    total_cols = []
+    if totals:
+        total_cols = [
+            F.sum(f"_gt_{n}").over(w_tot).cast("long").alias(out)
+            for n, out in totals.items()
+        ]
+    offs = grp_totals.select(
+        "_gpid",
+        *marks,
+        *[
+            F.coalesce(F.sum(f"_gt_{n}").over(w_cum), F.lit(0)).alias(f"_go_{n}")
+            for n in names
+        ],
+        *total_cols,
+    )
+    out = _attach_offsets(local, offs, group_cols)
+    for n in names:
+        out = out.withColumn(
+            n, (F.col(f"_go_{n}") + F.col(f"_gl_{n}")).cast("long")
+        )
+    return out.drop(
+        "_gpid",
+        *[f"_gx_{n}" for n in names],
+        *[f"_gl_{n}" for n in names],
+        *[f"_go_{n}" for n in names],
+    )
+
 
 def global_prefix_sums(
     df: DataFrame,
@@ -170,53 +436,14 @@ def global_prefix_sums(
     num_partitions: int | None = None,
     materialize: bool = True,
 ) -> DataFrame:
-    """Running (inclusive) prefix sums over a TOTAL order without a
-    single-partition window — the distributed cumulative-sum primitive
-    (CDFs, running totals, exact KS statistics). For each name→expr in
-    ``sums``, adds a ``name`` column holding sum(expr) over all rows
-    at-or-before this row in ``order``.
-
-    Same shape as :func:`global_row_number`: one range exchange, P
-    parallel in-partition sorts + local cumsums (a window PARTITIONED
-    by the range id), and a broadcast ≤P-row offset table of
-    per-partition totals cumulated in range order — the only
-    partition-less window in the plan runs over that offset table
-    (the plan audit's ``_gpid`` class)."""
-    spark = df.sparkSession
-    if num_partitions is None:
-        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    if materialize:
-        df = df.localCheckpoint(eager=False)
-    names = list(sums)
-    exprs = [sums[n].cast("long").alias(f"_gx_{n}") for n in names]
-    ranged = (
-        df.select("*", *exprs)
-        .repartitionByRange(num_partitions, *order)
-        .withColumn("_gpid", F.spark_partition_id())
-    )
-    w_local = (
-        Window.partitionBy("_gpid")
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    local = ranged
-    for n in names:
-        local = local.withColumn(f"_gl_{n}", F.sum(f"_gx_{n}").over(w_local))
-    totals = ranged.groupBy("_gpid").agg(
-        *[F.sum(f"_gx_{n}").alias(f"_gt_{n}") for n in names]
-    )
-    w_cum = Window.orderBy("_gpid").rowsBetween(Window.unboundedPreceding, -1)
-    offs = totals.select(
-        "_gpid",
-        *[
-            F.coalesce(F.sum(f"_gt_{n}").over(w_cum), F.lit(0)).alias(f"_go_{n}")
-            for n in names
-        ],
-    )
-    out = local.join(F.broadcast(offs), on="_gpid")
-    for n in names:
-        out = out.withColumn(n, (F.col(f"_go_{n}") + F.col(f"_gl_{n}")).cast("long"))
-    return out.drop(
-        "_gpid", *[f"_gx_{n}" for n in names],
-        *[f"_gl_{n}" for n in names], *[f"_go_{n}" for n in names]
+    """Running (inclusive) prefix sums over a GLOBAL total order:
+    :func:`grouped_prefix_sums` with no group columns — one data-sized
+    exchange, Arrow local cumsums, broadcast ≤P-row offset table."""
+    return grouped_prefix_sums(
+        df,
+        [],
+        order,
+        sums,
+        num_partitions=num_partitions,
+        materialize=materialize,
     )

@@ -130,3 +130,163 @@ def test_prefix_sums_plan_has_no_data_sized_global_window(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     bad = [fa for fa in partitionless_specs(plan) if not fa.startswith("_gpid#")]
     assert bad == [], bad
+
+
+def _gframe(spark, n, n_groups=4, with_null_group=False):
+    rows = []
+    for i in range(n):
+        g = None if (with_null_group and i % 11 == 5) else f"g{i % n_groups}"
+        rows.append((i, (i * 37) % 13, g))
+    return spark.createDataFrame(rows, "id long, v int, g string")
+
+
+@pytest.mark.parametrize(
+    "n,parts,nullg", [(0, 4, False), (1, 4, False), (97, 4, True), (200, 3, True)]
+)
+def test_grouped_row_number_matches_window(spark, n, parts, nullg):
+    """grouped_row_number must be value-identical to
+    row_number()/count() OVER (PARTITION BY g ORDER BY ...) including
+    NULL group keys (a real group) and empty input."""
+    from flyq_spark.operators.ranking import grouped_row_number
+
+    df = _gframe(spark, n, with_null_group=nullg)
+    order = [F.col("v").asc(), F.col("id").asc()]
+    got = {
+        r["id"]: (r["rk"], r["n"])
+        for r in grouped_row_number(
+            df, ["g"], order, rank_col="rk", total_col="n", num_partitions=parts
+        ).collect()
+    }
+    w = Window.partitionBy("g").orderBy(*order)
+    wt = Window.partitionBy("g")
+    want = {
+        r["id"]: (r["rk"], r["n"])
+        for r in df.select(
+            "id",
+            F.row_number().over(w).cast("long").alias("rk"),
+            F.count(F.lit(1)).over(wt).cast("long").alias("n"),
+        ).collect()
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("n,tiles,parts", [(3, 5, 4), (97, 4, 8), (100, 7, 3)])
+def test_grouped_ntile_matches_window_ntile(spark, n, tiles, parts):
+    from flyq_spark.operators.ranking import grouped_ntile
+
+    df = _gframe(spark, n, with_null_group=True)
+    order = [F.col("v").desc(), F.col("id").asc()]
+    got = {
+        r["id"]: r["q"]
+        for r in grouped_ntile(
+            df, ["g"], order, tiles, "q", num_partitions=parts
+        ).collect()
+    }
+    w = Window.partitionBy("g").orderBy(*order)
+    want = {
+        r["id"]: r["q"]
+        for r in df.select("id", F.ntile(tiles).over(w).alias("q")).collect()
+    }
+    assert got == want
+
+
+def test_grouped_prefix_sums_matches_window(spark):
+    """Per-group running sums (negative deltas, NULL group key, carry
+    across Arrow batches, group totals) must equal the naive windows."""
+    from flyq_spark.operators.ranking import grouped_prefix_sums
+
+    rows = [
+        (i, (i * 37) % 11 - 5, None if i % 13 == 7 else f"g{i % 3}")
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "id long, x long, g string")
+    got = {
+        r["id"]: (r["cx"], r["tx"])
+        for r in grouped_prefix_sums(
+            df,
+            ["g"],
+            [F.col("id").asc()],
+            {"cx": F.col("x")},
+            totals={"cx": "tx"},
+            num_partitions=7,
+        ).collect()
+    }
+    w = (
+        Window.partitionBy("g")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("g")
+    want = {
+        r["id"]: (r["cx"], r["tx"])
+        for r in df.select(
+            "id",
+            F.sum("x").over(w).alias("cx"),
+            F.sum("x").over(wt).alias("tx"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_grouped_prefix_sums_batch_boundary_carry(spark):
+    """Force multi-batch Arrow streams (maxRecordsPerBatch=16) so the
+    kernel's cross-batch carry and group-boundary reset both exercise:
+    one giant group spanning many batches + group flips inside one
+    partition."""
+    from flyq_spark.operators.ranking import grouped_prefix_sums
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+    try:
+        rows = [(i, 1, "big" if i < 400 else f"s{i % 5}") for i in range(500)]
+        df = spark.createDataFrame(rows, "id long, x long, g string")
+        got = {
+            r["id"]: r["cx"]
+            for r in grouped_prefix_sums(
+                df, ["g"], [F.col("id").asc()], {"cx": F.col("x")},
+                num_partitions=3,
+            ).collect()
+        }
+        w = (
+            Window.partitionBy("g")
+            .orderBy("id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        want = {
+            r["id"]: r["cx"]
+            for r in df.select("id", F.sum("x").over(w).alias("cx")).collect()
+        }
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_grouped_plans_have_no_data_sized_windows(spark):
+    """Grouped primitives may only window over offset tables: every
+    window spec must be partitioned by _gg_* marker copies (≤(P+G)
+    rows) — no window keyed by the raw group column, and the only
+    partition-less specs must order by _gpid."""
+    import re
+
+    from flyq_spark.operators.ranking import grouped_prefix_sums, grouped_row_number
+    from tools.plan_snapshot import partitionless_specs, window_specs
+
+    df = spark.createDataFrame(
+        [(i, i % 4, i % 3) for i in range(100)], "id long, x long, g int"
+    )
+    for out in (
+        grouped_row_number(df, ["g"], [F.col("id").asc()], num_partitions=4),
+        grouped_prefix_sums(
+            df, ["g"], [F.col("id").asc()], {"cx": F.col("x")}, num_partitions=4
+        ),
+    ):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        bad = [
+            fa for fa in partitionless_specs(plan) if not fa.startswith("_gpid#")
+        ]
+        assert bad == [], bad
+        for spec in window_specs(plan):
+            first = spec.split(",")[0].strip()
+            # partitioned specs must key on the _gg_* offset-table copies
+            if " ASC" not in first and " DESC" not in first:
+                assert re.match(r"_gg_\d+#", first), spec[:80]
