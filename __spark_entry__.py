@@ -4337,6 +4337,37 @@ def q_subject_access(spark, sf_dir):
     return subject_access_report(tables, keys)
 
 
+def q_erase_subject_loop(spark, sf_dir):
+    """[EXT] The COMPOSED GDPR loop as one engine call
+    (flyq_spark/engine.py erase_subject): subject-access report BEFORE
+    → keyed physical erasure of the flagged topic partitions
+    (pruning.erase_partition_keys staged-swap commit) → report AFTER,
+    returned side-by-side. A REAL FlyQEngine instance produces every
+    event as a keyed message (key = user_id digits, value = event_id
+    digits, routing method "mod" so the oracle replays placement as
+    ``user_id % 4`` and dense offsets as the events_log row_number),
+    then four subjects are erased. The oracle states the THEOREM from
+    pure relational semantics: before-digests from the events table,
+    after ≡ (0, 0, 0), parts_rewritten/deleted from which broker
+    partitions hold subject rows — Spark measures post-erasure reality
+    from the actual on-disk topic; hash equality proves the loop."""
+    import tempfile
+
+    from flyq_spark.engine import FlyQEngine
+
+    ev = _read(spark, sf_dir, "events")
+    msgs = ev.select(
+        F.col("user_id").cast("string").cast("binary").alias("key"),
+        F.col("event_id").cast("string").cast("binary").alias("value"),
+        F.col("ts").alias("timestamp"),
+        F.col("event_id").alias("seq"),  # dense arrival order (fixture contract)
+    )
+    eng = FlyQEngine(spark, tempfile.mkdtemp(prefix="flyq_gdprloop_"))
+    eng.create_topic("subjects", partitions=4)
+    eng.produce("subjects", msgs, method="mod", collect_acks=False)
+    return eng.erase_subject([b"7", b"42", b"99", b"424242"], topics=["subjects"])
+
+
 def q_ks_value_drift(spark, sf_dir):
     """[EXT] Exact two-sample KS distance (operators/profile.py
     ks_drift) between purchase and click value distributions — the
@@ -4450,46 +4481,51 @@ def entry(spark: SparkSession) -> DataFrame:
 # prior round's record. Every entry still runs in the full local sweep
 # (tools/verify_local.py) regardless of position.
 _DRIVER_WINDOW = [
-    # r8: retire the driver-proof backlog. 50 slots = the 36
-    # oracle-backed entries NEVER in any driver window through r7
-    # (all green on the driver-identical pandas hash path in the r7
-    # and r8 full local sweeps), + the 4 r7-green entries whose
-    # implementations were REWRITTEN this round and need fresh proof
-    # (ntile_user_value / top_paths: global-window → scalable ranking;
-    # golden_record: oracle NULL-survivorship arms; bloom_index_prune:
-    # null-propagating key), + 10 never-driver-run rows-only entries
-    # (the driver records a rows-only check for no-oracle queries —
-    # weaker, but converts "never driver-ran" into driver currency),
-    # led by the rewritten bm25_top10. The r7-green rows this displaces
-    # are all recorded in CORRECTNESS_r07.json; the 9 rows-only entries
-    # still never driver-run (audio_segments, bpe_encode_stats,
-    # compaction_plan, compression_quality, ivf_tuning, lpa_communities,
-    # lsh_tuning, mmr_topk, unigram_surprisal) rotate in next round
-    # with the stalest r02/r03 greens (minhash_pairs et al.).
+    # r9: close the driver-proof ledger. 50 slots =
+    # (a) the 19 entries NEVER in any driver window through r8 — with
+    #     these, every one of the 216 gate entries has been
+    #     driver-checked at least once (cumulative coverage 216/216);
+    # (b) the 8 previously-green entries whose implementations were
+    #     REWRITTEN this round and need fresh proof (the
+    #     constant-cardinality group-window family moved onto the
+    #     grouped ranking primitives: winsorize_values,
+    #     impute_group_stats, rank_normalize, length_percentiles,
+    #     value_outliers, eval_sample; plus ntile_user_value and
+    #     rfm_segments, whose underlying global primitives gained the
+    #     mapInPandas cumsum kernel + structural checkpoint);
+    # (c) the 9 stalest greens, last checked r03 (dedup/sketch/ANN
+    #     family); and
+    # (d) the 14 engine-op gates last checked r04 (watermark / consume
+    #     / lag / retention surface — the broker-parity core deserves
+    #     periodic re-proof).
+    # The r8-green rows this displaces are all recorded in
+    # CORRECTNESS_r08.json.
     #
-    # -- never-driver-checked, oracle-backed (36) --
-    "ab_test_counts", "ann_filtered_topk", "attribution",
-    "basket_pairs", "chunk_docs", "data_quality", "dedup_agreement",
-    "domain_affinity", "erase_file_report", "eval_sample",
-    "event_transitions", "fk_integrity", "funnel", "grouping_sets",
-    "hashed_doc_vectors", "incremental_dedup", "interarrival_stats",
-    "interval_overlap", "l_diversity", "log_compaction",
-    "neardup_triangles", "normalize_text", "profile_drift",
-    "rank_metrics", "rfm_segments", "rolling_7day_value",
-    "rolling_distinct_users", "rollup_share", "seasonal_naive",
-    "snapshot_diff", "source_composition", "syndication_audit",
-    "upsample_mix", "value_histogram_by_type", "value_outliers",
-    "winsorize_values",
-    # -- rewritten this round, re-prove (4) --
-    "ntile_user_value", "top_paths", "golden_record",
-    "bloom_index_prune",
-    # -- never-driver-run rows-only (9) --
-    "bm25_top10", "ivfpq_topk", "pq_topk", "semdedup",
-    "pagerank_neardup", "kmeans_centroids", "source_overlap",
-    "series_dtw", "capped_sessions",
-    # -- new this round: erasure execution (oracle-backed; the digest
-    # theorem — see q_erase_execute) --
-    "erase_execute",
+    # -- (a) never-driver-checked (19; 11 oracle-backed, 8 rows-only) --
+    "audio_segments", "bpe_encode_stats", "bpe_merges",
+    "collocations", "compaction_execute", "compaction_plan",
+    "compression_quality", "feature_bins", "ivf_tuning",
+    "ks_drift_matrix", "ks_value_drift", "lpa_communities",
+    "lsh_tuning", "mmr_topk", "pii_redact", "pii_scan",
+    "quantile_normalize", "subject_access", "unigram_surprisal",
+    # -- (b) rewritten this round, re-prove (8) --
+    "winsorize_values", "impute_group_stats", "rank_normalize",
+    "length_percentiles", "value_outliers", "eval_sample",
+    "ntile_user_value", "rfm_segments",
+    # -- (c) stalest greens, last checked r03 (9) --
+    "dedup_events", "distinct_users_daily", "sketch_stats",
+    "token_stats", "multimodal_content", "minhash_pairs",
+    "simhash_neardup", "ann_lsh_topk", "ann_ivf_topk",
+    # -- (d) engine-op surface, last checked r04 (13; monitor_alerts
+    #    is the entry() flagship, smoke-checked every round) --
+    "watermarks", "consume_point", "stream_from_offset",
+    "read_from_offset", "consume_with_group", "commit_offset_upsert",
+    "consumer_lag", "consumer_lag_total", "partition_health",
+    "retention_time", "retention_size", "consume_by_key",
+    "consume_next",
+    # -- new this round: the composed GDPR loop (oracle-backed; the
+    #    digest theorem — see q_erase_subject_loop) --
+    "erase_subject_loop",
 ]
 
 
@@ -4679,6 +4715,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "erase_execute": q_erase_execute,
         "compaction_execute": q_compaction_execute,
         "subject_access": q_subject_access,
+        "erase_subject_loop": q_erase_subject_loop,
         "ks_value_drift": q_ks_value_drift,
         "feature_bins": q_feature_bins,
         "quantile_normalize": q_quantile_normalize,
@@ -8339,6 +8376,68 @@ agg AS (
   FROM keysl k LEFT JOIN cu t ON t.subj = k.k GROUP BY 1, 2
 )
 SELECT table_name, subject_key, n_rows, xor_h, sum_mod FROM agg
+""",
+        # The composed GDPR loop: the oracle states the theorem from
+        # pure relational semantics — before-digests from events (mod
+        # routing + dense row_number offsets, the events_log replay),
+        # after ≡ (0,0,0), partition work list from which broker
+        # partitions hold subject rows. Spark measures post-erasure
+        # reality from the actual on-disk topic; hash equality proves
+        # the erasure executed and touched exactly the flagged
+        # partitions.
+        "erase_subject_loop": """
+WITH subs AS (
+  SELECT unnest([CAST(7 AS BIGINT), 42, 99, 424242]) AS k
+),
+blog AS (
+  SELECT user_id,
+         user_id % 4 AS part_id,
+         row_number() OVER (PARTITION BY user_id % 4 ORDER BY event_id) - 1
+           AS msg_offset,
+         CAST(event_id AS VARCHAR) AS val_s
+  FROM events
+),
+h AS (
+  SELECT user_id AS subj,
+         CAST(concat('0x', substr(md5(concat_ws(chr(31),
+           coalesce(CAST(part_id AS VARCHAR), chr(0) || 'NULL'),
+           coalesce(CAST(msg_offset AS VARCHAR), chr(0) || 'NULL'),
+           coalesce(sha256(val_s), chr(0) || 'NULL'))), 1, 15)) AS BIGINT)
+           AS hv
+  FROM blog
+),
+fl AS (
+  SELECT DISTINCT user_id % 4 AS p FROM events
+  WHERE user_id IN (SELECT k FROM subs)
+),
+emptied AS (
+  SELECT e.user_id % 4 AS p
+  FROM events e
+  GROUP BY 1
+  HAVING sum(CASE WHEN e.user_id IN (SELECT k FROM subs) THEN 0 ELSE 1 END) = 0
+),
+st AS (
+  SELECT
+    CAST((SELECT count(*) FROM fl)
+         - (SELECT count(*) FROM emptied WHERE p IN (SELECT p FROM fl))
+         AS BIGINT) AS pr,
+    CAST((SELECT count(*) FROM emptied WHERE p IN (SELECT p FROM fl))
+         AS BIGINT) AS pdel
+)
+SELECT 'subjects' AS topic,
+  CAST(concat('0x', substr(md5(CAST(s.k AS VARCHAR)), 1, 15)) AS BIGINT)
+    AS subject_key,
+  CAST(count(h.hv) AS BIGINT) AS n_before,
+  CAST(coalesce(bit_xor(h.hv), 0) AS BIGINT) AS xor_before,
+  CAST(coalesce(sum(h.hv % 1000000007) % 1000000007, 0) AS BIGINT)
+    AS sum_before,
+  CAST(0 AS BIGINT) AS n_after,
+  CAST(0 AS BIGINT) AS xor_after,
+  CAST(0 AS BIGINT) AS sum_after,
+  (SELECT pr FROM st) AS parts_rewritten,
+  (SELECT pdel FROM st) AS parts_deleted
+FROM subs s LEFT JOIN h ON h.subj = s.k
+GROUP BY s.k
 """,
         # Three former rows-only entries converted to oracle-backed in
         # r8 — each SQL form was validated against an INDEPENDENT Python

@@ -221,18 +221,21 @@ def main() -> None:
         "top_events_per_user", "watermarks", "window_tumbling",
     ]
     core21_total = round(sum(times[q] for q in core21 if q in times), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "core21_runtime": core21_total,
-                "queries": times,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    # headline keys FIRST so a truncated capture (tail/pipe races ate
+    # the front of this line in r8's artifact) can never lose them, and
+    # a file twin so artifact capture cannot truncate at all
+    out = {
+        "metric": "headline_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "core21_runtime": core21_total,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "queries": times,
+    }
+    line = json.dumps(out)
+    print(line)
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json"), "w") as f:
+        f.write(line + "\n")
     spark.stop()
 
 

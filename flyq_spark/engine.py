@@ -1086,3 +1086,120 @@ class FlyQEngine:
         )
         self._swap_compacted(topic, partition)
         return len(storage.partition_file_stats(self.base_dir, topic, partition))
+
+    def erase_subject(
+        self, subject_keys: list[bytes], topics: list[str] | None = None
+    ) -> DataFrame:
+        """[EXT] The GDPR right-to-erasure loop as ONE engine call —
+        the composition of the three individually-gated halves:
+        subject-access report BEFORE (operators/profile.py
+        subject_access_report), keyed physical erasure of every topic
+        log (operators/pruning.py erase_partition_keys: staged rewrite
+        of exactly the flagged partitions, swap commit), and the
+        report re-run AFTER, returned side-by-side so the caller holds
+        the auditable before → (0, 0, 0) proof in one frame. Reference
+        scope: FlyQ deletes whole segments by retention only
+        (partition.rs:225-308); keyed erasure is the [EXT] platform
+        counterpart every broker operator eventually needs.
+
+        Work-list discipline: per topic, the flagged partition list is
+        the DISTINCT partitions actually holding a subject key (one
+        broadcast-semi-join scan — at real scale, keyed-produce
+        placement or a Bloom file index narrows this further); only
+        those directories are rewritten, everything else on disk stays
+        byte-identical. Offsets of surviving messages are NOT
+        reassigned (erasure leaves offset gaps, exactly like the
+        reference's retention deletes and Kafka compaction) so
+        committed consumer offsets stay valid.
+
+        Subjects are identified by their message KEY bytes; the report
+        keys rows by the md5-derived 60-bit subject id (engine-portable
+        — any SQL engine with md5/hex replays it) while the erasure
+        anti-join matches the raw bytes (exact, collision-free).
+
+        Returns one row per (topic, subject): (topic, subject_key,
+        n_before, xor_before, sum_before, n_after, xor_after,
+        sum_after, parts_rewritten, parts_deleted). The before side is
+        materialized BEFORE any rewrite (the report is lazy; reading it
+        after the swap would see post-erasure files).
+        """
+        from flyq_spark.operators.profile import subject_access_report
+        from flyq_spark.operators.pruning import erase_partition_keys
+
+        if not subject_keys:
+            raise ValueError("erase_subject needs at least one subject key")
+        names = topics if topics is not None else self.list_topics()
+        kdf = self.spark.createDataFrame(
+            [(bytes(k),) for k in subject_keys], "kb binary"
+        )
+        subj_of = lambda c: F.conv(  # noqa: E731 — md5-derived 60-bit id
+            F.substring(F.md5(c), 1, 15), 16, 10
+        ).cast("long")
+        keys_long = kdf.select(subj_of(F.col("kb")).alias("k")).distinct()
+
+        def report() -> DataFrame:
+            tables = {
+                t: (
+                    self.log(t),
+                    subj_of(F.col("key")),
+                    {
+                        "partition": F.col("partition"),
+                        "offset": F.col("offset"),
+                        "value": F.sha2(F.col("value"), 256),
+                    },
+                )
+                for t in names
+            }
+            return subject_access_report(tables, keys_long, "k")
+
+        before = report().collect()  # |topics| x |subjects| rows
+        stats: dict[str, dict] = {}
+        for t in names:
+            log = self.log(t)
+            flagged = sorted(
+                r["partition"]
+                for r in log.join(
+                    F.broadcast(kdf), log["key"] == kdf["kb"], "left_semi"
+                )
+                .select("partition")
+                .distinct()
+                .collect()
+            )
+            stats[t] = erase_partition_keys(
+                self.spark,
+                storage.topic_dir(self.base_dir, t),
+                "partition",
+                flagged,
+                kdf,
+                "kb",
+                "key",
+            )
+        before_df = self.spark.createDataFrame(
+            before,
+            "table_name string, subject_key long, n_rows long, "
+            "xor_h long, sum_mod long",
+        ).select(
+            F.col("table_name").alias("topic"),
+            "subject_key",
+            F.col("n_rows").alias("n_before"),
+            F.col("xor_h").alias("xor_before"),
+            F.col("sum_mod").alias("sum_before"),
+        )
+        after_df = report().select(
+            F.col("table_name").alias("topic"),
+            "subject_key",
+            F.col("n_rows").alias("n_after"),
+            F.col("xor_h").alias("xor_after"),
+            F.col("sum_mod").alias("sum_after"),
+        )
+        stat_rows = [
+            (t, s["files_rewritten"], s["partitions_deleted"])
+            for t, s in stats.items()
+        ]
+        stat_df = self.spark.createDataFrame(
+            stat_rows, "topic string, parts_rewritten long, parts_deleted long"
+        )
+        return (
+            before_df.join(after_df, on=["topic", "subject_key"])
+            .join(F.broadcast(stat_df), on="topic")
+        )

@@ -324,40 +324,43 @@ def length_percentiles(
     (interpolating definitions average two values and reopen float
     territory).
 
-    Plan: ONE shuffle on the group key serving both windows (rank and
-    group count share the partitioning), then a groupBy that selects
-    each percentile rank with a conditional max — no collect, no
-    second pass over the data. Ties are safe: row_number among equal
-    values is arbitrary, but the value AT a given rank of a sorted
-    multiset is unique regardless of tie order.
-
-    Scale note: exact per-group percentiles sort each group — right
-    whenever groups fit a partition (languages, sources: thousands of
-    groups, not billions). For a single giant group use the built-in
-    ``percentile_approx`` sketch (see ``sketch_stats``); same API
-    shape, bounded error instead of a sort.
+    Plan: the rank selection runs over the DISTINCT (group, value)
+    table — one (group, value) groupBy, then the per-group distributed
+    prefix-sum primitive (operators/ranking.py): a rank window keyed by
+    the group column would sort N/|groups| rows in ONE task when the
+    group is low-cardinality (lang ≈ tens of values over billions of
+    docs), while the counted-distinct form moves only distinct values
+    through a balanced range exchange. The value at rank r is the
+    distinct value whose rank interval (cum−cnt, cum] covers r — ties
+    collapse into the interval, so the selection is tie-order-free by
+    construction.
 
     Output: (group, n_docs, p50, p90, ... as BIGINT)."""
+    from flyq_spark.operators.ranking import grouped_prefix_sums
     from flyq_spark.operators.util import exact_ceil_frac
 
-    w = Window.partitionBy(group_col)
-    ranked = (
+    counted = (
         df.select(F.col(group_col), F.col(value_col))
-        .withColumn("_rn", F.row_number().over(w.orderBy(F.col(value_col).asc())))
-        .withColumn("_n", F.count(F.lit(1)).over(w))
+        .groupBy(group_col, value_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
     )
+    cums = grouped_prefix_sums(
+        counted,
+        [group_col],
+        [F.col(value_col).asc()],
+        {"_cum": F.col("_c")},
+        totals={"_cum": "_n"},
+    )
+    def covers(p):
+        r = exact_ceil_frac(F.col("_n"), p)
+        return (F.col("_cum") - F.col("_c") < r) & (r <= F.col("_cum"))
     sels = [
-        F.max(
-            F.when(
-                F.col("_rn") == exact_ceil_frac(F.col("_n"), p),
-                F.col(value_col),
-            )
-        )
+        F.max(F.when(covers(p), F.col(value_col)))
         .cast("long")
         .alias("p" + str(p).replace("0.", "").ljust(2, "0"))
         for p in percentiles
     ]
-    return ranked.groupBy(group_col).agg(
+    return cums.groupBy(group_col).agg(
         F.max("_n").cast("long").alias("n_docs"), *sels
     )
 
@@ -548,16 +551,22 @@ def sample_k_per_group(
     ``stratified_sample``; both matter when the eval set must be
     re-derivable from the corpus forever.
 
-    Plan: ONE group-key window (rank + filter). Group skew is bounded
-    by the largest group; for the pathological one-giant-group case the
-    md5-threshold ``stratified_sample`` is the right tool instead (no
-    window at all). Output: input columns + ``sample_rank`` (1..k)."""
+    Plan: the within-group rank rides the distributed grouped
+    row_number (operators/ranking.py — a window keyed by the group
+    columns puts N/|groups| rows in ONE sort task when the cells are
+    few, the straggler shape at corpus scale; the md5 order makes the
+    range exchange perfectly balanced by construction), then the ≤k
+    filter. Output: input columns + ``sample_rank`` (1..k)."""
+    from flyq_spark.operators.ranking import grouped_row_number
+
     h = _id_hash(id_col)
-    w = Window.partitionBy(*group_cols).orderBy(h, F.col(id_col))
-    return (
-        df.withColumn("sample_rank", F.row_number().over(w).cast("long"))
-        .where(F.col("sample_rank") <= k)
+    ranked = grouped_row_number(
+        df.withColumn("_skh", h),
+        list(group_cols),
+        [F.col("_skh").asc(), F.col(id_col).asc()],
+        rank_col="sample_rank",
     )
+    return ranked.where(F.col("sample_rank") <= k).drop("_skh")
 
 
 def negative_samples(

@@ -5,10 +5,10 @@ non-null values in the row's group — median (robust default), mean, or
 mode. All three statistics are computed with the repo's exact-integer
 discipline (no collect_list, no approx unless asked):
 
-- ``median``: exact LOWER median via rank-within-group window + count
-  selection (the same scalable shape as the gate's
-  median_order_by_segment — a group-sized driver array is the
-  anti-pattern at scale). Matches DuckDB ``quantile_disc(0.5)``.
+- ``median``: exact LOWER median via rank selection over the DISTINCT
+  (group, value) counts with per-group distributed prefix sums
+  (operators/ranking.py) — no group-keyed sort task, no group-sized
+  driver array. Matches DuckDB ``quantile_disc(0.5)``.
 - ``mean``: integer mean ``div(sum, cnt)`` (truncating IntegralDivide)
   for integral columns — callers wanting fractional means scale to
   cents upstream, keeping the result hash-stable across engines.
@@ -18,9 +18,10 @@ discipline (no collect_list, no approx unless asked):
 
 Plan shape: one statistics frame per call (group-key-sized), joined
 back on the group key — AQE broadcasts it when small; the fact side
-never shuffles for mean/mode (their stats are pure groupBys). Median's
-window sorts WITHIN groups — for a pathological single giant group,
-pre-aggregate to (key, value, count) first; documented, not hidden.
+never shuffles for mean/mode (their stats are pure groupBys). Median
+pre-aggregates to (key, value, count) itself, so a single giant group
+costs a balanced range exchange of its distinct values, never one
+sort task.
 
 The reference has no NULL semantics at all (values are opaque bytes);
 this is [EXT] data-platform surface.
@@ -28,7 +29,7 @@ this is [EXT] data-platform surface.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 _STRATEGIES = ("median", "mean", "mode")
@@ -72,17 +73,29 @@ def group_statistic(
             .select(*keys, F.col("_m._v").alias("_fill"))
             .join(df.select(*keys).distinct(), list(keys), "right")
         )
-    # median (exact, lower convention)
-    w = Window.partitionBy(*keys).orderBy(col)
-    ranked = nn.withColumn("_rk", F.row_number().over(w))
-    counts = nn.groupBy(*keys).agg(F.count("*").alias("_n"))
+    # median (exact, lower convention) — rank selection over the
+    # DISTINCT (group, value) table: counted distinct + per-group
+    # prefix sums (operators/ranking.py — no window keyed by the group
+    # column, which sorts N/|groups| rows in one task when the group is
+    # low-cardinality). The value at 1-based rank div(n+1, 2) is the
+    # unique distinct value whose rank interval (cum−cnt, cum] covers
+    # the target.
+    from flyq_spark.operators.ranking import grouped_prefix_sums
+
+    counted = nn.groupBy(*keys, col).agg(F.count("*").cast("long").alias("_c"))
+    cums = grouped_prefix_sums(
+        counted,
+        list(keys),
+        [F.col(col).asc()],
+        {"_cum": F.col("_c")},
+        totals={"_cum": "_n"},
+    )
+    target = F.call_function(
+        "div", F.col("_n") + F.lit(1).cast("long"), F.lit(2).cast("long")
+    )
     med = (
-        ranked.join(counts, list(keys))
-        .where(
-            F.col("_rk")
-            == F.call_function(
-                "div", F.col("_n") + F.lit(1).cast("long"), F.lit(2).cast("long")
-            )
+        cums.where(
+            (F.col("_cum") - F.col("_c") < target) & (target <= F.col("_cum"))
         )
         .groupBy(*keys)
         .agg(F.min(col).alias("_fill"))
@@ -133,11 +146,16 @@ def winsorize(
     (no interpolation, no floats). NULL values pass through unclamped
     (nothing to cap) and are excluded from rank computation.
 
-    Plan: ONE shuffle on the group key serves the rank window, the
-    group-count window, and the bound-attach (the bounds aggregate and
-    the row frame share partitioning, and AQE plans the |groups|-sized
-    bounds side as a broadcast). Appends ``lo_bound``, ``hi_bound``,
-    ``<value_col>_w`` (clamped), and ``was_clamped``."""
+    Plan: the rank selection runs over the DISTINCT (group, value)
+    table — one (group, value) groupBy + the per-group distributed
+    prefix-sum primitive (operators/ranking.py; no rank window keyed by
+    the group column, which is one N/|groups|-row sort task when the
+    group is low-cardinality) — then the |groups|-row bounds table
+    broadcast-attaches. The value at target rank r is the distinct
+    value whose rank interval (cum−cnt, cum] covers r. Appends
+    ``lo_bound``, ``hi_bound``, ``<value_col>_w`` (clamped), and
+    ``was_clamped``."""
+    from flyq_spark.operators.ranking import grouped_prefix_sums
     from flyq_spark.operators.util import exact_ceil_frac
 
     if not (0 < lo_permille <= hi_permille < 1000):
@@ -145,20 +163,25 @@ def winsorize(
             f"need 0 < lo <= hi < 1000 permille, got {lo_permille}, {hi_permille}"
         )
     v = F.col(value_col)
-    w = Window.partitionBy(*keys)
-    ranked = (
+    counted = (
         df.where(v.isNotNull())
         .select(*keys, v.alias("_v"))
-        .withColumn("_rn", F.row_number().over(w.orderBy(F.col("_v").asc())))
-        .withColumn("_n", F.count(F.lit(1)).over(w))
+        .groupBy(*keys, "_v")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
     )
-    bounds = ranked.groupBy(*keys).agg(
-        F.max(
-            F.when(F.col("_rn") == exact_ceil_frac(F.col("_n"), lo_permille / 1000), F.col("_v"))
-        ).cast("long").alias("lo_bound"),
-        F.max(
-            F.when(F.col("_rn") == exact_ceil_frac(F.col("_n"), hi_permille / 1000), F.col("_v"))
-        ).cast("long").alias("hi_bound"),
+    cums = grouped_prefix_sums(
+        counted,
+        list(keys),
+        [F.col("_v").asc()],
+        {"_cum": F.col("_c")},
+        totals={"_cum": "_n"},
+    )
+    lo_r = exact_ceil_frac(F.col("_n"), lo_permille / 1000)
+    hi_r = exact_ceil_frac(F.col("_n"), hi_permille / 1000)
+    covers = lambda r: (F.col("_cum") - F.col("_c") < r) & (r <= F.col("_cum"))  # noqa: E731
+    bounds = cums.groupBy(*keys).agg(
+        F.max(F.when(covers(lo_r), F.col("_v"))).cast("long").alias("lo_bound"),
+        F.max(F.when(covers(hi_r), F.col("_v"))).cast("long").alias("hi_bound"),
     )
     # null-safe equality: a NULL group key is a real group (its rows
     # ranked together above); a plain ON-clause would never match it and
@@ -192,29 +215,50 @@ def rank_normalize(
     sharing a value (and a single-row group pinned to 0). No float
     percent_rank appears, so results hash-check across engines.
 
-    Scale shape: one group-key window (rank) sharing its shuffle+sort
-    with the group-count window; NULL values pass through with NULL
-    rank. Group cardinality bounds the sort, the classic hot-key
-    caveat: for a single global group prefer
-    ``profile.exact_global_quantiles`` + a bucket join.
+    Scale shape: RANK assigns every row of the same (group, value) the
+    same number, so it is computed on the DISTINCT (group, value)
+    table — one (group, value) groupBy, per-group distributed prefix
+    sums over the counts (operators/ranking.py; no rank window keyed by
+    the group column, which is one N/|groups|-row sort task when the
+    group is low-cardinality), then a (group, value) join back attaches
+    the shared rank to every row. rank = cum − cnt + 1 (count of
+    strictly-smaller values + 1) and n rides the prefix-sum offset
+    table for free. NULL values pass through with NULL rank; NULL group
+    keys are a real group (null-safe join back).
     """
-    w = Window.partitionBy(*group_cols)
-    # NULLS LAST so null rows never shift non-null ranks (and DuckDB's
-    # default ORDER BY agrees, keeping the oracle replay verbatim)
-    rk = F.rank().over(w.orderBy(F.col(value_col).asc_nulls_last()))
-    n = F.count(F.when(F.col(value_col).isNotNull(), 1)).over(w)
-    ppm = F.when(
-        F.col(value_col).isNull(), F.lit(None).cast("long")
-    ).otherwise(
-        F.when(n <= 1, F.lit(0).cast("long")).otherwise(
-            F.call_function(
-                "div",
-                (rk.cast("long") - 1) * F.lit(1_000_000).cast("long"),
-                n.cast("long") - 1,
-            )
+    from flyq_spark.operators.ranking import grouped_prefix_sums
+
+    counted = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(*group_cols, value_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("_rnc"))
+    )
+    cums = grouped_prefix_sums(
+        counted,
+        list(group_cols),
+        [F.col(value_col).asc()],
+        {"_rncum": F.col("_rnc")},
+        totals={"_rncum": "_rnn"},
+    )
+    rk = F.col("_rncum") - F.col("_rnc") + 1
+    ppm = F.when(F.col("_rnn") <= 1, F.lit(0).cast("long")).otherwise(
+        F.call_function(
+            "div",
+            (rk.cast("long") - 1) * F.lit(1_000_000).cast("long"),
+            F.col("_rnn").cast("long") - 1,
         )
     )
-    return df.withColumn(out_col, ppm)
+    ranked = cums.select(
+        *[F.col(c).alias(f"_rg_{i}") for i, c in enumerate(group_cols)],
+        F.col(value_col).alias("_rv"),
+        ppm.alias(out_col),
+    )
+    cond = F.col(value_col) == F.col("_rv")
+    for i, c in enumerate(group_cols):
+        cond = cond & F.col(c).eqNullSafe(F.col(f"_rg_{i}"))
+    return df.join(ranked, on=cond, how="left").drop(
+        "_rv", *[f"_rg_{i}" for i in range(len(group_cols))]
+    )
 
 def quantile_bins(
     df: DataFrame,
@@ -274,13 +318,14 @@ def quantile_normalize(
     q/n_quantiles (inverted-CDF, rank ceil(q·N/n_quantiles)) — both
     sides pure integer rank arithmetic, reproducible on any engine.
 
-    Scale shape: within-group ranks are ordinary windows PARTITIONED
-    by group (data-distributed; group skew is the usual caveat); the
-    pooled reference comes from the range-partitioned global rank
-    (operators/ranking.py — no single-partition sort), reduced to an
-    n_quantiles-row broadcast table. One group-key shuffle + one
-    broadcast join."""
-    from flyq_spark.operators.ranking import global_row_number
+    Scale shape: BOTH sides ride the range-partitioned rank
+    (operators/ranking.py): within-group quantiles via the grouped
+    exact NTILE (no window keyed by the group column — that is one
+    N/|groups|-row sort task when the group is low-cardinality), the
+    pooled reference via the global rank, reduced to an
+    n_quantiles-row broadcast table; the slim source is checkpointed
+    once and feeds both branches."""
+    from flyq_spark.operators.ranking import global_row_number, grouped_ntile
 
     t = int(n_quantiles)
     if t < 1:
@@ -289,14 +334,21 @@ def quantile_normalize(
         F.col(group_col).alias("_g"),
         F.col(id_col).alias("_id"),
         value.cast("long").alias("_v"),
-    ).where(F.col("_v").isNotNull())
-    wg = Window.partitionBy("_g").orderBy(F.col("_v").asc(), F.col("_id").asc())
-    ranked_in_group = src.withColumn("_q", F.ntile(t).over(wg))
+    ).where(F.col("_v").isNotNull()).localCheckpoint(eager=False)
+    ranked_in_group = grouped_ntile(
+        src,
+        ["_g"],
+        [F.col("_v").asc(), F.col("_id").asc()],
+        t,
+        "_q",
+        materialize=False,
+    )
     pooled = global_row_number(
         src.select("_v"),
         [F.col("_v").asc()],
         rank_col="_r",
         total_col="_n",
+        materialize=False,
     )
     # lower exact quantile at fraction q/t = value at rank
     # ceil(q*N/t). Row r is that target exactly for the q in

@@ -95,9 +95,10 @@ def robust_outliers(
     (values in integer units — cents, bytes, micros) where mean/stddev
     screens are wrecked by the very outliers they hunt.
 
-    Plan: one group-key window pass for the quartiles (groups must fit
-    a partition — same caveat as length_percentiles), fences broadcast
-    back (group-cardinality rows), one conditional re-aggregation.
+    Plan: quartiles via length_percentiles' counted-distinct rank
+    selection (per-group distributed prefix sums — no group-keyed sort
+    task even for a single giant group), fences broadcast back
+    (group-cardinality rows), one conditional re-aggregation.
     Output: (group, n_rows, lo, hi, n_low, n_high)."""
     from flyq_spark.operators.corpus import length_percentiles
 
@@ -923,20 +924,21 @@ def ks_by_group(
     Exact semantics: KS must be evaluated at every POOLED value (a
     group's CDF is flat between its own points while the complement's
     rises), so each distinct value is replicated to every group (a
-    broadcast of the ≤|groups|-row group list), the group CDF runs as
-    an ordinary value-ordered window PARTITIONED by group (distributed
-    across groups; the audit-banned partition-less shape never
-    appears), and the pooled CDF rides the distributed prefix-sum
-    primitive once, broadcast-joined back. Complement CDF = pooled −
-    group. All-integer outputs: ks_num = max_v |cum_g·n_rest −
+    broadcast of the ≤|groups|-row group list), the group CDFs run
+    through the per-group distributed prefix-sum primitive
+    (operators/ranking.py — a window PARTITIONED by the group column
+    would put each group's whole grid slice in ONE sort task, the
+    straggler this gate exists to avoid), and the pooled CDF rides the
+    same primitive globally, broadcast-joined back. Complement CDF =
+    pooled − group. All-integer outputs: ks_num = max_v |cum_g·n_rest −
     cum_rest·n_g|, ks_den = n_g·n_rest.
 
     Cost: one (v,g) groupBy + one v groupBy + |distinct v| × |groups|
-    grid through one per-group window — linear in distinct values,
-    NEVER in row count, with |groups| expected human-scale (sources,
-    event types, cohorts). Output: one row per group
+    grid through one range exchange — linear in distinct values, NEVER
+    in row count, with |groups| expected human-scale (sources, event
+    types, cohorts). Output: one row per group
     (group, n_g, n_rest, ks_num, ks_den, at_value)."""
-    from flyq_spark.operators.ranking import global_prefix_sums
+    from flyq_spark.operators.ranking import global_prefix_sums, grouped_prefix_sums
 
     src = df.select(
         F.col(group_col).alias("_g"), value.cast("long").alias("_v")
@@ -959,13 +961,14 @@ def ks_by_group(
         .join(gv, on=["_g", "_v"], how="left")
         .withColumn("_d", F.coalesce("_d", F.lit(0)))
     )
-    w = (
-        Window.partitionBy("_g")
-        .orderBy(F.col("_v").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     cums = (
-        grid.withColumn("_cg", F.sum("_d").over(w))
+        grouped_prefix_sums(
+            grid,
+            ["_g"],
+            [F.col("_v").asc()],
+            {"_cg": F.col("_d")},
+            num_partitions=num_partitions,
+        )
         .join(cum_tot, on="_v")
         .crossJoin(n_tot)
     )

@@ -223,3 +223,54 @@ def test_subject_access_collapses_after_erasure(spark, tmp_path):
     after = report()
     assert after[("ds", 3)] == (0, 0, 0)  # proof of deletion
     assert after[("ds", 5)] == before[("ds", 5)]  # bystander unchanged
+
+
+def test_engine_erase_subject_full_loop(spark, tmp_path):
+    """The composed GDPR loop (engine.erase_subject): before-report,
+    keyed erasure across topics, after-report — erased subjects must
+    collapse to (0, 0, 0) with their before-counts intact, bystander
+    messages must survive byte-for-byte with their ORIGINAL offsets
+    (gaps allowed, like retention), and a second call must report the
+    subject already gone (n_before = 0)."""
+    from flyq_spark.engine import FlyQEngine
+
+    eng = FlyQEngine(spark, str(tmp_path / "broker"))
+    subjects = [b"alice", b"bob"]
+    bystander = b"carol"
+    msgs = []
+    for i in range(30):
+        k = [b"alice", b"bob", bystander][i % 3]
+        msgs.append(
+            {"key": k, "value": f"m{i}".encode(), "timestamp": 1_700_000_000_000 + i}
+        )
+    eng.produce("t1", msgs)
+    eng.produce("t2", msgs[:9])
+
+    pre_carol = sorted(
+        (r["partition"], r["offset"], bytes(r["value"]))
+        for r in eng.log("t1").where(F.col("key") == F.lit(bystander)).collect()
+    )
+    rep = {
+        (r["topic"], r["subject_key"]): r
+        for r in eng.erase_subject(subjects).collect()
+    }
+    assert len(rep) == 4  # 2 topics x 2 subjects
+    for (_t, _k), r in rep.items():
+        assert r["n_before"] > 0
+        assert (r["n_after"], r["xor_after"], r["sum_after"]) == (0, 0, 0)
+    assert sum(r["n_before"] for r in rep.values()) == 20 + 6
+
+    # bystander rows byte-identical, original offsets preserved
+    post_carol = sorted(
+        (r["partition"], r["offset"], bytes(r["value"]))
+        for r in eng.log("t1").where(F.col("key") == F.lit(bystander)).collect()
+    )
+    assert post_carol == pre_carol
+    # no subject bytes anywhere on disk
+    assert eng.log("t1").where(F.col("key").isin(subjects)).count() == 0
+    assert eng.log("t2").where(F.col("key").isin(subjects)).count() == 0
+
+    # second call: already erased — zero everywhere, zero rewrites
+    rep2 = eng.erase_subject(subjects).collect()
+    assert all(r["n_before"] == 0 and r["n_after"] == 0 for r in rep2)
+    assert all(r["parts_rewritten"] == 0 and r["parts_deleted"] == 0 for r in rep2)

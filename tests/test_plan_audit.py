@@ -50,6 +50,32 @@ GLOBAL_WINDOW_OK = {
 # ordering-marker columns whose windows run over ≤P-row offset tables
 _OFFSET_MARKERS = ("_gpid#", "_shard#")
 
+# Columns declared CONSTANT-CARDINALITY: a window whose only partition
+# keys come from this set divides the data into a handful of sort
+# tasks — the r8-flagged quantile_normalize/winsorize family, one level
+# down from the partition-less disease. `_g` is the conventional local
+# alias gates give such a column; the grouped primitives in
+# operators/ranking.py are the scalable replacement (their offset-table
+# windows key on _gg_* marker copies, which are NOT in this set).
+LOW_CARD_COLS = {
+    "event_type", "source", "lang", "_g", "event_date", "priority",
+    "segment", "country",
+}
+
+# Gates whose low-card-keyed windows run over BOUNDED input — already
+# aggregated to (group, day)-grain series or sketch rows, so the
+# window's whole input is calendar- or K-sized, never data-sized.
+LOW_CARD_WINDOW_OK = {
+    "activity_trend",  # lag over per-(event_type, day) aggregate series
+    "cusum_alarms",  # CUSUM scan over per-(event_type, day) series
+    "gap_fill_locf",  # LOCF over the (event_type × calendar-day) grid
+    "seasonal_naive",  # seasonal lag over per-(event_type, day) series
+    "series_dtw",  # windows over per-(event_type, day) series
+    "series_similarity",  # z-norm windows over per-(event_type, day) series
+    "histogram_quantiles",  # CDF over ≤(groups × buckets) histogram state
+    "kmv_overlap",  # rank over ≤(groups × K) sketch rows
+}
+
 
 @pytest.fixture(scope="module")
 def entry():
@@ -123,6 +149,38 @@ def test_global_window_allowlist_stays_honest(spark, entry):
     for name in GLOBAL_WINDOW_OK:
         plan = qs[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
         assert partitionless_specs(plan), f"{name}: prune from GLOBAL_WINDOW_OK"
+
+
+def test_no_gate_query_windows_on_constant_cardinality_keys(spark, entry):
+    """No gate plan may rank/tile/cumsum through a window whose only
+    partition keys are declared constant-cardinality columns over
+    data-sized input — N/|groups| rows in one sort task is the same
+    straggler as the partition-less shape divided by a small constant.
+    Bounded exceptions (windows over day-grain series or sketch state)
+    are allowlisted explicitly."""
+    from tools.plan_snapshot import lowcard_window_specs
+
+    flagged = {}
+    for name, fn in entry.queries().items():
+        plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        hits = lowcard_window_specs(plan, LOW_CARD_COLS)
+        if hits and name not in LOW_CARD_WINDOW_OK:
+            flagged[name] = sorted(set(hits))
+    assert flagged == {}, f"constant-cardinality group windows: {flagged}"
+
+
+def test_lowcard_window_allowlist_stays_honest(spark, entry):
+    """Each LOW_CARD_WINDOW_OK entry must still contain a low-card-keyed
+    window — when one is refactored onto the grouped primitives, prune
+    the allowlist so it cannot shelter a future regression."""
+    from tools.plan_snapshot import lowcard_window_specs
+
+    qs = entry.queries()
+    for name in LOW_CARD_WINDOW_OK:
+        plan = qs[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        assert lowcard_window_specs(plan, LOW_CARD_COLS), (
+            f"{name}: prune from LOW_CARD_WINDOW_OK"
+        )
 
 
 def test_plan_shapes_match_baseline(spark, entry):

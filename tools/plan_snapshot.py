@@ -101,6 +101,53 @@ def partitionless_specs(plan: str) -> list[str]:
     return bad
 
 
+def _top_level_args(spec: str) -> list[str]:
+    args, depth, cur = [], 0, []
+    for ch in spec:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            args.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    args.append("".join(cur).strip())
+    return args
+
+
+def window_partition_keys(spec: str) -> list[str]:
+    """The PARTITION BY attributes of a windowspecdefinition argument
+    list: the leading args before the first ordering column (carries an
+    ASC/DESC marker) or the frame."""
+    keys = []
+    for a in _top_level_args(spec):
+        if " ASC" in a or " DESC" in a or a.startswith("specifiedwindowframe"):
+            break
+        keys.append(a)
+    return keys
+
+
+def lowcard_window_specs(plan: str, lowcard_cols) -> list[str]:
+    """Window specs whose EVERY partition key is a declared
+    constant-cardinality column (event_type ≈ 5 values, source, lang) —
+    the one-level-down variant of the partition-less disease: at 10⁹
+    rows a rank/NTILE/cumsum window keyed only by a ~5-value column is
+    5 tasks each sorting N/5 rows. Fine when the window's input is
+    BOUNDED (a date-aggregated series, a sketch table); fatal over
+    data-sized input — the grouped primitives in operators/ranking.py
+    are the scalable form. Returns 'col1,col2' key-name strings of each
+    offending spec."""
+    bad = []
+    for spec in window_specs(plan):
+        keys = window_partition_keys(spec)
+        names = [k.split("#")[0] for k in keys]
+        if names and all(n in lowcard_cols for n in names):
+            bad.append(",".join(names))
+    return bad
+
+
 def snapshot(entry_mod, spark) -> dict[str, dict]:
     out = {}
     for name, fn in sorted(entry_mod.queries().items()):
