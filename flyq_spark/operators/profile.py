@@ -863,8 +863,6 @@ def ks_drift(
     Output: 1 row — (n_a, n_b, ks_num, ks_den, at_value) where
     at_value is the SMALLEST value attaining the max (deterministic).
     """
-    from flyq_spark.operators.ranking import global_prefix_sums
-
     tagged = a.select(value.cast("long").alias("v"), F.lit(1).alias("_s")).unionByName(
         b.select(value.cast("long").alias("v"), F.lit(0).alias("_s"))
     ).where(F.col("v").isNotNull())
@@ -872,6 +870,50 @@ def ks_drift(
         F.sum("_s").cast("long").alias("d_a"),
         F.sum(1 - F.col("_s")).cast("long").alias("d_b"),
     )
+    return _ks_from_deltas(deltas, num_partitions)
+
+
+def ks_drift_counted(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str = "v",
+    count_col: str = "cnt",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact two-sample KS from PRE-AGGREGATED (value, count)
+    histograms — the read-side of STREAMING drift detection: a
+    per-value count table is exactly the state
+    ``streaming.sink.aggregate_view_sink`` maintains when keyed by the
+    value column (n_rows per key), so composing the two gives
+    bounded-state drift monitoring over an unbounded stream — the
+    state is |distinct values| rows, never the stream. Identical
+    output to :func:`ks_drift` over the raw rows by construction
+    (the per-value deltas ARE these counts; pytest pins
+    stream-vs-batch parity including batch replay). Rows with NULL
+    value or count are ignored; counts must be non-negative."""
+    z = F.lit(0).cast("long")
+    tagged = a.select(
+        F.col(value_col).cast("long").alias("v"),
+        F.col(count_col).cast("long").alias("_ca"),
+        z.alias("_cb"),
+    ).unionByName(
+        b.select(
+            F.col(value_col).cast("long").alias("v"),
+            z.alias("_ca"),
+            F.col(count_col).cast("long").alias("_cb"),
+        )
+    ).where(F.col("v").isNotNull())
+    deltas = tagged.groupBy("v").agg(
+        F.sum("_ca").cast("long").alias("d_a"),
+        F.sum("_cb").cast("long").alias("d_b"),
+    )
+    return _ks_from_deltas(deltas, num_partitions)
+
+
+def _ks_from_deltas(deltas: DataFrame, num_partitions: int | None) -> DataFrame:
+    """Shared KS tail over a per-value (d_a, d_b) delta table."""
+    from flyq_spark.operators.ranking import global_prefix_sums
+
     cums = global_prefix_sums(
         deltas,
         [F.col("v").asc()],

@@ -136,3 +136,40 @@ def test_ks_by_group_zero_for_identical_groups(spark):
     )
     for r in ks_by_group(df, "g", F.col("v")).collect():
         assert r["ks_num"] == 0, r
+
+
+def test_streaming_ks_drift_parity(spark, tmp_path):
+    """Streaming drift composition (r9): per-value counts maintained by
+    aggregate_view_sink keyed by the value column (state = |distinct v|
+    rows, never the stream), read back and fed to ks_drift_counted —
+    the (n_a, n_b, ks_num, ks_den, at_value) row must be identical to
+    batch ks_drift over the raw rows, including after a REPLAYED
+    micro-batch (exactly-once view merge) and across a base
+    compaction."""
+    from flyq_spark.operators.profile import ks_drift, ks_drift_counted
+    from flyq_spark.streaming.sink import (
+        aggregate_view_sink,
+        read_aggregate_view,
+    )
+
+    live_rows = [(i, (i * 7) % 23) for i in range(600)]
+    ref_rows = [(i, (i * 5) % 19) for i in range(500)]
+    live = spark.createDataFrame(live_rows, "id long, v long")
+    ref = spark.createDataFrame(ref_rows, "id long, v long")
+
+    sink = aggregate_view_sink(str(tmp_path / "view"), ("v",), {}, compact_every=2)
+    batches = [live_rows[:200], live_rows[200:400], live_rows[400:]]
+    for bid, rows in enumerate(batches):
+        sink(spark.createDataFrame(rows, "id long, v long"), bid)
+    # replay the last batch (Structured Streaming re-delivers the same
+    # data for the same batch_id after a pre-commit crash): the view's
+    # overwrite-own-delta discipline must not double-count
+    sink(spark.createDataFrame(batches[2], "id long, v long"), 2)
+
+    view = read_aggregate_view(spark, str(tmp_path / "view"), ("v",), ())
+    counts = view.select("v", F.col("n_rows").alias("cnt"))
+    ref_counts = ref.groupBy("v").agg(F.count(F.lit(1)).alias("cnt"))
+    got = [tuple(r) for r in ks_drift_counted(counts, ref_counts).collect()]
+    want = [tuple(r) for r in ks_drift(live, ref, F.col("v")).collect()]
+    assert got == want
+    assert got[0][0] == 600 and got[0][1] == 500  # n_a, n_b
