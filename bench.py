@@ -127,6 +127,13 @@ HEADLINE = [
     ("feature_bins", False),
     ("quantile_normalize", False),
     ("ks_drift_matrix", True),
+    # r9: the three newly counted-distinct-ranked gates (the rest of
+    # the de-grouped family is already above). erase_subject_loop is
+    # NOT benched: it is a one-off maintenance mutation (produce +
+    # staged rewrite), not a query — same policy as erase_execute.
+    ("length_percentiles", False),
+    ("value_outliers", True),
+    ("eval_sample", False),
 ]
 
 

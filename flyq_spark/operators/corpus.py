@@ -634,3 +634,100 @@ def negative_samples(
     return probes.join(lookup, on="_nr").select(
         id_col, F.col("slot").cast("long").alias("slot"), f"neg_{id_col}"
     )
+
+
+def _isqrt_exact(x: Column) -> Column:
+    """Exact integer floor(sqrt(x)) for non-negative BIGINT columns.
+
+    IEEE double sqrt is correctly rounded but floor(sqrt(CAST(x AS
+    DOUBLE))) can still land ±1 off the true integer root (the cast
+    loses low bits past 2^53, and the boundary x = s² ± ε rounds
+    either way), so the candidate is corrected with EXACT integer
+    multiplies — the result is engine-independent even though the
+    intermediate double is not guaranteed to be."""
+    s0 = F.floor(F.sqrt(x.cast("double"))).cast("long")
+    return (
+        F.when((s0 + 1) * (s0 + 1) <= x, s0 + 1)
+        .when(s0 * s0 > x, s0 - 1)
+        .otherwise(s0)
+    )
+
+
+def temperature_mix(
+    df: DataFrame,
+    source_col: str = "source",
+    alpha_permille: int = 500,
+    budget: int = 10_000,
+) -> DataFrame:
+    """α-temperature source mixing (the mT5/XLM-R/CC-mix sampling rule
+    p_i ∝ n_i^α): flatten the source (or language) distribution so
+    head sources stop drowning the tail, and apportion an EXACT
+    integer document quota per source for a target sample budget —
+    the planning half of dataset mixing, feeding ``stratified_sample``
+    / ``upsample_mixture`` with per-source rates.
+
+    Exact-integer discipline: α is restricted to the canonical
+    temperatures {1000, 500, 250}‰ (α=1 passthrough, α=1/2, α=1/4) so
+    weights are integer roots — w = n, w = isqrt(n·10⁶) (= ⌊1000·√n⌋),
+    w = isqrt(isqrt(n·10¹²)) (= ⌊1000·n^¼⌋) — via the
+    multiply-corrected isqrt (no engine-dependent float survives).
+    Quotas use LARGEST-REMAINDER apportionment: base = ⌊B·w/W⌋, the
+    L = B − Σbase leftover seats go to the largest remainders
+    (B·w mod W), ties to the smaller source name — deterministic, and
+    Σ quota = B exactly (the theorem the gate pins; naive rounding
+    misses the budget by up to |sources|/2).
+
+    Scale shape: one groupBy to |sources| rows; everything after
+    (scalar total, remainder rank, quota) runs on that human-scale
+    table — the remainder rank's partition-less window is bounded by
+    |sources|, never data. Output: (source, n_docs, weight, quota).
+    """
+    if alpha_permille not in (1000, 500, 250):
+        raise ValueError(
+            f"alpha_permille must be one of (1000, 500, 250): {alpha_permille}"
+        )
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0: {budget}")
+    counts = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    n = F.col("n_docs")
+    if alpha_permille == 1000:
+        w = n
+    elif alpha_permille == 500:
+        w = _isqrt_exact(n * F.lit(1_000_000).cast("long"))
+    else:
+        w = _isqrt_exact(
+            _isqrt_exact(n * F.lit(1_000_000_000_000).cast("long"))
+        )
+    weighted = counts.withColumn("weight", w.cast("long"))
+    tot = weighted.agg(
+        F.sum("weight").cast("long").alias("_w_tot"),
+        F.count(F.lit(1)).cast("long").alias("_n_src"),
+    )
+    b = F.lit(int(budget)).cast("long")
+    based = (
+        weighted.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "_base", F.call_function("div", b * F.col("weight"), F.col("_w_tot"))
+        )
+        .withColumn("_rem", (b * F.col("weight")) % F.col("_w_tot"))
+    )
+    # leftover seats L = B - sum(base); rank remainders on the
+    # |sources|-row table (partition-less window bounded by the source
+    # count, never by data — same class as the ranking offset tables)
+    w_rank = Window.orderBy(F.col("_rem").desc(), F.col(source_col).asc())
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        based.withColumn("_seat", F.row_number().over(w_rank).cast("long"))
+        .withColumn("_left", b - F.sum("_base").over(w_all))
+        .select(
+            F.col(source_col),
+            "n_docs",
+            "weight",
+            (
+                F.col("_base")
+                + F.when(F.col("_seat") <= F.col("_left"), 1).otherwise(0)
+            ).cast("long").alias("quota"),
+        )
+    )

@@ -5116,3 +5116,47 @@ def test_exact_global_quantiles_full_int64_range(spark):
     n = len(present)
     for q, val in got.items():
         assert val == present[-(-q * n // 1000) - 1], (q, val)
+
+
+def test_temperature_mix_matches_python_model(spark):
+    """α-temperature mixing (corpus.temperature_mix) vs an independent
+    math.isqrt + largest-remainder model: weights exact for α ∈
+    {1, 1/2, 1/4}, Σ quota == budget exactly, remainder ties broken to
+    the smaller source name."""
+    import math
+
+    from flyq_spark.operators.corpus import temperature_mix
+
+    rows = []
+    sizes = {"web": 977, "code": 145, "wiki": 37, "books": 4, "forums": 145}
+    for s, n in sizes.items():
+        rows += [(f"{s}-{i}", s) for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id string, source string")
+
+    for alpha, budget in [(1000, 10_000), (500, 9_973), (250, 101), (500, 0)]:
+        got = {
+            r["source"]: (r["n_docs"], r["weight"], r["quota"])
+            for r in temperature_mix(df, "source", alpha, budget).collect()
+        }
+        # independent model
+        def w_of(n):
+            if alpha == 1000:
+                return n
+            if alpha == 500:
+                return math.isqrt(n * 10**6)
+            return math.isqrt(math.isqrt(n * 10**12))
+        wts = {s: w_of(n) for s, n in sizes.items()}
+        W = sum(wts.values())
+        base = {s: budget * w // W for s, w in wts.items()}
+        rem = {s: budget * w % W for s, w in wts.items()}
+        left = budget - sum(base.values())
+        order = sorted(sizes, key=lambda s: (-rem[s], s))
+        want = {
+            s: (sizes[s], wts[s], base[s] + (1 if order.index(s) < left else 0))
+            for s in sizes
+        }
+        assert got == want, (alpha, budget)
+        assert sum(q for _, _, q in got.values()) == budget
+
+    with pytest.raises(ValueError):
+        temperature_mix(df, "source", alpha_permille=700)
