@@ -1949,6 +1949,22 @@ def q_source_composition(spark, sf_dir):
     return source_composition(docs)
 
 
+def q_temperature_mix(spark, sf_dir):
+    """[EXT] α-temperature source mixing (operators/corpus.py
+    temperature_mix): per-source sampling weight ⌊1000·√n⌋ via the
+    multiply-corrected exact integer sqrt, and an exact
+    largest-remainder quota apportionment of a 9,973-document budget —
+    the mT5/XLM-R α-sampling rule with Σ quota = budget as the pinned
+    theorem (ties to the smaller source name). Everything after the
+    one groupBy runs on the |sources|-row table: the remainder-rank
+    window and the 1-row weight-total broadcast are both bounded by
+    the source count, never by data."""
+    from flyq_spark.operators.corpus import temperature_mix
+
+    docs = _read(spark, sf_dir, "documents")
+    return temperature_mix(docs, "source", alpha_permille=500, budget=9_973)
+
+
 def q_minhash_sig(spark, sf_dir):
     """Oracle-replayable MinHash signatures: 32 universal-hash min
     components per document joined to one string (operators/dedup.py:
@@ -4637,6 +4653,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         "boilerplate_removal": q_boilerplate_removal,
         "source_composition": q_source_composition,
+        "temperature_mix": q_temperature_mix,
         "rare_token_stats": q_rare_token_stats,
         "quality_classifier": q_quality_classifier,
         "salient_terms": q_salient_terms,
@@ -5846,6 +5863,45 @@ SELECT tk.doc_id,
        CAST(len(tk.w) - count(c.tok) AS BIGINT) AS n_removed_tokens
 FROM toks tk LEFT JOIN clean c USING (doc_id)
 GROUP BY tk.doc_id, len(tk.w)
+""",
+        # α=1/2 temperature mixing: the multiply-corrected isqrt makes
+        # the weight exact in BOTH engines even though each computes an
+        # IEEE double sqrt internally; '//' is DuckDB integer division
+        # (matches Spark's IntegralDivide on non-negative longs)
+        "temperature_mix": """
+WITH c AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY 1
+),
+w0 AS (
+  SELECT source, n_docs,
+         CAST(floor(sqrt(CAST(n_docs * 1000000 AS DOUBLE))) AS BIGINT) AS s0
+  FROM c
+),
+w AS (
+  SELECT source, n_docs,
+         CASE WHEN (s0 + 1) * (s0 + 1) <= n_docs * 1000000 THEN s0 + 1
+              WHEN s0 * s0 > n_docs * 1000000 THEN s0 - 1
+              ELSE s0 END AS weight
+  FROM w0
+),
+t AS (SELECT CAST(sum(weight) AS BIGINT) AS wt FROM w),
+b AS (
+  SELECT source, n_docs, weight,
+         (9973 * weight) // t.wt AS base,
+         (9973 * weight) % t.wt AS rem
+  FROM w CROSS JOIN t
+),
+r AS (
+  SELECT *,
+         row_number() OVER (ORDER BY rem DESC, source ASC) AS seat,
+         (SELECT 9973 - sum(base) FROM b) AS leftover
+  FROM b
+)
+SELECT source, n_docs, CAST(weight AS BIGINT) AS weight,
+       CAST(base + CASE WHEN seat <= leftover THEN 1 ELSE 0 END AS BIGINT)
+         AS quota
+FROM r
 """,
         "upsample_mix": """
 WITH rated AS (

@@ -32,6 +32,7 @@ SCALAR_BROADCAST_OK = {
     "collocations",  # (total_pairs, total_tokens) corpus stats, 1 row
     "ks_value_drift",  # (n_a, n_b) cohort totals, 1 row
     "ks_drift_matrix",  # pooled row-count total, 1 row
+    "temperature_mix",  # 1-row weight-total scalar against |sources| rows
 }
 
 
@@ -46,6 +47,7 @@ GLOBAL_WINDOW_OK = {
     "top_paths",  # same: rank over the 50 rows TakeOrderedAndProject kept
     "domain_affinity",  # target-profile rank over ≤ dim (4096) hashed buckets
     "collocations",  # rank stamp AFTER orderBy().limit(k): window input ≤ k rows
+    "temperature_mix",  # remainder rank over the |sources|-row quota table
 }
 # ordering-marker columns whose windows run over ≤P-row offset tables
 _OFFSET_MARKERS = ("_gpid#", "_shard#")
