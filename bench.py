@@ -149,6 +149,27 @@ def main() -> None:
 
     # warm-up: session + codegen paths
     qs["watermarks"](spark, sf_dir).collect()
+    # warm-up: Python workers. local[32] spawns 32 pyspark workers on
+    # the FIRST pandas-UDF stage and each imports pandas+numpy — a
+    # 5-15 s one-time import storm (machine-load dependent) that
+    # otherwise lands on whichever benched query happens to hit Arrow
+    # first (measured +19 s on ann_lsh_topk on a noisy host). Pay it
+    # here, once, outside every query's timer.
+    def _warm(batches):
+        import numpy  # noqa: F401
+        import pandas  # noqa: F401
+
+        for b in batches:
+            yield b
+
+    (
+        spark.range(64)
+        .repartition(32)
+        .mapInPandas(_warm, "id long")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
     def run_once(fn, collect_small):
         t0 = time.time()
