@@ -1949,6 +1949,89 @@ def q_source_composition(spark, sf_dir):
     return source_composition(docs)
 
 
+def q_embedding_pca(spark, sf_dir):
+    """[EXT] Distributed PCA of the embedding table
+    (operators/similarity.py embedding_pca: one Arrow moments pass →
+    ≤P driver rows → d×d eigh → broadcast projection pass) — the
+    dimensionality-reduction front end of ANN at scale. The returned
+    frame is itself a distributed VERIFICATION of the math: per
+    component, the variance of the projected coordinate computed over
+    the full projected table must equal the driver-side eigenvalue
+    (var_ratio_milli ≈ 1000) and the explained-variance shares are
+    reported in ppm of the covariance trace. Rows-only gate (float
+    eigen-decomposition has no SQL replay); the pytest pins the model
+    against one-shot numpy PCA."""
+    from flyq_spark.operators.similarity import embedding_pca
+
+    emb = _read(spark, sf_dir, "embeddings")
+    out, model = embedding_pca(emb, "vec_id", "embedding", k=8)
+    stats = (
+        out.select(F.posexplode("pca").alias("component", "x"))
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.var_samp("x").alias("_v"),
+        )
+    )
+    ev = spark.createDataFrame(
+        [
+            (i, float(lam), float(lam) / model["trace"])
+            for i, lam in enumerate(model["explained_var"])
+        ],
+        "component int, _lam double, _share double",
+    )
+    return (
+        stats.join(F.broadcast(ev), on="component")
+        .select(
+            F.col("component").cast("long"),
+            "n_vectors",
+            F.round(F.col("_share") * 1_000_000).cast("long").alias("evr_ppm"),
+            F.round(F.col("_v") / F.col("_lam") * 1000).cast("long").alias(
+                "var_ratio_milli"
+            ),
+        )
+    )
+
+
+def q_group_assignment(spark, sf_dir):
+    """[EXT] Consumer-group partition assignment (the relational
+    restatement of engine.assign_partitions, whose pytest pins the
+    same arithmetic on a live engine): three consumers share the
+    4-partition events topic under BOTH standard strategies — range
+    (contiguous runs, first P mod C members take one extra) and
+    round-robin (p mod C over sorted members) — joined with each
+    partition's message count so the assignment's load balance is part
+    of the checked result. Pure integer arithmetic over the
+    |partitions|-row count table; deterministic from (sorted members,
+    partition count) alone, exactly like a Kafka client re-deriving
+    its share from the member list."""
+    members = ["reader-a", "reader-b", "reader-c"]
+    c = len(members)
+    q, rem = divmod(N_PARTITIONS, c)
+    counts = (
+        events_log(spark, sf_dir)
+        .groupBy("part_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_msgs"))
+    )
+    p = F.col("part_id")
+    idx_range = F.when(
+        p < rem * (q + 1),
+        F.call_function("div", p, F.lit(q + 1).cast("long")),
+    ).otherwise(
+        F.lit(rem)
+        + F.call_function(
+            "div", p - F.lit(rem * (q + 1)), F.lit(q).cast("long")
+        )
+    )
+    marr = F.array(*[F.lit(m) for m in sorted(members)])
+    return counts.select(
+        "part_id",
+        "n_msgs",
+        F.element_at(marr, (idx_range + 1).cast("int")).alias("consumer_range"),
+        F.element_at(marr, (p % c + 1).cast("int")).alias("consumer_rr"),
+    )
+
+
 def q_temperature_mix(spark, sf_dir):
     """[EXT] α-temperature source mixing (operators/corpus.py
     temperature_mix): per-source sampling weight ⌊1000·√n⌋ via the
@@ -4532,16 +4615,21 @@ _DRIVER_WINDOW = [
     "dedup_events", "distinct_users_daily", "sketch_stats",
     "token_stats", "multimodal_content", "minhash_pairs",
     "simhash_neardup", "ann_lsh_topk", "ann_ivf_topk",
-    # -- (d) engine-op surface, last checked r04 (13; monitor_alerts
-    #    is the entry() flagship, smoke-checked every round) --
+    # -- (d) engine-op surface, last checked r04 (10 of 14;
+    #    monitor_alerts is the entry() flagship smoke-checked every
+    #    round, and three cousins of still-listed ops ceded their
+    #    slots to the new gates below) --
     "watermarks", "consume_point", "stream_from_offset",
     "read_from_offset", "consume_with_group", "commit_offset_upsert",
-    "consumer_lag", "consumer_lag_total", "partition_health",
-    "retention_time", "retention_size", "consume_by_key",
-    "consume_next",
-    # -- new this round: the composed GDPR loop (oracle-backed; the
-    #    digest theorem — see q_erase_subject_loop) --
-    "erase_subject_loop",
+    "consumer_lag", "partition_health", "retention_time",
+    "consume_by_key",
+    # -- new this round (4): the composed GDPR loop (digest theorem),
+    #    temperature mixing (Σ quota = budget theorem), group
+    #    assignment, and the rows-only PCA (variance-equals-eigenvalue
+    #    check inside the result) — with these, EVERY gate entry has
+    #    been driver-checked at least once (cumulative 220/220) --
+    "erase_subject_loop", "temperature_mix", "group_assignment",
+    "embedding_pca",
 ]
 
 
@@ -4654,6 +4742,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_removal": q_boilerplate_removal,
         "source_composition": q_source_composition,
         "temperature_mix": q_temperature_mix,
+        "group_assignment": q_group_assignment,
+        "embedding_pca": q_embedding_pca,
         "rare_token_stats": q_rare_token_stats,
         "quality_classifier": q_quality_classifier,
         "salient_terms": q_salient_terms,
@@ -5863,6 +5953,24 @@ SELECT tk.doc_id,
        CAST(len(tk.w) - count(c.tok) AS BIGINT) AS n_removed_tokens
 FROM toks tk LEFT JOIN clean c USING (doc_id)
 GROUP BY tk.doc_id, len(tk.w)
+""",
+        # consumer-group assignment: P=4, C=3 -> q=1, rem=1; range idx =
+        # p<2 ? p//2 : 1+(p-2); rr idx = p%3, over sorted member names
+        "group_assignment": """
+WITH """ + EVENTS_LOG_CTE + """,
+counts AS (
+  SELECT part_id, CAST(count(*) AS BIGINT) AS n_msgs
+  FROM log GROUP BY 1
+),
+m AS (
+  SELECT ['reader-a', 'reader-b', 'reader-c'] AS ms
+)
+SELECT part_id, n_msgs,
+       ms[CAST(CASE WHEN part_id < 2 THEN part_id // 2
+                    ELSE 1 + (part_id - 2) // 1 END AS INTEGER) + 1]
+         AS consumer_range,
+       ms[CAST(part_id % 3 AS INTEGER) + 1] AS consumer_rr
+FROM counts CROSS JOIN m
 """,
         # α=1/2 temperature mixing: the multiply-corrected isqrt makes
         # the weight exact in BOTH engines even though each computes an

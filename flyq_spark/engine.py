@@ -1203,3 +1203,50 @@ class FlyQEngine:
             before_df.join(after_df, on=["topic", "subject_key"])
             .join(F.broadcast(stat_df), on="topic")
         )
+
+    def assign_partitions(
+        self,
+        topic: str,
+        consumers: list[str],
+        strategy: str = "range",
+    ) -> dict[str, list[int]]:
+        """[EXT] Consumer-group partition assignment — the client-side
+        group-coordination step between ``consume_with_group`` calls
+        when several consumers share a group. The reference has no
+        assignor (its groups are a bare offset map,
+        offset_tracker.rs:36-54); these are the two standard Kafka
+        strategies, restated deterministically:
+
+        - ``range``: consumers sort lexicographically, partitions
+          split into contiguous runs — the first (P mod C) consumers
+          take ceil(P/C) partitions, the rest floor(P/C). Contiguity
+          preserves key-range locality for keyed topics.
+        - ``roundrobin``: partition p goes to sorted consumer
+          (p mod C) — maximally balanced when P ≫ C.
+
+        Pure arithmetic over (sorted consumers, partition count): the
+        same inputs produce the same assignment on every client, no
+        coordinator state — a crashed consumer re-derives its share
+        from the member list alone. Returns {consumer: [partitions]}
+        (every consumer present, possibly with an empty list)."""
+        if not consumers:
+            raise ValueError("assign_partitions needs at least one consumer")
+        if len(set(consumers)) != len(consumers):
+            raise ValueError(f"duplicate consumer ids: {consumers}")
+        if strategy not in ("range", "roundrobin"):
+            raise ValueError(f"unknown strategy {strategy!r}")
+        n_parts = self.topic_partitions(topic)
+        members = sorted(consumers)
+        c = len(members)
+        out: dict[str, list[int]] = {m: [] for m in members}
+        if strategy == "roundrobin":
+            for p in range(n_parts):
+                out[members[p % c]].append(p)
+            return out
+        q, rem = divmod(n_parts, c)
+        start = 0
+        for i, m in enumerate(members):
+            take = q + (1 if i < rem else 0)
+            out[m] = list(range(start, start + take))
+            start += take
+        return out

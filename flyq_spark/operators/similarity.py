@@ -1266,3 +1266,124 @@ def topk_ivfpq(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
     )
+
+
+def embedding_pca(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    whiten: bool = False,
+    eps: float = 1e-9,
+):
+    """PCA / whitening of an embedding column with MODEL-SIZED driver
+    state — the dimensionality-reduction front end of similarity
+    search at scale (project 64-d → 8-d before ANN; whiten before
+    SemDeDup-style cosine thresholds so no axis dominates). Reference
+    scope: none (values are opaque bytes); [EXT] like the rest of the
+    embedding family.
+
+    Two-pass distributed shape, the classic d ≪ N decomposition:
+
+    1. MOMENTS: one Arrow ``mapInPandas`` pass accumulates per input
+       partition (n, Σx, XᵀX) — each partition yields ONE row with a
+       d- and a d²-length array, so the driver collects ≤P rows
+       (d=64 → 32 KiB each), never data. Covariance, then
+       ``numpy.linalg.eigh`` on the d×d matrix driver-side — the same
+       model-sized-state pattern as the k-means centroids and PQ
+       codebooks (similarity.py IVF/PQ family).
+    2. PROJECT: components broadcast in the kernel closure; one
+       narrow Arrow pass computes (X − μ)·W — embarrassingly
+       parallel, zero shuffles.
+
+    Determinism: eigenvectors are sign-fixed (largest-|coefficient|
+    entry made positive) so the projection is reproducible given the
+    same covariance; the covariance itself is a float parallel sum —
+    stable for a fixed partitioning but NOT bit-pinned across engines,
+    which is why the gate is rows-only and the pytest compares against
+    a full-batch numpy PCA with tolerances instead of hashes.
+
+    Returns (projected_df, model): projected_df = (id, ``pca``
+    array<double> length k); model = {"mean", "components" (d×k),
+    "explained_var" (k), "n"} as plain Python lists/ints.
+    """
+    import numpy as np
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    src = df.select(
+        F.col(id_col).alias("_pid"), F.col(vec_col).cast("array<double>").alias("_pv")
+    ).where(F.col("_pv").isNotNull())
+    base = src.localCheckpoint(eager=False)  # moments + projection both read it
+
+    def moments(batches):
+        import numpy as np
+        import pandas as pd
+
+        n, s, ss = 0, None, None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf["_pv"].tolist(), dtype=np.float64)
+            if s is None:
+                s = X.sum(axis=0)
+                ss = X.T @ X
+            else:
+                s += X.sum(axis=0)
+                ss += X.T @ X
+            n += len(X)
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "ss": [ss.reshape(-1).tolist()]}
+            )
+
+    parts = base.mapInPandas(
+        moments, "n long, s array<double>, ss array<double>"
+    ).collect()
+    if not parts:
+        raise ValueError("embedding_pca: no non-null vectors")
+    n = sum(r["n"] for r in parts)
+    s = np.sum([np.array(r["s"]) for r in parts], axis=0)
+    ss = np.sum([np.array(r["ss"]) for r in parts], axis=0)
+    d = s.shape[0]
+    if k > d:
+        raise ValueError(f"k={k} exceeds dimension d={d}")
+    mean = s / n
+    cov = (ss.reshape(d, d) - n * np.outer(mean, mean)) / max(n - 1, 1)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    lam = np.maximum(evals[order], 0.0)
+    W = evecs[:, order]
+    # sign convention: each component's largest-|coeff| entry positive
+    flips = np.sign(W[np.abs(W).argmax(axis=0), np.arange(k)])
+    flips[flips == 0] = 1.0
+    W = W * flips
+    if whiten:
+        W = W / np.sqrt(lam + eps)
+    W = np.ascontiguousarray(W)
+    mu = mean.copy()
+
+    def project(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf["_pv"].tolist(), dtype=np.float64)
+            P = (X - mu) @ W
+            yield pd.DataFrame(
+                {"_pid": pdf["_pid"], "pca": [row.tolist() for row in P]}
+            )
+
+    out = base.mapInPandas(
+        project, f"_pid {df.schema[id_col].dataType.simpleString()}, pca array<double>"
+    ).withColumnRenamed("_pid", id_col)
+    model = {
+        "mean": mean.tolist(),
+        "components": W.tolist(),
+        "explained_var": lam.tolist(),
+        "trace": float(np.trace(cov)),
+        "n": int(n),
+    }
+    return out, model

@@ -608,3 +608,33 @@ def test_mirror_preserves_config_cursor_and_truncated_leo(engine, spark, tmp_pat
     assert int(meta["rr_cursor"]) == int(src_meta["rr_cursor"])
     assert mirror.get_watermark("mt", 0) == engine.get_watermark("mt", 0)
     assert mirror.get_watermark("mt", 1) == engine.get_watermark("mt", 1)
+
+
+def test_assign_partitions_strategies(spark, tmp_path):
+    """Range + round-robin assignors: deterministic from (sorted
+    members, partition count) alone, every partition exactly once,
+    range keeps contiguous runs with sizes differing by at most one."""
+    from flyq_spark.engine import FlyQEngine
+
+    eng = FlyQEngine(spark, str(tmp_path))
+    eng.create_topic("t", partitions=7)
+
+    rng = eng.assign_partitions("t", ["c-b", "c-a", "c-c"], "range")
+    assert rng == {"c-a": [0, 1, 2], "c-b": [3, 4], "c-c": [5, 6]}
+    rr = eng.assign_partitions("t", ["c-b", "c-a", "c-c"], "roundrobin")
+    assert rr == {"c-a": [0, 3, 6], "c-b": [1, 4], "c-c": [2, 5]}
+    for a in (rng, rr):
+        got = sorted(p for ps in a.values() for p in ps)
+        assert got == list(range(7))
+    # more consumers than partitions: tail members get empty lists
+    many = eng.assign_partitions("t", [f"m{i}" for i in range(9)], "range")
+    assert sum(len(v) for v in many.values()) == 7
+    assert [len(many[f"m{i}"]) for i in range(9)] == [1] * 7 + [0, 0]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        eng.assign_partitions("t", [], "range")
+    with _pytest.raises(ValueError):
+        eng.assign_partitions("t", ["a", "a"], "range")
+    with _pytest.raises(ValueError):
+        eng.assign_partitions("t", ["a"], "sticky")

@@ -43,6 +43,10 @@ def test_queries_and_oracles_consistent():
         # from this set: their "no SQL form" claims fell to integer
         # run-length SQL, a recursive CTE, and a 5-round unroll —
         # each validated against an independent model first)
+        # r9: float eigh has no SQL replay; the numpy-pinned pytest +
+        # the gate's own distributed variance-equals-eigenvalue check
+        # carry correctness instead
+        "embedding_pca",
     }
 
 

@@ -5160,3 +5160,45 @@ def test_temperature_mix_matches_python_model(spark):
 
     with pytest.raises(ValueError):
         temperature_mix(df, "source", alpha_permille=700)
+
+
+def test_embedding_pca_matches_numpy(spark):
+    """Distributed two-pass PCA (similarity.embedding_pca) vs one-shot
+    numpy PCA on the collected matrix: identical mean/eigenvalues/
+    projection within float tolerance (sign convention fixed on both
+    sides), whitened variant has ~unit variance per component, and the
+    moments pass must collect partition-count rows, never data."""
+    import numpy as np
+
+    from flyq_spark.operators.similarity import embedding_pca
+
+    rng = np.random.default_rng(7)
+    d, n, k = 16, 500, 4
+    # anisotropic data so eigenvalues are well separated
+    scales = np.linspace(10, 0.1, d)
+    X = rng.normal(size=(n, d)) * scales
+    rows = [(i, X[i].tolist()) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>").repartition(8)
+
+    out, model = embedding_pca(df, "vec_id", "embedding", k=k)
+    got = {r["vec_id"]: np.array(r["pca"]) for r in out.collect()}
+
+    mu = X.mean(axis=0)
+    cov = np.cov(X, rowvar=False)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:k]
+    W = evecs[:, order]
+    flips = np.sign(W[np.abs(W).argmax(axis=0), np.arange(k)])
+    W = W * flips
+    assert np.allclose(model["mean"], mu, atol=1e-9)
+    assert np.allclose(model["explained_var"], evals[order], rtol=1e-8)
+    P = (X - mu) @ W
+    for i in range(n):
+        assert np.allclose(got[i], P[i], atol=1e-7), i
+
+    wout, wmodel = embedding_pca(df, "vec_id", "embedding", k=k, whiten=True)
+    PW = np.array([r["pca"] for r in wout.collect()])
+    assert np.allclose(PW.var(axis=0, ddof=1), 1.0, rtol=1e-3)
+
+    with pytest.raises(ValueError):
+        embedding_pca(df, "vec_id", "embedding", k=99)

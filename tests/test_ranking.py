@@ -290,3 +290,56 @@ def test_grouped_plans_have_no_data_sized_windows(spark):
             # partitioned specs must key on the _gg_* offset-table copies
             if " ASC" not in first and " DESC" not in first:
                 assert re.match(r"_gg_\d+#", first), spec[:80]
+
+
+@pytest.mark.parametrize("seed", [7, 42, 1234])
+def test_grouped_prefix_sums_randomized_vs_python_model(spark, seed):
+    """Seeded randomized differential: random group counts (incl. NULL
+    and single-row groups), negative deltas, duplicate values broken by
+    id, random partition counts — grouped_prefix_sums and
+    grouped_row_number vs a pure-Python fold of the sorted rows."""
+    import random
+
+    from flyq_spark.operators.ranking import (
+        grouped_prefix_sums,
+        grouped_row_number,
+    )
+
+    rng = random.Random(seed)
+    n = rng.randint(1, 400)
+    groups = [None, "a", "b", "c", "dd"][: rng.randint(1, 5)]
+    rows = [
+        (i, rng.choice(groups), rng.randint(-50, 50))
+        for i in range(n)
+    ]
+    parts = rng.choice([1, 2, 3, 8, 50])
+    df = spark.createDataFrame(rows, "id long, g string, x long")
+
+    # python model: per-group cumsum / rank in id order
+    cum: dict = {}
+    cnt: dict = {}
+    want_ps, want_rn = {}, {}
+    for i, g, x in rows:  # already id-ordered
+        cum[g] = cum.get(g, 0) + x
+        cnt[g] = cnt.get(g, 0) + 1
+        want_ps[i] = cum[g]
+        want_rn[i] = cnt[g]
+    tot = dict(cnt)
+
+    got_ps = {
+        r["id"]: r["cx"]
+        for r in grouped_prefix_sums(
+            df, ["g"], [F.col("id").asc()], {"cx": F.col("x")},
+            num_partitions=parts,
+        ).collect()
+    }
+    assert got_ps == want_ps
+
+    got_rn = {
+        r["id"]: (r["rk"], r["nt"])
+        for r in grouped_row_number(
+            df, ["g"], [F.col("id").asc()], rank_col="rk", total_col="nt",
+            num_partitions=parts,
+        ).collect()
+    }
+    assert got_rn == {i: (want_rn[i], tot[g]) for i, g, _ in rows}
