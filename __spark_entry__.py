@@ -1949,6 +1949,24 @@ def q_source_composition(spark, sf_dir):
     return source_composition(docs)
 
 
+def q_mad_outliers(spark, sf_dir):
+    """[EXT] Median/MAD robust screen per event type over integer
+    cents (operators/profile.py mad_outliers) — the
+    breakdown-point-0.5 complement of value_outliers' Tukey fences:
+    exact lower medians twice (value, then |x−med|) via the
+    counted-distinct grouped prefix sums, outliers by the scaled
+    integer test 10·|x−med| > 30·MAD."""
+    from flyq_spark.operators.profile import mad_outliers
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("value_c"),
+    )
+    return mad_outliers(ev, "event_type", "value_c").orderBy("event_type")
+
+
 def q_embedding_pca(spark, sf_dir):
     """[EXT] Distributed PCA of the embedding table
     (operators/similarity.py embedding_pca: one Arrow moments pass →
@@ -4622,14 +4640,14 @@ _DRIVER_WINDOW = [
     "watermarks", "consume_point", "stream_from_offset",
     "read_from_offset", "consume_with_group", "commit_offset_upsert",
     "consumer_lag", "partition_health", "retention_time",
-    "consume_by_key",
-    # -- new this round (4): the composed GDPR loop (digest theorem),
+    # -- new this round (5): the composed GDPR loop (digest theorem),
     #    temperature mixing (Σ quota = budget theorem), group
-    #    assignment, and the rows-only PCA (variance-equals-eigenvalue
-    #    check inside the result) — with these, EVERY gate entry has
-    #    been driver-checked at least once (cumulative 220/220) --
+    #    assignment, median/MAD screen, and the rows-only PCA
+    #    (variance-equals-eigenvalue check inside the result) — with
+    #    these, EVERY gate entry has been driver-checked at least once
+    #    (cumulative 221/221) --
     "erase_subject_loop", "temperature_mix", "group_assignment",
-    "embedding_pca",
+    "mad_outliers", "embedding_pca",
 ]
 
 
@@ -4744,6 +4762,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": q_temperature_mix,
         "group_assignment": q_group_assignment,
         "embedding_pca": q_embedding_pca,
+        "mad_outliers": q_mad_outliers,
         "rare_token_stats": q_rare_token_stats,
         "quality_classifier": q_quality_classifier,
         "salient_terms": q_salient_terms,
@@ -5953,6 +5972,29 @@ SELECT tk.doc_id,
        CAST(len(tk.w) - count(c.tok) AS BIGINT) AS n_removed_tokens
 FROM toks tk LEFT JOIN clean c USING (doc_id)
 GROUP BY tk.doc_id, len(tk.w)
+""",
+        # median/MAD: quantile_disc(0.5) is DuckDB's lower-median —
+        # the same div(n+1,2) ascending rank the Spark side selects
+        "mad_outliers": """
+WITH src AS (
+  SELECT event_type AS g,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL
+),
+med AS (SELECT g, quantile_disc(v, 0.5) AS m FROM src GROUP BY 1),
+dev AS (
+  SELECT s.g, abs(s.v - med.m) AS dv, med.m
+  FROM src s JOIN med ON s.g = med.g
+),
+mad AS (SELECT g, quantile_disc(dv, 0.5) AS md FROM dev GROUP BY 1)
+SELECT d.g AS event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(max(d.m) AS BIGINT) AS med,
+       CAST(max(mad.md) AS BIGINT) AS mad,
+       CAST(count(CASE WHEN 10 * d.dv > 30 * mad.md THEN 1 END) AS BIGINT)
+         AS n_outliers
+FROM dev d JOIN mad ON d.g = mad.g
+GROUP BY 1
 """,
         # consumer-group assignment: P=4, C=3 -> q=1, rem=1; range idx =
         # p<2 ? p//2 : 1+(p-2); rr idx = p%3, over sorted member names

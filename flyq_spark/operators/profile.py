@@ -133,6 +133,63 @@ def robust_outliers(
     )
 
 
+def mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k_tenths: int = 30,
+) -> DataFrame:
+    """Median/MAD robust z-score screen per group — the
+    breakdown-point-0.5 counterpart of :func:`robust_outliers`'s Tukey
+    fences (quartiles break down at 25% contamination; median/MAD
+    survives until half the data is garbage — the screen to trust when
+    a feed is MOSTLY wrong). All-integer, exact:
+
+    - med = exact LOWER median per group, MAD = exact lower median of
+      |x − med| per group — both via the counted-distinct rank
+      selection (impute.group_statistic → per-group distributed prefix
+      sums; no group-keyed sort task at any group cardinality);
+    - outlier iff 10·|x − med| > k_tenths·MAD (k_tenths=30 ≈ the
+      classic 3σ with MAD≈σ·0.6745 left to the caller's k) — scaled
+      integer comparison, no float ratio ever materializes. NULL
+      values are excluded throughout (nothing to screen).
+
+    Plan: two group-statistic frames (each |groups| rows, broadcast
+    back) + one conditional re-aggregation — three passes over the
+    slim (group, value) projection, zero data-sized windows. Output:
+    (group, n_rows, med, mad, n_outliers) one row per group."""
+    from flyq_spark.operators.impute import group_statistic
+
+    keys = (group_col,)
+    src = df.select(group_col, value_col).where(F.col(value_col).isNotNull())
+    med = group_statistic(src, keys, value_col, "median").select(
+        group_col, F.col("_fill").alias("_med")
+    )
+    dev = src.join(med, group_col).withColumn(
+        "_dv", F.abs(F.col(value_col) - F.col("_med"))
+    )
+    mad = group_statistic(
+        dev.select(group_col, "_dv"), keys, "_dv", "median"
+    ).select(group_col, F.col("_fill").alias("_mad"))
+    return (
+        dev.join(mad, group_col)
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.max("_med").cast("long").alias("med"),
+            F.max("_mad").cast("long").alias("mad"),
+            F.count(
+                F.when(
+                    F.lit(10) * F.col("_dv") > F.lit(int(k_tenths)) * F.col("_mad"),
+                    1,
+                )
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
+
+
 def check_constraints(df: DataFrame, rules: list[dict]) -> DataFrame:
     """Declarative data-quality constraints (the Deequ/expectations
     shape): evaluate every rule in ONE aggregation pass and report exact
