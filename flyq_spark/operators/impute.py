@@ -278,8 +278,10 @@ def quantile_bins(
     INDEPENDENT range-partitioned exact-NTILE branch over a slim
     (id, value) projection (operators/ranking.py — no single-partition
     sort, no data-sized global window), joined back on the id. Cost is
-    one materialization + per column: one range exchange of the slim
-    pair + one id-key join shuffle."""
+    one input materialization + per column: one range exchange of the
+    slim pair, the ranking primitive's own stamped-rows
+    materialization (structural, see ranking.py), and one id-key join
+    shuffle."""
     from flyq_spark.operators.ranking import ntile_exact
 
     base = df.localCheckpoint(eager=False)
