@@ -1129,6 +1129,10 @@ class FlyQEngine:
         if not subject_keys:
             raise ValueError("erase_subject needs at least one subject key")
         names = topics if topics is not None else self.list_topics()
+        if not names:
+            raise ValueError(
+                "erase_subject needs at least one topic (none registered)"
+            )
         kdf = self.spark.createDataFrame(
             [(bytes(k),) for k in subject_keys], "kb binary"
         )

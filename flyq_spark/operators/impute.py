@@ -225,6 +225,14 @@ def rank_normalize(
     strictly-smaller values + 1) and n rides the prefix-sum offset
     table for free. NULL values pass through with NULL rank; NULL group
     keys are a real group (null-safe join back).
+
+    Group-cardinality regime: the grouped primitive broadcasts a
+    ≤(P + |groups|)-row offset table — built for the low-cardinality
+    keys (sources, event types, cohorts) where a plain group-keyed
+    window straggles. For MILLIONS of small groups the plain
+    ``Window.partitionBy(group)`` rank is already well-distributed and
+    is the right tool instead (same regime note as
+    operators/ranking.py).
     """
     from flyq_spark.operators.ranking import grouped_prefix_sums
 
