@@ -1949,6 +1949,25 @@ def q_source_composition(spark, sf_dir):
     return source_composition(docs)
 
 
+def q_late_arrivals(spark, sf_dir):
+    """[EXT] Late-data profile per event type (operators/watermarks.py
+    late_arrival_profile) — the measurement that sizes a streaming
+    watermark delay: replay events in arrival order (event_id, the
+    fixture's dense arrival sequence), carry the running max
+    event-time per type via the grouped prefix-MAX primitive (one
+    range exchange + Arrow cummax — no window keyed by the ~5-value
+    type column), and count the rows a 1-minute / 1-hour
+    withWatermark would have dropped."""
+    from flyq_spark.operators.watermarks import late_arrival_profile
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_type", "event_id", F.unix_micros(F.col("ts")).alias("ts_us")
+    )
+    return late_arrival_profile(
+        ev, "event_type", F.col("event_id"), "ts_us"
+    )
+
+
 def q_mad_outliers(spark, sf_dir):
     """[EXT] Median/MAD robust screen per event type over integer
     cents (operators/profile.py mad_outliers) — the
@@ -4638,16 +4657,16 @@ _DRIVER_WINDOW = [
     #    round, and three cousins of still-listed ops ceded their
     #    slots to the new gates below) --
     "watermarks", "consume_point", "stream_from_offset",
-    "read_from_offset", "consume_with_group", "commit_offset_upsert",
+    "consume_with_group", "commit_offset_upsert",
     "consumer_lag", "partition_health", "retention_time",
-    # -- new this round (5): the composed GDPR loop (digest theorem),
+    # -- new this round (6): the composed GDPR loop (digest theorem),
     #    temperature mixing (Σ quota = budget theorem), group
-    #    assignment, median/MAD screen, and the rows-only PCA
-    #    (variance-equals-eigenvalue check inside the result) — with
-    #    these, EVERY gate entry has been driver-checked at least once
-    #    (cumulative 221/221) --
+    #    assignment, median/MAD screen, late-arrival watermark sizing,
+    #    and the rows-only PCA (variance-equals-eigenvalue check
+    #    inside the result) — with these, EVERY gate entry has been
+    #    driver-checked at least once (cumulative 222/222) --
     "erase_subject_loop", "temperature_mix", "group_assignment",
-    "mad_outliers", "embedding_pca",
+    "mad_outliers", "late_arrivals", "embedding_pca",
 ]
 
 
@@ -4763,6 +4782,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_assignment": q_group_assignment,
         "embedding_pca": q_embedding_pca,
         "mad_outliers": q_mad_outliers,
+        "late_arrivals": q_late_arrivals,
         "rare_token_stats": q_rare_token_stats,
         "quality_classifier": q_quality_classifier,
         "salient_terms": q_salient_terms,
@@ -5972,6 +5992,30 @@ SELECT tk.doc_id,
        CAST(len(tk.w) - count(c.tok) AS BIGINT) AS n_removed_tokens
 FROM toks tk LEFT JOIN clean c USING (doc_id)
 GROUP BY tk.doc_id, len(tk.w)
+""",
+        # late-arrival profile: the running per-type max of event time
+        # in arrival (event_id) order is the watermark a streaming job
+        # would have carried; counters = rows each delay would drop
+        "late_arrivals": """
+WITH c AS (
+  SELECT event_type,
+         epoch_us(ts) AS ts_us,
+         max(epoch_us(ts)) OVER (
+           PARTITION BY event_type ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS wm_us
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(wm_us - ts_us) AS BIGINT) AS max_late_us,
+       CAST(sum(wm_us - ts_us) AS BIGINT) AS total_late_us,
+       CAST(count(CASE WHEN wm_us - ts_us > 60000000 THEN 1 END) AS BIGINT)
+         AS n_late_60000000us,
+       CAST(count(CASE WHEN wm_us - ts_us > 3600000000 THEN 1 END) AS BIGINT)
+         AS n_late_3600000000us
+FROM c
+GROUP BY 1
 """,
         # median/MAD: quantile_disc(0.5) is DuckDB's lower-median —
         # the same div(n+1,2) ascending rank the Spark side selects

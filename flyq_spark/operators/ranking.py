@@ -278,15 +278,18 @@ def ntile_exact(
     )
 
 
-def _cumsum_kernel(group_cols: list[str], names: list[str]):
-    """Arrow mapInPandas kernel: streaming per-partition cumulative
-    sums of the ``_gx_{name}`` columns into ``_gl_{name}``, resetting
-    at group boundaries. Input partitions are sorted by (group, order),
+_PREFIX_OPS = ("sum", "max", "min")
+
+
+def _cumagg_kernel(group_cols: list[str], specs: list[tuple[str, str]]):
+    """Arrow mapInPandas kernel: streaming per-partition running
+    aggregates (cumsum / cummax / cummin per ``specs`` = [(name, op)])
+    of the ``_gx_{name}`` columns into ``_gl_{name}``, resetting at
+    group boundaries. Input partitions are sorted by (group, order),
     so a group change is monotone within a partition and only the LAST
     group of a batch can continue into the next batch — one carry
     vector + one carry key is the entire cross-batch state. Runs
     inside the range-exchange output partitions: zero extra shuffle."""
-    gx = [f"_gx_{n}" for n in names]
 
     def key_at(pdf, i):
         import pandas as pd
@@ -296,14 +299,22 @@ def _cumsum_kernel(group_cols: list[str], names: list[str]):
             for v in (pdf.iloc[i][c] for c in group_cols)
         )
 
+    def combine(op, acc, carry):
+        import numpy as np
+
+        if op == "sum":
+            return acc + carry
+        if op == "max":
+            return np.maximum(acc, carry)
+        return np.minimum(acc, carry)
+
     def fn(batches):
-        carry = None  # running totals of the open (trailing) group
+        carry = None  # running aggregate of the open (trailing) group
         carry_key = None
         for pdf in batches:
             n_rows = len(pdf)
             if n_rows == 0:
                 continue
-            vals = pdf[gx].astype("int64")
             if group_cols:
                 keys = pdf[list(group_cols)]
                 prev = keys.shift()
@@ -312,65 +323,93 @@ def _cumsum_kernel(group_cols: list[str], names: list[str]):
                 ).any(axis=1)
                 changed.iloc[0] = True
                 seg = changed.cumsum()
-                cums = vals.groupby(seg).cumsum()
-                first_key = key_at(pdf, 0)
             else:
                 seg = None
-                cums = vals.cumsum()
-                first_key = ()
+            cums = {}
+            for n, op in specs:
+                col = pdf[f"_gx_{n}"].astype("int64")
+                grouped = col.groupby(seg) if group_cols else col
+                if op == "sum":
+                    cums[n] = grouped.cumsum()
+                elif op == "max":
+                    cums[n] = grouped.cummax()
+                else:
+                    cums[n] = grouped.cummin()
+            first_key = key_at(pdf, 0) if group_cols else ()
             if carry is not None and first_key == carry_key:
                 if group_cols:
                     mask = (seg == 1).to_numpy()
-                    for j, c in enumerate(gx):
-                        cums.loc[mask, c] += carry[j]
+                    for j, (n, op) in enumerate(specs):
+                        cums[n].loc[mask] = combine(
+                            op, cums[n].loc[mask], carry[j]
+                        )
                 else:
-                    for j, c in enumerate(gx):
-                        cums[c] += carry[j]
-            carry = [int(cums[c].iloc[-1]) for c in gx]
+                    for j, (n, op) in enumerate(specs):
+                        cums[n] = combine(op, cums[n], carry[j])
+            carry = [int(cums[n].iloc[-1]) for n, _ in specs]
             carry_key = key_at(pdf, n_rows - 1) if group_cols else ()
-            for n, c in zip(names, gx):
-                pdf[f"_gl_{n}"] = cums[c].to_numpy()
+            for n, _ in specs:
+                pdf[f"_gl_{n}"] = cums[n].to_numpy()
             yield pdf
 
     return fn
 
 
-def grouped_prefix_sums(
+def grouped_prefix_agg(
     df: DataFrame,
     group_cols: list[str],
     order: list[Column],
-    sums: dict[str, Column],
+    aggs: dict[str, tuple[str, Column]],
     totals: dict[str, str] | None = None,
     num_partitions: int | None = None,
     materialize: bool = True,
 ) -> DataFrame:
-    """Running (inclusive) prefix sums over a TOTAL order within each
-    group (``[]`` = one global group) — the distributed
-    cumulative-sum primitive (CDFs, running totals, exact KS
-    statistics, rank-from-counted-distinct). For each name→expr in
-    ``sums``, adds a ``name`` column holding sum(expr) over the rows
-    of the same group at-or-before this row in ``order``. NULL expr
-    values count as 0 (window SUM would skip them identically except
-    for an all-NULL prefix, where it yields NULL — callers feeding
-    counts never see the difference).
+    """Running (inclusive) prefix aggregates over a TOTAL order within
+    each group (``[]`` = one global group): the distributed
+    cumulative primitive behind CDFs, running totals, exact KS
+    statistics, rank-from-counted-distinct, and running-watermark /
+    running-extreme analyses. ``aggs`` maps an output name to
+    ``(op, expr)`` with op ∈ {"sum", "max", "min"}; each output column
+    holds op(expr) over the rows of the same group at-or-before this
+    row in ``order``.
 
-    ``totals`` optionally maps a sum name → an output column carrying
-    that sum's whole-group total on every row — free to attach here
+    NULL handling: "sum" coalesces NULL expr values to 0 (window SUM
+    would skip them identically except for an all-NULL prefix, where
+    it yields NULL — callers feeding counts never see the
+    difference). "max"/"min" REQUIRE non-null expressions (coalesce
+    upstream) — a running extreme of a NULL has no sensible identity
+    and the kernel fails loudly rather than guessing.
+
+    ``totals`` optionally maps an agg name → an output column carrying
+    that agg's whole-group value on every row — free to attach here
     (the offset table already aggregates per-group), where a separate
     groupBy + join-back would cost another pass.
 
     Plan shape: ONE data-sized exchange (the range exchange), P
     parallel in-partition sorts, an Arrow ``mapInPandas`` streaming
-    cumsum (no second exchange — a window PARTITIONED BY the range id
-    would re-shuffle the co-located rows), a ≤(P+G)-row offset
-    aggregate off the lazily checkpointed cumsum rows, broadcast back.
+    cumsum/cummax/cummin (no second exchange — a window PARTITIONED BY
+    the range id would re-shuffle the co-located rows), a ≤(P+G)-row
+    offset aggregate off the lazily checkpointed rows, broadcast back;
+    cross-partition combination is op-consistent (+ / greatest /
+    least, with a NULL offset for each group's first range partition).
     """
     num_partitions = _resolve_partitions(df, num_partitions)
     if materialize:
         df = df.localCheckpoint(eager=False)
-    names = list(sums)
+    names = list(aggs)
+    specs = []
+    for n in names:
+        op, _ = aggs[n]
+        if op not in _PREFIX_OPS:
+            raise ValueError(f"op for {n!r} must be one of {_PREFIX_OPS}: {op}")
+        specs.append((n, op))
+    _AGG = {"sum": F.sum, "max": F.max, "min": F.min}
     exprs = [
-        F.coalesce(sums[n].cast("long"), F.lit(0)).alias(f"_gx_{n}")
+        (
+            F.coalesce(aggs[n][1].cast("long"), F.lit(0))
+            if aggs[n][0] == "sum"
+            else aggs[n][1].cast("long")
+        ).alias(f"_gx_{n}")
         for n in names
     ]
     gcols = [F.col(c) for c in group_cols]
@@ -385,12 +424,12 @@ def grouped_prefix_sums(
         + [T.StructField(f"_gl_{n}", T.LongType()) for n in names]
     )
     local = ranged.mapInPandas(
-        _cumsum_kernel(list(group_cols), names), schema=out_schema
+        _cumagg_kernel(list(group_cols), specs), schema=out_schema
     ).localCheckpoint(eager=False)
     marks = _marks(group_cols)
     grp_totals = local.groupBy(
         F.col("_gpid"), *[F.col(c).alias(m) for c, m in zip(group_cols, marks)]
-    ).agg(*[F.sum(f"_gx_{n}").alias(f"_gt_{n}") for n in names])
+    ).agg(*[_AGG[op](f"_gx_{n}").alias(f"_gt_{n}") for n, op in specs])
     w_cum = (
         Window.partitionBy(*marks)
         .orderBy("_gpid")
@@ -404,28 +443,58 @@ def grouped_prefix_sums(
     total_cols = []
     if totals:
         total_cols = [
-            F.sum(f"_gt_{n}").over(w_tot).cast("long").alias(out)
+            _AGG[dict(specs)[n]](f"_gt_{n}").over(w_tot).cast("long").alias(out)
             for n, out in totals.items()
         ]
-    offs = grp_totals.select(
-        "_gpid",
-        *marks,
-        *[
-            F.coalesce(F.sum(f"_gt_{n}").over(w_cum), F.lit(0)).alias(f"_go_{n}")
-            for n in names
-        ],
-        *total_cols,
-    )
+    off_cols = []
+    for n, op in specs:
+        if op == "sum":
+            off_cols.append(
+                F.coalesce(F.sum(f"_gt_{n}").over(w_cum), F.lit(0)).alias(
+                    f"_go_{n}"
+                )
+            )
+        else:
+            # NULL for the group's first range partition: greatest/least
+            # ignore NULL operands, so the identity element is free
+            off_cols.append(_AGG[op](f"_gt_{n}").over(w_cum).alias(f"_go_{n}"))
+    offs = grp_totals.select("_gpid", *marks, *off_cols, *total_cols)
     out = _attach_offsets(local, offs, group_cols)
-    for n in names:
-        out = out.withColumn(
-            n, (F.col(f"_go_{n}") + F.col(f"_gl_{n}")).cast("long")
-        )
+    for n, op in specs:
+        if op == "sum":
+            combined = F.col(f"_go_{n}") + F.col(f"_gl_{n}")
+        elif op == "max":
+            combined = F.greatest(F.col(f"_go_{n}"), F.col(f"_gl_{n}"))
+        else:
+            combined = F.least(F.col(f"_go_{n}"), F.col(f"_gl_{n}"))
+        out = out.withColumn(n, combined.cast("long"))
     return out.drop(
         "_gpid",
         *[f"_gx_{n}" for n in names],
         *[f"_gl_{n}" for n in names],
         *[f"_go_{n}" for n in names],
+    )
+
+
+def grouped_prefix_sums(
+    df: DataFrame,
+    group_cols: list[str],
+    order: list[Column],
+    sums: dict[str, Column],
+    totals: dict[str, str] | None = None,
+    num_partitions: int | None = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """Running (inclusive) prefix SUMS within each group:
+    :func:`grouped_prefix_agg` with op="sum" for every column."""
+    return grouped_prefix_agg(
+        df,
+        group_cols,
+        order,
+        {n: ("sum", expr) for n, expr in sums.items()},
+        totals=totals,
+        num_partitions=num_partitions,
+        materialize=materialize,
     )
 
 

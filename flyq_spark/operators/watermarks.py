@@ -103,3 +103,57 @@ def offsets_for_times(
         .groupBy(F.col(part_col).alias("part_id"))
         .agg(F.min(offset_col).cast("long").alias("first_offset"))
     )
+
+
+def late_arrival_profile(
+    df,
+    group_col: str,
+    arrival_order,
+    ts_col: str,
+    thresholds_us: tuple[int, ...] = (60_000_000, 3_600_000_000),
+):
+    """Late-data profile per group — the measurement that SIZES a
+    Structured Streaming watermark delay before you commit to one:
+    replay the data in ARRIVAL order, track the running max event-time
+    per group (exactly the watermark a streaming job would have
+    carried, reference scope: the broker's high watermark is the
+    offset analog, partition_state.rs:4-8), and report how many
+    events arrived more than each candidate delay behind it — i.e.
+    exactly the rows ``withWatermark(delay)`` would have dropped.
+
+    lateness_us = running_max(ts) − ts, inclusive (0 when the row
+    itself advances the watermark). The running max rides the grouped
+    prefix-agg primitive (operators/ranking.py — one range exchange +
+    Arrow cummax; a window keyed by the low-cardinality group column
+    would sort N/|groups| rows in one task).
+
+    Output: one row per group — (group, n_events, max_late_us,
+    total_late_us, n_late_<t>us per threshold)."""
+    from pyspark.sql import functions as F
+
+    from flyq_spark.operators.ranking import grouped_prefix_agg
+
+    src = df.select(
+        F.col(group_col),
+        arrival_order.alias("_ord"),
+        F.col(ts_col).alias("_ts_us"),
+    ).where(F.col("_ts_us").isNotNull())
+    cum = grouped_prefix_agg(
+        src,
+        [group_col],
+        [F.col("_ord").asc()],
+        {"_wm_us": ("max", F.col("_ts_us"))},
+    )
+    late = F.col("_wm_us") - F.col("_ts_us")
+    counters = [
+        F.count(F.when(late > int(t), 1))
+        .cast("long")
+        .alias(f"n_late_{int(t)}us")
+        for t in thresholds_us
+    ]
+    return cum.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.max(late).cast("long").alias("max_late_us"),
+        F.sum(late).cast("long").alias("total_late_us"),
+        *counters,
+    )

@@ -343,3 +343,54 @@ def test_grouped_prefix_sums_randomized_vs_python_model(spark, seed):
         ).collect()
     }
     assert got_rn == {i: (want_rn[i], tot[g]) for i, g, _ in rows}
+
+
+def test_grouped_prefix_agg_max_min_matches_window(spark):
+    """Running max/min (grouped_prefix_agg) vs the naive cumulative
+    windows: per-group extremes with negative values, NULL group keys,
+    group totals, and forced 16-row Arrow batches so cross-batch carry
+    combines via maximum/minimum rather than addition."""
+    from flyq_spark.operators.ranking import grouped_prefix_agg
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+    try:
+        rows = [
+            (i, ((i * 37) % 23) - 11, None if i % 13 == 7 else f"g{i % 3}")
+            for i in range(400)
+        ]
+        df = spark.createDataFrame(rows, "id long, x long, g string")
+        got = {
+            r["id"]: (r["mx"], r["mn"], r["gmax"])
+            for r in grouped_prefix_agg(
+                df,
+                ["g"],
+                [F.col("id").asc()],
+                {"mx": ("max", F.col("x")), "mn": ("min", F.col("x"))},
+                totals={"mx": "gmax"},
+                num_partitions=5,
+            ).collect()
+        }
+        w = (
+            Window.partitionBy("g")
+            .orderBy("id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wt = Window.partitionBy("g")
+        want = {
+            r["id"]: (r["mx"], r["mn"], r["gmax"])
+            for r in df.select(
+                "id",
+                F.max("x").over(w).alias("mx"),
+                F.min("x").over(w).alias("mn"),
+                F.max("x").over(wt).alias("gmax"),
+            ).collect()
+        }
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    with pytest.raises(ValueError):
+        grouped_prefix_agg(
+            df, ["g"], [F.col("id").asc()], {"z": ("median", F.col("x"))}
+        )
