@@ -134,6 +134,10 @@ HEADLINE = [
     ("length_percentiles", False),
     ("value_outliers", True),
     ("eval_sample", False),
+    # r9 second batch: the double-median robust screen and the
+    # prefix-MAX watermark-sizing profile
+    ("mad_outliers", True),
+    ("late_arrivals", True),
 ]
 
 
