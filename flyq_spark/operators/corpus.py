@@ -556,7 +556,14 @@ def sample_k_per_group(
     columns puts N/|groups| rows in ONE sort task when the cells are
     few, the straggler shape at corpus scale; the md5 order makes the
     range exchange perfectly balanced by construction), then the ≤k
-    filter. Output: input columns + ``sample_rank`` (1..k)."""
+    filter. Output: input columns + ``sample_rank`` (1..k).
+
+    Group-cardinality regime: the grouped primitive force-broadcasts a
+    ≤(P + |groups|)-row offset table — right for the LOW-cardinality
+    cells this targets ((source, lang) grids); for millions of tiny
+    groups a plain group-keyed ``row_number`` window is already
+    balanced and is the right tool (operators/ranking.py regime
+    note)."""
     from flyq_spark.operators.ranking import grouped_row_number
 
     h = _id_hash(id_col)
@@ -637,18 +644,31 @@ def negative_samples(
 
 
 def _isqrt_exact(x: Column) -> Column:
-    """Exact integer floor(sqrt(x)) for non-negative BIGINT columns.
+    """Exact integer floor(sqrt(x)) for non-negative BIGINT or
+    DECIMAL(p,0) columns with x <= ~10^31.
 
     IEEE double sqrt is correctly rounded but floor(sqrt(CAST(x AS
     DOUBLE))) can still land ±1 off the true integer root (the cast
     loses low bits past 2^53, and the boundary x = s² ± ε rounds
-    either way), so the candidate is corrected with EXACT integer
-    multiplies — the result is engine-independent even though the
-    intermediate double is not guaranteed to be."""
-    s0 = F.floor(F.sqrt(x.cast("double"))).cast("long")
+    either way), so the candidate is corrected with EXACT arithmetic —
+    the result is engine-independent even though the intermediate
+    double is not guaranteed to be.
+
+    The correction squares run in DECIMAL(38,0) so they stay exact far
+    past the int64 line (the old BIGINT multiply overflowed for
+    x > 2^63, i.e. n_docs > ~9.22M on the n·10¹² temperature path).
+    Domain bound: the double candidate's relative error is
+    <= 1.5·2⁻⁵³, so its ABSOLUTE error is < 0.6 while sqrt(x) <=
+    ~3.2·10¹⁵ (x <= ~10^31) — within the ±1 correction window. Above
+    that the candidate itself can drift further than ±1, so callers
+    must keep x <= 10^31 (n_docs <= ~10¹⁹ on the n·10¹² path)."""
+    xd = x.cast("decimal(38,0)")
+    s0 = F.floor(F.sqrt(xd.cast("double"))).cast("long")
+    s0d = s0.cast("decimal(19,0)")
+    one = F.lit(1).cast("decimal(19,0)")
     return (
-        F.when((s0 + 1) * (s0 + 1) <= x, s0 + 1)
-        .when(s0 * s0 > x, s0 - 1)
+        F.when((s0d + one) * (s0d + one) <= xd, s0 + 1)
+        .when(s0d * s0d > xd, s0 - 1)
         .otherwise(s0)
     )
 
@@ -682,36 +702,70 @@ def temperature_mix(
     table — the remainder rank's partition-less window is bounded by
     |sources|, never data. Output: (source, n_docs, weight, quota).
     """
+    counts = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    return temperature_mix_from_counts(
+        counts, source_col, "n_docs", alpha_permille, budget
+    )
+
+
+def temperature_mix_from_counts(
+    counts: DataFrame,
+    source_col: str = "source",
+    n_col: str = "n_docs",
+    alpha_permille: int = 500,
+    budget: int = 10_000,
+) -> DataFrame:
+    """``temperature_mix`` over a pre-aggregated (source, n_docs) table
+    — the same weight/quota math without re-counting, for callers that
+    already hold per-source counts (catalog stats, a prior groupBy) and
+    for testing the corpus-scale n_docs regime without materializing
+    billions of rows.
+
+    All overflow-prone intermediates run in DECIMAL: the α=1/4 weight
+    root computes n·10¹² in DECIMAL(33,0) (the old BIGINT multiply
+    overflowed for n_docs > ~9.22M — exactly the head-source regime
+    the operator targets), and the quota products B·w run in
+    DECIMAL(38,0) (BIGINT wrapped once budget·weight passed 2^63).
+    Exactness bounds: n_docs <= ~10¹⁹ (the _isqrt_exact ±1-correction
+    domain) and budget·max_weight < 10³⁸ — both astronomically past
+    any real corpus."""
     if alpha_permille not in (1000, 500, 250):
         raise ValueError(
             f"alpha_permille must be one of (1000, 500, 250): {alpha_permille}"
         )
     if budget < 0:
         raise ValueError(f"budget must be >= 0: {budget}")
-    counts = df.groupBy(source_col).agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs")
-    )
-    n = F.col("n_docs")
+    n = F.col(n_col).cast("long")
+    nd = n.cast("decimal(19,0)")
     if alpha_permille == 1000:
         w = n
     elif alpha_permille == 500:
-        w = _isqrt_exact(n * F.lit(1_000_000).cast("long"))
+        w = _isqrt_exact(nd * F.lit(1_000_000).cast("decimal(7,0)"))
     else:
         w = _isqrt_exact(
-            _isqrt_exact(n * F.lit(1_000_000_000_000).cast("long"))
+            _isqrt_exact(nd * F.lit(1_000_000_000_000).cast("decimal(13,0)"))
         )
-    weighted = counts.withColumn("weight", w.cast("long"))
+    weighted = counts.select(
+        F.col(source_col), n.alias("n_docs")
+    ).withColumn("weight", w.cast("long"))
+    # Σ weights in DECIMAL(38,0): weights are bounded by n_docs (α=1),
+    # so a many-source corpus-scale total can pass 2^63 even though
+    # each weight fits BIGINT.
     tot = weighted.agg(
-        F.sum("weight").cast("long").alias("_w_tot"),
+        F.sum(F.col("weight").cast("decimal(19,0)")).alias("_w_tot"),
         F.count(F.lit(1)).cast("long").alias("_n_src"),
     )
-    b = F.lit(int(budget)).cast("long")
+    b = F.lit(int(budget)).cast("decimal(19,0)")
+    bw = b * F.col("weight").cast("decimal(19,0)")
     based = (
         weighted.crossJoin(F.broadcast(tot))
-        .withColumn(
-            "_base", F.call_function("div", b * F.col("weight"), F.col("_w_tot"))
-        )
-        .withColumn("_rem", (b * F.col("weight")) % F.col("_w_tot"))
+        # IntegralDivide accepts DECIMAL operands and returns BIGINT
+        # exactly (the quotient is <= budget); the remainder stays
+        # DECIMAL — it is bounded by _w_tot, which may not fit BIGINT.
+        .withColumn("_base", F.call_function("div", bw, F.col("_w_tot")))
+        .withColumn("_rem", bw % F.col("_w_tot"))
     )
     # leftover seats L = B - sum(base); rank remainders on the
     # |sources|-row table (partition-less window bounded by the source

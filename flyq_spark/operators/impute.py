@@ -42,7 +42,17 @@ def group_statistic(
     strategy: str = "median",
 ) -> DataFrame:
     """Per-group fill statistic over NON-NULL values: one row per group
-    present in ``df``, column ``_fill`` (NULL for all-NULL groups)."""
+    present in ``df``, column ``_fill`` (NULL for all-NULL groups).
+
+    Group-cardinality regime (median only): the rank selection rides
+    the grouped prefix-sum primitive, which force-broadcasts a
+    ≤(P + |groups|)-row offset table — built for LOW-cardinality keys
+    (sources, event types, cohorts) where a group-keyed window
+    straggles. For millions of tiny groups (e.g. per-user medians)
+    that broadcast is the bottleneck; use a plain
+    ``Window.partitionBy(*keys)`` percentile there instead (same
+    regime note as operators/ranking.py). mean/mode are pure groupBys
+    and have no such regime split."""
     if strategy not in _STRATEGIES:
         raise ValueError(
             f"strategy must be one of {_STRATEGIES}, got {strategy!r}"
@@ -67,11 +77,12 @@ def group_statistic(
     if strategy == "mode":
         counted = nn.groupBy(*keys, col).agg(F.count("*").alias("_c"))
         # argmax by count, tie -> smallest value: min over (-count, value)
-        return (
+        return _restore_all_groups(
             counted.groupBy(*keys)
             .agg(F.min(F.struct((-F.col("_c")).alias("_nc"), F.col(col).alias("_v"))).alias("_m"))
-            .select(*keys, F.col("_m._v").alias("_fill"))
-            .join(df.select(*keys).distinct(), list(keys), "right")
+            .select(*keys, F.col("_m._v").alias("_fill")),
+            df,
+            keys,
         )
     # median (exact, lower convention) — rank selection over the
     # DISTINCT (group, value) table: counted distinct + per-group
@@ -100,7 +111,30 @@ def group_statistic(
         .groupBy(*keys)
         .agg(F.min(col).alias("_fill"))
     )
-    return med.join(df.select(*keys).distinct(), list(keys), "right")
+    return _restore_all_groups(med, df, keys)
+
+
+def _restore_all_groups(
+    stats: DataFrame, df: DataFrame, keys: tuple[str, ...]
+) -> DataFrame:
+    """Re-attach groups whose values were all NULL (absent from the
+    non-null statistics) with ``_fill`` NULL — null-SAFE on the group
+    keys: a NULL group key is a real group (its rows were aggregated
+    together upstream), and the plain on-name right join this replaces
+    silently dropped such a group's computed statistic."""
+    marks = [f"_sg_{i}" for i in range(len(keys))]
+    st = stats.select(
+        *[F.col(k).alias(m) for k, m in zip(keys, marks)], "_fill"
+    )
+    all_groups = df.select(*keys).distinct()
+    cond = None
+    for k, m in zip(keys, marks):
+        c = F.col(m).eqNullSafe(F.col(k))
+        cond = c if cond is None else cond & c
+    # group-sized side broadcast explicitly: behind the aliased
+    # null-safe condition the planner has no size estimate and would
+    # fall back to sort-merge
+    return all_groups.join(F.broadcast(st), cond, "left").drop(*marks)
 
 
 def impute_group_stat(
@@ -117,7 +151,20 @@ def impute_group_stat(
     silently. All other columns pass through unchanged."""
     flag = flag_col or f"{col}_imputed"
     stats = group_statistic(df, keys, col, strategy)
-    out = df.join(stats, list(keys), "left")
+    # null-safe on the group keys: rows whose group key is NULL belong
+    # to a real group with a real statistic (the plain on-name join
+    # this replaces left them unfilled); stats keys are aliased to
+    # marker names first — stats shares df's lineage, and a direct
+    # attribute-based self-join condition is ambiguous.
+    marks = [f"_sg_{i}" for i in range(len(keys))]
+    st = stats.select(
+        *[F.col(k).alias(m) for k, m in zip(keys, marks)], "_fill"
+    )
+    cond = None
+    for k, m in zip(keys, marks):
+        c = F.col(k).eqNullSafe(F.col(m))
+        cond = c if cond is None else cond & c
+    out = df.join(F.broadcast(st), cond, "left").drop(*marks)
     filled = F.coalesce(F.col(col), F.col("_fill"))
     was = F.col(col).isNull() & F.col("_fill").isNotNull()
     return out.select(
@@ -154,7 +201,12 @@ def winsorize(
     broadcast-attaches. The value at target rank r is the distinct
     value whose rank interval (cum−cnt, cum] covers r. Appends
     ``lo_bound``, ``hi_bound``, ``<value_col>_w`` (clamped), and
-    ``was_clamped``."""
+    ``was_clamped``.
+
+    Group-cardinality regime: the grouped primitive force-broadcasts a
+    ≤(P + |groups|)-row offset table — right for LOW-cardinality keys;
+    for millions of tiny groups use a plain group-keyed window
+    percentile instead (operators/ranking.py regime note)."""
     from flyq_spark.operators.ranking import grouped_prefix_sums
     from flyq_spark.operators.util import exact_ceil_frac
 
@@ -328,14 +380,16 @@ def quantile_normalize(
     q/n_quantiles (inverted-CDF, rank ceil(q·N/n_quantiles)) — both
     sides pure integer rank arithmetic, reproducible on any engine.
 
-    Scale shape: BOTH sides ride the range-partitioned rank
-    (operators/ranking.py): within-group quantiles via the grouped
-    exact NTILE (no window keyed by the group column — that is one
-    N/|groups|-row sort task when the group is low-cardinality), the
-    pooled reference via the global rank, reduced to an
-    n_quantiles-row broadcast table; the slim source is checkpointed
-    once and feeds both branches."""
-    from flyq_spark.operators.ranking import global_row_number, grouped_ntile
+    Scale shape: the within-group quantiles ride the range-partitioned
+    grouped exact NTILE (operators/ranking.py — no window keyed by the
+    group column, which is one N/|groups|-row sort task when the group
+    is low-cardinality; NTILE is row-level by definition, ties split
+    across buckets by id). The pooled reference needs only the value
+    at t target RANKS, so it runs over the DISTINCT value counts — a
+    distinct-sized prefix-sum pass, never a second data-sized
+    exchange — and reduces to an n_quantiles-row broadcast table. The
+    slim source is checkpointed once and feeds both branches."""
+    from flyq_spark.operators.ranking import grouped_ntile, grouped_prefix_sums
 
     t = int(n_quantiles)
     if t < 1:
@@ -353,21 +407,24 @@ def quantile_normalize(
         "_q",
         materialize=False,
     )
-    pooled = global_row_number(
-        src.select("_v"),
+    pooled = grouped_prefix_sums(
+        src.groupBy("_v").agg(F.count(F.lit(1)).cast("long").alias("_c")),
+        [],
         [F.col("_v").asc()],
-        rank_col="_r",
-        total_col="_n",
+        {"_cum": F.col("_c")},
+        totals={"_cum": "_n"},
         materialize=False,
     )
     # lower exact quantile at fraction q/t = value at rank
-    # ceil(q*N/t). Row r is that target exactly for the q in
-    # (floor((r-1)t/N), floor(rt/N)] — disjoint intervals that
-    # partition 1..t as r walks the order, so each q appears ONCE and
-    # the filter+explode emits exactly t rows (never N*t): the
-    # reference table is built in one linear pass over the ranks.
-    qhi = F.expr(f"(_r * {t}) DIV _n")
-    qlo = F.expr(f"((_r - 1) * {t}) DIV _n")
+    # ceil(q*N/t). The distinct value with count c and cumulative
+    # count cum holds ranks (cum−c, cum], so it is that target exactly
+    # for the q in (floor((cum−c)t/N), floor(cum·t/N)] — disjoint
+    # intervals that partition 1..t as cum walks the order, so each q
+    # appears ONCE and the filter+explode emits exactly t rows (never
+    # N*t): the reference table is built in one linear pass over the
+    # DISTINCT value ranks.
+    qhi = F.expr(f"(_cum * {t}) DIV _n")
+    qlo = F.expr(f"((_cum - _c) * {t}) DIV _n")
     ref = (
         pooled.where(qhi > qlo)
         .select(

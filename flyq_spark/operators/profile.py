@@ -152,38 +152,105 @@ def mad_outliers(
     - outlier iff 10·|x − med| > k_tenths·MAD (k_tenths=30 ≈ the
       classic 3σ with MAD≈σ·0.6745 left to the caller's k) — scaled
       integer comparison, no float ratio ever materializes. NULL
-      values are excluded throughout (nothing to screen).
+      values are excluded throughout (nothing to screen); a NULL
+      group KEY is a real group (null-safe joins, same discipline as
+      winsorize/rank_normalize).
 
-    Plan: two group-statistic frames (each |groups| rows, broadcast
-    back) + one conditional re-aggregation — three passes over the
-    slim (group, value) projection, zero data-sized windows. Output:
+    Plan — ONE data-sized pass total: the source reduces once to the
+    DISTINCT (group, value, count) table (checkpointed inside the
+    prefix-sum primitive); the deviation median's counted table is
+    DERIVED from it (|x − med| merges value pairs equidistant from the
+    median — a distinct-sized groupBy, never a second scan of the
+    data), and both the row count (Σ counts = the primitive's group
+    total) and the outlier count (Σ counts where 10·dv > k·MAD) read
+    off the same distinct-sized frame. Everything after the first
+    groupBy is bounded by |distinct values|, not rows. Output:
     (group, n_rows, med, mad, n_outliers) one row per group."""
-    from flyq_spark.operators.impute import group_statistic
+    from flyq_spark.operators.ranking import grouped_prefix_sums
 
-    keys = (group_col,)
-    src = df.select(group_col, value_col).where(F.col(value_col).isNotNull())
-    med = group_statistic(src, keys, value_col, "median").select(
-        group_col, F.col("_fill").alias("_med")
+    def covers(target: Column) -> Column:
+        return (F.col("_cum") - F.col("_c") < target) & (target <= F.col("_cum"))
+
+    lower_median_target = F.call_function(
+        "div", F.col("_n") + F.lit(1).cast("long"), F.lit(2).cast("long")
     )
-    dev = src.join(med, group_col).withColumn(
-        "_dv", F.abs(F.col(value_col) - F.col("_med"))
+    counted = (
+        df.select(group_col, value_col)
+        .where(F.col(value_col).isNotNull())
+        .groupBy(group_col, value_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
     )
-    mad = group_statistic(
-        dev.select(group_col, "_dv"), keys, "_dv", "median"
-    ).select(group_col, F.col("_fill").alias("_mad"))
-    return (
-        dev.join(mad, group_col)
+    # materialize=False: the input is a deterministic aggregation and
+    # the primitive's own stamped-rows checkpoint already provides the
+    # row/offset structural consistency — the extra input checkpoint
+    # would only add a materialization stage.
+    cums = grouped_prefix_sums(
+        counted,
+        [group_col],
+        [F.col(value_col).asc()],
+        {"_cum": F.col("_c")},
+        totals={"_cum": "_n"},
+        materialize=False,
+    )
+    med = (
+        cums.where(covers(lower_median_target))
+        .groupBy(group_col)
+        .agg(F.min(value_col).alias("_med"))
+        .select(F.col(group_col).alias("_mg"), "_med")
+    )
+    # no (group, dv) re-aggregation before the second pass: prefix sums
+    # are well-defined over duplicate order keys (two values equidistant
+    # from the median), and every row covering the target rank carries
+    # the same dv — one shuffle saved.
+    dev_counted = (
+        cums.select(group_col, value_col, "_c")
+        .join(F.broadcast(med), F.col(group_col).eqNullSafe(F.col("_mg")))
+        .select(
+            F.col(group_col),
+            F.abs(F.col(value_col) - F.col("_med")).alias("_dv"),
+            F.col("_c"),
+        )
+    )
+    dev_cums = grouped_prefix_sums(
+        dev_counted,
+        [group_col],
+        [F.col("_dv").asc()],
+        {"_cum": F.col("_c")},
+        totals={"_cum": "_n"},
+        materialize=False,
+    )
+    # MAD row also carries the group total (n_rows) for free; the
+    # outlier count is n − (cum at the largest dv inside the fence), so
+    # the whole result assembles from two group-sized rank selections —
+    # no m-row re-aggregation after the second pass.
+    mad = (
+        dev_cums.where(covers(lower_median_target))
         .groupBy(group_col)
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_rows"),
-            F.max("_med").cast("long").alias("med"),
-            F.max("_mad").cast("long").alias("mad"),
-            F.count(
-                F.when(
-                    F.lit(10) * F.col("_dv") > F.lit(int(k_tenths)) * F.col("_mad"),
-                    1,
-                )
-            )
+            F.min("_dv").alias("_mad"),
+            F.max("_n").cast("long").alias("n_rows"),
+        )
+        .select(F.col(group_col).alias("_ag"), "_mad", "n_rows")
+    )
+    inside = (
+        dev_cums.select(group_col, "_dv", "_cum")
+        .join(F.broadcast(mad), F.col(group_col).eqNullSafe(F.col("_ag")))
+        .where(F.lit(10) * F.col("_dv") <= F.lit(int(k_tenths)) * F.col("_mad"))
+        .groupBy(group_col)
+        .agg(F.max("_cum").cast("long").alias("_n_inside"))
+        .select(F.col(group_col).alias("_ig"), "_n_inside")
+    )
+    return (
+        mad.join(
+            F.broadcast(med), F.col("_ag").eqNullSafe(F.col("_mg")), "left"
+        )
+        .join(F.broadcast(inside), F.col("_ag").eqNullSafe(F.col("_ig")), "left")
+        .select(
+            F.col("_ag").alias(group_col),
+            F.col("n_rows"),
+            F.col("_med").cast("long").alias("med"),
+            F.col("_mad").cast("long").alias("mad"),
+            (F.col("n_rows") - F.coalesce(F.col("_n_inside"), F.lit(0)))
             .cast("long")
             .alias("n_outliers"),
         )

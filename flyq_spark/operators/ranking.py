@@ -58,6 +58,21 @@ Determinism: output values depend only on the TOTAL order (callers
 must pass a tie-broken order — e.g. append the primary key — unless
 the downstream use is tie-insensitive, like min-rank-per-value), so
 the sampled range boundaries cannot change results.
+
+localCheckpoint LIFECYCLE: every primitive call checkpoints its
+stamped rows (and callers may checkpoint inputs), and those RDDs are
+NEVER unpersisted — executor-local storage grows with the number of
+calls in the session. That is the right trade for gate/bench/batch
+sessions (bounded call counts, storage reclaimed at session exit), and
+the WRONG one inside a long-lived Structured Streaming query: a sink
+invoking these primitives per micro-batch leaks one checkpoint per
+batch forever. The streaming sinks (flyq_spark/streaming/sink.py) must
+stay off this module — enforced by
+tests/test_plan_audit.py::test_streaming_sinks_stay_off_ranking_primitives.
+A long-lived NON-streaming session that needs these repeatedly should
+recycle its SparkSession (or call
+``spark.sparkContext._jsc.getPersistentRDDs()`` cleanup) between
+rounds.
 """
 
 from __future__ import annotations
@@ -336,7 +351,9 @@ def _cumagg_kernel(group_cols: list[str], specs: list[tuple[str, str]]):
                 else:
                     cums[n] = grouped.cummin()
             first_key = key_at(pdf, 0) if group_cols else ()
-            if carry is not None and first_key == carry_key:
+            carried = carry is not None and first_key == carry_key
+            carry_in = carry
+            if carried:
                 if group_cols:
                     mask = (seg == 1).to_numpy()
                     for j, (n, op) in enumerate(specs):
@@ -346,6 +363,37 @@ def _cumagg_kernel(group_cols: list[str], specs: list[tuple[str, str]]):
                 else:
                     for j, (n, op) in enumerate(specs):
                         cums[n] = combine(op, cums[n], carry[j])
+            # int64 wrap guard for the sum paths: pandas/numpy cumsum
+            # WRAPS silently where the Spark window SUM this kernel
+            # replaced crashed under ANSI — crash-don't-wrap is the
+            # repo's integer discipline. Cheap conservative bound
+            # first (|carry| + Σ|batch|, in float64 so it cannot wrap
+            # itself): if that cannot reach the int64 range, no prefix
+            # inside the batch can either. Only a batch that CAN reach
+            # it pays the exact Python-int re-walk.
+            import numpy as np
+
+            for j, (n, op) in enumerate(specs):
+                if op != "sum":
+                    continue
+                raw = pdf[f"_gx_{n}"].to_numpy()
+                bound = float(np.abs(raw.astype("float64")).sum())
+                if carried:
+                    bound += abs(float(carry_in[j]))
+                if bound < float(2**62):
+                    continue
+                sv = seg.to_numpy() if group_cols else None
+                run = int(carry_in[j]) if carried else 0
+                for i in range(n_rows):
+                    if sv is not None and i > 0 and sv[i] != sv[i - 1]:
+                        run = 0
+                    run += int(raw[i])
+                    if not (-(2**63) <= run < 2**63):
+                        raise OverflowError(
+                            f"prefix sum of {n!r} exceeds int64 at batch "
+                            f"row {i} (running value {run}); rescale the "
+                            "summand upstream"
+                        )
             carry = [int(cums[n].iloc[-1]) for n, _ in specs]
             carry_key = key_at(pdf, n_rows - 1) if group_cols else ()
             for n, _ in specs:

@@ -175,6 +175,23 @@ def test_impute_group_stat_strategies(spark):
     with _pytest.raises(ValueError):
         impute_group_stat(df, ("k",), "v", "max")
 
+    # NULL group key is a real group: its statistic computes AND fills
+    # (plain on-name joins used to drop the match silently)
+    dfn = spark.createDataFrame(
+        [(None, 7, "n1"), (None, 9, "n2"), (None, None, "n3"),
+         ("a", 1, "r1"), ("a", None, "r2")],
+        "k string, v long, tag string",
+    )
+    for strategy, fill in [("median", 7), ("mean", 8), ("mode", 7)]:
+        gotn = sorted(
+            (r["tag"], r["v"], r["v_imputed"])
+            for r in impute_group_stat(dfn, ("k",), "v", strategy).collect()
+        )
+        assert gotn == sorted(
+            [("n1", 7, False), ("n2", 9, False), ("n3", fill, True),
+             ("r1", 1, False), ("r2", 1, True)]
+        ), strategy
+
 
 def test_edit_distance_pairs_exact_vs_naive(spark):
     """SymSpell delete-neighborhood blocking must lose NO pair: compare
@@ -420,6 +437,39 @@ def test_robust_outliers_exact_fences(spark):
     )
     b = got["b"]
     assert (b["lo"], b["hi"], b["n_low"], b["n_high"]) == (5, 5, 0, 0)
+
+
+def test_mad_outliers_model_and_null_group(spark):
+    """mad_outliers vs an independent statistics.median-based model,
+    including a NULL group key — a real group (rows ranked together,
+    present in the output) per the repo's null-safe-join discipline;
+    plain on-name joins used to drop it silently."""
+    from flyq_spark.operators.profile import mad_outliers
+
+    groups = {
+        "a": [1, 2, 3, 4, 100],       # med=3, dv=[2,1,0,1,97], mad=1
+        "b": [10, 10, 10],            # mad=0: every dv>0 is an outlier
+        None: [5, 7, 9, 9, 11, 400],  # the NULL group
+    }
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    rows += [("a", None), (None, None)]  # NULL values excluded
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {r["g"]: r for r in mad_outliers(df, "g", "v", 30).collect()}
+    assert set(got) == {"a", "b", None}
+
+    def lower_median(vs):
+        s = sorted(vs)
+        return s[(len(s) + 1) // 2 - 1]
+
+    for g, vs in groups.items():
+        med = lower_median(vs)
+        devs = [abs(v - med) for v in vs]
+        mad = lower_median(devs)
+        n_out = sum(1 for d in devs if 10 * d > 30 * mad)
+        r = got[g]
+        assert (r["n_rows"], r["med"], r["mad"], r["n_outliers"]) == (
+            len(vs), med, mad, n_out
+        ), g
 
 
 def test_funnel_steps_strict_order_and_ties(spark):
@@ -5160,6 +5210,57 @@ def test_temperature_mix_matches_python_model(spark):
 
     with pytest.raises(ValueError):
         temperature_mix(df, "source", alpha_permille=700)
+
+
+def test_temperature_mix_corpus_scale_counts(spark):
+    """The documented regime — head sources with millions-to-billions
+    of docs — via temperature_mix_from_counts (mirrors
+    test_exact_global_quantiles_full_int64_range's hostile-domain
+    strategy: drive the arithmetic at the boundary without
+    materializing the rows). n·10¹² passes 2^63 at n ≈ 9.22M; the old
+    BIGINT intermediate wrapped (ANSI crash or silently wrong weights)
+    for every case below."""
+    import math
+
+    from flyq_spark.operators.corpus import temperature_mix_from_counts
+
+    sizes = {
+        "head": 9_300_000,          # first n where n·10^12 > 2^63
+        "cc": 3_100_000_000,        # billions-of-docs head source
+        "giant": 4 * 10**18,        # near the BIGINT count ceiling
+        "tail": 4,
+        "mid": 123_456_789,
+    }
+    counts = spark.createDataFrame(
+        [(s, n) for s, n in sizes.items()], "source string, n_docs long"
+    )
+    for alpha, budget in [(250, 10_000), (500, 1_000_003), (1000, 97)]:
+        got = {
+            r["source"]: (r["n_docs"], r["weight"], r["quota"])
+            for r in temperature_mix_from_counts(
+                counts, "source", "n_docs", alpha, budget
+            ).collect()
+        }
+
+        def w_of(n):
+            if alpha == 1000:
+                return n
+            if alpha == 500:
+                return math.isqrt(n * 10**6)
+            return math.isqrt(math.isqrt(n * 10**12))
+
+        wts = {s: w_of(n) for s, n in sizes.items()}
+        W = sum(wts.values())
+        base = {s: budget * w // W for s, w in wts.items()}
+        rem = {s: budget * w % W for s, w in wts.items()}
+        left = budget - sum(base.values())
+        order = sorted(sizes, key=lambda s: (-rem[s], s))
+        want = {
+            s: (sizes[s], wts[s], base[s] + (1 if order.index(s) < left else 0))
+            for s in sizes
+        }
+        assert got == want, (alpha, budget)
+        assert sum(q for _, _, q in got.values()) == budget
 
 
 def test_embedding_pca_matches_numpy(spark):

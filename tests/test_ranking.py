@@ -261,6 +261,54 @@ def test_grouped_prefix_sums_batch_boundary_carry(spark):
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
 
 
+def test_grouped_prefix_sums_int64_overflow_raises(spark):
+    """Crash-don't-wrap: a prefix sum crossing the int64 line raises
+    loudly (the window SUM this kernel replaced crashed under ANSI;
+    a silent numpy wrap would corrupt every downstream rank). Values
+    BELOW the line — including past the cheap 2^62 bound, where the
+    exact Python-int re-walk takes over — still compute exactly."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException
+
+    from flyq_spark.operators.ranking import grouped_prefix_sums
+
+    big = 2**62
+    safe = spark.createDataFrame(
+        [(1, big, "g"), (2, big - 1, "g"), (3, -big, "g"), (4, 5, "g")],
+        "id long, x long, g string",
+    )
+    got = {
+        r["id"]: r["cx"]
+        for r in grouped_prefix_sums(
+            safe, ["g"], [F.col("id").asc()], {"cx": F.col("x")},
+            num_partitions=1,
+        ).collect()
+    }
+    assert got == {1: big, 2: 2 * big - 1, 3: big - 1, 4: big + 4}
+
+    # crossing 2^63 - 1 mid-group: must raise, not wrap negative
+    bad = spark.createDataFrame(
+        [(1, big, "g"), (2, big, "g"), (3, 1, "g")],
+        "id long, x long, g string",
+    )
+    with pytest.raises((PythonException, Py4JJavaError), match="int64"):
+        grouped_prefix_sums(
+            bad, ["g"], [F.col("id").asc()], {"cx": F.col("x")},
+            num_partitions=1,
+        ).collect()
+
+    # an overflow in group A must not be masked by a reset into group B
+    bad2 = spark.createDataFrame(
+        [(1, big, "a"), (2, big, "a"), (3, 1, "b")],
+        "id long, x long, g string",
+    )
+    with pytest.raises((PythonException, Py4JJavaError), match="int64"):
+        grouped_prefix_sums(
+            bad2, ["g"], [F.col("id").asc()], {"cx": F.col("x")},
+            num_partitions=1,
+        ).collect()
+
+
 def test_grouped_plans_have_no_data_sized_windows(spark):
     """Grouped primitives may only window over offset tables: every
     window spec must be partitioned by _gg_* marker copies (≤(P+G)
