@@ -49,6 +49,10 @@ SF0001 = "/root/testdata/sf0.001"
 MONITOR_WARN = 1000  # reference thresholds, flyq-client/examples/monitor.rs:78-81
 MONITOR_NOTICE = 100
 
+# one GDPR-loop broker + report per (session, sf_dir): the loop is an
+# eager on-disk mutation — see q_erase_subject_loop
+_GDPR_LOOP_CACHE: dict = {}
+
 
 from flyq_spark.io import read_table as _read_table
 
@@ -4487,9 +4491,23 @@ def q_erase_subject_loop(spark, sf_dir):
     after ≡ (0, 0, 0), parts_rewritten/deleted from which broker
     partitions hold subject rows — Spark measures post-erasure reality
     from the actual on-disk topic; hash equality proves the loop."""
+    import atexit
+    import shutil
     import tempfile
 
     from flyq_spark.engine import FlyQEngine
+
+    # The loop is an EAGER maintenance mutation (produce + staged
+    # on-disk erasure), not a lazy query: run it once per
+    # (session, sf_dir) and hand every later caller the same report
+    # frame — gate/bench/plan-audit enumerators iterate queries()
+    # repeatedly, and re-executing would redo the whole produce+erase
+    # and leak one populated temp broker per call. The single temp dir
+    # is registered for interpreter-exit cleanup.
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _GDPR_LOOP_CACHE.get(key)
+    if cached is not None:
+        return cached
 
     ev = _read(spark, sf_dir, "events")
     msgs = ev.select(
@@ -4498,10 +4516,16 @@ def q_erase_subject_loop(spark, sf_dir):
         F.col("ts").alias("timestamp"),
         F.col("event_id").alias("seq"),  # dense arrival order (fixture contract)
     )
-    eng = FlyQEngine(spark, tempfile.mkdtemp(prefix="flyq_gdprloop_"))
+    base = tempfile.mkdtemp(prefix="flyq_gdprloop_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    eng = FlyQEngine(spark, base)
     eng.create_topic("subjects", partitions=4)
     eng.produce("subjects", msgs, method="mod", collect_acks=False)
-    return eng.erase_subject([b"7", b"42", b"99", b"424242"], topics=["subjects"])
+    report = eng.erase_subject(
+        [b"7", b"42", b"99", b"424242"], topics=["subjects"]
+    )
+    _GDPR_LOOP_CACHE[key] = report
+    return report
 
 
 def q_ks_value_drift(spark, sf_dir):
@@ -4617,56 +4641,41 @@ def entry(spark: SparkSession) -> DataFrame:
 # prior round's record. Every entry still runs in the full local sweep
 # (tools/verify_local.py) regardless of position.
 _DRIVER_WINDOW = [
-    # r9: close the driver-proof ledger. 50 slots =
-    # (a) the 19 entries NEVER in any driver window through r8 — with
-    #     these, every one of the 216 gate entries has been
-    #     driver-checked at least once (cumulative coverage 216/216);
-    # (b) the 8 previously-green entries whose implementations were
-    #     REWRITTEN this round and need fresh proof (the
-    #     constant-cardinality group-window family moved onto the
-    #     grouped ranking primitives: winsorize_values,
-    #     impute_group_stats, rank_normalize, length_percentiles,
-    #     value_outliers, eval_sample; plus ntile_user_value and
-    #     rfm_segments, whose underlying global primitives gained the
-    #     mapInPandas cumsum kernel + structural checkpoint);
-    # (c) the 9 stalest greens, last checked r03 (dedup/sketch/ANN
-    #     family); and
-    # (d) the 14 engine-op gates last checked r04 (watermark / consume
-    #     / lag / retention surface — the broker-parity core deserves
-    #     periodic re-proof).
-    # The r8-green rows this displaces are all recorded in
-    # CORRECTNESS_r08.json.
+    # r10: freshness rotation (VERDICT r9 next-round #2). Cumulative
+    # coverage has been 222/222 since r9 — the window now exists to
+    # keep the proof CURRENT as code churns. 50 slots =
+    # (a) all 38 entries whose latest driver check dates to r04 or
+    #     earlier (the TPC-H q1-q22 ladder, the relational/window/
+    #     set-op gates, and the engine ops consume_by_key /
+    #     consume_next / read_from_offset / retention_size /
+    #     monitor_alerts); plus
+    # (b) 12 of the 44 r05-stale greens, prioritizing broker-core
+    #     paths (produce/routing), gates over code rewired since
+    #     (top_events_per_user rides ranking; corpus_prep_pipeline
+    #     composes the corpus family), and the heaviest pipelines.
+    # After this round no entry's latest check predates r05. The rows
+    # displaced are all green in CORRECTNESS_r09.json.
     #
-    # -- (a) never-driver-checked (19; 11 oracle-backed, 8 rows-only) --
-    "audio_segments", "bpe_encode_stats", "bpe_merges",
-    "collocations", "compaction_execute", "compaction_plan",
-    "compression_quality", "feature_bins", "ivf_tuning",
-    "ks_drift_matrix", "ks_value_drift", "lpa_communities",
-    "lsh_tuning", "mmr_topk", "pii_redact", "pii_scan",
-    "quantile_normalize", "subject_access", "unigram_surprisal",
-    # -- (b) rewritten this round, re-prove (8) --
-    "winsorize_values", "impute_group_stats", "rank_normalize",
-    "length_percentiles", "value_outliers", "eval_sample",
-    "ntile_user_value", "rfm_segments",
-    # -- (c) stalest greens, last checked r03 (9) --
-    "dedup_events", "distinct_users_daily", "sketch_stats",
-    "token_stats", "multimodal_content", "minhash_pairs",
-    "simhash_neardup", "ann_lsh_topk", "ann_ivf_topk",
-    # -- (d) engine-op surface, last checked r04 (10 of 14;
-    #    monitor_alerts is the entry() flagship smoke-checked every
-    #    round, and three cousins of still-listed ops ceded their
-    #    slots to the new gates below) --
-    "watermarks", "consume_point", "stream_from_offset",
-    "consume_with_group", "commit_offset_upsert",
-    "consumer_lag", "partition_health", "retention_time",
-    # -- new this round (6): the composed GDPR loop (digest theorem),
-    #    temperature mixing (Σ quota = budget theorem), group
-    #    assignment, median/MAD screen, late-arrival watermark sizing,
-    #    and the rows-only PCA (variance-equals-eigenvalue check
-    #    inside the result) — with these, EVERY gate entry has been
-    #    driver-checked at least once (cumulative 222/222) --
-    "erase_subject_loop", "temperature_mix", "group_assignment",
-    "mad_outliers", "late_arrivals", "embedding_pca",
+    # -- (a) last checked r04 or earlier (38) --
+    "q1_pricing", "q2_min_cost_supplier", "q3_top_orders",
+    "q4_order_priority", "q5_region_revenue", "q6_forecast_revenue",
+    "q7_volume_shipping", "q8_market_share", "q9_profit_by_nation_year",
+    "q10_returned_items", "q11_important_parts", "q12_shipping_priority",
+    "q13_order_distribution", "q14_promo_revenue", "q15_top_supplier",
+    "q16_supplier_cnt", "q17_small_qty_revenue", "q18_big_orders",
+    "q19_disjunctive_revenue", "q20_dominant_suppliers",
+    "q21_waiting_suppliers", "q22_idle_customers",
+    "consume_by_key", "consume_next", "read_from_offset",
+    "retention_size", "monitor_alerts", "consumer_lag_total",
+    "cube_revenue", "rollup_revenue", "pivot_priority_by_year",
+    "median_order_by_segment", "setops_customer_segments",
+    "funnel_conversion", "running_order_totals", "window_tumbling",
+    "window_sliding", "sessionize",
+    # -- (b) r05-stale greens (12) --
+    "produce_log", "route_keyed", "route_round_robin",
+    "top_events_per_user", "corpus_prep_pipeline", "dedup_exact",
+    "similarity_topk", "cdc_apply", "lang_id", "contamination_check",
+    "session_window_counts", "json_props_stats",
 ]
 
 
