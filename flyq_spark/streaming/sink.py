@@ -682,3 +682,177 @@ def read_golden_record_view(
     return golden_record_finalize(
         golden_record_merge(state, key_cols, field_names), field_names
     )
+
+
+def late_arrival_monitor_sink(
+    view_path: str,
+    group_col: str,
+    ts_col: str,
+    thresholds_us: tuple[int, ...] = (60_000_000, 3_600_000_000),
+    compact_every: int = 16,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch callback maintaining the STREAMING twin of
+    :func:`flyq_spark.operators.watermarks.late_arrival_profile`: a
+    continuously-updated per-group lateness view that sizes a
+    ``withWatermark`` delay from the live stream instead of a replay.
+
+    Semantics match Structured Streaming's watermark contract exactly:
+    the watermark is FIXED for a whole micro-batch and derives from
+    prior batches only (a batch's own rows never gate each other — the
+    engine computes the next watermark from a batch's max event time
+    AFTER processing it). Per batch b and group g:
+
+        wm_before(g) = max(batch_max_us) over state with batch_id < b
+        lateness     = max(0, wm_before − ts)   (0 for a new group)
+        n_late_t    += rows with lateness > t   (exactly the rows
+                       ``withWatermark(t)`` would drop in batch b)
+
+    Replay safety: wm_before reads only STRICTLY-OLDER state, so a
+    re-delivered batch (same batch_id after a pre-commit crash)
+    recomputes an identical delta and OVERWRITES its own
+    ``delta/batch_id=N`` partition — the same never-merge-in-place
+    discipline as :func:`aggregate_view_sink`; compaction folds every
+    delta exactly once behind a ``_VIEW_READY`` marker.
+
+    Scale: per-batch work is one group-sized aggregation of the batch
+    plus one broadcast of the ≤|groups|-row watermark table; state is
+    |groups| × (uncompacted batches) rows, folded to |groups| every
+    ``compact_every`` batches. Nothing here touches the ranking
+    primitives (their per-call localCheckpoint would leak per batch —
+    operators/ranking.py lifecycle note); the running max lives in the
+    view itself. Read with :func:`read_late_arrival_monitor`."""
+    import os
+    import shutil
+
+    if "://" in view_path:
+        raise ValueError(
+            f"late_arrival_monitor_sink needs a driver-local view_path; "
+            f"got scheme-qualified {view_path!r}"
+        )
+    if compact_every < 1:
+        raise ValueError(f"compact_every must be >= 1, got {compact_every}")
+    root = view_path.rstrip("/")
+    thresholds = tuple(int(t) for t in thresholds_us)
+
+    def _fold(state: DataFrame) -> DataFrame:
+        aggs = [
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.max("batch_max_us").cast("long").alias("batch_max_us"),
+            F.max("max_late_us").cast("long").alias("max_late_us"),
+            F.sum("total_late_us").cast("long").alias("total_late_us"),
+        ] + [
+            F.sum(f"n_late_{t}us").cast("long").alias(f"n_late_{t}us")
+            for t in thresholds
+        ]
+        return state.groupBy(group_col).agg(*aggs)
+
+    def _recover() -> tuple[int, str] | None:
+        ready = _view_ready_base(root)
+        for upto, path in _view_bases(root):
+            if (upto, path) != ready:
+                shutil.rmtree(path, ignore_errors=True)
+        if ready is not None:
+            for bid, path in _view_deltas(root):
+                if bid <= ready[0]:
+                    shutil.rmtree(path, ignore_errors=True)
+        return ready
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        ready = _recover()
+        # strictly-older state only: the ready base (covers batches <=
+        # upto < batch_id in any non-corrupt run) + older deltas
+        prior = ([ready[1]] if ready is not None else []) + [
+            p
+            for b, p in _view_deltas(root)
+            if b < batch_id and (ready is None or b > ready[0])
+        ]
+        src = batch_df.select(
+            F.col(group_col),
+            F.col(ts_col).cast("long").alias("_ts_us"),
+        ).where(F.col("_ts_us").isNotNull())
+        if prior:
+            wm = (
+                spark.read.parquet(*prior)
+                .groupBy(group_col)
+                .agg(F.max("batch_max_us").alias("_wm_us"))
+                .select(F.col(group_col).alias("_wg"), "_wm_us")
+            )
+            src = src.join(
+                F.broadcast(wm),
+                F.col(group_col).eqNullSafe(F.col("_wg")),
+                "left",
+            ).drop("_wg")
+        else:
+            src = src.withColumn("_wm_us", F.lit(None).cast("long"))
+        late = F.greatest(
+            F.lit(0).cast("long"),
+            F.coalesce(F.col("_wm_us") - F.col("_ts_us"), F.lit(0)),
+        )
+        counters = [
+            F.count(F.when(late > t, 1)).cast("long").alias(f"n_late_{t}us")
+            for t in thresholds
+        ]
+        delta = src.groupBy(group_col).agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.max("_ts_us").cast("long").alias("batch_max_us"),
+            F.max(late).cast("long").alias("max_late_us"),
+            F.sum(late).cast("long").alias("total_late_us"),
+            *counters,
+        )
+        delta_dir = os.path.join(root, "delta", f"batch_id={batch_id}")
+        delta.write.mode("overwrite").parquet(delta_dir)
+        deltas = [
+            (b, p)
+            for b, p in _view_deltas(root)
+            if ready is None or b > ready[0]
+        ]
+        if len(deltas) < compact_every:
+            return
+        state = spark.read.parquet(*[p for _, p in deltas])
+        if ready is not None:
+            state = spark.read.parquet(ready[1]).unionByName(state)
+        folded = _fold(state)
+        upto = deltas[-1][0]
+        new_base = os.path.join(root, f"base_upto_{upto}")
+        folded.write.mode("overwrite").parquet(new_base)
+        open(os.path.join(new_base, "_VIEW_READY"), "w").close()
+        if ready is not None:
+            shutil.rmtree(ready[1], ignore_errors=True)
+        for bid, path in deltas:
+            shutil.rmtree(path, ignore_errors=True)
+
+    return write
+
+
+def read_late_arrival_monitor(
+    spark,
+    view_path: str,
+    group_col: str,
+    thresholds_us: tuple[int, ...] = (60_000_000, 3_600_000_000),
+) -> DataFrame:
+    """Current per-group lateness profile from a
+    :func:`late_arrival_monitor_sink` view: (group, n_events,
+    watermark_us, max_late_us, total_late_us, n_late_<t>us...) — one
+    group-sized aggregation over the ready base + uncompacted
+    deltas."""
+    root = view_path.rstrip("/")
+    ready = _view_ready_base(root)
+    paths = ([ready[1]] if ready else []) + [
+        p
+        for bid, p in _view_deltas(root)
+        if ready is None or bid > ready[0]
+    ]
+    if not paths:
+        raise FileNotFoundError(f"no late-arrival state under {root}")
+    state = spark.read.parquet(*paths)
+    aggs = [
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.max("batch_max_us").cast("long").alias("watermark_us"),
+        F.max("max_late_us").cast("long").alias("max_late_us"),
+        F.sum("total_late_us").cast("long").alias("total_late_us"),
+    ] + [
+        F.sum(f"n_late_{int(t)}us").cast("long").alias(f"n_late_{int(t)}us")
+        for t in thresholds_us
+    ]
+    return state.groupBy(group_col).agg(*aggs)

@@ -33,6 +33,7 @@ SCALAR_BROADCAST_OK = {
     "ks_value_drift",  # (n_a, n_b) cohort totals, 1 row
     "ks_drift_matrix",  # pooled row-count total, 1 row
     "temperature_mix",  # 1-row weight-total scalar against |sources| rows
+    "cosine_pairs",  # 1-row candidate-bound guard (raise_error regime gate)
 }
 
 
@@ -183,6 +184,39 @@ def test_lowcard_window_allowlist_stays_honest(spark, entry):
         assert lowcard_window_specs(plan, LOW_CARD_COLS), (
             f"{name}: prune from LOW_CARD_WINDOW_OK"
         )
+
+
+def test_streaming_sinks_stay_off_ranking_primitives():
+    """The ranking/prefix-sum primitives localCheckpoint per call and
+    never unpersist — acceptable for bounded batch sessions, an
+    executor-storage leak if a foreachBatch sink calls them once per
+    micro-batch forever (operators/ranking.py lifecycle note). Pin the
+    contract: no streaming module may import or call the ranking
+    module. Source-level, so it catches the refactor BEFORE a
+    long-lived stream ships it."""
+    import os
+    import re
+
+    streaming_dir = os.path.join(
+        os.path.dirname(os.path.dirname(__file__)), "flyq_spark", "streaming"
+    )
+    banned = re.compile(
+        r"operators\.ranking|operators import ranking|"
+        r"grouped_prefix_|global_prefix_|grouped_row_number|"
+        r"grouped_ntile|ntile_exact|global_row_number"
+    )
+    hits = []
+    for fname in sorted(os.listdir(streaming_dir)):
+        if not fname.endswith(".py"):
+            continue
+        with open(os.path.join(streaming_dir, fname)) as f:
+            for i, line in enumerate(f, 1):
+                if banned.search(line):
+                    hits.append(f"{fname}:{i}: {line.strip()}")
+    assert hits == [], (
+        "streaming module references the per-call-checkpointing ranking "
+        f"primitives — per-batch leak risk: {hits}"
+    )
 
 
 def test_plan_shapes_match_baseline(spark, entry):

@@ -1117,3 +1117,82 @@ def test_streaming_quantiles_composition(spark, tmp_path):
         q_direct["p500_bin"],
         q_direct["p950_bin"],
     )
+
+
+def test_late_arrival_monitor_parity_and_replay(spark, tmp_path):
+    """Streaming late-arrival monitor (r10): per-group lateness view
+    maintained by late_arrival_monitor_sink vs an independent Python
+    model of Structured Streaming's watermark contract (the watermark
+    is FIXED per micro-batch and derives from prior batches only) —
+    identical counters including after a REPLAYED micro-batch
+    (own-delta overwrite) and across a base compaction; the watermark
+    itself must equal the global per-group max event time."""
+    from flyq_spark.streaming.sink import (
+        late_arrival_monitor_sink,
+        read_late_arrival_monitor,
+    )
+
+    t0 = 1_700_000_000_000_000
+    # deterministic interleaving of on-time and late rows per group:
+    # g0 strictly increasing (never late), g1 oscillating (late often)
+    rows = []
+    for i in range(240):
+        g = f"g{i % 2}"
+        if g == "g0":
+            ts = t0 + i * 1_000_000
+        else:
+            ts = t0 + i * 1_000_000 - (0 if i % 3 else 150_000_000)
+        rows.append((i, g, ts))
+    batches = [rows[:80], rows[80:160], rows[160:]]
+    thresholds = (60_000_000, 100_000_000)
+
+    # independent model: watermark fixed per batch, from prior batches
+    wm: dict = {}
+    model: dict = {}
+    for batch in batches:
+        seen_max: dict = {}
+        for _i, g, ts in batch:
+            m = model.setdefault(
+                g, {"n": 0, "max_late": 0, "total_late": 0,
+                    "late": {t: 0 for t in thresholds}}
+            )
+            late = max(0, wm.get(g, ts) - ts)
+            m["n"] += 1
+            m["max_late"] = max(m["max_late"], late)
+            m["total_late"] += late
+            for t in thresholds:
+                m["late"][t] += late > t
+            seen_max[g] = max(seen_max.get(g, ts), ts)
+        for g, mx in seen_max.items():
+            wm[g] = max(wm.get(g, mx), mx)
+
+    sink = late_arrival_monitor_sink(
+        str(tmp_path / "lateview"), "g", "ts_us",
+        thresholds_us=thresholds, compact_every=2,
+    )
+    for bid, batch in enumerate(batches):
+        sink(spark.createDataFrame(batch, "id long, g string, ts_us long"), bid)
+    # replay the final batch (same batch_id re-delivered after a
+    # pre-commit crash): wm_before reads strictly-older state only, so
+    # the rewritten delta must be byte-identical — no double count
+    sink(spark.createDataFrame(batches[2], "id long, g string, ts_us long"), 2)
+
+    got = {
+        r["g"]: r
+        for r in read_late_arrival_monitor(
+            spark, str(tmp_path / "lateview"), "g", thresholds
+        ).collect()
+    }
+    assert set(got) == {"g0", "g1"}
+    for g, m in model.items():
+        r = got[g]
+        assert r["n_events"] == m["n"], g
+        assert r["watermark_us"] == wm[g], g
+        assert r["max_late_us"] == m["max_late"], g
+        assert r["total_late_us"] == m["total_late"], g
+        for t in thresholds:
+            assert r[f"n_late_{t}us"] == m["late"][t], (g, t)
+    # sanity: the monotone group never saw a late row; the oscillating
+    # group did (the test is vacuous otherwise)
+    assert got["g0"]["total_late_us"] == 0
+    assert got["g1"][f"n_late_{thresholds[0]}us"] > 0
