@@ -1312,6 +1312,7 @@ def cosine_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     ngram: int = 1,
+    max_candidates: int | None = 100_000_000,
 ) -> DataFrame:
     """WEIGHTED cosine similarity join over term-frequency vectors —
     the similarity the set-based family (Jaccard/containment) cannot
@@ -1349,6 +1350,15 @@ def cosine_pairs(
     information), so prefixes are genuinely rare and candidates
     collapse by orders of magnitude; use ngram ≥ 2 whenever the
     domain's unigram vocabulary is small.
+
+    That adversarial regime is guarded PROGRAMMATICALLY, not just
+    documented: the exact candidate-join size is Σ df(t) over prefix
+    occurrences — one cheap aggregate over the postings the operator
+    already builds — and when it exceeds ``max_candidates`` the plan
+    ``raise_error``s with the MinHash-LSH recommendation instead of
+    silently running an ~all-pairs join. ``max_candidates=None``
+    disables the guard for callers who have sized the cluster for the
+    verify cost.
 
     Output: (id_a, id_b, dot, norm_a, norm_b) with id_a < id_b;
     cosine = dot / sqrt(norm_a·norm_b) is the caller's float to make.
@@ -1398,8 +1408,36 @@ def cosine_pairs(
     # tail mass from this rank on: norm² − everything strictly before
     tail_sq = F.col("_norm_sq") - F.col("_cum_sq") + F.col("_tf") * F.col("_tf")
     prefix = ranked.where(tail_sq * den >= num * F.col("_norm_sq")).select(
-        F.col("_id").alias("id_a"), "_t"
+        F.col("_id").alias("id_a"), "_t", "_df"
     )
+    if max_candidates is not None:
+        # exact candidate-join output size, BEFORE paying it: each
+        # prefix occurrence of term t meets df(t) postings. One
+        # single-row aggregate, broadcast back; every prefix row then
+        # carries the bound, and the first row evaluated raises when
+        # the corpus is in the low-rarity all-pairs regime.
+        bound = prefix.agg(
+            F.coalesce(F.sum("_df"), F.lit(0)).cast("long").alias("_cand_bound")
+        )
+        prefix = prefix.crossJoin(F.broadcast(bound)).where(
+            F.when(
+                F.col("_cand_bound") <= int(max_candidates), F.lit(True)
+            ).otherwise(
+                F.raise_error(
+                    F.format_string(
+                        "cosine_pairs: candidate join would emit %s rows "
+                        f"(> max_candidates={int(max_candidates)}) — the "
+                        "corpus has too little term rarity for the L2 "
+                        "prefix filter (every term near-stopword). Use "
+                        "ngram>=2, or the MinHash-LSH path "
+                        "(minhash_neardup_pairs) which bounds candidates "
+                        "by banding, or raise max_candidates explicitly.",
+                        F.col("_cand_bound").cast("string"),
+                    )
+                )
+            )
+        )
+    prefix = prefix.select("id_a", "_t")
     postings = toks.select(F.col("_id").alias("id_b"), "_t")
     cand = (
         prefix.join(postings, on="_t")

@@ -1377,3 +1377,33 @@ def test_bloom_lookup_many_erasure_planning(spark):
     # per-file rewrite list covers exactly the files holding real keys
     files_hit = {f for f, _ in got}
     assert {"f0", "f1", "f3", "f7"} <= files_hit
+
+
+def test_cosine_pairs_low_rarity_guard_raises(spark):
+    """The all-pairs regime guard (r10): a templated corpus with a
+    tiny shared vocabulary (every unigram a de-facto stopword) makes
+    the L2 prefix filter degenerate — the candidate bound Σ df(prefix
+    terms) crosses max_candidates and the plan must raise_error with
+    the MinHash recommendation instead of silently running an
+    ~quadratic join. The same corpus under a loose cap (or cap=None)
+    still computes."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    from flyq_spark.operators.dedup import cosine_pairs
+
+    # 60 docs over a 3-word vocabulary: df ≈ n for every term, prefix
+    # join bound ≈ docs × df ≈ thousands on sixty docs
+    docs = [
+        (i, " ".join(["alpha", "beta", "gamma"][(i + j) % 3] for j in range(8)))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    with pytest.raises(
+        (SparkRuntimeException, Py4JJavaError), match="minhash|MinHash"
+    ):
+        cosine_pairs(df, min_cosine=0.9, max_candidates=100).collect()
+    # loose cap: same corpus computes (and the guard costs one scalar)
+    assert cosine_pairs(df, min_cosine=0.99, max_candidates=10**9).count() >= 0
+    # cap=None disables the guard entirely
+    assert cosine_pairs(df, min_cosine=0.99, max_candidates=None).count() >= 0
