@@ -4611,6 +4611,52 @@ def q_ks_drift_matrix(spark, sf_dir):
     )
 
 
+def q_dsir_resample(spark, sf_dir):
+    """[EXT] DSIR selection end-to-end (operators/text.py domain_affinity
+    -> operators/corpus.py importance_resample): score every document's
+    hashed-bucket affinity to the src0 target domain, convert to an
+    integer importance weight 1 + (hits<<20) div tokens, then draw
+    EXACTLY 2000 training examples (with multiplicity) by deterministic
+    systematic resampling on the md5 ring. Sigma n_copies = 2000 is the
+    in-result theorem; every step is exact integer arithmetic, so the
+    oracle replays the whole pipeline."""
+    from flyq_spark.operators.corpus import importance_resample
+    from flyq_spark.operators.text import domain_affinity
+
+    docs = _read(spark, sf_dir, "documents")
+    target = docs.where(F.col("source") == "src0")
+    aff = domain_affinity(docs, target).withColumn(
+        "weight",
+        F.expr("n_target_hits * 1048576 div n_tokens") + F.lit(1),
+    )
+    return importance_resample(
+        aff, "weight", k=2000, seed="dsir-r10"
+    ).orderBy("doc_id")
+
+
+def q_lm_backoff(spark, sf_dir):
+    """[EXT] Bigram-LM fluency scoring with Stupid Backoff
+    (operators/text.py stupid_backoff_score): LM = bigram/unigram
+    counts over the held-out src0 slice; every other document's
+    adjacent pairs classify as bigram-hit / unigram-backoff / OOV.
+    The gate hashes the exact integer regime counts; the float
+    mean-logscore column is pytest-pinned instead (same policy as
+    unigram_surprisal)."""
+    from flyq_spark.operators.text import stupid_backoff_score
+
+    docs = _read(spark, sf_dir, "documents")
+    train = docs.where(F.col("source") == "src0")
+    scored = docs.where(F.col("source") != "src0")
+    return (
+        stupid_backoff_score(scored, train)
+        .select(
+            "doc_id", "n_pairs", "n_bigram_hits", "n_unigram_backoffs",
+            "n_oov",
+        )
+        .orderBy("doc_id")
+    )
+
+
 _SYNTH_UNITS_CTE = """
 member AS (
   SELECT t.g, d.doc_id, d.text
@@ -4671,11 +4717,15 @@ _DRIVER_WINDOW = [
     "median_order_by_segment", "setops_customer_segments",
     "funnel_conversion", "running_order_totals", "window_tumbling",
     "window_sliding", "sessionize",
-    # -- (b) r05-stale greens (12) --
+    # -- (b) r05-stale greens (10) --
     "produce_log", "route_keyed", "route_round_robin",
-    "top_events_per_user", "corpus_prep_pipeline", "dedup_exact",
+    "top_events_per_user", "corpus_prep_pipeline",
     "similarity_topk", "cdc_apply", "lang_id", "contamination_check",
-    "session_window_counts", "json_props_stats",
+    "session_window_counts",
+    # -- (c) new r10 oracle-backed gates, never driver-checked (2);
+    #    they displace the two most change-stable (b) candidates
+    #    (dedup_exact, json_props_stats — untouched since r5) --
+    "dsir_resample", "lm_backoff",
 ]
 
 
@@ -4894,6 +4944,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "value_outliers": q_value_outliers,
         "profile_drift": q_profile_drift,
+        "dsir_resample": q_dsir_resample,
+        "lm_backoff": q_lm_backoff,
         "offsets_for_times": q_offsets_for_times,
         "value_histogram": q_value_histogram,
         # rows-only (non-SQL-expressible: LSH/MinHash/SimHash/Arrow kernels)
@@ -8971,5 +9023,96 @@ SELECT user_id, CAST(sid AS BIGINT) AS session_id,
        CAST(max(ts_us) AS BIGINT) AS session_end_us,
        CAST(count(*) AS BIGINT) AS n_events
 FROM s GROUP BY 1, 2
+""",
+        # replays domain_affinity's hashed-bucket profile, the integer
+        # weight, and the full systematic-resampling arithmetic (prefix
+        # sums run HUGEINT; the +tw shift keeps numerators non-negative
+        # so // agrees with floor, matching the Spark decimal div)
+        "dsir_resample": """
+WITH toks AS (
+  SELECT doc_id, source,
+         unnest(string_split_regex(lower(text), '\\s+')) AS tk
+  FROM documents
+),
+b AS (
+  SELECT doc_id, source,
+         CAST(concat('0x', substr(md5(tk), 1, 8)) AS BIGINT) % 4096 AS bk
+  FROM toks WHERE tk <> ''
+),
+profile AS (
+  SELECT bk FROM (
+    SELECT bk, row_number() OVER (ORDER BY count(*) DESC, bk ASC) AS r
+    FROM b WHERE source = 'src0' GROUP BY bk
+  ) WHERE r <= 256
+),
+aff AS (
+  SELECT b.doc_id, count(*) AS n_tokens,
+         sum(CASE WHEN profile.bk IS NOT NULL THEN 1 ELSE 0 END) AS hits
+  FROM b LEFT JOIN profile ON b.bk = profile.bk
+  GROUP BY b.doc_id
+),
+w AS (
+  SELECT doc_id, (hits * 1048576) // n_tokens + 1 AS wt FROM aff
+),
+ring AS (
+  SELECT doc_id, wt,
+         SUM(wt) OVER (ORDER BY md5('dsir-r10:' || doc_id), doc_id
+                       ROWS UNBOUNDED PRECEDING) AS p
+  FROM w
+),
+params AS (
+  SELECT SUM(wt) AS tw,
+         CAST(concat('0x', substr(md5('resample-offset:dsir-r10'), 1, 15))
+              AS BIGINT) % SUM(wt) AS o
+  FROM w
+),
+copies AS (
+  SELECT r.doc_id, r.wt,
+         ((r.p * 2000 - o - 1 + tw) // tw)
+         - (((r.p - r.wt) * 2000 - o - 1 + tw) // tw) AS n_copies
+  FROM ring r, params
+)
+SELECT doc_id, CAST(wt AS BIGINT) AS weight,
+       CAST(n_copies AS BIGINT) AS n_copies
+FROM copies WHERE n_copies >= 1
+ORDER BY doc_id
+""",
+        # the scored side's pairs come off the FILTERED token list
+        # (1-indexed adjacent slots, the quality_classifier bigram
+        # construction); regime counts replay the two LEFT joins
+        "lm_backoff": """
+WITH words AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+),
+all_pairs AS (
+  SELECT doc_id, source,
+         w[CAST(i AS BIGINT)] AS w1, w[CAST(i AS BIGINT) + 1] AS w2
+  FROM words, UNNEST(range(1, len(w))) AS t(i)
+),
+train_toks AS (
+  SELECT unnest(w) AS tk FROM words WHERE source = 'src0'
+),
+uni AS (SELECT tk, count(*) AS c FROM train_toks GROUP BY 1),
+lm AS (
+  SELECT w1, w2, count(*) AS c12 FROM all_pairs
+  WHERE source = 'src0' GROUP BY 1, 2
+)
+SELECT p.doc_id,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CASE WHEN lm.c12 IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_bigram_hits,
+       CAST(sum(CASE WHEN lm.c12 IS NULL AND u2.c IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_unigram_backoffs,
+       CAST(sum(CASE WHEN lm.c12 IS NULL AND u2.c IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+FROM all_pairs p
+LEFT JOIN lm ON p.w1 = lm.w1 AND p.w2 = lm.w2
+LEFT JOIN uni u2 ON p.w2 = u2.tk
+WHERE p.source <> 'src0'
+GROUP BY p.doc_id
+ORDER BY p.doc_id
 """,
     }

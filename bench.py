@@ -138,6 +138,10 @@ HEADLINE = [
     # prefix-MAX watermark-sizing profile
     ("mad_outliers", True),
     ("late_arrivals", True),
+    # r10: DSIR selection end-to-end (affinity -> integer weight ->
+    # systematic resample) and the bigram-LM Stupid Backoff scorer
+    ("dsir_resample", True),
+    ("lm_backoff", False),
 ]
 
 

@@ -1233,24 +1233,41 @@ class FlyQEngine:
         coordinator state — a crashed consumer re-derives its share
         from the member list alone. Returns {consumer: [partitions]}
         (every consumer present, possibly with an empty list)."""
-        if not consumers:
-            raise ValueError("assign_partitions needs at least one consumer")
-        if len(set(consumers)) != len(consumers):
-            raise ValueError(f"duplicate consumer ids: {consumers}")
-        if strategy not in ("range", "roundrobin"):
-            raise ValueError(f"unknown strategy {strategy!r}")
-        n_parts = self.topic_partitions(topic)
-        members = sorted(consumers)
-        c = len(members)
-        out: dict[str, list[int]] = {m: [] for m in members}
-        if strategy == "roundrobin":
-            for p in range(n_parts):
-                out[members[p % c]].append(p)
-            return out
-        q, rem = divmod(n_parts, c)
-        start = 0
-        for i, m in enumerate(members):
-            take = q + (1 if i < rem else 0)
-            out[m] = list(range(start, start + take))
-            start += take
+        return assign_partitions(
+            self.topic_partitions(topic), consumers, strategy
+        )
+
+
+def assign_partitions(
+    n_partitions: int,
+    consumers: list[str],
+    strategy: str = "range",
+) -> dict[str, list[int]]:
+    """The pure client-side half of ``FlyQEngine.assign_partitions``:
+    deterministic partition assignment from (partition count, member
+    list) alone — no engine, no coordinator. Wire clients coordinating
+    a shared consumer group (examples/group_consumers.py) call this
+    directly: every member that agrees on the sorted member list
+    derives the same disjoint, exhaustive assignment independently."""
+    if n_partitions < 0:
+        raise ValueError(f"n_partitions must be >= 0: {n_partitions}")
+    if not consumers:
+        raise ValueError("assign_partitions needs at least one consumer")
+    if len(set(consumers)) != len(consumers):
+        raise ValueError(f"duplicate consumer ids: {consumers}")
+    if strategy not in ("range", "roundrobin"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    members = sorted(consumers)
+    c = len(members)
+    out: dict[str, list[int]] = {m: [] for m in members}
+    if strategy == "roundrobin":
+        for p in range(n_partitions):
+            out[members[p % c]].append(p)
         return out
+    q, rem = divmod(n_partitions, c)
+    start = 0
+    for i, m in enumerate(members):
+        take = q + (1 if i < rem else 0)
+        out[m] = list(range(start, start + take))
+        start += take
+    return out

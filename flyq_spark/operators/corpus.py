@@ -785,3 +785,120 @@ def temperature_mix_from_counts(
             ).cast("long").alias("quota"),
         )
     )
+
+
+def importance_resample(
+    df: DataFrame,
+    weight_col: Column | str,
+    k: int,
+    seed: str | int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic importance resampling (the selection half of DSIR,
+    Xie et al. 2023): draw EXACTLY ``k`` training examples distributed
+    proportionally to a non-negative integer importance weight, with
+    multiplicity — the step that turns ``domain_affinity`` scores (or
+    any integer weight: quality buckets, temperature quotas) into a
+    concrete training set. RNG-based resampling breaks reproducibility
+    (a resumed job draws a different corpus); this is systematic
+    resampling made a pure function of (seed, ids, weights):
+
+    - Documents are laid on the reproducible md5 ring (``corpus_shuffle``'s
+      (md5(seed:id), id) order), each owning a weight-mass interval
+      [P_i - w_i, P_i) of the total mass W via an exact prefix sum.
+    - ``k`` equally-spaced sample points t_j = (o + j*W) / k (j = 0..k-1,
+      offset o = md5_60(seed) mod W) land on the ring; document i is
+      drawn once per point in its interval:
+      n_copies_i = floor((P_i*k - o - 1)/W) - floor(((P_i-w_i)*k - o - 1)/W).
+      Sigma n_copies = k EXACTLY (the gate's theorem), E[n_copies_i] =
+      k*w_i/W, and n_copies never deviates from that mean by >= 1 —
+      the low-variance guarantee plain multinomial draws lack.
+    - All arithmetic is exact: the prefix sum is BIGINT (ANSI crashes
+      loudly past 2^63 rather than wrapping), the P*k products run in
+      DECIMAL(38,0), and the floor divisions shift by +W so the
+      numerator is non-negative — integral ``div`` then agrees with
+      floor on every engine. Exactness domain: k*W < 10^38.
+
+    Scale shape (mirrors ``corpus_shuffle``): the prefix sum runs
+    shard-parallel — a within-shard cumulative window over the 16
+    first-hex-digit shards plus a broadcast 16-row shard-offset table
+    (the shard digit is a PREFIX of the ring key, so shard-major order
+    IS global ring order) — then W and o attach as a 1-row broadcast
+    (scalar-subquery shape). No data-sized exchange beyond the one
+    shard window; zero driver state.
+
+    Output: (id, weight, n_copies) for drawn documents (n_copies >= 1),
+    BIGINTs. Raises loudly on k < 1, any negative weight, or W <= 0."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w_raw = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    wt = (
+        F.when(
+            w_raw.cast("long") < 0,
+            F.raise_error(
+                F.concat(
+                    F.lit("importance_resample: negative weight for id "),
+                    F.col(id_col).cast("string"),
+                )
+            ),
+        )
+        .otherwise(w_raw.cast("long"))
+        .alias("weight")
+    )
+    h = F.md5(
+        F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
+    )
+    base = df.select(F.col(id_col), wt, h.alias("_h"))
+    sharded = base.withColumn("_shard", F.substring("_h", 1, 1))
+    shard_w = Window.partitionBy("_shard").orderBy("_h", F.col(id_col))
+    ranked = sharded.withColumn(
+        "_local_p",
+        F.sum("weight").over(
+            shard_w.rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("long"),
+    )
+    offsets = (
+        sharded.groupBy("_shard")
+        .agg(F.sum("weight").cast("long").alias("_mass"))
+        .withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_mass").over(
+                    Window.orderBy("_shard").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).cast("long"),
+        )
+        .select("_shard", "_offset")
+    )
+    total = base.agg(F.sum("weight").cast("long").alias("_t")).select(
+        F.when(
+            F.coalesce(F.col("_t"), F.lit(0)) <= 0,
+            F.raise_error(
+                F.lit("importance_resample: total weight mass is 0")
+            ),
+        )
+        .otherwise(F.col("_t"))
+        .alias("_w_total")
+    )
+    h60_seed = F.conv(
+        F.substring(F.md5(F.lit(f"resample-offset:{seed}")), 1, 15), 16, 10
+    ).cast("long")
+    kd = F.lit(int(k)).cast("decimal(19,0)")
+    wd = F.col("_w_total").cast("decimal(19,0)")
+    od = (h60_seed % F.col("_w_total")).cast("decimal(19,0)")
+    p_hi = (F.col("_local_p") + F.col("_offset")).cast("decimal(19,0)")
+    p_lo = p_hi - F.col("weight").cast("decimal(19,0)")
+    # trunc-div == floor-div because +W keeps both numerators >= 0:
+    # P*k - o - 1 + W >= 0 - (W-1) - 1 + W = 0
+    hi_q = F.call_function("div", p_hi * kd - od - 1 + wd, wd)
+    lo_q = F.call_function("div", p_lo * kd - od - 1 + wd, wd)
+    return (
+        ranked.join(F.broadcast(offsets), on="_shard")
+        .crossJoin(F.broadcast(total))
+        .withColumn("n_copies", (hi_q - lo_q).cast("long"))
+        .where(F.col("n_copies") >= 1)
+        .select(id_col, "weight", "n_copies")
+    )

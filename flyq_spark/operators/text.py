@@ -983,3 +983,158 @@ def collocations(
         "total_pairs",
         "total_tokens",
     )
+
+
+def _token_pairs(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, w1, w2, n) — adjacent-token bigrams with per-doc counts.
+    Pairs come off the FILTERED token array (empty strings from runs of
+    whitespace removed first, so adjacency is over real tokens) via
+    zip_with(slice, slice) — no window, no self-join; the groupBy's
+    composite (id, w1, w2) key map-combines a hot pair's occurrences
+    before the exchange."""
+    arr = F.filter(
+        F.split(F.lower(F.col(text_col)), "\\s+"), lambda x: x != ""
+    )
+    pairs = F.zip_with(
+        F.slice(arr, 1, F.greatest(F.size(arr) - 1, F.lit(0))),
+        F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(pairs).alias("_p"))
+        .select(id_col, "_p.w1", "_p.w2")
+        .groupBy(id_col, "w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def stupid_backoff_score(
+    df: DataFrame,
+    train: DataFrame,
+    alpha_permille: int = 400,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Bigram-LM fluency scoring with Stupid Backoff (Brants et al.
+    2007, "Large Language Models in Machine Translation") — the
+    upgrade of ``unigram_surprisal`` from a bag-of-words criterion to
+    word-ORDER sensitivity: a document of common words in gibberish
+    order now scores badly. The LM is counts over ``train`` (a held-out
+    slice — training on the scored corpus itself makes every bigram a
+    hit); each adjacent pair (w1, w2) of a scored document gets
+
+        S(w2|w1) = c(w1 w2) / c(w1)          if the train bigram exists
+                 = alpha * c(w2) / T          else if w2 is in-vocab
+                 = alpha * 1 / T              else (OOV floor, count 1)
+
+    with alpha = alpha_permille/1000 (canonical 0.4). Backoff scores
+    are NOT probabilities (they don't sum to 1) — that is Stupid
+    Backoff's point: at corpus scale the unnormalized ratio ranks as
+    well as Kneser-Ney at a fraction of the cost.
+
+    Integer-exact decomposition for the gate: (n_pairs, n_bigram_hits,
+    n_unigram_backoffs, n_oov) are BIGINT counts of which regime each
+    pair landed in — engine-exact and ANSI-SQL-replayable — while
+    ``mean_logscore`` = mean ln S (float, pinned against a Python model
+    in pytest, excluded from hash gates like unigram_surprisal's).
+
+    Plan: both corpora tokenize through the same projection; the LM is
+    two map-combined groupBys over train (distinct bigrams, distinct
+    unigrams); scored pairs aggregate to (doc, w1, w2, n) BEFORE any
+    join (composite key kills hot-pair skew), then two LEFT equi-joins
+    attach c12 and the two unigram counts (word-key joins are
+    AQE-skew-splittable; a word-key window here would ship every "the"
+    to one reducer), one doc-key aggregation folds the partial sums,
+    and the train token total T attaches as a 1-row broadcast (the
+    scalar-subquery shape), so ln T never needs a third data pass.
+    Documents with < 2 tokens have no pairs and are absent from the
+    output (nothing to score). Output: (id, n_pairs, n_bigram_hits,
+    n_unigram_backoffs, n_oov, mean_logscore)."""
+    if not 1 <= alpha_permille <= 1000:
+        raise ValueError(
+            f"alpha_permille must be in [1, 1000]: {alpha_permille}"
+        )
+    import math
+
+    from flyq_spark.operators.util import fan_out
+
+    train_toks = fan_out(train).select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), "\\s+"),
+                lambda x: x != "",
+            )
+        ).alias("_w")
+    )
+    uni = train_toks.groupBy("_w").agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    lm = (
+        _token_pairs(fan_out(train), id_col, text_col)
+        .groupBy("w1", "w2")
+        .agg(F.sum("n").cast("long").alias("_c12"))
+    )
+    total = train_toks.agg(
+        F.count(F.lit(1)).cast("long").alias("_t")
+    ).select(
+        F.when(
+            F.col("_t") <= 0,
+            F.raise_error(
+                F.lit("stupid_backoff_score: empty training corpus")
+            ),
+        )
+        .otherwise(F.col("_t"))
+        .alias("_t")
+    )
+    scored = (
+        _token_pairs(fan_out(df), id_col, text_col)
+        .join(lm, ["w1", "w2"], "left")
+        .join(
+            uni.select(F.col("_w").alias("w1"), F.col("_c").alias("_c1")),
+            "w1",
+            "left",
+        )
+        .join(
+            uni.select(F.col("_w").alias("w2"), F.col("_c").alias("_c2")),
+            "w2",
+            "left",
+        )
+    )
+    is_hit = F.col("_c12").isNotNull()
+    is_vocab = F.col("_c2").isNotNull()
+    ln_alpha = F.lit(math.log(alpha_permille / 1000.0))
+    # per-pair ln S, with the backoff rows' -ln T deferred: it folds in
+    # once per doc as n_backoff * ln T off the broadcast total.
+    partial = (
+        F.when(is_hit, F.log("_c12") - F.log("_c1"))
+        .otherwise(ln_alpha + F.log(F.coalesce(F.col("_c2"), F.lit(1))))
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.sum("n").cast("long").alias("n_pairs"),
+        F.sum(F.when(is_hit, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_bigram_hits"),
+        F.sum(F.when(~is_hit & is_vocab, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_unigram_backoffs"),
+        F.sum(F.when(~is_hit & ~is_vocab, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_oov"),
+        F.sum(F.col("n") * partial).alias("_sum_partial"),
+    )
+    return per_doc.crossJoin(F.broadcast(total)).select(
+        F.col(id_col),
+        "n_pairs",
+        "n_bigram_hits",
+        "n_unigram_backoffs",
+        "n_oov",
+        (
+            (
+                F.col("_sum_partial")
+                - (F.col("n_pairs") - F.col("n_bigram_hits")) * F.log("_t")
+            )
+            / F.col("n_pairs")
+        ).alias("mean_logscore"),
+    )

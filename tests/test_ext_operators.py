@@ -5303,3 +5303,165 @@ def test_embedding_pca_matches_numpy(spark):
 
     with pytest.raises(ValueError):
         embedding_pca(df, "vec_id", "embedding", k=99)
+
+
+def test_importance_resample_matches_python_model(spark):
+    """Systematic resampling on the md5 ring is a pure function of
+    (seed, ids, weights): exact per-doc multiplicities vs an
+    independent Python replay, Sigma n_copies = k, and determinism
+    across k/seed choices (including k >> n: multiplicity > 1)."""
+    import hashlib
+
+    from flyq_spark.operators.corpus import importance_resample
+
+    rows = [(i, (i * 7) % 13) for i in range(1, 201)]  # incl. zero weights
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    for k, seed in [(50, 0), (7, "ep1"), (500, 3)]:
+        got = {
+            r["doc_id"]: r["n_copies"]
+            for r in importance_resample(df, "w", k, seed=seed).collect()
+        }
+        ring = sorted(
+            rows,
+            key=lambda r: (
+                hashlib.md5(f"{seed}:{r[0]}".encode()).hexdigest(),
+                r[0],
+            ),
+        )
+        mass = sum(w for _, w in rows)
+        off = (
+            int(
+                hashlib.md5(f"resample-offset:{seed}".encode()).hexdigest()[
+                    :15
+                ],
+                16,
+            )
+            % mass
+        )
+        p = 0
+        exp = {}
+        for i, w in ring:
+            lo, hi = p, p + w
+            p = hi
+            n = (hi * k - off - 1 + mass) // mass - (
+                lo * k - off - 1 + mass
+            ) // mass
+            if n >= 1:
+                exp[i] = n
+        assert sum(exp.values()) == k
+        assert got == exp, (k, seed)
+
+
+def test_importance_resample_raises_on_bad_weights(spark):
+    from flyq_spark.operators.corpus import importance_resample
+
+    df = spark.createDataFrame(
+        [(1, 0), (2, 0)], "doc_id long, w long"
+    )
+    with pytest.raises(Exception, match="total weight mass is 0"):
+        importance_resample(df, "w", 5).collect()
+    neg = spark.createDataFrame([(1, 3), (2, -1)], "doc_id long, w long")
+    with pytest.raises(Exception, match="negative weight"):
+        importance_resample(neg, "w", 5).collect()
+    with pytest.raises(ValueError, match="k must be"):
+        importance_resample(neg, "w", 0)
+
+
+def test_importance_resample_low_variance_guarantee(spark):
+    """Systematic resampling never deviates from the expected copy
+    count by a full unit: floor(k*w/W) <= n_copies <= ceil(k*w/W)."""
+    from flyq_spark.operators.corpus import importance_resample
+
+    rows = [(i, 1 + (i * 31) % 97) for i in range(1, 301)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    mass = sum(w for _, w in rows)
+    k = 120
+    got = {
+        r["doc_id"]: r["n_copies"]
+        for r in importance_resample(df, "w", k, seed="lv").collect()
+    }
+    assert sum(got.values()) == k
+    for i, w in rows:
+        n = got.get(i, 0)
+        assert (k * w) // mass <= n <= -((-k * w) // mass), (i, w, n)
+
+
+def test_stupid_backoff_score_matches_python_model(spark):
+    """Regime counts AND the float mean-logscore vs an independent
+    Python model: bigram hits, scrambled-order backoffs, OOV floor,
+    whitespace runs, and the <2-token absence rule."""
+    import math
+    from collections import Counter
+
+    from flyq_spark.operators.text import stupid_backoff_score
+
+    train_rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on the rug"),
+        (3, "a cat and a dog"),
+    ]
+    score_rows = [
+        (10, "the cat sat on the rug"),
+        (11, "cat the on sat"),
+        (12, "the zebra jumped"),
+        (13, "single"),
+        (14, "  the   cat  "),
+    ]
+    train = spark.createDataFrame(train_rows, "doc_id long, text string")
+    df = spark.createDataFrame(score_rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in stupid_backoff_score(df, train, 400).collect()
+    }
+
+    def toks(t):
+        return [w for w in t.lower().split() if w]
+
+    uni: Counter = Counter()
+    bi: Counter = Counter()
+    for _, t in train_rows:
+        ws = toks(t)
+        uni.update(ws)
+        bi.update(zip(ws, ws[1:]))
+    total = sum(uni.values())
+    alpha = 0.4
+    exp = {}
+    for i, t in score_rows:
+        ws = toks(t)
+        ps = list(zip(ws, ws[1:]))
+        if not ps:
+            continue
+        nh = nb = no = 0
+        s = 0.0
+        for p in ps:
+            if p in bi:
+                nh += 1
+                s += math.log(bi[p] / uni[p[0]])
+            elif p[1] in uni:
+                nb += 1
+                s += math.log(alpha * uni[p[1]] / total)
+            else:
+                no += 1
+                s += math.log(alpha / total)
+        exp[i] = (len(ps), nh, nb, no, s / len(ps))
+    assert set(got) == set(exp)  # doc 13 (1 token) absent from both
+    for i, (np_, nh, nb, no, m) in exp.items():
+        g = got[i]
+        assert (
+            g["n_pairs"],
+            g["n_bigram_hits"],
+            g["n_unigram_backoffs"],
+            g["n_oov"],
+        ) == (np_, nh, nb, no), i
+        assert abs(g["mean_logscore"] - m) < 1e-9, i
+
+
+def test_stupid_backoff_raises_on_empty_train(spark):
+    from flyq_spark.operators.text import stupid_backoff_score
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    empty = spark.createDataFrame([(9, "   ")], "doc_id long, text string")
+    with pytest.raises(Exception, match="empty training corpus"):
+        stupid_backoff_score(df, empty).collect()
+    with pytest.raises(ValueError, match="alpha_permille"):
+        stupid_backoff_score(df, df, alpha_permille=0)

@@ -34,6 +34,8 @@ SCALAR_BROADCAST_OK = {
     "ks_drift_matrix",  # pooled row-count total, 1 row
     "temperature_mix",  # 1-row weight-total scalar against |sources| rows
     "cosine_pairs",  # 1-row candidate-bound guard (raise_error regime gate)
+    "dsir_resample",  # 1-row total-mass scalar (W, offset) for the ring
+    "lm_backoff",  # 1-row train-token total T, the ln T normalizer
 }
 
 
@@ -49,6 +51,7 @@ GLOBAL_WINDOW_OK = {
     "domain_affinity",  # target-profile rank over ≤ dim (4096) hashed buckets
     "collocations",  # rank stamp AFTER orderBy().limit(k): window input ≤ k rows
     "temperature_mix",  # remainder rank over the |sources|-row quota table
+    "dsir_resample",  # domain_affinity's profile rank over ≤ 4096 buckets
 }
 # ordering-marker columns whose windows run over ≤P-row offset tables
 _OFFSET_MARKERS = ("_gpid#", "_shard#")

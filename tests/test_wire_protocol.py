@@ -577,3 +577,66 @@ def test_client_skips_heartbeat_and_raises_on_error_frame(engine):
             cli.produce("t", b"y")
     srv.close()
     t.join(timeout=5)
+
+
+# ---------------------- multi-consumer group ---------------------- #
+
+
+def test_group_consumers_example_end_to_end(engine):
+    """examples/group_consumers.py: three wire clients sharing one
+    group derive disjoint assignments client-side and together consume
+    every message exactly once; after a member crashes, the survivors
+    re-derive from the shrunken member list, pick up the orphaned
+    partitions, and resume from the dead member's committed offsets."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/examples")
+    import group_consumers as gc
+
+    from flyq_spark.engine import assign_partitions
+    from flyq_spark.server import FlyQServer, FlyQWireClient
+
+    n_parts = 6
+    engine.create_topic("jobs", partitions=n_parts)
+    members = ["c0", "c1", "c2"]
+    with FlyQServer(engine, clock_ms=lambda: 1) as srv:
+        with FlyQWireClient(srv.host, srv.port) as producer:
+            produced = [f"job-{i}".encode() for i in range(n_parts * 4)]
+            for v in produced:
+                producer.produce("jobs", v)
+
+        res = gc.run_group(srv.host, srv.port, "jobs", n_parts, members)
+        # disjoint exhaustive assignment, derived identically per member
+        exp_assign = assign_partitions(n_parts, members, "range")
+        assert {m: sorted(d) for m, d in res.items()} == {
+            m: ps for m, ps in exp_assign.items()
+        }
+        all_parts = [p for d in res.values() for p in d]
+        assert sorted(all_parts) == list(range(n_parts))
+        # exactly-once coverage: wire produce is keyless round-robin,
+        # so every partition got exactly 4 in-order messages
+        got = [v for d in res.values() for vals in d.values() for v in vals]
+        assert sorted(got) == sorted(produced)
+        for d in res.values():
+            for vals in d.values():
+                assert len(vals) == 4
+
+        # crash c0: late messages + a re-derived 2-member generation
+        with FlyQWireClient(srv.host, srv.port) as producer:
+            late = [f"late-{i}".encode() for i in range(n_parts * 2)]
+            for v in late:
+                producer.produce("jobs", v)
+        res2 = gc.run_group(srv.host, srv.port, "jobs", n_parts, members[1:])
+        got2 = [v for d in res2.values() for vals in d.values() for v in vals]
+        # ONLY the late messages arrive: committed offsets survive the
+        # rebalance, so the new owners resume where c0 committed
+        assert sorted(got2) == sorted(late)
+        all_parts2 = [p for d in res2.values() for p in d]
+        assert sorted(all_parts2) == list(range(n_parts))
+
+        # roundrobin strategy covers the same ground disjointly
+        rr = assign_partitions(n_parts, members, "roundrobin")
+        assert sorted(p for ps in rr.values() for p in ps) == list(
+            range(n_parts)
+        )
+        assert rr == {"c0": [0, 3], "c1": [1, 4], "c2": [2, 5]}
