@@ -4634,6 +4634,21 @@ def q_dsir_resample(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_mixture_build(spark, sf_dir):
+    """[EXT] Temperature-mixture materialization (operators/corpus.py
+    mixture_build): temperature_mix's exact integer quotas (alpha=1/2,
+    budget=9973) spread over each source's md5 ring by
+    largest-remainder — Sigma n_copies = 9973 exactly, with the
+    tail-source upsampling regime (quota > n_docs) exercised live at
+    sf0.01 (quota ~499 over 25-doc sources). Fully oracle-replayable."""
+    from flyq_spark.operators.corpus import mixture_build
+
+    docs = _read(spark, sf_dir, "documents")
+    return mixture_build(
+        docs, "source", alpha_permille=500, budget=9973
+    ).orderBy("doc_id")
+
+
 def q_lm_backoff(spark, sf_dir):
     """[EXT] Bigram-LM fluency scoring with Stupid Backoff
     (operators/text.py stupid_backoff_score): LM = bigram/unigram
@@ -4717,15 +4732,16 @@ _DRIVER_WINDOW = [
     "median_order_by_segment", "setops_customer_segments",
     "funnel_conversion", "running_order_totals", "window_tumbling",
     "window_sliding", "sessionize",
-    # -- (b) r05-stale greens (10) --
+    # -- (b) r05-stale greens (9) --
     "produce_log", "route_keyed", "route_round_robin",
     "top_events_per_user", "corpus_prep_pipeline",
-    "similarity_topk", "cdc_apply", "lang_id", "contamination_check",
+    "similarity_topk", "lang_id", "contamination_check",
     "session_window_counts",
-    # -- (c) new r10 oracle-backed gates, never driver-checked (2);
-    #    they displace the two most change-stable (b) candidates
-    #    (dedup_exact, json_props_stats — untouched since r5) --
-    "dsir_resample", "lm_backoff",
+    # -- (c) new r10 oracle-backed gates, never driver-checked (3);
+    #    they displace the three most change-stable (b) candidates
+    #    (dedup_exact, json_props_stats, cdc_apply — untouched since
+    #    r5, all green in this round's full local sweep) --
+    "dsir_resample", "lm_backoff", "mixture_build",
 ]
 
 
@@ -4946,6 +4962,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_drift": q_profile_drift,
         "dsir_resample": q_dsir_resample,
         "lm_backoff": q_lm_backoff,
+        "mixture_build": q_mixture_build,
         "offsets_for_times": q_offsets_for_times,
         "value_histogram": q_value_histogram,
         # rows-only (non-SQL-expressible: LSH/MinHash/SimHash/Arrow kernels)
@@ -9114,5 +9131,62 @@ LEFT JOIN uni u2 ON p.w2 = u2.tk
 WHERE p.source <> 'src0'
 GROUP BY p.doc_id
 ORDER BY p.doc_id
+""",
+        # the temperature_mix oracle's quota block + per-source md5-ring
+        # row_number + largest-remainder spread (integer // and %, both
+        # operands non-negative, so the arithmetic replays exactly)
+        "mixture_build": """
+WITH c AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY 1
+),
+w0 AS (
+  SELECT source, n_docs,
+         CAST(floor(sqrt(CAST(n_docs * 1000000 AS DOUBLE))) AS BIGINT) AS s0
+  FROM c
+),
+w AS (
+  SELECT source, n_docs,
+         CASE WHEN (s0 + 1) * (s0 + 1) <= n_docs * 1000000 THEN s0 + 1
+              WHEN s0 * s0 > n_docs * 1000000 THEN s0 - 1
+              ELSE s0 END AS weight
+  FROM w0
+),
+t AS (SELECT CAST(sum(weight) AS BIGINT) AS wt FROM w),
+b AS (
+  SELECT source, n_docs, weight,
+         (9973 * weight) // t.wt AS base,
+         (9973 * weight) % t.wt AS rem
+  FROM w CROSS JOIN t
+),
+r AS (
+  SELECT *,
+         row_number() OVER (ORDER BY rem DESC, source ASC) AS seat,
+         (SELECT 9973 - sum(base) FROM b) AS leftover
+  FROM b
+),
+q AS (
+  SELECT source, n_docs,
+         base + CASE WHEN seat <= leftover THEN 1 ELSE 0 END AS quota
+  FROM r
+),
+ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank
+  FROM documents
+),
+sel AS (
+  SELECT k.doc_id, k.source, k.sample_rank,
+         q.quota // q.n_docs
+         + CASE WHEN k.sample_rank <= q.quota % q.n_docs THEN 1 ELSE 0 END
+           AS n_copies
+  FROM ranked k JOIN q USING (source)
+)
+SELECT doc_id, source, CAST(sample_rank AS BIGINT) AS sample_rank,
+       CAST(n_copies AS BIGINT) AS n_copies
+FROM sel WHERE n_copies >= 1
+ORDER BY doc_id
 """,
     }

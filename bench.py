@@ -142,6 +142,7 @@ HEADLINE = [
     # systematic resample) and the bigram-LM Stupid Backoff scorer
     ("dsir_resample", True),
     ("lm_backoff", False),
+    ("mixture_build", False),
 ]
 
 

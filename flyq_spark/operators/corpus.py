@@ -64,18 +64,22 @@ def corpus_shuffle(
     permutation.
 
     Scale shape: a naive global ORDER BY window funnels every row into
-    ONE partition. Instead rows are ranked within their first-hex-digit
-    shard (16-way parallel window), and the global rank is recovered by
-    adding the tiny per-shard offset table (16 rows, broadcast) — valid
-    because the shard digit is a PREFIX of the sort key, so shard-major
-    order IS global (md5, id) order. Same result, bounded shuffle."""
+    ONE partition. Instead rows are ranked within their first-3-hex-
+    digit shard (4096-way parallel window — each sort task holds
+    N/4096 rows, so no shard becomes a straggler until the corpus
+    passes ~10^12 rows), and the global rank is recovered by adding
+    the tiny per-shard offset table (≤4096 rows, broadcast) — valid
+    because the shard digits are a PREFIX of the sort key, so
+    shard-major order IS global (md5, id) order. The shard width is
+    invisible in the result (any prefix width yields the same global
+    rank), so widening it further is a one-character change."""
     if seed is None:
         h = _id_hash(id_col)
     else:
         h = F.md5(
             F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
         )
-    shard = F.substring(h, 1, 1)
+    shard = F.substring(h, 1, 3)
     w = Window.partitionBy("_shard").orderBy(h, F.col(id_col))
     ranked = df.withColumn("_shard", shard).withColumn(
         "_local_rank", F.row_number().over(w).cast("long")
@@ -820,10 +824,11 @@ def importance_resample(
       floor on every engine. Exactness domain: k*W < 10^38.
 
     Scale shape (mirrors ``corpus_shuffle``): the prefix sum runs
-    shard-parallel — a within-shard cumulative window over the 16
-    first-hex-digit shards plus a broadcast 16-row shard-offset table
-    (the shard digit is a PREFIX of the ring key, so shard-major order
-    IS global ring order) — then W and o attach as a 1-row broadcast
+    shard-parallel — a within-shard cumulative window over the 4096
+    first-3-hex-digit shards plus a broadcast ≤4096-row shard-offset
+    table (the shard digits are a PREFIX of the ring key, so
+    shard-major order IS global ring order; any prefix width yields
+    the same prefix sums) — then W and o attach as a 1-row broadcast
     (scalar-subquery shape). No data-sized exchange beyond the one
     shard window; zero driver state.
 
@@ -849,7 +854,7 @@ def importance_resample(
         F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
     )
     base = df.select(F.col(id_col), wt, h.alias("_h"))
-    sharded = base.withColumn("_shard", F.substring("_h", 1, 1))
+    sharded = base.withColumn("_shard", F.substring("_h", 1, 3))
     shard_w = Window.partitionBy("_shard").orderBy("_h", F.col(id_col))
     ranked = sharded.withColumn(
         "_local_p",
@@ -901,4 +906,63 @@ def importance_resample(
         .withColumn("n_copies", (hi_q - lo_q).cast("long"))
         .where(F.col("n_copies") >= 1)
         .select(id_col, "weight", "n_copies")
+    )
+
+
+def mixture_build(
+    df: DataFrame,
+    source_col: str = "source",
+    alpha_permille: int = 500,
+    budget: int = 10_000,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Materialize the α-temperature training mixture —
+    :func:`temperature_mix` plans integer per-source quotas; this turns
+    them into a concrete document list with multiplicity, the missing
+    step between "the mixture should be 14% src3" and an actual epoch
+    plan. Deterministic and exact:
+
+    - each source's documents rank on the md5 ring (``(md5(id), id)``
+      order via the distributed grouped row_number — perfectly balanced
+      range exchange, no per-source sort task);
+    - quota q spreads by largest-remainder over the ring: every doc
+      repeats ``q div n`` times and the first ``q mod n`` ring
+      positions take one extra — so Σ n_copies = q per source even
+      when q > n (tail-source UPSAMPLING, the mT5 regime temperature
+      flattening exists to create), and q ≤ n degrades to a plain
+      deterministic top-q selection with n_copies = 1.
+    - Σ n_copies over the whole output = budget EXACTLY (both
+      apportionment stages are largest-remainder) — the gate theorem.
+
+    Plan: one groupBy to |sources| quota rows (broadcast), one grouped
+    row_number over the data (a single range exchange), a broadcast
+    join, and a codegen'd projection. Output: (id, source, sample_rank,
+    n_copies) for drawn docs (n_copies >= 1).
+
+    Group-cardinality regime: quotas and ranks are per-SOURCE — the
+    low-cardinality mixing axis this targets (the grouped primitive's
+    broadcast offset table is ≤ P + |sources| rows). For a
+    high-cardinality axis, plan with ``temperature_mix_from_counts``
+    and sample with ``importance_resample`` instead."""
+    from flyq_spark.operators.ranking import grouped_row_number
+
+    mix = temperature_mix(
+        df, source_col, alpha_permille=alpha_permille, budget=budget
+    ).select(source_col, "n_docs", "quota")
+    h = _id_hash(id_col)
+    ranked = grouped_row_number(
+        df.select(id_col, source_col).withColumn("_mbh", h),
+        [source_col],
+        [F.col("_mbh").asc(), F.col(id_col).asc()],
+        rank_col="sample_rank",
+    )
+    base = F.call_function("div", F.col("quota"), F.col("n_docs"))
+    extra = F.when(
+        F.col("sample_rank") <= F.col("quota") % F.col("n_docs"), 1
+    ).otherwise(0)
+    return (
+        ranked.join(F.broadcast(mix), on=source_col)
+        .withColumn("n_copies", (base + extra).cast("long"))
+        .where(F.col("n_copies") >= 1)
+        .select(id_col, source_col, "sample_rank", "n_copies")
     )

@@ -5465,3 +5465,54 @@ def test_stupid_backoff_raises_on_empty_train(spark):
         stupid_backoff_score(df, empty).collect()
     with pytest.raises(ValueError, match="alpha_permille"):
         stupid_backoff_score(df, df, alpha_permille=0)
+
+
+def test_mixture_build_matches_python_model(spark):
+    """Quota spreading over the md5 ring vs an independent Python model
+    (math.isqrt weights + largest-remainder twice), in BOTH regimes:
+    quota > n_docs (tail upsampling, n_copies > 1) and quota < n_docs
+    (plain deterministic top-q selection). Sigma n_copies = budget."""
+    import hashlib
+    import math
+
+    from flyq_spark.operators.corpus import mixture_build
+
+    rows = [(i, "big" if i <= 400 else ("mid" if i <= 450 else "tiny"))
+            for i in range(1, 461)]  # 400 / 50 / 10 docs
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    def model(budget):
+        counts = {}
+        for _, s in rows:
+            counts[s] = counts.get(s, 0) + 1
+        weights = {s: math.isqrt(n * 1_000_000) for s, n in counts.items()}
+        tot = sum(weights.values())
+        base = {s: budget * w // tot for s, w in weights.items()}
+        rem = {s: budget * w % tot for s, w in weights.items()}
+        left = budget - sum(base.values())
+        order = sorted(counts, key=lambda s: (-rem[s], s))
+        quota = {
+            s: base[s] + (1 if i < left else 0) for i, s in enumerate(order)
+        }
+        ring = {}
+        for s in counts:
+            ids = [i for i, src in rows if src == s]
+            ids.sort(key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+            ring[s] = ids
+        out = {}
+        for s, q in quota.items():
+            n = counts[s]
+            for r, i in enumerate(ring[s], start=1):
+                c = q // n + (1 if r <= q % n else 0)
+                if c >= 1:
+                    out[i] = (s, r, c)
+        return out
+
+    for budget in (5000, 120):  # upsample regime / selection regime
+        got = {
+            r["doc_id"]: (r["source"], r["sample_rank"], r["n_copies"])
+            for r in mixture_build(df, "source", 500, budget).collect()
+        }
+        exp = model(budget)
+        assert got == exp, budget
+        assert sum(c for _, _, c in got.values()) == budget

@@ -36,6 +36,7 @@ SCALAR_BROADCAST_OK = {
     "cosine_pairs",  # 1-row candidate-bound guard (raise_error regime gate)
     "dsir_resample",  # 1-row total-mass scalar (W, offset) for the ring
     "lm_backoff",  # 1-row train-token total T, the ln T normalizer
+    "mixture_build",  # temperature_mix's 1-row weight-total scalar
 }
 
 
@@ -52,6 +53,7 @@ GLOBAL_WINDOW_OK = {
     "collocations",  # rank stamp AFTER orderBy().limit(k): window input ≤ k rows
     "temperature_mix",  # remainder rank over the |sources|-row quota table
     "dsir_resample",  # domain_affinity's profile rank over ≤ 4096 buckets
+    "mixture_build",  # temperature_mix's remainder rank over |sources| rows
 }
 # ordering-marker columns whose windows run over ≤P-row offset tables
 _OFFSET_MARKERS = ("_gpid#", "_shard#")

@@ -423,3 +423,56 @@ def test_chunk_documents_rejects_negative_overlap(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with _pt.raises(ValueError):
         chunk_documents(df, chunk_tokens=4, overlap=-1)
+
+
+def test_importance_resample_random_weights_match_model(spark):
+    """Randomized differential: seeded random (weights, k, seed)
+    configurations vs an exact-arithmetic Python replay, including the
+    DECIMAL regime (weights ~1e15, so P*k overflows int64 and only the
+    decimal(38,0) products keep the floor divisions exact)."""
+    import hashlib
+
+    from flyq_spark.operators.corpus import importance_resample
+
+    rng = random.Random(0xD51A)
+    for trial, (wmax, k) in enumerate(
+        [(13, 29), (1000, 257), (10**15, 1_000_003)]
+    ):
+        rows = [(i, rng.randrange(0, wmax)) for i in range(1, 120)]
+        if sum(w for _, w in rows) == 0:
+            rows[0] = (1, 1)
+        seed = f"prop{trial}"
+        df = spark.createDataFrame(rows, "doc_id long, w long")
+        got = {
+            r["doc_id"]: r["n_copies"]
+            for r in importance_resample(df, "w", k, seed=seed).collect()
+        }
+        ring = sorted(
+            rows,
+            key=lambda r: (
+                hashlib.md5(f"{seed}:{r[0]}".encode()).hexdigest(),
+                r[0],
+            ),
+        )
+        mass = sum(w for _, w in rows)
+        off = (
+            int(
+                hashlib.md5(
+                    f"resample-offset:{seed}".encode()
+                ).hexdigest()[:15],
+                16,
+            )
+            % mass
+        )
+        p = 0
+        exp = {}
+        for i, w in ring:
+            lo, hi = p, p + w
+            p = hi
+            n = (hi * k - off - 1 + mass) // mass - (
+                lo * k - off - 1 + mass
+            ) // mass
+            if n >= 1:
+                exp[i] = n
+        assert sum(exp.values()) == k
+        assert got == exp, (trial, wmax, k)
