@@ -833,17 +833,24 @@ def importance_resample(
     shard window; zero driver state.
 
     Output: (id, weight, n_copies) for drawn documents (n_copies >= 1),
-    BIGINTs. Raises loudly on k < 1, any negative weight, or W <= 0."""
+    BIGINTs. Raises loudly on k < 1, any NULL or negative weight, or
+    W <= 0."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     w_raw = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    # NULL or negative weights raise loudly: a NULL would otherwise
+    # propagate through the prefix sum and silently drop rows AFTER it
+    # on the ring — the worst failure mode for a sampler (membership
+    # depends on unrelated rows' hash positions).
     wt = (
         F.when(
-            w_raw.cast("long") < 0,
+            w_raw.cast("long").isNull() | (w_raw.cast("long") < 0),
             F.raise_error(
                 F.concat(
-                    F.lit("importance_resample: negative weight for id "),
-                    F.col(id_col).cast("string"),
+                    F.lit(
+                        "importance_resample: NULL or negative weight for id "
+                    ),
+                    F.coalesce(F.col(id_col).cast("string"), F.lit("NULL")),
                 )
             ),
         )

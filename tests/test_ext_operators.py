@@ -5365,6 +5365,11 @@ def test_importance_resample_raises_on_bad_weights(spark):
         importance_resample(neg, "w", 5).collect()
     with pytest.raises(ValueError, match="k must be"):
         importance_resample(neg, "w", 0)
+    withnull = spark.createDataFrame(
+        [(1, 3), (2, None)], "doc_id long, w long"
+    )
+    with pytest.raises(Exception, match="NULL or negative weight"):
+        importance_resample(withnull, "w", 5).collect()
 
 
 def test_importance_resample_low_variance_guarantee(spark):

@@ -1196,3 +1196,51 @@ def test_late_arrival_monitor_parity_and_replay(spark, tmp_path):
     # group did (the test is vacuous otherwise)
     assert got["g0"]["total_late_us"] == 0
     assert got["g1"][f"n_late_{thresholds[0]}us"] > 0
+
+
+def test_streaming_temperature_mix_parity(spark, tmp_path):
+    """Streaming mixture monitor (r10): per-source counts maintained by
+    aggregate_view_sink (state = |sources| rows, never the stream),
+    read back and fed to temperature_mix_from_counts — the
+    (source, n_docs, weight, quota) plan must be identical to batch
+    temperature_mix over the raw rows, including after a REPLAYED
+    micro-batch and across a base compaction. The live-rebalancing
+    composition: the quota plan is derivable from the running view at
+    any moment without rescanning the stream."""
+    from pyspark.sql import functions as F
+
+    from flyq_spark.operators.corpus import (
+        temperature_mix,
+        temperature_mix_from_counts,
+    )
+    from flyq_spark.streaming.sink import (
+        aggregate_view_sink,
+        read_aggregate_view,
+    )
+
+    rows = [(i, f"src{(i * i) % 7}") for i in range(900)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    sink = aggregate_view_sink(
+        str(tmp_path / "mixview"), ("source",), {}, compact_every=2
+    )
+    batches = [rows[:300], rows[300:600], rows[600:]]
+    for bid, chunk in enumerate(batches):
+        sink(spark.createDataFrame(chunk, "doc_id long, source string"), bid)
+    sink(spark.createDataFrame(batches[2], "doc_id long, source string"), 2)
+
+    view = read_aggregate_view(
+        spark, str(tmp_path / "mixview"), ("source",), ()
+    )
+    counts = view.select("source", F.col("n_rows").alias("n_docs"))
+    got = sorted(
+        tuple(r)
+        for r in temperature_mix_from_counts(
+            counts, "source", "n_docs", 500, 1000
+        ).collect()
+    )
+    want = sorted(
+        tuple(r) for r in temperature_mix(df, "source", 500, 1000).collect()
+    )
+    assert got == want
+    assert sum(r[3] for r in got) == 1000  # Sigma quota = budget
