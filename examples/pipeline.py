@@ -104,6 +104,13 @@ def build_training_corpus(
         deduped, deduped.where(F.col("lang") == "en")
     )
 
+    # (the affinity audit's integer (n_tokens, n_target_hits) feed the
+    #  principled selection path when a target-domain mixture is the
+    #  goal: corpus.importance_resample draws exactly-k with
+    #  multiplicity ∝ 1 + (hits<<20) div tokens, and
+    #  corpus.mixture_build materializes temperature_mix quotas —
+    #  both gates replay end-to-end; this example keeps the simpler
+    #  per-lang upweighting so every stage stays one operator call)
     # 4. mixture upweighting (high-quality langs get extra epochs), then
     #    context chunking (split docs beyond the model's window — a
     #    no-op on short docs, load-bearing at scale), reproducible

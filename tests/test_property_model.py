@@ -476,3 +476,74 @@ def test_importance_resample_random_weights_match_model(spark):
                 exp[i] = n
         assert sum(exp.values()) == k
         assert got == exp, (trial, wmax, k)
+
+
+def test_stupid_backoff_random_corpora_match_model(spark):
+    """Randomized differential: seeded random train/score corpora over
+    a small vocabulary (dense bigram collisions, guaranteed OOV via a
+    score-only token) vs an exact Python replay of the regime counts
+    AND the float mean-logscore."""
+    import math
+    from collections import Counter
+
+    from flyq_spark.operators.text import stupid_backoff_score
+
+    rng = random.Random(0xBAC0FF)
+    vocab = ["a", "b", "c", "dd", "ee"]
+    for trial in range(3):
+        train_rows = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 12))))
+            for i in range(1, 8)
+        ]
+        score_rows = [
+            (
+                100 + i,
+                " ".join(
+                    rng.choice(vocab + ["zz"])  # zz never in train
+                    for _ in range(rng.randint(0, 10))
+                ),
+            )
+            for i in range(1, 10)
+        ]
+        train = spark.createDataFrame(train_rows, "doc_id long, text string")
+        df = spark.createDataFrame(score_rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: r.asDict()
+            for r in stupid_backoff_score(df, train, 400).collect()
+        }
+        uni: Counter = Counter()
+        bi: Counter = Counter()
+        for _, t in train_rows:
+            ws = t.split()
+            uni.update(ws)
+            bi.update(zip(ws, ws[1:]))
+        total = sum(uni.values())
+        exp = {}
+        for i, t in score_rows:
+            ws = t.split()
+            ps = list(zip(ws, ws[1:]))
+            if not ps:
+                continue
+            s = 0.0
+            nh = nb = no = 0
+            for p in ps:
+                if p in bi:
+                    nh += 1
+                    s += math.log(bi[p] / uni[p[0]])
+                elif p[1] in uni:
+                    nb += 1
+                    s += math.log(0.4 * uni[p[1]] / total)
+                else:
+                    no += 1
+                    s += math.log(0.4 / total)
+            exp[i] = (len(ps), nh, nb, no, s / len(ps))
+        assert set(got) == set(exp), trial
+        for i, (np_, nh, nb, no, m) in exp.items():
+            g = got[i]
+            assert (
+                g["n_pairs"],
+                g["n_bigram_hits"],
+                g["n_unigram_backoffs"],
+                g["n_oov"],
+            ) == (np_, nh, nb, no), (trial, i)
+            assert abs(g["mean_logscore"] - m) < 1e-9, (trial, i)
