@@ -4634,6 +4634,53 @@ def q_dsir_resample(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_variant_extract(spark, sf_dir):
+    """Semi-structured VARIANT surface (Spark 4 parse_json +
+    try_variant_get): a nested JSON document composed in-plan from the
+    event row (object field, array index, nested object, and an absent
+    path) parses to VARIANT ONCE and yields four typed extractions —
+    the decode-once/extract-many pattern get_json_object (one string
+    re-parse per path) cannot express. All-integer aggregates per
+    event_type; the oracle replays the identical JSON composition with
+    DuckDB's json_extract. n_null_missing == n_rows is the in-result
+    absent-path-is-NULL theorem."""
+    ev = _read(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    vc = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    j = F.concat(
+        F.lit('{"k":'),
+        F.coalesce(k, F.lit(-1)).cast("string"),
+        F.lit(',"tags":["a","'),
+        F.col("event_type"),
+        F.lit('"],"meta":{"v":'),
+        F.coalesce(vc, F.lit(-1)).cast("string"),
+        F.lit("}}"),
+    )
+    v = F.parse_json(j)
+    return (
+        ev.select(
+            "event_type",
+            F.try_variant_get(v, "$.k", "long").alias("_k"),
+            F.try_variant_get(v, "$.meta.v", "long").alias("_mv"),
+            F.try_variant_get(v, "$.tags[1]", "string").alias("_t1"),
+            F.try_variant_get(v, "$.missing", "long").alias("_miss"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("_k").cast("long").alias("sum_k"),
+            F.sum("_mv").cast("long").alias("sum_meta_v"),
+            F.sum(
+                F.when(F.col("_t1") == F.col("event_type"), 1).otherwise(0)
+            ).cast("long").alias("n_tag_match"),
+            F.sum(F.when(F.col("_miss").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_null_missing"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_mixture_build(spark, sf_dir):
     """[EXT] Temperature-mixture materialization (operators/corpus.py
     mixture_build): temperature_mix's exact integer quotas (alpha=1/2,
@@ -4732,16 +4779,16 @@ _DRIVER_WINDOW = [
     "median_order_by_segment", "setops_customer_segments",
     "funnel_conversion", "running_order_totals", "window_tumbling",
     "window_sliding", "sessionize",
-    # -- (b) r05-stale greens (9) --
+    # -- (b) r05-stale greens (8) --
     "produce_log", "route_keyed", "route_round_robin",
     "top_events_per_user", "corpus_prep_pipeline",
     "similarity_topk", "lang_id", "contamination_check",
-    "session_window_counts",
-    # -- (c) new r10 oracle-backed gates, never driver-checked (3);
-    #    they displace the three most change-stable (b) candidates
-    #    (dedup_exact, json_props_stats, cdc_apply — untouched since
-    #    r5, all green in this round's full local sweep) --
-    "dsir_resample", "lm_backoff", "mixture_build",
+    # -- (c) new r10 oracle-backed gates, never driver-checked (4);
+    #    they displace the four most change-stable (b) candidates
+    #    (dedup_exact, json_props_stats, cdc_apply,
+    #    session_window_counts — untouched since r5, all green in
+    #    this round's full local sweep) --
+    "dsir_resample", "lm_backoff", "mixture_build", "variant_extract",
 ]
 
 
@@ -4963,6 +5010,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_resample": q_dsir_resample,
         "lm_backoff": q_lm_backoff,
         "mixture_build": q_mixture_build,
+        "variant_extract": q_variant_extract,
         "offsets_for_times": q_offsets_for_times,
         "value_histogram": q_value_histogram,
         # rows-only (non-SQL-expressible: LSH/MinHash/SimHash/Arrow kernels)
@@ -7594,7 +7642,7 @@ WITH n AS (
   SELECT doc_id,
          trim(regexp_replace(
               regexp_replace(lower(text), '[\\x00-\\x1f]', ' ', 'g'),
-              '\s+', ' ', 'g')) AS norm_text
+              '\\s+', ' ', 'g')) AS norm_text
   FROM documents
 )
 SELECT doc_id, norm_text, md5(norm_text) AS norm_fp,
@@ -9188,5 +9236,29 @@ SELECT doc_id, source, CAST(sample_rank AS BIGINT) AS sample_rank,
        CAST(n_copies AS BIGINT) AS n_copies
 FROM sel WHERE n_copies >= 1
 ORDER BY doc_id
+""",
+        # identical in-plan JSON composition; DuckDB re-parses per path
+        # where Spark's VARIANT parses once — same values either way
+        "variant_extract": """
+WITH j AS (
+  SELECT event_type,
+         '{"k":' || coalesce(CAST(json_extract(props, '$.k') AS BIGINT), -1)
+         || ',"tags":["a","' || event_type || '"],"meta":{"v":'
+         || coalesce(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT), -1)
+         || '}}' AS doc
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(json_extract(doc, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       CAST(sum(CAST(json_extract(doc, '$.meta.v') AS BIGINT)) AS BIGINT)
+         AS sum_meta_v,
+       CAST(sum(CASE WHEN json_extract_string(doc, '$.tags[1]') = event_type
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_tag_match,
+       CAST(sum(CASE WHEN json_extract(doc, '$.missing') IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_null_missing
+FROM j GROUP BY event_type
+ORDER BY event_type
 """,
     }

@@ -143,6 +143,7 @@ HEADLINE = [
     ("dsir_resample", True),
     ("lm_backoff", False),
     ("mixture_build", False),
+    ("variant_extract", True),
 ]
 
 

@@ -60,7 +60,20 @@ def read_documents(
         )
     if fmt == "orc":
         return spark.read.schema(schema).orc(path)
-    raise ValueError(f"unsupported format {fmt!r} (parquet|json|jsonl|csv|orc)")
+    if fmt == "xml":
+        # Spark 4 native XML. Unlike CSV, no null convention is needed:
+        # an absent element reads as NULL, an empty element as '' — the
+        # distinction survives for free, and <>&-escaping plus embedded
+        # newlines round-trip losslessly.
+        return (
+            spark.read.schema(schema)
+            .format("xml")
+            .option("rowTag", "doc")
+            .load(path)
+        )
+    raise ValueError(
+        f"unsupported format {fmt!r} (parquet|json|jsonl|csv|orc|xml)"
+    )
 
 
 def read_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
@@ -120,8 +133,12 @@ def write_documents(
         ).csv(path)
     elif fmt == "orc":
         w.orc(path)
+    elif fmt == "xml":
+        w.format("xml").option("rowTag", "doc").save(path)
     else:
-        raise ValueError(f"unsupported format {fmt!r} (parquet|json|jsonl|csv|orc)")
+        raise ValueError(
+            f"unsupported format {fmt!r} (parquet|json|jsonl|csv|orc|xml)"
+        )
 
 
 #: widening ladder for unify_schemas — a type unifies to the first

@@ -383,7 +383,7 @@ def test_write_documents_roundtrip_all_formats(spark, tmp_path):
         "doc_id long, text string, lang string, source string, n_chars long",
     )
     expected = sorted(tuple(r) for r in src.collect())
-    for fmt in ("parquet", "jsonl", "csv", "orc"):
+    for fmt in ("parquet", "jsonl", "csv", "orc", "xml"):
         p = str(tmp_path / fmt)
         write_documents(src, p, fmt=fmt)
         got = sorted(tuple(r) for r in read_documents(spark, p, fmt=fmt).collect())
@@ -402,3 +402,25 @@ def test_write_documents_roundtrip_all_formats(spark, tmp_path):
     assert got == expected
     # maxRecordsPerFile=1 -> one file per row within each partition
     assert len(glob.glob(f"{p}/lang=en/*.parquet")) == 2
+
+
+def test_xml_roundtrip_null_vs_empty_and_escaping(spark, tmp_path):
+    """The XML hop preserves the '' vs NULL distinction WITHOUT the CSV
+    \\N convention (absent element = NULL, empty element = ''), and
+    <>&-escaping plus embedded newlines survive bit-exactly."""
+    from flyq_spark.io import read_documents, write_documents
+
+    src = spark.createDataFrame(
+        [
+            (1, "a <b> & 'c' \"d\"", "en", "s1", 15),
+            (2, "line1\nline2", "fr", "s1", 11),
+            (3, None, "de", "s2", 0),
+            (4, "", "en", "s2", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    p = str(tmp_path / "xmlnull")
+    write_documents(src, p, fmt="xml")
+    got = sorted(tuple(r) for r in read_documents(spark, p, fmt="xml").collect())
+    assert got == sorted(tuple(r) for r in src.collect())
+    assert got[2][1] is None and got[3][1] == ""
