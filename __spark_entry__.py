@@ -4634,6 +4634,17 @@ def q_dsir_resample(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_lexical_diversity(spark, sf_dir):
+    """[EXT] Per-source lexical diversity (operators/text.py
+    lexical_diversity): exact (n_tokens, n_types, n_hapax) per source —
+    the type-token-ratio / Heaps-law vocabulary audit. Shuffle volume
+    is distinct (source, word) pairs, never token positions."""
+    from flyq_spark.operators.text import lexical_diversity
+
+    docs = _read(spark, sf_dir, "documents")
+    return lexical_diversity(docs).orderBy("source")
+
+
 def q_variant_extract(spark, sf_dir):
     """Semi-structured VARIANT surface (Spark 4 parse_json +
     try_variant_get): a nested JSON document composed in-plan from the
@@ -4779,16 +4790,17 @@ _DRIVER_WINDOW = [
     "median_order_by_segment", "setops_customer_segments",
     "funnel_conversion", "running_order_totals", "window_tumbling",
     "window_sliding", "sessionize",
-    # -- (b) r05-stale greens (8) --
+    # -- (b) r05-stale greens (7) --
     "produce_log", "route_keyed", "route_round_robin",
     "top_events_per_user", "corpus_prep_pipeline",
-    "similarity_topk", "lang_id", "contamination_check",
-    # -- (c) new r10 oracle-backed gates, never driver-checked (4);
-    #    they displace the four most change-stable (b) candidates
+    "lang_id", "contamination_check",
+    # -- (c) new r10 oracle-backed gates, never driver-checked (5);
+    #    they displace the five most change-stable (b) candidates
     #    (dedup_exact, json_props_stats, cdc_apply,
-    #    session_window_counts — untouched since r5, all green in
-    #    this round's full local sweep) --
+    #    session_window_counts, similarity_topk — untouched since r5,
+    #    all green in this round's full local sweep) --
     "dsir_resample", "lm_backoff", "mixture_build", "variant_extract",
+    "lexical_diversity",
 ]
 
 
@@ -5011,6 +5023,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_backoff": q_lm_backoff,
         "mixture_build": q_mixture_build,
         "variant_extract": q_variant_extract,
+        "lexical_diversity": q_lexical_diversity,
         "offsets_for_times": q_offsets_for_times,
         "value_histogram": q_value_histogram,
         # rows-only (non-SQL-expressible: LSH/MinHash/SimHash/Arrow kernels)
@@ -9260,5 +9273,22 @@ SELECT event_type,
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_null_missing
 FROM j GROUP BY event_type
 ORDER BY event_type
+""",
+        "lexical_diversity": """
+WITH toks AS (
+  SELECT source,
+         unnest(string_split_regex(lower(text), '\\s+')) AS tk
+  FROM documents
+),
+counted AS (
+  SELECT source, tk, count(*) AS c
+  FROM toks WHERE tk <> '' GROUP BY 1, 2
+)
+SELECT source,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+FROM counted GROUP BY source
+ORDER BY source
 """,
     }

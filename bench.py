@@ -144,6 +144,7 @@ HEADLINE = [
     ("lm_backoff", False),
     ("mixture_build", False),
     ("variant_extract", True),
+    ("lexical_diversity", True),
 ]
 
 

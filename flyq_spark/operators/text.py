@@ -1138,3 +1138,45 @@ def stupid_backoff_score(
             / F.col("n_pairs")
         ).alias("mean_logscore"),
     )
+
+
+def lexical_diversity(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group lexical-diversity statistics — the type-token-ratio /
+    hapax-legomena screen (Heaps-law vocabulary audit): a source whose
+    vocabulary stops growing is templated or machine-generated; one
+    whose hapax share explodes is OCR noise. Complements
+    ``quality_score`` (surface ratios) and ``rare_token_stats``
+    (per-document frequency tails) with the per-SOURCE vocabulary
+    view; callers derive TTR = n_types/n_tokens and hapax share =
+    n_hapax/n_types from the exact integers (emitting integers keeps
+    the gate hash-exact).
+
+    Plan: token explode (narrow) → ONE map-side-combined
+    groupBy(group, word) count — the composite key collapses a hot
+    word's occurrences before the exchange, so shuffle volume is
+    distinct (group, word) pairs, never token positions — then ONE
+    group-key aggregation folding (Σ counts, type count, hapax
+    count). A NULL group key is a real group (groupBy keeps it).
+    Output: (group, n_tokens, n_types, n_hapax) as BIGINTs."""
+    from flyq_spark.operators.util import fan_out
+
+    toks = fan_out(df).select(
+        F.col(group_col),
+        F.explode(
+            F.split(F.lower(F.col(text_col)), "\\s+")
+        ).alias("_w"),
+    ).where(F.col("_w") != "")
+    counted = toks.groupBy(group_col, "_w").agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    return counted.groupBy(group_col).agg(
+        F.sum("_c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.when(F.col("_c") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hapax"),
+    )

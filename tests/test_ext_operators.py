@@ -5521,3 +5521,34 @@ def test_mixture_build_matches_python_model(spark):
         exp = model(budget)
         assert got == exp, budget
         assert sum(c for _, _, c in got.values()) == budget
+
+
+def test_lexical_diversity_matches_python_model(spark):
+    """Exact (n_tokens, n_types, n_hapax) per group vs a Counter-based
+    model, including a NULL group key (a real group), whitespace runs,
+    and cross-document type merging within a source."""
+    from collections import Counter
+
+    from flyq_spark.operators.text import lexical_diversity
+
+    rows = [
+        (1, "the cat the cat unique1", "s1"),
+        (2, "the dog  unique2", "s1"),       # 'the' repeats ACROSS docs
+        (3, "aa bb aa", "s2"),
+        (4, "solo", None),                    # NULL group is a real group
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        r["source"]: (r["n_tokens"], r["n_types"], r["n_hapax"])
+        for r in lexical_diversity(df).collect()
+    }
+    groups: dict = {}
+    for _, t, s in rows:
+        groups.setdefault(s, Counter()).update(w for w in t.lower().split() if w)
+    exp = {
+        s: (sum(c.values()), len(c), sum(1 for v in c.values() if v == 1))
+        for s, c in groups.items()
+    }
+    assert got == exp
+    assert got["s1"] == (8, 5, 3)  # the x3, cat x2, dog/unique1/unique2 x1
+    assert got[None] == (1, 1, 1)
