@@ -195,6 +195,7 @@ def bpe_token_counts(
             F.sum(F.col("n") * F.col("n_tokens")).cast("long").alias("n_bpe_tokens"),
         )
     )
+    # null-keys-impossible: id_col is the row identity (caller contract)
     return df.select(id_col).distinct().join(agg, id_col, "left").select(
         F.col(id_col),
         F.coalesce(F.col("n_words"), F.lit(0)).cast("long").alias("n_words"),
@@ -295,6 +296,7 @@ def bpe_encode_ids(
     return (
         df.select(id_col)
         .distinct()
+        # null-keys-impossible: id_col is the row identity
         .join(agg, id_col, "left")
         .select(
             F.col(id_col),

@@ -967,8 +967,19 @@ def mixture_build(
     extra = F.when(
         F.col("sample_rank") <= F.col("quota") % F.col("n_docs"), 1
     ).otherwise(0)
+    # Null-SAFE join on the source key: a NULL source is a real group
+    # (temperature_mix's groupBy planned it a quota) and a plain
+    # on-name join would silently drop its ENTIRE quota, breaking the
+    # Σ n_copies = budget theorem (the _restore_all_groups discipline,
+    # impute.py). Marker-alias + eqNullSafe + drop keeps one output col.
+    mix_m = mix.select(
+        F.col(source_col).alias("_mb_src"), "n_docs", "quota"
+    )
     return (
-        ranked.join(F.broadcast(mix), on=source_col)
+        ranked.join(
+            F.broadcast(mix_m),
+            on=F.col(source_col).eqNullSafe(F.col("_mb_src")),
+        )
         .withColumn("n_copies", (base + extra).cast("long"))
         .where(F.col("n_copies") >= 1)
         .select(id_col, source_col, "sample_rank", "n_copies")

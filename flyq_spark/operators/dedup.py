@@ -60,6 +60,7 @@ def dedup_exact_rows(
     group → semi-join back (broadcast-friendly when the survivor set is
     small; otherwise a co-partitioned shuffle join on id)."""
     survivors = dedup_exact(df, text_col, id_col)
+    # null-keys-impossible: id_col is the row identity (caller contract)
     return df.join(survivors, on=id_col, how="left_semi")
 
 
@@ -217,6 +218,8 @@ def simhash_neardup_pairs(
             on=[
                 F.col("a.band") == F.col("b.band"),
                 F.col("a.bits") == F.col("b.bits"),
+                # null-keys-impossible: row-identity contract; a NULL
+                # id cannot satisfy the < pair order
                 F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
             ],
         )
@@ -290,6 +293,8 @@ def prefix_filter_candidates(
             b,
             on=[
                 F.col("a._tok") == F.col("b._tok"),
+                # null-keys-impossible: row-identity contract; a NULL
+                # id cannot satisfy the < pair order
                 F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
             ],
         )
@@ -335,6 +340,8 @@ def ngram_jaccard_pairs(
                 b,
                 on=[
                     F.col("a._block") == F.col("b._block"),
+                    # null-keys-impossible: row-identity contract; a
+                    # NULL id cannot satisfy the < pair order
                     F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
                 ],
             )
@@ -498,6 +505,7 @@ def remove_duplicate_spans(
         F.transform(F.filter(zipped, lambda x: ~covered(x)), lambda x: x["w"])
     )
     return (
+        # null-keys-impossible: id_col is the row identity
         df.join(per_doc, on=id_col, how="left")
         .select(
             F.col(id_col),
@@ -649,6 +657,8 @@ def minhash_band_pairs(
             on=[
                 F.col("a.band") == F.col("b.band"),
                 F.col("a.bits") == F.col("b.bits"),
+                # null-keys-impossible: row-identity contract; a NULL
+                # id cannot satisfy the < pair order
                 F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
             ],
         )
@@ -930,6 +940,7 @@ def dedup_against(
         .select(id_col)
         .distinct()
     )
+    # null-keys-impossible: id_col is the row identity
     return new.join(hits, id_col, "left_anti")
 
 
@@ -1036,6 +1047,7 @@ def paragraph_dedup(
     # get an output row instead of vanishing
     return (
         df.select(id_col)
+        # null-keys-impossible: id_col is the row identity
         .join(per_doc, id_col, "left")
         .select(
             id_col,
@@ -1120,6 +1132,7 @@ def boilerplate_removal(
     )
     return (
         df.select(id_col)
+        # null-keys-impossible: id_col is the row identity
         .join(per_doc, id_col, "left")
         .select(
             id_col,

@@ -356,6 +356,7 @@ def quantile_bins(
             num_partitions=num_partitions,
             materialize=False,
         )
+        # null-keys-impossible: id_col is the row identity
         out = out.join(binned.select(id_col, f"{name}_bin"), on=id_col)
     return out
 

@@ -152,6 +152,7 @@ def bloom_semi_join(
         for p in _bloom_positions(F.col(big_on), num_bits, num_hashes)
     ]
     prefiltered = big.where(reduce(lambda a, b: a & b, checks))
+    # null-keys-impossible: faithful to inner-equi-join semantics
     return prefiltered.join(
         small.select(F.col(small_on).alias(big_on)).distinct(),
         on=big_on,
@@ -189,10 +190,16 @@ def skew_split_join(
     hot = counts.where(F.col("_n") >= hot_threshold).select("_k")
     dim_keyed = dim.withColumnRenamed(dim_on, big_on) if dim_on != big_on else dim
     hot_b = F.broadcast(hot.withColumnRenamed("_k", big_on))
+    # null-keys-impossible: inner-equi-join-faithful (docstring: NULL
+    # keys match nothing on every path, exactly like the plain join)
     big_hot = big.join(hot_b, on=big_on, how="left_semi")
+    # null-keys-impossible: inner-equi-join-faithful (see above)
     big_cold = big.join(hot_b, on=big_on, how="left_anti")
+    # null-keys-impossible: inner-equi-join-faithful (see above)
     dim_hot = dim_keyed.join(hot_b, on=big_on, how="left_semi")
+    # null-keys-impossible: inner-equi-join-faithful (see above)
     hot_path = big_hot.join(F.broadcast(dim_hot), on=big_on)
+    # null-keys-impossible: inner-equi-join-faithful (see above)
     cold_path = big_cold.join(dim_keyed, on=big_on)
     return hot_path.unionByName(cold_path)
 

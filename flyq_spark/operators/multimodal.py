@@ -129,6 +129,7 @@ def dedup_by_content(df: DataFrame, id_col: str) -> DataFrame:
     (content_id, id): a semi join keeps only left-side columns, and with
     the aggregate on the left the probe matched by construction.)"""
     survivors = df.groupBy("content_id").agg(F.min(id_col).alias(id_col))
+    # null-keys-impossible: (content_id, id) is the row identity
     return df.join(survivors, on=["content_id", id_col], how="left_semi")
 
 

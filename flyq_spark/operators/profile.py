@@ -109,15 +109,22 @@ def robust_outliers(
     half3 = F.call_function(
         "div", F.lit(3).cast("long") * iqr, F.lit(2).cast("long")
     )
+    # null-SAFE fence join: a NULL group key is a real group (the
+    # quartile selection above planned it fences) and a plain on-name
+    # join would silently drop its entire outlier report.
     fences = q.select(
-        F.col(group_col),
+        F.col(group_col).alias("_rg"),
         F.col("n_docs").alias("n_rows"),
         (F.col("p25") - half3).alias("lo"),
         (F.col("p75") + half3).alias("hi"),
     )
     return (
         df.select(group_col, value_col)
-        .join(F.broadcast(fences), group_col)
+        .join(
+            F.broadcast(fences),
+            on=F.col(group_col).eqNullSafe(F.col("_rg")),
+        )
+        .drop("_rg")
         .groupBy(group_col)
         .agg(
             F.max("n_rows").cast("long").alias("n_rows"),

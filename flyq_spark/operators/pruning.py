@@ -528,6 +528,8 @@ def erase_partition_keys(
     kept = (
         spark.read.parquet(path)
         .where(F.col(part_col).isin(flagged))
+        # null-keys-impossible: deletion keys; a NULL subject key is
+        # not requestable, and left_anti keeps unmatched (NULL) rows
         .join(
             F.broadcast(keys.select(F.col(key_col).alias(match_col))),
             on=match_col,

@@ -268,6 +268,8 @@ def cohort_retention(
         F.col(user_col), F.date_trunc("week", F.col(ts_col)).alias("_wk")
     ).distinct()
     return (
+        # null-keys-impossible: user_col is the actor identity; inner
+        # join excludes NULL-user events from retention by design
         weekly.join(cohort, on=user_col)
         .groupBy(
             "cohort_week",
@@ -337,6 +339,7 @@ def rfm_segments(
     out = base
     for score, order in orders.items():
         branch = ntile_exact(base, order, n_tiles, score, materialize=False)
+        # null-keys-impossible: user_col is the actor identity
         out = out.join(branch.select(user_col, score), on=user_col)
     return out.select(
         user_col,
@@ -381,6 +384,7 @@ def cooccurrence_pairs(
     bi = df.select(basket_col, item_col).distinct()
     sizes = bi.groupBy(basket_col).agg(F.count("*").alias("_k"))
     ok = sizes.where(F.col("_k") <= max_items_per_basket).select(basket_col)
+    # null-keys-impossible: basket_col is the basket identity
     bi = bi.join(ok, basket_col, "left_semi")
     support = bi.groupBy(item_col).agg(F.count("*").alias("_sup"))
     a = bi.select(F.col(basket_col).alias("_b"), F.col(item_col).alias("item_a"))

@@ -156,6 +156,8 @@ def neardup_pairs(
             b,
             on=[
                 F.col("a._sig") == F.col("b._sig"),
+                # null-keys-impossible: row-identity contract; a NULL
+                # id cannot satisfy the < pair order
                 F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
             ],
         )
@@ -1042,6 +1044,7 @@ def semdedup_prune(
     # caller models with e.g. string cell ids — hardcoding int would
     # fail inside the Arrow worker with an opaque traceback)
     cell_type = centroids.schema.fields[0].dataType.simpleString()
+    # null-keys-impossible: id_col is the row identity
     members = embeddings.select(id_col, vec_col).join(assigned, id_col)
     out_schema = (
         f"{id_col} {id_type}, cell {cell_type}, keep boolean, "
@@ -1200,6 +1203,7 @@ def topk_ivfpq(
         )
     cells = assign_cells(embeddings, centroids, id_col, vec_col, nprobe=1)
     encoded = pq_encode(embeddings, codebooks, id_col, vec_col).join(
+        # null-keys-impossible: id_col is the row identity
         cells.select(id_col, "cell"), on=id_col
     )
     qprobes = assign_cells(

@@ -274,6 +274,7 @@ def repetition_signals(
         F.count("*").cast("long").alias("n_unique_words"),
         F.max("_c").cast("long").alias("top_word_count"),
     )
+    # null-keys-impossible: id_col is the row identity
     return agg.join(proj, on=id_col)
 
 

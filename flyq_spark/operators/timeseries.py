@@ -110,12 +110,21 @@ def resample_locf(
     )
     # the observed flag must not key off an agg column's NULL pattern
     # (max over all-NULL inputs is NULL on an observed row) — carry an
-    # explicit marker through the one grid join instead
-    out = grid.join(
-        observed.withColumn("_obs", F.lit(True)),
-        [*keys, "bucket_start_s"],
-        "left",
+    # explicit marker through the one grid join instead. The key
+    # equality is null-SAFE: a NULL group key is a real group (its rows
+    # aggregated together above), and a plain on-name join would read
+    # every one of its observed buckets as a gap.
+    marks = [f"_rk_{i}" for i in range(len(keys))]
+    obs_m = observed.withColumn("_obs", F.lit(True)).select(
+        *[F.col(k).alias(m) for k, m in zip(keys, marks)],
+        F.col("bucket_start_s").alias("_rb"),
+        "_obs",
+        *aggs,
     )
+    cond = F.col("bucket_start_s") == F.col("_rb")
+    for k, m in zip(keys, marks):
+        cond = cond & grid[k].eqNullSafe(F.col(m))
+    out = grid.join(obs_m, on=cond, how="left").drop("_rb", *marks)
     cols: list[Column] = [F.col(c) for c in keys] + [F.col("bucket_start_s")]
     for name in aggs:
         c = F.col(name)
@@ -207,6 +216,8 @@ def series_similarity_topk(
     )
     joined = (
         series.where(F.col(value_col).isNotNull())
+        # null-keys-impossible: a NULL bucket has no time-axis
+        # position and cannot overlap the query
         .join(q, F.col(bucket_col) == F.col("_qb"))
         .withColumn("_d2", (diff * diff).cast("decimal(38,0)"))
     )

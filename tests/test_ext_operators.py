@@ -290,6 +290,55 @@ def test_resample_locf_gapfill_semantics(spark):
     assert [r["b"] for r in neg.collect()] == [-900, -900, 0]
 
 
+def test_resample_locf_null_group_key(spark):
+    """A NULL group key is a real group: its observed buckets must come
+    back is_observed=True with their aggregates, and its gaps must
+    LOCF from its own observations — the plain on-name grid join this
+    pins against read every NULL-key observation as a gap (is_observed
+    False, counts zero-filled, values NULL)."""
+    from flyq_spark.operators.timeseries import resample_locf
+
+    df = spark.createDataFrame(
+        [(None, 0, 7), (None, 25, 9), ("a", 5, 1)],
+        "k string, sec long, v long",
+    ).withColumn("ts", F.timestamp_seconds(F.col("sec")))
+    aggs = {"n": F.count(F.lit(1)), "v_max": F.max("v")}
+    out = resample_locf(
+        df, ("k",), "ts", 10, aggs, fill=("v_max",), zero_fill=("n",)
+    )
+    rows = [
+        tuple(r)
+        for r in out.orderBy(F.col("k").asc_nulls_first(), "bucket_start_s").collect()
+    ]
+    assert rows == [
+        (None, 0, 1, 7, True),
+        (None, 10, 0, 7, False),  # gap: LOCF from the NULL group's own obs
+        (None, 20, 1, 9, True),
+        ("a", 0, 1, 1, True),
+    ]
+
+
+def test_robust_outliers_null_group_key(spark):
+    """A NULL group key is a real group: the quartile selection plans it
+    fences and the null-safe broadcast join must deliver its outlier
+    report — the plain on-name join this pins against dropped the NULL
+    group's row entirely."""
+    from flyq_spark.operators.profile import robust_outliers
+
+    rows = [("g", v) for v in (10, 20, 30, 40, 1000)] + [
+        (None, v) for v in (5, 6, 7, 8, -500)
+    ]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {r["g"]: tuple(r)[1:] for r in robust_outliers(df, "g", "v").collect()}
+    assert set(got) == {"g", None}
+    # NULL group: Q1=6, Q3=8, IQR=2, fences [3, 11] -> one low outlier
+    n_rows, lo, hi, n_low, n_high = got[None]
+    assert (n_rows, n_low, n_high) == (5, 1, 0)
+    assert lo <= 5 and hi >= 8
+    n_rows, lo, hi, n_low, n_high = got["g"]
+    assert (n_rows, n_low, n_high) == (5, 0, 1)
+
+
 def test_incremental_view_merge_and_retract(spark):
     """merge(summarize(a), summarize(b)) == summarize(a ∪ b); keys on
     one side only pass through; a retraction that empties a key drops
@@ -5521,6 +5570,62 @@ def test_mixture_build_matches_python_model(spark):
         exp = model(budget)
         assert got == exp, budget
         assert sum(c for _, _, c in got.values()) == budget
+
+
+def test_mixture_build_null_source_group(spark):
+    """A NULL source is a real group: temperature_mix's groupBy plans it
+    a quota, and the null-safe broadcast join must deliver it — the
+    plain on-name join this pins against dropped the NULL group's
+    ENTIRE quota (budget 100 -> Sigma n_copies 81 on this fixture),
+    breaking the Sigma n_copies = budget theorem. Full match vs the
+    Python model (Spark asc() = NULLS FIRST in the remainder tiebreak)."""
+    import hashlib
+    import math
+
+    from flyq_spark.operators.corpus import mixture_build
+
+    rows = (
+        [(i, "big") for i in range(1, 301)]
+        + [(i, None) for i in range(301, 381)]  # 80 NULL-source docs
+        + [(i, "tiny") for i in range(381, 391)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    def model(budget):
+        counts: dict = {}
+        for _, s in rows:
+            counts[s] = counts.get(s, 0) + 1
+        weights = {s: math.isqrt(n * 1_000_000) for s, n in counts.items()}
+        tot = sum(weights.values())
+        base = {s: budget * w // tot for s, w in weights.items()}
+        rem = {s: budget * w % tot for s, w in weights.items()}
+        left = budget - sum(base.values())
+        order = sorted(
+            counts, key=lambda s: (-rem[s], s is not None, s or "")
+        )
+        quota = {
+            s: base[s] + (1 if i < left else 0) for i, s in enumerate(order)
+        }
+        out = {}
+        for s, q in quota.items():
+            ids = [i for i, src in rows if src == s]
+            ids.sort(key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+            n = counts[s]
+            for r, i in enumerate(ids, start=1):
+                c = q // n + (1 if r <= q % n else 0)
+                if c >= 1:
+                    out[i] = (s, r, c)
+        return out
+
+    for budget in (100, 2000):  # selection regime / upsample regime
+        got = {
+            r["doc_id"]: (r["source"], r["sample_rank"], r["n_copies"])
+            for r in mixture_build(df, "source", 500, budget).collect()
+        }
+        exp = model(budget)
+        assert got == exp, budget
+        assert sum(c for _, _, c in got.values()) == budget
+        assert any(s is None for s, _, _ in got.values()), budget
 
 
 def test_lexical_diversity_matches_python_model(spark):
