@@ -288,8 +288,21 @@ def main() -> None:
     # Committed file twin: artifact capture keeps only the tail of
     # stdout, which truncated the FRONT of the big line in both r8 and
     # r9. The twin is the lossless record (committed to git each round).
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json"), "w") as f:
-        f.write(line + "\n")
+    # Loaded-box clobber guard: a run started at loadavg > 2 measures
+    # the OTHER process, not this code (r10 saw 4x inflation at load
+    # 16). Refuse to overwrite the committed clean twin unless --force;
+    # say so on stdout so the driver artifact records the reason.
+    twin = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_out.json"
+    )
+    if load_before[0] > 2.0 and "--force" not in sys.argv:
+        print(
+            f"bench_out.json NOT written: loadavg_before {load_before[0]}"
+            " > 2.0 (shared-box contamination); rerun solo or pass --force"
+        )
+    else:
+        with open(twin, "w") as f:
+            f.write(line + "\n")
     # Compact headline duplicate as the FINAL stdout line: tail-capture
     # keeps the end, so the headline numbers survive any truncation of
     # the full line above.

@@ -24,10 +24,11 @@ Usage:
 
 from __future__ import annotations
 
+import os
 import sys
 import threading
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 GROUP = "workers"
 

@@ -818,10 +818,13 @@ def importance_resample(
       k*w_i/W, and n_copies never deviates from that mean by >= 1 —
       the low-variance guarantee plain multinomial draws lack.
     - All arithmetic is exact: the prefix sum is BIGINT (ANSI crashes
-      loudly past 2^63 rather than wrapping), the P*k products run in
-      DECIMAL(38,0), and the floor divisions shift by +W so the
+      loudly past 2^63 rather than wrapping); the P*k operands are cast
+      DECIMAL(19,0) and Spark's decimal arithmetic promotes their
+      product to DECIMAL(38,0); the floor divisions shift by +W so the
       numerator is non-negative — integral ``div`` then agrees with
-      floor on every engine. Exactness domain: k*W < 10^38.
+      floor on every engine. Exactness domain: k*W + W < 10^38 (the +W
+      shift rides on top of the product; overflow past it is a LOUD
+      ANSI error, never a silent wrap).
 
     Scale shape (mirrors ``corpus_shuffle``): the prefix sum runs
     shard-parallel — a within-shard cumulative window over the 4096

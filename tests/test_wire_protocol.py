@@ -588,9 +588,13 @@ def test_group_consumers_example_end_to_end(engine):
     every message exactly once; after a member crashes, the survivors
     re-derive from the shrunken member list, pick up the orphaned
     partitions, and resume from the dead member's committed offsets."""
+    import os
     import sys
 
-    sys.path.insert(0, "/root/repo/examples")
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "examples"),
+    )
     import group_consumers as gc
 
     from flyq_spark.engine import assign_partitions
