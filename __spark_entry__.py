@@ -4707,6 +4707,47 @@ def q_mixture_build(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_epoch_plan(spark, sf_dir):
+    """[EXT] The full training-epoch assembly path COMPOSED end-to-end
+    (operators/corpus.py temperature_mix -> mixture_build ->
+    pack_documents): plan exact integer per-source quotas (alpha=1/2,
+    budget=9973), materialize the drawn document list with multiplicity
+    on each source's md5 ring, replicate copies, and boundary-pack the
+    epoch into 2048-token sequences on the 16-shard md5 ring — the
+    "epoch plan" a 100 TB pipeline actually runs. Theorems in-result:
+    Sigma n_seqs over all packs = 9973 (both apportionment stages are
+    largest-remainder) and per-pack token sums are hash-pinned. Copies
+    of a doc are IDENTICAL rows (the copy index is dropped before
+    packing), so the pack assignment multiset is deterministic under
+    the ring window's tie order. Fully oracle-replayed in DuckDB
+    (quota math -> ring ranks -> unnest replication -> pack window)."""
+    from flyq_spark.operators.corpus import mixture_build, pack_documents
+
+    docs = _read(spark, sf_dir, "documents")
+    drawn = mixture_build(docs, "source", alpha_permille=500, budget=9973)
+    reps = (
+        # null-keys-impossible: doc_id is the row identity
+        drawn.join(docs.select("doc_id", "text"), "doc_id")
+        .select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.sequence(F.lit(1).cast("long"), F.col("n_copies"))
+            ).alias("_copy"),
+        )
+        .drop("_copy")
+    )
+    packed = pack_documents(reps, token_budget=2048)
+    return (
+        packed.groupBy("shard", "pack_id")
+        .agg(
+            F.count("*").cast("long").alias("n_seqs"),
+            F.sum("n_tokens").cast("long").alias("pack_tokens"),
+        )
+        .orderBy("shard", "pack_id")
+    )
+
+
 def q_lm_backoff(spark, sf_dir):
     """[EXT] Bigram-LM fluency scoring with Stupid Backoff
     (operators/text.py stupid_backoff_score): LM = bigram/unigram
@@ -4728,6 +4769,106 @@ def q_lm_backoff(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+def q_variant_explode(spark, sf_dir):
+    """[EXT] VARIANT array -> rows (Spark 4 LATERAL variant_explode
+    over parse_json): a 3-element integer array composed in-plan from
+    the event row ([props.k, cents, k+cents], NULL-coalesced like
+    variant_extract) parses to VARIANT once and explodes to one row
+    per element with its position — the semi-structured fan-out
+    get_json_object cannot express without N re-parses. Per-event-type
+    exact integer aggregates; sum_pos_weighted pins element ORDER
+    ((pos+1)-weighted sum), not just the multiset. Oracle replays via
+    DuckDB json_transform to BIGINT[] + ordinal unnest."""
+    ev = _read(spark, sf_dir, "events")
+    k = F.coalesce(
+        F.get_json_object(F.col("props"), "$.k").cast("long"), F.lit(-1)
+    )
+    vc = F.coalesce(
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long"), F.lit(-1)
+    )
+    j = F.concat(
+        F.lit("["),
+        k.cast("string"),
+        F.lit(","),
+        vc.cast("string"),
+        F.lit(","),
+        (k + vc).cast("string"),
+        F.lit("]"),
+    )
+    ev.select("event_type", j.alias("_j")).createOrReplaceTempView(
+        "variant_explode_src"
+    )
+    return spark.sql(
+        """
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_elems,
+               CAST(sum(CAST(e.value AS BIGINT)) AS BIGINT) AS sum_vals,
+               CAST(sum((e.pos + 1) * CAST(e.value AS BIGINT)) AS BIGINT)
+                 AS sum_pos_weighted
+        FROM variant_explode_src,
+             LATERAL variant_explode(parse_json(_j)) e
+        GROUP BY event_type
+        ORDER BY event_type
+        """
+    )
+
+
+def q_ppl_select(spark, sf_dir):
+    """[EXT] CCNet's actual selection loop COMPOSED end-to-end
+    (operators/text.py stupid_backoff_score -> operators/corpus.py
+    quality_weighted_sample): score every non-src0 document's fluency
+    against the held-out src0 bigram LM, turn the integer bigram-hit
+    rate into a keep probability (permille via integral div — no
+    engine-dependent float survives the ratio), and draw the kept set
+    with the deterministic md5-coin Bernoulli sampler. Output: per
+    source, kept-document count and the kept set's pair/hit mass.
+    Fully oracle-replayed (LM counts -> hit rate -> trunc'd 2^60
+    threshold compare)."""
+    from flyq_spark.operators.corpus import quality_weighted_sample
+    from flyq_spark.operators.text import stupid_backoff_score
+
+    docs = _read(spark, sf_dir, "documents")
+    train = docs.where(F.col("source") == "src0")
+    scored = stupid_backoff_score(
+        docs.where(F.col("source") != "src0"), train
+    )
+    permille = F.call_function(
+        "div",
+        F.lit(1000).cast("long") * F.col("n_bigram_hits"),
+        F.col("n_pairs"),
+    )
+    weighted = scored.withColumn(
+        "_w", permille.cast("double") / F.lit(1000.0)
+    )
+    kept = quality_weighted_sample(weighted, "_w")
+    return (
+        # null-keys-impossible: doc_id is the row identity
+        kept.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.sum("n_pairs").cast("long").alias("sum_pairs"),
+            F.sum("n_bigram_hits").cast("long").alias("sum_hits"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_contamination_report(spark, sf_dir):
+    """[EXT] Release decontamination audit COMPOSED
+    (operators/corpus.py three_way_split -> contamination_report): a
+    deterministic md5-prefix train/val/test split, then per eval split
+    the distinct-8-gram leakage against the train shingle set rolled
+    up to (split, n_docs, n_contaminated_docs, n_ngrams, n_hits) — the
+    one-row-per-split report a release reads before trusting an eval
+    score. Same 60-bit shingle-key join shape as contamination_check;
+    fully oracle-replayed."""
+    from flyq_spark.operators.corpus import contamination_report
+
+    docs = _read(spark, sf_dir, "documents")
+    return contamination_report(docs, n=8).orderBy("split")
 
 
 _SYNTH_UNITS_CTE = """
@@ -4760,47 +4901,36 @@ def entry(spark: SparkSession) -> DataFrame:
 # prior round's record. Every entry still runs in the full local sweep
 # (tools/verify_local.py) regardless of position.
 _DRIVER_WINDOW = [
-    # r10: freshness rotation (VERDICT r9 next-round #2). Cumulative
-    # coverage has been 222/222 since r9 — the window now exists to
-    # keep the proof CURRENT as code churns. 50 slots =
-    # (a) all 38 entries whose latest driver check dates to r04 or
-    #     earlier (the TPC-H q1-q22 ladder, the relational/window/
-    #     set-op gates, and the engine ops consume_by_key /
-    #     consume_next / read_from_offset / retention_size /
-    #     monitor_alerts); plus
-    # (b) 12 of the 44 r05-stale greens, prioritizing broker-core
-    #     paths (produce/routing), gates over code rewired since
-    #     (top_events_per_user rides ranking; corpus_prep_pipeline
-    #     composes the corpus family), and the heaviest pipelines.
-    # After this round no entry's latest check predates r05. The rows
-    # displaced are all green in CORRECTNESS_r09.json.
+    # r11: freshness rotation (VERDICT r10 next-round #3) + the four
+    # new r11 gates (never driver-checked, staler than any green).
+    # 50 slots = (a) ALL 37 entries whose latest driver check dates to
+    # r05; (b) the 4 new r11 gates; (c) mixture_build + value_outliers,
+    # whose OPERATOR CODE changed this round (null-safe joins) so their
+    # r9/r10 proofs ran on superseded code; (d) 7 of the 45 r07-stale
+    # greens, prioritizing gates over code this round's null-safe
+    # triage touched (timeseries/profile/bpe/joinaudit/dedup). The 38
+    # r07 greens left over rotate in r12 — the 4 new gates took their
+    # slots this round.
     #
-    # -- (a) last checked r04 or earlier (38) --
-    "q1_pricing", "q2_min_cost_supplier", "q3_top_orders",
-    "q4_order_priority", "q5_region_revenue", "q6_forecast_revenue",
-    "q7_volume_shipping", "q8_market_share", "q9_profit_by_nation_year",
-    "q10_returned_items", "q11_important_parts", "q12_shipping_priority",
-    "q13_order_distribution", "q14_promo_revenue", "q15_top_supplier",
-    "q16_supplier_cnt", "q17_small_qty_revenue", "q18_big_orders",
-    "q19_disjunctive_revenue", "q20_dominant_suppliers",
-    "q21_waiting_suppliers", "q22_idle_customers",
-    "consume_by_key", "consume_next", "read_from_offset",
-    "retention_size", "monitor_alerts", "consumer_lag_total",
-    "cube_revenue", "rollup_revenue", "pivot_priority_by_year",
-    "median_order_by_segment", "setops_customer_segments",
-    "funnel_conversion", "running_order_totals", "window_tumbling",
-    "window_sliding", "sessionize",
-    # -- (b) r05-stale greens (7) --
-    "produce_log", "route_keyed", "route_round_robin",
-    "top_events_per_user", "corpus_prep_pipeline",
-    "lang_id", "contamination_check",
-    # -- (c) new r10 oracle-backed gates, never driver-checked (5);
-    #    they displace the five most change-stable (b) candidates
-    #    (dedup_exact, json_props_stats, cdc_apply,
-    #    session_window_counts, similarity_topk — untouched since r5,
-    #    all green in this round's full local sweep) --
-    "dsir_resample", "lm_backoff", "mixture_build", "variant_extract",
-    "lexical_diversity",
+    # -- (a) last checked r05 (37) --
+    "asof_last_purchase", "bigram_top50", "cdc_apply", "cohort_retention",
+    "corpus_shuffle", "dedup_exact", "doc_fingerprints", "duplicate_spans",
+    "embedding_neardup", "embedding_quantize", "heavy_hitter_tokens",
+    "inverted_index", "json_props_stats", "minhash_jaccard_pairs",
+    "minhash_sig", "neardup_components", "neardup_keep_best",
+    "ngram_jaccard", "offsets_for_times", "quality_classifier",
+    "quality_filter", "quality_weighted_sample", "range_join_pairs",
+    "rare_token_stats", "salient_terms", "scd2_history",
+    "session_window_counts", "simhash_md5_neardup", "similarity_topk",
+    "span_removal", "stratified_sample", "term_search", "text_quality",
+    "time_rollup", "value_histogram", "winnow_fp", "zorder_codes",
+    # -- (b) new r11 gates (4) --
+    "epoch_plan", "ppl_select", "contamination_report", "variant_explode",
+    # -- (c) code changed this round (2) --
+    "mixture_build", "value_outliers",
+    # -- (d) r07-stale, changed-lineage priority (7) --
+    "gap_fill_locf", "cusum_alarms", "series_similarity", "table_profile",
+    "bpe_token_stats", "skew_split_join", "containment_pairs",
 ]
 
 
@@ -5022,6 +5152,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_resample": q_dsir_resample,
         "lm_backoff": q_lm_backoff,
         "mixture_build": q_mixture_build,
+        "epoch_plan": q_epoch_plan,
+        "ppl_select": q_ppl_select,
+        "variant_explode": q_variant_explode,
+        "contamination_report": q_contamination_report,
         "variant_extract": q_variant_extract,
         "lexical_diversity": q_lexical_diversity,
         "offsets_for_times": q_offsets_for_times,
@@ -9196,6 +9330,179 @@ ORDER BY p.doc_id
         # the temperature_mix oracle's quota block + per-source md5-ring
         # row_number + largest-remainder spread (integer // and %, both
         # operands non-negative, so the arithmetic replays exactly)
+        "epoch_plan": """
+WITH c AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY 1
+),
+w0 AS (
+  SELECT source, n_docs,
+         CAST(floor(sqrt(CAST(n_docs * 1000000 AS DOUBLE))) AS BIGINT) AS s0
+  FROM c
+),
+w AS (
+  SELECT source, n_docs,
+         CASE WHEN (s0 + 1) * (s0 + 1) <= n_docs * 1000000 THEN s0 + 1
+              WHEN s0 * s0 > n_docs * 1000000 THEN s0 - 1
+              ELSE s0 END AS weight
+  FROM w0
+),
+t AS (SELECT CAST(sum(weight) AS BIGINT) AS wt FROM w),
+b AS (
+  SELECT source, n_docs, weight,
+         (9973 * weight) // t.wt AS base,
+         (9973 * weight) % t.wt AS rem
+  FROM w CROSS JOIN t
+),
+r AS (
+  SELECT *,
+         row_number() OVER (ORDER BY rem DESC, source ASC) AS seat,
+         (SELECT 9973 - sum(base) FROM b) AS leftover
+  FROM b
+),
+q AS (
+  SELECT source, n_docs,
+         base + CASE WHEN seat <= leftover THEN 1 ELSE 0 END AS quota
+  FROM r
+),
+ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank
+  FROM documents
+),
+sel AS (
+  SELECT k.doc_id, k.source, k.sample_rank,
+         q.quota // q.n_docs
+         + CASE WHEN k.sample_rank <= q.quota % q.n_docs THEN 1 ELSE 0 END
+           AS n_copies
+  FROM ranked k JOIN q USING (source)
+),
+rep AS (
+  SELECT s.doc_id, d.text, s.n_copies
+  FROM sel s JOIN documents d USING (doc_id)
+  WHERE s.n_copies >= 1
+),
+expanded AS (
+  SELECT r.doc_id, r.text
+  FROM rep r, unnest(generate_series(1, CAST(r.n_copies AS BIGINT)))
+),
+toks AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END
+           AS BIGINT) AS n_tokens
+  FROM expanded
+),
+packed AS (
+  SELECT doc_id, substr(h, 1, 1) AS shard, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           PARTITION BY substr(h, 1, 1) ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM toks
+)
+SELECT shard, CAST(floor(cum_before / 2048.0) AS BIGINT) AS pack_id,
+       CAST(count(*) AS BIGINT) AS n_seqs, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+FROM packed
+GROUP BY shard, pack_id
+ORDER BY shard, pack_id
+""",
+        "ppl_select": """
+WITH words AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+),
+all_pairs AS (
+  SELECT doc_id, source,
+         w[CAST(i AS BIGINT)] AS w1, w[CAST(i AS BIGINT) + 1] AS w2
+  FROM words, UNNEST(range(1, len(w))) AS t(i)
+),
+lm AS (
+  SELECT w1, w2, count(*) AS c12 FROM all_pairs
+  WHERE source = 'src0' GROUP BY 1, 2
+),
+scored AS (
+  SELECT p.doc_id,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(CASE WHEN lm.c12 IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_hits
+  FROM all_pairs p
+  LEFT JOIN lm ON p.w1 = lm.w1 AND p.w2 = lm.w2
+  WHERE p.source <> 'src0'
+  GROUP BY p.doc_id
+),
+kept AS (
+  SELECT doc_id, n_pairs, n_hits FROM scored
+  WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      < CAST(trunc(least(greatest(((1000 * n_hits) // n_pairs) / 1000.0, 0.0), 1.0)
+                   * POWER(2, 60)) AS BIGINT)
+)
+SELECT d.source, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(k.n_pairs) AS BIGINT) AS sum_pairs,
+       CAST(sum(k.n_hits) AS BIGINT) AS sum_hits
+FROM kept k JOIN documents d USING (doc_id)
+GROUP BY d.source
+ORDER BY d.source
+""",
+        "contamination_report": """
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0d' THEN 'test'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a' THEN 'val'
+              ELSE 'train' END AS split
+  FROM documents
+),
+eval_ng AS (
+  SELECT DISTINCT split, doc_id,
+         CAST(concat('0x', substr(md5(
+           array_to_string(w[CAST(i AS BIGINT):CAST(i AS BIGINT)+7], ' ')
+         ), 1, 15)) AS BIGINT) AS ng
+  FROM base, UNNEST(range(1, len(w) - 6)) AS t(i)
+  WHERE split <> 'train'
+),
+train_ng AS (
+  SELECT DISTINCT CAST(concat('0x', substr(md5(
+           array_to_string(w[CAST(i AS BIGINT):CAST(i AS BIGINT)+7], ' ')
+         ), 1, 15)) AS BIGINT) AS ng
+  FROM base, UNNEST(range(1, len(w) - 6)) AS t(i)
+  WHERE split = 'train'
+),
+per_doc AS (
+  SELECT e.split, e.doc_id, count(*) AS n_ng, count(tr.ng) AS n_hit
+  FROM eval_ng e LEFT JOIN train_ng tr USING (ng)
+  GROUP BY e.split, e.doc_id
+)
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN n_hit > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated_docs,
+       CAST(sum(n_ng) AS BIGINT) AS n_ngrams,
+       CAST(sum(n_hit) AS BIGINT) AS n_hits
+FROM per_doc
+GROUP BY split
+ORDER BY split
+""",
+        "variant_explode": """
+WITH j AS (
+  SELECT event_type,
+         '[' || coalesce(CAST(json_extract(props, '$.k') AS BIGINT), -1)
+         || ',' || coalesce(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT), -1)
+         || ',' || (coalesce(CAST(json_extract(props, '$.k') AS BIGINT), -1)
+                    + coalesce(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT), -1))
+         || ']' AS doc
+  FROM events
+),
+l AS (SELECT event_type, json_transform(doc, '["BIGINT"]') AS arr FROM j)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_elems,
+       CAST(sum(arr[CAST(i AS BIGINT)]) AS BIGINT) AS sum_vals,
+       CAST(sum(i * arr[CAST(i AS BIGINT)]) AS BIGINT) AS sum_pos_weighted
+FROM l, UNNEST(range(1, len(arr) + 1)) AS s(i)
+GROUP BY event_type
+ORDER BY event_type
+""",
         "mixture_build": """
 WITH c AS (
   SELECT source, CAST(count(*) AS BIGINT) AS n_docs

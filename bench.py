@@ -145,6 +145,13 @@ HEADLINE = [
     ("mixture_build", False),
     ("variant_extract", True),
     ("lexical_diversity", True),
+    # r11: the composed epoch-assembly path (mixture -> replicate ->
+    # pack), the CCNet LM-select loop, the 3-way-split release
+    # decontamination audit, and the VARIANT array fan-out
+    ("epoch_plan", False),
+    ("ppl_select", True),
+    ("contamination_report", True),
+    ("variant_explode", True),
 ]
 
 

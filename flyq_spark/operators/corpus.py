@@ -213,6 +213,99 @@ def contamination_ngrams(
     )
 
 
+def three_way_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    test_prefix_below: str = "0d",
+    val_prefix_below: str = "1a",
+) -> DataFrame:
+    """Append a deterministic 3-way ``split`` column: 'test' iff the
+    md5 hex prefix of the id sorts below ``test_prefix_below``, 'val'
+    iff below ``val_prefix_below``, else 'train' — the
+    :func:`train_test_split` rule extended with a validation band.
+    Membership is a pure function of the id (stable across runs,
+    engines, partitionings, corpus growth). Both thresholds must be
+    the same length (they cut the SAME prefix) and test < val, or the
+    bands would overlap silently."""
+    if len(test_prefix_below) != len(val_prefix_below):
+        raise ValueError(
+            "prefix thresholds must be the same length: "
+            f"{test_prefix_below!r} vs {val_prefix_below!r}"
+        )
+    if not test_prefix_below < val_prefix_below:
+        raise ValueError(
+            "test_prefix_below must sort strictly below val_prefix_below: "
+            f"{test_prefix_below!r} >= {val_prefix_below!r}"
+        )
+    p = F.substring(_id_hash(id_col), 1, len(test_prefix_below))
+    return df.withColumn(
+        "split",
+        F.when(p < F.lit(test_prefix_below), F.lit("test"))
+        .when(p < F.lit(val_prefix_below), F.lit("val"))
+        .otherwise(F.lit("train")),
+    )
+
+
+def contamination_report(
+    df: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    test_prefix_below: str = "0d",
+    val_prefix_below: str = "1a",
+) -> DataFrame:
+    """Per-SPLIT train-leakage report — the release audit composing
+    :func:`three_way_split` with :func:`contamination_ngrams`'s shingle
+    join: for every val/test document, how many of its distinct word
+    ``n``-grams appear anywhere in the TRAIN split, rolled up to one
+    row per eval split: (split, n_docs, n_contaminated_docs, n_ngrams,
+    n_hits). A release gate reads it directly: n_contaminated_docs
+    must be ~0 before an eval score is trustworthy.
+
+    Same scale shape as contamination_ngrams (distinct-deduped 60-bit
+    shingle-key equi-join — never corpus x corpus); documents with
+    < n words have no shingles and are absent from n_docs, identically
+    on both engines (documented, not silent)."""
+    from flyq_spark.operators.util import fan_out
+
+    base = three_way_split(
+        fan_out(df.select(id_col, text_col)),
+        id_col,
+        test_prefix_below,
+        val_prefix_below,
+    ).withColumn("_ng", _word_ngrams(F.split(F.col(text_col), " "), n))
+    h60 = lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")  # noqa: E731
+    eval_ng = (
+        base.where(F.col("split") != "train")
+        .select("split", F.col(id_col), F.explode("_ng").alias("_g"))
+        .select("split", F.col(id_col), h60(F.col("_g")).alias("_g"))
+        .distinct()
+    )
+    train_ng = (
+        base.where(F.col("split") == "train")
+        .select(F.explode("_ng").alias("_g"))
+        .select(h60(F.col("_g")).alias("_g"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    per_doc = (
+        eval_ng.join(train_ng, on="_g", how="left")
+        .groupBy("split", id_col)
+        .agg(
+            F.count("*").cast("long").alias("_n_ng"),
+            F.count("_hit").cast("long").alias("_n_hit"),
+        )
+    )
+    return per_doc.groupBy("split").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum((F.col("_n_hit") > 0).cast("long"))
+        .cast("long")
+        .alias("n_contaminated_docs"),
+        F.sum("_n_ng").cast("long").alias("n_ngrams"),
+        F.sum("_n_hit").cast("long").alias("n_hits"),
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

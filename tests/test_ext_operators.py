@@ -5657,3 +5657,129 @@ def test_lexical_diversity_matches_python_model(spark):
     assert got == exp
     assert got["s1"] == (8, 5, 3)  # the x3, cat x2, dog/unique1/unique2 x1
     assert got[None] == (1, 1, 1)
+
+
+def test_three_way_split_deterministic_bands(spark):
+    """Split is a pure function of md5(id) prefix: bands partition the
+    corpus, match a hashlib model exactly, and bad thresholds raise."""
+    import hashlib
+
+    from flyq_spark.operators.corpus import three_way_split
+
+    df = spark.createDataFrame([(i,) for i in range(1, 400)], "doc_id long")
+    got = {
+        r["doc_id"]: r["split"]
+        for r in three_way_split(df, "doc_id", "0d", "1a").collect()
+    }
+    for i in range(1, 400):
+        p = hashlib.md5(str(i).encode()).hexdigest()[:2]
+        exp = "test" if p < "0d" else ("val" if p < "1a" else "train")
+        assert got[i] == exp, i
+    assert set(got.values()) == {"test", "val", "train"}
+    with pytest.raises(ValueError, match="same length"):
+        three_way_split(df, "doc_id", "0d", "1ab")
+    with pytest.raises(ValueError, match="strictly below"):
+        three_way_split(df, "doc_id", "1a", "0d")
+
+
+def test_contamination_report_matches_python_model(spark):
+    """Per-split leakage rollup vs an independent hashlib/set model:
+    distinct 8-gram sets per eval doc, global train shingle set, exact
+    (n_docs, n_contaminated_docs, n_ngrams, n_hits) per split; docs
+    with < n words are absent."""
+    import hashlib
+
+    from flyq_spark.operators.corpus import contamination_report
+
+    words = [f"w{j}" for j in range(40)]
+    rows = []
+    for i in range(1, 120):
+        # overlapping windows of the shared vocab -> real leakage
+        start = i % 30
+        text = " ".join(words[start : start + 4 + (i % 9)])
+        rows.append((i, text))
+    rows.append((200, "short doc"))  # < 4 words: no shingles
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    N = 4
+    def split_of(i):
+        p = hashlib.md5(str(i).encode()).hexdigest()[:2]
+        return "test" if p < "0d" else ("val" if p < "1a" else "train")
+
+    def shingles(text):
+        w = text.split(" ")
+        return {
+            " ".join(w[j : j + N]) for j in range(len(w) - N + 1)
+        } if len(w) >= N else set()
+
+    train_set = set()
+    for i, t in rows:
+        if split_of(i) == "train":
+            train_set |= shingles(t)
+    exp: dict = {}
+    for i, t in rows:
+        s = split_of(i)
+        if s == "train":
+            continue
+        sh = shingles(t)
+        if not sh:
+            continue
+        hits = len(sh & train_set)
+        d = exp.setdefault(s, [0, 0, 0, 0])
+        d[0] += 1
+        d[1] += 1 if hits > 0 else 0
+        d[2] += len(sh)
+        d[3] += hits
+    got = {
+        r["split"]: (
+            r["n_docs"], r["n_contaminated_docs"], r["n_ngrams"], r["n_hits"]
+        )
+        for r in contamination_report(df, n=N).collect()
+    }
+    assert got == {s: tuple(v) for s, v in exp.items()}
+    assert set(got) == {"test", "val"}
+    assert any(v[3] > 0 for v in got.values())  # leakage actually exercised
+
+
+def test_epoch_plan_composition_theorems(spark):
+    """mixture_build -> replicate -> pack_documents composition: the
+    packed epoch holds EXACTLY budget sequences (Sigma n_copies
+    survives replication and packing), per-shard pack ids are dense
+    from 0, and every pack's preceding-token sum respects the boundary
+    rule — with a tail source small enough to force upsampling
+    (n_copies > 1, identical replicated rows)."""
+    from flyq_spark.operators.corpus import mixture_build, pack_documents
+
+    rows = [
+        (i, "big" if i <= 150 else "tiny", "tok " * (5 + i % 7))
+        for i in range(1, 161)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    budget = 500  # tiny (10 docs) gets quota >> 10 -> upsampling regime
+    drawn = mixture_build(df, "source", 500, budget)
+    reps = (
+        drawn.join(df.select("doc_id", "text"), "doc_id")
+        .select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.sequence(F.lit(1).cast("long"), F.col("n_copies"))
+            ).alias("_copy"),
+        )
+        .drop("_copy")
+    )
+    packed = pack_documents(reps, token_budget=64).collect()
+    assert len(packed) == budget  # Sigma n_copies = budget, end-to-end
+    assert any(
+        r["doc_id"] == s["doc_id"] for r in packed for s in packed
+        if r is not s and r["doc_id"] == s["doc_id"]
+    )  # replication actually happened
+    by_shard: dict = {}
+    for r in packed:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rs in by_shard.items():
+        ids = sorted({r["pack_id"] for r in rs})
+        assert ids == list(range(len(ids))), shard  # dense pack ids
+        # boundary rule: tokens before pack p's first doc >= p*64
+        total = sum(r["n_tokens"] for r in rs)
+        assert ids[-1] * 64 <= total

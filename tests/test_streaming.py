@@ -1244,3 +1244,126 @@ def test_streaming_temperature_mix_parity(spark, tmp_path):
     )
     assert got == want
     assert sum(r[3] for r in got) == 1000  # Sigma quota = budget
+
+
+def test_late_arrival_monitor_drives_withwatermark_choice(spark, tmp_path):
+    """The measurement half and the commitment half of the watermark
+    story must AGREE (r10 verdict #6): size a withWatermark delay from
+    the live lateness view (smallest threshold whose predicted drop
+    rate is <= 50 permille), start a REAL windowed streaming
+    aggregation with that delay over the same batch sequence, and
+    assert the engine's own numRowsDroppedByWatermark equals the
+    monitor's prediction exactly.
+
+    Exact-alignment construction: every event time and every threshold
+    is a whole second and the stream aggregates 1-second tumbling
+    windows, so Spark's drop rule (window_end <= watermark, watermark
+    = prior-batch max event time - delay, fixed per batch) coincides
+    with the monitor's counter (lateness > t): for multiples of 1 s,
+    lateness > t  <=>  lateness >= t + 1 s  <=>  ts + 1s <= max_prior
+    - t. One file per micro-batch through a real parquet readStream
+    keeps the batch boundaries identical to the monitor's."""
+    import json
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from flyq_spark.streaming.sink import (
+        late_arrival_monitor_sink,
+        read_late_arrival_monitor,
+    )
+
+    SEC = 1_000_000
+    t0 = 1_700_000_000 * SEC
+    # single logical group: Structured Streaming's watermark is GLOBAL,
+    # so the monitor must watch the same axis to size it
+    rows, i = [], 0
+    for b in range(3):
+        for j in range(60):
+            i += 1
+            ts = t0 + (b * 60 + j) * SEC
+            if b > 0 and j % 12 == 0:
+                ts -= 75 * SEC   # late 75s + a bit vs running max
+            elif b > 0 and j % 7 == 0:
+                ts -= 40 * SEC
+            rows.append((i, "all", ts))
+    batches = [rows[:60], rows[60:120], rows[120:]]
+    thresholds = (10 * SEC, 60 * SEC, 120 * SEC)
+
+    sink = late_arrival_monitor_sink(
+        str(tmp_path / "wmview"), "g", "ts_us",
+        thresholds_us=thresholds, compact_every=4,
+    )
+    for bid, batch in enumerate(batches):
+        sink(spark.createDataFrame(batch, "id long, g string, ts_us long"), bid)
+
+    view = read_late_arrival_monitor(
+        spark, str(tmp_path / "wmview"), "g", thresholds
+    ).collect()[0]
+    n_events = view["n_events"]
+    # pick the smallest threshold with predicted drop rate <= 50 permille
+    chosen = None
+    for t in thresholds:
+        if view[f"n_late_{t}us"] * 1000 <= 50 * n_events:
+            chosen = t
+            break
+    assert chosen == 60 * SEC  # 10s would drop the 40s-late rows too
+    predicted_drops = view[f"n_late_{chosen}us"]
+    assert predicted_drops > 0  # commitment must actually cost something
+
+    # --- the commitment half: a REAL stream with the chosen delay ---
+    src_dir = str(tmp_path / "wmsrc")
+    os.makedirs(src_dir)
+    stream = (
+        spark.readStream.schema("id long, g string, ts_us long")
+        .parquet(src_dir)
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        .withWatermark("ts", f"{chosen // SEC} seconds")
+        .groupBy(F.window("ts", "1 second"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        stream.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("wm_commit")
+        .option("checkpointLocation", str(tmp_path / "wmck"))
+        .start()
+    )
+    try:
+        import glob
+        import shutil
+
+        for bid, batch in enumerate(batches):
+            # stage the batch, then land ONE flat file in the source dir
+            # (the file source lists flat files; one add per drain ->
+            # one micro-batch per monitor batch)
+            stage = str(tmp_path / f"wmstage{bid}")
+            spark.createDataFrame(
+                batch, "id long, g string, ts_us long"
+            ).coalesce(1).write.mode("overwrite").parquet(stage)
+            part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            shutil.copy(part, os.path.join(src_dir, f"b{bid}.parquet"))
+            deadline = time.time() + 120
+            while True:
+                q.processAllAvailable()
+                total_in = sum(
+                    json.loads(p.json)["numInputRows"]
+                    for p in q.recentProgress
+                )
+                if total_in >= sum(len(b) for b in batches[: bid + 1]):
+                    break
+                assert time.time() < deadline, "stream stalled"
+                time.sleep(0.2)
+        dropped = sum(
+            op["numRowsDroppedByWatermark"]
+            for p in q.recentProgress
+            for op in json.loads(p.json)["stateOperators"]
+        )
+        total_in = sum(
+            json.loads(p.json)["numInputRows"] for p in q.recentProgress
+        )
+    finally:
+        q.stop()
+    assert total_in == len(rows)
+    assert dropped == predicted_drops
