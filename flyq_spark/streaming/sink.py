@@ -266,10 +266,12 @@ def _banded_dedup_sink(
         # without the cache the second write re-runs the bucket-min join
         # AND the ever-growing state-store scan
         drops = drops.distinct().persist()
+        # null-keys-impossible: id_col is the row identity
         survivors = batch_df.join(drops, id_col, "left_anti")
         survivors.write.mode("overwrite").parquet(
             out_path.rstrip("/") + f"/batch_id={batch_id}"
         )
+        # null-keys-impossible: id_col is the row identity
         band_df.join(drops, id_col, "left_anti").select(
             "band", "band_key"
         ).write.mode("overwrite").parquet(

@@ -322,7 +322,7 @@ def _null_unsafe_param_joins(tree, src_lines, param_stack=None, fn=None):
 
 def test_param_keyed_joins_are_null_safe():
     """Structural net for the NULL-group-join bug class: any
-    `.join(..., on=<param>)` in operators/ where the key is a
+    `.join(..., on=<param>)` anywhere in flyq_spark/ where the key is a
     caller-supplied column parameter must either use eqNullSafe or
     carry a `# null-keys-impossible: <reason>` comment within the two
     lines above the call (row-identity joins, inner-equi-join-faithful
@@ -332,22 +332,23 @@ def test_param_keyed_joins_are_null_safe():
     import ast
     import os
 
-    ops_dir = os.path.join(
+    pkg = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "flyq_spark",
-        "operators",
     )
     bad = []
-    for fname in sorted(os.listdir(ops_dir)):
-        if not fname.endswith(".py"):
-            continue
-        path = os.path.join(ops_dir, fname)
-        with open(path) as f:
-            src = f.read()
-        hits = _null_unsafe_param_joins(
-            ast.parse(src), src.splitlines(keepends=True)
-        )
-        bad.extend(f"{fname}:{ln}: {snip}" for ln, snip in hits)
+    for dirpath, _dirs, files in os.walk(pkg):
+        for fname in sorted(files):
+            if not fname.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fname)
+            with open(path) as f:
+                src = f.read()
+            hits = _null_unsafe_param_joins(
+                ast.parse(src), src.splitlines(keepends=True)
+            )
+            rel = os.path.relpath(path, pkg)
+            bad.extend(f"{rel}:{ln}: {snip}" for ln, snip in hits)
     assert bad == [], (
         "caller-supplied join keys must be null-safe (eqNullSafe) or "
         "carry a '# null-keys-impossible:' justification — a NULL group "
