@@ -112,6 +112,7 @@ def pack_documents(
     token_budget: int = 2048,
     id_col: str = "doc_id",
     text_col: str = "text",
+    shard_digits: int = 1,
 ) -> DataFrame:
     """Boundary sequence packing: pack ``p`` in a shard holds the
     documents whose preceding-token running sum falls in
@@ -121,12 +122,21 @@ def pack_documents(
     cumsum no fixed window expresses, and at training scale the
     boundary form is what pipelines ship).
 
-    Shard-local by construction: documents land on 16 shards by their
-    first md5 hex digit and packs never cross shards, so the only
-    shuffle is the shard window and parallelism is constant in corpus
-    size. Output adds (shard, pack_id, n_tokens)."""
+    Shard-local by construction: documents land on 16**shard_digits
+    shards by their first md5 hex digit(s) and packs never cross
+    shards, so the only shuffle is the shard window and parallelism is
+    constant in corpus size. ``shard_digits`` sizes that parallelism:
+    the default 1 (16 shards) is the HISTORICAL pack identity — pack
+    membership is shard-tied, so widening CHANGES every (shard,
+    pack_id) and is a caller decision, never a silent default flip.
+    Measured on the composed epoch path (SCALE.md r11): 16 shards put
+    ~625k drawn docs in one sort task at a 10^7-doc epoch; 3 digits
+    (4096 shards, the corpus_shuffle width) keeps sort groups at
+    epoch/4096. Output adds (shard, pack_id, n_tokens)."""
     from flyq_spark.operators.text import token_count
 
+    if not 1 <= int(shard_digits) <= 8:
+        raise ValueError(f"shard_digits must be in 1..8, got {shard_digits}")
     toks = token_count(F.col(text_col))
     h = _id_hash(id_col)
     w = Window.partitionBy("shard").orderBy(h, F.col(id_col))
@@ -136,7 +146,7 @@ def pack_documents(
     )
     return (
         df.withColumn("n_tokens", toks)
-        .withColumn("shard", F.substring(h, 1, 1))
+        .withColumn("shard", F.substring(h, 1, int(shard_digits)))
         .withColumn("pack_id", F.floor(cum_before / token_budget).cast("long"))
     )
 

@@ -5783,3 +5783,50 @@ def test_epoch_plan_composition_theorems(spark):
         # boundary rule: tokens before pack p's first doc >= p*64
         total = sum(r["n_tokens"] for r in rs)
         assert ids[-1] * 64 <= total
+
+
+def test_pack_documents_shard_digits_widening(spark):
+    """shard_digits widens the ring 16 -> 16^d WITHOUT changing the
+    within-shard pack arithmetic: vs a hashlib model at d=2, every
+    (shard, pack_id) matches; d=1 stays the historical identity; the
+    wider sharding REFINES the d=1 shards (every d=2 shard maps into
+    its d=1 prefix shard); bad widths raise."""
+    import hashlib
+
+    from flyq_spark.operators.corpus import pack_documents
+
+    rows = [(i, "tok " * (3 + i % 5)) for i in range(1, 400)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def model(digits, budget=16):
+        shards: dict = {}
+        for i, t in rows:
+            h = hashlib.md5(str(i).encode()).hexdigest()
+            shards.setdefault(h[:digits], []).append((h, i, len(t.split())))
+        out = {}
+        for s, docs in shards.items():
+            docs.sort()
+            cum = 0
+            for h, i, n in docs:
+                out[i] = (s, cum // budget, n)
+                cum += n
+        return out
+
+    for d in (1, 2):
+        got = {
+            r["doc_id"]: (r["shard"], r["pack_id"], r["n_tokens"])
+            for r in pack_documents(
+                df, token_budget=16, shard_digits=d
+            ).collect()
+        }
+        assert got == model(d), d
+    g1 = model(1)
+    g2 = model(2)
+    assert all(g2[i][0][:1] == g1[i][0] for i in g2)  # refinement
+    assert len({s for s, _, _ in g2.values()}) > len(
+        {s for s, _, _ in g1.values()}
+    )
+    with pytest.raises(ValueError, match="shard_digits"):
+        pack_documents(df, shard_digits=0)
+    with pytest.raises(ValueError, match="shard_digits"):
+        pack_documents(df, shard_digits=9)

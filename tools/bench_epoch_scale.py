@@ -38,6 +38,9 @@ def main() -> None:
     # concurrent tasks OOMs a 16g heap. A cluster runs thousands of
     # shuffle partitions; mirror that here (EPOCH_SCALE_PARTITIONS).
     parts = int(os.environ.get("EPOCH_SCALE_PARTITIONS", "32"))
+    # pack-ring width (SCALE.md r11): 1 digit = 16 shards caps the pack
+    # window at 16 sort tasks; 3 digits = 4096 keeps groups epoch/4096
+    digits = int(os.environ.get("EPOCH_SCALE_PACK_DIGITS", "1"))
     spark = get_spark("epoch_scale", shuffle_partitions=parts)
     for n in sizes:
         budget = max(n // 10, 1)
@@ -68,7 +71,9 @@ def main() -> None:
             )
             .drop("_copy")
         )
-        packed = pack_documents(reps, token_budget=2048, id_col="id")
+        packed = pack_documents(
+            reps, token_budget=2048, id_col="id", shard_digits=digits
+        )
         r = packed.agg(
             F.count(F.lit(1)).alias("n_seqs"),
             F.sum("n_tokens").alias("total_tokens"),
