@@ -330,6 +330,120 @@ def _view_ready_base(root: str) -> tuple[int, str] | None:
     return ready
 
 
+def contamination_monitor_sink(
+    out_path: str,
+    state_path: str,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    test_prefix_below: str = "0d",
+    val_prefix_below: str = "1a",
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch callback running the train-leakage screen AT INGEST
+    — the streaming half of :func:`flyq_spark.operators.corpus.
+    contamination_report`: every arriving document splits
+    deterministically (``three_way_split`` is a pure function of the
+    id, so a doc's split never depends on arrival order), train docs'
+    distinct word-``n``-gram shingle keys append to the state store,
+    and the batch's val/test docs score against every train shingle
+    ACCEPTED SO FAR (strictly earlier batches + this batch's own train
+    docs — both derivable from batch content plus prior state, so an
+    at-least-once replay recomputes identical output).
+
+    Contract: the per-doc counts are a RUNNING LOWER BOUND of the
+    final leakage (a train doc arriving after an eval doc can create
+    overlap this monitor already missed) — it is the ingest-time
+    tripwire that catches gross leakage the moment it streams in; a
+    release still runs the batch ``contamination_report`` for the
+    final audit. Docs with < n words have no shingles and emit no row
+    (identical to the batch operator).
+
+    Scale: state is DISTINCT-per-batch 60-bit shingle keys
+    (partition-pruned by batch_id); the per-batch check is a shingle-
+    key equi-join of the batch's distinct shingles against the store —
+    |batch shingles| x key-shuffle, never corpus x corpus. Replay
+    safety: reads filter ``batch_id < N`` and both writes overwrite
+    their own ``batch_id=N`` partition."""
+    from pyspark.errors import AnalysisException
+
+    from flyq_spark.operators.corpus import _word_ngrams, three_way_split
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+
+    def h60(c):
+        return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        base = three_way_split(
+            batch_df.select(id_col, text_col),
+            id_col,
+            test_prefix_below,
+            val_prefix_below,
+        ).withColumn("_ng", _word_ngrams(F.split(F.col(text_col), " "), n))
+        train_ng = (
+            base.where(F.col("split") == "train")
+            .select(F.explode("_ng").alias("_g"))
+            .select(h60(F.col("_g")).alias("ng"))
+            .distinct()
+            .persist()
+        )
+        train_ng.write.mode("overwrite").parquet(
+            state_path.rstrip("/") + f"/batch_id={batch_id}"
+        )
+        try:
+            prior = (
+                spark.read.parquet(state_path)
+                .where(F.col("batch_id") < batch_id)
+                .select("ng")
+            )
+        except AnalysisException:
+            prior = None  # first batch: no store yet
+        known = train_ng if prior is None else prior.union(train_ng)
+        eval_ng = (
+            base.where(F.col("split") != "train")
+            .select("split", F.col(id_col), F.explode("_ng").alias("_g"))
+            .select("split", F.col(id_col), h60(F.col("_g")).alias("ng"))
+            .distinct()
+        )
+        hits = (
+            eval_ng.join(
+                known.distinct().withColumn("_hit", F.lit(1)), on="ng", how="left"
+            )
+            .groupBy("split", id_col)
+            .agg(
+                F.count("*").cast("long").alias("n_ngrams"),
+                F.count("_hit").cast("long").alias("n_contaminated"),
+            )
+        )
+        hits.write.mode("overwrite").parquet(
+            out_path.rstrip("/") + f"/batch_id={batch_id}"
+        )
+        train_ng.unpersist()
+
+    return write
+
+
+def read_contamination_monitor(spark, out_path: str) -> DataFrame:
+    """Current per-split leakage rollup from a
+    :func:`contamination_monitor_sink` store: (split, n_docs,
+    n_contaminated_docs, n_ngrams, n_hits) — the same shape as the
+    batch ``contamination_report``, aggregated over every scored
+    micro-batch (each eval doc appears in exactly one batch)."""
+    per_doc = spark.read.parquet(out_path)
+    return per_doc.groupBy("split").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum((F.col("n_contaminated") > 0).cast("long"))
+        .cast("long")
+        .alias("n_contaminated_docs"),
+        F.sum("n_ngrams").cast("long").alias("n_ngrams"),
+        F.sum("n_contaminated").cast("long").alias("n_hits"),
+    )
+
+
 def aggregate_view_sink(
     view_path: str,
     keys: tuple[str, ...],

@@ -1367,3 +1367,100 @@ def test_late_arrival_monitor_drives_withwatermark_choice(spark, tmp_path):
         q.stop()
     assert total_in == len(rows)
     assert dropped == predicted_drops
+
+
+def test_contamination_monitor_parity_and_lower_bound(spark, tmp_path):
+    """Streaming ingest-time decontamination screen (r11): when every
+    train doc streams BEFORE the eval docs, the monitor's per-split
+    rollup equals the batch contamination_report exactly; when eval
+    docs arrive before some train shingles, the running counts are a
+    strict LOWER bound; a replayed final batch changes nothing
+    (idempotent batch_id-partitioned writes)."""
+    import hashlib
+
+    from flyq_spark.operators.corpus import contamination_report
+    from flyq_spark.streaming.sink import (
+        contamination_monitor_sink,
+        read_contamination_monitor,
+    )
+
+    words = [f"w{j}" for j in range(40)]
+    rows = []
+    for i in range(1, 120):
+        start = i % 30
+        rows.append((i, " ".join(words[start : start + 4 + (i % 9)])))
+    rows.append((200, "short doc"))  # < 4 words: no shingles, no row
+    N = 4
+
+    def split_of(i):
+        p = hashlib.md5(str(i).encode()).hexdigest()[:2]
+        return "test" if p < "0d" else ("val" if p < "1a" else "train")
+
+    train_rows = [r for r in rows if split_of(r[0]) == "train"]
+    eval_rows = [r for r in rows if split_of(r[0]) != "train"]
+
+    def run(batches, root):
+        sink = contamination_monitor_sink(
+            str(tmp_path / root / "out"),
+            str(tmp_path / root / "state"),
+            n=N,
+        )
+        for bid, batch in enumerate(batches):
+            sink(spark.createDataFrame(batch, "doc_id long, text string"), bid)
+        return sink
+
+    # train-first ordering -> exact parity with the batch audit
+    sink = run(
+        [train_rows[:40], train_rows[40:], eval_rows[:30], eval_rows[30:]],
+        "ordered",
+    )
+    got = {
+        r["split"]: (
+            r["n_docs"], r["n_contaminated_docs"], r["n_ngrams"], r["n_hits"]
+        )
+        for r in read_contamination_monitor(
+            spark, str(tmp_path / "ordered" / "out")
+        ).collect()
+    }
+    want = {
+        r["split"]: (
+            r["n_docs"], r["n_contaminated_docs"], r["n_ngrams"], r["n_hits"]
+        )
+        for r in contamination_report(
+            spark.createDataFrame(rows, "doc_id long, text string"), n=N
+        ).collect()
+    }
+    assert got == want
+    assert any(v[3] > 0 for v in got.values())
+
+    # replay the final batch: byte-identical rollup
+    sink(
+        spark.createDataFrame(eval_rows[30:], "doc_id long, text string"), 3
+    )
+    got2 = {
+        r["split"]: (
+            r["n_docs"], r["n_contaminated_docs"], r["n_ngrams"], r["n_hits"]
+        )
+        for r in read_contamination_monitor(
+            spark, str(tmp_path / "ordered" / "out")
+        ).collect()
+    }
+    assert got2 == got
+
+    # eval-first interleaving: same docs, same n_docs/n_ngrams, but
+    # hits can only be missed, never invented (strict lower bound here:
+    # batch-0 eval docs see ZERO train shingles)
+    run([eval_rows, train_rows], "interleaved")
+    got3 = {
+        r["split"]: (
+            r["n_docs"], r["n_contaminated_docs"], r["n_ngrams"], r["n_hits"]
+        )
+        for r in read_contamination_monitor(
+            spark, str(tmp_path / "interleaved" / "out")
+        ).collect()
+    }
+    for s in want:
+        assert got3[s][0] == want[s][0]  # same scored docs
+        assert got3[s][2] == want[s][2]  # same shingle totals
+        assert got3[s][3] < want[s][3]   # strictly fewer hits
+        assert got3[s][1] <= want[s][1]
