@@ -6361,7 +6361,7 @@ b AS (
 ),
 r AS (
   SELECT *,
-         row_number() OVER (ORDER BY rem DESC, source ASC) AS seat,
+         row_number() OVER (ORDER BY rem DESC, source ASC NULLS FIRST) AS seat,
          (SELECT 9973 - sum(base) FROM b) AS leftover
   FROM b
 )
@@ -9356,7 +9356,7 @@ b AS (
 ),
 r AS (
   SELECT *,
-         row_number() OVER (ORDER BY rem DESC, source ASC) AS seat,
+         row_number() OVER (ORDER BY rem DESC, source ASC NULLS FIRST) AS seat,
          (SELECT 9973 - sum(base) FROM b) AS leftover
   FROM b
 ),
@@ -9377,7 +9377,7 @@ sel AS (
          q.quota // q.n_docs
          + CASE WHEN k.sample_rank <= q.quota % q.n_docs THEN 1 ELSE 0 END
            AS n_copies
-  FROM ranked k JOIN q USING (source)
+  FROM ranked k JOIN q ON k.source IS NOT DISTINCT FROM q.source
 ),
 rep AS (
   SELECT s.doc_id, d.text, s.n_copies
@@ -9411,7 +9411,7 @@ ORDER BY shard, pack_id
         "ppl_select": """
 WITH words AS (
   SELECT doc_id, source,
-         list_filter(string_split_regex(lower(text), '\s+'),
+         list_filter(string_split_regex(lower(text), '\\s+'),
                      x -> x <> '') AS w
   FROM documents
 ),
@@ -9529,7 +9529,7 @@ b AS (
 ),
 r AS (
   SELECT *,
-         row_number() OVER (ORDER BY rem DESC, source ASC) AS seat,
+         row_number() OVER (ORDER BY rem DESC, source ASC NULLS FIRST) AS seat,
          (SELECT 9973 - sum(base) FROM b) AS leftover
   FROM b
 ),
@@ -9550,7 +9550,7 @@ sel AS (
          q.quota // q.n_docs
          + CASE WHEN k.sample_rank <= q.quota % q.n_docs THEN 1 ELSE 0 END
            AS n_copies
-  FROM ranked k JOIN q USING (source)
+  FROM ranked k JOIN q ON k.source IS NOT DISTINCT FROM q.source
 )
 SELECT doc_id, source, CAST(sample_rank AS BIGINT) AS sample_rank,
        CAST(n_copies AS BIGINT) AS n_copies

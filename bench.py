@@ -299,6 +299,12 @@ def main() -> None:
     # the OTHER process, not this code (r10 saw 4x inflation at load
     # 16). Refuse to overwrite the committed clean twin unless --force;
     # say so on stdout so the driver artifact records the reason.
+    # Only loadavg_BEFORE can gate: the bench itself saturates the box
+    # (a clean solo run records loadavg_after ~9), so load_after cannot
+    # distinguish mid-run contamination from the bench's own load —
+    # that case stays adjudicable from the per-query best-of-2 runs
+    # arrays instead (a contaminated stretch inflates both runs of the
+    # queries it covers).
     twin = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_out.json"
     )

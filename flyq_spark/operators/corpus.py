@@ -256,6 +256,38 @@ def three_way_split(
     )
 
 
+def _h60(c: Column) -> Column:
+    """First 60 bits of md5 as a BIGINT — the shared shingle/coin key
+    (8-byte join keys instead of ~70-byte n-gram strings; replays
+    bit-exactly in any engine with md5)."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def split_shingled(
+    df: DataFrame,
+    n: int,
+    id_col: str,
+    text_col: str,
+    test_prefix_below: str,
+    val_prefix_below: str,
+) -> DataFrame:
+    """Shared front half of the decontamination family: 3-way
+    deterministic split + the ``_ng`` word-n-gram array column. Both
+    the batch :func:`contamination_report` and the streaming
+    ``contamination_monitor_sink`` MUST tokenize/split/hash
+    identically for their documented parity contract — this is the
+    single definition they share (hash the ``_ng`` entries with
+    :func:`_h60`)."""
+    from flyq_spark.operators.util import fan_out
+
+    return three_way_split(
+        fan_out(df.select(id_col, text_col)),
+        id_col,
+        test_prefix_below,
+        val_prefix_below,
+    ).withColumn("_ng", _word_ngrams(F.split(F.col(text_col), " "), n))
+
+
 def contamination_report(
     df: DataFrame,
     n: int = 8,
@@ -276,25 +308,19 @@ def contamination_report(
     shingle-key equi-join — never corpus x corpus); documents with
     < n words have no shingles and are absent from n_docs, identically
     on both engines (documented, not silent)."""
-    from flyq_spark.operators.util import fan_out
-
-    base = three_way_split(
-        fan_out(df.select(id_col, text_col)),
-        id_col,
-        test_prefix_below,
-        val_prefix_below,
-    ).withColumn("_ng", _word_ngrams(F.split(F.col(text_col), " "), n))
-    h60 = lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")  # noqa: E731
+    base = split_shingled(
+        df, n, id_col, text_col, test_prefix_below, val_prefix_below
+    )
     eval_ng = (
         base.where(F.col("split") != "train")
         .select("split", F.col(id_col), F.explode("_ng").alias("_g"))
-        .select("split", F.col(id_col), h60(F.col("_g")).alias("_g"))
+        .select("split", F.col(id_col), _h60(F.col("_g")).alias("_g"))
         .distinct()
     )
     train_ng = (
         base.where(F.col("split") == "train")
         .select(F.explode("_ng").alias("_g"))
-        .select(h60(F.col("_g")).alias("_g"))
+        .select(_h60(F.col("_g")).alias("_g"))
         .distinct()
         .withColumn("_hit", F.lit(1))
     )

@@ -358,71 +358,86 @@ def contamination_monitor_sink(
     final audit. Docs with < n words have no shingles and emit no row
     (identical to the batch operator).
 
-    Scale: state is DISTINCT-per-batch 60-bit shingle keys
-    (partition-pruned by batch_id); the per-batch check is a shingle-
-    key equi-join of the batch's distinct shingles against the store —
-    |batch shingles| x key-shuffle, never corpus x corpus. Replay
+    Scale: state is per-batch-DISTINCT 60-bit shingle keys
+    (partition-pruned by batch_id; a shingle stored by several batches
+    is harmless — the check is a LEFT SEMI join, which cannot
+    duplicate, so no cross-batch global dedup of the store is ever
+    needed). The per-batch check is |batch shingles| x key-shuffle,
+    never corpus x corpus and never an O(whole-store) re-dedup. Replay
     safety: reads filter ``batch_id < N`` and both writes overwrite
     their own ``batch_id=N`` partition."""
-    from pyspark.errors import AnalysisException
-
-    from flyq_spark.operators.corpus import _word_ngrams, three_way_split
+    from flyq_spark.operators.corpus import _h60, split_shingled
 
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
-
-    def h60(c):
-        return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        base = three_way_split(
-            batch_df.select(id_col, text_col),
-            id_col,
-            test_prefix_below,
-            val_prefix_below,
-        ).withColumn("_ng", _word_ngrams(F.split(F.col(text_col), " "), n))
+        base = split_shingled(
+            batch_df, n, id_col, text_col, test_prefix_below, val_prefix_below
+        )
         train_ng = (
             base.where(F.col("split") == "train")
             .select(F.explode("_ng").alias("_g"))
-            .select(h60(F.col("_g")).alias("ng"))
+            .select(_h60(F.col("_g")).alias("ng"))
             .distinct()
-            .persist()
         )
+        # own partition is written BEFORE the store read, so the read
+        # below always succeeds (even a zero-train batch leaves a
+        # schema-bearing empty file) and the strict batch_id < N filter
+        # keeps replay deterministic
         train_ng.write.mode("overwrite").parquet(
             state_path.rstrip("/") + f"/batch_id={batch_id}"
         )
-        try:
-            prior = (
-                spark.read.parquet(state_path)
-                .where(F.col("batch_id") < batch_id)
-                .select("ng")
-            )
-        except AnalysisException:
-            prior = None  # first batch: no store yet
-        known = train_ng if prior is None else prior.union(train_ng)
+        known = (
+            spark.read.parquet(state_path)
+            .where(F.col("batch_id") <= batch_id)
+            .select("ng")
+        )
         eval_ng = (
             base.where(F.col("split") != "train")
             .select("split", F.col(id_col), F.explode("_ng").alias("_g"))
-            .select("split", F.col(id_col), h60(F.col("_g")).alias("ng"))
+            .select("split", F.col(id_col), _h60(F.col("_g")).alias("ng"))
             .distinct()
+            .persist()
+        )
+        per_doc = eval_ng.groupBy("split", id_col).agg(
+            F.count("*").cast("long").alias("n_ngrams")
+        )
+        hit_counts = (
+            eval_ng.join(known, on="ng", how="left_semi")
+            .groupBy("split", id_col)
+            .agg(F.count("*").cast("long").alias("n_contaminated"))
+            .select(
+                F.col("split").alias("_hs"),
+                F.col(id_col).alias("_hid"),
+                "n_contaminated",
+            )
         )
         hits = (
-            eval_ng.join(
-                known.distinct().withColumn("_hit", F.lit(1)), on="ng", how="left"
+            per_doc.join(
+                # null-keys-impossible: split is a non-null literal and
+                # id_col is the row identity
+                hit_counts,
+                on=(F.col("split") == F.col("_hs"))
+                & (F.col(id_col) == F.col("_hid")),
+                how="left",
             )
-            .groupBy("split", id_col)
-            .agg(
-                F.count("*").cast("long").alias("n_ngrams"),
-                F.count("_hit").cast("long").alias("n_contaminated"),
+            .select(
+                "split",
+                F.col(id_col),
+                "n_ngrams",
+                F.coalesce(F.col("n_contaminated"), F.lit(0))
+                .cast("long")
+                .alias("n_contaminated"),
             )
         )
         hits.write.mode("overwrite").parquet(
             out_path.rstrip("/") + f"/batch_id={batch_id}"
         )
-        train_ng.unpersist()
+        eval_ng.unpersist()
 
     return write
 

@@ -313,6 +313,8 @@ def stream_stream_interval_join(
         & (F.col("r_ts") > F.col("l_ts"))
         & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {max_delay}"))
     )
+    # null-keys-impossible: inner equi-join semantics — a NULL event
+    # key matches nothing on either stream, by design
     return lw.join(rw, cond).select(
         F.col("l_key").alias("key"),
         "l_ts",

@@ -263,12 +263,68 @@ def _null_unsafe_param_joins(tree, src_lines, param_stack=None, fn=None):
     two lines above it. groupBy keeps a NULL key as a real group; an
     on-name join silently drops it — the bug class that shipped three
     times in rounds 9-10 (impute group stats, winsorize, mixture_build).
-    """
+
+    Conditions built in a LOCAL VARIABLE first (``cond = ...;
+    df.join(x, on=cond)``) are resolved one assignment-graph hop at a
+    time (depth-bounded): the union of every expression ever assigned
+    to the name inside the enclosing function stands in for the name,
+    so a loop-built ``cond = cond & df[c] == other[m]`` over parameter
+    keys is audited exactly like the inline form."""
     import ast
 
     hits = []
 
-    def walk(node, params):
+    def fn_assignments(fnode):
+        """name -> [value exprs] for every assignment in the function
+        body (including reassignments — union semantics)."""
+        out: dict = {}
+        for sub in ast.walk(fnode):
+            if isinstance(sub, ast.Assign):
+                for tgt in sub.targets:
+                    if isinstance(tgt, ast.Name):
+                        out.setdefault(tgt.id, []).append(sub.value)
+            elif isinstance(sub, ast.AugAssign) and isinstance(
+                sub.target, ast.Name
+            ):
+                out.setdefault(sub.target.id, []).append(sub.value)
+        return out
+
+    def condition_shaped(value):
+        """True for expressions that ARE a join condition (not a
+        DataFrame pipeline): comparisons, &/| combinations, and
+        lists/comprehensions of those. Keeps the expansion from
+        chasing DataFrame variables whose select/where chains would
+        drag unrelated parameter names into the hit set."""
+        if isinstance(value, (ast.Compare, ast.BoolOp)):
+            return True
+        if isinstance(value, ast.BinOp) and isinstance(
+            value.op, (ast.BitAnd, ast.BitOr, ast.BitXor)
+        ):
+            return True
+        if isinstance(value, ast.List):
+            return any(condition_shaped(e) for e in value.elts)
+        if isinstance(value, (ast.ListComp, ast.GeneratorExp)):
+            return condition_shaped(value.elt)
+        return False
+
+    def expand(expr, assigns, depth=3):
+        """(names, attrs) referenced by expr, following local-variable
+        assignments up to `depth` hops — only through assignments that
+        are themselves condition-shaped."""
+        names = {n.id for n in ast.walk(expr) if isinstance(n, ast.Name)}
+        attrs = {n.attr for n in ast.walk(expr) if isinstance(n, ast.Attribute)}
+        if depth <= 0:
+            return names, attrs
+        for nm in list(names):
+            for val in assigns.get(nm, []):
+                if not condition_shaped(val):
+                    continue
+                sub_n, sub_a = expand(val, assigns, depth - 1)
+                names |= sub_n
+                attrs |= sub_a
+        return names, attrs
+
+    def walk(node, params, assigns):
         if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
             a = node.args
             names = {
@@ -278,6 +334,7 @@ def _null_unsafe_param_joins(tree, src_lines, param_stack=None, fn=None):
                 )
             }
             params = params | names
+            assigns = fn_assignments(node)
         if (
             isinstance(node, ast.Call)
             and isinstance(node.func, ast.Attribute)
@@ -295,14 +352,7 @@ def _null_unsafe_param_joins(tree, src_lines, param_stack=None, fn=None):
             if on_expr is None and len(node.args) >= 2:
                 on_expr = node.args[1]
             if on_expr is not None:
-                sub_names = {
-                    n.id for n in ast.walk(on_expr) if isinstance(n, ast.Name)
-                }
-                sub_attrs = {
-                    n.attr
-                    for n in ast.walk(on_expr)
-                    if isinstance(n, ast.Attribute)
-                }
+                sub_names, sub_attrs = expand(on_expr, assigns)
                 if (sub_names & params) and "eqNullSafe" not in sub_attrs:
                     # justification may sit 1-2 lines above the call or
                     # anywhere inside its (possibly multi-line) span
@@ -314,9 +364,9 @@ def _null_unsafe_param_joins(tree, src_lines, param_stack=None, fn=None):
                             (node.lineno, src_lines[node.lineno - 1].strip())
                         )
         for child in ast.iter_child_nodes(node):
-            walk(child, params)
+            walk(child, params, assigns)
 
-    walk(tree, set())
+    walk(tree, set(), {})
     return hits
 
 
@@ -393,6 +443,34 @@ def test_param_keyed_join_net_catches_the_mixture_build_bug():
     assert (
         _null_unsafe_param_joins(
             ast.parse(justified), justified.splitlines(keepends=True)
+        )
+        == []
+    )
+
+    # the LOCAL-VARIABLE form of the same bug must also be caught: a
+    # plain == condition built in `cond` first, then join(on=cond)
+    laundered = (
+        "def f(df, group_col='g'):\n"
+        "    cond = F.col(group_col) == F.col('_rg')\n"
+        "    return df.join(fences, on=cond)\n"
+    )
+    hits = _null_unsafe_param_joins(
+        ast.parse(laundered), laundered.splitlines(keepends=True)
+    )
+    assert len(hits) == 1 and hits[0][0] == 3, hits
+
+    # ...and the eqNullSafe version of the local-variable form passes,
+    # including the loop-accumulated `cond = cond & ...` shape
+    laundered_safe = (
+        "def f(df, keys=('g',)):\n"
+        "    cond = F.col('a') == F.col('_b')\n"
+        "    for k in keys:\n"
+        "        cond = cond & df[k].eqNullSafe(F.col('_m'))\n"
+        "    return df.join(other, on=cond)\n"
+    )
+    assert (
+        _null_unsafe_param_joins(
+            ast.parse(laundered_safe), laundered_safe.splitlines(keepends=True)
         )
         == []
     )

@@ -25,7 +25,11 @@ from pyspark.sql import functions as F
 
 
 def main() -> None:
-    sys.path.insert(0, "/root/repo")
+    import os as _os
+
+    sys.path.insert(
+        0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    )
     from flyq_spark.operators.corpus import mixture_build, pack_documents
     from flyq_spark.session import get_spark
 
