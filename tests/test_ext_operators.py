@@ -5830,3 +5830,71 @@ def test_pack_documents_shard_digits_widening(spark):
         pack_documents(df, shard_digits=0)
     with pytest.raises(ValueError, match="shard_digits"):
         pack_documents(df, shard_digits=9)
+
+
+def test_mixture_build_randomized_differential(spark):
+    """Seeded-random fixtures x the full regime grid: all three
+    canonical temperatures, NULL source present, budget 0 / small /
+    upsampling-scale — every case must match the independent hashlib +
+    math.isqrt + largest-remainder model exactly and satisfy
+    Sigma n_copies = budget (0 rows for budget 0)."""
+    import hashlib
+    import math
+    import random
+
+    from flyq_spark.operators.corpus import mixture_build
+
+    def weight(n, alpha):
+        if alpha == 1000:
+            return n
+        if alpha == 500:
+            return math.isqrt(n * 1_000_000)
+        return math.isqrt(math.isqrt(n * 1_000_000_000_000))
+
+    def model(rows, alpha, budget):
+        counts: dict = {}
+        for _, s in rows:
+            counts[s] = counts.get(s, 0) + 1
+        weights = {s: weight(c, alpha) for s, c in counts.items()}
+        tot = sum(weights.values())
+        base = {s: budget * w // tot for s, w in weights.items()}
+        rem = {s: budget * w % tot for s, w in weights.items()}
+        left = budget - sum(base.values())
+        order = sorted(
+            counts, key=lambda s: (-rem[s], s is not None, s or "")
+        )
+        quota = {
+            s: base[s] + (1 if i < left else 0) for i, s in enumerate(order)
+        }
+        out = {}
+        for s, q in quota.items():
+            ids = [i for i, src in rows if src == s]
+            ids.sort(key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+            nn = counts[s]
+            for r, i in enumerate(ids, start=1):
+                c = q // nn + (1 if r <= q % nn else 0)
+                if c >= 1:
+                    out[i] = (s, r, c)
+        return out
+
+    rng = random.Random(0xF17)
+    for case in range(4):
+        n_src = rng.randint(2, 6)
+        srcs = [f"s{j}" for j in range(n_src)] + [None]
+        # skewed sizes: source j gets ~4^j docs
+        rows, i = [], 0
+        for j, s in enumerate(srcs):
+            for _ in range(rng.randint(1, 4 ** min(j + 1, 4))):
+                i += 1
+                rows.append((i, s))
+        rng.shuffle(rows)
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        alpha = [1000, 500, 250][case % 3]
+        budget = [0, 17, len(rows) * 3, 1][case]
+        got = {
+            r["doc_id"]: (r["source"], r["sample_rank"], r["n_copies"])
+            for r in mixture_build(df, "source", alpha, budget).collect()
+        }
+        exp = model(rows, alpha, budget)
+        assert got == exp, (case, alpha, budget)
+        assert sum(c for _, _, c in got.values()) == budget, (case, budget)
