@@ -5898,3 +5898,72 @@ def test_mixture_build_randomized_differential(spark):
         exp = model(rows, alpha, budget)
         assert got == exp, (case, alpha, budget)
         assert sum(c for _, _, c in got.values()) == budget, (case, budget)
+
+
+def test_contamination_report_randomized_messy_whitespace(spark):
+    """Seeded-random corpora with hostile whitespace (double spaces,
+    leading/trailing runs — F.split(' ') and str.split(' ') both keep
+    the resulting EMPTY tokens, so shingles containing them must match
+    member-for-member), random doc lengths straddling the < n cutoff,
+    and a NULL-free assertion that totals reconcile per split."""
+    import hashlib
+    import random
+
+    from flyq_spark.operators.corpus import contamination_report
+
+    rng = random.Random(0xC0417)
+    vocab = [f"t{j}" for j in range(25)]
+    N = 3
+
+    def split_of(i):
+        p = hashlib.md5(str(i).encode()).hexdigest()[:2]
+        return "test" if p < "0d" else ("val" if p < "1a" else "train")
+
+    for _case in range(3):
+        rows = []
+        for i in range(1, 90):
+            k = rng.randint(0, 8)
+            words = [rng.choice(vocab) for _ in range(k)]
+            sep = lambda: rng.choice([" ", "  ", " ", " "])  # noqa: E731
+            text = sep().join(words) if words else ""
+            if rng.random() < 0.3:
+                text = " " + text
+            if rng.random() < 0.3:
+                text = text + " "
+            rows.append((i, text))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+
+        def shingles(text):
+            w = text.split(" ")  # keeps empties, like F.split
+            if len(w) < N:
+                return set()
+            return {" ".join(w[j : j + N]) for j in range(len(w) - N + 1)}
+
+        train = set()
+        for i, t in rows:
+            if split_of(i) == "train":
+                train |= shingles(t)
+        exp: dict = {}
+        for i, t in rows:
+            s = split_of(i)
+            if s == "train":
+                continue
+            sh = shingles(t)
+            if not sh:
+                continue
+            d = exp.setdefault(s, [0, 0, 0, 0])
+            hits = len(sh & train)
+            d[0] += 1
+            d[1] += 1 if hits else 0
+            d[2] += len(sh)
+            d[3] += hits
+        got = {
+            r["split"]: (
+                r["n_docs"],
+                r["n_contaminated_docs"],
+                r["n_ngrams"],
+                r["n_hits"],
+            )
+            for r in contamination_report(df, n=N).collect()
+        }
+        assert got == {s: tuple(v) for s, v in exp.items()}, _case
