@@ -4871,6 +4871,68 @@ def q_contamination_report(spark, sf_dir):
     return contamination_report(docs, n=8).orderBy("split")
 
 
+def q_pack_shards(spark, sf_dir):
+    """[EXT] pack_documents' 4096-way scale path
+    (operators/corpus.py:pack_documents, shard_digits=3) proven
+    end-to-end against the oracle: identical boundary-window
+    arithmetic, shard key substr(md5(id), 1, 3). This is the knob the
+    r11 10^8-doc epoch measurement showed cutting the pack tail 1.50x
+    (SCALE.md); the default-1 gate (`pack_documents`) pins the
+    historical 16-shard pack identity, this one the wide path."""
+    from flyq_spark.operators.corpus import pack_documents
+
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        pack_documents(docs, token_budget=2048, shard_digits=3)
+        .groupBy("shard", "pack_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("pack_tokens"),
+        )
+    )
+
+
+def q_contamination_units(spark, sf_dir):
+    """[EXT] Unit-granularity decontamination
+    (operators/corpus.py:unit_contamination — dedup.split_units
+    composed with the contamination shingle join): detects a train
+    document QUOTING an eval paragraph, which whole-document shingles
+    miss (boundary-straddling 8-grams never match the fragment). The
+    fixture corpus is single-line, so the gate uses the corpus's stock
+    token ' the ' as the unit delimiter — any literal delimiter
+    exercises the identical machinery — and n=5 (units are shorter
+    than documents). Fully oracle-replayed: ordinal unnest -> per-unit
+    5-gram 60-bit keys -> split-scoped join -> per-split rollup."""
+    from flyq_spark.operators.corpus import unit_contamination
+
+    docs = _read(spark, sf_dir, "documents")
+    return unit_contamination(docs, n=5, delim=" the ").orderBy("split")
+
+
+def q_contamination_normalized(spark, sf_dir):
+    """[EXT] Normalization-robust decontamination
+    (operators/corpus.py:contamination_report, normalize=True): exact
+    8-gram matching is brittle to case/punctuation edits, so this gate
+    perturbs the corpus deterministically (doc_id%3==0 UPPER-cased,
+    %3==1 comma-injected — SQL-replayable, same fixture-augmentation
+    pattern as the PII gates) and shows the _norm_text canonicalization
+    (lower -> strip punct -> collapse spaces, Java∩RE2∩DuckDB regex
+    dialect) recovering every hit the exact screen would lose; the
+    oracle replays perturbation + normalization + join byte-exactly."""
+    from flyq_spark.operators.corpus import contamination_report
+
+    docs = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    pert = docs.select(
+        "doc_id",
+        F.when(did % 3 == 0, F.upper("text"))
+        .when(did % 3 == 1, F.regexp_replace("text", " ", ", "))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return contamination_report(pert, n=8, normalize=True).orderBy("split")
+
+
 _SYNTH_UNITS_CTE = """
 member AS (
   SELECT t.g, d.doc_id, d.text
@@ -4901,36 +4963,37 @@ def entry(spark: SparkSession) -> DataFrame:
 # prior round's record. Every entry still runs in the full local sweep
 # (tools/verify_local.py) regardless of position.
 _DRIVER_WINDOW = [
-    # r11: freshness rotation (VERDICT r10 next-round #3) + the four
-    # new r11 gates (never driver-checked, staler than any green).
-    # 50 slots = (a) ALL 37 entries whose latest driver check dates to
-    # r05; (b) the 4 new r11 gates; (c) mixture_build + value_outliers,
-    # whose OPERATOR CODE changed this round (null-safe joins) so their
-    # r9/r10 proofs ran on superseded code; (d) 7 of the 45 r07-stale
-    # greens, prioritizing gates over code this round's null-safe
-    # triage touched (timeseries/profile/bpe/joinaudit/dedup). The 38
-    # r07 greens left over rotate in r12 — the 4 new gates took their
-    # slots this round.
+    # r12: freshness rotation (VERDICT r11 next-round #2) + the three
+    # new r12 gates (never driver-checked, staler than any green).
+    # 50 slots = (a) ALL 38 entries whose latest driver check dates to
+    # r07; (b) the 3 new r12 gates (pack_shards / contamination_units /
+    # contamination_normalized); (c) value_outliers, whose ORACLE
+    # changed this round (NULL-safe IS NOT DISTINCT FROM fence join —
+    # the r11 ADVICE item), so its r11 proof ran on the superseded SQL;
+    # (d) 8 of the 45 r08-stale greens (alphabetically first among the
+    # oracle-backed — rows-only re-checks prove less). The 37 r08
+    # greens left over rotate in r13.
     #
-    # -- (a) last checked r05 (37) --
-    "asof_last_purchase", "bigram_top50", "cdc_apply", "cohort_retention",
-    "corpus_shuffle", "dedup_exact", "doc_fingerprints", "duplicate_spans",
-    "embedding_neardup", "embedding_quantize", "heavy_hitter_tokens",
-    "inverted_index", "json_props_stats", "minhash_jaccard_pairs",
-    "minhash_sig", "neardup_components", "neardup_keep_best",
-    "ngram_jaccard", "offsets_for_times", "quality_classifier",
-    "quality_filter", "quality_weighted_sample", "range_join_pairs",
-    "rare_token_stats", "salient_terms", "scd2_history",
-    "session_window_counts", "simhash_md5_neardup", "similarity_topk",
-    "span_removal", "stratified_sample", "term_search", "text_quality",
-    "time_rollup", "value_histogram", "winnow_fp", "zorder_codes",
-    # -- (b) new r11 gates (4) --
-    "epoch_plan", "ppl_select", "contamination_report", "variant_explode",
-    # -- (c) code changed this round (2) --
-    "mixture_build", "value_outliers",
-    # -- (d) r07-stale, changed-lineage priority (7) --
-    "gap_fill_locf", "cusum_alarms", "series_similarity", "table_profile",
-    "bpe_token_stats", "skew_split_join", "containment_pairs",
+    # -- (a) last checked r07 (38) --
+    "activity_trend", "attribution_multi_touch", "bloom_semi_prune",
+    "boilerplate_removal", "corr_matrix", "cosine_pairs", "dataset_digest",
+    "debounce_events", "digest_repair", "entity_resolution",
+    "exact_global_quantiles", "feature_time_travel", "file_pruning",
+    "funnel_latency", "fuzzy_title_pairs", "histogram_quantiles",
+    "incremental_agg", "incremental_retract", "join_preflight",
+    "join_size_est", "k_anonymity", "kmv_overlap", "lang_heavy_hitters",
+    "multi_signal_components", "multimodal_features",
+    "neardup_blast_radius", "negative_samples", "ohlc_daily",
+    "pack_documents", "paragraph_dedup", "phash_neardup", "phrase_search",
+    "repetition_signals", "schema_unify", "skew_salted_event_stats",
+    "train_test_split", "weighted_percentiles", "zorder3_codes",
+    # -- (b) new r12 gates (3) --
+    "pack_shards", "contamination_units", "contamination_normalized",
+    # -- (c) oracle changed this round (1) --
+    "value_outliers",
+    # -- (d) r08-stale, oracle-backed, alphabetical (8) --
+    "ab_test_counts", "ann_filtered_topk", "attribution", "basket_pairs",
+    "bloom_index_prune", "capped_sessions", "chunk_docs", "data_quality",
 ]
 
 
@@ -5156,6 +5219,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppl_select": q_ppl_select,
         "variant_explode": q_variant_explode,
         "contamination_report": q_contamination_report,
+        "contamination_units": q_contamination_units,
+        "contamination_normalized": q_contamination_normalized,
+        "pack_shards": q_pack_shards,
         "variant_extract": q_variant_extract,
         "lexical_diversity": q_lexical_diversity,
         "offsets_for_times": q_offsets_for_times,
@@ -6077,6 +6143,26 @@ WITH toks AS (
   SELECT doc_id, substr(h, 1, 1) AS shard, n_tokens,
          coalesce(sum(n_tokens) OVER (
            PARTITION BY substr(h, 1, 1) ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM toks
+)
+SELECT shard, CAST(floor(cum_before / 2048.0) AS BIGINT) AS pack_id,
+       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+FROM packed
+GROUP BY shard, pack_id
+""",
+        "pack_shards": """
+WITH toks AS (
+  SELECT doc_id,
+         md5(CAST(doc_id AS VARCHAR)) AS h,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END
+           AS BIGINT) AS n_tokens
+  FROM documents
+), packed AS (
+  SELECT doc_id, substr(h, 1, 3) AS shard, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           PARTITION BY substr(h, 1, 3) ORDER BY h, doc_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
   FROM toks
 )
@@ -8044,9 +8130,12 @@ SELECT e.event_type, CAST(max(f.n_rows) AS BIGINT) AS n_rows,
        CAST(max(f.lo) AS BIGINT) AS lo, CAST(max(f.hi) AS BIGINT) AS hi,
        CAST(count(*) FILTER (WHERE e.value_c < f.lo) AS BIGINT) AS n_low,
        CAST(count(*) FILTER (WHERE e.value_c > f.hi) AS BIGINT) AS n_high
-FROM ev e JOIN f USING (event_type)
+-- IS NOT DISTINCT FROM mirrors the operator's eqNullSafe fence join
+-- (profile.py robust_outliers): a NULL event_type is a real group and
+-- a USING join would silently drop it
+FROM ev e JOIN f ON e.event_type IS NOT DISTINCT FROM f.event_type
 GROUP BY e.event_type
-ORDER BY e.event_type
+ORDER BY e.event_type NULLS FIRST
 """,
         "funnel": """
 WITH s1 AS (
@@ -9454,6 +9543,94 @@ WITH base AS (
               WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a' THEN 'val'
               ELSE 'train' END AS split
   FROM documents
+),
+eval_ng AS (
+  SELECT DISTINCT split, doc_id,
+         CAST(concat('0x', substr(md5(
+           array_to_string(w[CAST(i AS BIGINT):CAST(i AS BIGINT)+7], ' ')
+         ), 1, 15)) AS BIGINT) AS ng
+  FROM base, UNNEST(range(1, len(w) - 6)) AS t(i)
+  WHERE split <> 'train'
+),
+train_ng AS (
+  SELECT DISTINCT CAST(concat('0x', substr(md5(
+           array_to_string(w[CAST(i AS BIGINT):CAST(i AS BIGINT)+7], ' ')
+         ), 1, 15)) AS BIGINT) AS ng
+  FROM base, UNNEST(range(1, len(w) - 6)) AS t(i)
+  WHERE split = 'train'
+),
+per_doc AS (
+  SELECT e.split, e.doc_id, count(*) AS n_ng, count(tr.ng) AS n_hit
+  FROM eval_ng e LEFT JOIN train_ng tr USING (ng)
+  GROUP BY e.split, e.doc_id
+)
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN n_hit > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated_docs,
+       CAST(sum(n_ng) AS BIGINT) AS n_ngrams,
+       CAST(sum(n_hit) AS BIGINT) AS n_hits
+FROM per_doc
+GROUP BY split
+ORDER BY split
+""",
+        "contamination_units": """
+WITH u0 AS (
+  SELECT doc_id, string_split(text, ' the ') AS arr FROM documents
+),
+units AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS unit_pos,
+         string_split(arr[CAST(i AS BIGINT)], ' ') AS w,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0d' THEN 'test'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a' THEN 'val'
+              ELSE 'train' END AS split
+  FROM u0, UNNEST(range(1, len(arr) + 1)) AS t(i)
+),
+eval_ng AS (
+  SELECT DISTINCT split, doc_id, unit_pos,
+         CAST(concat('0x', substr(md5(
+           array_to_string(w[CAST(i AS BIGINT):CAST(i AS BIGINT)+4], ' ')
+         ), 1, 15)) AS BIGINT) AS ng
+  FROM units, UNNEST(range(1, len(w) - 3)) AS t(i)
+  WHERE split <> 'train'
+),
+train_ng AS (
+  SELECT DISTINCT CAST(concat('0x', substr(md5(
+           array_to_string(w[CAST(i AS BIGINT):CAST(i AS BIGINT)+4], ' ')
+         ), 1, 15)) AS BIGINT) AS ng
+  FROM units, UNNEST(range(1, len(w) - 3)) AS t(i)
+  WHERE split = 'train'
+),
+per_unit AS (
+  SELECT e.split, e.doc_id, e.unit_pos, count(*) AS n_ng, count(tr.ng) AS n_hit
+  FROM eval_ng e LEFT JOIN train_ng tr USING (ng)
+  GROUP BY 1, 2, 3
+)
+SELECT split, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_units,
+       CAST(sum(CASE WHEN n_hit > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated_units,
+       CAST(sum(n_ng) AS BIGINT) AS n_ngrams,
+       CAST(sum(n_hit) AS BIGINT) AS n_hits
+FROM per_unit
+GROUP BY split
+ORDER BY split
+""",
+        "contamination_normalized": """
+WITH pert AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN upper(text)
+              WHEN doc_id % 3 = 1 THEN replace(text, ' ', ', ')
+              ELSE text END AS text
+  FROM documents
+),
+base AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(regexp_replace(lower(text),
+           '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS w,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0d' THEN 'test'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a' THEN 'val'
+              ELSE 'train' END AS split
+  FROM pert
 ),
 eval_ng AS (
   SELECT DISTINCT split, doc_id,

@@ -152,6 +152,11 @@ HEADLINE = [
     ("ppl_select", True),
     ("contamination_report", True),
     ("variant_explode", True),
+    # r12: the 4096-shard pack path, unit-granularity decontamination,
+    # and the normalization-robust decontamination variant
+    ("pack_shards", False),
+    ("contamination_units", True),
+    ("contamination_normalized", True),
 ]
 
 

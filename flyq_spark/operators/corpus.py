@@ -263,6 +263,23 @@ def _h60(c: Column) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 
+def _norm_text(c: Column) -> Column:
+    """Canonical decontamination normalization: lowercase, every
+    non-[a-z0-9 ] character (punctuation, digits stay) to a space,
+    collapse space runs, trim. Each step is a codegen'd regexp in the
+    Java∩RE2∩DuckDB common dialect (plain character classes and
+    ``' +'`` — never ``\\s``/POSIX classes, whose semantics drift
+    between engines), so an oracle replays the identical bytes with
+    ``lower`` + two ``regexp_replace(..., 'g')`` + ``trim``. Order is
+    part of the contract: lowering first makes the single class
+    ``[^a-z0-9 ]`` complete; collapsing last erases the runs the strip
+    step creates."""
+    c = F.lower(c)
+    c = F.regexp_replace(c, "[^a-z0-9 ]", " ")
+    c = F.regexp_replace(c, " +", " ")
+    return F.trim(c)
+
+
 def split_shingled(
     df: DataFrame,
     n: int,
@@ -270,6 +287,7 @@ def split_shingled(
     text_col: str,
     test_prefix_below: str,
     val_prefix_below: str,
+    normalize: bool = False,
 ) -> DataFrame:
     """Shared front half of the decontamination family: 3-way
     deterministic split + the ``_ng`` word-n-gram array column. Both
@@ -277,15 +295,19 @@ def split_shingled(
     ``contamination_monitor_sink`` MUST tokenize/split/hash
     identically for their documented parity contract — this is the
     single definition they share (hash the ``_ng`` entries with
-    :func:`_h60`)."""
+    :func:`_h60`). ``normalize=True`` runs :func:`_norm_text` before
+    tokenizing (same flag on both halves, same parity reasoning)."""
     from flyq_spark.operators.util import fan_out
 
+    text = F.col(text_col)
+    if normalize:
+        text = _norm_text(text)
     return three_way_split(
         fan_out(df.select(id_col, text_col)),
         id_col,
         test_prefix_below,
         val_prefix_below,
-    ).withColumn("_ng", _word_ngrams(F.split(F.col(text_col), " "), n))
+    ).withColumn("_ng", _word_ngrams(F.split(text, " "), n))
 
 
 def contamination_report(
@@ -295,6 +317,7 @@ def contamination_report(
     text_col: str = "text",
     test_prefix_below: str = "0d",
     val_prefix_below: str = "1a",
+    normalize: bool = False,
 ) -> DataFrame:
     """Per-SPLIT train-leakage report — the release audit composing
     :func:`three_way_split` with :func:`contamination_ngrams`'s shingle
@@ -304,12 +327,22 @@ def contamination_report(
     n_hits). A release gate reads it directly: n_contaminated_docs
     must be ~0 before an eval score is trustworthy.
 
+    ``normalize=True`` shingles :func:`_norm_text`-canonicalized text
+    instead of raw bytes: exact 8-gram matching is brittle to
+    case/punctuation edits (an UPPER-cased or comma-injected copy of a
+    test doc sails through the exact screen), and the normalized
+    variant catches exactly those — run both; the exact one stays the
+    byte-level contract. Note the per-doc shingle COUNTS can shift
+    under normalization (collapsed runs change tokenization), so the
+    two reports' totals are not comparable row-for-row.
+
     Same scale shape as contamination_ngrams (distinct-deduped 60-bit
     shingle-key equi-join — never corpus x corpus); documents with
     < n words have no shingles and are absent from n_docs, identically
     on both engines (documented, not silent)."""
     base = split_shingled(
-        df, n, id_col, text_col, test_prefix_below, val_prefix_below
+        df, n, id_col, text_col, test_prefix_below, val_prefix_below,
+        normalize=normalize,
     )
     eval_ng = (
         base.where(F.col("split") != "train")
@@ -337,6 +370,91 @@ def contamination_report(
         F.sum((F.col("_n_hit") > 0).cast("long"))
         .cast("long")
         .alias("n_contaminated_docs"),
+        F.sum("_n_ng").cast("long").alias("n_ngrams"),
+        F.sum("_n_hit").cast("long").alias("n_hits"),
+    )
+
+
+def unit_contamination(
+    df: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delim: str = "\n",
+    test_prefix_below: str = "0d",
+    val_prefix_below: str = "1a",
+    normalize: bool = False,
+) -> DataFrame:
+    """Unit-granularity (paragraph/line) train-leakage report — the
+    audit gap between :func:`contamination_report` (whole-document
+    shingles) and boilerplate removal: a train document that QUOTES a
+    single eval paragraph shows near-zero whole-doc overlap ratio, and
+    whole-doc shingles straddling unit boundaries never match a
+    quoted fragment's shingles at all (the raw text tokenizes the
+    delimiter INTO words: ``'end\\nStart'`` is one token). Splitting
+    BOTH sides into units first (``dedup.split_units`` semantics —
+    same literal-delimiter quoting) makes a quoted unit's shingles
+    byte-identical wherever it appears.
+
+    Composition: units → 3-way deterministic split (a pure function of
+    the id, so re-deriving it on the unit rows costs no join) →
+    distinct unit shingles per side → the 60-bit shingle-key equi-join
+    of contamination_report → per-split rollup over UNITS:
+    (split, n_docs, n_units, n_contaminated_units, n_ngrams, n_hits),
+    where n_docs counts eval documents with >= 1 scored unit and
+    n_contaminated_units those units with >= 1 train hit. A smaller
+    default ``n`` (5) reflects that units are shorter than documents;
+    units with < n words have no shingles and are absent, identically
+    on both engines. ``normalize=True`` canonicalizes each UNIT with
+    :func:`_norm_text` before shingling.
+
+    Scale shape unchanged from contamination_report: the explode is a
+    narrow projection, both sides dedup with map-side partials before
+    the join, and the join is |distinct unit shingles| — never
+    corpus x corpus."""
+    from flyq_spark.operators.dedup import split_units
+    from flyq_spark.operators.util import fan_out
+
+    units = split_units(
+        fan_out(df.select(id_col, text_col)), text_col, id_col, delim
+    )
+    unit_text = F.col("unit")
+    if normalize:
+        unit_text = _norm_text(unit_text)
+    base = three_way_split(
+        units, id_col, test_prefix_below, val_prefix_below
+    ).withColumn("_ng", _word_ngrams(F.split(unit_text, " "), n))
+    eval_ng = (
+        base.where(F.col("split") != "train")
+        .select(
+            "split", F.col(id_col), "unit_pos", F.explode("_ng").alias("_g")
+        )
+        .select(
+            "split", F.col(id_col), "unit_pos", _h60(F.col("_g")).alias("_g")
+        )
+        .distinct()
+    )
+    train_ng = (
+        base.where(F.col("split") == "train")
+        .select(F.explode("_ng").alias("_g"))
+        .select(_h60(F.col("_g")).alias("_g"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    per_unit = (
+        eval_ng.join(train_ng, on="_g", how="left")
+        .groupBy("split", id_col, "unit_pos")
+        .agg(
+            F.count("*").cast("long").alias("_n_ng"),
+            F.count("_hit").cast("long").alias("_n_hit"),
+        )
+    )
+    return per_unit.groupBy("split").agg(
+        F.count_distinct(F.col(id_col)).cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_units"),
+        F.sum((F.col("_n_hit") > 0).cast("long"))
+        .cast("long")
+        .alias("n_contaminated_units"),
         F.sum("_n_ng").cast("long").alias("n_ngrams"),
         F.sum("_n_hit").cast("long").alias("n_hits"),
     )

@@ -174,9 +174,11 @@ def neardup_dedup_sink(
     Documents with no shingles (shorter than ``shingle_n`` words) have
     no signature and always pass through. State is (band, band_key)
     rows — O(accepted docs x bands) small rows, partition-pruned by
-    batch_id on read; at 100 TB the anti-join is a key shuffle AQE can
-    skew-split, never a scan-per-doc. A real deployment compacts old
-    batch_id partitions periodically (shape unchanged).
+    batch_id on read; the history check broadcasts the BATCH's band
+    keys and streams the store through one BroadcastHashJoin scan (no
+    store-side Exchange, never a scan-per-doc, per-batch cost bounded
+    by the data in hand). A real deployment compacts old batch_id
+    partitions periodically (shape unchanged).
     """
     from flyq_spark.operators.dedup import minhash_band_keys, minhash_signatures
 
@@ -257,8 +259,13 @@ def _banded_dedup_sink(
             prior = state.where(F.col("batch_id") < batch_id).select(
                 "band", "band_key"
             )
+            # probe the (big) store with the (small) batch broadcast as
+            # the hash side: one store scan, no store-side Exchange (a
+            # semi-join the other way would re-shuffle the whole store
+            # every batch); the duplicate ids a plain join can emit are
+            # absorbed by the drops.distinct() below
             drops = drops.union(
-                band_df.join(prior, ["band", "band_key"], "left_semi").select(
+                prior.join(F.broadcast(band_df), ["band", "band_key"]).select(
                     id_col
                 )
             )
@@ -330,6 +337,30 @@ def _view_ready_base(root: str) -> tuple[int, str] | None:
     return ready
 
 
+def _store_probe_hits(
+    known: DataFrame, eval_ng: DataFrame, id_col: str
+) -> DataFrame:
+    """Per-(split, doc) contaminated-shingle counts: probe the (big)
+    accepted-shingle store with the (small) batch.
+
+    The batch's eval shingles are the BROADCAST hash side, so the
+    store is scanned once and streamed through a BroadcastHashJoin —
+    no Exchange ever lands on the store side (a semi-join the other
+    way round would sort-merge and re-shuffle the entire store every
+    micro-batch, per-batch cost growing with stream history). The
+    distinct absorbs the store's documented multi-batch duplicate ngs
+    (a shingle accepted by several batches matches several store rows)
+    and shuffles only the MATCHED rows — bounded by the batch's own
+    shingle count times its store multiplicity, never by the store."""
+    return (
+        known.join(F.broadcast(eval_ng), on="ng")
+        .select("split", id_col, "ng")
+        .distinct()
+        .groupBy("split", id_col)
+        .agg(F.count("*").cast("long").alias("n_contaminated"))
+    )
+
+
 def contamination_monitor_sink(
     out_path: str,
     state_path: str,
@@ -338,6 +369,8 @@ def contamination_monitor_sink(
     text_col: str = "text",
     test_prefix_below: str = "0d",
     val_prefix_below: str = "1a",
+    compact_every: int = 16,
+    normalize: bool = False,
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch callback running the train-leakage screen AT INGEST
     — the streaming half of :func:`flyq_spark.operators.corpus.
@@ -358,25 +391,64 @@ def contamination_monitor_sink(
     final audit. Docs with < n words have no shingles and emit no row
     (identical to the batch operator).
 
-    Scale: state is per-batch-DISTINCT 60-bit shingle keys
-    (partition-pruned by batch_id; a shingle stored by several batches
-    is harmless — the check is a LEFT SEMI join, which cannot
-    duplicate, so no cross-batch global dedup of the store is ever
-    needed). The per-batch check is |batch shingles| x key-shuffle,
-    never corpus x corpus and never an O(whole-store) re-dedup. Replay
-    safety: reads filter ``batch_id < N`` and both writes overwrite
-    their own ``batch_id=N`` partition."""
+    Scale: state is per-batch-DISTINCT 60-bit shingle keys laid out
+    like ``aggregate_view_sink``'s view (``delta/batch_id=N``
+    partitions folding into a ``base_upto_B`` dir with a
+    ``_VIEW_READY`` marker every ``compact_every`` batches), so both
+    the file count and the store's duplicate multiplicity stay bounded
+    as the stream ages. The per-batch check broadcasts the BATCH's
+    eval shingles and streams the store through a BroadcastHashJoin
+    (see :func:`_store_probe_hits`) — one store scan, zero store-side
+    Exchange, never corpus x corpus. Compaction is one distinct over
+    base + accumulated deltas, amortized O(|store| / compact_every)
+    per batch; pass ``compact_every=0`` to disable it, which also
+    lifts the driver-local ``state_path`` requirement (the fold's
+    marker/rename discipline is os-level, same as
+    ``aggregate_view_sink``). Replay safety: a replayed batch
+    overwrites its own ``delta/batch_id=N`` partition before the store
+    read, and the read covers exactly base + deltas ``<= N`` — a
+    crash-and-replay recomputes byte-identical output even if the
+    crash landed mid-compaction (only a marker-complete base is ever
+    read; an incomplete one is deleted on the next batch)."""
+    import os
+    import shutil
+
     from flyq_spark.operators.corpus import _h60, split_shingled
 
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
+    if compact_every < 0:
+        raise ValueError(f"compact_every must be >= 0, got {compact_every}")
+    if compact_every and "://" in state_path:
+        raise ValueError(
+            f"contamination_monitor_sink with compaction needs a "
+            f"driver-local state_path (os.rename/marker fold); got "
+            f"scheme-qualified {state_path!r} — pass compact_every=0 "
+            f"to keep the raw delta layout on an object store"
+        )
+
+    root = state_path.rstrip("/")
+
+    def _recover() -> tuple[int, str] | None:
+        """Newest READY base; drop incomplete bases + covered deltas."""
+        ready = _view_ready_base(root)
+        for upto, path in _view_bases(root):
+            if (upto, path) != ready:
+                shutil.rmtree(path, ignore_errors=True)
+        if ready is not None:
+            for bid, path in _view_deltas(root):
+                if bid <= ready[0]:
+                    shutil.rmtree(path, ignore_errors=True)
+        return ready
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        ready = _recover() if compact_every else _view_ready_base(root)
         base = split_shingled(
-            batch_df, n, id_col, text_col, test_prefix_below, val_prefix_below
+            batch_df, n, id_col, text_col, test_prefix_below,
+            val_prefix_below, normalize=normalize,
         )
         train_ng = (
             base.where(F.col("split") == "train")
@@ -384,18 +456,21 @@ def contamination_monitor_sink(
             .select(_h60(F.col("_g")).alias("ng"))
             .distinct()
         )
-        # own partition is written BEFORE the store read, so the read
-        # below always succeeds (even a zero-train batch leaves a
-        # schema-bearing empty file) and the strict batch_id < N filter
-        # keeps replay deterministic
+        # own delta is written BEFORE the store read, so the read below
+        # always succeeds (even a zero-train batch leaves a
+        # schema-bearing empty file) and covers this batch's own train
+        # shingles per the contract; the <= N delta filter keeps replay
+        # deterministic
         train_ng.write.mode("overwrite").parquet(
-            state_path.rstrip("/") + f"/batch_id={batch_id}"
+            os.path.join(root, "delta", f"batch_id={batch_id}")
         )
-        known = (
-            spark.read.parquet(state_path)
-            .where(F.col("batch_id") <= batch_id)
-            .select("ng")
-        )
+        store_paths = [] if ready is None else [ready[1]]
+        store_paths += [
+            p
+            for bid, p in _view_deltas(root)
+            if (ready is None or bid > ready[0]) and bid <= batch_id
+        ]
+        known = spark.read.parquet(*store_paths).select("ng")
         eval_ng = (
             base.where(F.col("split") != "train")
             .select("split", F.col(id_col), F.explode("_ng").alias("_g"))
@@ -406,15 +481,10 @@ def contamination_monitor_sink(
         per_doc = eval_ng.groupBy("split", id_col).agg(
             F.count("*").cast("long").alias("n_ngrams")
         )
-        hit_counts = (
-            eval_ng.join(known, on="ng", how="left_semi")
-            .groupBy("split", id_col)
-            .agg(F.count("*").cast("long").alias("n_contaminated"))
-            .select(
-                F.col("split").alias("_hs"),
-                F.col(id_col).alias("_hid"),
-                "n_contaminated",
-            )
+        hit_counts = _store_probe_hits(known, eval_ng, id_col).select(
+            F.col("split").alias("_hs"),
+            F.col(id_col).alias("_hid"),
+            "n_contaminated",
         )
         hits = (
             per_doc.join(
@@ -438,6 +508,28 @@ def contamination_monitor_sink(
             out_path.rstrip("/") + f"/batch_id={batch_id}"
         )
         eval_ng.unpersist()
+        if not compact_every:
+            return
+        deltas = [
+            (bid, p)
+            for bid, p in _view_deltas(root)
+            if ready is None or bid > ready[0]
+        ]
+        if len(deltas) < compact_every:
+            return
+        state = spark.read.parquet(*[p for _, p in deltas]).select("ng")
+        if ready is not None:
+            state = spark.read.parquet(ready[1]).select("ng").unionByName(state)
+        # ONE distinct folds base + deltas: the store's only global
+        # dedup, paid every compact_every batches, and it also shrinks
+        # every later probe's matched-row multiplicity to 1
+        new_base = os.path.join(root, f"base_upto_{deltas[-1][0]}")
+        state.distinct().write.mode("overwrite").parquet(new_base)
+        open(os.path.join(new_base, "_VIEW_READY"), "w").close()
+        if ready is not None:
+            shutil.rmtree(ready[1], ignore_errors=True)
+        for _, p in deltas:
+            shutil.rmtree(p, ignore_errors=True)
 
     return write
 

@@ -109,3 +109,38 @@ def test_no_duplicate_keys_in_gate_dict_literals():
                         offenders.append((k.value, seen[k.value], k.lineno))
                     seen[k.value] = k.lineno
     assert not offenders, f"duplicate dict keys (name, first, dup): {offenders}"
+
+
+def test_value_outliers_oracle_keeps_null_group(spark, tmp_path):
+    """r11 ADVICE: the operator keeps a NULL event_type as a real group
+    (eqNullSafe fence join, profile.py:robust_outliers) — the oracle
+    must too. Run BOTH the gate and the oracle on a fixture with a NULL
+    group and compare full rows (a USING join would silently drop it)."""
+    import duckdb
+
+    import __spark_entry__ as e
+
+    rows = []
+    # two named groups + a NULL group, each with clear low/high outliers
+    for g, base in (("a", 10.0), ("b", 50.0), (None, 25.0)):
+        rows += [(g, base + i * 0.25) for i in range(40)]
+        rows += [(g, base + 500.0), (g, base - 500.0)]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    got = [
+        (r["event_type"], r["n_rows"], r["lo"], r["hi"], r["n_low"], r["n_high"])
+        for r in e.queries()["value_outliers"](spark, str(tmp_path)).collect()
+    ]
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet/*.parquet'"
+    )
+    want = [tuple(r) for r in con.sql(e.oracle_sql()["value_outliers"]).fetchall()]
+
+    def key(t):
+        return (t[0] is not None, t[0] or "")
+
+    assert sorted(got, key=key) == sorted(want, key=key)
+    assert any(t[0] is None for t in got), "fixture lost its NULL group"
+    assert all(t[4] >= 1 and t[5] >= 1 for t in got)

@@ -5967,3 +5967,173 @@ def test_contamination_report_randomized_messy_whitespace(spark):
             for r in contamination_report(df, n=N).collect()
         }
         assert got == {s: tuple(v) for s, v in exp.items()}, _case
+
+
+def test_unit_contamination_matches_python_model(spark):
+    """r12: unit-granularity decontamination vs a pure-Python model —
+    per-split (n_docs, n_units, n_contaminated_units, n_ngrams,
+    n_hits) over paragraph units, including units shorter than n
+    (no shingles, absent) and empty units from leading delimiters."""
+    import hashlib
+
+    from flyq_spark.operators.corpus import unit_contamination
+
+    def split_of(i):
+        p = hashlib.md5(str(i).encode()).hexdigest()[:2]
+        return "test" if p < "0d" else ("val" if p < "1a" else "train")
+
+    words = [f"w{j}" for j in range(30)]
+    rows = []
+    for i in range(1, 90):
+        paras = []
+        for k in range(1 + i % 3):
+            start = (i + 7 * k) % 20
+            paras.append(" ".join(words[start : start + 3 + (i + k) % 8]))
+        text = "\n".join(paras)
+        if i % 11 == 0:
+            text = "\n" + text  # leading delimiter -> empty first unit
+        rows.append((i, text))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    N = 5
+
+    def unit_shingles(u):
+        w = u.split(" ")
+        return {" ".join(w[j : j + N]) for j in range(len(w) - N + 1)}
+
+    train = set()
+    for i, t in rows:
+        if split_of(i) == "train":
+            for u in t.split("\n"):
+                train |= unit_shingles(u)
+    exp: dict = {}
+    for i, t in rows:
+        s = split_of(i)
+        if s == "train":
+            continue
+        docs_counted = False
+        for u in t.split("\n"):
+            sh = unit_shingles(u)
+            if not sh:
+                continue
+            d = exp.setdefault(s, [set(), 0, 0, 0, 0])
+            d[0].add(i)
+            hits = len(sh & train)
+            d[1] += 1
+            d[2] += 1 if hits else 0
+            d[3] += len(sh)
+            d[4] += hits
+    got = {
+        r["split"]: (
+            r["n_docs"],
+            r["n_units"],
+            r["n_contaminated_units"],
+            r["n_ngrams"],
+            r["n_hits"],
+        )
+        for r in unit_contamination(df, n=N).collect()
+    }
+    assert got == {s: (len(v[0]), v[1], v[2], v[3], v[4]) for s, v in exp.items()}
+    assert any(v[2] > 0 for v in got.values())
+
+
+def test_unit_contamination_catches_short_quoted_paragraph(spark):
+    """The motivating audit gap: a train document QUOTES a short eval
+    paragraph. Whole-document 8-gram shingles tokenize the newline INTO
+    words ('end\\nStart' is one token), so a 9-word quoted paragraph
+    has NO clean interior 8-gram and the exact whole-doc report counts
+    zero hits — while unit granularity (n=5) flags it."""
+    import hashlib
+
+    from flyq_spark.operators.corpus import (
+        contamination_report,
+        unit_contamination,
+    )
+
+    def split_of(i):
+        p = hashlib.md5(str(i).encode()).hexdigest()[:2]
+        return "test" if p < "0d" else ("val" if p < "1a" else "train")
+
+    # find one eval id and two train ids
+    eval_id = next(i for i in range(1, 200) if split_of(i) != "train")
+    t1, t2 = [i for i in range(1, 200) if split_of(i) == "train"][:2]
+    para = "alpha beta gamma delta epsilon zeta eta theta iota"  # 9 words
+    assert len(para.split()) == 9
+    rows = [
+        (eval_id, "evfill1 evfill2 evfill3 evfill4 evfill5\n" + para
+                  + "\nevtail1 evtail2 evtail3 evtail4 evtail5"),
+        (t1, "trfill1 trfill2 trfill3 trfill4 trfill5\n" + para
+             + "\ntrtail1 trtail2 trtail3 trtail4 trtail5"),
+        (t2, "noise1 noise2 noise3 noise4 noise5 noise6 noise7 noise8"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    whole = {r["split"]: r["n_hits"]
+             for r in contamination_report(df, n=8).collect()}
+    unit = {r["split"]: (r["n_contaminated_units"], r["n_hits"])
+            for r in unit_contamination(df, n=5).collect()}
+    s = split_of(eval_id)
+    assert whole.get(s, 0) == 0          # exact whole-doc screen: blind
+    assert unit[s][0] >= 1 and unit[s][1] >= 1  # unit screen: flagged
+
+
+def test_contamination_normalize_recovers_perturbed_hits(spark):
+    """r12: the normalized decontamination variant. Perturb the corpus
+    deterministically (upper-casing, comma/punctuation injection,
+    hyphen noise); the EXACT report on the perturbed corpus loses
+    hits, while normalize=True equals the exact report on the ORIGINAL
+    corpus exactly — _norm_text is a true canonicalization for these
+    edits. Also pins _norm_text literals."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from flyq_spark.operators.corpus import _norm_text, contamination_report
+
+    # literal pin: lower, punct -> space, collapse, trim
+    got = (
+        spark.createDataFrame(
+            [Row(t="  Foo,BAR!!  baz--qux  7x  ")]
+        )
+        .select(_norm_text(F.col("t")).alias("n"))
+        .collect()[0]["n"]
+    )
+    assert got == "foo bar baz qux 7x"
+
+    def split_of(i):
+        p = hashlib.md5(str(i).encode()).hexdigest()[:2]
+        return "test" if p < "0d" else ("val" if p < "1a" else "train")
+
+    words = [f"w{j}" for j in range(25)]
+    rows = []
+    for i in range(1, 140):
+        start = i % 12
+        rows.append((i, " ".join(words[start : start + 9 + i % 5])))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # perturb EVAL docs only (case + punctuation edits; train stays
+    # raw) so the exact screen provably goes blind — a class-consistent
+    # perturbation would leave same-class cross-split matches alive
+    def perturb(i, t):
+        if split_of(i) == "train":
+            return t
+        return t.upper() if i % 2 == 0 else t.replace(" ", ", ")
+
+    pert = spark.createDataFrame(
+        [(i, perturb(i, t)) for i, t in rows], "doc_id long, text string"
+    )
+
+    exact_orig = sorted(tuple(r) for r in contamination_report(df, n=8).collect())
+    exact_pert = sorted(
+        tuple(r) for r in contamination_report(pert, n=8).collect()
+    )
+    norm_pert = sorted(
+        tuple(r)
+        for r in contamination_report(pert, n=8, normalize=True).collect()
+    )
+    assert norm_pert == exact_orig
+    assert any(v[4] > 0 for v in exact_orig)  # fixture has real leakage
+    # the exact screen on the split-aware-perturbed corpus finds NOTHING
+    orig_hits = {v[0]: v[4] for v in exact_orig}
+    pert_hits = {v[0]: v[4] for v in exact_pert}
+    assert all(orig_hits[s] > 0 for s in orig_hits)
+    assert all(pert_hits.get(s, 0) == 0 for s in orig_hits)
