@@ -4909,6 +4909,45 @@ def q_contamination_units(spark, sf_dir):
     return unit_contamination(docs, n=5, delim=" the ").orderBy("split")
 
 
+def q_epoch_schedule(spark, sf_dir):
+    """[EXT] Annealed multi-epoch mixture schedule
+    (operators/corpus.py:mixture_build per epoch): epoch 0 samples
+    proportionally (α=1), epoch 1 at α=½, epoch 2 at α=¼ — the
+    temperature-flattening curriculum (start on the natural
+    distribution, progressively upweight tail sources) as ONE
+    deterministic plan table (epoch, doc_id, source, sample_rank,
+    n_copies); Σ n_copies = budget holds per epoch by the
+    largest-remainder theorem. The oracle replays all three quota
+    regimes in one pass (epoch-dimensioned quota math, corrected
+    integer sqrt chains for the α=½ and α=¼ weights)."""
+    from flyq_spark.operators.corpus import mixture_build
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    parts = [
+        mixture_build(docs, "source", alpha, 9973).withColumn(
+            "epoch", F.lit(e).cast("long")
+        )
+        for e, alpha in enumerate((1000, 500, 250))
+    ]
+    out = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return out.select("epoch", "doc_id", "source", "sample_rank", "n_copies")
+
+
+def q_release_audit(spark, sf_dir):
+    """[EXT] One-stop release QA table
+    (operators/corpus.py:release_audit): per split, document count,
+    within-split exact-duplicate count, Gopher-rule quality failures,
+    and train-leakage document count — the sign-off numbers a dataset
+    release reads, composed from three_way_split + quality_filter +
+    contamination_report so every number shares the proven component
+    semantics; fully oracle-replayed (the oracle stitches the same
+    three component SQL blocks on the 3-row split key)."""
+    from flyq_spark.operators.corpus import release_audit
+
+    docs = _read(spark, sf_dir, "documents")
+    return release_audit(docs, n=8).orderBy("split")
+
+
 def q_contamination_normalized(spark, sf_dir):
     """[EXT] Normalization-robust decontamination
     (operators/corpus.py:contamination_report, normalize=True): exact
@@ -4963,16 +5002,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # prior round's record. Every entry still runs in the full local sweep
 # (tools/verify_local.py) regardless of position.
 _DRIVER_WINDOW = [
-    # r12: freshness rotation (VERDICT r11 next-round #2) + the three
+    # r12: freshness rotation (VERDICT r11 next-round #2) + the five
     # new r12 gates (never driver-checked, staler than any green).
     # 50 slots = (a) ALL 38 entries whose latest driver check dates to
-    # r07; (b) the 3 new r12 gates (pack_shards / contamination_units /
-    # contamination_normalized); (c) value_outliers, whose ORACLE
-    # changed this round (NULL-safe IS NOT DISTINCT FROM fence join —
-    # the r11 ADVICE item), so its r11 proof ran on the superseded SQL;
-    # (d) 8 of the 45 r08-stale greens (alphabetically first among the
-    # oracle-backed — rows-only re-checks prove less). The 37 r08
-    # greens left over rotate in r13.
+    # r07; (b) the 5 new r12 gates (pack_shards / contamination_units /
+    # contamination_normalized / release_audit / epoch_schedule);
+    # (c) value_outliers, whose ORACLE changed this round (NULL-safe
+    # IS NOT DISTINCT FROM fence join — the r11 ADVICE item), so its
+    # r11 proof ran on the superseded SQL; (d) 6 of the 45 r08-stale
+    # greens (alphabetically first among the oracle-backed — rows-only
+    # re-checks prove less). The 39 r08 greens left over rotate in r13.
     #
     # -- (a) last checked r07 (38) --
     "activity_trend", "attribution_multi_touch", "bloom_semi_prune",
@@ -4987,13 +5026,14 @@ _DRIVER_WINDOW = [
     "pack_documents", "paragraph_dedup", "phash_neardup", "phrase_search",
     "repetition_signals", "schema_unify", "skew_salted_event_stats",
     "train_test_split", "weighted_percentiles", "zorder3_codes",
-    # -- (b) new r12 gates (3) --
+    # -- (b) new r12 gates (5) --
     "pack_shards", "contamination_units", "contamination_normalized",
+    "release_audit", "epoch_schedule",
     # -- (c) oracle changed this round (1) --
     "value_outliers",
-    # -- (d) r08-stale, oracle-backed, alphabetical (8) --
+    # -- (d) r08-stale, oracle-backed, alphabetical (6) --
     "ab_test_counts", "ann_filtered_topk", "attribution", "basket_pairs",
-    "bloom_index_prune", "capped_sessions", "chunk_docs", "data_quality",
+    "bloom_index_prune", "capped_sessions",
 ]
 
 
@@ -5222,6 +5262,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_units": q_contamination_units,
         "contamination_normalized": q_contamination_normalized,
         "pack_shards": q_pack_shards,
+        "release_audit": q_release_audit,
+        "epoch_schedule": q_epoch_schedule,
         "variant_extract": q_variant_extract,
         "lexical_diversity": q_lexical_diversity,
         "offsets_for_times": q_offsets_for_times,
@@ -9613,6 +9655,176 @@ SELECT split, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
        CAST(sum(n_hit) AS BIGINT) AS n_hits
 FROM per_unit
 GROUP BY split
+ORDER BY split
+""",
+        "epoch_schedule": """
+WITH ep AS (
+  SELECT * FROM (VALUES (0, 1000), (1, 500), (2, 250)) AS t(epoch, alpha)
+),
+c AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY 1
+),
+x AS (
+  SELECT epoch, alpha, source, n_docs,
+         n_docs * 1000000 AS x6,
+         n_docs * 1000000000000 AS x12
+  FROM c CROSS JOIN ep
+),
+i6 AS (
+  SELECT *, CAST(floor(sqrt(CAST(x6 AS DOUBLE))) AS BIGINT) AS s6 FROM x
+),
+i6c AS (
+  SELECT *, CASE WHEN (s6 + 1) * (s6 + 1) <= x6 THEN s6 + 1
+                 WHEN s6 * s6 > x6 THEN s6 - 1 ELSE s6 END AS v6
+  FROM i6
+),
+i12 AS (
+  SELECT *, CAST(floor(sqrt(CAST(x12 AS DOUBLE))) AS BIGINT) AS s12 FROM i6c
+),
+i12c AS (
+  SELECT *, CASE WHEN (s12 + 1) * (s12 + 1) <= x12 THEN s12 + 1
+                 WHEN s12 * s12 > x12 THEN s12 - 1 ELSE s12 END AS v12
+  FROM i12
+),
+i4 AS (
+  SELECT *, CAST(floor(sqrt(CAST(v12 AS DOUBLE))) AS BIGINT) AS s4 FROM i12c
+),
+i4c AS (
+  SELECT *, CASE WHEN (s4 + 1) * (s4 + 1) <= v12 THEN s4 + 1
+                 WHEN s4 * s4 > v12 THEN s4 - 1 ELSE s4 END AS v4
+  FROM i4
+),
+w AS (
+  SELECT epoch, source, n_docs,
+         CASE WHEN alpha = 1000 THEN n_docs
+              WHEN alpha = 500 THEN v6
+              ELSE v4 END AS weight
+  FROM i4c
+),
+t AS (SELECT epoch, CAST(sum(weight) AS BIGINT) AS wt FROM w GROUP BY epoch),
+b AS (
+  SELECT w.epoch, w.source, w.n_docs, w.weight,
+         (9973 * w.weight) // t.wt AS base,
+         (9973 * w.weight) % t.wt AS rem
+  FROM w JOIN t ON w.epoch = t.epoch
+),
+r AS (
+  SELECT *,
+         row_number() OVER (
+           PARTITION BY epoch ORDER BY rem DESC, source ASC NULLS FIRST
+         ) AS seat,
+         9973 - sum(base) OVER (PARTITION BY epoch) AS leftover
+  FROM b
+),
+q AS (
+  SELECT epoch, source, n_docs,
+         base + CASE WHEN seat <= leftover THEN 1 ELSE 0 END AS quota
+  FROM r
+),
+ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank
+  FROM documents
+),
+sel AS (
+  SELECT q.epoch, k.doc_id, k.source, k.sample_rank,
+         q.quota // q.n_docs
+         + CASE WHEN k.sample_rank <= q.quota % q.n_docs THEN 1 ELSE 0 END
+           AS n_copies
+  FROM ranked k JOIN q ON k.source IS NOT DISTINCT FROM q.source
+)
+SELECT CAST(epoch AS BIGINT) AS epoch, doc_id, source,
+       CAST(sample_rank AS BIGINT) AS sample_rank,
+       CAST(n_copies AS BIGINT) AS n_copies
+FROM sel WHERE n_copies >= 1
+ORDER BY epoch, doc_id
+""",
+        "release_audit": """
+WITH s AS (
+  SELECT doc_id, text,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0d' THEN 'test'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a' THEN 'val'
+              ELSE 'train' END AS split
+  FROM documents
+),
+per_split AS (
+  SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(*) - count(DISTINCT text) AS BIGINT) AS n_dup_docs
+  FROM s GROUP BY split
+),
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+wc AS (
+  SELECT doc_id, word, count(*) AS c FROM tok GROUP BY 1, 2
+),
+agg AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+         CAST(max(c) AS BIGINT) AS top_c
+  FROM wc GROUP BY 1
+),
+bg AS (
+  SELECT doc_id,
+         CAST(greatest(len(string_split(text, ' ')) - 1, 0) AS BIGINT) AS n_bg,
+         CAST(len(list_distinct(list_transform(
+           range(1, len(string_split(text, ' '))),
+           i -> string_split(text, ' ')[CAST(i AS BIGINT)] || ' ' ||
+                string_split(text, ' ')[CAST(i AS BIGINT) + 1]
+         ))) AS BIGINT) AS n_ubg
+  FROM documents
+),
+r AS (
+  SELECT a.doc_id,
+         CASE WHEN n_words < 20 THEN 'too_short'
+              WHEN n_words > 100000 THEN 'too_long'
+              WHEN top_c * 100 > n_words * 15 THEN 'repetitive_word'
+              WHEN (n_bg - n_ubg) * 100 > n_bg * 10 THEN 'repetitive_bigram'
+              ELSE 'ok' END AS reason
+  FROM agg a JOIN bg USING (doc_id)
+),
+bad AS (
+  SELECT s.split, CAST(count(*) AS BIGINT) AS n_quality_bad
+  FROM r JOIN s USING (doc_id) WHERE r.reason <> 'ok' GROUP BY s.split
+),
+base AS (
+  SELECT doc_id, string_split(text, ' ') AS w, split FROM s
+),
+eval_ng AS (
+  SELECT DISTINCT split, doc_id,
+         CAST(concat('0x', substr(md5(
+           array_to_string(w[CAST(i AS BIGINT):CAST(i AS BIGINT)+7], ' ')
+         ), 1, 15)) AS BIGINT) AS ng
+  FROM base, UNNEST(range(1, len(w) - 6)) AS t(i)
+  WHERE split <> 'train'
+),
+train_ng AS (
+  SELECT DISTINCT CAST(concat('0x', substr(md5(
+           array_to_string(w[CAST(i AS BIGINT):CAST(i AS BIGINT)+7], ' ')
+         ), 1, 15)) AS BIGINT) AS ng
+  FROM base, UNNEST(range(1, len(w) - 6)) AS t(i)
+  WHERE split = 'train'
+),
+per_doc AS (
+  SELECT e.split, e.doc_id, count(tr.ng) AS n_hit
+  FROM eval_ng e LEFT JOIN train_ng tr USING (ng)
+  GROUP BY e.split, e.doc_id
+),
+contam AS (
+  SELECT split,
+         CAST(sum(CASE WHEN n_hit > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_contaminated_docs
+  FROM per_doc GROUP BY split
+)
+SELECT p.split, p.n_docs, p.n_dup_docs,
+       CAST(coalesce(b.n_quality_bad, 0) AS BIGINT) AS n_quality_bad,
+       CAST(coalesce(c.n_contaminated_docs, 0) AS BIGINT)
+         AS n_contaminated_docs
+FROM per_split p
+LEFT JOIN bad b USING (split)
+LEFT JOIN contam c USING (split)
 ORDER BY split
 """,
         "contamination_normalized": """

@@ -157,6 +157,8 @@ HEADLINE = [
     ("pack_shards", False),
     ("contamination_units", True),
     ("contamination_normalized", True),
+    ("release_audit", True),
+    ("epoch_schedule", False),
 ]
 
 

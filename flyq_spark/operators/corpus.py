@@ -460,6 +460,84 @@ def unit_contamination(
     )
 
 
+def release_audit(
+    df: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    test_prefix_below: str = "0d",
+    val_prefix_below: str = "1a",
+) -> DataFrame:
+    """One-row-per-split release QA table — the numbers a dataset
+    release signs off on, composed from the already-proven pieces so
+    the whole report shares their semantics: per split,
+
+    - ``n_docs``: document count (:func:`three_way_split` membership);
+    - ``n_dup_docs``: within-split EXACT duplicates, n_docs − distinct
+      texts (NULL texts are not counted distinct and therefore count
+      as duplicates of each other only via the count difference —
+      the fixture has none; byte-level dedup is the floor, the
+      near-dup family refines it);
+    - ``n_quality_bad``: documents failing the composed Gopher rules
+      (text.quality_filter, first-failing-rule semantics);
+    - ``n_contaminated_docs``: eval documents with >= 1 train 8-gram
+      hit (:func:`contamination_report`'s per-doc join), 0 for train
+      by definition.
+
+    Everything is an exact BIGINT. Plan: one split projection feeding
+    three independent aggregations (split counts; quality verdicts
+    joined back on the id; the shingle join), stitched on the 3-row
+    split key — the stitching joins are 3-row broadcasts, so the cost
+    is exactly the sum of the component passes."""
+    from flyq_spark.operators.text import quality_filter
+
+    split = three_way_split(
+        df.select(id_col, text_col), id_col, test_prefix_below,
+        val_prefix_below,
+    )
+    per_split = split.groupBy("split").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        (F.count("*") - F.count_distinct(F.col(text_col)))
+        .cast("long")
+        .alias("n_dup_docs"),
+    )
+    # null-keys-impossible: id_col is the row identity
+    bad = (
+        split.select("split", F.col(id_col))
+        .join(
+            quality_filter(df, id_col, text_col)
+            .where(~F.col("keep"))
+            .select(F.col(id_col)),
+            on=id_col,
+        )
+        .groupBy("split")
+        .agg(F.count("*").cast("long").alias("n_quality_bad"))
+    )
+    contam = contamination_report(
+        df, n=n, id_col=id_col, text_col=text_col,
+        test_prefix_below=test_prefix_below,
+        val_prefix_below=val_prefix_below,
+    ).select("split", "n_contaminated_docs")
+    return (
+        per_split
+        # null-keys-impossible: split is a non-null literal
+        .join(F.broadcast(bad), on="split", how="left")
+        # null-keys-impossible: split is a non-null literal
+        .join(F.broadcast(contam), on="split", how="left")
+        .select(
+            "split",
+            "n_docs",
+            "n_dup_docs",
+            F.coalesce(F.col("n_quality_bad"), F.lit(0))
+            .cast("long")
+            .alias("n_quality_bad"),
+            F.coalesce(F.col("n_contaminated_docs"), F.lit(0))
+            .cast("long")
+            .alias("n_contaminated_docs"),
+        )
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

@@ -6137,3 +6137,107 @@ def test_contamination_normalize_recovers_perturbed_hits(spark):
     pert_hits = {v[0]: v[4] for v in exact_pert}
     assert all(orig_hits[s] > 0 for s in orig_hits)
     assert all(pert_hits.get(s, 0) == 0 for s in orig_hits)
+
+
+def test_release_audit_matches_python_model(spark):
+    """r12: the composed release QA table vs a pure-Python model over a
+    fixture with real exact duplicates (the sf corpus has none), quality
+    failures (short + repetitive docs), and train->eval leakage."""
+    import hashlib
+
+    from flyq_spark.operators.corpus import release_audit
+
+    def split_of(i):
+        p = hashlib.md5(str(i).encode()).hexdigest()[:2]
+        return "test" if p < "0d" else ("val" if p < "1a" else "train")
+
+    words = [f"w{j}" for j in range(30)]
+    rows = []
+    for i in range(1, 150):
+        if i % 13 == 0:
+            text = "dup dup dup " + " ".join(words[:20])  # repetitive_word
+        elif i % 17 == 0:
+            text = "tiny doc"  # too_short
+        else:
+            start = i % 10  # few start positions -> exact dups + leakage
+            text = " ".join(words[start : start + 22])
+        rows.append((i, text))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    N = 8
+
+    def shingles(t):
+        w = t.split(" ")
+        return {" ".join(w[j : j + N]) for j in range(len(w) - N + 1)}
+
+    def quality_bad(t):
+        w = t.split(" ")
+        n = len(w)
+        if n < 20:
+            return True
+        from collections import Counter
+
+        top = Counter(w).most_common(1)[0][1]
+        if top * 100 > n * 15:
+            return True
+        bgs = [" ".join(w[j : j + 2]) for j in range(n - 1)]
+        return (len(bgs) - len(set(bgs))) * 100 > len(bgs) * 10
+
+    train_sh = set()
+    for i, t in rows:
+        if split_of(i) == "train":
+            train_sh |= shingles(t)
+    exp: dict = {}
+    texts_by_split: dict = {}
+    for i, t in rows:
+        s = split_of(i)
+        d = exp.setdefault(s, [0, 0, 0, 0])
+        d[0] += 1
+        texts_by_split.setdefault(s, []).append(t)
+        if quality_bad(t):
+            d[2] += 1
+        if s != "train" and shingles(t) & train_sh:
+            d[3] += 1
+    for s, ts in texts_by_split.items():
+        exp[s][1] = len(ts) - len(set(ts))
+
+    got = {
+        r["split"]: (
+            r["n_docs"],
+            r["n_dup_docs"],
+            r["n_quality_bad"],
+            r["n_contaminated_docs"],
+        )
+        for r in release_audit(df, n=N).collect()
+    }
+    assert got == {s: tuple(v) for s, v in exp.items()}
+    # the fixture exercises every column
+    assert any(v[1] > 0 for v in got.values())
+    assert any(v[2] > 0 for v in got.values())
+    assert any(v[3] > 0 for v in got.values())
+    assert got["train"][3] == 0
+
+
+def test_epoch_schedule_budget_and_annealing(spark):
+    """r12: the 3-epoch annealed schedule (alpha 1000 -> 500 -> 250)
+    holds the budget theorem per epoch and actually anneals — the tail
+    source's share strictly grows with flattening while the head
+    source's strictly shrinks."""
+    from flyq_spark.operators.corpus import mixture_build
+
+    rows = (
+        [(i, "head") for i in range(1, 401)]
+        + [(i, "mid") for i in range(401, 481)]
+        + [(i, "tail") for i in range(481, 491)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    budget = 997
+    shares = {}
+    for e, alpha in enumerate((1000, 500, 250)):
+        out = mixture_build(df, "source", alpha, budget).collect()
+        per_src: dict = {}
+        for r in out:
+            per_src[r["source"]] = per_src.get(r["source"], 0) + r["n_copies"]
+        assert sum(per_src.values()) == budget, (e, per_src)
+        shares[e] = per_src
+    assert shares[0]["head"] > shares[1]["head"] > shares[2]["head"]
+    assert shares[0]["tail"] < shares[1]["tail"] < shares[2]["tail"]

@@ -38,6 +38,7 @@ SCALAR_BROADCAST_OK = {
     "lm_backoff",  # 1-row train-token total T, the ln T normalizer
     "mixture_build",  # temperature_mix's 1-row weight-total scalar
     "epoch_plan",  # same weight-total scalar via mixture_build
+    "epoch_schedule",  # same scalar x3 epochs via mixture_build
     "ppl_select",  # lm_backoff's 1-row train-token total T
 }
 
@@ -57,6 +58,7 @@ GLOBAL_WINDOW_OK = {
     "dsir_resample",  # domain_affinity's profile rank over ≤ 4096 buckets
     "mixture_build",  # temperature_mix's remainder rank over |sources| rows
     "epoch_plan",  # same |sources|-row remainder rank via mixture_build
+    "epoch_schedule",  # same |sources|-row remainder rank, once per epoch
 }
 # ordering-marker columns whose windows run over ≤P-row offset tables
 _OFFSET_MARKERS = ("_gpid#", "_shard#")

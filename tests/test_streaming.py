@@ -1598,3 +1598,60 @@ def test_contamination_monitor_store_probe_has_no_store_side_exchange(
     # and the semantics: multi-batch duplicate store ngs count once
     got = {(r["split"], r["doc_id"]): r["n_contaminated"] for r in probe.collect()}
     assert got == {("val", 1): 2, ("test", 2): 1}
+
+
+def test_streaming_quality_rate_parity(spark, tmp_path):
+    """r12: live corpus-quality monitoring needs ZERO new code — stream
+    each batch's quality_filter verdicts into aggregate_view_sink keyed
+    on (reason,) and the running view equals the batch quality_filter
+    rollup over everything ingested, at any checkpoint, including after
+    a replayed micro-batch and across a base compaction (the same
+    composition pattern as the mixture monitor)."""
+    from pyspark.sql import functions as F
+
+    from flyq_spark.operators.text import quality_filter
+    from flyq_spark.streaming.sink import (
+        aggregate_view_sink,
+        read_aggregate_view,
+    )
+
+    words = [f"w{j}" for j in range(30)]
+    rows = []
+    for i in range(600):
+        if i % 7 == 0:
+            text = "tiny doc"                       # too_short
+        elif i % 11 == 0:
+            # 6/26 words = 23% > the 15% top-word cap -> repetitive_word
+            text = "rep rep rep rep rep rep " + " ".join(words[:20])
+        else:
+            text = " ".join(words[i % 8 : i % 8 + 22])
+        rows.append((i, text))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sink = aggregate_view_sink(
+        str(tmp_path / "qview"), ("reason",), {}, compact_every=2
+    )
+    batches = [rows[:200], rows[200:400], rows[400:]]
+    for bid, chunk in enumerate(batches):
+        batch_df = spark.createDataFrame(chunk, "doc_id long, text string")
+        sink(quality_filter(batch_df), bid)
+    # at-least-once replay of the final batch: overwrite, not double-count
+    sink(
+        quality_filter(
+            spark.createDataFrame(batches[2], "doc_id long, text string")
+        ),
+        2,
+    )
+
+    view = read_aggregate_view(spark, str(tmp_path / "qview"), ("reason",), ())
+    got = {r["reason"]: r["n_rows"] for r in view.collect()}
+    want = {
+        r["reason"]: r["n"]
+        for r in quality_filter(df)
+        .groupBy("reason")
+        .agg(F.count("*").cast("long").alias("n"))
+        .collect()
+    }
+    assert got == want
+    assert got.get("too_short", 0) > 0 and got.get("repetitive_word", 0) > 0
+    assert sum(got.values()) == len(rows)
