@@ -4707,6 +4707,24 @@ def q_mixture_build(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_manual_mixture(spark, sf_dir):
+    """[EXT] Hand-specified training mixture (operators/corpus.py
+    manual_mixture_build): The Pile / LLaMA recipe style — explicit
+    integer weights {src0: 60, src3: 25, src7: 10, src12: 5} apportion
+    budget 997 by largest remainder (Sigma n_copies = 997 exactly),
+    each quota spreading over the source's md5 ring with multiplicity;
+    the 16 unlisted sources are excluded (the recipe lists what goes in
+    the pot). Upsampling regime live at sf0.01 (quota 598 over 25 docs
+    -> n_copies 23-24). Fully oracle-replayed (VALUES-table weights ->
+    quota math -> ring ranks -> spread)."""
+    from flyq_spark.operators.corpus import manual_mixture_build
+
+    docs = _read(spark, sf_dir, "documents")
+    return manual_mixture_build(
+        docs, {"src0": 60, "src3": 25, "src7": 10, "src12": 5}, 997
+    ).orderBy("doc_id")
+
+
 def q_epoch_plan(spark, sf_dir):
     """[EXT] The full training-epoch assembly path COMPOSED end-to-end
     (operators/corpus.py temperature_mix -> mixture_build ->
@@ -4871,6 +4889,27 @@ def q_contamination_report(spark, sf_dir):
     return contamination_report(docs, n=8).orderBy("split")
 
 
+def q_pack_offsets(spark, sf_dir):
+    """[EXT] Doc-level pack placement (operators/corpus.py
+    pack_documents(with_offsets=True)): every document's (shard,
+    pack_id, tok_start) — the token start offset WITHIN its pack, the
+    number a sequence-pack writer and the attention-mask /
+    doc-boundary-reset machinery consume. budget=512 so sf0.01 lands
+    3-5 packs per shard with live straddlers (tok_start 511 +
+    n_tokens 72 overflows the pack — boundary packing never splits).
+    Invariant 0 <= tok_start < 512 exact-integer; same single shard
+    window as pack_documents, zero extra shuffle. Fully
+    oracle-replayed."""
+    from flyq_spark.operators.corpus import pack_documents
+
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        pack_documents(docs, token_budget=512, with_offsets=True)
+        .select("doc_id", "shard", "pack_id", "n_tokens", "tok_start")
+        .orderBy("doc_id")
+    )
+
+
 def q_pack_shards(spark, sf_dir):
     """[EXT] pack_documents' 4096-way scale path
     (operators/corpus.py:pack_documents, shard_digits=3) proven
@@ -5005,13 +5044,14 @@ _DRIVER_WINDOW = [
     # r12: freshness rotation (VERDICT r11 next-round #2) + the five
     # new r12 gates (never driver-checked, staler than any green).
     # 50 slots = (a) ALL 38 entries whose latest driver check dates to
-    # r07; (b) the 5 new r12 gates (pack_shards / contamination_units /
-    # contamination_normalized / release_audit / epoch_schedule);
-    # (c) value_outliers, whose ORACLE changed this round (NULL-safe
-    # IS NOT DISTINCT FROM fence join — the r11 ADVICE item), so its
-    # r11 proof ran on the superseded SQL; (d) 6 of the 45 r08-stale
-    # greens (alphabetically first among the oracle-backed — rows-only
-    # re-checks prove less). The 39 r08 greens left over rotate in r13.
+    # r07; (b) the 7 new r12 gates (pack_shards / contamination_units /
+    # contamination_normalized / release_audit / epoch_schedule /
+    # manual_mixture / pack_offsets); (c) value_outliers, whose ORACLE
+    # changed this round (NULL-safe IS NOT DISTINCT FROM fence join —
+    # the r11 ADVICE item), so its r11 proof ran on the superseded SQL;
+    # (d) 4 of the 45 r08-stale greens (alphabetically first among the
+    # oracle-backed — rows-only re-checks prove less). The 41 r08
+    # greens rotate in r13.
     #
     # -- (a) last checked r07 (38) --
     "activity_trend", "attribution_multi_touch", "bloom_semi_prune",
@@ -5026,14 +5066,13 @@ _DRIVER_WINDOW = [
     "pack_documents", "paragraph_dedup", "phash_neardup", "phrase_search",
     "repetition_signals", "schema_unify", "skew_salted_event_stats",
     "train_test_split", "weighted_percentiles", "zorder3_codes",
-    # -- (b) new r12 gates (5) --
+    # -- (b) new r12 gates (7) --
     "pack_shards", "contamination_units", "contamination_normalized",
-    "release_audit", "epoch_schedule",
+    "release_audit", "epoch_schedule", "manual_mixture", "pack_offsets",
     # -- (c) oracle changed this round (1) --
     "value_outliers",
-    # -- (d) r08-stale, oracle-backed, alphabetical (6) --
+    # -- (d) r08-stale, oracle-backed, alphabetical (4) --
     "ab_test_counts", "ann_filtered_topk", "attribution", "basket_pairs",
-    "bloom_index_prune", "capped_sessions",
 ]
 
 
@@ -5255,6 +5294,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_resample": q_dsir_resample,
         "lm_backoff": q_lm_backoff,
         "mixture_build": q_mixture_build,
+        "manual_mixture": q_manual_mixture,
         "epoch_plan": q_epoch_plan,
         "ppl_select": q_ppl_select,
         "variant_explode": q_variant_explode,
@@ -5262,6 +5302,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_units": q_contamination_units,
         "contamination_normalized": q_contamination_normalized,
         "pack_shards": q_pack_shards,
+        "pack_offsets": q_pack_offsets,
         "release_audit": q_release_audit,
         "epoch_schedule": q_epoch_schedule,
         "variant_extract": q_variant_extract,
@@ -6212,6 +6253,31 @@ SELECT shard, CAST(floor(cum_before / 2048.0) AS BIGINT) AS pack_id,
        count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
 FROM packed
 GROUP BY shard, pack_id
+""",
+        # doc-level pack placement: same boundary window, plus the
+        # within-pack token start offset (cum_before - pack_id*budget)
+        "pack_offsets": """
+WITH toks AS (
+  SELECT doc_id,
+         md5(CAST(doc_id AS VARCHAR)) AS h,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END
+           AS BIGINT) AS n_tokens
+  FROM documents
+), packed AS (
+  SELECT doc_id, substr(h, 1, 1) AS shard, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           PARTITION BY substr(h, 1, 1) ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM toks
+)
+SELECT doc_id, shard,
+       CAST(floor(cum_before / 512.0) AS BIGINT) AS pack_id,
+       n_tokens,
+       CAST(cum_before - CAST(floor(cum_before / 512.0) AS BIGINT) * 512
+         AS BIGINT) AS tok_start
+FROM packed
+ORDER BY doc_id
 """,
         "quality_filter": """
 WITH tok AS (
@@ -9920,6 +9986,57 @@ r AS (
   SELECT *,
          row_number() OVER (ORDER BY rem DESC, source ASC NULLS FIRST) AS seat,
          (SELECT 9973 - sum(base) FROM b) AS leftover
+  FROM b
+),
+q AS (
+  SELECT source, n_docs,
+         base + CASE WHEN seat <= leftover THEN 1 ELSE 0 END AS quota
+  FROM r
+),
+ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank
+  FROM documents
+),
+sel AS (
+  SELECT k.doc_id, k.source, k.sample_rank,
+         q.quota // q.n_docs
+         + CASE WHEN k.sample_rank <= q.quota % q.n_docs THEN 1 ELSE 0 END
+           AS n_copies
+  FROM ranked k JOIN q ON k.source IS NOT DISTINCT FROM q.source
+)
+SELECT doc_id, source, CAST(sample_rank AS BIGINT) AS sample_rank,
+       CAST(n_copies AS BIGINT) AS n_copies
+FROM sel WHERE n_copies >= 1
+ORDER BY doc_id
+""",
+        # the hand-weighted sibling: the recipe is a VALUES table, the
+        # quota/ring/spread math is mixture_build's verbatim
+        "manual_mixture": """
+WITH wts(source, weight) AS (
+  VALUES ('src0', 60), ('src3', 25), ('src7', 10), ('src12', 5)
+),
+c AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY 1
+),
+w AS (
+  SELECT wts.source, c.n_docs, CAST(wts.weight AS BIGINT) AS weight
+  FROM wts JOIN c ON wts.source IS NOT DISTINCT FROM c.source
+),
+t AS (SELECT CAST(sum(weight) AS BIGINT) AS wt FROM w),
+b AS (
+  SELECT source, n_docs, weight,
+         (997 * weight) // t.wt AS base,
+         (997 * weight) % t.wt AS rem
+  FROM w CROSS JOIN t
+),
+r AS (
+  SELECT *,
+         row_number() OVER (ORDER BY rem DESC, source ASC NULLS FIRST) AS seat,
+         (SELECT 997 - sum(base) FROM b) AS leftover
   FROM b
 ),
 q AS (

@@ -159,6 +159,8 @@ HEADLINE = [
     ("contamination_normalized", True),
     ("release_audit", True),
     ("epoch_schedule", False),
+    ("manual_mixture", False),
+    ("pack_offsets", False),
 ]
 
 

@@ -113,6 +113,7 @@ def pack_documents(
     id_col: str = "doc_id",
     text_col: str = "text",
     shard_digits: int = 1,
+    with_offsets: bool = False,
 ) -> DataFrame:
     """Boundary sequence packing: pack ``p`` in a shard holds the
     documents whose preceding-token running sum falls in
@@ -132,7 +133,17 @@ def pack_documents(
     Measured on the composed epoch path (SCALE.md r11): 16 shards put
     ~625k drawn docs in one sort task at a 10^7-doc epoch; 3 digits
     (4096 shards, the corpus_shuffle width) keeps sort groups at
-    epoch/4096. Output adds (shard, pack_id, n_tokens)."""
+    epoch/4096. Output adds (shard, pack_id, n_tokens).
+
+    ``with_offsets=True`` also emits ``tok_start`` — the document's
+    token start offset WITHIN its pack (cum_before − pack_id·budget,
+    exact integer arithmetic), the number a sequence-pack writer and
+    the attention-mask / doc-boundary-reset machinery consume.
+    Invariant: 0 ≤ tok_start < budget (floor definition); the one
+    straddling document per pack may have tok_start + n_tokens >
+    budget — boundary packing overflows rather than splits. Same
+    single window (Catalyst collapses the identical frame), zero
+    extra shuffle."""
     from flyq_spark.operators.text import token_count
 
     if not 1 <= int(shard_digits) <= 8:
@@ -144,11 +155,18 @@ def pack_documents(
         F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
         F.lit(0).cast("long"),
     )
-    return (
+    out = (
         df.withColumn("n_tokens", toks)
         .withColumn("shard", F.substring(h, 1, int(shard_digits)))
         .withColumn("pack_id", F.floor(cum_before / token_budget).cast("long"))
     )
+    if with_offsets:
+        out = out.withColumn(
+            "tok_start",
+            (cum_before - F.col("pack_id") * F.lit(int(token_budget)))
+            .cast("long"),
+        )
+    return out
 
 
 def _word_ngrams(words: Column, n: int) -> Column:
@@ -1079,6 +1097,18 @@ def temperature_mix_from_counts(
     weighted = counts.select(
         F.col(source_col), n.alias("n_docs")
     ).withColumn("weight", w.cast("long"))
+    return _apportion(weighted, budget, source_col)
+
+
+def _apportion(
+    weighted: DataFrame, budget: int, source_col: str
+) -> DataFrame:
+    """LARGEST-REMAINDER apportionment of ``budget`` over a
+    (source, n_docs, weight) table: base = ⌊B·w/W⌋, the L = B − Σbase
+    leftover seats go to the largest remainders (B·w mod W), ties to
+    the smaller source name — deterministic and Σ quota = B exactly
+    (the shared theorem of the mixture family). Returns
+    (source, n_docs, weight, quota)."""
     # Σ weights in DECIMAL(38,0): weights are bounded by n_docs (α=1),
     # so a many-source corpus-scale total can pass 2^63 even though
     # each weight fits BIGINT.
@@ -1279,11 +1309,24 @@ def mixture_build(
     broadcast offset table is ≤ P + |sources| rows). For a
     high-cardinality axis, plan with ``temperature_mix_from_counts``
     and sample with ``importance_resample`` instead."""
-    from flyq_spark.operators.ranking import grouped_row_number
-
     mix = temperature_mix(
         df, source_col, alpha_permille=alpha_permille, budget=budget
     ).select(source_col, "n_docs", "quota")
+    return _materialize_quotas(df, mix, source_col, id_col)
+
+
+def _materialize_quotas(
+    df: DataFrame, mix: DataFrame, source_col: str, id_col: str
+) -> DataFrame:
+    """Turn a (source, n_docs, quota) plan into the concrete drawn list
+    with multiplicity — the shared second half of the mixture family:
+    rank each source's docs on the md5 ring (distributed grouped
+    row_number, one balanced range exchange), broadcast-join the quota
+    table, spread quota q as q div n copies + one extra for the first
+    q mod n ring positions (Σ n_copies = q per source). Output:
+    (id, source, sample_rank, n_copies) for drawn docs."""
+    from flyq_spark.operators.ranking import grouped_row_number
+
     h = _id_hash(id_col)
     ranked = grouped_row_number(
         df.select(id_col, source_col).withColumn("_mbh", h),
@@ -1312,3 +1355,88 @@ def mixture_build(
         .where(F.col("n_copies") >= 1)
         .select(id_col, source_col, "sample_rank", "n_copies")
     )
+
+
+def manual_mixture_build(
+    df: DataFrame,
+    weights: dict,
+    budget: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hand-specified training mixture (The Pile / LLaMA recipe style:
+    "wikipedia 4.5%, code 7%, web 60%" as explicit per-source weights)
+    — the editorial sibling of :func:`mixture_build`'s n^α rule. The
+    caller's integer ``weights`` dict IS the mixture: budget
+    apportions over the listed sources by largest remainder
+    (Σ quota = budget exactly, the family theorem), each source's
+    quota spreads over its md5 ring with multiplicity (upsampling when
+    quota > n_docs, deterministic top-q when quota ≤ n_docs).
+
+    Contract edges, all loud or explicit:
+    - sources present in ``df`` but NOT in ``weights`` are EXCLUDED
+      (weight 0 is the recipe's statement, not an accident — a recipe
+      lists what goes in the pot);
+    - a weighted source with NO documents raises in-plan
+      (``raise_error``): its quota is undeliverable and silently
+      re-apportioning it would train a different mixture than the one
+      the recipe states;
+    - weights must be non-negative ints, at least one positive;
+      a ``None`` key weights the NULL-source group (eqNullSafe joins
+      end-to-end, the r11 audit-net discipline).
+
+    Plan: |weights|-row local table broadcast against the |sources|
+    counts, the quota math on that human-scale table, then ONE grouped
+    row_number range exchange + broadcast quota join over the data —
+    identical scale shape to ``mixture_build``. Output: (id, source,
+    sample_rank, n_copies), Σ n_copies = budget."""
+    if not weights:
+        raise ValueError("weights must be a non-empty {source: int} dict")
+    for s, wv in weights.items():
+        if not isinstance(wv, int) or isinstance(wv, bool) or wv < 0:
+            raise ValueError(
+                f"weights must be non-negative ints: {s!r}={wv!r}"
+            )
+    if all(wv == 0 for wv in weights.values()):
+        raise ValueError("at least one weight must be positive")
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0: {budget}")
+    spark = df.sparkSession
+    pos = [(s, int(wv)) for s, wv in weights.items() if wv > 0]
+    wdf = spark.createDataFrame(
+        pos, schema=f"`{source_col}` string, weight long"
+    )
+    counts = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    ).select(F.col(source_col).alias("_mm_src"), "n_docs")
+    # weights LEFT JOIN counts: an unmatched recipe line surfaces as a
+    # NULL n_docs — turned into an in-plan raise (quota undeliverable).
+    weighted = (
+        wdf.join(
+            counts,
+            on=F.col(source_col).eqNullSafe(F.col("_mm_src")),
+            how="left",
+        )
+        .withColumn(
+            "n_docs",
+            F.when(
+                F.col("n_docs").isNull(),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "manual_mixture_build: weighted source has no"
+                            " documents: "
+                        ),
+                        F.coalesce(
+                            F.col(source_col).cast("string"), F.lit("NULL")
+                        ),
+                    )
+                ).cast("long"),
+            ).otherwise(F.col("n_docs")),
+        )
+        .select(source_col, "n_docs", "weight")
+    )
+    mix = _apportion(weighted, budget, source_col).select(
+        source_col, "n_docs", "quota"
+    )
+    return _materialize_quotas(df, mix, source_col, id_col)

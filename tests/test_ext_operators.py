@@ -1623,6 +1623,46 @@ def test_pack_documents_boundary_invariants(spark, docs):
             cum += m["n_tokens"]
 
 
+def test_pack_documents_with_offsets(spark, docs):
+    """with_offsets=True: tok_start is the within-pack token start —
+    equal to the locally replayed cum_before − pack_id·budget, in
+    [0, budget) for EVERY doc, and strictly increasing in ring order
+    within a pack (the ring-first doc of pack p>0 starts ABOVE 0 when
+    the previous pack's straddler overflowed into it). Default output
+    stays offset-free (no schema drift for existing callers)."""
+    import hashlib
+
+    from flyq_spark.operators.corpus import pack_documents
+
+    budget = 512
+    assert "tok_start" not in pack_documents(docs, token_budget=budget).columns
+    rows = pack_documents(
+        docs, token_budget=budget, with_offsets=True
+    ).select("shard", "pack_id", "n_tokens", "doc_id", "tok_start").collect()
+    by_shard: dict = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, members in by_shard.items():
+        members.sort(
+            key=lambda m: (
+                hashlib.md5(str(m["doc_id"]).encode()).hexdigest(),
+                m["doc_id"],
+            )
+        )
+        cum, last = 0, {}
+        for m in members:
+            assert m["tok_start"] == cum - m["pack_id"] * budget
+            assert 0 <= m["tok_start"] < budget
+            if m["pack_id"] not in last:
+                # ring-first doc of pack p starts where the straddler
+                # left off, folded mod budget — still < budget
+                pass
+            else:
+                assert m["tok_start"] > last[m["pack_id"]]
+            last[m["pack_id"]] = m["tok_start"]
+            cum += m["n_tokens"]
+
+
 def test_stratified_sample_deterministic_and_proportional(spark, docs):
     from flyq_spark.operators.corpus import stratified_sample
 
@@ -5626,6 +5666,92 @@ def test_mixture_build_null_source_group(spark):
         assert got == exp, budget
         assert sum(c for _, _, c in got.values()) == budget
         assert any(s is None for s, _, _ in got.values()), budget
+
+
+def test_manual_mixture_build_matches_python_model(spark):
+    """Hand-weighted mixture vs an independent Python model: the
+    caller's weights (not n^alpha) drive the largest-remainder quotas,
+    Sigma n_copies = budget exactly, a None key weights the NULL-source
+    group end-to-end (eqNullSafe both joins), unlisted sources are
+    excluded, and both the selection (quota <= n) and upsampling
+    (quota > n) regimes land per-doc-exact."""
+    import hashlib
+
+    from flyq_spark.operators.corpus import manual_mixture_build
+
+    rows = (
+        [(i, "web") for i in range(1, 61)]
+        + [(i, None) for i in range(61, 81)]  # 20 NULL-source docs
+        + [(i, "code") for i in range(81, 86)]  # 5 docs, upsampled
+        + [(i, "skip_me") for i in range(86, 96)]  # not in the recipe
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    weights = {"web": 50, None: 30, "code": 20}
+
+    def model(budget):
+        counts: dict = {}
+        for _, s in rows:
+            counts[s] = counts.get(s, 0) + 1
+        tot = sum(weights.values())
+        base = {s: budget * w // tot for s, w in weights.items()}
+        rem = {s: budget * w % tot for s, w in weights.items()}
+        left = budget - sum(base.values())
+        order = sorted(
+            weights, key=lambda s: (-rem[s], s is not None, s or "")
+        )
+        quota = {
+            s: base[s] + (1 if i < left else 0) for i, s in enumerate(order)
+        }
+        out = {}
+        for s, q in quota.items():
+            ids = [i for i, src in rows if src == s]
+            ids.sort(key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+            n = counts[s]
+            for r, i in enumerate(ids, start=1):
+                c = q // n + (1 if r <= q % n else 0)
+                if c >= 1:
+                    out[i] = (s, r, c)
+        return out
+
+    for budget in (37, 1009):  # selection regime / upsample regime
+        got = {
+            r["doc_id"]: (r["source"], r["sample_rank"], r["n_copies"])
+            for r in manual_mixture_build(df, weights, budget).collect()
+        }
+        exp = model(budget)
+        assert got == exp, budget
+        assert sum(c for _, _, c in got.values()) == budget
+        assert not any(s == "skip_me" for s, _, _ in got.values())
+        assert any(s is None for s, _, _ in got.values()), budget
+
+
+def test_manual_mixture_build_contract_edges(spark):
+    """The loud edges: a weighted source with no documents raises
+    in-plan; empty/negative/non-int/all-zero weights and negative
+    budgets raise at build time; a zero weight excludes its source
+    exactly like omission."""
+    import pytest
+
+    from flyq_spark.operators.corpus import manual_mixture_build
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "doc_id long, source string"
+    )
+    with pytest.raises(Exception, match="weighted source has no documents"):
+        manual_mixture_build(df, {"a": 1, "ghost": 1}, 10).collect()
+    with pytest.raises(ValueError, match="non-empty"):
+        manual_mixture_build(df, {}, 10)
+    with pytest.raises(ValueError, match="non-negative ints"):
+        manual_mixture_build(df, {"a": -1}, 10)
+    with pytest.raises(ValueError, match="non-negative ints"):
+        manual_mixture_build(df, {"a": 1.5}, 10)
+    with pytest.raises(ValueError, match="at least one weight"):
+        manual_mixture_build(df, {"a": 0}, 10)
+    with pytest.raises(ValueError, match="budget"):
+        manual_mixture_build(df, {"a": 1}, -1)
+    got = manual_mixture_build(df, {"a": 1, "b": 0}, 4).collect()
+    assert {r["source"] for r in got} == {"a"}
+    assert sum(r["n_copies"] for r in got) == 4
 
 
 def test_lexical_diversity_matches_python_model(spark):

@@ -37,6 +37,7 @@ SCALAR_BROADCAST_OK = {
     "dsir_resample",  # 1-row total-mass scalar (W, offset) for the ring
     "lm_backoff",  # 1-row train-token total T, the ln T normalizer
     "mixture_build",  # temperature_mix's 1-row weight-total scalar
+    "manual_mixture",  # same 1-row weight-total scalar over recipe rows
     "epoch_plan",  # same weight-total scalar via mixture_build
     "epoch_schedule",  # same scalar x3 epochs via mixture_build
     "ppl_select",  # lm_backoff's 1-row train-token total T
@@ -57,6 +58,7 @@ GLOBAL_WINDOW_OK = {
     "temperature_mix",  # remainder rank over the |sources|-row quota table
     "dsir_resample",  # domain_affinity's profile rank over ≤ 4096 buckets
     "mixture_build",  # temperature_mix's remainder rank over |sources| rows
+    "manual_mixture",  # remainder rank over the |recipe|-row quota table
     "epoch_plan",  # same |sources|-row remainder rank via mixture_build
     "epoch_schedule",  # same |sources|-row remainder rank, once per epoch
 }
