@@ -4645,6 +4645,42 @@ def q_lexical_diversity(spark, sf_dir):
     return lexical_diversity(docs).orderBy("source")
 
 
+def q_bpe_pairs(spark, sf_dir):
+    """[EXT] BPE tokenizer induction's inner statistic (operators/
+    text.py bpe_pair_counts, Sennrich et al. 2016): corpus-weighted
+    adjacent-symbol pair counts over the character+</w> initial
+    vocabulary — the argmax row is the first BPE merge. One corpus
+    scan to the |vocab|-row word-frequency table; the pair aggregation
+    runs on |vocab| rows and the output is bounded by |alphabet|²,
+    never data. Fully oracle-replayed (char positions via
+    unnest(generate_series), terminal </w> pair at i = length(word))."""
+    from flyq_spark.operators.bpe import bpe_pair_counts
+
+    docs = _read(spark, sf_dir, "documents")
+    return bpe_pair_counts(docs).orderBy(
+        F.desc("pair_count"), "left_sym", "right_sym"
+    )
+
+
+def q_bpe_merges_exact(spark, sf_dir):
+    """[EXT] The fully-DISTRIBUTED BPE merge loop (operators/bpe.py
+    train_bpe_exact) — `bpe_merges`' (train_bpe's) exact sibling for
+    the regime where the distinct-word dict overflows the driver:
+    25 rounds of count-pairs → argmax (lexicographic tie-break) →
+    left-to-right non-overlapping merge, the vocab table never leaving
+    the cluster (one O(|vocab|) aggregation + localCheckpoint per
+    round; driver state = the merge list). Rows-only by nature: the
+    iterative argmax loop (each round's counts depend on the previous
+    round's rewrite) is not a single SQL expression — correctness is
+    pinned instead by the pure-Python-reference pytest
+    (rank-for-rank, count-for-count, incl. cascaded merges and the aaa
+    overlap rule) plus prefix-parity with driver-dict train_bpe."""
+    from flyq_spark.operators.bpe import train_bpe_exact
+
+    docs = _read(spark, sf_dir, "documents")
+    return train_bpe_exact(docs, n_merges=25)
+
+
 def q_variant_extract(spark, sf_dir):
     """Semi-structured VARIANT surface (Spark 4 parse_json +
     try_variant_get): a nested JSON document composed in-plan from the
@@ -5044,14 +5080,14 @@ _DRIVER_WINDOW = [
     # r12: freshness rotation (VERDICT r11 next-round #2) + the five
     # new r12 gates (never driver-checked, staler than any green).
     # 50 slots = (a) ALL 38 entries whose latest driver check dates to
-    # r07; (b) the 7 new r12 gates (pack_shards / contamination_units /
+    # r07; (b) the 9 new r12 gates (pack_shards / contamination_units /
     # contamination_normalized / release_audit / epoch_schedule /
-    # manual_mixture / pack_offsets); (c) value_outliers, whose ORACLE
-    # changed this round (NULL-safe IS NOT DISTINCT FROM fence join —
-    # the r11 ADVICE item), so its r11 proof ran on the superseded SQL;
-    # (d) 4 of the 45 r08-stale greens (alphabetically first among the
-    # oracle-backed — rows-only re-checks prove less). The 41 r08
-    # greens rotate in r13.
+    # manual_mixture / pack_offsets / bpe_pairs / bpe_merges_exact);
+    # (c) value_outliers, whose ORACLE changed this round (NULL-safe
+    # IS NOT DISTINCT FROM fence join — the r11 ADVICE item), so its
+    # r11 proof ran on the superseded SQL; (d) 2 of the 45 r08-stale
+    # greens (alphabetically first among the oracle-backed — rows-only
+    # re-checks prove less). The 43 r08 greens rotate in r13.
     #
     # -- (a) last checked r07 (38) --
     "activity_trend", "attribution_multi_touch", "bloom_semi_prune",
@@ -5066,13 +5102,14 @@ _DRIVER_WINDOW = [
     "pack_documents", "paragraph_dedup", "phash_neardup", "phrase_search",
     "repetition_signals", "schema_unify", "skew_salted_event_stats",
     "train_test_split", "weighted_percentiles", "zorder3_codes",
-    # -- (b) new r12 gates (7) --
+    # -- (b) new r12 gates (9) --
     "pack_shards", "contamination_units", "contamination_normalized",
     "release_audit", "epoch_schedule", "manual_mixture", "pack_offsets",
+    "bpe_pairs", "bpe_merges_exact",
     # -- (c) oracle changed this round (1) --
     "value_outliers",
-    # -- (d) r08-stale, oracle-backed, alphabetical (4) --
-    "ab_test_counts", "ann_filtered_topk", "attribution", "basket_pairs",
+    # -- (d) r08-stale, oracle-backed, alphabetical (2) --
+    "ab_test_counts", "ann_filtered_topk",
 ]
 
 
@@ -5307,6 +5344,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_schedule": q_epoch_schedule,
         "variant_extract": q_variant_extract,
         "lexical_diversity": q_lexical_diversity,
+        "bpe_pairs": q_bpe_pairs,
+        "bpe_merges_exact": q_bpe_merges_exact,
         "offsets_for_times": q_offsets_for_times,
         "value_histogram": q_value_histogram,
         # rows-only (non-SQL-expressible: LSH/MinHash/SimHash/Arrow kernels)
@@ -10103,5 +10142,23 @@ SELECT source,
        CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
 FROM counted GROUP BY source
 ORDER BY source
+""",
+        # BPE inner statistic: char-position pairs via correlated
+        # unnest(generate_series); the terminal </w> pair lands at
+        # i = length(word). bpe_merges is rows-only (iterative argmax).
+        "bpe_pairs": """
+WITH words AS (
+  SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w FROM documents
+), freq AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS f FROM words WHERE w <> '' GROUP BY 1
+), pairs AS (
+  SELECT substr(w, i, 1) AS l,
+         CASE WHEN i < length(w) THEN substr(w, i + 1, 1) ELSE '</w>' END AS r,
+         f
+  FROM freq, unnest(generate_series(1, length(w))) AS t(i)
+)
+SELECT l AS left_sym, r AS right_sym, CAST(sum(f) AS BIGINT) AS pair_count
+FROM pairs GROUP BY 1, 2
+ORDER BY pair_count DESC, left_sym, right_sym
 """,
     }

@@ -161,6 +161,8 @@ HEADLINE = [
     ("epoch_schedule", False),
     ("manual_mixture", False),
     ("pack_offsets", False),
+    ("bpe_pairs", False),
+    ("bpe_merges_exact", False),
 ]
 
 

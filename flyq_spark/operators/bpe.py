@@ -310,3 +310,164 @@ def bpe_encode_ids(
             F.size("token_ids").cast("long").alias("n_tokens"),
         )
     )
+
+
+def _bpe_vocab(df: DataFrame, text_col: str) -> DataFrame:
+    """Shared front half of the BPE family: the distinct-word frequency
+    table with each word's initial symbol sequence — lowercased
+    whitespace words, split to characters plus a terminal ``</w>``
+    marker (the Sennrich et al. 2016 word-boundary convention, so
+    merges can't cross words and end-of-word variants stay distinct).
+    One corpus scan + one groupBy(word) (:func:`word_frequencies`) —
+    everything after runs on the |vocab|-row table, never the corpus."""
+    # split-between-every-char: Java split keeps a trailing empty
+    # element under Spark's limit=-1, hence the array_remove
+    syms = F.concat(
+        F.array_remove(F.split(F.col("word"), "(?!^)"), ""),
+        F.array(F.lit(END)),
+    )
+    return (
+        word_frequencies(df, text_col)
+        .select("word", F.col("freq").cast("long").alias("f"))
+        .withColumn("syms", syms)
+    )
+
+
+def _bpe_pairs_from_vocab(vocab: DataFrame) -> DataFrame:
+    """Adjacent-symbol pair counts over a (word, f, syms) vocab table:
+    (left_sym, right_sym, pair_count), each pair weighted by its word's
+    corpus frequency. A pure array projection (transform + F.get
+    lookahead) exploded and aggregated — the only shuffle is the
+    |alphabet|²-key groupBy, map-side combined."""
+    pairs = F.filter(
+        F.transform(
+            F.col("syms"),
+            lambda x, i: F.struct(
+                x.alias("l"), F.get(F.col("syms"), i + 1).alias("r")
+            ),
+        ),
+        lambda p: p["r"].isNotNull(),
+    )
+    return (
+        vocab.select("f", F.explode(pairs).alias("p"))
+        .groupBy(
+            F.col("p.l").alias("left_sym"), F.col("p.r").alias("right_sym")
+        )
+        .agg(F.sum("f").cast("long").alias("pair_count"))
+    )
+
+
+def bpe_pair_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-weighted adjacent-symbol pair counts — BPE tokenizer
+    induction's inner statistic (Sennrich et al. 2016, "Neural Machine
+    Translation of Rare Words with Subword Units"): for every adjacent
+    pair of symbols in the initial character+``</w>`` vocabulary,
+    the total corpus frequency. The argmax row is the first BPE merge;
+    :func:`bpe_learn` iterates this to a merge table.
+
+    Scale shape: ONE corpus scan (word explode + groupBy(word) to the
+    |vocab|-row frequency table), then the pair projection/aggregation
+    runs entirely on |vocab| rows — at 100 TB the corpus contributes
+    one shuffle of distinct words, and the pair table is bounded by
+    |alphabet|², not data. Output: (left_sym, right_sym, pair_count)."""
+    return _bpe_pairs_from_vocab(_bpe_vocab(df, text_col))
+
+
+def train_bpe_exact(
+    df: DataFrame,
+    n_merges: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """The fully-DISTRIBUTED BPE merge loop — :func:`train_bpe`'s exact
+    sibling for the regime where the distinct-word dict itself
+    overflows the driver (train_bpe truncates statistics past
+    ``dict_cap``; at 100 TB web text the tail it drops is exactly the
+    rare-word mass subword tokenizers exist for). Same algorithm
+    (Sennrich et al. 2016): n_merges rounds of (count adjacent pairs)
+    → (argmax, ties lexicographic) → (merge left-to-right,
+    non-overlapping) — but the vocab table never leaves the cluster
+    and the statistics are EXACT over every distinct word.
+    Deterministic end-to-end: the tie order (pair_count desc, left
+    asc, right asc) and the left-to-right merge scan are pure
+    functions of the corpus, so two runs — or two engines — learn the
+    identical table (pinned against an independent pure-Python
+    reference in tests, and prefix-consistent with train_bpe wherever
+    the dict fits).
+
+    Distribution contract: the CORPUS is scanned exactly once (the
+    word-frequency groupBy); every merge round then runs on the
+    |vocab|-row symbol table — one map-side-combined pair aggregation
+    whose argmax (a 1-row collect) picks the merge, and one array
+    projection applies it. The vocab is localCheckpoint'd each round:
+    the merge expression would otherwise nest n_merges aggregates deep
+    (codegen blowup), and the materialization keeps each round's cost
+    flat at O(|vocab|) — driver state is the n_merges-row merge list,
+    never data. Rounds are inherently sequential (merge r+1's counts
+    depend on r's rewrite) — the 1-job-per-merge ladder is the
+    standard distributed formulation, not a driver-side loop over
+    data.
+
+    Output: (merge_rank, left_sym, right_sym, merged, pair_count),
+    merge_rank 1-based in learn order; fewer than n_merges rows iff
+    the vocabulary ran out of adjacent pairs first."""
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    spark = df.sparkSession
+    vocab = _bpe_vocab(df, text_col).localCheckpoint()
+    merges = []
+    for rank in range(1, n_merges + 1):
+        top = (
+            _bpe_pairs_from_vocab(vocab)
+            .orderBy(
+                F.col("pair_count").desc(),
+                F.col("left_sym").asc(),
+                F.col("right_sym").asc(),
+            )
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, c = top[0]["left_sym"], top[0]["right_sym"], top[0]["pair_count"]
+        merges.append((rank, a, b, a + b, c))
+        withnext = F.transform(
+            F.col("syms"),
+            lambda x, i: F.struct(
+                x.alias("s"), F.get(F.col("syms"), i + 1).alias("n")
+            ),
+        )
+        merged = F.aggregate(
+            withnext,
+            F.struct(
+                F.array().cast("array<string>").alias("acc"),
+                F.lit(False).alias("skip"),
+            ),
+            lambda st, x: (
+                F.when(
+                    st["skip"],
+                    F.struct(st["acc"].alias("acc"), F.lit(False).alias("skip")),
+                )
+                .when(
+                    (x["s"] == F.lit(a)) & (x["n"].eqNullSafe(F.lit(b))),
+                    F.struct(
+                        F.concat(st["acc"], F.array(F.lit(a + b))).alias("acc"),
+                        F.lit(True).alias("skip"),
+                    ),
+                )
+                .otherwise(
+                    F.struct(
+                        F.concat(st["acc"], F.array(x["s"])).alias("acc"),
+                        F.lit(False).alias("skip"),
+                    )
+                )
+            ),
+            lambda st: st["acc"],
+        )
+        vocab = vocab.withColumn("syms", merged).localCheckpoint()
+    return spark.createDataFrame(
+        merges,
+        schema=(
+            "merge_rank long, left_sym string, right_sym string,"
+            " merged string, pair_count long"
+        ),
+    )

@@ -1181,3 +1181,4 @@ def lexical_diversity(
         .cast("long")
         .alias("n_hapax"),
     )
+

@@ -6367,3 +6367,128 @@ def test_epoch_schedule_budget_and_annealing(spark):
         shares[e] = per_src
     assert shares[0]["head"] > shares[1]["head"] > shares[2]["head"]
     assert shares[0]["tail"] < shares[1]["tail"] < shares[2]["tail"]
+
+
+def test_train_bpe_exact_matches_python_reference(spark):
+    """The distributed BPE loop must learn the IDENTICAL merge table —
+    rank for rank, count for count — as an independent pure-Python
+    implementation of Sennrich et al.'s algorithm (count pairs over the
+    word-frequency vocab, argmax with lexicographic tie-break, merge
+    left-to-right non-overlapping), including cascaded merges
+    (es -> est -> est</w>) and the repeated-symbol overlap rule
+    (aaa merges to [aa, a], never [aa, aa])."""
+    from collections import Counter
+
+    from flyq_spark.operators.bpe import bpe_pair_counts, train_bpe_exact
+
+    texts = [
+        "low lower newest widest low low newest",
+        "the newest widest low the the",
+        "aaa aaa baaab",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+    def reference(n):
+        vocab: Counter = Counter()
+        for t in texts:
+            for w in t.lower().split():
+                if w:
+                    vocab[w] += 1
+        state: dict = {}
+        for w, f in vocab.items():
+            k = tuple(list(w) + ["</w>"])
+            state[k] = state.get(k, 0) + f
+        merges = []
+        for rank in range(1, n + 1):
+            pairs: Counter = Counter()
+            for syms, f in state.items():
+                for i in range(len(syms) - 1):
+                    pairs[(syms[i], syms[i + 1])] += f
+            if not pairs:
+                break
+            (a, b), c = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+            merges.append((rank, a, b, a + b, c))
+            new: dict = {}
+            for syms, f in state.items():
+                out, skip = [], False
+                for i, s in enumerate(syms):
+                    if skip:
+                        skip = False
+                        continue
+                    if s == a and i + 1 < len(syms) and syms[i + 1] == b:
+                        out.append(a + b)
+                        skip = True
+                    else:
+                        out.append(s)
+                k = tuple(out)
+                new[k] = new.get(k, 0) + f
+            state = new
+        return merges
+
+    got = [
+        (r["merge_rank"], r["left_sym"], r["right_sym"], r["merged"],
+         r["pair_count"])
+        for r in train_bpe_exact(df, 12).collect()
+    ]
+    assert got == reference(12)
+
+    # pair counts agree with the reference's round-1 counter
+    ref_pairs: Counter = Counter()
+    for t in texts:
+        for w in t.lower().split():
+            syms = list(w) + ["</w>"]
+            for i in range(len(syms) - 1):
+                ref_pairs[(syms[i], syms[i + 1])] += 1
+    got_pairs = {
+        (r["left_sym"], r["right_sym"]): r["pair_count"]
+        for r in bpe_pair_counts(df).collect()
+    }
+    assert got_pairs == dict(ref_pairs)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="n_merges"):
+        train_bpe_exact(df, 0)
+
+
+def test_train_bpe_exact_exhausts_vocabulary(spark):
+    """Asking for more merges than the vocabulary has adjacent pairs
+    stops early with exactly the merges that exist (a single word
+    collapses to one symbol in len(word) merges)."""
+    from flyq_spark.operators.bpe import train_bpe_exact
+
+    df = spark.createDataFrame([(1, "ab ab ab")], "doc_id long, text string")
+    rows = train_bpe_exact(df, 50).collect()
+    # "ab</w>" has symbols [a, b, </w>]: 2 merges then nothing left
+    assert [r["merged"] for r in rows] == ["ab", "ab</w>"]
+    assert [r["pair_count"] for r in rows] == [3, 3]
+
+
+def test_train_bpe_exact_prefix_parity_with_driver_dict(spark):
+    """Where the distinct-word dict fits under train_bpe's dict_cap the
+    two trainers are the SAME algorithm: train_bpe's merge list equals
+    train_bpe_exact's (left, right) sequence truncated at the
+    driver-dict trainer's best_count < 2 early stop."""
+    from flyq_spark.operators.bpe import train_bpe, train_bpe_exact
+
+    df = spark.createDataFrame(
+        [
+            (1, "low lower newest widest low low newest"),
+            (2, "the newest widest low the the unique"),
+        ],
+        "doc_id long, text string",
+    )
+    driver = train_bpe(df, n_merges=15)
+    exact = [
+        (r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in train_bpe_exact(df, n_merges=15).collect()
+    ]
+    exact_while_repeating = []
+    for left, right, c in exact:
+        if c < 2:
+            break
+        exact_while_repeating.append((left, right))
+    assert driver == exact_while_repeating
+    assert len(driver) >= 3  # the fixture actually exercises merges
