@@ -463,7 +463,15 @@ def train_bpe_exact(
             ),
             lambda st: st["acc"],
         )
+        prev = vocab
         vocab = vocab.withColumn("syms", merged).localCheckpoint()
+        # drop the superseded round's checkpoint blocks NOW: without
+        # this every round's |vocab|-row array table stays pinned in
+        # storage memory for the whole loop — measured at 10^7 words
+        # (tools/bench_bpe_scale.py) the eviction pressure makes
+        # per-round cost spiky (22-116 s) instead of flat
+        prev.unpersist()
+    vocab.unpersist()
     return spark.createDataFrame(
         merges,
         schema=(
