@@ -173,11 +173,25 @@ def _word_ngrams(words: Column, n: int) -> Column:
     """All word ``n``-grams of an array column as space-joined strings
     (empty array when the document has fewer than ``n`` words — the
     guard matters because ``F.sequence`` with stop < start would emit a
-    DESCENDING index range, not an empty one)."""
-    idx = F.when(
-        F.size(words) >= n, F.sequence(F.lit(1), F.size(words) - (n - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    return F.transform(idx, lambda i: F.array_join(F.slice(words, i, n), " "))
+    DESCENDING index range, not an empty one).
+
+    ``words`` is bound ONCE through a single-element-array lambda
+    before anything references it: the naive form references the input
+    four times (size twice, the index sequence, the slice), and
+    higher-order functions are CodegenFallback — each reference
+    re-evaluates the child expression per row, which turns an
+    expensive ``words`` child (e.g. split-of-normalized-text) into a
+    measured 4x: 16.3 s vs 4.2 s single-evaluation on the sf0.1
+    normalized-decontamination path. Inside the lambda, ``w`` is a
+    bound variable — every reference is free."""
+
+    def body(w: Column) -> Column:
+        idx = F.when(
+            F.size(w) >= n, F.sequence(F.lit(1), F.size(w) - (n - 1))
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(idx, lambda i: F.array_join(F.slice(w, i, n), " "))
+
+    return F.get(F.transform(F.array(words), body), 0)
 
 
 def contamination_ngrams(
@@ -214,9 +228,16 @@ def contamination_ngrams(
     engines."""
     from flyq_spark.operators.util import fan_out
 
-    base = train_test_split(
-        fan_out(df.select(id_col, text_col)), id_col, test_prefix_below
-    ).withColumn("_ng", _word_ngrams(F.split(F.col(text_col), " "), n))
+    # words-array projection barrier before _word_ngrams — see
+    # split_shingled for the per-ngram re-evaluation rationale
+    base = (
+        train_test_split(
+            fan_out(df.select(id_col, text_col)), id_col, test_prefix_below
+        )
+        .withColumn("_w", F.split(F.col(text_col), " "))
+        .withColumn("_ng", _word_ngrams(F.col("_w"), n))
+        .drop("_w")
+    )
     h60 = lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")  # noqa: E731
     test_ng = (
         base.where(F.col("split") == "test")
@@ -320,12 +341,25 @@ def split_shingled(
     text = F.col(text_col)
     if normalize:
         text = _norm_text(text)
-    return three_way_split(
-        fan_out(df.select(id_col, text_col)),
-        id_col,
-        test_prefix_below,
-        val_prefix_below,
-    ).withColumn("_ng", _word_ngrams(F.split(text, " "), n))
+    # Materialize the words ARRAY as its own projection before
+    # shingling: _word_ngrams references its input three times, once
+    # inside a per-element lambda where a non-attribute child is
+    # re-evaluated PER NGRAM — inlining the 3-regexp normalization
+    # there measured 8x at bench sf0.1 (35.2 s vs ~4.4 s). As a
+    # multiply-referenced non-cheap alias, CollapseProject keeps this
+    # projection a real barrier, so the split (and any normalization)
+    # runs once per row.
+    return (
+        three_way_split(
+            fan_out(df.select(id_col, text_col)),
+            id_col,
+            test_prefix_below,
+            val_prefix_below,
+        )
+        .withColumn("_w", F.split(text, " "))
+        .withColumn("_ng", _word_ngrams(F.col("_w"), n))
+        .drop("_w")
+    )
 
 
 def contamination_report(
@@ -439,9 +473,14 @@ def unit_contamination(
     unit_text = F.col("unit")
     if normalize:
         unit_text = _norm_text(unit_text)
-    base = three_way_split(
-        units, id_col, test_prefix_below, val_prefix_below
-    ).withColumn("_ng", _word_ngrams(F.split(unit_text, " "), n))
+    # words-array projection barrier before _word_ngrams — see
+    # split_shingled for the per-ngram re-evaluation rationale
+    base = (
+        three_way_split(units, id_col, test_prefix_below, val_prefix_below)
+        .withColumn("_w", F.split(unit_text, " "))
+        .withColumn("_ng", _word_ngrams(F.col("_w"), n))
+        .drop("_w")
+    )
     eval_ng = (
         base.where(F.col("split") != "train")
         .select(
