@@ -4681,6 +4681,41 @@ def q_bpe_merges_exact(spark, sf_dir):
     return train_bpe_exact(docs, n_merges=25)
 
 
+def q_ngram_overlap(spark, sf_dir):
+    """[EXT] BLEU/ROUGE-N ingredient counts (operators/text.py
+    ngram_overlap_stats, Papineni 2002 / Lin 2004): per (pair, n) the
+    exact integers every n-gram overlap metric derives from — clipped
+    matches, candidate total, reference total. Candidates are composed
+    in-plan deterministically (each doc's first 3/5 of words + its
+    first 10 words AGAIN — duplication makes the clip bite, truncation
+    makes the brevity input matter; the same SQL-replayable
+    fixture-perturbation pattern as the PII/normalization gates).
+    One explode per side, (id, n, gram)-keyed counts, a null-safe full
+    outer join, per-(id, n) rollup — shuffle volume is token volume.
+    Fully oracle-replayed (list slicing + generate_series n-grams)."""
+    from flyq_spark.operators.text import ngram_overlap_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    w = F.array_remove(F.split(F.col("text"), "\\s+"), "")
+    trunc_len = F.greatest(
+        F.floor((F.lit(3) * F.size(w)) / 5), F.lit(1)
+    ).cast("int")
+    pairs = docs.select(
+        "doc_id",
+        F.array_join(
+            F.concat(
+                F.slice(w, 1, trunc_len),
+                F.slice(w, 1, F.least(F.lit(10), F.size(w))),
+            ),
+            " ",
+        ).alias("cand"),
+        F.col("text").alias("ref"),
+    )
+    return ngram_overlap_stats(pairs, "cand", "ref", max_n=2).orderBy(
+        "doc_id", "n"
+    )
+
+
 def q_variant_extract(spark, sf_dir):
     """Semi-structured VARIANT surface (Spark 4 parse_json +
     try_variant_get): a nested JSON document composed in-plan from the
@@ -5080,14 +5115,14 @@ _DRIVER_WINDOW = [
     # r12: freshness rotation (VERDICT r11 next-round #2) + the five
     # new r12 gates (never driver-checked, staler than any green).
     # 50 slots = (a) ALL 38 entries whose latest driver check dates to
-    # r07; (b) the 9 new r12 gates (pack_shards / contamination_units /
-    # contamination_normalized / release_audit / epoch_schedule /
-    # manual_mixture / pack_offsets / bpe_pairs / bpe_merges_exact);
-    # (c) value_outliers, whose ORACLE changed this round (NULL-safe
-    # IS NOT DISTINCT FROM fence join — the r11 ADVICE item), so its
-    # r11 proof ran on the superseded SQL; (d) 2 of the 45 r08-stale
-    # greens (alphabetically first among the oracle-backed — rows-only
-    # re-checks prove less). The 43 r08 greens rotate in r13.
+    # r07; (b) the 10 new r12 gates (pack_shards / contamination_units
+    # / contamination_normalized / release_audit / epoch_schedule /
+    # manual_mixture / pack_offsets / bpe_pairs / bpe_merges_exact /
+    # ngram_overlap); (c) value_outliers, whose ORACLE changed this
+    # round (NULL-safe IS NOT DISTINCT FROM fence join — the r11
+    # ADVICE item), so its r11 proof ran on the superseded SQL; (d) 1
+    # r08-stale green (alphabetically first among the oracle-backed —
+    # rows-only re-checks prove less). The 44 r08 greens rotate in r13.
     #
     # -- (a) last checked r07 (38) --
     "activity_trend", "attribution_multi_touch", "bloom_semi_prune",
@@ -5105,11 +5140,11 @@ _DRIVER_WINDOW = [
     # -- (b) new r12 gates (9) --
     "pack_shards", "contamination_units", "contamination_normalized",
     "release_audit", "epoch_schedule", "manual_mixture", "pack_offsets",
-    "bpe_pairs", "bpe_merges_exact",
+    "bpe_pairs", "bpe_merges_exact", "ngram_overlap",
     # -- (c) oracle changed this round (1) --
     "value_outliers",
-    # -- (d) r08-stale, oracle-backed, alphabetical (2) --
-    "ab_test_counts", "ann_filtered_topk",
+    # -- (d) r08-stale, oracle-backed, alphabetical (1) --
+    "ab_test_counts",
 ]
 
 
@@ -5346,6 +5381,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lexical_diversity": q_lexical_diversity,
         "bpe_pairs": q_bpe_pairs,
         "bpe_merges_exact": q_bpe_merges_exact,
+        "ngram_overlap": q_ngram_overlap,
         "offsets_for_times": q_offsets_for_times,
         "value_histogram": q_value_histogram,
         # rows-only (non-SQL-expressible: LSH/MinHash/SimHash/Arrow kernels)
@@ -10142,6 +10178,52 @@ SELECT source,
        CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
 FROM counted GROUP BY source
 ORDER BY source
+""",
+        # BLEU/ROUGE ingredients: candidate composed by list slicing,
+        # n-grams via correlated unnest(generate_series) per n, clip =
+        # least() over a null-safe full outer join of the two counts
+        "ngram_overlap": """
+WITH words AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS rw
+  FROM documents
+), pairs AS (
+  SELECT doc_id,
+         list_concat(
+           rw[1:greatest((3 * len(rw)) // 5, 1)],
+           rw[1:least(10, len(rw))]
+         ) AS cw,
+         rw
+  FROM words
+), nn(n) AS (VALUES (1), (2)),
+cg AS (
+  SELECT doc_id, n, array_to_string(cw[i:i+n-1], ' ') AS g,
+         CAST(count(*) AS BIGINT) AS cc
+  FROM pairs CROSS JOIN nn,
+       unnest(generate_series(1, greatest(len(cw) - n + 1, 0))) AS t(i)
+  GROUP BY 1, 2, 3
+),
+rg AS (
+  SELECT doc_id, n, array_to_string(rw[i:i+n-1], ' ') AS g,
+         CAST(count(*) AS BIGINT) AS rc
+  FROM pairs CROSS JOIN nn,
+       unnest(generate_series(1, greatest(len(rw) - n + 1, 0))) AS t(i)
+  GROUP BY 1, 2, 3
+),
+j AS (
+  SELECT coalesce(cg.doc_id, rg.doc_id) AS doc_id,
+         coalesce(cg.n, rg.n) AS n,
+         coalesce(cc, 0) AS cc, coalesce(rc, 0) AS rc
+  FROM cg FULL OUTER JOIN rg
+    ON cg.doc_id IS NOT DISTINCT FROM rg.doc_id
+   AND cg.n = rg.n AND cg.g = rg.g
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n,
+       CAST(sum(least(cc, rc)) AS BIGINT) AS match_clipped,
+       CAST(sum(cc) AS BIGINT) AS n_cand,
+       CAST(sum(rc) AS BIGINT) AS n_ref
+FROM j GROUP BY 1, 2
+ORDER BY doc_id, n
 """,
         # BPE inner statistic: char-position pairs via correlated
         # unnest(generate_series); the terminal </w> pair lands at

@@ -163,6 +163,7 @@ HEADLINE = [
     ("pack_offsets", False),
     ("bpe_pairs", False),
     ("bpe_merges_exact", False),
+    ("ngram_overlap", False),
 ]
 
 

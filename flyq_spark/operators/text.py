@@ -1182,3 +1182,106 @@ def lexical_diversity(
         .alias("n_hapax"),
     )
 
+
+
+def ngram_overlap_stats(
+    df: DataFrame,
+    cand_col: str,
+    ref_col: str,
+    id_col: str = "doc_id",
+    max_n: int = 2,
+) -> DataFrame:
+    """BLEU / ROUGE-N ingredient counts for (candidate, reference) text
+    pairs — the corpus-scale eval-overlap primitive (Papineni et al.
+    2002; Lin 2004). Per pair and per n ∈ 1..max_n, the three exact
+    integers every n-gram overlap metric is built from:
+
+      match_clipped = Σ_g min(count_cand(g), count_ref(g))   (clipped
+                      matches — BLEU's numerator AND ROUGE-N's),
+      n_cand        = candidate n-gram total (BLEU's denominator;
+                      the n=1 row is the candidate length, which is
+                      BLEU's brevity-penalty input),
+      n_ref         = reference n-gram total (ROUGE-N's denominator).
+
+    Emitting the integers rather than the ratios keeps the result
+    engine-hash-exact (the float division is the caller's one-liner)
+    and lets corpus-level BLEU aggregate the honest way — sum the
+    numerators and denominators over pairs, never average per-pair
+    scores.
+
+    Plan: ONE explode per side (each word position contributes ≤ max_n
+    tagged (n, gram) entries off the bound-once ngram arrays), one
+    (id, n, gram)-keyed count per side, a full outer join on that key
+    (clipping needs both multiplicities), and a per-(id, n) rollup —
+    shuffle volume is token volume, never pairs × vocabulary. Pairs
+    where BOTH sides are shorter than n contribute no (id, n) row
+    (no 0/0 ratio rows to special-case), identically on any engine."""
+    from flyq_spark.operators.corpus import _word_ngrams
+    from flyq_spark.operators.util import fan_out
+
+    if max_n < 1:
+        raise ValueError(f"max_n must be >= 1, got {max_n}")
+
+    def tagged(col: str) -> Column:
+        # empty tokens stripped (leading-space and empty-text splits
+        # keep "" under Java's limit=-1); _word_ngrams binds the array
+        # once itself, so the split is evaluated once per row
+        words = F.array_remove(F.split(F.col(col), "\\s+"), "")
+
+        # closure factory, NOT a default-arg lambda: `lambda g, _n=n:`
+        # has two parameters to PySpark's arity inspection, so
+        # transform() would pass the element INDEX into _n
+        def tag(n: int) -> Column:
+            return F.transform(
+                _word_ngrams(words, n),
+                lambda g: F.struct(F.lit(n).alias("n"), g.alias("g")),
+            )
+
+        parts = [tag(n) for n in range(1, max_n + 1)]
+        return F.concat(*parts) if len(parts) > 1 else parts[0]
+
+    base = fan_out(df.select(id_col, cand_col, ref_col))
+
+    def side_counts(col: str, out: str) -> DataFrame:
+        return (
+            base.select(F.col(id_col), F.explode(tagged(col)).alias("_t"))
+            .select(id_col, F.col("_t.n").alias("n"), F.col("_t.g").alias("g"))
+            .groupBy(id_col, "n", "g")
+            .agg(F.count(F.lit(1)).cast("long").alias(out))
+        )
+
+    c = side_counts(cand_col, "_cc")
+    r = side_counts(ref_col, "_rc").select(
+        F.col(id_col).alias("_rid"),
+        F.col("n").alias("_rn"),
+        F.col("g").alias("_rg"),
+        "_rc",
+    )
+    # Null-SAFE pair key: a NULL id is a real pair (groupBy keeps it);
+    # a plain name join in a FULL OUTER would land its candidate and
+    # reference counts in SEPARATE rows, silently zeroing the clip.
+    joined = c.join(
+        r,
+        on=(
+            F.col(id_col).eqNullSafe(F.col("_rid"))
+            & (F.col("n") == F.col("_rn"))
+            & (F.col("g") == F.col("_rg"))
+        ),
+        how="full_outer",
+    ).select(
+        F.coalesce(F.col(id_col), F.col("_rid")).alias(id_col),
+        F.coalesce(F.col("n"), F.col("_rn")).alias("n"),
+        "_cc",
+        "_rc",
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        joined.groupBy(id_col, "n")
+        .agg(
+            F.sum(
+                F.least(F.coalesce("_cc", zero), F.coalesce("_rc", zero))
+            ).cast("long").alias("match_clipped"),
+            F.sum(F.coalesce("_cc", zero)).cast("long").alias("n_cand"),
+            F.sum(F.coalesce("_rc", zero)).cast("long").alias("n_ref"),
+        )
+    )

@@ -6492,3 +6492,55 @@ def test_train_bpe_exact_prefix_parity_with_driver_dict(spark):
         exact_while_repeating.append((left, right))
     assert driver == exact_while_repeating
     assert len(driver) >= 3  # the fixture actually exercises merges
+
+
+def test_ngram_overlap_stats_matches_python_model(spark):
+    """Clipped n-gram matches / candidate totals / reference totals vs
+    an independent Counter model: clipping bites (cand 'a'x3 vs ref
+    'a'x2 -> 2), an empty candidate still reports the reference mass, a
+    NULL id is ONE pair (null-safe full outer join — a name join would
+    split its two sides into separate rows and zero the clip), and a
+    pair too short for n on both sides contributes no (id, n) row."""
+    from collections import Counter
+
+    from flyq_spark.operators.text import ngram_overlap_stats
+
+    rows = [
+        (1, "the cat sat on the mat", "the cat sat on the red mat"),
+        (2, "a a a b", "a b a"),
+        (3, "", "ref only words here"),
+        (None, "x y", "y x"),
+        (5, "one", "one"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, cand string, ref string")
+    got = {
+        (r["doc_id"], r["n"]): (r["match_clipped"], r["n_cand"], r["n_ref"])
+        for r in ngram_overlap_stats(df, "cand", "ref", max_n=2).collect()
+    }
+
+    def ngr(t, n):
+        w = [x for x in t.split() if x]
+        return Counter(tuple(w[i: i + n]) for i in range(len(w) - n + 1))
+
+    exp = {}
+    for i, c, r in rows:
+        for n in (1, 2):
+            cc, rc = ngr(c, n), ngr(r, n)
+            if not cc and not rc:
+                continue
+            exp[(i, n)] = (
+                sum(min(v, rc[g]) for g, v in cc.items()),
+                sum(cc.values()),
+                sum(rc.values()),
+            )
+    assert got == exp
+    # identical pair: full clip at every n
+    assert got[(5, 1)] == (1, 1, 1)
+    # sanity: corpus BLEU-1 precision for pair 2 is 3/4 from the ints
+    m, nc, _ = got[(2, 1)]
+    assert (m, nc) == (3, 4)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="max_n"):
+        ngram_overlap_stats(df, "cand", "ref", max_n=0)
