@@ -130,7 +130,11 @@ def build_training_corpus(
         .withColumn("doc_id", F.col("doc_id") * 1_000_000 + F.col("chunk_id"))
         .select("doc_id", F.col("chunk_text").alias("text"), "lang", "source")
     )
-    corpus = pack_documents(corpus_shuffle(chunked), token_budget=2048)
+    # with_offsets: each chunk's token start WITHIN its pack rides
+    # along for the sequence writer / attention-mask machinery
+    corpus = pack_documents(
+        corpus_shuffle(chunked), token_budget=2048, with_offsets=True
+    )
 
     # 5. train the tokenizer ON the corpus it will serve (word-freq dict
     #    is the only distributed pass) and audit the token budget under it
@@ -164,8 +168,16 @@ def build_training_corpus(
         buckets=64,
     )
 
+    # 8. one-row-per-split sign-off table over the deduped set — doc
+    #    counts, within-split exact dups, quality failures, train
+    #    leakage; the numbers a release reads before shipping
+    from flyq_spark.operators.corpus import release_audit
+
+    signoff = release_audit(deduped, n=8)
+
     return {
         "verdicts": verdicts,
+        "signoff": signoff,
         "cls_scores": cls_scores,
         "deduped": deduped,
         "subsumed": subsumed,
@@ -214,6 +226,13 @@ def main() -> None:
         f"tokenizer: {len(stages['bpe_merges'])} merges; "
         f"{toks['bpe']} BPE tokens over {toks['w']} words"
     )
+    for r in stages["signoff"].orderBy("split").collect():
+        print(
+            f"sign-off [{r['split']}]: {r['n_docs']} docs, "
+            f"{r['n_dup_docs']} exact dups, "
+            f"{r['n_quality_bad']} quality fails, "
+            f"{r['n_contaminated_docs']} leaked"
+        )
     spark.stop()
 
 

@@ -3249,6 +3249,17 @@ def test_pipeline_example_end_to_end(spark):
     assert stages["contamination"].count() > 0
     assert stages["cls_scores"].count() > 0
     assert len(stages["bpe_merges"]) == 50
+    # the release sign-off covers all three splits and its doc counts
+    # sum to the deduped set
+    signoff = {r["split"]: r for r in stages["signoff"].collect()}
+    assert set(signoff) == {"train", "val", "test"}
+    assert (
+        sum(r["n_docs"] for r in signoff.values())
+        == stages["deduped"].count()
+    )
+    # packed rows carry the within-pack token start, bounded by budget
+    offs = stages["corpus"].select("tok_start").collect()
+    assert all(0 <= r["tok_start"] < 2048 for r in offs)
     # determinism: the corpus assignment is a pure function of input
     again = build_training_corpus(spark, "/root/testdata/sf0.001")
     a = sorted((r["doc_id"], r["shard"], r["pack_id"]) for r in corpus)
