@@ -95,8 +95,32 @@ def train_bpe(
     argmax pair by (count desc, pair asc), stop early when no pair
     repeats. Ties break lexicographically: the merge sequence is a pure
     function of the corpus."""
+    return train_bpe_from_counts(
+        word_frequencies(df, text_col), n_merges=n_merges, dict_cap=dict_cap
+    )
+
+
+def train_bpe_from_counts(
+    counts: DataFrame,
+    n_merges: int = 50,
+    word_col: str = "word",
+    freq_col: str = "freq",
+    dict_cap: int = 100_000,
+) -> list[tuple[str, str]]:
+    """:func:`train_bpe` over a pre-aggregated (word, freq) table —
+    the same merge loop without re-scanning a corpus, for callers that
+    already hold word counts: catalog stats, a prior groupBy, or a
+    STREAMING word-count view maintained by ``aggregate_view_sink``
+    (keys=("word",), n_rows = freq), which makes the tokenizer
+    re-derivable from |vocab| rows of state at any stream checkpoint —
+    the same from-counts composition as ``temperature_mix_from_counts``
+    (parity-pinned in tests/test_streaming.py incl. a replayed
+    micro-batch and a base compaction)."""
     rows = (
-        word_frequencies(df, text_col)
+        counts.select(
+            F.col(word_col).alias("word"),
+            F.col(freq_col).cast("long").alias("freq"),
+        )
         .orderBy(F.col("freq").desc(), F.col("word").asc())
         .limit(dict_cap)
         .collect()

@@ -1655,3 +1655,50 @@ def test_streaming_quality_rate_parity(spark, tmp_path):
     assert got == want
     assert got.get("too_short", 0) > 0 and got.get("repetitive_word", 0) > 0
     assert sum(got.values()) == len(rows)
+
+
+def test_streaming_bpe_parity(spark, tmp_path):
+    """Streaming tokenizer freshness (r12): a word-count view
+    maintained by aggregate_view_sink (state = |vocab| rows, never the
+    stream) feeds train_bpe_from_counts — the learned merge table must
+    be IDENTICAL to batch train_bpe over the raw rows, including after
+    a REPLAYED micro-batch and across a base compaction. Same
+    from-counts composition as the mixture monitor: the tokenizer is
+    re-derivable from the running view at any checkpoint without
+    rescanning the stream."""
+    from pyspark.sql import functions as F
+
+    from flyq_spark.operators.bpe import train_bpe, train_bpe_from_counts
+    from flyq_spark.streaming.sink import (
+        aggregate_view_sink,
+        read_aggregate_view,
+    )
+
+    texts = [
+        (i, ["low lower newest", "widest low the", "the newest low est"][i % 3])
+        for i in range(90)
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+
+    def words(rows):
+        return (
+            spark.createDataFrame(rows, "doc_id long, text string")
+            .select(F.explode(F.split(F.lower("text"), "\\s+")).alias("word"))
+            .where(F.col("word") != "")
+        )
+
+    sink = aggregate_view_sink(
+        str(tmp_path / "bpeview"), ("word",), {}, compact_every=2
+    )
+    batches = [texts[:30], texts[30:60], texts[60:]]
+    for bid, chunk in enumerate(batches):
+        sink(words(chunk), bid)
+    sink(words(batches[1]), 1)  # at-least-once replay of batch 1
+
+    view = read_aggregate_view(spark, str(tmp_path / "bpeview"), ("word",), ())
+    streamed = train_bpe_from_counts(
+        view.select("word", F.col("n_rows").alias("freq")), n_merges=12
+    )
+    batch = train_bpe(df, n_merges=12)
+    assert streamed == batch
+    assert len(batch) >= 5  # the fixture actually learns merges
