@@ -4681,6 +4681,43 @@ def q_bpe_merges_exact(spark, sf_dir):
     return train_bpe_exact(docs, n_merges=25)
 
 
+def q_chat_offsets(spark, sf_dir):
+    """[EXT] SFT loss-mask plumbing (operators/corpus.py
+    chat_turn_offsets): per-turn token offsets under the canonical
+    chat rendering (each turn = n_words(content) + 2 tag tokens;
+    tok_start = running total of prior turns) — zip(tok_start,
+    n_tokens) over is_loss = 1 rows IS the loss mask a supervised
+    fine-tune pack writer emits. Conversations composed in-plan
+    deterministically from each doc's word slices (5 turns incl.
+    empty-content tails on short docs — the NULL-content = 2-tag-token
+    contract exercised live). One posexplode + ONE window keyed by the
+    conversation id (high-cardinality — sort groups are
+    conversation-sized). Fully oracle-replayed (struct_pack list +
+    correlated unnest + the same window)."""
+    from flyq_spark.operators.corpus import chat_turn_offsets
+
+    docs = _read(spark, sf_dir, "documents")
+    w = F.array_remove(F.split(F.col("text"), "\\s+"), "")
+
+    def turn(role, start, length):
+        return F.struct(
+            F.lit(role).alias("role"),
+            F.array_join(F.slice(w, start, length), " ").alias("content"),
+        )
+
+    conv = docs.select(
+        "doc_id",
+        F.array(
+            turn("system", 1, 5),
+            turn("user", 6, 10),
+            turn("assistant", 16, 10),
+            turn("user", 26, 8),
+            turn("assistant", 34, 10),
+        ).alias("turns"),
+    )
+    return chat_turn_offsets(conv).orderBy("doc_id", "turn_idx")
+
+
 def q_ngram_overlap(spark, sf_dir):
     """[EXT] BLEU/ROUGE-N ingredient counts (operators/text.py
     ngram_overlap_stats, Papineni 2002 / Lin 2004): per (pair, n) the
@@ -5115,14 +5152,13 @@ _DRIVER_WINDOW = [
     # r12: freshness rotation (VERDICT r11 next-round #2) + the five
     # new r12 gates (never driver-checked, staler than any green).
     # 50 slots = (a) ALL 38 entries whose latest driver check dates to
-    # r07; (b) the 10 new r12 gates (pack_shards / contamination_units
+    # r07; (b) the 11 new r12 gates (pack_shards / contamination_units
     # / contamination_normalized / release_audit / epoch_schedule /
     # manual_mixture / pack_offsets / bpe_pairs / bpe_merges_exact /
-    # ngram_overlap); (c) value_outliers, whose ORACLE changed this
-    # round (NULL-safe IS NOT DISTINCT FROM fence join — the r11
-    # ADVICE item), so its r11 proof ran on the superseded SQL; (d) 1
-    # r08-stale green (alphabetically first among the oracle-backed —
-    # rows-only re-checks prove less). The 44 r08 greens rotate in r13.
+    # ngram_overlap / chat_offsets); (c) value_outliers, whose ORACLE
+    # changed this round (NULL-safe IS NOT DISTINCT FROM fence join —
+    # the r11 ADVICE item), so its r11 proof ran on the superseded
+    # SQL. All 45 r08-stale greens rotate in r13.
     #
     # -- (a) last checked r07 (38) --
     "activity_trend", "attribution_multi_touch", "bloom_semi_prune",
@@ -5140,11 +5176,9 @@ _DRIVER_WINDOW = [
     # -- (b) new r12 gates (9) --
     "pack_shards", "contamination_units", "contamination_normalized",
     "release_audit", "epoch_schedule", "manual_mixture", "pack_offsets",
-    "bpe_pairs", "bpe_merges_exact", "ngram_overlap",
+    "bpe_pairs", "bpe_merges_exact", "ngram_overlap", "chat_offsets",
     # -- (c) oracle changed this round (1) --
     "value_outliers",
-    # -- (d) r08-stale, oracle-backed, alphabetical (1) --
-    "ab_test_counts",
 ]
 
 
@@ -5382,6 +5416,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pairs": q_bpe_pairs,
         "bpe_merges_exact": q_bpe_merges_exact,
         "ngram_overlap": q_ngram_overlap,
+        "chat_offsets": q_chat_offsets,
         "offsets_for_times": q_offsets_for_times,
         "value_histogram": q_value_histogram,
         # rows-only (non-SQL-expressible: LSH/MinHash/SimHash/Arrow kernels)
@@ -10178,6 +10213,40 @@ SELECT source,
        CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
 FROM counted GROUP BY source
 ORDER BY source
+""",
+        # SFT loss-mask offsets: struct_pack conversation composed by
+        # list slicing, correlated unnest, running-sum window; NULL
+        # content = empty turn (2 tag tokens) on both engines
+        "chat_offsets": """
+WITH words AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+  FROM documents
+), conv AS (
+  SELECT doc_id, [
+    struct_pack(role := 'system',    c := array_to_string(w[1:5], ' ')),
+    struct_pack(role := 'user',      c := array_to_string(w[6:15], ' ')),
+    struct_pack(role := 'assistant', c := array_to_string(w[16:25], ' ')),
+    struct_pack(role := 'user',      c := array_to_string(w[26:33], ' ')),
+    struct_pack(role := 'assistant', c := array_to_string(w[34:43], ' '))
+  ] AS turns
+  FROM words
+), e AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS turn_idx,
+         turns[i].role AS role,
+         CAST(coalesce(len(list_filter(
+           string_split_regex(coalesce(turns[i].c, ''), '\\s+'),
+           y -> y <> '')), 0) + 2 AS BIGINT) AS n_tokens
+  FROM conv, unnest(generate_series(1, len(turns))) AS t(i)
+)
+SELECT doc_id, turn_idx, role, n_tokens,
+       CAST(coalesce(sum(n_tokens) OVER (
+         PARTITION BY doc_id ORDER BY turn_idx
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         AS tok_start,
+       CAST(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END AS BIGINT)
+         AS is_loss
+FROM e
+ORDER BY doc_id, turn_idx
 """,
         # BLEU/ROUGE ingredients: candidate composed by list slicing,
         # n-grams via correlated unnest(generate_series) per n, clip =

@@ -164,6 +164,7 @@ HEADLINE = [
     ("bpe_pairs", False),
     ("bpe_merges_exact", False),
     ("ngram_overlap", False),
+    ("chat_offsets", False),
 ]
 
 

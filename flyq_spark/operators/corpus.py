@@ -1479,3 +1479,70 @@ def manual_mixture_build(
         source_col, "n_docs", "quota"
     )
     return _materialize_quotas(df, mix, source_col, id_col)
+
+
+def chat_turn_offsets(
+    df: DataFrame,
+    turns_col: str = "turns",
+    id_col: str = "doc_id",
+    loss_roles: tuple = ("assistant",),
+) -> DataFrame:
+    """Per-turn token offsets for instruction/SFT data under the
+    canonical chat rendering — the LOSS-MASK plumbing: supervised
+    fine-tuning trains only on the assistant turns, so the pack writer
+    needs every turn's token start and length inside the rendered
+    conversation to emit the mask alongside the tokens.
+
+    Rendering contract (deterministic, engine-free): each turn
+    contributes n_words(content) + 2 tokens — the ``<|role|>`` open
+    tag and the ``<|end|>`` close tag are one token each, words are
+    whitespace tokens (empty content still costs the 2 tag tokens).
+    ``tok_start`` is the running total of prior turns (0-based), so
+    ``zip(tok_start, n_tokens)`` over ``is_loss = 1`` rows IS the loss
+    mask, and the last turn's ``tok_start + n_tokens`` is the rendered
+    conversation's token length (pack_documents' n_tokens input).
+
+    Plan: one posexplode of the turns array (narrow) and ONE window
+    sum partitioned by the conversation id — the high-cardinality key,
+    so sort groups are conversation-sized, never data-sized. Output:
+    (id, turn_idx, role, n_tokens, tok_start, is_loss) with is_loss a
+    BIGINT 0/1 (hash-stable across engines)."""
+    ex = df.select(
+        F.col(id_col), F.posexplode(F.col(turns_col))
+    ).select(
+        id_col,
+        F.col("pos").cast("long").alias("turn_idx"),
+        F.col("col.role").alias("role"),
+        F.col("col.content").alias("_content"),
+    )
+    # NULL content is an empty turn (the 2 tag tokens still render) —
+    # without the coalesce a NULL would poison the running offsets of
+    # every LATER turn in the conversation
+    nt = (
+        F.size(
+            F.array_remove(
+                F.split(F.coalesce(F.col("_content"), F.lit("")), "\\s+"), ""
+            )
+        )
+        + 2
+    ).cast("long")
+    w = Window.partitionBy(id_col).orderBy("turn_idx")
+    return (
+        ex.withColumn("n_tokens", nt)
+        .withColumn(
+            "tok_start",
+            F.coalesce(
+                F.sum("n_tokens").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0).cast("long"),
+            ),
+        )
+        .withColumn(
+            "is_loss",
+            F.when(
+                F.col("role").isin(list(loss_roles)), 1
+            ).otherwise(0).cast("long"),
+        )
+        .select(id_col, "turn_idx", "role", "n_tokens", "tok_start", "is_loss")
+    )

@@ -6555,3 +6555,55 @@ def test_ngram_overlap_stats_matches_python_model(spark):
 
     with pytest.raises(ValueError, match="max_n"):
         ngram_overlap_stats(df, "cand", "ref", max_n=0)
+
+
+def test_chat_turn_offsets_matches_python_model(spark):
+    """Per-turn rendered-token offsets vs a pure-Python replay of the
+    rendering contract (n_words + 2 tag tokens per turn, running
+    starts): empty and NULL content are 2-token turns that do NOT
+    poison later offsets, a NULL conversation id is a real group, and
+    zip(tok_start, n_tokens) over is_loss rows is contiguous with the
+    non-loss rows (the full render has no gaps)."""
+    from flyq_spark.operators.corpus import chat_turn_offsets
+
+    rows = [
+        (
+            1,
+            [
+                ("system", "you are helpful"),
+                ("user", "hi there"),
+                ("assistant", "hello friend how are you"),
+            ],
+        ),
+        (2, [("user", ""), ("assistant", "ok")]),
+        (3, [("user", None), ("assistant", "after null")]),
+        (None, [("assistant", "x")]),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, turns array<struct<role string, content string>>"
+    )
+    got = {
+        (r["doc_id"], r["turn_idx"]): (
+            r["role"], r["n_tokens"], r["tok_start"], r["is_loss"]
+        )
+        for r in chat_turn_offsets(df).collect()
+    }
+    exp = {}
+    for i, turns in rows:
+        cum = 0
+        for j, (role, c) in enumerate(turns):
+            n = len([w for w in (c or "").split() if w]) + 2
+            exp[(i, j)] = (role, n, cum, 1 if role == "assistant" else 0)
+            cum += n
+    assert got == exp
+    # no-gaps render: each turn starts where the previous one ended
+    for i, turns in rows:
+        cum = 0
+        for j in range(len(turns)):
+            assert got[(i, j)][2] == cum
+            cum += got[(i, j)][1]
+    # custom loss roles
+    got2 = chat_turn_offsets(df, loss_roles=("user", "system")).collect()
+    assert all(
+        (r["is_loss"] == 1) == (r["role"] in ("user", "system")) for r in got2
+    )
