@@ -4681,6 +4681,22 @@ def q_bpe_merges_exact(spark, sf_dir):
     return train_bpe_exact(docs, n_merges=25)
 
 
+def q_fim_psm(spark, sf_dir):
+    """[EXT] Fill-in-the-middle transformation (operators/corpus.py
+    fim_transform, Bavarian et al. 2022): a deterministic 500-permille
+    md5-coin fraction of documents rewritten to PSM order
+    (<fim_prefix> P <fim_suffix> S <fim_middle> M) with hash-derived
+    split points 0 <= a <= b <= n — membership and cuts are pure
+    functions of (seed, id), never RNG/partitioning. Output token
+    count = n + 3 exactly (pack-budget-predictable). Pure projection,
+    zero shuffles; fully oracle-replayed (same 60-bit hashes, list
+    slicing)."""
+    from flyq_spark.operators.corpus import fim_transform
+
+    docs = _read(spark, sf_dir, "documents")
+    return fim_transform(docs, seed=7).orderBy("doc_id")
+
+
 def q_chat_offsets(spark, sf_dir):
     """[EXT] SFT loss-mask plumbing (operators/corpus.py
     chat_turn_offsets): per-turn token offsets under the canonical
@@ -5152,13 +5168,15 @@ _DRIVER_WINDOW = [
     # r12: freshness rotation (VERDICT r11 next-round #2) + the five
     # new r12 gates (never driver-checked, staler than any green).
     # 50 slots = (a) ALL 38 entries whose latest driver check dates to
-    # r07; (b) the 11 new r12 gates (pack_shards / contamination_units
-    # / contamination_normalized / release_audit / epoch_schedule /
-    # manual_mixture / pack_offsets / bpe_pairs / bpe_merges_exact /
-    # ngram_overlap / chat_offsets); (c) value_outliers, whose ORACLE
-    # changed this round (NULL-safe IS NOT DISTINCT FROM fence join —
-    # the r11 ADVICE item), so its r11 proof ran on the superseded
-    # SQL. All 45 r08-stale greens rotate in r13.
+    # r07; (b) 11 of the 12 new r12 gates (pack_shards /
+    # contamination_units / contamination_normalized / release_audit /
+    # epoch_schedule / manual_mixture / pack_offsets / bpe_pairs /
+    # ngram_overlap / chat_offsets / fim_psm — bpe_merges_exact, the
+    # one rows-only newcomer, yields its slot since a rows-only driver
+    # check proves least; it rotates r13); (c) value_outliers, whose
+    # ORACLE changed this round (NULL-safe IS NOT DISTINCT FROM fence
+    # join — the r11 ADVICE item), so its r11 proof ran on the
+    # superseded SQL. All 45 r08-stale greens rotate in r13.
     #
     # -- (a) last checked r07 (38) --
     "activity_trend", "attribution_multi_touch", "bloom_semi_prune",
@@ -5176,7 +5194,7 @@ _DRIVER_WINDOW = [
     # -- (b) new r12 gates (9) --
     "pack_shards", "contamination_units", "contamination_normalized",
     "release_audit", "epoch_schedule", "manual_mixture", "pack_offsets",
-    "bpe_pairs", "bpe_merges_exact", "ngram_overlap", "chat_offsets",
+    "bpe_pairs", "ngram_overlap", "chat_offsets", "fim_psm",
     # -- (c) oracle changed this round (1) --
     "value_outliers",
 ]
@@ -5417,6 +5435,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges_exact": q_bpe_merges_exact,
         "ngram_overlap": q_ngram_overlap,
         "chat_offsets": q_chat_offsets,
+        "fim_psm": q_fim_psm,
         "offsets_for_times": q_offsets_for_times,
         "value_histogram": q_value_histogram,
         # rows-only (non-SQL-expressible: LSH/MinHash/SimHash/Arrow kernels)
@@ -10213,6 +10232,36 @@ SELECT source,
        CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
 FROM counted GROUP BY source
 ORDER BY source
+""",
+        # FIM: md5-coin membership + hash-derived split points, PSM
+        # render via list concatenation — same 60-bit hash idiom
+        "fim_psm": """
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(coalesce(text, ''), '\\s+'), x -> x <> '') AS w
+  FROM documents
+), calc AS (
+  SELECT doc_id, text, w, len(w) AS n,
+         CAST(concat('0x', substr(md5(concat('7:fim:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 1000 AS coin,
+         CAST(concat('0x', substr(md5(concat('7:a:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS ha,
+         CAST(concat('0x', substr(md5(concat('7:b:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS hb
+  FROM base
+), pts AS (
+  SELECT doc_id, text, w, n, coin,
+         ha % (n + 1) AS a,
+         ha % (n + 1) + hb % (n - ha % (n + 1) + 1) AS b
+  FROM calc
+)
+SELECT doc_id,
+       CAST(CASE WHEN doc_id IS NOT NULL AND n >= 1 AND coin < 500
+            THEN 1 ELSE 0 END AS BIGINT) AS fim_applied,
+       CASE WHEN doc_id IS NOT NULL AND n >= 1 AND coin < 500 THEN
+         array_to_string(
+           ['<fim_prefix>'] || w[1:a] || ['<fim_suffix>'] || w[b+1:n]
+           || ['<fim_middle>'] || w[a+1:b], ' ')
+       ELSE text END AS text_out
+FROM pts
+ORDER BY doc_id
 """,
         # SFT loss-mask offsets: struct_pack conversation composed by
         # list slicing, correlated unnest, running-sum window; NULL

@@ -165,6 +165,7 @@ HEADLINE = [
     ("bpe_merges_exact", False),
     ("ngram_overlap", False),
     ("chat_offsets", False),
+    ("fim_psm", False),
 ]
 
 

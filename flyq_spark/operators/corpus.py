@@ -1546,3 +1546,87 @@ def chat_turn_offsets(
         )
         .select(id_col, "turn_idx", "role", "n_tokens", "tok_start", "is_loss")
     )
+
+
+def fim_transform(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rate_permille: int = 500,
+    seed: str | int = 0,
+    prefix_tok: str = "<fim_prefix>",
+    suffix_tok: str = "<fim_suffix>",
+    middle_tok: str = "<fim_middle>",
+) -> DataFrame:
+    """Fill-in-the-middle transformation (Bavarian et al. 2022, "FIM"):
+    rewrite a deterministic fraction of documents into the PSM order —
+    ``<fim_prefix> P <fim_suffix> S <fim_middle> M`` — so an
+    autoregressive model learns to infill. Everything RNG-shaped is a
+    pure function of (seed, id), the corpus-prep discipline of this
+    module:
+
+    - the apply COIN is the md5 coin: h60(md5("{seed}:fim:" + id))
+      mod 1000 < rate_permille — document membership never depends on
+      partitioning, other rows, or a resumed job's RNG state;
+    - the split points are hash-derived word positions: a =
+      h60("{seed}:a:") mod (n+1), b = a + h60("{seed}:b:") mod
+      (n−a+1), so 0 ≤ a ≤ b ≤ n and every (prefix, middle, suffix)
+      word split — including empty middle/prefix/suffix — occurs;
+    - output token count is exactly n + 3 (the three sentinels),
+      preserving pack_documents' budget arithmetic predictably.
+
+    Documents with no words, NULL text, or a NULL id pass through
+    unchanged (fim_applied = 0; a NULL id has no hash, and the two
+    engines disagree on NULL concat — the contract sidesteps it).
+    Pure projection: zero shuffles, fully oracle-replayable. Output:
+    (id, fim_applied BIGINT 0/1, text_out)."""
+    if not 0 <= int(rate_permille) <= 1000:
+        raise ValueError(
+            f"rate_permille must be in 0..1000, got {rate_permille}"
+        )
+
+    def h60(salt: str) -> Column:
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"{seed}:{salt}:"), F.col(id_col).cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    words = F.array_remove(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), "\\s+"), ""
+    )
+    # bind the words array once (HOF-reference discipline, _word_ngrams)
+    out = df.withColumn("_w", words)
+    n = F.size(F.col("_w"))
+    a = h60("a") % (n.cast("long") + 1)
+    b = a + h60("b") % (n.cast("long") - a + 1)
+    coin = (h60("fim") % 1000) < F.lit(int(rate_permille))
+    apply = (
+        F.col(id_col).isNotNull() & (n >= 1) & coin
+    )
+    psm = F.array_join(
+        F.concat(
+            F.array(F.lit(prefix_tok)),
+            F.slice(F.col("_w"), 1, a.cast("int")),
+            F.array(F.lit(suffix_tok)),
+            F.slice(
+                F.col("_w"), (b + 1).cast("int"), (n.cast("long") - b).cast("int")
+            ),
+            F.array(F.lit(middle_tok)),
+            F.slice(F.col("_w"), (a + 1).cast("int"), (b - a).cast("int")),
+        ),
+        " ",
+    )
+    return out.select(
+        F.col(id_col),
+        F.when(apply, 1).otherwise(0).cast("long").alias("fim_applied"),
+        F.when(apply, psm).otherwise(F.col(text_col)).alias("text_out"),
+    )

@@ -6607,3 +6607,71 @@ def test_chat_turn_offsets_matches_python_model(spark):
     assert all(
         (r["is_loss"] == 1) == (r["role"] in ("user", "system")) for r in got2
     )
+
+
+def test_fim_transform_matches_python_model(spark):
+    """PSM rewrite vs a pure-Python replay of the (seed, id) hash
+    contract: coin membership, split points 0 <= a <= b <= n, the
+    exact PSM word order, n+3 output tokens on transformed docs,
+    pass-through for empty/NULL text and NULL ids, rate_permille 0 and
+    1000 extremes, and seed sensitivity."""
+    import hashlib
+
+    from flyq_spark.operators.corpus import fim_transform
+
+    rows = [(i, " ".join(f"w{j}" for j in range(i % 7))) for i in range(60)]
+    rows += [(100, ""), (101, None), (None, "a b c")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def h60(salt, i, seed=7):
+        return int(
+            hashlib.md5(f"{seed}:{salt}:{i}".encode()).hexdigest()[:15], 16
+        )
+
+    got = {
+        r["doc_id"]: (r["fim_applied"], r["text_out"])
+        for r in fim_transform(df, seed=7).collect()
+    }
+    exp = {}
+    for i, t in rows:
+        w = [x for x in (t or "").split() if x]
+        n = len(w)
+        if i is None or n < 1 or h60("fim", i) % 1000 >= 500:
+            exp[i] = (0, t)
+            continue
+        a = h60("a", i) % (n + 1)
+        b = a + h60("b", i) % (n - a + 1)
+        exp[i] = (
+            1,
+            " ".join(
+                ["<fim_prefix>"] + w[:a] + ["<fim_suffix>"] + w[b:]
+                + ["<fim_middle>"] + w[a:b]
+            ),
+        )
+    assert got == exp
+    for i, t in rows:
+        if got[i][0]:
+            n = len([x for x in (t or "").split() if x])
+            assert len(got[i][1].split()) == n + 3
+
+    all_on = fim_transform(df, seed=7, rate_permille=1000).collect()
+    assert all(
+        r["fim_applied"] == (1 if r["doc_id"] is not None
+                             and (rows_by := dict(rows))[r["doc_id"]]
+                             and (rows_by[r["doc_id"]] or "").split() else 0)
+        for r in all_on
+    )
+    assert all(
+        r["fim_applied"] == 0
+        for r in fim_transform(df, seed=7, rate_permille=0).collect()
+    )
+    other_seed = {
+        r["doc_id"]: r["fim_applied"]
+        for r in fim_transform(df, seed=8).collect()
+    }
+    assert other_seed != {k: v[0] for k, v in got.items()}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="rate_permille"):
+        fim_transform(df, rate_permille=1001)
