@@ -4681,6 +4681,39 @@ def q_bpe_merges_exact(spark, sf_dir):
     return train_bpe_exact(docs, n_merges=25)
 
 
+def q_chrf_overlap(spark, sf_dir):
+    """[EXT] chrF ingredient counts (operators/text.py
+    ngram_overlap_stats, unit='char'; Popović 2015): the same clipped
+    matches / candidate total / reference total triple over CHARACTER
+    n-grams of the whitespace-stripped pair (n=1..3 here; chrF's
+    standard is 6 — max_n is the knob, the plan is identical), from
+    which chrP/chrR/chrF derive. Same deterministic in-plan candidates
+    as `ngram_overlap` (first 3/5 + first 10 again). Fully
+    oracle-replayed (empty-separator joins strip spaces, substr char
+    grams via generate_series)."""
+    from flyq_spark.operators.text import ngram_overlap_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    w = F.array_remove(F.split(F.col("text"), "\\s+"), "")
+    trunc_len = F.greatest(
+        F.floor((F.lit(3) * F.size(w)) / 5), F.lit(1)
+    ).cast("int")
+    pairs = docs.select(
+        "doc_id",
+        F.array_join(
+            F.concat(
+                F.slice(w, 1, trunc_len),
+                F.slice(w, 1, F.least(F.lit(10), F.size(w))),
+            ),
+            " ",
+        ).alias("cand"),
+        F.col("text").alias("ref"),
+    )
+    return ngram_overlap_stats(
+        pairs, "cand", "ref", max_n=3, unit="char"
+    ).orderBy("doc_id", "n")
+
+
 def q_fim_psm(spark, sf_dir):
     """[EXT] Fill-in-the-middle transformation (operators/corpus.py
     fim_transform, Bavarian et al. 2022): a deterministic 500-permille
@@ -5171,9 +5204,11 @@ _DRIVER_WINDOW = [
     # r07; (b) 11 of the 12 new r12 gates (pack_shards /
     # contamination_units / contamination_normalized / release_audit /
     # epoch_schedule / manual_mixture / pack_offsets / bpe_pairs /
-    # ngram_overlap / chat_offsets / fim_psm — bpe_merges_exact, the
-    # one rows-only newcomer, yields its slot since a rows-only driver
-    # check proves least; it rotates r13); (c) value_outliers, whose
+    # ngram_overlap / chat_offsets / fim_psm — the two newcomers left
+    # out, rows-only bpe_merges_exact and chrf_overlap (which shares
+    # its entire count/clip/join machinery with windowed
+    # ngram_overlap), are the two whose driver check adds the least
+    # marginal proof; both rotate r13); (c) value_outliers, whose
     # ORACLE changed this round (NULL-safe IS NOT DISTINCT FROM fence
     # join — the r11 ADVICE item), so its r11 proof ran on the
     # superseded SQL. All 45 r08-stale greens rotate in r13.
@@ -5436,6 +5471,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_overlap": q_ngram_overlap,
         "chat_offsets": q_chat_offsets,
         "fim_psm": q_fim_psm,
+        "chrf_overlap": q_chrf_overlap,
         "offsets_for_times": q_offsets_for_times,
         "value_histogram": q_value_histogram,
         # rows-only (non-SQL-expressible: LSH/MinHash/SimHash/Arrow kernels)
@@ -10232,6 +10268,49 @@ SELECT source,
        CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
 FROM counted GROUP BY source
 ORDER BY source
+""",
+        # chrF ingredients: empty-separator join strips spaces, char
+        # n-grams via substr over generate_series, same clip/join
+        "chrf_overlap": """
+WITH words AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS rw
+  FROM documents
+), pairs AS (
+  SELECT doc_id,
+         array_to_string(list_concat(
+           rw[1:greatest((3 * len(rw)) // 5, 1)],
+           rw[1:least(10, len(rw))]
+         ), '') AS cs,
+         array_to_string(rw, '') AS rs
+  FROM words
+), nn(n) AS (VALUES (1), (2), (3)),
+cg AS (
+  SELECT doc_id, n, substr(cs, i, n) AS g, CAST(count(*) AS BIGINT) AS cc
+  FROM pairs CROSS JOIN nn,
+       unnest(generate_series(1, greatest(length(cs) - n + 1, 0))) AS t(i)
+  GROUP BY 1, 2, 3
+),
+rg AS (
+  SELECT doc_id, n, substr(rs, i, n) AS g, CAST(count(*) AS BIGINT) AS rc
+  FROM pairs CROSS JOIN nn,
+       unnest(generate_series(1, greatest(length(rs) - n + 1, 0))) AS t(i)
+  GROUP BY 1, 2, 3
+),
+j AS (
+  SELECT coalesce(cg.doc_id, rg.doc_id) AS doc_id,
+         coalesce(cg.n, rg.n) AS n,
+         coalesce(cc, 0) AS cc, coalesce(rc, 0) AS rc
+  FROM cg FULL OUTER JOIN rg
+    ON cg.doc_id IS NOT DISTINCT FROM rg.doc_id
+   AND cg.n = rg.n AND cg.g = rg.g
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n,
+       CAST(sum(least(cc, rc)) AS BIGINT) AS match_clipped,
+       CAST(sum(cc) AS BIGINT) AS n_cand,
+       CAST(sum(rc) AS BIGINT) AS n_ref
+FROM j GROUP BY 1, 2
+ORDER BY doc_id, n
 """,
         # FIM: md5-coin membership + hash-derived split points, PSM
         # render via list concatenation — same 60-bit hash idiom

@@ -166,6 +166,7 @@ HEADLINE = [
     ("ngram_overlap", False),
     ("chat_offsets", False),
     ("fim_psm", False),
+    ("chrf_overlap", False),
 ]
 
 

@@ -1184,12 +1184,29 @@ def lexical_diversity(
 
 
 
+def _char_ngrams(s: Column, n: int) -> Column:
+    """All character ``n``-grams of a string column (chrF's unit).
+    The string is bound ONCE through a single-element-array lambda —
+    the same HOF-reference discipline as ``corpus._word_ngrams`` (a
+    non-attribute child would otherwise re-evaluate per reference)."""
+
+    def body(w: Column) -> Column:
+        ln = F.length(w)
+        idx = F.when(
+            ln >= n, F.sequence(F.lit(1), ln - (n - 1))
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(idx, lambda i: w.substr(i, F.lit(n)))
+
+    return F.get(F.transform(F.array(s), body), 0)
+
+
 def ngram_overlap_stats(
     df: DataFrame,
     cand_col: str,
     ref_col: str,
     id_col: str = "doc_id",
     max_n: int = 2,
+    unit: str = "word",
 ) -> DataFrame:
     """BLEU / ROUGE-N ingredient counts for (candidate, reference) text
     pairs — the corpus-scale eval-overlap primitive (Papineni et al.
@@ -1209,31 +1226,53 @@ def ngram_overlap_stats(
     numerators and denominators over pairs, never average per-pair
     scores.
 
-    Plan: ONE explode per side (each word position contributes ≤ max_n
+    ``unit="char"`` switches to CHARACTER n-grams over the
+    whitespace-STRIPPED text — chrF's unit (Popović 2015): the same
+    three integers then derive chrP/chrR/chrF (chrF's standard setup
+    is max_n=6; spaces are removed so word boundaries don't inflate
+    matches). Same plan, same clipping, same join.
+
+    Plan: ONE explode per side (each position contributes ≤ max_n
     tagged (n, gram) entries off the bound-once ngram arrays), one
     (id, n, gram)-keyed count per side, a full outer join on that key
     (clipping needs both multiplicities), and a per-(id, n) rollup —
-    shuffle volume is token volume, never pairs × vocabulary. Pairs
-    where BOTH sides are shorter than n contribute no (id, n) row
-    (no 0/0 ratio rows to special-case), identically on any engine."""
+    shuffle volume is token (or character) volume, never pairs ×
+    vocabulary. Pairs where BOTH sides are shorter than n contribute
+    no (id, n) row (no 0/0 ratio rows to special-case), identically
+    on any engine."""
     from flyq_spark.operators.corpus import _word_ngrams
     from flyq_spark.operators.util import fan_out
 
     if max_n < 1:
         raise ValueError(f"max_n must be >= 1, got {max_n}")
+    if unit not in ("word", "char"):
+        raise ValueError(f"unit must be 'word' or 'char', got {unit!r}")
 
     def tagged(col: str) -> Column:
-        # empty tokens stripped (leading-space and empty-text splits
-        # keep "" under Java's limit=-1); _word_ngrams binds the array
-        # once itself, so the split is evaluated once per row
-        words = F.array_remove(F.split(F.col(col), "\\s+"), "")
+        if unit == "char":
+            stripped = F.regexp_replace(
+                F.coalesce(F.col(col), F.lit("")), "\\s+", ""
+            )
+
+            def grams(n: int) -> Column:
+                return _char_ngrams(stripped, n)
+
+        else:
+            # empty tokens stripped (leading-space and empty-text
+            # splits keep "" under Java's limit=-1); _word_ngrams
+            # binds the array once itself, so the split is evaluated
+            # once per row
+            words = F.array_remove(F.split(F.col(col), "\\s+"), "")
+
+            def grams(n: int) -> Column:
+                return _word_ngrams(words, n)
 
         # closure factory, NOT a default-arg lambda: `lambda g, _n=n:`
         # has two parameters to PySpark's arity inspection, so
         # transform() would pass the element INDEX into _n
         def tag(n: int) -> Column:
             return F.transform(
-                _word_ngrams(words, n),
+                grams(n),
                 lambda g: F.struct(F.lit(n).alias("n"), g.alias("g")),
             )
 

@@ -6675,3 +6675,52 @@ def test_fim_transform_matches_python_model(spark):
 
     with pytest.raises(ValueError, match="rate_permille"):
         fim_transform(df, rate_permille=1001)
+
+
+def test_ngram_overlap_stats_char_unit(spark):
+    """unit='char' (chrF's unit): character n-grams over the
+    whitespace-STRIPPED pair vs a Counter model — same clipping, same
+    triple; word boundaries don't inflate matches ('aa b' vs 'a ab'
+    have identical stripped char streams), and unit validation is
+    loud."""
+    from collections import Counter
+
+    from flyq_spark.operators.text import ngram_overlap_stats
+
+    rows = [
+        (1, "the cat sat", "the cat spat"),
+        (2, "aa b", "a ab"),
+        (3, "", "xyz"),
+        (None, "ab", "ba"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, cand string, ref string")
+    got = {
+        (r["doc_id"], r["n"]): (r["match_clipped"], r["n_cand"], r["n_ref"])
+        for r in ngram_overlap_stats(
+            df, "cand", "ref", max_n=3, unit="char"
+        ).collect()
+    }
+
+    def cgr(t, n):
+        s = "".join((t or "").split())
+        return Counter(s[i: i + n] for i in range(len(s) - n + 1))
+
+    exp = {}
+    for i, c, r in rows:
+        for n in (1, 2, 3):
+            cc, rc = cgr(c, n), cgr(r, n)
+            if not cc and not rc:
+                continue
+            exp[(i, n)] = (
+                sum(min(v, rc[g]) for g, v in cc.items()),
+                sum(cc.values()),
+                sum(rc.values()),
+            )
+    assert got == exp
+    # identical stripped streams -> full clip at every n
+    assert got[(2, 1)][0] == got[(2, 1)][1] == got[(2, 1)][2]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="unit"):
+        ngram_overlap_stats(df, "cand", "ref", unit="byte")
