@@ -167,12 +167,24 @@ HEADLINE = [
     ("chat_offsets", False),
     ("fim_psm", False),
     ("chrf_overlap", False),
+    ("chat_validate", False),
+    ("preference_pairs", False),
+    ("ppl_buckets", False),
+    ("semantic_contamination", False),
 ]
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    # Sample the load guard's "before" reading at TRUE process start,
+    # before the SparkSession exists: the JVM spin-up + 32-worker
+    # warm-up below saturates a 32-core box for long enough to push the
+    # 1-min loadavg past the guard threshold on its own (observed 6.65
+    # on a freshly booted host), which made the guard trip on
+    # self-inflicted load. Only load present BEFORE we start is foreign.
+    load_before = [round(x, 2) for x in os.getloadavg()]
 
     import __spark_entry__ as entry_mod
     from flyq_spark.session import get_spark
@@ -223,7 +235,7 @@ def main() -> None:
     # load (r8/r9 artifacts recorded 1.25-1.4x swings on plan-identical
     # code). Recording 1/5/15-min loadavg before and after lets a judge
     # separate a loaded box from a real regression without re-running.
-    load_before = [round(x, 2) for x in os.getloadavg()]
+    # (load_before is sampled at process start, above the Spark init.)
 
     times: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
