@@ -5168,6 +5168,192 @@ def q_contamination_normalized(spark, sf_dir):
     return contamination_report(pert, n=8, normalize=True).orderBy("split")
 
 
+def q_chat_validate(spark, sf_dir):
+    """[EXT] Chat-transcript hygiene validation (operators/corpus.py
+    validate_chat): the reject-before-render gate in front of
+    chat_turn_offsets — role alternation, opens-with-system/user,
+    closes-on-assistant, no empty turns, >= 2 turns. Conversations are
+    composed in-plan from each doc's word slices with SEEDED violations
+    (doc_id%3==0 repeats the user role mid-dialogue, %4==0 closes on a
+    user turn, short docs yield empty-content tails) so every rule
+    fires live on the fixture. Pure zero-shuffle HOF projection — at
+    100 TB this is one narrow scan. Fully oracle-replayed (list
+    lambdas over the identical struct list)."""
+    from flyq_spark.operators.corpus import validate_chat
+
+    docs = _read(spark, sf_dir, "documents")
+    w = F.array_remove(F.split(F.col("text"), "\\s+"), "")
+    did = F.col("doc_id")
+
+    def turn(role, start, length):
+        return F.struct(
+            role.alias("role"),
+            F.array_join(F.slice(w, start, length), " ").alias("content"),
+        )
+
+    conv = docs.select(
+        "doc_id",
+        F.array(
+            turn(F.lit("system"), 1, 4),
+            turn(F.lit("user"), 5, 8),
+            turn(
+                F.when(did % 3 == 0, F.lit("user")).otherwise(
+                    F.lit("assistant")
+                ),
+                13,
+                8,
+            ),
+            turn(F.lit("user"), 21, 6),
+            turn(
+                F.when(did % 4 == 0, F.lit("user")).otherwise(
+                    F.lit("assistant")
+                ),
+                27,
+                8,
+            ),
+        ).alias("turns"),
+    )
+    return validate_chat(conv).orderBy("doc_id")
+
+
+def q_preference_pairs(spark, sf_dir):
+    """[EXT] DPO/RLHF preference-pair assembly COMPOSED
+    (operators/text.py stupid_backoff_score -> operators/corpus.py
+    preference_pairs): every non-src0 document fluency-scored against
+    the held-out src0 bigram LM (integer permille hit rate — the
+    reward-model proxy), then within each (source, lang) prompt
+    cluster the highest-reward doc pairs as chosen against the
+    lowest-reward as rejected, margin-filtered (>= 50 permille;
+    near-ties teach noise). Ties break by id via lexicographic struct
+    max/min — the pair is a pure function of the cluster on any
+    engine. ONE group-key shuffle of two struct aggregates beyond the
+    scorer; fully oracle-replayed (LM counts -> permille -> struct
+    max/min)."""
+    from flyq_spark.operators.corpus import preference_pairs
+    from flyq_spark.operators.text import stupid_backoff_score
+
+    docs = _read(spark, sf_dir, "documents")
+    train = docs.where(F.col("source") == "src0")
+    scored = stupid_backoff_score(
+        docs.where(F.col("source") != "src0"), train
+    )
+    permille = F.call_function(
+        "div",
+        F.lit(1000).cast("long") * F.col("n_bigram_hits"),
+        F.col("n_pairs"),
+    )
+    # null-keys-impossible: doc_id is the row identity
+    rewarded = scored.select(
+        "doc_id", permille.alias("reward")
+    ).join(docs.select("doc_id", "source", "lang"), "doc_id")
+    return preference_pairs(
+        rewarded, ("source", "lang"), min_margin=50
+    ).orderBy("source", "lang")
+
+
+def q_ppl_buckets(spark, sf_dir):
+    """[EXT] CCNet head/middle/tail perplexity bucketing COMPOSED
+    (operators/text.py stupid_backoff_score ->
+    operators/profile.py histogram_quantiles): each non-src0 document's
+    integer permille fluency vs the held-out src0 LM, per-lang tertile
+    THRESHOLDS read off the (lang, permille) histogram — the mergeable
+    value-threshold form CCNet actually uses, NOT a per-lang NTILE
+    (which would sort a third of the corpus per lang task at 100 TB;
+    the histogram is <= 1001 bins per lang, so the threshold pass is
+    constant-size regardless of corpus) — then bucket assignment as a
+    broadcast-joined projection. Output per (lang, bucket): doc count
+    and pair/hit mass. Fully oracle-replayed (LM counts -> permille
+    histogram -> exact ceil-rank thresholds -> CASE bucket)."""
+    from flyq_spark.operators.profile import histogram_quantiles
+    from flyq_spark.operators.text import stupid_backoff_score
+
+    docs = _read(spark, sf_dir, "documents")
+    train = docs.where(F.col("source") == "src0")
+    scored = stupid_backoff_score(
+        docs.where(F.col("source") != "src0"), train
+    )
+    permille = F.call_function(
+        "div",
+        F.lit(1000).cast("long") * F.col("n_bigram_hits"),
+        F.col("n_pairs"),
+    )
+    # null-keys-impossible: doc_id is the row identity
+    s = scored.select(
+        "doc_id", "n_pairs", "n_bigram_hits", permille.alias("_p")
+    ).join(docs.select("doc_id", "lang"), "doc_id")
+    hist = s.groupBy("lang", F.col("_p").alias("bin_start")).agg(
+        F.count("*").alias("n")
+    )
+    th = histogram_quantiles(hist, quantiles=(333, 667), keys=("lang",))
+    # null-keys-impossible: lang is NOT NULL in the fixture and both
+    # sides derive it from the same column of the same rows
+    bucketed = s.join(F.broadcast(th), "lang").select(
+        "lang",
+        "n_pairs",
+        "n_bigram_hits",
+        F.when(F.col("_p") <= F.col("p333_bin"), F.lit("tail"))
+        .when(F.col("_p") <= F.col("p667_bin"), F.lit("middle"))
+        .otherwise(F.lit("head"))
+        .alias("bucket"),
+    )
+    return (
+        bucketed.groupBy("lang", "bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_pairs").cast("long").alias("sum_pairs"),
+            F.sum("n_bigram_hits").cast("long").alias("sum_hits"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+def q_semantic_contamination(spark, sf_dir):
+    """[EXT] Semantic eval-train contamination
+    (operators/similarity.py threshold_match_counts): the EMBEDDING
+    arm of the decontamination family — exact/unit/normalized 8-gram
+    screens (contamination_report and variants) miss a train document
+    that paraphrases an eval item, cosine radius search does not.
+    Deterministic md5 eval split (~8% of vectors), then every eval
+    vector counts its train-side radius-0.4 neighbors (and same-label
+    neighbors) in ONE broadcast-GEMM corpus scan — the eval side rides
+    to executors as a normalized numpy matrix, the corpus is never
+    shuffled, partial counts fold in a |partitions| x |eval| groupBy.
+    Per-label report: evals, contaminated evals, neighbor pairs,
+    same-label pairs. Fully oracle-replayed (list_cosine_similarity
+    threshold join; fixture margin to tau is >= 6e-4, far above
+    double rounding)."""
+    from flyq_spark.operators.similarity import threshold_match_counts
+
+    emb = _read(spark, sf_dir, "embeddings")
+    is_eval = F.substring(
+        F.md5(F.col("vec_id").cast("string")), 1, 2
+    ) < "14"
+    ev = emb.where(is_eval).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    tr = emb.where(~is_eval)
+    counts = threshold_match_counts(
+        tr, ev, 0.4, label_col="label"
+    )
+    # null-keys-impossible: query_id is the eval row identity
+    return (
+        counts.join(
+            F.broadcast(ev.select(F.col("query_id"), F.col("label"))),
+            "query_id",
+        )
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_eval"),
+            F.sum((F.col("n_matches") > 0).cast("long"))
+            .cast("long")
+            .alias("n_contaminated"),
+            F.sum("n_matches").cast("long").alias("n_pairs"),
+            F.sum("n_same_label").cast("long").alias("n_same_label_pairs"),
+        )
+        .orderBy("label")
+    )
+
+
 _SYNTH_UNITS_CTE = """
 member AS (
   SELECT t.g, d.doc_id, d.text
@@ -5472,6 +5658,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chat_offsets": q_chat_offsets,
         "fim_psm": q_fim_psm,
         "chrf_overlap": q_chrf_overlap,
+        "chat_validate": q_chat_validate,
+        "preference_pairs": q_preference_pairs,
+        "ppl_buckets": q_ppl_buckets,
+        "semantic_contamination": q_semantic_contamination,
         "offsets_for_times": q_offsets_for_times,
         "value_histogram": q_value_histogram,
         # rows-only (non-SQL-expressible: LSH/MinHash/SimHash/Arrow kernels)
@@ -10341,6 +10531,180 @@ SELECT doc_id,
        ELSE text END AS text_out
 FROM pts
 ORDER BY doc_id
+""",
+        # chat hygiene: identical struct list composed by slicing, every
+        # check a DuckDB list lambda over it (adjacent repeats via
+        # range(1, len) indexing the list against its own +1 shift)
+        "chat_validate": """
+WITH words AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+  FROM documents
+), conv AS (
+  SELECT doc_id, [
+    struct_pack(role := 'system', c := array_to_string(w[1:4], ' ')),
+    struct_pack(role := 'user', c := array_to_string(w[5:12], ' ')),
+    struct_pack(role := CASE WHEN doc_id % 3 = 0 THEN 'user' ELSE 'assistant' END,
+                c := array_to_string(w[13:20], ' ')),
+    struct_pack(role := 'user', c := array_to_string(w[21:26], ' ')),
+    struct_pack(role := CASE WHEN doc_id % 4 = 0 THEN 'user' ELSE 'assistant' END,
+                c := array_to_string(w[27:34], ' '))
+  ] AS turns
+  FROM words
+), checks AS (
+  SELECT doc_id,
+    CAST(len(turns) AS BIGINT) AS n_turns,
+    CAST(len(list_filter(turns, t -> trim(coalesce(t.c, '')) = ''))
+         AS BIGINT) AS n_empty,
+    CAST(len(list_filter(range(1, len(turns)),
+                         i -> turns[i].role = turns[i+1].role))
+         AS BIGINT) AS n_role_repeats,
+    CAST(turns[1].role IN ('system', 'user') AS BIGINT) AS starts_ok,
+    CAST(turns[len(turns)].role = 'assistant' AS BIGINT) AS ends_ok
+  FROM conv
+)
+SELECT doc_id, n_turns, n_empty, n_role_repeats, starts_ok, ends_ok,
+       CAST(n_turns >= 2 AND n_empty = 0 AND n_role_repeats = 0
+            AND starts_ok = 1 AND ends_ok = 1 AS BIGINT) AS is_valid
+FROM checks
+ORDER BY doc_id
+""",
+        # DPO pair assembly: the ppl_select LM -> integer permille
+        # reward, then per-(source, lang) struct max/min — DuckDB's
+        # lexicographic struct compare is the same tiebreak contract
+        "preference_pairs": """
+WITH words AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+),
+all_pairs AS (
+  SELECT doc_id, source,
+         w[CAST(i AS BIGINT)] AS w1, w[CAST(i AS BIGINT) + 1] AS w2
+  FROM words, UNNEST(range(1, len(w))) AS t(i)
+),
+lm AS (
+  SELECT w1, w2, count(*) AS c12 FROM all_pairs
+  WHERE source = 'src0' GROUP BY 1, 2
+),
+scored AS (
+  SELECT p.doc_id,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(CASE WHEN lm.c12 IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_hits
+  FROM all_pairs p
+  LEFT JOIN lm ON p.w1 = lm.w1 AND p.w2 = lm.w2
+  WHERE p.source <> 'src0'
+  GROUP BY p.doc_id
+),
+rewarded AS (
+  SELECT d.source, d.lang, s.doc_id,
+         (1000 * s.n_hits) // s.n_pairs AS reward
+  FROM scored s JOIN documents d USING (doc_id)
+),
+paired AS (
+  SELECT source, lang,
+         max(struct_pack(r := reward, i := doc_id)) AS hi,
+         min(struct_pack(r := reward, i := doc_id)) AS lo
+  FROM rewarded GROUP BY source, lang
+)
+SELECT source, lang, hi.i AS chosen_id, lo.i AS rejected_id,
+       hi.r AS chosen_reward, lo.r AS rejected_reward,
+       hi.r - lo.r AS margin
+FROM paired
+WHERE hi.i <> lo.i AND hi.r - lo.r >= 50
+ORDER BY source, lang
+""",
+        # CCNet tertile buckets: permille histogram per lang, exact
+        # ceil-rank thresholds off the cumulative counts, CASE bucket
+        "ppl_buckets": """
+WITH words AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+),
+all_pairs AS (
+  SELECT doc_id, source,
+         w[CAST(i AS BIGINT)] AS w1, w[CAST(i AS BIGINT) + 1] AS w2
+  FROM words, UNNEST(range(1, len(w))) AS t(i)
+),
+lm AS (
+  SELECT w1, w2, count(*) AS c12 FROM all_pairs
+  WHERE source = 'src0' GROUP BY 1, 2
+),
+scored AS (
+  SELECT p.doc_id,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(CASE WHEN lm.c12 IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_hits
+  FROM all_pairs p
+  LEFT JOIN lm ON p.w1 = lm.w1 AND p.w2 = lm.w2
+  WHERE p.source <> 'src0'
+  GROUP BY p.doc_id
+),
+s AS (
+  SELECT d.lang, sc.n_pairs, sc.n_hits,
+         (1000 * sc.n_hits) // sc.n_pairs AS p
+  FROM scored sc JOIN documents d USING (doc_id)
+),
+hist AS (
+  SELECT lang, p AS bin_start, CAST(count(*) AS BIGINT) AS n
+  FROM s GROUP BY lang, p
+),
+cum AS (
+  SELECT lang, bin_start,
+         sum(n) OVER (PARTITION BY lang ORDER BY bin_start) AS c,
+         sum(n) OVER (PARTITION BY lang) AS tot
+  FROM hist
+),
+th AS (
+  SELECT lang,
+         min(CASE WHEN c >= (333 * tot + 999) // 1000 THEN bin_start END)
+           AS p333,
+         min(CASE WHEN c >= (667 * tot + 999) // 1000 THEN bin_start END)
+           AS p667
+  FROM cum GROUP BY lang
+)
+SELECT s.lang,
+       CASE WHEN s.p <= th.p333 THEN 'tail'
+            WHEN s.p <= th.p667 THEN 'middle'
+            ELSE 'head' END AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(s.n_pairs) AS BIGINT) AS sum_pairs,
+       CAST(sum(s.n_hits) AS BIGINT) AS sum_hits
+FROM s JOIN th USING (lang)
+GROUP BY 1, 2
+ORDER BY lang, bucket
+""",
+        # semantic contamination: the same md5 eval split, cosine
+        # radius via list_cosine_similarity on DOUBLE[] (fixture margin
+        # to tau >= 6e-4), LEFT JOIN keeps zero-match evals
+        "semantic_contamination": """
+WITH s AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label,
+         substr(md5(CAST(vec_id AS VARCHAR)), 1, 2) < '14' AS is_eval
+  FROM embeddings
+),
+m AS (
+  SELECT e.vec_id, e.label,
+         CAST(count(t.vec_id) AS BIGINT) AS n_matches,
+         CAST(count(CASE WHEN t.label = e.label THEN 1 END) AS BIGINT)
+           AS n_same_label
+  FROM (SELECT * FROM s WHERE is_eval) e
+  LEFT JOIN (SELECT * FROM s WHERE NOT is_eval) t
+    ON list_cosine_similarity(e.v, t.v) >= 0.4
+  GROUP BY e.vec_id, e.label
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_eval,
+       CAST(sum(CASE WHEN n_matches > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated,
+       CAST(sum(n_matches) AS BIGINT) AS n_pairs,
+       CAST(sum(n_same_label) AS BIGINT) AS n_same_label_pairs
+FROM m
+GROUP BY label
+ORDER BY label
 """,
         # SFT loss-mask offsets: struct_pack conversation composed by
         # list slicing, correlated unnest, running-sum window; NULL

@@ -1548,6 +1548,138 @@ def chat_turn_offsets(
     )
 
 
+def validate_chat(
+    df: DataFrame,
+    turns_col: str = "turns",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Chat-transcript hygiene validation — the gate an SFT/RLHF ingest
+    runs BEFORE chat_turn_offsets renders anything: a conversation
+    whose roles do not alternate, that opens mid-dialogue, that ends on
+    a user turn, or that carries empty turns produces silently wrong
+    loss masks (the assistant span absorbs the next user turn) and is
+    cheaper to reject than to debug downstream.
+
+    Policy checked (the common chat-template contract):
+    - opens with ``system`` or ``user``;
+    - adjacent turns never repeat a role (system/user/assistant
+      alternation — the repeat count is reported, not just a flag);
+    - closes on an ``assistant`` turn (a trailing user turn trains
+      nothing and desyncs pack boundaries);
+    - no empty/NULL-content turns (each still renders 2 tag tokens, so
+      they silently dilute the loss mask);
+    - at least 2 turns (something to learn from).
+
+    Output per conversation: (id, n_turns, n_empty, n_role_repeats,
+    starts_ok, ends_ok, is_valid) — counts and 0/1 flags, all BIGINT.
+    A NULL turns array is an empty conversation (all counts 0,
+    invalid).
+
+    Plan: a pure zero-shuffle projection — every check is a HOF
+    (zip_with of the array against its own 1-shift + filter + size)
+    over the in-row turns array, entirely evaluated where the row
+    already lives. At 100 TB this is a single narrow scan; there is no
+    cheaper shape for a per-row audit."""
+    turns = F.col(turns_col)
+    n = F.size(turns)  # -1 for NULL array
+    n_turns = F.when(turns.isNull(), F.lit(0)).otherwise(n).cast("long")
+    empty_turn = lambda t: F.trim(F.coalesce(t["content"], F.lit(""))) == ""
+    n_empty = F.when(turns.isNull(), F.lit(0)).otherwise(
+        F.size(F.filter(turns, empty_turn))
+    ).cast("long")
+    # adjacent-role repeats: zip turns[0..n-2] with turns[1..n-1]
+    repeats = F.size(
+        F.filter(
+            F.zip_with(
+                F.slice(turns, 1, F.greatest(n - 1, F.lit(0))),
+                F.slice(turns, 2, F.greatest(n - 1, F.lit(0))),
+                lambda a, b: a["role"] == b["role"],
+            ),
+            lambda x: x,
+        )
+    )
+    n_repeats = F.when(turns.isNull() | (n < 2), F.lit(0)).otherwise(
+        repeats
+    ).cast("long")
+    starts_ok = F.when(
+        turns.isNull() | (n == 0), F.lit(0)
+    ).otherwise(
+        turns[0]["role"].isin("system", "user").cast("int")
+    ).cast("long")
+    ends_ok = F.when(
+        turns.isNull() | (n == 0), F.lit(0)
+    ).otherwise(
+        (F.element_at(turns, -1)["role"] == "assistant").cast("int")
+    ).cast("long")
+    return df.select(
+        F.col(id_col),
+        n_turns.alias("n_turns"),
+        n_empty.alias("n_empty"),
+        n_repeats.alias("n_role_repeats"),
+        starts_ok.alias("starts_ok"),
+        ends_ok.alias("ends_ok"),
+        (
+            (n_turns >= 2)
+            & (n_empty == 0)
+            & (n_repeats == 0)
+            & (starts_ok == 1)
+            & (ends_ok == 1)
+        ).cast("long").alias("is_valid"),
+    )
+
+
+def preference_pairs(
+    scored: DataFrame,
+    group_cols: tuple,
+    id_col: str = "doc_id",
+    reward_col: str = "reward",
+    min_margin: int = 1,
+) -> DataFrame:
+    """Preference-pair assembly — the DPO/RLHF data shape: within each
+    group (a prompt cluster: responses to the same prompt, docs from
+    the same stratum), pair the highest-reward member as ``chosen``
+    against the lowest-reward member as ``rejected``, keeping only
+    pairs whose reward margin clears ``min_margin`` (near-tie pairs
+    teach a preference model noise).
+
+    Determinism contract: the reward must be an exact integer (permille
+    a fluency/quality score upstream, as the ppl_select family does);
+    ties break by id through lexicographic struct ordering — max takes
+    the LARGEST id among reward-tied chosen candidates, min the
+    SMALLEST among rejected, so the pair is a pure function of the
+    group's contents on any engine/partitioning. Single-member groups
+    and groups whose best == worst row drop (no self-pairs).
+
+    Plan: ONE map-side-combined groupBy over the group key carrying two
+    struct max/min aggregates — no window, no self-join; at 100 TB the
+    shuffle is |groups| rows of fixed width. Output: (*group_cols,
+    chosen_id, rejected_id, chosen_reward, rejected_reward, margin)."""
+    if not group_cols:
+        raise ValueError("group_cols must name at least one column")
+    if min_margin < 1:
+        raise ValueError(f"min_margin must be >= 1, got {min_margin}")
+    r = F.col(reward_col).cast("long")
+    pair = F.struct(r.alias("r"), F.col(id_col).alias("i"))
+    agg = scored.groupBy(*group_cols).agg(
+        F.max(pair).alias("_hi"),
+        F.min(pair).alias("_lo"),
+    )
+    return (
+        agg.select(
+            *group_cols,
+            F.col("_hi.i").alias("chosen_id"),
+            F.col("_lo.i").alias("rejected_id"),
+            F.col("_hi.r").alias("chosen_reward"),
+            F.col("_lo.r").alias("rejected_reward"),
+            (F.col("_hi.r") - F.col("_lo.r")).alias("margin"),
+        )
+        .where(
+            (F.col("chosen_id") != F.col("rejected_id"))
+            & (F.col("margin") >= F.lit(int(min_margin)))
+        )
+    )
+
+
 def fim_transform(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -125,6 +125,97 @@ def topk_bruteforce(
     )
 
 
+def threshold_match_counts(
+    corpus: DataFrame,
+    queries: DataFrame,
+    min_cosine: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    label_col: str | None = None,
+) -> DataFrame:
+    """Per-query count of corpus vectors with cosine >= ``min_cosine``
+    — the semantic-contamination primitive: ``queries`` is the eval
+    set (benchmark embeddings, small and bounded like a model),
+    ``corpus`` is the training corpus, and the answer per eval vector
+    is HOW MANY training vectors sit inside the similarity radius
+    (0 = clean, >0 = semantically leaked even when no 8-gram matches).
+
+    Scale shape — the same one the streaming decontamination monitor
+    converged on: the query side broadcasts as a normalized numpy
+    matrix; the corpus streams through ONE ``mapInPandas`` GEMM pass
+    that emits per-partition PARTIAL counts (|partitions| x |queries|
+    rows); a final tiny groupBy folds partials. The corpus is never
+    shuffled and never joined — cost is one scan regardless of how
+    many eval vectors match. With ``label_col`` set on both sides,
+    ``n_same_label`` additionally counts radius neighbors sharing the
+    query's label (class-collision diagnostics).
+
+    Output: (query_id, n_matches BIGINT[, n_same_label BIGINT]) — one
+    row per query, zero-match queries included."""
+    import numpy as np
+
+    sel = [F.col(query_id_col), F.col(vec_col)]
+    if label_col is not None:
+        sel.append(F.col(label_col))
+    qrows = queries.select(*sel).collect()
+    qid_type = [
+        f.dataType.simpleString()
+        for f in queries.schema.fields
+        if f.name == query_id_col
+    ][0]
+    with_label = label_col is not None
+    out_schema = f"query_id {qid_type}, n_matches long"
+    if with_label:
+        out_schema += ", n_same_label long"
+    spark = corpus.sparkSession
+    if not qrows:
+        return spark.createDataFrame([], out_schema)
+    qids = np.array([r[0] for r in qrows])
+    Q = np.array([r[1] for r in qrows], dtype=np.float64)
+    qlabels = (
+        np.array([r[2] for r in qrows]) if with_label else None
+    )
+    qn = np.linalg.norm(Q, axis=1)
+    qn[qn == 0.0] = 1.0
+    bc = spark.sparkContext.broadcast((qids, Q / qn[:, None], qlabels))
+    tau = float(min_cosine)
+
+    def partial_counts(iterator):
+        import pandas as pd
+
+        qids_, Qn_, qlab_ = bc.value
+        nq = len(qids_)
+        counts = np.zeros(nq, dtype=np.int64)
+        same = np.zeros(nq, dtype=np.int64) if qlab_ is not None else None
+        for pdf in iterator:
+            if len(pdf) == 0:
+                continue
+            V = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            vn = np.linalg.norm(V, axis=1)
+            vn[vn == 0.0] = 1.0
+            hits = (Qn_ @ (V / vn[:, None]).T) >= tau  # nq x batch
+            counts += hits.sum(axis=1)
+            if same is not None:
+                lab = pdf[label_col].to_numpy()
+                same += (hits & (qlab_[:, None] == lab[None, :])).sum(
+                    axis=1
+                )
+        cols = {"query_id": qids_, "n_matches": counts}
+        if same is not None:
+            cols["n_same_label"] = same
+        yield pd.DataFrame(cols)
+
+    cols = [id_col, vec_col] + ([label_col] if with_label else [])
+    partials = fan_out(corpus).select(*cols).mapInPandas(
+        partial_counts, schema=out_schema
+    )
+    aggs = [F.sum("n_matches").cast("long").alias("n_matches")]
+    if with_label:
+        aggs.append(F.sum("n_same_label").cast("long").alias("n_same_label"))
+    return partials.groupBy("query_id").agg(*aggs)
+
+
 def neardup_pairs(
     embeddings: DataFrame,
     min_cosine: float,

@@ -6724,3 +6724,148 @@ def test_ngram_overlap_stats_char_unit(spark):
 
     with pytest.raises(ValueError, match="unit"):
         ngram_overlap_stats(df, "cand", "ref", unit="byte")
+
+
+def test_validate_chat_matches_python_model(spark):
+    """Chat hygiene flags vs a pure-Python replay of the policy: role
+    repeats counted (not just flagged), opens-with-system/user,
+    closes-on-assistant, empty/NULL content counted, NULL turns array
+    = empty conversation, single-turn and empty conversations
+    invalid."""
+    from flyq_spark.operators.corpus import validate_chat
+
+    rows = [
+        (1, [("system", "a b"), ("user", "hi"), ("assistant", "ok")]),
+        (2, [("user", "q"), ("user", "q2"), ("assistant", "a")]),  # repeat
+        (3, [("assistant", "starts wrong"), ("user", "x")]),
+        (4, [("user", "q"), ("assistant", "")]),  # empty content
+        (5, [("user", "q"), ("assistant", None)]),  # NULL content
+        (6, [("user", "only one turn")]),
+        (7, None),  # NULL conversation
+        (8, [("user", "u"), ("assistant", "a"), ("user", "trailing")]),
+        (9, [("user", "u"), ("user", "u"), ("user", "u")]),  # 2 repeats
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, turns array<struct<role string, content string>>"
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_turns"], r["n_empty"], r["n_role_repeats"],
+            r["starts_ok"], r["ends_ok"], r["is_valid"],
+        )
+        for r in validate_chat(df).collect()
+    }
+    exp = {}
+    for i, turns in rows:
+        t = turns or []
+        n_turns = len(t)
+        n_empty = sum(1 for _, c in t if not (c or "").strip())
+        n_rep = sum(1 for a, b in zip(t, t[1:]) if a[0] == b[0])
+        starts = 1 if t and t[0][0] in ("system", "user") else 0
+        ends = 1 if t and t[-1][0] == "assistant" else 0
+        valid = int(
+            n_turns >= 2 and n_empty == 0 and n_rep == 0
+            and starts == 1 and ends == 1
+        )
+        exp[i] = (n_turns, n_empty, n_rep, starts, ends, valid)
+    assert got == exp
+    # the one fully clean conversation is doc 1
+    assert got[1][5] == 1
+    assert sum(v[5] for v in got.values()) == 1
+
+
+def test_preference_pairs_matches_python_model(spark):
+    """DPO pair assembly vs a Python replay: argmax/argmin by
+    (reward, id) struct order — reward ties break toward the LARGEST
+    id for chosen and SMALLEST for rejected — margin filter, and
+    single-member / all-tied groups dropped."""
+    import pytest
+
+    from flyq_spark.operators.corpus import preference_pairs
+
+    rows = [
+        ("g1", 1, 10), ("g1", 2, 90), ("g1", 3, 40),
+        ("g2", 4, 50), ("g2", 5, 50), ("g2", 6, 50),  # all tied -> drop
+        ("g3", 7, 30),                                # single -> drop
+        ("g4", 8, 20), ("g4", 9, 60),                 # margin 40 < 50
+        ("g5", 10, 0), ("g5", 11, 100), ("g5", 12, 100),  # tied top
+    ]
+    df = spark.createDataFrame(rows, "grp string, doc_id long, reward long")
+    got = {
+        r["grp"]: (
+            r["chosen_id"], r["rejected_id"],
+            r["chosen_reward"], r["rejected_reward"], r["margin"],
+        )
+        for r in preference_pairs(
+            df, ("grp",), id_col="doc_id", min_margin=50
+        ).collect()
+    }
+    assert got == {
+        "g1": (2, 1, 90, 10, 80),
+        # tied chosen rewards 100: struct max takes the larger id 12
+        "g5": (12, 10, 100, 0, 100),
+    }
+    # min_margin=1 admits g4
+    got2 = {
+        r["grp"]
+        for r in preference_pairs(df, ("grp",), id_col="doc_id").collect()
+    }
+    assert got2 == {"g1", "g4", "g5"}
+    with pytest.raises(ValueError, match="group_cols"):
+        preference_pairs(df, ())
+    with pytest.raises(ValueError, match="min_margin"):
+        preference_pairs(df, ("grp",), min_margin=0)
+
+
+def test_threshold_match_counts_matches_numpy(spark):
+    """Broadcast-GEMM radius counts vs a dense numpy model: per-query
+    corpus neighbors with cosine >= tau, same-label sub-counts,
+    zero-match queries present with 0, and the no-label variant omits
+    the label column."""
+    import numpy as np
+
+    from flyq_spark.operators.similarity import threshold_match_counts
+
+    rng = np.random.default_rng(7)
+    C = rng.normal(size=(40, 8))
+    # dominant POSITIVE first coordinate on every corpus vector: the
+    # first-axis-negative probe below then has cosine < 0 against the
+    # whole corpus — a guaranteed zero-match query at any tau > 0
+    C[:, 0] = np.abs(C[:, 0]) + 3.0
+    Q = rng.normal(size=(6, 8))
+    Q[5] = 0.0
+    Q[5, 0] = -1.0
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in C[i]], int(i % 3)) for i in range(len(C))],
+        "vec_id long, embedding array<double>, label int",
+    )
+    queries = spark.createDataFrame(
+        [(100 + i, [float(x) for x in Q[i]], int(i % 3)) for i in range(len(Q))],
+        "query_id long, embedding array<double>, label int",
+    )
+    got = {
+        r["query_id"]: (r["n_matches"], r["n_same_label"])
+        for r in threshold_match_counts(
+            corpus, queries, 0.6, label_col="label"
+        ).collect()
+    }
+    Cn = C / np.linalg.norm(C, axis=1)[:, None]
+    Qn = Q / np.linalg.norm(Q, axis=1)[:, None]
+    S = Qn @ Cn.T
+    exp = {}
+    for qi in range(len(Q)):
+        hits = S[qi] >= 0.6
+        same = sum(
+            1 for ci in np.nonzero(hits)[0] if ci % 3 == qi % 3
+        )
+        exp[100 + qi] = (int(hits.sum()), int(same))
+    assert got == exp
+    assert got[105] == (0, 0)  # zero-match query still reported
+    # no-label variant: two columns only, same match counts
+    no_lab = threshold_match_counts(corpus, queries, 0.6)
+    assert no_lab.columns == ["query_id", "n_matches"]
+    got_nl = {r["query_id"]: r["n_matches"] for r in no_lab.collect()}
+    assert got_nl == {k: v[0] for k, v in exp.items()}
+    # empty queries -> empty typed result
+    empty = threshold_match_counts(corpus, queries.where("query_id < 0"), 0.6)
+    assert empty.count() == 0

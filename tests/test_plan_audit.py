@@ -41,6 +41,8 @@ SCALAR_BROADCAST_OK = {
     "epoch_plan",  # same weight-total scalar via mixture_build
     "epoch_schedule",  # same scalar x3 epochs via mixture_build
     "ppl_select",  # lm_backoff's 1-row train-token total T
+    "preference_pairs",  # same 1-row train-token total T (same scorer)
+    "ppl_buckets",  # same 1-row train-token total T (same scorer)
 }
 
 
@@ -89,6 +91,7 @@ LOW_CARD_WINDOW_OK = {
     "series_similarity",  # z-norm windows over per-(event_type, day) series
     "histogram_quantiles",  # CDF over ≤(groups × buckets) histogram state
     "kmv_overlap",  # rank over ≤(groups × K) sketch rows
+    "ppl_buckets",  # CDF over the ≤(lang × 1001)-bin permille histogram
 }
 
 
