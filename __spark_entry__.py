@@ -5354,6 +5354,38 @@ def q_semantic_contamination(spark, sf_dir):
     )
 
 
+def q_rouge_l(spark, sf_dir):
+    """[EXT] ROUGE-L ingredient counts (operators/text.py
+    rouge_l_stats, Lin 2004): word-level longest-common-SUBSEQUENCE
+    length per (candidate, reference) pair via the Allison-Dix (1986)
+    bit-parallel recurrence — candidate positions in one BIGINT,
+    V = ((V + (V&M)) | (V - (V&M))) & mask folded over reference
+    words, lcs = m - popcount(V); plain integer ops, so the identical
+    recurrence replays in the oracle's recursive-CTE fold and the
+    result is engine-hash-exact with NO float and NO UDF. Completes
+    the eval-metric family next to BLEU/ROUGE-N (`ngram_overlap`) and
+    chrF (`chrf_overlap`), which only see CONTIGUOUS n-grams.
+    Candidates composed in-plan deterministically: first 30 words with
+    every 4th position replaced by a doc-keyed noise token, so the LCS
+    is a real subsequence computation (P < 1), not a prefix identity.
+    Pure zero-shuffle projection."""
+    from flyq_spark.operators.text import rouge_l_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    w = F.array_remove(F.split(F.col("text"), "\\s+"), "")
+    noise = F.concat(F.lit("zz"), (F.col("doc_id") % 7).cast("string"))
+    cand = F.transform(
+        F.slice(w, 1, 30),
+        lambda x, i: F.when(i % 4 == 0, noise).otherwise(x),
+    )
+    pairs = docs.select(
+        "doc_id",
+        F.array_join(cand, " ").alias("cand"),
+        F.col("text").alias("ref"),
+    )
+    return rouge_l_stats(pairs, "cand", "ref").orderBy("doc_id")
+
+
 _SYNTH_UNITS_CTE = """
 member AS (
   SELECT t.g, d.doc_id, d.text
@@ -5662,6 +5694,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "preference_pairs": q_preference_pairs,
         "ppl_buckets": q_ppl_buckets,
         "semantic_contamination": q_semantic_contamination,
+        "rouge_l": q_rouge_l,
         "offsets_for_times": q_offsets_for_times,
         "value_histogram": q_value_histogram,
         # rows-only (non-SQL-expressible: LSH/MinHash/SimHash/Arrow kernels)
@@ -10676,6 +10709,52 @@ SELECT s.lang,
 FROM s JOIN th USING (lang)
 GROUP BY 1, 2
 ORDER BY lang, bucket
+""",
+        # ROUGE-L: the IDENTICAL Allison-Dix integer recurrence folded
+        # through a recursive CTE — match masks per (doc, j) via
+        # indexed list_transform (sum == OR: each bit set once), then
+        # V steps j = 0..n; lcs = m - bit_count(V)
+        "rouge_l": """
+WITH RECURSIVE p AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+), cr AS (
+  SELECT doc_id,
+         list_transform(w[1:30], (x, i) ->
+           CASE WHEN (i - 1) % 4 = 0
+                THEN 'zz' || CAST(doc_id % 7 AS VARCHAR) ELSE x END) AS c,
+         w AS r
+  FROM p
+), dims AS (
+  SELECT doc_id, c, r, len(c) AS m, len(r) AS n,
+         CASE WHEN len(c) > 0 THEN (1::BIGINT << len(c)) - 1
+              ELSE 0 END AS mask
+  FROM cr
+), mm AS (
+  SELECT d.doc_id, t.j,
+         coalesce(list_sum(list_transform(range(1, d.m + 1),
+           i -> CASE WHEN d.c[CAST(i AS BIGINT)] = d.r[CAST(t.j AS BIGINT)]
+                THEN (1::BIGINT << (i - 1)) ELSE 0 END)), 0) AS mbits
+  FROM dims d, UNNEST(range(1, d.n + 1)) t(j)
+), rec AS (
+  SELECT doc_id, 0 AS j, mask AS v FROM dims
+  UNION ALL
+  SELECT rec.doc_id AS doc_id, rec.j + 1 AS j,
+         (((rec.v + (rec.v & mm.mbits))
+           | (rec.v - (rec.v & mm.mbits))) & d.mask) AS v
+  FROM rec
+  JOIN dims d ON d.doc_id = rec.doc_id
+  JOIN mm ON mm.doc_id = rec.doc_id AND mm.j = rec.j + 1
+  WHERE rec.j < d.n
+)
+SELECT d.doc_id,
+       CAST(d.m - bit_count(rec.v) AS BIGINT) AS lcs_len,
+       CAST(d.m AS BIGINT) AS n_cand,
+       CAST(d.n AS BIGINT) AS n_ref
+FROM rec JOIN dims d ON d.doc_id = rec.doc_id AND rec.j = d.n
+ORDER BY d.doc_id
 """,
         # semantic contamination: the same md5 eval split, cosine
         # radius via list_cosine_similarity on DOUBLE[] (fixture margin

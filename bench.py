@@ -171,6 +171,7 @@ HEADLINE = [
     ("preference_pairs", False),
     ("ppl_buckets", False),
     ("semantic_contamination", False),
+    ("rouge_l", False),
 ]
 
 

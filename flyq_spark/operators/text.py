@@ -1324,3 +1324,121 @@ def ngram_overlap_stats(
             F.sum(F.coalesce("_rc", zero)).cast("long").alias("n_ref"),
         )
     )
+
+
+def rouge_l_stats(
+    df: DataFrame,
+    cand_col: str,
+    ref_col: str,
+    id_col: str = "doc_id",
+    max_cand_words: int = 60,
+) -> DataFrame:
+    """ROUGE-L ingredient counts (Lin 2004) — the longest-common-
+    SUBSEQUENCE member of the eval-metric family `ngram_overlap_stats`
+    covers for contiguous n-grams: per (candidate, reference) pair the
+    exact integers (lcs_len, n_cand, n_ref) from which ROUGE-L's
+    P = lcs/n_cand, R = lcs/n_ref and F derive.
+
+    LCS is inherently sequential (each DP cell depends on the previous
+    row AND column), so instead of a Python UDF the word-level LLCS is
+    computed with the Allison–Dix (1986) BIT-PARALLEL recurrence: the
+    candidate's ≤ ``max_cand_words`` positions live in one BIGINT;
+    per reference word w,
+
+        U = V & M(w);  V = ((V + U) | (V − U)) & mask
+
+    where M(w) is the candidate-position match mask, and
+    lcs = m − popcount(V) at the end. Plain integer +/−/&/| — the
+    identical recurrence replays in ANSI SQL (the oracle folds it
+    through a recursive CTE), so the result is engine-hash-exact, and
+    on the Spark side the whole fold is ONE expression tree: a pure
+    zero-shuffle projection, no UDF, no state. Cost per pair is
+    O(|ref| × |cand|) bit-ops inside the fold — the same product a DP
+    table visits, without materializing it.
+
+    The candidate side is truncated to ``max_cand_words`` (≤ 60: the
+    bit budget of a signed 64-bit word with carry headroom) — the
+    candidate in eval practice is a bounded model generation; the
+    REFERENCE side is unbounded. Empty/NULL sides yield lcs 0 with
+    honest lengths. The input arrays are bound once through the
+    single-element-array lambda (the `_word_ngrams` CodegenFallback
+    discipline: inside the lambda every reference is a variable, so
+    the split-of-text children evaluate once per row, not once per
+    fold step)."""
+    if not 1 <= int(max_cand_words) <= 60:
+        raise ValueError(
+            f"max_cand_words must be in 1..60, got {max_cand_words}"
+        )
+
+    def words(col: str) -> Column:
+        return F.array_remove(
+            F.split(F.coalesce(F.col(col), F.lit("")), "\\s+"), ""
+        )
+
+    zero = F.lit(0).cast("long")
+    one = F.lit(1).cast("long")
+
+    def body(pair: Column) -> Column:
+        c, r = pair["c"], pair["r"]
+        m = F.size(c)
+        mask = F.when(
+            m > 0, F.call_function("shiftleft", one, m) - 1
+        ).otherwise(zero)
+        pos = F.transform(
+            c, lambda x, i: F.struct(x.alias("w"), i.alias("i"))
+        )
+
+        def match_mask(w: Column) -> Column:
+            return F.aggregate(
+                pos,
+                zero,
+                lambda macc, s: macc.bitwiseOR(
+                    F.when(
+                        s["w"] == w,
+                        F.call_function("shiftleft", one, s["i"]),
+                    ).otherwise(zero)
+                ),
+            )
+
+        # U = V & M(w) binds once through the 1-element-array lambda;
+        # the recurrence references it twice and M(w)'s inner fold is
+        # the expensive child
+        V = F.aggregate(
+            r,
+            mask,
+            lambda acc, w: F.get(
+                F.transform(
+                    F.array(acc.bitwiseAND(match_mask(w))),
+                    lambda u: (
+                        (acc + u).bitwiseOR(acc - u)
+                    ).bitwiseAND(mask),
+                ),
+                0,
+            ),
+        )
+        return F.struct(
+            (m.cast("long") - F.bit_count(V).cast("long")).alias("lcs"),
+            m.cast("long").alias("nc"),
+            F.size(r).cast("long").alias("nr"),
+        )
+
+    res = F.get(
+        F.transform(
+            F.array(
+                F.struct(
+                    F.slice(words(cand_col), 1, int(max_cand_words)).alias(
+                        "c"
+                    ),
+                    words(ref_col).alias("r"),
+                )
+            ),
+            body,
+        ),
+        0,
+    )
+    return df.select(
+        F.col(id_col),
+        res["lcs"].alias("lcs_len"),
+        res["nc"].alias("n_cand"),
+        res["nr"].alias("n_ref"),
+    )

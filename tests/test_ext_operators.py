@@ -6869,3 +6869,58 @@ def test_threshold_match_counts_matches_numpy(spark):
     # empty queries -> empty typed result
     empty = threshold_match_counts(corpus, queries.where("query_id < 0"), 0.6)
     assert empty.count() == 0
+
+
+def test_rouge_l_stats_matches_dp_model(spark):
+    """Bit-parallel LLCS vs the classic O(mn) DP on randomized word
+    lists (repeats, disjoint, identical, empty, NULL) plus the
+    candidate-truncation contract and the 60-word bit-budget guard."""
+    import random
+
+    import pytest
+
+    from flyq_spark.operators.text import rouge_l_stats
+
+    def dp(a, b):
+        t = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+        for i in range(1, len(a) + 1):
+            for j in range(1, len(b) + 1):
+                t[i][j] = (
+                    t[i - 1][j - 1] + 1
+                    if a[i - 1] == b[j - 1]
+                    else max(t[i - 1][j], t[i][j - 1])
+                )
+        return t[len(a)][len(b)]
+
+    rng = random.Random(11)
+    rows = [
+        (0, "", ""),
+        (1, None, "a b"),
+        (2, "a b c", None),
+        (3, "a a a", "a a"),
+        (4, "x y z", "p q r"),
+    ]
+    for i in range(5, 60):
+        a = " ".join(rng.choice("abcdefg") for _ in range(rng.randint(0, 25)))
+        b = " ".join(rng.choice("abcdefg") for _ in range(rng.randint(0, 60)))
+        rows.append((i, a, b))
+    df = spark.createDataFrame(rows, "doc_id long, cand string, ref string")
+    got = {
+        r["doc_id"]: (r["lcs_len"], r["n_cand"], r["n_ref"])
+        for r in rouge_l_stats(df, "cand", "ref").collect()
+    }
+    for i, cand, ref in rows:
+        a = (cand or "").split()
+        b = (ref or "").split()
+        assert got[i] == (dp(a, b), len(a), len(b)), (i, a, b)
+    # candidate truncation: LCS computed on the first max_cand_words
+    long_df = spark.createDataFrame(
+        [(1, " ".join(["w"] * 50), " ".join(["w"] * 50))],
+        "doc_id long, cand string, ref string",
+    )
+    r = rouge_l_stats(long_df, "cand", "ref", max_cand_words=10).collect()[0]
+    assert (r["lcs_len"], r["n_cand"], r["n_ref"]) == (10, 10, 50)
+    with pytest.raises(ValueError, match="max_cand_words"):
+        rouge_l_stats(df, "cand", "ref", max_cand_words=61)
+    with pytest.raises(ValueError, match="max_cand_words"):
+        rouge_l_stats(df, "cand", "ref", max_cand_words=0)
