@@ -1232,14 +1232,22 @@ def ngram_overlap_stats(
     is max_n=6; spaces are removed so word boundaries don't inflate
     matches). Same plan, same clipping, same join.
 
-    Plan: ONE explode per side (each position contributes ≤ max_n
-    tagged (n, gram) entries off the bound-once ngram arrays), one
-    (id, n, gram)-keyed count per side, a full outer join on that key
-    (clipping needs both multiplicities), and a per-(id, n) rollup —
-    shuffle volume is token (or character) volume, never pairs ×
-    vocabulary. Pairs where BOTH sides are shorter than n contribute
-    no (id, n) row (no 0/0 ratio rows to special-case), identically
-    on any engine."""
+    Plan: both sides live on the SAME row, so ONE explode emits every
+    tagged (n, gram, side) entry off the bound-once ngram arrays of
+    both columns, one (id, n, gram)-keyed conditional count gets the
+    candidate and reference multiplicities as two aggregates of the
+    same group (clipping needs both — a zero side is an honest 0, the
+    exact value the old full-outer-join form coalesced to), and a
+    per-(id, n) rollup finishes. One corpus scan, two shuffles total —
+    the previous form scanned the base once PER SIDE, counted each
+    side separately and full-outer sort-merge-joined the two count
+    tables back together (4 token-volume exchanges + 2 sorts; r12
+    optimization, guide §2.4: the join removed outright). Shuffle
+    volume is token (or character) volume, never pairs × vocabulary.
+    Pairs where BOTH sides are shorter than n contribute no (id, n)
+    row (no 0/0 ratio rows to special-case), identically on any
+    engine. A NULL ``id_col`` is a real pair: groupBy keys on NULL the
+    same way the old eqNullSafe join key did."""
     from flyq_spark.operators.corpus import _word_ngrams
     from flyq_spark.operators.util import fan_out
 
@@ -1248,7 +1256,7 @@ def ngram_overlap_stats(
     if unit not in ("word", "char"):
         raise ValueError(f"unit must be 'word' or 'char', got {unit!r}")
 
-    def tagged(col: str) -> Column:
+    def tagged(col: str, is_cand: bool) -> Column:
         if unit == "char":
             stripped = F.regexp_replace(
                 F.coalesce(F.col(col), F.lit("")), "\\s+", ""
@@ -1273,55 +1281,41 @@ def ngram_overlap_stats(
         def tag(n: int) -> Column:
             return F.transform(
                 grams(n),
-                lambda g: F.struct(F.lit(n).alias("n"), g.alias("g")),
+                lambda g: F.struct(
+                    F.lit(n).alias("n"),
+                    g.alias("g"),
+                    F.lit(1 if is_cand else 0).alias("c"),
+                ),
             )
 
         parts = [tag(n) for n in range(1, max_n + 1)]
         return F.concat(*parts) if len(parts) > 1 else parts[0]
 
     base = fan_out(df.select(id_col, cand_col, ref_col))
-
-    def side_counts(col: str, out: str) -> DataFrame:
-        return (
-            base.select(F.col(id_col), F.explode(tagged(col)).alias("_t"))
-            .select(id_col, F.col("_t.n").alias("n"), F.col("_t.g").alias("g"))
-            .groupBy(id_col, "n", "g")
-            .agg(F.count(F.lit(1)).cast("long").alias(out))
-        )
-
-    c = side_counts(cand_col, "_cc")
-    r = side_counts(ref_col, "_rc").select(
-        F.col(id_col).alias("_rid"),
-        F.col("n").alias("_rn"),
-        F.col("g").alias("_rg"),
-        "_rc",
-    )
-    # Null-SAFE pair key: a NULL id is a real pair (groupBy keeps it);
-    # a plain name join in a FULL OUTER would land its candidate and
-    # reference counts in SEPARATE rows, silently zeroing the clip.
-    joined = c.join(
-        r,
-        on=(
-            F.col(id_col).eqNullSafe(F.col("_rid"))
-            & (F.col("n") == F.col("_rn"))
-            & (F.col("g") == F.col("_rg"))
-        ),
-        how="full_outer",
+    # the per-side gram arrays are never NULL (both unit modes bottom
+    # out in a `when(...).otherwise(empty array)`), so the row-local
+    # concat of the two tagged sides is NULL-safe
+    both = base.select(
+        F.col(id_col),
+        F.explode(
+            F.concat(tagged(cand_col, True), tagged(ref_col, False))
+        ).alias("_t"),
     ).select(
-        F.coalesce(F.col(id_col), F.col("_rid")).alias(id_col),
-        F.coalesce(F.col("n"), F.col("_rn")).alias("n"),
-        "_cc",
-        "_rc",
+        id_col,
+        F.col("_t.n").alias("n"),
+        F.col("_t.g").alias("g"),
+        F.col("_t.c").alias("c"),
     )
-    zero = F.lit(0).cast("long")
+    counts = both.groupBy(id_col, "n", "g").agg(
+        F.sum("c").cast("long").alias("_cc"),
+        F.sum(1 - F.col("c")).cast("long").alias("_rc"),
+    )
     return (
-        joined.groupBy(id_col, "n")
+        counts.groupBy(id_col, "n")
         .agg(
-            F.sum(
-                F.least(F.coalesce("_cc", zero), F.coalesce("_rc", zero))
-            ).cast("long").alias("match_clipped"),
-            F.sum(F.coalesce("_cc", zero)).cast("long").alias("n_cand"),
-            F.sum(F.coalesce("_rc", zero)).cast("long").alias("n_ref"),
+            F.sum(F.least("_cc", "_rc")).cast("long").alias("match_clipped"),
+            F.sum("_cc").cast("long").alias("n_cand"),
+            F.sum("_rc").cast("long").alias("n_ref"),
         )
     )
 
