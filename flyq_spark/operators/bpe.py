@@ -422,11 +422,19 @@ def train_bpe_exact(
     word-frequency groupBy); every merge round then runs on the
     |vocab|-row symbol table — one map-side-combined pair aggregation
     whose argmax (a 1-row collect) picks the merge, and one array
-    projection applies it. The vocab is localCheckpoint'd each round:
-    the merge expression would otherwise nest n_merges aggregates deep
-    (codegen blowup), and the materialization keeps each round's cost
-    flat at O(|vocab|) — driver state is the n_merges-row merge list,
-    never data. Rounds are inherently sequential (merge r+1's counts
+    projection applies it. The vocab is localCheckpoint'd each round
+    (the merge expression would otherwise nest n_merges aggregates deep
+    — codegen blowup — and the truncation keeps each round's cost flat
+    at O(|vocab|); driver state is the n_merges-row merge list, never
+    data) — LAZILY (eager=False, r12 optimization, guide §1.2): the
+    next round's argmax action computes the rewrite, stores the
+    checkpoint blocks, and aggregates the pairs in ONE pass, where the
+    eager form materialized the rewrite as its own job and then re-read
+    the stored vocab — one job and one full vocab read per round
+    instead of two. The superseded round's blocks are dropped only
+    AFTER the argmax materializes the new checkpoint (unpersisting a
+    local checkpoint deletes its data; the truncated lineage cannot
+    recompute it). Rounds are inherently sequential (merge r+1's counts
     depend on r's rewrite) — the 1-job-per-merge ladder is the
     standard distributed formulation, not a driver-side loop over
     data.
@@ -437,7 +445,8 @@ def train_bpe_exact(
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
     spark = df.sparkSession
-    vocab = _bpe_vocab(df, text_col).localCheckpoint()
+    vocab = _bpe_vocab(df, text_col).localCheckpoint(eager=False)
+    pending = None
     merges = []
     for rank in range(1, n_merges + 1):
         top = (
@@ -450,6 +459,11 @@ def train_bpe_exact(
             .limit(1)
             .collect()
         )
+        # this round's argmax materialized vocab's lazy checkpoint as a
+        # side effect — the superseded round's blocks are safe to drop
+        if pending is not None:
+            pending.unpersist()
+            pending = None
         if not top:
             break
         a, b, c = top[0]["left_sym"], top[0]["right_sym"], top[0]["pair_count"]
@@ -487,15 +501,18 @@ def train_bpe_exact(
             ),
             lambda st: st["acc"],
         )
-        prev = vocab
-        vocab = vocab.withColumn("syms", merged).localCheckpoint()
-        # drop the superseded round's checkpoint blocks NOW: without
-        # this every round's |vocab|-row array table stays pinned in
-        # storage memory for the whole loop — measured at 10^7 words
-        # (tools/bench_bpe_scale.py) the eviction pressure makes
-        # per-round cost spiky (22-116 s) instead of flat
-        prev.unpersist()
+        # drop the superseded round's checkpoint blocks promptly (the
+        # unpersist above, once the NEXT argmax materializes this
+        # rewrite): without it every round's |vocab|-row array table
+        # stays pinned in storage memory for the whole loop — measured
+        # at 10^7 words (tools/bench_bpe_scale.py) the eviction
+        # pressure makes per-round cost spiky (22-116 s) instead of
+        # flat
+        pending = vocab
+        vocab = vocab.withColumn("syms", merged).localCheckpoint(eager=False)
     vocab.unpersist()
+    if pending is not None:
+        pending.unpersist()
     return spark.createDataFrame(
         merges,
         schema=(
