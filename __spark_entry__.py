@@ -5113,19 +5113,19 @@ def q_epoch_schedule(spark, sf_dir):
     distribution, progressively upweight tail sources) as ONE
     deterministic plan table (epoch, doc_id, source, sample_rank,
     n_copies); Σ n_copies = budget holds per epoch by the
-    largest-remainder theorem. The oracle replays all three quota
-    regimes in one pass (epoch-dimensioned quota math, corrected
-    integer sqrt chains for the α=½ and α=¼ weights)."""
-    from flyq_spark.operators.corpus import mixture_build
+    largest-remainder theorem. r12 optimization: built by the FUSED
+    ``mixture_build_epochs`` — the md5-ring sample_rank is
+    alpha-independent, so the corpus ranks once and the (epoch,
+    source) quota table broadcast-joins onto the shared ranking (1
+    range exchange + 2 scans total, was 3 range exchanges + 6 scans
+    for the per-epoch union; row-identical by the parity pytest and
+    the unchanged oracle). The oracle replays all three quota regimes
+    in one pass (epoch-dimensioned quota math, corrected integer sqrt
+    chains for the α=½ and α=¼ weights)."""
+    from flyq_spark.operators.corpus import mixture_build_epochs
 
     docs = _read(spark, sf_dir, "documents").select("doc_id", "source")
-    parts = [
-        mixture_build(docs, "source", alpha, 9973).withColumn(
-            "epoch", F.lit(e).cast("long")
-        )
-        for e, alpha in enumerate((1000, 500, 250))
-    ]
-    out = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    out = mixture_build_epochs(docs, "source", (1000, 500, 250), 9973)
     return out.select("epoch", "doc_id", "source", "sample_rank", "n_copies")
 
 

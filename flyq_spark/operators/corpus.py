@@ -1354,8 +1354,83 @@ def mixture_build(
     return _materialize_quotas(df, mix, source_col, id_col)
 
 
+def mixture_build_epochs(
+    df: DataFrame,
+    source_col: str = "source",
+    alpha_permilles: tuple[int, ...] = (1000, 500, 250),
+    budget: int = 10_000,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Multi-epoch :func:`mixture_build` in ONE pass — the fused form
+    of the annealed temperature schedule (epoch e drawn at
+    ``alpha_permilles[e]``). Row-for-row identical to unioning one
+    ``mixture_build`` per alpha with an ``epoch`` tag, but the
+    expensive pieces are shared instead of repeated (r12 optimization,
+    guide §1.2 "don't compute things twice"):
+
+    - the md5-ring ``sample_rank`` is a pure function of
+      (id, source) — alpha never enters it — so the grouped
+      row_number (the only data-sized range exchange) runs ONCE, not
+      once per epoch; the per-alpha union form re-ranked the corpus
+      per epoch purely to recompute a number it already had;
+    - the per-source counts aggregate ONCE and collect to the driver —
+      |sources| rows, the operator's documented low-cardinality mixing
+      axis, the same bounded-by-group-count class as the ranking
+      family's broadcast offset tables — and the per-epoch quota
+      arithmetic (unchanged temperature_mix_from_counts SQL, so the
+      decimal-exact weight/apportionment math has one definition) runs
+      over the re-localized counts: the quota broadcast builds from a
+      LocalTableScan instead of re-scanning the corpus 2x per epoch.
+      (Two rejected alternatives, both measured: leaving the counts as
+      a shared lazy subtree re-scans the corpus under every consumer
+      inside the broadcast build — 6 scans for 3 epochs — and swings
+      2.4-18 s at sf0.1; lazily localCheckpoint-ing the counts instead
+      serializes checkpoint jobs inside the broadcast subqueries and
+      ran 6x slower.);
+    - the quota join broadcasts the (epoch, source) quota table —
+      |sources| × |epochs| rows — and fans each ranked doc out to its
+      per-epoch multiplicity in the same codegen'd projection
+      ``mixture_build`` uses.
+
+    Plan: 2 corpus scans + 1 range exchange + 1 broadcast join total,
+    versus (2 scans + 1 range exchange + 1 join) PER EPOCH for the
+    union form. Σ n_copies = budget still holds per epoch (same
+    largest-remainder math on the same counts). Output:
+    (epoch, id, source, sample_rank, n_copies), epoch = the 0-based
+    index into ``alpha_permilles``."""
+    spark = df.sparkSession
+    # bounded collect: |sources| rows (low-cardinality axis by contract)
+    counts_rows = (
+        df.groupBy(source_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .collect()
+    )
+    counts = spark.createDataFrame(
+        counts_rows,
+        df.select(source_col).schema.add("n_docs", "long", False),
+    )
+    mixes = [
+        temperature_mix_from_counts(
+            counts, source_col, "n_docs", alpha, budget
+        )
+        .select(source_col, "n_docs", "quota")
+        .withColumn("epoch", F.lit(e).cast("long"))
+        for e, alpha in enumerate(alpha_permilles)
+    ]
+    mix_all = mixes[0]
+    for m in mixes[1:]:
+        mix_all = mix_all.unionByName(m)
+    return _materialize_quotas(
+        df, mix_all, source_col, id_col, extra_cols=("epoch",)
+    )
+
+
 def _materialize_quotas(
-    df: DataFrame, mix: DataFrame, source_col: str, id_col: str
+    df: DataFrame,
+    mix: DataFrame,
+    source_col: str,
+    id_col: str,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Turn a (source, n_docs, quota) plan into the concrete drawn list
     with multiplicity — the shared second half of the mixture family:
@@ -1363,7 +1438,13 @@ def _materialize_quotas(
     row_number, one balanced range exchange), broadcast-join the quota
     table, spread quota q as q div n copies + one extra for the first
     q mod n ring positions (Σ n_copies = q per source). Output:
-    (id, source, sample_rank, n_copies) for drawn docs."""
+    (id, source, sample_rank, n_copies) for drawn docs.
+
+    ``extra_cols`` names additional ``mix`` columns carried through to
+    the output (e.g. an epoch tag): a mix with several rows per source
+    fans each ranked doc out once per row — how
+    :func:`mixture_build_epochs` materializes every epoch's quota
+    against ONE shared ranking."""
     from flyq_spark.operators.ranking import grouped_row_number
 
     h = _id_hash(id_col)
@@ -1383,7 +1464,7 @@ def _materialize_quotas(
     # Σ n_copies = budget theorem (the _restore_all_groups discipline,
     # impute.py). Marker-alias + eqNullSafe + drop keeps one output col.
     mix_m = mix.select(
-        F.col(source_col).alias("_mb_src"), "n_docs", "quota"
+        F.col(source_col).alias("_mb_src"), "n_docs", "quota", *extra_cols
     )
     return (
         ranked.join(
@@ -1392,7 +1473,7 @@ def _materialize_quotas(
         )
         .withColumn("n_copies", (base + extra).cast("long"))
         .where(F.col("n_copies") >= 1)
-        .select(id_col, source_col, "sample_rank", "n_copies")
+        .select(*extra_cols, id_col, source_col, "sample_rank", "n_copies")
     )
 
 

@@ -5969,6 +5969,39 @@ def test_pack_documents_shard_digits_widening(spark):
         pack_documents(df, shard_digits=9)
 
 
+def test_mixture_build_epochs_parity_with_per_alpha_union(spark):
+    """The fused multi-epoch builder (one shared ranking + one
+    broadcast quota join, r12 optimization) must be row-identical to
+    unioning one mixture_build per alpha with an epoch tag — on a
+    fixture with a NULL source group and in both the selection
+    (budget < n) and upsampling (budget > n) regimes."""
+    from flyq_spark.operators.corpus import mixture_build, mixture_build_epochs
+
+    rows = (
+        [(i, "big") for i in range(1, 121)]
+        + [(i, None) for i in range(121, 161)]
+        + [(i, "tiny") for i in range(161, 166)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    alphas = (1000, 500, 250)
+    for budget in (70, 900):
+        fused = sorted(
+            (
+                (r["epoch"], r["doc_id"], r["source"], r["sample_rank"], r["n_copies"])
+                for r in mixture_build_epochs(df, "source", alphas, budget).collect()
+            )
+        )
+        union = sorted(
+            (e, r["doc_id"], r["source"], r["sample_rank"], r["n_copies"])
+            for e, a in enumerate(alphas)
+            for r in mixture_build(df, "source", a, budget).collect()
+        )
+        assert fused == union, budget
+        # the per-epoch budget theorem survives the fusion
+        for e in range(len(alphas)):
+            assert sum(c for ep, _, _, _, c in fused if ep == e) == budget
+
+
 def test_mixture_build_randomized_differential(spark):
     """Seeded-random fixtures x the full regime grid: all three
     canonical temperatures, NULL source present, budget 0 / small /
