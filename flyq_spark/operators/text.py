@@ -1334,9 +1334,9 @@ def rouge_l_stats(
     P = lcs/n_cand, R = lcs/n_ref and F derive.
 
     LCS is inherently sequential (each DP cell depends on the previous
-    row AND column), so instead of a Python UDF the word-level LLCS is
-    computed with the Allison–Dix (1986) BIT-PARALLEL recurrence: the
-    candidate's ≤ ``max_cand_words`` positions live in one BIGINT;
+    row AND column), so the word-level LLCS is computed with the
+    Allison–Dix (1986) BIT-PARALLEL recurrence: the candidate's
+    ≤ ``max_cand_words`` positions live in one 60-bit integer;
     per reference word w,
 
         U = V & M(w);  V = ((V + U) | (V − U)) & mask
@@ -1344,21 +1344,26 @@ def rouge_l_stats(
     where M(w) is the candidate-position match mask, and
     lcs = m − popcount(V) at the end. Plain integer +/−/&/| — the
     identical recurrence replays in ANSI SQL (the oracle folds it
-    through a recursive CTE), so the result is engine-hash-exact, and
-    on the Spark side the whole fold is ONE expression tree: a pure
-    zero-shuffle projection, no UDF, no state. Cost per pair is
-    O(|ref| × |cand|) bit-ops inside the fold — the same product a DP
-    table visits, without materializing it.
+    through a recursive CTE), so the result is engine-hash-exact.
+
+    Execution (r12 optimization, guide §4.2): the fold runs as an
+    Arrow-batched ``mapInPandas`` kernel — one narrow projection ships
+    only (id, truncated candidate words, reference words) across the
+    Python boundary, still a zero-shuffle plan. The kernel precomputes
+    the match masks M(w) as ONE dict pass over the candidate
+    (Hunt–Szymanski's observation), so each reference word costs O(1)
+    integer ops: O(|cand| + |ref|) per pair. The previous all-Catalyst
+    form expressed M(w) as an inner HOF fold re-scanned per reference
+    word — O(|cand| × |ref|) steps through the CodegenFallback
+    interpreter, measured 6x slower at sf0.1 (5.9 s → sub-second) for
+    byte-identical results (the recurrence, truncation, and length
+    semantics are unchanged; the oracle did not move).
 
     The candidate side is truncated to ``max_cand_words`` (≤ 60: the
-    bit budget of a signed 64-bit word with carry headroom) — the
-    candidate in eval practice is a bounded model generation; the
-    REFERENCE side is unbounded. Empty/NULL sides yield lcs 0 with
-    honest lengths. The input arrays are bound once through the
-    single-element-array lambda (the `_word_ngrams` CodegenFallback
-    discipline: inside the lambda every reference is a variable, so
-    the split-of-text children evaluate once per row, not once per
-    fold step)."""
+    bit budget of a signed 64-bit word with carry headroom — kept as
+    the contract even though the Python-side integers are unbounded,
+    so the oracle's BIGINT fold stays exact). The REFERENCE side is
+    unbounded. Empty/NULL sides yield lcs 0 with honest lengths."""
     if not 1 <= int(max_cand_words) <= 60:
         raise ValueError(
             f"max_cand_words must be in 1..60, got {max_cand_words}"
@@ -1369,70 +1374,43 @@ def rouge_l_stats(
             F.split(F.coalesce(F.col(col), F.lit("")), "\\s+"), ""
         )
 
-    zero = F.lit(0).cast("long")
-    one = F.lit(1).cast("long")
+    base = df.select(
+        F.col(id_col),
+        F.slice(words(cand_col), 1, int(max_cand_words)).alias("_c"),
+        words(ref_col).alias("_r"),
+    )
+    id_type = base.schema[id_col].dataType.simpleString()
 
-    def body(pair: Column) -> Column:
-        c, r = pair["c"], pair["r"]
-        m = F.size(c)
-        mask = F.when(
-            m > 0, F.call_function("shiftleft", one, m) - 1
-        ).otherwise(zero)
-        pos = F.transform(
-            c, lambda x, i: F.struct(x.alias("w"), i.alias("i"))
-        )
+    def kernel(batches):
+        import pandas as pd
 
-        def match_mask(w: Column) -> Column:
-            return F.aggregate(
-                pos,
-                zero,
-                lambda macc, s: macc.bitwiseOR(
-                    F.when(
-                        s["w"] == w,
-                        F.call_function("shiftleft", one, s["i"]),
-                    ).otherwise(zero)
-                ),
+        for pdf in batches:
+            lcs_out, nc_out, nr_out = [], [], []
+            for c, r in zip(pdf["_c"], pdf["_r"]):
+                m = len(c)
+                mask = (1 << m) - 1
+                masks: dict = {}
+                for i, w in enumerate(c):
+                    masks[w] = masks.get(w, 0) | (1 << i)
+                v = mask
+                for w in r:
+                    u = v & masks.get(w, 0)
+                    v = ((v + u) | (v - u)) & mask
+                lcs_out.append(m - v.bit_count())
+                nc_out.append(m)
+                nr_out.append(len(r))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "lcs_len": lcs_out,
+                    "n_cand": nc_out,
+                    "n_ref": nr_out,
+                }
             )
 
-        # U = V & M(w) binds once through the 1-element-array lambda;
-        # the recurrence references it twice and M(w)'s inner fold is
-        # the expensive child
-        V = F.aggregate(
-            r,
-            mask,
-            lambda acc, w: F.get(
-                F.transform(
-                    F.array(acc.bitwiseAND(match_mask(w))),
-                    lambda u: (
-                        (acc + u).bitwiseOR(acc - u)
-                    ).bitwiseAND(mask),
-                ),
-                0,
-            ),
-        )
-        return F.struct(
-            (m.cast("long") - F.bit_count(V).cast("long")).alias("lcs"),
-            m.cast("long").alias("nc"),
-            F.size(r).cast("long").alias("nr"),
-        )
-
-    res = F.get(
-        F.transform(
-            F.array(
-                F.struct(
-                    F.slice(words(cand_col), 1, int(max_cand_words)).alias(
-                        "c"
-                    ),
-                    words(ref_col).alias("r"),
-                )
-            ),
-            body,
+    return base.mapInPandas(
+        kernel,
+        schema=(
+            f"{id_col} {id_type}, lcs_len long, n_cand long, n_ref long"
         ),
-        0,
-    )
-    return df.select(
-        F.col(id_col),
-        res["lcs"].alias("lcs_len"),
-        res["nc"].alias("n_cand"),
-        res["nr"].alias("n_ref"),
     )
