@@ -187,6 +187,21 @@ def main() -> None:
     # self-inflicted load. Only load present BEFORE we start is foreign.
     load_before = [round(x, 2) for x in os.getloadavg()]
 
+    def _steal_ticks() -> int | None:
+        """Cumulative hypervisor steal ticks (10 ms units) from
+        /proc/stat. Loadavg cannot see steal: a co-tenant VM eating
+        the host inflates every task with zero guest-visible load
+        (observed 8-10% of core-seconds on this sandbox, swinging
+        plan-identical queries 3-25x). Recording the delta lets a
+        judge separate a stolen window from a regression."""
+        try:
+            with open("/proc/stat") as f:
+                return int(f.readline().split()[8])
+        except (OSError, IndexError, ValueError):
+            return None
+
+    steal_before = _steal_ticks()
+
     import __spark_entry__ as entry_mod
     from flyq_spark.session import get_spark
 
@@ -306,6 +321,12 @@ def main() -> None:
     ]
     core21_total = round(sum(times[q] for q in core21 if q in times), 3)
     load_after = [round(x, 2) for x in os.getloadavg()]
+    steal_after = _steal_ticks()
+    steal_ticks = (
+        steal_after - steal_before
+        if steal_before is not None and steal_after is not None
+        else None
+    )
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     out = {
         "metric": "headline_total_runtime",
@@ -315,6 +336,7 @@ def main() -> None:
         "sf": sf_val,
         "loadavg_before": load_before,
         "loadavg_after": load_after,
+        "steal_ticks": steal_ticks,
         "queries": times,
         "runs": runs,
     }

@@ -1398,6 +1398,8 @@ def mixture_build_epochs(
     largest-remainder math on the same counts). Output:
     (epoch, id, source, sample_rank, n_copies), epoch = the 0-based
     index into ``alpha_permilles``."""
+    if not alpha_permilles:
+        raise ValueError("alpha_permilles must name at least one epoch")
     spark = df.sparkSession
     # bounded collect: |sources| rows (low-cardinality axis by contract)
     counts_rows = (
