@@ -233,13 +233,16 @@ def main() -> None:
     )
 
     def run_once(fn, collect_small):
+        s0 = _steal_ticks()
         t0 = time.time()
         df = fn(spark, sf_dir)
         if collect_small:
             df.collect()
         else:
             df.write.mode("overwrite").format("noop").save()
-        return time.time() - t0
+        dt = time.time() - t0
+        s1 = _steal_ticks()
+        return dt, (s1 - s0 if s0 is not None and s1 is not None else None)
 
     # Queries with documented unchanged-plan run-to-run jitter (ANN probe
     # joins; r4/r5 spread up to 4s): take min-of-3 so the fixed-subset
@@ -255,6 +258,11 @@ def main() -> None:
 
     times: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
+    # per-run steal attribution (VERDICT r12 #8): hypervisor steal is
+    # invisible to loadavg and does not follow a plan — recording the
+    # steal-tick delta PER RUN lets a judge see which specific numbers
+    # a stolen window inflated instead of discarding the whole twin.
+    steal_runs: dict[str, list[int | None]] = {}
     for name, collect_small in HEADLINE:
         fn = qs[name]
         # isolate queries: frames persisted inside earlier operators
@@ -266,13 +274,14 @@ def main() -> None:
         # All raw timings are kept in `runs` so the artifact shows the
         # per-query spread, not just the min.
         raw = [run_once(fn, collect_small)]
-        if raw[0] < 20:
+        if raw[0][0] < 20:
             raw.append(run_once(fn, collect_small))
         if name in JITTERY:
             spark.catalog.clearCache()
             raw.append(run_once(fn, collect_small))
-        runs[name] = [round(x, 3) for x in raw]
-        times[name] = round(min(raw), 3)
+        runs[name] = [round(x, 3) for x, _ in raw]
+        steal_runs[name] = [s for _, s in raw]
+        times[name] = round(min(x for x, _ in raw), 3)
 
     # Engine produce/consume throughput: the broker surface itself, not
     # just the dataflow restatements. events(sf) -> messages -> produce
@@ -339,6 +348,7 @@ def main() -> None:
         "steal_ticks": steal_ticks,
         "queries": times,
         "runs": runs,
+        "steal_runs": steal_runs,
     }
     line = json.dumps(out)
     print(line)
@@ -358,17 +368,38 @@ def main() -> None:
     twin = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_out.json"
     )
-    if load_before[0] > 2.0 and "--force" not in sys.argv:
+    # Steal guard twin threshold (VERDICT r12 #8): >2% of this run's
+    # core-seconds stolen by the hypervisor makes the totals mush even
+    # when loadavg is clean — a twin from such a window misleads every
+    # later round-over-round comparison. 1 tick = 10 ms (USER_HZ=100).
+    ncpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 1))
+    elapsed = sum(sum(r) for r in runs.values()) or 1.0
+    steal_frac = (
+        steal_ticks / (elapsed * 100.0 * ncpus)
+        if steal_ticks is not None
+        else None
+    )
+    dirty = None
+    if load_before[0] > 2.0:
+        dirty = f"loadavg_before {load_before[0]} > 2.0 (shared-box contamination)"
+    elif steal_frac is not None and steal_frac > 0.02:
+        dirty = (
+            f"hypervisor steal {steal_frac:.1%} of core-seconds > 2%"
+            f" ({steal_ticks} ticks over ~{elapsed:.0f}s x {ncpus} cores)"
+        )
+    if dirty and "--force" not in sys.argv:
         print(
-            f"bench_out.json NOT written: loadavg_before {load_before[0]}"
-            " > 2.0 (shared-box contamination); rerun solo or pass --force"
+            f"bench_out.json NOT written: {dirty}; rerun solo or pass --force"
         )
     else:
         with open(twin, "w") as f:
             f.write(line + "\n")
     # Compact headline duplicate as the FINAL stdout line: tail-capture
     # keeps the end, so the headline numbers survive any truncation of
-    # the full line above.
+    # the full line above. It MUST carry the per-query times too
+    # (VERDICT r12 #2): when the guard above refuses the twin, this
+    # line is the only parseable record the driver gets, and without
+    # `queries` the round's per-query PERF table comes out empty.
     print(json.dumps({
         "metric": "headline_total_runtime",
         "value": total,
@@ -377,7 +408,9 @@ def main() -> None:
         "sf": sf_val,
         "loadavg_before": load_before,
         "loadavg_after": load_after,
-        "detail": "see queries/runs in the full line above and in committed bench_out.json",
+        "steal_ticks": steal_ticks,
+        "queries": times,
+        "detail": "see runs/steal_runs in the full line above and in committed bench_out.json",
     }))
     spark.stop()
 

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 END = "</w>"  # end-of-word sentinel (Sennrich-style)
 
@@ -397,6 +398,91 @@ def bpe_pair_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     return _bpe_pairs_from_vocab(_bpe_vocab(df, text_col))
 
 
+# one BPE merge round's combined output: the rewritten vocab rows
+# (f, syms; _pl/_pr/_pc NULL) plus each task's pre-aggregated adjacent
+# pair partials (_pl, _pr, _pc; f/syms NULL) — bounded by
+# |tasks| x |alphabet|², never by vocab size
+_BPE_ROUND_SCHEMA = T.StructType(
+    [
+        T.StructField("f", T.LongType()),
+        T.StructField("syms", T.ArrayType(T.StringType())),
+        T.StructField("_pl", T.StringType()),
+        T.StructField("_pr", T.StringType()),
+        T.StructField("_pc", T.LongType()),
+    ]
+)
+
+
+def _bpe_round_kernel(merge: tuple[str, str, str] | None):
+    """Arrow kernel for ONE BPE merge round (r13 optimization, guide
+    §4.2): apply ``merge`` = (a, b, ab) to every word's symbol
+    sequence — left-to-right, non-overlapping, the exact reference
+    semantics (aaa -> [aa, a]) — and count the REWRITTEN adjacent
+    pairs into one per-task dict, emitted after the last batch as
+    pre-aggregated partial rows. ``merge=None`` is round zero: count
+    pairs of the initial vocab, rows pass through unchanged.
+
+    One Python pass per round replaces TWO interpreted Catalyst HOF
+    folds (the merge-rewrite ``aggregate`` and the pair-projection
+    ``transform`` — both CodegenFallback, plus their per-round plan
+    construction, measured ~0.25 s/round of driver floor at sf0.1):
+    per word the rewrite is O(|syms|) list ops and each pair costs one
+    dict update, map-side combined before anything reaches the JVM
+    aggregation."""
+
+    def fn(batches):
+        import pandas as pd
+
+        pairs: dict = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out_syms = []
+            for f, syms in zip(pdf["f"], pdf["syms"]):
+                s = list(syms)
+                if merge is not None:
+                    a, b, ab = merge
+                    n = len(s)
+                    out = []
+                    i = 0
+                    while i < n:
+                        if s[i] == a and i + 1 < n and s[i + 1] == b:
+                            out.append(ab)
+                            i += 2
+                        else:
+                            out.append(s[i])
+                            i += 1
+                    s = out
+                fi = int(f)
+                for i in range(len(s) - 1):
+                    k = (s[i], s[i + 1])
+                    pairs[k] = pairs.get(k, 0) + fi
+                out_syms.append(s)
+            m = len(out_syms)
+            yield pd.DataFrame(
+                {
+                    "f": pdf["f"].to_numpy(),
+                    "syms": out_syms,
+                    "_pl": [None] * m,
+                    "_pr": [None] * m,
+                    "_pc": pd.array([None] * m, dtype="Int64"),
+                }
+            )
+        if pairs:
+            items = sorted(pairs.items())
+            yield pd.DataFrame(
+                {
+                    "f": pd.array([None] * len(items), dtype="Int64"),
+                    "syms": [None] * len(items),
+                    "_pl": [k[0] for k, _ in items],
+                    "_pr": [k[1] for k, _ in items],
+                    "_pc": pd.array([v for _, v in items], dtype="Int64"),
+                }
+            )
+
+    return fn
+
+
 def train_bpe_exact(
     df: DataFrame,
     n_merges: int = 20,
@@ -420,24 +506,24 @@ def train_bpe_exact(
 
     Distribution contract: the CORPUS is scanned exactly once (the
     word-frequency groupBy); every merge round then runs on the
-    |vocab|-row symbol table — one map-side-combined pair aggregation
-    whose argmax (a 1-row collect) picks the merge, and one array
-    projection applies it. The vocab is localCheckpoint'd each round
-    (the merge expression would otherwise nest n_merges aggregates deep
-    — codegen blowup — and the truncation keeps each round's cost flat
-    at O(|vocab|); driver state is the n_merges-row merge list, never
+    |vocab|-row symbol table as ONE Arrow ``mapInPandas`` pass (r13
+    optimization, guide §4.2, see :func:`_bpe_round_kernel`): the
+    kernel applies the previous round's merge left-to-right and emits
+    the rewritten rows plus per-task pre-aggregated pair partials; a
+    tiny JVM aggregation over the partials (bounded by
+    |tasks| x |alphabet|², never vocab size) picks the argmax (a
+    1-row collect). The combined round output is localCheckpoint'd
+    each round (plan truncation keeps per-round cost flat at
+    O(|vocab|); driver state is the n_merges-row merge list, never
     data) — LAZILY (eager=False, r12 optimization, guide §1.2): the
     next round's argmax action computes the rewrite, stores the
-    checkpoint blocks, and aggregates the pairs in ONE pass, where the
-    eager form materialized the rewrite as its own job and then re-read
-    the stored vocab — one job and one full vocab read per round
-    instead of two. The superseded round's blocks are dropped only
-    AFTER the argmax materializes the new checkpoint (unpersisting a
-    local checkpoint deletes its data; the truncated lineage cannot
-    recompute it). Rounds are inherently sequential (merge r+1's counts
-    depend on r's rewrite) — the 1-job-per-merge ladder is the
-    standard distributed formulation, not a driver-side loop over
-    data.
+    checkpoint blocks, and aggregates the pair partials in ONE pass.
+    The superseded round's blocks are dropped only AFTER the argmax
+    materializes the new checkpoint (unpersisting a local checkpoint
+    deletes its data; the truncated lineage cannot recompute it).
+    Rounds are inherently sequential (merge r+1's counts depend on
+    r's rewrite) — the 1-job-per-merge ladder is the standard
+    distributed formulation, not a driver-side loop over data.
 
     Output: (merge_rank, left_sym, right_sym, merged, pair_count),
     merge_rank 1-based in learn order; fewer than n_merges rows iff
@@ -445,62 +531,43 @@ def train_bpe_exact(
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
     spark = df.sparkSession
-    vocab = _bpe_vocab(df, text_col).localCheckpoint(eager=False)
+    state = _bpe_vocab(df, text_col).select("f", "syms")
+    combined = state.mapInPandas(
+        _bpe_round_kernel(None), schema=_BPE_ROUND_SCHEMA
+    ).localCheckpoint(eager=False)
     pending = None
     merges = []
     for rank in range(1, n_merges + 1):
         top = (
-            _bpe_pairs_from_vocab(vocab)
+            combined.where(F.col("_pl").isNotNull())
+            .groupBy("_pl", "_pr")
+            .agg(F.sum("_pc").cast("long").alias("pair_count"))
             .orderBy(
                 F.col("pair_count").desc(),
-                F.col("left_sym").asc(),
-                F.col("right_sym").asc(),
+                F.col("_pl").asc(),
+                F.col("_pr").asc(),
             )
             .limit(1)
             .collect()
         )
-        # this round's argmax materialized vocab's lazy checkpoint as a
-        # side effect — the superseded round's blocks are safe to drop
+        # this round's argmax materialized combined's lazy checkpoint
+        # as a side effect — the superseded round's blocks are safe to
+        # drop. (Lifecycle invariant, do not weaken: the argmax's
+        # full-shuffle aggregation materializes EVERY partition of the
+        # lazy checkpoint before the superseded blocks go; an action
+        # that could short-circuit — a bare limit without the
+        # aggregation — would let unpersist delete blocks the truncated
+        # lineage cannot recompute. Pinned by
+        # test_train_bpe_exact_multi_round_multi_partition.)
         if pending is not None:
             pending.unpersist()
             pending = None
         if not top:
             break
-        a, b, c = top[0]["left_sym"], top[0]["right_sym"], top[0]["pair_count"]
+        a, b, c = top[0]["_pl"], top[0]["_pr"], top[0]["pair_count"]
         merges.append((rank, a, b, a + b, c))
-        withnext = F.transform(
-            F.col("syms"),
-            lambda x, i: F.struct(
-                x.alias("s"), F.get(F.col("syms"), i + 1).alias("n")
-            ),
-        )
-        merged = F.aggregate(
-            withnext,
-            F.struct(
-                F.array().cast("array<string>").alias("acc"),
-                F.lit(False).alias("skip"),
-            ),
-            lambda st, x: (
-                F.when(
-                    st["skip"],
-                    F.struct(st["acc"].alias("acc"), F.lit(False).alias("skip")),
-                )
-                .when(
-                    (x["s"] == F.lit(a)) & (x["n"].eqNullSafe(F.lit(b))),
-                    F.struct(
-                        F.concat(st["acc"], F.array(F.lit(a + b))).alias("acc"),
-                        F.lit(True).alias("skip"),
-                    ),
-                )
-                .otherwise(
-                    F.struct(
-                        F.concat(st["acc"], F.array(x["s"])).alias("acc"),
-                        F.lit(False).alias("skip"),
-                    )
-                )
-            ),
-            lambda st: st["acc"],
-        )
+        if rank == n_merges:
+            break
         # drop the superseded round's checkpoint blocks promptly (the
         # unpersist above, once the NEXT argmax materializes this
         # rewrite): without it every round's |vocab|-row array table
@@ -508,9 +575,16 @@ def train_bpe_exact(
         # at 10^7 words (tools/bench_bpe_scale.py) the eviction
         # pressure makes per-round cost spiky (22-116 s) instead of
         # flat
-        pending = vocab
-        vocab = vocab.withColumn("syms", merged).localCheckpoint(eager=False)
-    vocab.unpersist()
+        pending = combined
+        combined = (
+            combined.where(F.col("_pl").isNull())
+            .select("f", "syms")
+            .mapInPandas(
+                _bpe_round_kernel((a, b, a + b)), schema=_BPE_ROUND_SCHEMA
+            )
+            .localCheckpoint(eager=False)
+        )
+    combined.unpersist()
     if pending is not None:
         pending.unpersist()
     return spark.createDataFrame(

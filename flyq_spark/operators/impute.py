@@ -408,13 +408,18 @@ def quantile_normalize(
         "_q",
         materialize=False,
     )
+    # materialize=True (r13): the pooled counted table is an aggregation
+    # (over the src checkpoint) — with materialize=False the range
+    # sampler and the exchange each ran it, i.e. two aggregation passes
+    # over src per call. The primitive's lazy input checkpoint runs it
+    # once. (ranked_in_group above keeps materialize=False correctly:
+    # its input IS the src checkpoint, re-read not recomputed.)
     pooled = grouped_prefix_sums(
         src.groupBy("_v").agg(F.count(F.lit(1)).cast("long").alias("_c")),
         [],
         [F.col("_v").asc()],
         {"_cum": F.col("_c")},
         totals={"_cum": "_n"},
-        materialize=False,
     )
     # lower exact quantile at fraction q/t = value at rank
     # ceil(q*N/t). The distinct value with count c and cumulative

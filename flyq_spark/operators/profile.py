@@ -187,17 +187,18 @@ def mad_outliers(
         .groupBy(group_col, value_col)
         .agg(F.count(F.lit(1)).cast("long").alias("_c"))
     )
-    # materialize=False: the input is a deterministic aggregation and
-    # the primitive's own stamped-rows checkpoint already provides the
-    # row/offset structural consistency — the extra input checkpoint
-    # would only add a materialization stage.
+    # materialize=True (r13, guide §1.2): repartitionByRange SAMPLES its
+    # child with a full execution before the exchange re-executes it —
+    # materialize=False made the counted aggregation (a full data scan +
+    # groupBy) run TWICE per call. The lazy input checkpoint computes it
+    # once; measured 1.00 s -> 0.67 s per call at sf0.1, and one whole
+    # scan+aggregation pass saved at scale.
     cums = grouped_prefix_sums(
         counted,
         [group_col],
         [F.col(value_col).asc()],
         {"_cum": F.col("_c")},
         totals={"_cum": "_n"},
-        materialize=False,
     )
     med = (
         cums.where(covers(lower_median_target))
@@ -218,13 +219,16 @@ def mad_outliers(
             F.col("_c"),
         )
     )
+    # materialize=True here too: the deviation table derives from the
+    # first pass's checkpoint through a broadcast join — without the
+    # input checkpoint the sampler and the exchange each replay that
+    # derivation (two reads of the pass-1 checkpoint per call)
     dev_cums = grouped_prefix_sums(
         dev_counted,
         [group_col],
         [F.col("_dv").asc()],
         {"_cum": F.col("_c")},
         totals={"_cum": "_n"},
-        materialize=False,
     )
     # MAD row also carries the group total (n_rows) for free; the
     # outlier count is n − (cum at the largest dv inside the fence), so
@@ -1045,11 +1049,19 @@ def _ks_from_deltas(deltas: DataFrame, num_partitions: int | None) -> DataFrame:
     """Shared KS tail over a per-value (d_a, d_b) delta table."""
     from flyq_spark.operators.ranking import global_prefix_sums
 
+    # checkpoint the delta table ONCE at this level (r13, guide §1.2):
+    # it has two consumers — the prefix-sum primitive AND the totals
+    # aggregate below. Passing it raw let each consumer (plus the range
+    # sampler) recompute the union+groupBy from the source tables; with
+    # the shared lazy checkpoint that computes once and the primitive
+    # is told the input is already materialized (materialize=False).
+    deltas = deltas.localCheckpoint(eager=False)
     cums = global_prefix_sums(
         deltas,
         [F.col("v").asc()],
         {"cum_a": F.col("d_a"), "cum_b": F.col("d_b")},
         num_partitions=num_partitions,
+        materialize=False,
     )
     # n_a/n_b are the final cumulative values = scalar totals; take them
     # from a 1-row aggregate of the deltas (cheap, reuses nothing big)
@@ -1116,13 +1128,27 @@ def ks_by_group(
     src = df.select(
         F.col(group_col).alias("_g"), value.cast("long").alias("_v")
     ).where(F.col("_v").isNotNull() & F.col("_g").isNotNull())
-    gv = src.groupBy("_g", "_v").agg(F.count(F.lit(1)).cast("long").alias("_d"))
-    dv = gv.groupBy("_v").agg(F.sum("_d").cast("long").alias("_dt"))
+    # checkpoint the two counted tables ONCE (r13, guide §1.2): gv has
+    # FOUR consumers (dv, groups, n_tot, grid) and dv has two (the
+    # pooled prefix sums + the grid's value spine) — raw, each consumer
+    # replayed the data-sized scan+groupBy; checkpointed, the scan and
+    # both aggregations run exactly once.
+    gv = (
+        src.groupBy("_g", "_v")
+        .agg(F.count(F.lit(1)).cast("long").alias("_d"))
+        .localCheckpoint(eager=False)
+    )
+    dv = (
+        gv.groupBy("_v")
+        .agg(F.sum("_d").cast("long").alias("_dt"))
+        .localCheckpoint(eager=False)
+    )
     cum_tot = global_prefix_sums(
         dv,
         [F.col("_v").asc()],
         {"_ct": F.col("_dt")},
         num_partitions=num_partitions,
+        materialize=False,
     ).select("_v", "_ct")
     groups = gv.groupBy("_g").agg(F.sum("_d").cast("long").alias("_ng"))
     n_tot = F.broadcast(

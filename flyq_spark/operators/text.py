@@ -18,6 +18,7 @@ from functools import reduce
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # occurrence count of a marker inside padded text: (len - len(remove)) / len(marker)
 def _occurrences(padded: Column, marker: str) -> Column:
@@ -1379,7 +1380,6 @@ def rouge_l_stats(
         F.slice(words(cand_col), 1, int(max_cand_words)).alias("_c"),
         words(ref_col).alias("_r"),
     )
-    id_type = base.schema[id_col].dataType.simpleString()
 
     def kernel(batches):
         import pandas as pd
@@ -1399,18 +1399,26 @@ def rouge_l_stats(
                 lcs_out.append(m - v.bit_count())
                 nc_out.append(m)
                 nr_out.append(len(r))
+            # positional id values, not the indexed Series: the result
+            # lists are positional, and a batch arriving with a
+            # non-default index would silently misalign ids against them
             yield pd.DataFrame(
                 {
-                    id_col: pdf[id_col],
+                    id_col: pdf[id_col].to_numpy(),
                     "lcs_len": lcs_out,
                     "n_cand": nc_out,
                     "n_ref": nr_out,
                 }
             )
 
-    return base.mapInPandas(
-        kernel,
-        schema=(
-            f"{id_col} {id_type}, lcs_len long, n_cand long, n_ref long"
-        ),
+    # programmatic schema: a DDL string would mis-parse id column names
+    # that need quoting (spaces, dots, reserved words)
+    out_schema = T.StructType(
+        [base.schema[id_col]]
+        + [
+            T.StructField("lcs_len", T.LongType()),
+            T.StructField("n_cand", T.LongType()),
+            T.StructField("n_ref", T.LongType()),
+        ]
     )
+    return base.mapInPandas(kernel, schema=out_schema)

@@ -6510,6 +6510,74 @@ def test_train_bpe_exact_exhausts_vocabulary(spark):
     assert [r["pair_count"] for r in rows] == [3, 3]
 
 
+def test_train_bpe_exact_multi_round_multi_partition(spark):
+    """Regression net for the lazy-checkpoint lifecycle (ADVICE r12):
+    the deferred unpersist of each superseded round is only safe
+    because the next argmax's full aggregation materializes EVERY
+    partition of the new lazy checkpoint before the old blocks drop.
+    Drive >2 merge rounds with the vocab spread over several
+    partitions so a short-circuiting action (the failure mode the
+    in-code comment guards against) would visibly lose rows: the merge
+    table must still match the pure-Python reference exactly."""
+    from collections import Counter
+
+    from flyq_spark.operators.bpe import train_bpe_exact
+
+    # 40 distinct words over a 4-letter alphabet -> many rounds of
+    # dense pair statistics across 8 partitions
+    words = [
+        "".join("abcd"[(i * 7 + j * 3) % 4] for j in range(3 + i % 5))
+        for i in range(40)
+    ]
+    text_rows = [(i, " ".join(words[i : i + 5])) for i in range(36)]
+    df = spark.createDataFrame(
+        text_rows, "doc_id long, text string"
+    ).repartition(8)
+
+    vocab: Counter = Counter()
+    for _, t in text_rows:
+        for w in t.lower().split():
+            if w:
+                vocab[w] += 1
+    state: dict = {}
+    for w, f in vocab.items():
+        k = tuple(list(w) + ["</w>"])
+        state[k] = state.get(k, 0) + f
+    expected = []
+    for rank in range(1, 11):
+        pairs: Counter = Counter()
+        for syms, f in state.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += f
+        if not pairs:
+            break
+        (a, b), c = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        expected.append((rank, a, b, a + b, c))
+        new: dict = {}
+        for syms, f in state.items():
+            out, skip = [], False
+            for i, s in enumerate(syms):
+                if skip:
+                    skip = False
+                    continue
+                if s == a and i + 1 < len(syms) and syms[i + 1] == b:
+                    out.append(a + b)
+                    skip = True
+                else:
+                    out.append(s)
+            k = tuple(out)
+            new[k] = new.get(k, 0) + f
+        state = new
+
+    got = [
+        (r["merge_rank"], r["left_sym"], r["right_sym"], r["merged"],
+         r["pair_count"])
+        for r in train_bpe_exact(df, 10).collect()
+    ]
+    assert got == expected
+    assert len(got) == 10  # the fixture sustains all requested rounds
+
+
 def test_train_bpe_exact_prefix_parity_with_driver_dict(spark):
     """Where the distinct-word dict fits under train_bpe's dict_cap the
     two trainers are the SAME algorithm: train_bpe's merge list equals

@@ -1,11 +1,18 @@
-"""Measured scale curve for train_bpe_exact (r12): synthetic distinct-word
-vocabularies of 10^5 / 10^6 / 10^7 entries through the distributed BPE
-merge loop on local[32]. The claim under test: each merge round costs
-one map-side-combined pair aggregation + one localCheckpoint
-materialization over |vocab| rows, so per-round wall-time scales
-~linearly in vocab size and is FLAT across rounds (the merge rewrite
-never grows the table — it shrinks symbol counts), with no driver
-state beyond the merge list.
+"""Measured scale curve for train_bpe_exact (r12, re-measured r13 with
+the Arrow round kernel): synthetic distinct-word vocabularies of
+10^5 / 10^6 / 10^7 entries through the distributed BPE merge loop on
+local[32]. The claim under test: each merge round costs one Arrow
+``mapInPandas`` pass (rewrite + per-task pair partials, see
+bpe._bpe_round_kernel) + one bounded JVM partials aggregation + one
+localCheckpoint materialization over |vocab| rows, so per-round
+wall-time scales ~linearly in vocab size and is FLAT across rounds
+(the merge rewrite never grows the table — it shrinks symbol counts),
+with no driver state beyond the merge list.
+
+r13 A/B at 10^6 vocab (same host, same session): the r12 all-Catalyst
+HOF round (interpreted aggregate-fold rewrite + transform pair
+projection) ran 2.2 s/round; the Arrow kernel round runs 0.8 s/round —
+2.7x — with an identical merge sequence.
 
 Input is spark.range (no fixture dependency): each id becomes a
 pseudo-random 3-12 char word from the md5 hex alphabet (16 symbols, so
@@ -29,7 +36,11 @@ from pyspark.sql import functions as F
 
 def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    from flyq_spark.operators.bpe import END, _bpe_pairs_from_vocab
+    from flyq_spark.operators.bpe import (
+        END,
+        _BPE_ROUND_SCHEMA,
+        _bpe_round_kernel,
+    )
     from flyq_spark.session import get_spark
 
     argv = sys.argv[1:]
@@ -42,6 +53,24 @@ def main() -> None:
     sizes = [int(float(a)) for a in argv] or [100_000, 1_000_000, 10_000_000]
 
     spark = get_spark("bpe_scale", shuffle_partitions=32)
+
+    # pay the one-time Python-worker import storm outside the timers
+    def _warm(batches):
+        import numpy  # noqa: F401
+        import pandas  # noqa: F401
+
+        for b in batches:
+            yield b
+
+    (
+        spark.range(64)
+        .repartition(32)
+        .mapInPandas(_warm, "id long")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+
     for n in sizes:
         # 3-12 char md5-hex words (16-symbol alphabet keeps pair
         # statistics dense at every size); freq 1 + id mod 997
@@ -57,67 +86,49 @@ def main() -> None:
             F.array_remove(F.split(F.col("word"), "(?!^)"), ""),
             F.array(F.lit(END)),
         )
-        v = vocab.withColumn("syms", syms).localCheckpoint()
+        state = vocab.withColumn("syms", syms).select("f", "syms")
 
+        # the train_bpe_exact loop body, verbatim (kernel + bounded
+        # partials argmax + lazy checkpoint ladder)
+        combined = state.mapInPandas(
+            _bpe_round_kernel(None), schema=_BPE_ROUND_SCHEMA
+        ).localCheckpoint(eager=False)
+        pending = None
         per_round = []
         merges = []
         for rank in range(1, n_merges + 1):
             t0 = time.time()
             top = (
-                _bpe_pairs_from_vocab(v)
+                combined.where(F.col("_pl").isNotNull())
+                .groupBy("_pl", "_pr")
+                .agg(F.sum("_pc").cast("long").alias("pair_count"))
                 .orderBy(
                     F.col("pair_count").desc(),
-                    F.col("left_sym").asc(),
-                    F.col("right_sym").asc(),
+                    F.col("_pl").asc(),
+                    F.col("_pr").asc(),
                 )
                 .limit(1)
                 .collect()
             )
+            if pending is not None and "--no-unpersist" not in sys.argv:
+                pending.unpersist()
+            pending = None
             if not top:
                 break
-            a, b = top[0]["left_sym"], top[0]["right_sym"]
+            a, b = top[0]["_pl"], top[0]["_pr"]
             merges.append((a, b, top[0]["pair_count"]))
-            withnext = F.transform(
-                F.col("syms"),
-                lambda x, i: F.struct(
-                    x.alias("s"), F.get(F.col("syms"), i + 1).alias("n")
-                ),
+            if rank == n_merges:
+                per_round.append(time.time() - t0)
+                break
+            pending = combined
+            combined = (
+                combined.where(F.col("_pl").isNull())
+                .select("f", "syms")
+                .mapInPandas(
+                    _bpe_round_kernel((a, b, a + b)), schema=_BPE_ROUND_SCHEMA
+                )
+                .localCheckpoint(eager=False)
             )
-            merged = F.aggregate(
-                withnext,
-                F.struct(
-                    F.array().cast("array<string>").alias("acc"),
-                    F.lit(False).alias("skip"),
-                ),
-                lambda st, x: (
-                    F.when(
-                        st["skip"],
-                        F.struct(
-                            st["acc"].alias("acc"), F.lit(False).alias("skip")
-                        ),
-                    )
-                    .when(
-                        (x["s"] == F.lit(a)) & (x["n"].eqNullSafe(F.lit(b))),
-                        F.struct(
-                            F.concat(st["acc"], F.array(F.lit(a + b))).alias(
-                                "acc"
-                            ),
-                            F.lit(True).alias("skip"),
-                        ),
-                    )
-                    .otherwise(
-                        F.struct(
-                            F.concat(st["acc"], F.array(x["s"])).alias("acc"),
-                            F.lit(False).alias("skip"),
-                        )
-                    )
-                ),
-                lambda st: st["acc"],
-            )
-            prev = v
-            v = v.withColumn("syms", merged).localCheckpoint()
-            if "--no-unpersist" not in sys.argv:
-                prev.unpersist()
             per_round.append(time.time() - t0)
 
         rounds = " ".join(f"{t:.1f}" for t in per_round)
@@ -127,7 +138,9 @@ def main() -> None:
             f"first merge {merges[0] if merges else None}",
             flush=True,
         )
-        v.unpersist()
+        combined.unpersist()
+        if pending is not None:
+            pending.unpersist()
 
 
 if __name__ == "__main__":
