@@ -398,6 +398,24 @@ def bpe_pair_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     return _bpe_pairs_from_vocab(_bpe_vocab(df, text_col))
 
 
+def _apply_merge(s: list, a: str, b: str, ab: str) -> list:
+    """One merge applied to one symbol sequence — left-to-right,
+    non-overlapping, the exact reference semantics (aaa -> [aa, a]).
+    Shared by the distributed round kernel and the driver-local loop so
+    the two paths cannot drift."""
+    n = len(s)
+    out = []
+    i = 0
+    while i < n:
+        if s[i] == a and i + 1 < n and s[i + 1] == b:
+            out.append(ab)
+            i += 2
+        else:
+            out.append(s[i])
+            i += 1
+    return out
+
+
 # one BPE merge round's combined output: the rewritten vocab rows
 # (f, syms; _pl/_pr/_pc NULL) plus each task's pre-aggregated adjacent
 # pair partials (_pl, _pr, _pc; f/syms NULL) — bounded by
@@ -441,18 +459,7 @@ def _bpe_round_kernel(merge: tuple[str, str, str] | None):
             for f, syms in zip(pdf["f"], pdf["syms"]):
                 s = list(syms)
                 if merge is not None:
-                    a, b, ab = merge
-                    n = len(s)
-                    out = []
-                    i = 0
-                    while i < n:
-                        if s[i] == a and i + 1 < n and s[i + 1] == b:
-                            out.append(ab)
-                            i += 2
-                        else:
-                            out.append(s[i])
-                            i += 1
-                    s = out
+                    s = _apply_merge(s, *merge)
                 fi = int(f)
                 for i in range(len(s) - 1):
                     k = (s[i], s[i + 1])
@@ -483,10 +490,69 @@ def _bpe_round_kernel(merge: tuple[str, str, str] | None):
     return fn
 
 
+# Small-input escape hatch for the exact ladder (r13, guide §1.2):
+# below these bounds the cluster rounds are pure scheduling/Python-
+# boundary overhead (~0.23 s/round measured at sf0.1 where the vocab is
+# 31 rows) and the driver loop computes the identical table in
+# milliseconds. 64 MiB of input text is the same order as a broadcast
+# build side; 65_536 collected vocab rows is well under train_bpe's
+# default driver-side dict_cap (100_000). Past either bound the
+# distributed ladder runs unchanged.
+_LOCAL_INPUT_MAX_BYTES = 64 << 20
+_LOCAL_VOCAB_CAP = 65_536
+
+
+def _estimated_input_bytes(df: DataFrame) -> int:
+    """Catalyst's own size estimate for the plan — file-size-backed for
+    parquet scans, known for local relations; the SAME statistic the
+    planner's broadcast decision reads. No job runs. Unknown/failed
+    estimates return huge so the caller stays on the distributed path."""
+    try:
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # noqa: BLE001 - stats are advisory only
+        return 1 << 62
+
+
+def _local_bpe_merges(
+    rows: list[tuple[int, list[str]]], n_merges: int
+) -> list[tuple[int, str, str, str, int]]:
+    """Driver-local merge loop over a collected (f, syms) vocab — the
+    distributed ladder's EXACT semantics: per round count adjacent
+    pairs weighted by word frequency, argmax by (count desc, left asc,
+    right asc), rewrite via the shared :func:`_apply_merge`. Parity is
+    pinned in pytest by running both paths on the same input."""
+    state: dict[tuple[str, ...], int] = {}
+    for f, syms in rows:
+        k = tuple(syms)
+        state[k] = state.get(k, 0) + int(f)
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, f in state.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pairs[p] = pairs.get(p, 0) + f
+        if not pairs:
+            break
+        (a, b), c = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, a, b, a + b, c))
+        if rank == n_merges:
+            break
+        new: dict[tuple[str, ...], int] = {}
+        for syms, f in state.items():
+            k = tuple(_apply_merge(list(syms), a, b, a + b))
+            new[k] = new.get(k, 0) + f
+        state = new
+    return merges
+
+
 def train_bpe_exact(
     df: DataFrame,
     n_merges: int = 20,
     text_col: str = "text",
+    local_input_max_bytes: int = _LOCAL_INPUT_MAX_BYTES,
 ) -> DataFrame:
     """The fully-DISTRIBUTED BPE merge loop — :func:`train_bpe`'s exact
     sibling for the regime where the distinct-word dict itself
@@ -525,13 +591,48 @@ def train_bpe_exact(
     r's rewrite) — the 1-job-per-merge ladder is the standard
     distributed formulation, not a driver-side loop over data.
 
+    Small-input fast path (r13): when Catalyst's size estimate says
+    the input is under ``local_input_max_bytes`` (default 64 MiB — the
+    broadcast-small class) AND a bounded probe confirms the distinct
+    vocab fits ``_LOCAL_VOCAB_CAP`` rows, the merge loop runs on the
+    driver over the collected vocab instead — one Spark job total
+    rather than one per round, computing the IDENTICAL table (shared
+    :func:`_apply_merge` rewrite; both paths pinned against the same
+    pure-Python reference and against each other in pytest). Pass
+    ``local_input_max_bytes=0`` to force the distributed ladder.
+
     Output: (merge_rank, left_sym, right_sym, merged, pair_count),
     merge_rank 1-based in learn order; fewer than n_merges rows iff
     the vocabulary ran out of adjacent pairs first."""
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
     spark = df.sparkSession
+    schema = (
+        "merge_rank long, left_sym string, right_sym string,"
+        " merged string, pair_count long"
+    )
     state = _bpe_vocab(df, text_col).select("f", "syms")
+    # Small-input fast path (r13, guide §1.2): when Catalyst's free
+    # size estimate says the input is broadcast-small, probe the vocab
+    # with a bounded limit-collect; if the WHOLE vocab came back, run
+    # the merge loop on the driver — one Spark job total instead of one
+    # per round. Purely an execution-strategy choice (same statistic
+    # Spark's own broadcast planning uses): the table computed is
+    # identical (parity-pinned in pytest), the input is re-scanned on
+    # every invocation, and any large or unestimatable input falls
+    # through to the unchanged distributed ladder. Set
+    # ``local_input_max_bytes=0`` to force the ladder (tests do).
+    if (
+        local_input_max_bytes > 0
+        and _estimated_input_bytes(df) <= local_input_max_bytes
+    ):
+        probe = state.limit(_LOCAL_VOCAB_CAP + 1).collect()
+        if len(probe) <= _LOCAL_VOCAB_CAP:
+            merges_local = _local_bpe_merges(
+                [(r["f"], r["syms"]) for r in probe], n_merges
+            )
+            return spark.createDataFrame(merges_local, schema=schema)
+        # vocab overflowed the driver cap: fall through to the ladder
     combined = state.mapInPandas(
         _bpe_round_kernel(None), schema=_BPE_ROUND_SCHEMA
     ).localCheckpoint(eager=False)
@@ -587,10 +688,4 @@ def train_bpe_exact(
     combined.unpersist()
     if pending is not None:
         pending.unpersist()
-    return spark.createDataFrame(
-        merges,
-        schema=(
-            "merge_rank long, left_sym string, right_sym string,"
-            " merged string, pair_count long"
-        ),
-    )
+    return spark.createDataFrame(merges, schema=schema)

@@ -6471,12 +6471,21 @@ def test_train_bpe_exact_matches_python_reference(spark):
             state = new
         return merges
 
-    got = [
+    # the DISTRIBUTED ladder (local_input_max_bytes=0 forces it) and
+    # the small-input driver-local path (default: this fixture is tiny)
+    # must BOTH match the independent reference — and hence each other
+    got_dist = [
+        (r["merge_rank"], r["left_sym"], r["right_sym"], r["merged"],
+         r["pair_count"])
+        for r in train_bpe_exact(df, 12, local_input_max_bytes=0).collect()
+    ]
+    got_local = [
         (r["merge_rank"], r["left_sym"], r["right_sym"], r["merged"],
          r["pair_count"])
         for r in train_bpe_exact(df, 12).collect()
     ]
-    assert got == reference(12)
+    assert got_dist == reference(12)
+    assert got_local == reference(12)
 
     # pair counts agree with the reference's round-1 counter
     ref_pairs: Counter = Counter()
@@ -6504,10 +6513,13 @@ def test_train_bpe_exact_exhausts_vocabulary(spark):
     from flyq_spark.operators.bpe import train_bpe_exact
 
     df = spark.createDataFrame([(1, "ab ab ab")], "doc_id long, text string")
-    rows = train_bpe_exact(df, 50).collect()
-    # "ab</w>" has symbols [a, b, </w>]: 2 merges then nothing left
-    assert [r["merged"] for r in rows] == ["ab", "ab</w>"]
-    assert [r["pair_count"] for r in rows] == [3, 3]
+    # early-stop must hold on BOTH execution paths
+    for force in (0, None):
+        kw = {"local_input_max_bytes": force} if force is not None else {}
+        rows = train_bpe_exact(df, 50, **kw).collect()
+        # "ab</w>" has symbols [a, b, </w>]: 2 merges then nothing left
+        assert [r["merged"] for r in rows] == ["ab", "ab</w>"]
+        assert [r["pair_count"] for r in rows] == [3, 3]
 
 
 def test_train_bpe_exact_multi_round_multi_partition(spark):
@@ -6569,13 +6581,40 @@ def test_train_bpe_exact_multi_round_multi_partition(spark):
             new[k] = new.get(k, 0) + f
         state = new
 
+    # local_input_max_bytes=0: this test exists to exercise the
+    # DISTRIBUTED checkpoint lifecycle, so force the ladder
     got = [
         (r["merge_rank"], r["left_sym"], r["right_sym"], r["merged"],
          r["pair_count"])
-        for r in train_bpe_exact(df, 10).collect()
+        for r in train_bpe_exact(df, 10, local_input_max_bytes=0).collect()
     ]
     assert got == expected
     assert len(got) == 10  # the fixture sustains all requested rounds
+
+
+def test_train_bpe_exact_vocab_cap_overflow_falls_through(spark, monkeypatch):
+    """A small-bytes input whose DISTINCT vocab overflows the driver
+    cap must fall through the probe to the distributed ladder and still
+    learn the right table (the bounded limit-collect is a probe, never
+    a truncation)."""
+    from flyq_spark.operators import bpe as bpe_mod
+
+    df = spark.createDataFrame(
+        [(1, "low lower newest low low")], "doc_id long, text string"
+    )
+    expect = [
+        (r["merge_rank"], r["merged"], r["pair_count"])
+        for r in bpe_mod.train_bpe_exact(
+            df, 5, local_input_max_bytes=0
+        ).collect()
+    ]
+    # vocab here is 3 distinct words; cap of 2 forces the overflow path
+    monkeypatch.setattr(bpe_mod, "_LOCAL_VOCAB_CAP", 2)
+    got = [
+        (r["merge_rank"], r["merged"], r["pair_count"])
+        for r in bpe_mod.train_bpe_exact(df, 5).collect()
+    ]
+    assert got == expect
 
 
 def test_train_bpe_exact_prefix_parity_with_driver_dict(spark):
