@@ -87,10 +87,23 @@ from pyspark.sql import types as T
 GROUP_MARKER = "_gg_"
 
 
-def _resolve_partitions(df: DataFrame, num_partitions: int | None) -> int:
-    if num_partitions is not None:
-        return int(num_partitions)
-    return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+def _range_partitioned(
+    df: DataFrame, num_partitions: int | None, cols: list[Column]
+) -> DataFrame:
+    """The primitive's one data-sized exchange. With ``num_partitions``
+    unset (the default), the shuffle is planned WITHOUT a pinned count
+    (origin REPARTITION_BY_COL), so AQE's partition coalescing sizes
+    the reduce side from the actual shuffle bytes
+    (advisoryPartitionSizeInBytes) instead of a constant — tiny inputs
+    collapse to a few tasks, huge ones keep the full conf'd width
+    (r13, guide §2.2 "fewer, larger reduce partitions", scale-adaptive
+    rather than tuned to either local mode or the cluster). Coalescing
+    merges ADJACENT reduce partitions, so the range order across
+    partitions — everything the offset math relies on — is preserved.
+    An explicit ``num_partitions`` pins the count exactly as before."""
+    if num_partitions is None:
+        return df.repartitionByRange(*cols)
+    return df.repartitionByRange(int(num_partitions), *cols)
 
 
 def _marks(group_cols: list[str]) -> list[str]:
@@ -138,7 +151,6 @@ def grouped_row_number(
     makes offset/row consistency structural), so the data moves
     through exactly one exchange either way.
     """
-    num_partitions = _resolve_partitions(df, num_partitions)
     if materialize:
         df = df.localCheckpoint(eager=False)
     gcols = [F.col(c) for c in group_cols]
@@ -150,7 +162,7 @@ def grouped_row_number(
     # boundary sampling nor the id's cross-partition gaps can change
     # results.
     local = (
-        df.repartitionByRange(num_partitions, *gcols, *order)
+        _range_partitioned(df, num_partitions, [*gcols, *order])
         .sortWithinPartitions(*gcols, *order)
         .withColumn("_gpid", F.spark_partition_id())
         .withColumn("_gmid", F.monotonically_increasing_id())
@@ -448,7 +460,6 @@ def grouped_prefix_agg(
     cross-partition combination is op-consistent (+ / greatest /
     least, with a NULL offset for each group's first range partition).
     """
-    num_partitions = _resolve_partitions(df, num_partitions)
     if materialize:
         df = df.localCheckpoint(eager=False)
     names = list(aggs)
@@ -469,8 +480,7 @@ def grouped_prefix_agg(
     ]
     gcols = [F.col(c) for c in group_cols]
     ranged = (
-        df.select("*", *exprs)
-        .repartitionByRange(num_partitions, *gcols, *order)
+        _range_partitioned(df.select("*", *exprs), num_partitions, [*gcols, *order])
         .sortWithinPartitions(*gcols, *order)
         .withColumn("_gpid", F.spark_partition_id())
     )
